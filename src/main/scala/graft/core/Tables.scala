@@ -1,0 +1,43 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table access + canonicalisation helpers shared by every query.
+  *
+  * Determinism contract (SURVEY.md §7.4): aggregates over money columns are
+  * computed in exact DECIMAL arithmetic (bit-identical between Spark and the
+  * DuckDB oracle) and only cast to DOUBLE at the end; every query output is
+  * totally ordered with explicit NULLS FIRST so row order agrees with the
+  * oracle's ORDER BY ... NULLS FIRST.
+  */
+object Tables {
+
+  /** Load one of the driver-generated parquet tables (TESTDATA.md). */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Money/quantity column → exact decimal(18,2); mirrors
+    * CAST(x AS DECIMAL(18,2)) in the oracle SQL. Input doubles carry 2
+    * decimals, so this is a lossless recovery in both engines.
+    */
+  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Finely-scaled decimal for intermediate products (keeps later
+    * multiplications inside decimal(38,_) exactly, no precision loss).
+    */
+  def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** Exact decimal sum surfaced as double: identical in Spark and DuckDB
+    * because the decimal sum is exact and double conversion is
+    * round-to-nearest in both.
+    */
+  def sumDec2(c: Column): Column = sum(dec2(c)).cast(DoubleType)
+
+  /** Deterministic total order, Spark side: ascending, NULLS FIRST on every
+    * key (oracle SQL must say ORDER BY k1 NULLS FIRST, ...).
+    */
+  def ordered(df: DataFrame, keys: String*): DataFrame =
+    df.orderBy(keys.map(k => col(k).asc_nulls_first): _*)
+}
