@@ -15,7 +15,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Optional substring filter for fast local iteration; the driver never
+    // sets this so its runs always cover the full surface.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").filter(_.nonEmpty)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(name.contains)
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -14,9 +14,20 @@ import org.apache.spark.sql.types._
   */
 object Tables {
 
-  /** Load one of the driver-generated parquet tables (TESTDATA.md). */
+  /** Load one of the driver-generated parquet tables (TESTDATA.md).
+    *
+    * `events.ts` is INT64 TIMESTAMP(NANOS), which Spark 4 refuses to map to
+    * its µs TimestampType. We read nanos as a plain long
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to µs — exactly
+    * what DuckDB's TIMESTAMP_NS→TIMESTAMP cast does, so oracle SQL can use
+    * plain `CAST(ts AS TIMESTAMP)` semantics.
+    */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Money/quantity column → exact decimal(18,2); mirrors
     * CAST(x AS DECIMAL(18,2)) in the oracle SQL. Input doubles carry 2

@@ -6,15 +6,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * contributes `all` (Spark plans) and `oracles` (DuckDB-equivalent SQL).
   */
 object Registry {
-  private def modules: Seq[QueryModule] = Seq(
-    // populated as slices land (SURVEY §7.2)
-  )
-
   def all: Map[String, (SparkSession, String) => DataFrame] =
-    Aggregates.all ++ modules.flatMap(_.all).toMap
+    Scans.all ++ Projections.all ++ Joins.all ++ Aggregates.all ++
+      SortsLimits.all ++ SetOps.all
 
   def oracles: Map[String, String] =
-    Aggregates.oracles ++ modules.flatMap(_.oracles).toMap
+    Scans.oracles ++ Projections.oracles ++ Joins.oracles ++
+      Aggregates.oracles ++ SortsLimits.oracles ++ SetOps.oracles
 }
 
 trait QueryModule {
