@@ -8,11 +8,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Registry {
   def all: Map[String, (SparkSession, String) => DataFrame] =
     Scans.all ++ Projections.all ++ Joins.all ++ Aggregates.all ++
-      SortsLimits.all ++ SetOps.all
+      Windows.all ++ SortsLimits.all ++ SetOps.all ++ Scalars.all
 
   def oracles: Map[String, String] =
     Scans.oracles ++ Projections.oracles ++ Joins.oracles ++
-      Aggregates.oracles ++ SortsLimits.oracles ++ SetOps.oracles
+      Aggregates.oracles ++ Windows.oracles ++ SortsLimits.oracles ++
+      SetOps.oracles ++ Scalars.oracles
 }
 
 trait QueryModule {
