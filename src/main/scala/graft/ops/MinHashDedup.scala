@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH near-duplicate detection — SURVEY.md §2B.11 Q59, §4.3.
+  *
+  * Pipeline (all relational, one shuffle per stage, no quadratic step):
+  *
+  *   1. shingle each doc into word n-grams ([[TextOps.shingles]]);
+  *   2. per (doc, distinct shingle): 32-bit portable hash x
+  *      ([[TextOps.hash32]]);
+  *   3. k permutations h_i(x) = (a_i·x + b_i) mod p (p prime > 2^32,
+  *      a_i < 2^12 so a·x < 2^63 — no overflow); signature = per-doc mins
+  *      (one hash-aggregate);
+  *   4. split the signature into bands of r values; band key =
+  *      md5(concat of the r mins); docs sharing any band key are candidate
+  *      pairs (self-join on the band key — the LSH trick that keeps the
+  *      candidate set ~linear instead of O(n²)).
+  *
+  * With k=8, r=2 (4 bands): P(candidate) = 1-(1-j²)⁴ for Jaccard j — steep
+  * around j≈0.5. At 100 TB the band join shuffles only (band, key, doc_id)
+  * triples; skewed (common) band keys are handled by AQE skew-join.
+  */
+object MinHashDedup {
+
+  /** Fixed permutation coefficients (a_i, b_i) — must match the oracle. */
+  val coeffs: Seq[(Long, Long)] = Seq(
+    (737L, 1L), (947L, 12L), (1259L, 31L), (1511L, 47L),
+    (1777L, 59L), (2003L, 73L), (2267L, 89L), (2531L, 101L))
+
+  val prime = 4294967311L // smallest prime > 2^32
+
+  /** Per-doc MinHash signature columns h0..h{k-1} from a docs frame.
+    *
+    * @param docs  input with `idCol` and `textCol`
+    * @param shingleN word-n-gram size
+    */
+  def signatures(docs: DataFrame, idCol: String, textCol: String,
+                 shingleN: Int = 3): DataFrame = {
+    // explode (not explode_outer): docs with fewer than n tokens have no
+    // shingles and drop out, matching the oracle's UNNEST semantics.
+    val exploded = docs
+      .select(col(idCol), explode(TextOps.shingles(col(textCol), shingleN)).as("__sh"))
+      .distinct()
+      .withColumn("__x", TextOps.hash32(col("__sh")))
+    val aggs = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      min((col("__x") * a + b) % prime).as(s"h$i")
+    }
+    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Candidate near-duplicate pairs (d1 < d2) via banded LSH self-join. */
+  def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                     shingleN: Int = 3, rowsPerBand: Int = 2): DataFrame = {
+    val sig = signatures(docs, idCol, textCol, shingleN)
+    val nBands = coeffs.size / rowsPerBand
+    val bandStructs = (0 until nBands).map { b =>
+      val key = md5(concat_ws("_",
+        (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*))
+      struct(lit(b).as("band"), key.as("bh"))
+    }
+    val bands = sig
+      .select(col(idCol), explode(array(bandStructs: _*)).as("__b"))
+      .select(col(idCol), col("__b.band").as("band"), col("__b.bh").as("bh"))
+    val a = bands.select(col("band"), col("bh"), col(idCol).as("d1"))
+    val b = bands.select(col("band"), col("bh"), col(idCol).as("d2"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"))
+      .distinct()
+  }
+
+  /** Exact duplicate groups on normalised text: md5(lower(trim(text))). */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(lower(trim(col(textCol)))).as("h"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n"))
+
+  /** Token-set Jaccard similarity between two text columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val ta = TextOps.tokenSet(a); val tb = TextOps.tokenSet(b)
+    size(array_intersect(ta, tb)).cast("double") /
+      size(array_union(ta, tb))
+  }
+}

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis primitives for LLM training-data pipelines —
+  * SURVEY.md §2B.11 (Q62) and the training-data additions (language-ID,
+  * quality scoring, token counting, fingerprinting).
+  *
+  * All pure-`Column` expressions (codegen'd built-ins, no UDFs) so they
+  * fuse into the scan's WholeStageCodegen — per-row cost only, no shuffle,
+  * which is what makes them viable over 100 TB of documents.
+  */
+object TextOps {
+
+  /** Lowercased alnum word tokens (order-preserving, may repeat). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Distinct token set. */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Word `n`-gram shingles (empty when fewer than n tokens). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** Deterministic 32-bit token hash shared with the DuckDB oracle:
+    * first 4 bytes of md5 read as a big-endian unsigned int
+    * (`CAST('0x'||substr(md5(s),1,8) AS BIGINT)` on the oracle side).
+    * Engine-portable, unlike Spark's Murmur3 `hash()`.
+    */
+  def hash32(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast(LongType)
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: alpha runs, digit runs, and single punctuation
+    * marks each count as one token (a cheap proxy for byte-pair tokenizer
+    * output size, rank-correlated with real BPE counts).
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Punctuation/symbol character ratio (on the lowercased text). */
+  def punctRatio(text: Column): Column = {
+    val lo = lower(text)
+    (length(lo) - length(regexp_replace(lo, "[a-z0-9 ]", "")))
+      .cast(DoubleType) / length(lo)
+  }
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "las", "y", "es"))
+
+  /** Stopword-hit count for one language list. */
+  def stopwordHits(toks: Column, lang: String): Column =
+    size(filter(toks, t => t.isInCollection(stopwords(lang))))
+
+  /** n-gram-heuristic language ID: argmax of per-language stopword hits
+    * with a fixed priority order (en > de > fr > es), "und" when no list
+    * hits. Deterministic; mirrored 1:1 in oracle SQL.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val en = stopwordHits(toks, "en"); val de = stopwordHits(toks, "de")
+    val fr = stopwordHits(toks, "fr"); val es = stopwordHits(toks, "es")
+    when(en + de + fr + es === 0, "und")
+      .when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+  }
+
+  /** Heuristic quality score in [0, ~1.5]: stopword density is good,
+    * punctuation soup is bad, some length is good. Fixed expression order
+    * both engines → bit-identical doubles.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks)
+    val stopRatio = stopwordHits(toks, "en").cast(DoubleType) / greatest(nTok, lit(1))
+    round(stopRatio - lit(0.5) * punctRatio(text) +
+      least(nTok, lit(100)).cast(DoubleType) / 200.0, 6)
+  }
+
+  /** 16-bit SimHash over the distinct token set: bit i of the fingerprint
+    * is the sign of Σ_tokens (±1 by bit i of the token hash). Near-dup
+    * texts (high token overlap) land within small Hamming distance.
+    * Pure integer arithmetic → engine-portable.
+    */
+  def simhash16(text: Column): Column = {
+    val toks = tokenSet(text)
+    val bitSums = (0 until 16).map { i =>
+      aggregate(toks, lit(0L), (acc, t) =>
+        acc + when(shiftright(hash32(t), i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+    }
+    bitSums.zipWithIndex.map { case (s, i) =>
+      when(s > 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+  }
+}

@@ -1,0 +1,319 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables._
+import graft.ops.{MinHashDedup, Similarity, TextOps, TopK}
+import graft.sources.Multimodal
+
+/** SURVEY.md §2B.11 + the training-data-pipeline additions (Q58–Q69):
+  * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
+  * cosine), similarity search (brute-force + LSH-bucketed ANN), text
+  * analysis (token freq, language-ID, quality, token counts), and
+  * multimodal binary columns.
+  */
+object LlmOps {
+
+  /** Shared DuckDB CTE: per-doc filtered token list. */
+  private val tokCte =
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      |  FROM documents)""".stripMargin
+
+  /** Q58 — exact dedup groups on normalised text hash. */
+  def q58(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    MinHashDedup.exactGroups(t(spark, dir, "documents"), "doc_id", "text")
+      .orderBy($"h".asc_nulls_first)
+  }
+
+  val q58Sql: String =
+    """SELECT md5(lower(trim(text))) AS h, MIN(doc_id) AS keeper, COUNT(*) AS n
+      |FROM documents GROUP BY 1 ORDER BY h NULLS FIRST""".stripMargin
+
+  /** Q59 — MinHash+LSH near-dup candidate pairs (see
+    * [[graft.ops.MinHashDedup]] for the scale analysis).
+    */
+  def q59(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    MinHashDedup.candidatePairs(t(spark, dir, "documents"), "doc_id", "text")
+      .orderBy($"d1".asc_nulls_first, $"d2".asc_nulls_first)
+  }
+
+  val q59Sql: String = {
+    val hashAggs = MinHashDedup.coeffs.zipWithIndex.map { case ((a, b), i) =>
+      s"MIN(($a * x + $b) % ${MinHashDedup.prime}) AS h$i"
+    }.mkString(", ")
+    val bandSelects = (0 until 4).map { bnd =>
+      val r0 = bnd * 2; val r1 = bnd * 2 + 1
+      s"SELECT doc_id, $bnd AS band, md5(CAST(h$r0 AS VARCHAR) || '_' || CAST(h$r1 AS VARCHAR)) AS bh FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""$tokCte,
+       |sh AS (
+       |  SELECT DISTINCT doc_id, s.shingle
+       |  FROM tok, UNNEST(list_transform(range(1, greatest(len(toks)-1, 1)),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s(shingle)),
+       |hx AS (SELECT doc_id, CAST(('0x' || substr(md5(shingle),1,8)) AS BIGINT) AS x FROM sh),
+       |sig AS (SELECT doc_id, $hashAggs FROM hx GROUP BY doc_id),
+       |bands AS ($bandSelects)
+       |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |ORDER BY d1 NULLS FIRST, d2 NULLS FIRST""".stripMargin
+  }
+
+  /** Q60 — token-set Jaccard similarity over consecutive doc pairs. */
+  def q60(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = t(spark, dir, "documents")
+    val a = d.select($"doc_id".as("doc1"), TextOps.tokenSet($"text").as("ta"))
+    val b = d.select($"doc_id".as("doc2"), TextOps.tokenSet($"text").as("tb"))
+    a.join(b, col("doc2") === col("doc1") + 1)
+      .select($"doc1", $"doc2",
+        size(array_intersect($"ta", $"tb")).as("n_inter"),
+        size(array_union($"ta", $"tb")).as("n_union"),
+        (size(array_intersect($"ta", $"tb")).cast(DoubleType) /
+          size(array_union($"ta", $"tb"))).as("jac"))
+      .orderBy($"doc1".asc_nulls_first)
+  }
+
+  val q60Sql: String =
+    s"""$tokCte
+       |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       | len(list_intersect(list_distinct(a.toks), list_distinct(b.toks))) AS n_inter,
+       | len(list_distinct(list_concat(a.toks, b.toks))) AS n_union,
+       | CAST(len(list_intersect(list_distinct(a.toks), list_distinct(b.toks))) AS DOUBLE)
+       |   / len(list_distinct(list_concat(a.toks, b.toks))) AS jac
+       |FROM tok a JOIN tok b ON b.doc_id = a.doc_id + 1
+       |ORDER BY doc1 NULLS FIRST""".stripMargin
+
+  /** Q61 — brute-force cosine top-k similarity search (probes vec_id<10,
+    * k=5). The scale path is Q68's LSH-bucketed variant.
+    */
+  def q61(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = t(spark, dir, "embeddings")
+    Similarity.bruteForceTopK(
+        e.filter($"vec_id" < 10), e, "vec_id", "embedding", k = 5)
+      .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
+  }
+
+  val q61Sql: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |scored AS (
+      |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+      |    ROUND(list_dot_product(p.v, c.v) / (SQRT(list_dot_product(p.v, p.v)) * SQRT(list_dot_product(c.v, c.v))), 6) AS cos6
+      |  FROM e p JOIN e c ON p.vec_id < 10 AND p.vec_id <> c.vec_id),
+      |ranked AS (
+      |  SELECT probe_id, cand_id, cos6,
+      |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos6 DESC, cand_id ASC) AS rn
+      |  FROM scored)
+      |SELECT probe_id, cand_id, cos6, rn FROM ranked WHERE rn <= 5
+      |ORDER BY probe_id NULLS FIRST, rn NULLS FIRST""".stripMargin
+
+  /** Q62 — token frequency table (top 100). */
+  def q62(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "documents")
+      .select($"doc_id", explode(TextOps.tokens($"text")).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("cnt"), countDistinct($"doc_id").as("n_docs"))
+      .orderBy($"cnt".desc_nulls_last, $"token".asc_nulls_first)
+      .limit(100)
+  }
+
+  val q62Sql: String =
+    s"""$tokCte
+       |SELECT t.tok AS token, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS n_docs
+       |FROM tok, UNNEST(toks) AS t(tok)
+       |GROUP BY t.tok
+       |ORDER BY cnt DESC NULLS LAST, token ASC NULLS FIRST LIMIT 100""".stripMargin
+
+  /** Q63 — multimodal binary columns: binaryFile scan + partition-wise
+    * stubbed decode ([[graft.sources.Multimodal]]). No DuckDB oracle
+    * (binary fixtures/codecs absent) → driver rows>0 smoke; the ScalaTest
+    * spec checks schema, batching and determinism.
+    */
+  def q63(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bin = Multimodal.readBinary(spark, s"$dir/*.parquet")
+    Multimodal.extractFeatures(bin).toDF()
+      .select(
+        regexp_extract($"path", "([^/]+)$", 1).as("fname"),
+        $"nBytes", $"kind", $"width", $"height",
+        round(element_at($"features", 1), 3).as("f0"))
+      .orderBy($"fname".asc_nulls_first)
+  }
+
+  /** Q64 — language-ID heuristic (stopword argmax; [[TextOps.langId]]). */
+  def q64(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "documents")
+      .select($"doc_id", TextOps.langId($"text").as("pred_lang"))
+      .groupBy($"pred_lang")
+      .agg(count(lit(1)).as("n"), min($"doc_id").as("first_doc"))
+      .orderBy($"pred_lang".asc_nulls_first)
+  }
+
+  val q64Sql: String =
+    s"""$tokCte,
+       |hits AS (
+       |  SELECT doc_id,
+       |    len(list_filter(toks, x -> list_contains(['the','a','of','and','is'], x))) AS en,
+       |    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS de,
+       |    len(list_filter(toks, x -> list_contains(['le','la','et','les','des'], x))) AS fr,
+       |    len(list_filter(toks, x -> list_contains(['el','los','las','y','es'], x))) AS es
+       |  FROM tok)
+       |SELECT pred_lang, COUNT(*) AS n, MIN(doc_id) AS first_doc FROM (
+       |  SELECT doc_id,
+       |    CASE WHEN en + de + fr + es = 0 THEN 'und'
+       |         WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+       |         WHEN de >= fr AND de >= es THEN 'de'
+       |         WHEN fr >= es THEN 'fr'
+       |         ELSE 'es' END AS pred_lang
+       |  FROM hits)
+       |GROUP BY pred_lang ORDER BY pred_lang NULLS FIRST""".stripMargin
+
+  /** Q65 — quality scoring: stopword density, punctuation ratio, length. */
+  def q65(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "documents")
+      .select($"doc_id",
+        size(TextOps.tokens($"text")).as("n_tok"),
+        round(TextOps.punctRatio($"text"), 6).as("punct_r"),
+        TextOps.qualityScore($"text").as("score"))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  val q65Sql: String =
+    s"""$tokCte
+       |SELECT d.doc_id, len(t.toks) AS n_tok,
+       | ROUND(CAST(length(lower(d.text)) - length(regexp_replace(lower(d.text), '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(lower(d.text)), 6) AS punct_r,
+       | ROUND(CAST(len(list_filter(t.toks, x -> list_contains(['the','a','of','and','is'], x))) AS DOUBLE) / greatest(len(t.toks), 1)
+       |   - 0.5 * (CAST(length(lower(d.text)) - length(regexp_replace(lower(d.text), '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(lower(d.text)))
+       |   + CAST(least(len(t.toks), 100) AS DOUBLE) / 200.0, 6) AS score
+       |FROM documents d JOIN tok t ON d.doc_id = t.doc_id
+       |ORDER BY d.doc_id NULLS FIRST""".stripMargin
+
+  /** Q66 — token counting: whitespace tokens + BPE-ish subword proxy. */
+  def q66(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "documents")
+      .select($"doc_id",
+        TextOps.wsTokenCount($"text").as("ws_n"),
+        TextOps.bpeishTokenCount($"text").as("bpe_n"))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  val q66Sql: String =
+    s"""$tokCte
+       |SELECT d.doc_id, len(t.toks) AS ws_n,
+       | len(regexp_extract_all(lower(d.text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_n
+       |FROM documents d JOIN tok t ON d.doc_id = t.doc_id
+       |ORDER BY d.doc_id NULLS FIRST""".stripMargin
+
+  /** Q67 — document fingerprinting: 16-bit SimHash over the distinct token
+    * set ([[TextOps.simhash16]]) — integer-exact, engine-portable.
+    */
+  def q67(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "documents")
+      .select($"doc_id", TextOps.simhash16($"text").as("fp"))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  val q67Sql: String = {
+    val bitSums = (0 until 16).map { i =>
+      s"SUM(CASE WHEN ((x >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS s$i"
+    }.mkString(", ")
+    val fp = (0 until 16).map { i =>
+      s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString(" + ")
+    s"""$tokCte,
+       |dt AS (SELECT DISTINCT doc_id, t.tok FROM tok, UNNEST(toks) AS t(tok)),
+       |hx AS (SELECT doc_id, CAST(('0x' || substr(md5(tok),1,8)) AS BIGINT) AS x FROM dt),
+       |bits AS (SELECT doc_id, $bitSums FROM hx GROUP BY doc_id)
+       |SELECT doc_id, $fp AS fp FROM bits ORDER BY doc_id NULLS FIRST""".stripMargin
+  }
+
+  /** Q68 — LSH-bucketed ANN (sign-bit buckets; the 100 TB similarity
+    * path — each probe scans ~corpus/2^bits).
+    */
+  def q68(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = t(spark, dir, "embeddings")
+    Similarity.lshTopK(e.filter($"vec_id" < 20), e, "vec_id", "embedding",
+        k = 3, bits = 4)
+      .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
+  }
+
+  val q68Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+      |    (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END
+      |     + CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END
+      |     + CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END
+      |     + CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS bkt
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT p.vec_id AS probe_id, p.bkt AS bucket, c.vec_id AS cand_id,
+      |    ROUND(list_dot_product(p.v, c.v) / (SQRT(list_dot_product(p.v, p.v)) * SQRT(list_dot_product(c.v, c.v))), 6) AS cos6
+      |  FROM e p JOIN e c ON p.bkt = c.bkt AND p.vec_id < 20 AND p.vec_id <> c.vec_id),
+      |ranked AS (
+      |  SELECT probe_id, bucket, cand_id, cos6,
+      |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos6 DESC, cand_id ASC) AS rn
+      |  FROM scored)
+      |SELECT probe_id, bucket, cand_id, cos6, rn FROM ranked WHERE rn <= 3
+      |ORDER BY probe_id NULLS FIRST, rn NULLS FIRST""".stripMargin
+
+  /** Q69 — embedding-cosine near-dup pairs within a blocking key (label):
+    * the blocked-pairs shape of embedding dedup (block → pair → threshold).
+    */
+  def q69(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = t(spark, dir, "embeddings")
+    val a = e.select($"label", $"vec_id".as("d1"), $"embedding".as("va"))
+    val b = e.select($"label", $"vec_id".as("d2"), $"embedding".as("vb"))
+    a.join(b, Seq("label"))
+      .filter($"d1" < $"d2")
+      .withColumn("cos6", round(Similarity.cosine($"va", $"vb"), 6))
+      .filter($"cos6" >= 0.4)
+      .select($"label", $"d1", $"d2", $"cos6")
+      .orderBy($"label".asc_nulls_first, $"d1".asc_nulls_first, $"d2".asc_nulls_first)
+  }
+
+  val q69Sql: String =
+    """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+      |SELECT a.label AS label, a.vec_id AS d1, b.vec_id AS d2,
+      |  ROUND(list_dot_product(a.v, b.v) / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))), 6) AS cos6
+      |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE ROUND(list_dot_product(a.v, b.v) / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))), 6) >= 0.4
+      |ORDER BY a.label NULLS FIRST, d1 NULLS FIRST, d2 NULLS FIRST""".stripMargin
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_exact_dedup" -> (q58 _),
+    "q59_minhash_lsh" -> (q59 _),
+    "q60_jaccard_pairs" -> (q60 _),
+    "q61_cosine_topk" -> (q61 _),
+    "q62_token_freq" -> (q62 _),
+    "q63_multimodal_binary" -> (q63 _),
+    "q64_langid" -> (q64 _),
+    "q65_quality_score" -> (q65 _),
+    "q66_token_count" -> (q66 _),
+    "q67_simhash" -> (q67 _),
+    "q68_ann_lsh" -> (q68 _),
+    "q69_embed_neardup" -> (q69 _))
+
+  def oracles: Map[String, String] = Map(
+    "q58_exact_dedup" -> q58Sql,
+    "q59_minhash_lsh" -> q59Sql,
+    "q60_jaccard_pairs" -> q60Sql,
+    "q61_cosine_topk" -> q61Sql,
+    "q62_token_freq" -> q62Sql,
+    "q64_langid" -> q64Sql,
+    "q65_quality_score" -> q65Sql,
+    "q66_token_count" -> q66Sql,
+    "q67_simhash" -> q67Sql,
+    "q68_ann_lsh" -> q68Sql,
+    "q69_embed_neardup" -> q69Sql)
+}

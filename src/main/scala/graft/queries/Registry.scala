@@ -8,12 +8,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Registry {
   def all: Map[String, (SparkSession, String) => DataFrame] =
     Scans.all ++ Projections.all ++ Joins.all ++ Aggregates.all ++
-      Windows.all ++ SortsLimits.all ++ SetOps.all ++ Scalars.all
+      Windows.all ++ SortsLimits.all ++ SetOps.all ++ Scalars.all ++
+      LlmOps.all
 
   def oracles: Map[String, String] =
     Scans.oracles ++ Projections.oracles ++ Joins.oracles ++
       Aggregates.oracles ++ Windows.oracles ++ SortsLimits.oracles ++
-      SetOps.oracles ++ Scalars.oracles
+      SetOps.oracles ++ Scalars.oracles ++ LlmOps.oracles
 }
 
 trait QueryModule {

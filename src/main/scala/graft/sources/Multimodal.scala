@@ -1,0 +1,79 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (binary) column handling — SURVEY.md §2B.11 Q63.
+  *
+  * Media assets are opaque `binary` columns + typed metadata, read through
+  * Spark's `binaryFile` source (path/length/modificationTime/content with
+  * content loaded lazily per-row). Decode / feature-extraction runs
+  * per-partition so a real decoder would amortise codec init across a
+  * partition's rows — the shape `mapInPandas` gives Python pipelines.
+  *
+  * The decode step itself is a clearly-marked deterministic STUB (no image
+  * or audio codecs ship in this environment); the Spark-side plumbing —
+  * schema, partition-wise batching, metadata propagation — is real and
+  * tested.
+  */
+object Multimodal {
+
+  /** Typed metadata + features for one decoded asset. */
+  case class MediaFeature(
+      path: String,
+      nBytes: Long,
+      kind: String,          // "image" | "audio" | "other" by extension
+      // STUB decode output: deterministic pseudo-features from the bytes.
+      width: Int, height: Int,
+      features: Array[Float])
+
+  /** Read a glob of files as binary rows: (path, modificationTime, length,
+    * content). Predicate pushdown on path/length works; content column is
+    * only materialised for surviving rows.
+    */
+  def readBinary(spark: SparkSession, glob: String): DataFrame =
+    spark.read.format("binaryFile").load(glob)
+
+  private def kindOf(path: String): String = {
+    val p = path.toLowerCase
+    if (p.endsWith(".png") || p.endsWith(".jpg") || p.endsWith(".jpeg")) "image"
+    else if (p.endsWith(".wav") || p.endsWith(".mp3") || p.endsWith(".flac")) "audio"
+    else "other"
+  }
+
+  /** STUB decode: a real implementation would decode the codec here
+    * (per-partition, so codec state is reused across rows). This fake is
+    * deterministic in the byte content: "dimensions" from the byte length,
+    * 8 pseudo-features from a rolling byte hash. Marked STUB by contract.
+    */
+  private def stubDecode(path: String, content: Array[Byte]): MediaFeature = {
+    val n = content.length
+    // STUB: pretend dimensions derive from the payload size
+    val w = math.max(1, (n % 1920).toInt)
+    val h = math.max(1, (n % 1080).toInt)
+    val feats = new Array[Float](8)
+    var acc = 17L
+    var i = 0
+    while (i < n) {
+      acc = acc * 31 + (content(i) & 0xff)
+      feats(i % 8) += ((acc % 1000).toFloat / 1000.0f)
+      i += 1
+    }
+    MediaFeature(path, n.toLong, kindOf(path), w, h, feats)
+  }
+
+  /** Partition-wise "decode" of a binary frame into typed features.
+    * Batch shape: one iterator per partition (codec init once per
+    * partition, like a Pandas-UDF batch).
+    */
+  def extractFeatures(binary: DataFrame): Dataset[MediaFeature] = {
+    val spark = binary.sparkSession
+    import spark.implicits._
+    binary.select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition init would go here (codec/decoder handles)
+        rows.map { case (path, content) => stubDecode(path, content) }
+      }
+  }
+}
