@@ -9,12 +9,13 @@ object Registry {
   def all: Map[String, (SparkSession, String) => DataFrame] =
     Scans.all ++ Projections.all ++ Joins.all ++ Aggregates.all ++
       Windows.all ++ SortsLimits.all ++ SetOps.all ++ Scalars.all ++
-      LlmOps.all
+      LlmOps.all ++ StreamingQueries.all ++ Extensibility.all
 
   def oracles: Map[String, String] =
     Scans.oracles ++ Projections.oracles ++ Joins.oracles ++
       Aggregates.oracles ++ Windows.oracles ++ SortsLimits.oracles ++
-      SetOps.oracles ++ Scalars.oracles ++ LlmOps.oracles
+      SetOps.oracles ++ Scalars.oracles ++ LlmOps.oracles ++
+      StreamingQueries.oracles ++ Extensibility.oracles
 }
 
 trait QueryModule {

@@ -1,0 +1,236 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.core.Tables._
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.{eventsStream, runToMemory}
+
+/** Q51 state/output rows (top-level so Spark's encoder codegen sees public
+  * constructors).
+  */
+case class UserAgg(userId: Long, nEvents: Long, minEid: Long, maxEid: Long)
+case class CounterState(n: Long, minEid: Long, maxEid: Long)
+
+/** SURVEY.md §2B.9 — Structured Streaming (Q46–Q53), each run to
+  * completion with Trigger.AvailableNow and checked against its batch
+  * equivalent in DuckDB (stream/batch unification makes this exact).
+  *
+  * Every query here is a genuine `readStream` plan — windowed state,
+  * watermarks, streaming dedup, mapGroupsWithState, stream-static join,
+  * memory/foreachBatch sinks.
+  */
+object StreamingQueries {
+
+  /** Q46 — tumbling 5-minute window count per event_type. */
+  def q46(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val agg = eventsStream(spark, dir)
+      .groupBy(window($"ts", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    runToMemory(agg, "q46_sink", "complete")
+      .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("ws"),
+        $"event_type", $"n")
+      .orderBy($"ws".asc_nulls_first, $"event_type".asc_nulls_first)
+  }
+
+  val q46Sql: String =
+    """SELECT strftime(to_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 300000000) * 300), '%Y-%m-%d %H:%M:%S') AS ws,
+      | event_type, COUNT(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY ws NULLS FIRST, event_type NULLS FIRST""".stripMargin
+
+  /** Q47 — sliding window (10 min length, 5 min slide): each event lands
+    * in two windows.
+    */
+  def q47(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val agg = eventsStream(spark, dir)
+      .groupBy(window($"ts", "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+    runToMemory(agg, "q47_sink", "complete")
+      .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("ws"), $"n")
+      .orderBy($"ws".asc_nulls_first)
+  }
+
+  val q47Sql: String =
+    """WITH starts AS (
+      |  SELECT e.event_id, to_timestamp(s.s) AS ws
+      |  FROM events e,
+      |   UNNEST([(epoch_us(CAST(ts AS TIMESTAMP)) // 300000000) * 300,
+      |           (epoch_us(CAST(ts AS TIMESTAMP)) // 300000000) * 300 - 300]) AS s(s)
+      |  WHERE epoch_us(CAST(e.ts AS TIMESTAMP)) >= s.s * 1000000
+      |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) < (s.s + 600) * 1000000)
+      |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS ws, COUNT(*) AS n
+      |FROM starts GROUP BY 1 ORDER BY ws NULLS FIRST""".stripMargin
+
+  /** Q48 — session windows (30-minute gap) per user. */
+  def q48(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val agg = eventsStream(spark, dir)
+      .filter($"user_id" < 20)
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+    runToMemory(agg, "q48_sink", "complete")
+      .select($"user_id",
+        date_format($"session_window.start", "yyyy-MM-dd HH:mm:ss").as("ss"),
+        $"n")
+      .orderBy($"user_id".asc_nulls_first, $"ss".asc_nulls_first)
+  }
+
+  val q48Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+      |           OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w > INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events WHERE user_id < 20
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (
+      |  SELECT user_id, ts, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM e)
+      |SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS ss, COUNT(*) AS n
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id NULLS FIRST, ss NULLS FIRST""".stripMargin
+
+  /** Q49 — watermark + late-data semantics in append mode: only windows
+    * whose end is at or before the final watermark (max event time − 10
+    * minutes) are emitted; the oracle applies the same closure rule.
+    */
+  def q49(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+    runToMemory(agg, "q49_sink", "append")
+      .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("ws"), $"n")
+      .orderBy($"ws".asc_nulls_first)
+  }
+
+  val q49Sql: String =
+    """WITH w AS (
+      |  SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 300000000) * 300 AS s, COUNT(*) AS n
+      |  FROM events GROUP BY 1),
+      |wm AS (SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) - 600000000 AS cut FROM events)
+      |SELECT strftime(to_timestamp(s), '%Y-%m-%d %H:%M:%S') AS ws, n
+      |FROM w, wm WHERE (s + 300) * 1000000 <= cut
+      |ORDER BY ws NULLS FIRST""".stripMargin
+
+  /** Q50 — streaming dedup: the stream unioned with itself, then
+    * watermarked dropDuplicates on the key — each event emits exactly
+    * once.
+    */
+  def q50(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s = eventsStream(spark, dir).filter($"event_id" < 500)
+      .select($"event_id", $"ts", $"event_type")
+    val deduped = s.union(s)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id")
+    runToMemory(deduped, "q50_sink", "append")
+      .select($"event_id", $"event_type")
+      .orderBy($"event_id".asc_nulls_first)
+  }
+
+  val q50Sql: String =
+    """SELECT DISTINCT event_id, event_type FROM events
+      |WHERE event_id < 500 ORDER BY event_id NULLS FIRST""".stripMargin
+
+  /** Q51 — arbitrary stateful per-key processing with mapGroupsWithState:
+    * a running per-user event counter (update mode; state survives across
+    * micro-batches via the state store).
+    */
+  def q51(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counted = eventsStream(spark, dir)
+      .filter($"user_id" < 20)
+      .select($"user_id", $"event_id")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[CounterState, UserAgg](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[CounterState]) =>
+          val prev = state.getOption.getOrElse(CounterState(0L, Long.MaxValue, Long.MinValue))
+          val next = rows.foldLeft(prev) { (s, r) =>
+            CounterState(s.n + 1, math.min(s.minEid, r._2), math.max(s.maxEid, r._2))
+          }
+          state.update(next)
+          UserAgg(uid, next.n, next.minEid, next.maxEid)
+      }
+    runToMemory(counted.toDF(), "q51_sink", "update")
+      .groupBy($"userId".as("user_id"))
+      .agg(max($"nEvents").as("n_events"), min($"minEid").as("min_eid"),
+        max($"maxEid").as("max_eid"))
+      .orderBy($"user_id".asc_nulls_first)
+  }
+
+  val q51Sql: String =
+    """SELECT user_id, COUNT(*) AS n_events, MIN(event_id) AS min_eid, MAX(event_id) AS max_eid
+      |FROM events WHERE user_id < 20
+      |GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin
+
+  /** Q52 — stream-static join: streaming events enriched with the static
+    * customer dimension, then aggregated.
+    */
+  def q52(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = t(spark, dir, "customer")
+    val joined = eventsStream(spark, dir)
+      .join(cust, $"user_id" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("sum_value"))
+    runToMemory(joined, "q52_sink", "complete")
+      .orderBy($"c_mktsegment".asc_nulls_first)
+  }
+
+  val q52Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n,
+      | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST""".stripMargin
+
+  /** Q53 — foreachBatch arbitrary sink (parquet append per micro-batch),
+    * read back and aggregated — the reference's completion-callback
+    * analogue (governor.py:309).
+    */
+  def q53(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    val out = s"$base/graft_scratch/q53_foreach_batch"
+    val result = StreamOps.runForeachBatchParquet(
+      eventsStream(spark, dir).select($"event_id", $"event_type", $"value"), out)
+    result.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("sum_value"))
+      .orderBy($"event_type".asc_nulls_first)
+  }
+
+  val q53Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_tumbling_window" -> (q46 _),
+    "q47_sliding_window" -> (q47 _),
+    "q48_session_window" -> (q48 _),
+    "q49_watermark" -> (q49 _),
+    "q50_stream_dedup" -> (q50 _),
+    "q51_stateful_counter" -> (q51 _),
+    "q52_stream_static_join" -> (q52 _),
+    "q53_foreach_batch_sink" -> (q53 _))
+
+  def oracles: Map[String, String] = Map(
+    "q46_tumbling_window" -> q46Sql,
+    "q47_sliding_window" -> q47Sql,
+    "q48_session_window" -> q48Sql,
+    "q49_watermark" -> q49Sql,
+    "q50_stream_dedup" -> q50Sql,
+    "q51_stateful_counter" -> q51Sql,
+    "q52_stream_static_join" -> q52Sql,
+    "q53_foreach_batch_sink" -> q53Sql)
+}
