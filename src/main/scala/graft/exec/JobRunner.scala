@@ -1,0 +1,148 @@
+package graft.exec
+
+import java.util.concurrent.{Executors, Semaphore, TimeUnit}
+import scala.concurrent.{ExecutionContext, Future}
+import scala.util.control.NonFatal
+import org.apache.spark.sql.SparkSession
+import graft.core.EngineContext
+import graft.exec.Tasks._
+import graft.model.{EtlModel, PartitionedEtlModel, SubTask, SubTaskResult}
+
+/** Task execution engine — the governor + isolated-processor pair of the
+  * reference (governor.py:200-320, process.py:57-168) mapped onto Spark:
+  *
+  *  - admission: accepted-class gate + bounded capacity (A3/A4); a full
+  *    scoreboard raises [[Tasks.NoCapacity]] — the 503 analogue — instead
+  *    of spin-waiting;
+  *  - isolation: each task runs under its own Spark job group (the
+  *    process-per-task analogue), so `cancel` kills exactly that task's
+  *    jobs (A19);
+  *  - fan-out: partitioned models scatter as ONE distributed job
+  *    (`Dataset[SubTask].repartition(k).mapPartitions`), gather unordered
+  *    on the driver, retry failed subtasks (`taskRetries`, default 1 —
+  *    process_pool.py:27), and propagate exhausted failures to the parent
+  *    with the failing subtask's id (A11/A12);
+  *  - status: every transition lands in the [[StatusRegistry]] tables.
+  */
+final class JobRunner(
+    spark: SparkSession,
+    registry: TaskRegistry,
+    status: StatusRegistry,
+    maxConcurrentTasks: Int = 8,
+    taskRetries: Int = 1) {
+
+  spark.sparkContext.addSparkListener(status)
+
+  private val capacity = new Semaphore(maxConcurrentTasks)
+  private val pool = Executors.newCachedThreadPool()
+  private implicit val ec: ExecutionContext =
+    ExecutionContext.fromExecutorService(pool)
+
+  def availableCapacity: Int = capacity.availablePermits()
+  def hasCapacity: Boolean = availableCapacity > 0
+
+  /** Validate + admit a task (api.py:28-72 semantics): unknown class →
+    * InvalidTaskSpec (412), no capacity within `blockMillis` → NoCapacity
+    * (503). Returns the future outcome; the task id is in the spec.
+    */
+  def submit(spec: TaskSpec, blockMillis: Long = 1000): Future[TaskOutcome] = {
+    registry.resolve(spec.modelClass) // 412 before queueing
+    if (!capacity.tryAcquire(blockMillis, TimeUnit.MILLISECONDS))
+      throw new NoCapacity(
+        s"no processing capacity for '${spec.modelClass}' within ${blockMillis}ms")
+    Future {
+      try runAdmitted(spec)
+      finally capacity.release()
+    }
+  }
+
+  /** Synchronous execution (admission already done). */
+  private def runAdmitted(spec: TaskSpec): TaskOutcome = {
+    val model = registry.resolve(spec.modelClass)
+    val ctx = EngineContext(spark, spec.resolverContext)
+    status.markRunning(spec)
+    spark.sparkContext.setJobGroup(spec.taskId,
+      s"graft task ${spec.taskId}: ${spec.modelClass}.${spec.method}",
+      interruptOnCancel = true)
+    val outcome =
+      try {
+        model match {
+          case pm: PartitionedEtlModel => runPartitioned(spec, pm)
+          case m => TaskComplete(m.build(ctx).count())
+        }
+      } catch {
+        case e: SubTaskFailedException =>
+          TaskFailed(e.getClass.getName, traceback(e), Some(e.originTaskId))
+        case NonFatal(e) =>
+          TaskFailed(e.getClass.getName, traceback(e), None)
+      } finally {
+        spark.sparkContext.clearJobGroup()
+      }
+    status.markFinished(spec.taskId, outcome)
+    outcome
+  }
+
+  /** Blocking convenience wrapper used by tests and the model queries. */
+  def runSync(spec: TaskSpec): TaskOutcome = {
+    registry.resolve(spec.modelClass)
+    capacity.acquire()
+    try runAdmitted(spec) finally capacity.release()
+  }
+
+  /** Scatter/gather for partitioned models (§3.3 of SURVEY): plea →
+    * slice → one distributed job per attempt round → unordered driver
+    * fold via the completion callbacks.
+    */
+  private def runPartitioned(spec: TaskSpec, pm: PartitionedEtlModel): TaskOutcome = {
+    import spark.implicits._
+    val plea = pm.partitionPlea
+    val workers = math.max(plea.minimum, math.min(plea.maximum, plea.optimal))
+    var pending = pm.partitionSlice(workers)
+    var attempt = 0
+    var done = 0L
+    while (pending.nonEmpty && attempt <= taskRetries) {
+      val results = spark.createDataset(pending)
+        .repartition(math.min(workers, pending.size))
+        .mapPartitions { sts =>
+          sts.map { st =>
+            try SubTaskResult(st.method, st.kwargs, ok = true,
+              value = pm.runSubTask(st), error = "")
+            catch {
+              case NonFatal(e) => SubTaskResult(st.method, st.kwargs,
+                ok = false, value = "", error = e.toString)
+            }
+          }
+        }
+        // unordered gather: results surface in partition-completion order
+        .toLocalIterator()
+      val failed = Seq.newBuilder[SubTaskResult]
+      results.forEachRemaining { r =>
+        if (r.ok) { done += 1; pm.onSubtaskComplete(r) }
+        else failed += r
+      }
+      val failedNow = failed.result()
+      pending = failedNow.map(r => SubTask(r.method, r.kwargs))
+      if (pending.nonEmpty && attempt == taskRetries) {
+        val first = failedNow.head
+        failedNow.foreach(pm.onSubtaskFailed)
+        throw new SubTaskFailedException(
+          s"${spec.taskId}::${first.method}",
+          s"subtask '${first.method}' failed after ${taskRetries + 1} attempts: ${first.error}")
+      }
+      attempt += 1
+    }
+    TaskComplete(done)
+  }
+
+  /** Kill one running task's Spark jobs (A19; governor.py:421-451). */
+  def cancel(taskId: String): Unit = spark.sparkContext.cancelJobGroup(taskId)
+
+  /** Graceful shutdown: cancel everything still running. */
+  def shutdown(): Unit = {
+    status.runningTasks.foreach(r => cancel(r.spec.taskId))
+    pool.shutdown(): Unit
+  }
+
+  private def traceback(e: Throwable): Seq[String] =
+    e.getStackTrace.take(12).map(_.toString).toSeq
+}

@@ -9,13 +9,15 @@ object Registry {
   def all: Map[String, (SparkSession, String) => DataFrame] =
     Scans.all ++ Projections.all ++ Joins.all ++ Aggregates.all ++
       Windows.all ++ SortsLimits.all ++ SetOps.all ++ Scalars.all ++
-      LlmOps.all ++ StreamingQueries.all ++ Extensibility.all
+      LlmOps.all ++ StreamingQueries.all ++ Extensibility.all ++
+      ModelQueries.all
 
   def oracles: Map[String, String] =
     Scans.oracles ++ Projections.oracles ++ Joins.oracles ++
       Aggregates.oracles ++ Windows.oracles ++ SortsLimits.oracles ++
       SetOps.oracles ++ Scalars.oracles ++ LlmOps.oracles ++
-      StreamingQueries.oracles ++ Extensibility.oracles
+      StreamingQueries.oracles ++ Extensibility.oracles ++
+      ModelQueries.oracles
 }
 
 trait QueryModule {

@@ -1,0 +1,170 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+import scala.concurrent.Await
+import scala.concurrent.duration._
+import org.apache.spark.sql.DataFrame
+import graft.core.EngineContext
+import graft.exec.{JobRunner, StatusRegistry, TaskRegistry}
+import graft.exec.Tasks._
+import graft.model._
+
+/** Execution-semantics tests mirroring the reference's suites:
+  * accepted-class gate (tests/test_governor.py:40-68), task lifecycle to
+  * `complete` (tests/integration_tests/test_basics.py:86-104), subtask
+  * failure → parent failed with failure_origin (:129-156), retry success
+  * on second attempt (:158-181, `SecondTimeLucky`), capacity 503
+  * (views/api.py:32-34).
+  */
+object ExecLayerSpec {
+  // cross-attempt scoreboard for the SecondTimeLucky model (executors and
+  // driver share the JVM under local[*])
+  val attempts = new ConcurrentHashMap[String, Integer]()
+}
+
+// Partitioned test models live at file level: their runSubTask closures are
+// shipped to executors, so they must serialize without an outer Spec ref.
+private class PartialFailure extends PartitionedEtlModel {
+  override def name = "PartialFailure"
+  override def partitionPlea: PartitionOption = PartitionOption(1, 4, 4)
+  override def partitionSlice(n: Int): Seq[SubTask] =
+    (0 until n).map(i => SubTask("crash_maybe", Map("i" -> i.toString)))
+  override def runSubTask(st: SubTask): String = {
+    val i = st.kwargs("i").toInt
+    if (i == 2) (1 / (i - i)).toString // ZeroDivision analogue (:147-156)
+    else s"ok$i"
+  }
+}
+
+private class SecondTimeLucky extends PartitionedEtlModel {
+  override def name = "SecondTimeLucky"
+  override def partitionPlea: PartitionOption = PartitionOption(1, 3, 3)
+  override def partitionSlice(n: Int): Seq[SubTask] =
+    (0 until n).map(i => SubTask("flaky", Map("i" -> i.toString)))
+  override def runSubTask(st: SubTask): String = {
+    val k = "stl-" + st.kwargs("i")
+    val n = ExecLayerSpec.attempts.merge(k, 1, (a, b) => a + b)
+    if (n == 1) throw new RuntimeException("first attempt always fails")
+    "lucky"
+  }
+}
+
+private class Gathering extends PartitionedEtlModel {
+  override def name = "Gathering"
+  @transient val seen = new java.util.concurrent.CopyOnWriteArrayList[String]()
+  override def partitionPlea: PartitionOption = PartitionOption(2, 12, 6)
+  override def partitionSlice(n: Int): Seq[SubTask] =
+    (0 until n).map(i => SubTask("go", Map("i" -> i.toString)))
+  override def runSubTask(st: SubTask): String = "r" + st.kwargs("i")
+  override def onSubtaskComplete(r: SubTaskResult): Unit =
+    seen.add(r.value): Unit
+}
+
+class ExecLayerSpec extends SparkSpec {
+
+  private def freshRunner(maxConcurrent: Int = 2) = {
+    val reg = new TaskRegistry
+    val status = new StatusRegistry
+    (reg, status, new JobRunner(spark, reg, status, maxConcurrent))
+  }
+
+  private class NothingModel extends EtlModel {
+    override def name = "NothingEtl"
+    override def build(ctx: EngineContext): DataFrame =
+      ctx.spark.range(10).toDF()
+  }
+
+  test("registry rejects duplicate and unaccepted classes (A3)") {
+    val reg = new TaskRegistry
+    reg.register(new NothingModel)
+    assertThrows[InvalidTaskSpec](reg.register(new NothingModel))
+    assertThrows[InvalidTaskSpec](reg.resolve("NotRegistered"))
+    assert(reg.isAccepted("NothingEtl"))
+  }
+
+  test("task lifecycle reaches complete with status tables updated (A5/A18)") {
+    val (reg, status, runner) = freshRunner()
+    reg.register(new NothingModel)
+    val spec = TaskSpec(modelClass = "NothingEtl")
+    assert(status.status(spec.taskId) == "unknown")
+    val outcome = runner.runSync(spec)
+    assert(outcome == TaskComplete(10))
+    assert(status.status(spec.taskId) == "complete")
+    val rec = status.record(spec.taskId).get
+    assert(rec.finished.isDefined && !rec.finished.get.isBefore(rec.started))
+  }
+
+
+  test("subtask failure propagates to parent with failure origin (A11/A12)") {
+    val (reg, status, runner) = freshRunner()
+    reg.register(new PartialFailure)
+    val spec = TaskSpec(modelClass = "PartialFailure")
+    val outcome = runner.runSync(spec)
+    outcome match {
+      case TaskFailed(cls, _, origin) =>
+        assert(cls.contains("SubTaskFailedException"))
+        assert(origin.exists(_.startsWith(spec.taskId + "::")))
+      case other => fail(s"expected TaskFailed, got $other")
+    }
+    assert(status.status(spec.taskId) == "failed")
+  }
+
+
+  test("failed subtasks are retried and succeed on attempt 2 (A11)") {
+    ExecLayerSpec.attempts.clear()
+    val (reg, status, runner) = freshRunner()
+    reg.register(new SecondTimeLucky)
+    val outcome = runner.runSync(TaskSpec(modelClass = "SecondTimeLucky"))
+    assert(outcome == TaskComplete(3))
+    assert(ExecLayerSpec.attempts.values().stream().allMatch(_ == 2))
+  }
+
+
+  test("scatter/gather folds every unordered subtask result (A7/A10/A13)") {
+    val (reg, _, runner) = freshRunner()
+    val m = new Gathering
+    reg.register(m)
+    assert(runner.runSync(TaskSpec(modelClass = "Gathering")) == TaskComplete(6))
+    val got = scala.jdk.CollectionConverters.ListHasAsScala(m.seen).asScala.toSet
+    assert(got == (0 until 6).map("r" + _).toSet)
+  }
+
+  private class SlowModel extends EtlModel {
+    override def name = "SlowEtl"
+    override def build(ctx: EngineContext): DataFrame = {
+      Thread.sleep(1500)
+      ctx.spark.range(1).toDF()
+    }
+  }
+
+  test("admission control: full scoreboard raises NoCapacity (A4, 503)") {
+    val (reg, _, runner) = freshRunner(maxConcurrent = 1)
+    reg.register(new SlowModel)
+    val f1 = runner.submit(TaskSpec(modelClass = "SlowEtl"))
+    assertThrows[NoCapacity](
+      runner.submit(TaskSpec(modelClass = "SlowEtl"), blockMillis = 50))
+    Await.result(f1, 60.seconds)
+    assert(runner.availableCapacity == 1)
+  }
+
+  test("submit validates the class before queueing (412 precedes 503)") {
+    val (_, _, runner) = freshRunner()
+    assertThrows[InvalidTaskSpec](runner.submit(TaskSpec(modelClass = "Nope")))
+  }
+
+  test("engine-url templating resolves context vars and rejects unknowns") {
+    val ctx = EngineContext(spark, Map("output_datasets" -> "/tmp/x"))
+    assert(ctx.resolve("csv://{output_datasets}/r.csv") == "csv:///tmp/x/r.csv")
+    assertThrows[IllegalArgumentException](ctx.resolve("{missing}/y"))
+  }
+
+  test("engine-url connector round-trips csv with header (Connect analogue)") {
+    import graft.connect.EngineUrl
+    val ctx = EngineContext(spark, Map("out" -> s"${sys.props("java.io.tmpdir")}/graft_test"))
+    val df = spark.range(5).toDF("n")
+    EngineUrl.write(df, "csv://{out}/nums?header=true", ctx)
+    val back = EngineUrl.read(spark, "csv://{out}/nums?inferSchema=true", ctx)
+    assert(back.count() == 5)
+    assert(back.columns.toSeq == Seq("n"))
+  }
+}

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import graft.ops._
+
+/** Unit + property tests for the ops library (SURVEY §5.2: edge cases on
+  * tiny in-memory frames, algebraic laws via ScalaCheck generators).
+  */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int = 12): Seq[A] =
+    (1 to n).flatMap(_ => g.sample)
+
+  test("asOf join: inclusive at equal timestamps, null when no prior row") {
+    val left = Seq((1L, 100L), (1L, 50L), (2L, 10L))
+      .toDF("k", "t_l")
+    val right = Seq((1L, 100L, "at100"), (1L, 60L, "at60"), (2L, 20L, "at20"))
+      .toDF("k", "t_r", "v")
+    val out = AsOfJoin.asOf(left, right, "k", "t_l", "t_r", "v", "matched")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(out == Set(
+      (1L, 100L, "at100"), // equal ts matches (inclusive <=)
+      (1L, 50L, null), // no prior right row
+      (2L, 10L, null)))
+  }
+
+  test("asOf join: carries the LATEST prior value, not just any") {
+    val left = Seq((1L, 99L)).toDF("k", "t_l")
+    val right = Seq((1L, 10L, "old"), (1L, 90L, "new")).toDF("k", "t_r", "v")
+    val got = AsOfJoin.asOf(left, right, "k", "t_l", "t_r", "v", "m")
+      .select("m").as[String].head()
+    assert(got == "new")
+  }
+
+  test("TopK keeps exactly k rows per group with deterministic ties") {
+    val df = Seq((1, 10, "a"), (1, 10, "b"), (1, 5, "c"), (2, 1, "d"))
+      .toDF("g", "score", "id")
+    val got = TopK.perGroup(df, 2, Seq($"g"), Seq($"score".desc, $"id".asc))
+      .select("g", "id").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(got == Set((1, "a"), (1, "b"), (2, "d")))
+  }
+
+  test("minhash: identical texts yield identical signatures, sig length 8") {
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different words entirely here now today")).toDF("doc_id", "text")
+    val sig = MinHashDedup.signatures(docs, "doc_id", "text")
+    val rows = sig.collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
+    assert(rows(1L) == rows(2L))
+    assert(rows(1L) != rows(3L))
+    // ... and the LSH banding therefore pairs them
+    val pairs = MinHashDedup.candidatePairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("jaccard: identical sets → 1.0, disjoint → 0.0") {
+    val df = Seq(("a b c", "c b a"), ("a b", "x y")).toDF("t1", "t2")
+      .select(MinHashDedup.jaccard($"t1", $"t2").as("j"))
+    assert(df.as[Double].collect().toSeq == Seq(1.0, 0.0))
+  }
+
+  test("cosine: self-similarity 1.0, orthogonal 0.0, opposite -1.0") {
+    val df = Seq(
+      (Array(1f, 0f), Array(1f, 0f)),
+      (Array(1f, 0f), Array(0f, 1f)),
+      (Array(1f, 0f), Array(-1f, 0f))).toDF("a", "b")
+      .select(round(Similarity.cosine($"a", $"b"), 9).as("c"))
+    assert(df.as[Double].collect().toSeq == Seq(1.0, 0.0, -1.0))
+  }
+
+  test("lshBucket: sign bits of the leading dims, msb-first") {
+    val df = Seq(Tuple1(Array(1f, -1f, 1f, -1f))).toDF("v")
+      .select(Similarity.lshBucket($"v", 4).as("b"))
+    assert(df.as[Long].head() == 10L) // 1010
+  }
+
+  test("langId: empty text → und; stopword-majority language wins") {
+    val df = Seq((1L, "xyzzy plugh"), (2L, "der und das ist gut"),
+      (3L, "the cat of the hat is a cat")).toDF("id", "t")
+      .select($"id", TextOps.langId($"t").as("l"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "und", 2L -> "de", 3L -> "en"))
+  }
+
+  test("simhash16: equal token sets → equal fingerprints in [0, 65536)") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha beta"))
+      .toDF("id", "t")
+      .select(TextOps.simhash16($"t").as("fp")).as[Long].collect()
+    assert(df(0) == df(1)) // order/multiplicity-insensitive (set semantics)
+    assert(df(0) >= 0L && df(0) < 65536L)
+  }
+
+  test("property: union counts add (SURVEY §5.2 law)") {
+    val gl = Gen.listOf(Gen.chooseNum(-100, 100))
+    for ((a, b) <- samples(gl).zip(samples(gl))) {
+      assert(a.toDF("x").unionAll(b.toDF("x")).count() == a.size + b.size)
+    }
+  }
+
+  test("property: filter then project commutes with project then filter") {
+    for (xs <- samples(Gen.nonEmptyListOf(Gen.chooseNum(-50, 50)))) {
+      val df = xs.toDF("x")
+      val f1 = df.filter($"x" > 0).select(($"x" * 2).as("y"))
+      val f2 = df.select(($"x" * 2).as("y")).filter($"y" > 0)
+      assert(f1.collect().map(_.getInt(0)).sorted.toSeq ==
+        f2.collect().map(_.getInt(0)).sorted.toSeq)
+    }
+  }
+
+  test("crc32 and xxhash64 built-ins work (no DuckDB oracle — Q45 note)") {
+    val r = spark.range(1).select(
+      crc32(lit("graft").cast(BinaryType)).as("c"),
+      xxhash64(lit("graft")).as("x")).head()
+    assert(r.getLong(0) > 0 && r.getLong(1) != 0)
+  }
+
+  test("multimodal stub decode is deterministic and schema-complete") {
+    import graft.sources.Multimodal
+    val bin = Multimodal.readBinary(spark, s"$sfDir/*.parquet")
+    val feats = Multimodal.extractFeatures(bin)
+    assert(feats.schema.fieldNames.toSeq ==
+      Seq("path", "nBytes", "kind", "width", "height", "features"))
+    val twice = (feats.collect().map(f => (f.path, f.features.toSeq)).toMap,
+      Multimodal.extractFeatures(bin).collect().map(f => (f.path, f.features.toSeq)).toMap)
+    assert(twice._1 == twice._2)
+    assert(feats.head().features.length == 8)
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.queries._
+
+/** Physical-plan shape assertions — the 100 TB posture checks from
+  * SURVEY.md §4.2: broadcast where intended, partial aggregation, filter/
+  * projection pushdown into the parquet scan, rank-limit pushdown,
+  * top-k as TakeOrderedAndProject. A query that silently loses one of
+  * these still passes the value oracle at sf0.01 but would fall over at
+  * scale — these tests pin the plan.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("Q11 lineitem ⋈ part uses a broadcast hash join") {
+    assert(plan(Joins.q11(spark, sfDir)).contains("BroadcastHashJoin"))
+  }
+
+  test("Q19 star join broadcasts the dimension tables") {
+    val p = plan(Joins.q19(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("Q26 group-by runs map-side partial aggregation") {
+    val p = plan(Aggregates.q26(spark, sfDir))
+    assert(p.contains("partial_"), s"no partial agg in:\n$p")
+  }
+
+  test("Q07 predicates push into the parquet scan") {
+    val p = plan(Projections.q07(spark, sfDir))
+    assert(p.contains("PushedFilters: [IsNotNull"), s"no pushdown in:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), s"range not pushed:\n$p")
+  }
+
+  test("Q06 projection prunes the scan schema to referenced columns") {
+    val p = plan(Projections.q06(spark, sfDir))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && !readSchema.contains("l_shipdate"),
+      s"scan not pruned: $readSchema")
+  }
+
+  test("Q32 rank filter pushes a window group limit") {
+    val p = plan(Windows.q32(spark, sfDir))
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
+  }
+
+  test("Q35 global top-k plans as TakeOrderedAndProject (no full sort)") {
+    val p = plan(SortsLimits.q35(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k operator in:\n$p")
+  }
+
+  test("Q20 flagship stays inside whole-stage codegen") {
+    val df = Aggregates.q20(spark, sfDir)
+    df.collect() // materialise so AQE settles the final plan
+    val p = plan(df)
+    // codegen'd operators print as "*(n) Operator" in the plan string
+    assert(p.contains("*("), s"no codegen span in:\n$p")
+  }
+
+  test("Q23 approx distinct is within 5% of exact at sf0.001") {
+    import org.apache.spark.sql.functions._
+    val approx = Aggregates.q23(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.core.Tables.t(spark, sfDir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n).toDouble / n < 0.05,
+        s"approx off >5% for $k: ${approx(k)} vs $n")
+    }
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import graft.api.StatusServer
+import graft.core.EngineContext
+import graft.exec.{JobRunner, StatusRegistry, TaskRegistry}
+import graft.model.EtlModel
+
+/** HTTP facade tests mirroring tests/test_api.py:10-49: node_info fields,
+  * submit response shape, 400/412 rejections, task status lookup.
+  */
+class StatusServerSpec extends SparkSpec {
+
+  private class Quick extends EtlModel {
+    override def name = "QuickEtl"
+    override def build(ctx: EngineContext) = ctx.spark.range(3).toDF()
+  }
+
+  private def get(port: Int, path: String): (Int, String) = {
+    val client = HttpClient.newHttpClient()
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  private def post(port: Int, path: String, body: String): (Int, String) = {
+    val client = HttpClient.newHttpClient()
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  test("node_info + submit + task status shapes (A1/A18)") {
+    val reg = new TaskRegistry
+    val status = new StatusRegistry
+    val runner = new JobRunner(spark, reg, status, maxConcurrentTasks = 2)
+    reg.register(new Quick)
+    val server = new StatusServer(runner, reg, status, maxConcurrentTasks = 2)
+    val port = server.start()
+    try {
+      val (c0, b0) = get(port, "/api/0.01/node_info")
+      assert(c0 == 200)
+      assert(b0.contains("\"node_ident\"") && b0.contains("\"max_concurrent_tasks\":2")
+        && b0.contains("\"available_processing_capacity\""))
+
+      val (c1, b1) = post(port, "/api/0.01/task", """{"model_class":"QuickEtl"}""")
+      assert(c1 == 200 && b1.contains("\"task_id\"") && b1.contains("\"status_url\""))
+      val id = "\"task_id\":\"([a-f0-9]+)\"".r.findFirstMatchIn(b1).get.group(1)
+
+      // poll to terminal state
+      var st = ""
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (st != "complete" && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        st = "\"status\":\"(\\w+)\"".r
+          .findFirstMatchIn(get(port, s"/api/0.01/task/$id")._2).get.group(1)
+      }
+      assert(st == "complete")
+
+      val (c2, b2) = post(port, "/api/0.01/task", """{"no_class":1}""")
+      assert(c2 == 400 && b2.contains("model_class"))
+      val (c3, _) = post(port, "/api/0.01/task", """{"model_class":"Unknown"}""")
+      assert(c3 == 412)
+      val (c4, b4) = get(port, "/api/0.01/task/zzzzz")
+      assert(c4 == 200 && b4.contains("\"status\":\"unknown\""))
+    } finally server.stop()
+  }
+}
