@@ -21,14 +21,13 @@ object TextOps {
   /** Distinct token set. */
   def tokenSet(text: Column): Column = array_distinct(tokens(text))
 
-  /** Word `n`-gram shingles (empty when fewer than n tokens). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
-      .otherwise(array().cast(ArrayType(StringType)))
-  }
+  /** Word `n`-gram shingles (empty when fewer than n tokens) — native
+    * single-pass expression ([[graft.functions.WordShingles]]); the HOF
+    * formulation evaluated an interpreted lambda per shingle and
+    * dominated the dedup bench.
+    */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.WordShingles.shingles(text, n)
 
   /** Deterministic 32-bit token hash shared with the DuckDB oracle:
     * first 4 bytes of md5 read as a big-endian unsigned int

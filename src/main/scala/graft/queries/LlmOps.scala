@@ -272,11 +272,14 @@ object LlmOps {
   def q69(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = t(spark, dir, "embeddings")
-    val a = e.select($"label", $"vec_id".as("d1"), $"embedding".as("va"))
-    val b = e.select($"label", $"vec_id".as("d2"), $"embedding".as("vb"))
+    val a = e.select($"label", $"vec_id".as("d1"), $"embedding".as("va"),
+      Similarity.norm($"embedding").as("na"))
+    val b = e.select($"label", $"vec_id".as("d2"), $"embedding".as("vb"),
+      Similarity.norm($"embedding").as("nb"))
     a.join(b, Seq("label"))
       .filter($"d1" < $"d2")
-      .withColumn("cos6", round(Similarity.cosine($"va", $"vb"), 6))
+      .withColumn("cos6",
+        round(Similarity.dot($"va", $"vb") / ($"na" * $"nb"), 6))
       .filter($"cos6" >= 0.4)
       .select($"label", $"d1", $"d2", $"cos6")
       .orderBy($"label".asc_nulls_first, $"d1".asc_nulls_first, $"d2".asc_nulls_first)
