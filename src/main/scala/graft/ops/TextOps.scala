@@ -95,6 +95,9 @@ object TextOps {
     * is the sign of Σ_tokens (±1 by bit i of the token hash). Near-dup
     * texts (high token overlap) land within small Hamming distance.
     * Pure integer arithmetic → engine-portable.
+    *
+    * Scalar form for composability; hashes each token once per bit (16
+    * md5s/token) — use [[simhashTable]] for whole-table fingerprinting.
     */
   def simhash16(text: Column): Column = {
     val toks = tokenSet(text)
@@ -105,5 +108,26 @@ object TextOps {
     bitSums.zipWithIndex.map { case (s, i) =>
       when(s > 0, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
+  }
+
+  /** Table-shaped SimHash: explode distinct tokens, hash each ONCE, then
+    * 16 integer bit-sums in one hash aggregate — the shuffle-based form
+    * that scales (and is ~20× cheaper than the scalar fold: 1 md5 per
+    * token instead of 16).
+    */
+  def simhashTable(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String, fpCol: String = "fp"): org.apache.spark.sql.DataFrame = {
+    val id = col(idCol)
+    val hashed = docs
+      .select(id, explode(tokenSet(col(textCol))).as("__tok"))
+      .withColumn("__x", hash32(col("__tok")))
+    val bitSums = (0 until 16).map { i =>
+      sum(when(shiftright(col("__x"), i).bitwiseAND(1) === 1, 1L)
+        .otherwise(-1L)).as(s"__s$i")
+    }
+    hashed.groupBy(id).agg(bitSums.head, bitSums.tail: _*)
+      .select(id, (0 until 16).map { i =>
+        when(col(s"__s$i") > 0, lit(1L << i)).otherwise(0L)
+      }.reduce(_ + _).as(fpCol))
   }
 }

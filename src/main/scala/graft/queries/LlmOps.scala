@@ -217,8 +217,7 @@ object LlmOps {
     */
   def q67(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    t(spark, dir, "documents")
-      .select($"doc_id", TextOps.simhash16($"text").as("fp"))
+    TextOps.simhashTable(t(spark, dir, "documents"), "doc_id", "text")
       .orderBy($"doc_id".asc_nulls_first)
   }
 
