@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Join strategies for hostile data distributions at 100 TB —
+  * SURVEY.md §7.4 "all ops keyed and shuffle-friendly".
+  *
+  * AQE's skew-join handling covers most cases at runtime; these are the
+  * explicit tools for when the planner can't see the skew (e.g. a hot key
+  * known from domain knowledge) or when a repeated join key deserves a
+  * persistent co-located layout.
+  */
+object ScaleJoins {
+
+  /** Inner equi-join with the skewed (left) side salted `salts` ways: the
+    * hot key's rows spread over `salts` reducers; the right side is
+    * replicated `salts`× (keep it the smaller side). Result is identical
+    * to the plain join for any salt assignment — pmod over a row hash is
+    * used only to spread load deterministically.
+    */
+  def saltedInnerJoin(left: DataFrame, right: DataFrame, key: String,
+                      salts: Int): DataFrame = {
+    require(salts > 0)
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(salts)))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit((salts - 1).toLong))))
+    l.join(r, Seq(key, "__salt"), "inner").drop("__salt")
+  }
+
+  /** Write a frame bucketed+sorted by `key` as a catalog table: repeated
+    * equi-joins / aggregations on `key` across such tables plan with NO
+    * shuffle (bucket-local sort-merge). This is the persistent co-location
+    * layout for fact-fact joins at scale.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+}
