@@ -27,6 +27,7 @@ object GraftSession {
       .master(s"local[$cores]")
       .appName(appName)
       .config("spark.ui.enabled", ui.toString)
+      .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
