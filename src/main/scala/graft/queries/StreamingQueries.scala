@@ -214,6 +214,54 @@ object StreamingQueries {
       | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin
 
+  /** Q70 — stream-stream interval join: views followed by a purchase from
+    * the same user within 5 minutes. Both sides watermarked; the range
+    * condition bounds the join state the engine must retain.
+    */
+  def q70(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = eventsStream(spark, dir)
+    val views = base.filter($"event_type" === "view")
+      .select($"event_id".as("view_id"), $"user_id", $"ts".as("view_ts"))
+      .withWatermark("view_ts", "10 minutes")
+    val buys = base.filter($"event_type" === "purchase")
+      .select($"event_id".as("buy_id"), $"user_id".as("buy_user"), $"ts".as("buy_ts"))
+      .withWatermark("buy_ts", "10 minutes")
+    val joined = views.join(buys,
+      $"user_id" === $"buy_user" &&
+        $"buy_ts" >= $"view_ts" &&
+        $"buy_ts" < $"view_ts" + expr("INTERVAL 5 MINUTES"))
+    runToMemory(joined, "q70_sink", "append")
+      .select($"view_id", $"buy_id", $"user_id")
+      .orderBy($"view_id".asc_nulls_first, $"buy_id".asc_nulls_first)
+  }
+
+  val q70Sql: String =
+    """SELECT v.event_id AS view_id, b.event_id AS buy_id, v.user_id
+      |FROM events v JOIN events b
+      |  ON v.user_id = b.user_id AND v.event_type = 'view' AND b.event_type = 'purchase'
+      | AND b.ts >= v.ts AND b.ts < v.ts + INTERVAL 5 MINUTE
+      |ORDER BY view_id NULLS FIRST, buy_id NULLS FIRST""".stripMargin
+
+  /** Q71 — dropDuplicatesWithinWatermark on a business key: keeps the
+    * first arrival per (user_id, event_type) while expiring dedup state by
+    * watermark (the scale-safe streaming dedup — state is bounded).
+    */
+  def q71(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val deduped = eventsStream(spark, dir)
+      .select($"user_id", $"event_type", $"ts")
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+    runToMemory(deduped, "q71_sink", "append")
+      .select($"user_id", $"event_type")
+      .orderBy($"user_id".asc_nulls_first, $"event_type".asc_nulls_first)
+  }
+
+  val q71Sql: String =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id NULLS FIRST, event_type NULLS FIRST""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_tumbling_window" -> (q46 _),
     "q47_sliding_window" -> (q47 _),
@@ -222,7 +270,9 @@ object StreamingQueries {
     "q50_stream_dedup" -> (q50 _),
     "q51_stateful_counter" -> (q51 _),
     "q52_stream_static_join" -> (q52 _),
-    "q53_foreach_batch_sink" -> (q53 _))
+    "q53_foreach_batch_sink" -> (q53 _),
+    "q70_stream_stream_join" -> (q70 _),
+    "q71_dedup_within_watermark" -> (q71 _))
 
   def oracles: Map[String, String] = Map(
     "q46_tumbling_window" -> q46Sql,
@@ -232,5 +282,7 @@ object StreamingQueries {
     "q50_stream_dedup" -> q50Sql,
     "q51_stateful_counter" -> q51Sql,
     "q52_stream_static_join" -> q52Sql,
-    "q53_foreach_batch_sink" -> q53Sql)
+    "q53_foreach_batch_sink" -> q53Sql,
+    "q70_stream_stream_join" -> q70Sql,
+    "q71_dedup_within_watermark" -> q71Sql)
 }

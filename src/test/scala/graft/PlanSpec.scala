@@ -59,6 +59,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*("), s"no codegen span in:\n$p")
   }
 
+  test("partitioned sink read-back prunes partitions on the filter") {
+    import org.apache.spark.sql.functions._
+    val out = s"${sys.props("java.io.tmpdir")}/graft_scratch/prune_test"
+    graft.core.Tables.t(spark, sfDir, "orders")
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    val p = plan(spark.read.parquet(out).filter(col("o_orderstatus") === "F"))
+    assert(p.contains("PartitionFilters: [isnotnull(o_orderstatus"),
+      s"no partition pruning in:\n$p")
+  }
+
   test("Q23 approx distinct is within 5% of exact at sf0.001") {
     import org.apache.spark.sql.functions._
     val approx = Aggregates.q23(spark, sfDir).collect()
