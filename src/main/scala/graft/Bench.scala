@@ -31,9 +31,14 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t = try {
         once(fn) // warmup: codegen + JIT + page cache
-        val t0 = System.nanoTime()
-        once(fn)
-        (System.nanoTime() - t0) / 1e9
+        // min of 2 timed runs: GC/scheduler jitter otherwise dominates the
+        // small-SF numbers
+        val runs = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          once(fn)
+          (System.nanoTime() - t0) / 1e9
+        }
+        runs.min
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         -1.0

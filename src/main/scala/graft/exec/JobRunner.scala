@@ -143,6 +143,14 @@ final class JobRunner(
     pool.shutdown(): Unit
   }
 
+  /** Detach from the SparkContext (listener) and stop the pool — call for
+    * short-lived runners so listeners don't accumulate on the session.
+    */
+  def close(): Unit = {
+    spark.sparkContext.removeSparkListener(status)
+    pool.shutdown(): Unit
+  }
+
   private def traceback(e: Throwable): Seq[String] =
     e.getStackTrace.take(12).map(_.toString).toSeq
 }

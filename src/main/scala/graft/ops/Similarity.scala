@@ -64,6 +64,59 @@ object Similarity {
       .select(col("probe_id"), col("cand_id"), col("cos6"), col("rn"))
   }
 
+  /** IVF-style index: per-cell centroids (here: the mean vector of each
+    * `cellCol` group — swap in k-means assignments for unlabelled data;
+    * the join/partition plumbing is identical), then assign every vector
+    * to its nearest centroid by L2. Returns (idCol, cell) assignments.
+    * The centroid table is tiny → broadcast; assignment is a map-side
+    * cross with |cells| rows — the IVF build shape at 100 TB.
+    */
+  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                cellCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val expl = corpus.select(col(cellCol).as("__cell"),
+      posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+    // exact decimal mean per (cell, dim) → deterministic centroids
+    val cent = expl.groupBy(col("__cell"), col("__pos"))
+      .agg((sum(col("__v").cast(DoubleType).cast(DecimalType(28, 10)))
+        .cast(DoubleType) / count(lit(1))).as("__cv"))
+      .groupBy(col("__cell"))
+      .agg(transform(sort_array(collect_list(struct(col("__pos"), col("__cv")))),
+        s => s.getField("__cv")).as("__centroid"))
+    val vecs = corpus.select(col(idCol), col(vecCol).as("__vec"))
+    val scored = vecs.join(broadcast(cent))
+      .withColumn("__d2",
+        round(dot(col("__vec"), col("__vec"))
+          - lit(2.0) * dot(col("__vec"), col("__centroid"))
+          + dot(col("__centroid"), col("__centroid")), 6))
+    TopK.perGroup(scored, 1,
+        partition = Seq(col(idCol)),
+        order = Seq(col("__d2").asc, col("__cell").asc))
+      .select(col(idCol), col("__cell").as("cell"))
+  }
+
+  /** IVF search (nprobe=1): probes scan only the vectors assigned to their
+    * own cell.
+    */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              cellCol: String, probeFilter: Column, k: Int): DataFrame = {
+    val assigned = corpus.join(
+      ivfAssign(corpus, idCol, vecCol, cellCol), Seq(idCol))
+    val p = assigned.filter(probeFilter)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("__pv"),
+        norm(col(vecCol)).as("__pn"), col("cell"))
+    val c = assigned.select(col(idCol).as("cand_id"), col(vecCol).as("__cv"),
+      norm(col(vecCol)).as("__cn"), col("cell"))
+    val scored = p.join(c, Seq("cell"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("cos6",
+        round(dot(col("__pv"), col("__cv")) / (col("__pn") * col("__cn")), 6))
+    TopK.perGroup(scored, k,
+        partition = Seq(col("probe_id")),
+        order = Seq(col("cos6").desc, col("cand_id").asc))
+      .select(col("probe_id"), col("cell"), col("cand_id"), col("cos6"), col("rn"))
+  }
+
   /** LSH-bucketed cosine top-k: probes only scan corpus rows in their own
     * sign-bit bucket — the scan per probe shrinks ~2^bits-fold.
     */

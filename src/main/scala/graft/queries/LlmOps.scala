@@ -292,6 +292,53 @@ object LlmOps {
       |WHERE ROUND(list_dot_product(a.v, b.v) / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))), 6) >= 0.4
       |ORDER BY a.label NULLS FIRST, d1 NULLS FIRST, d2 NULLS FIRST""".stripMargin
 
+  /** Q72 — IVF-style ANN: build a centroid table (exact-decimal per-cell
+    * means), assign every vector to its nearest centroid, and search only
+    * within the probe's cell (nprobe=1) — the classic inverted-file index
+    * shape; [[graft.ops.Similarity.ivfAssign]] documents the 100 TB plan.
+    */
+  def q72(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Similarity.ivfTopK(t(spark, dir, "embeddings"), "vec_id", "embedding",
+        cellCol = "label", probeFilter = $"vec_id" < 20, k = 3)
+      .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
+  }
+
+  val q72Sql: String =
+    """WITH expl AS (
+      |  SELECT label AS cell, generate_subscripts(embedding, 1) AS pos,
+      |         unnest(embedding) AS v
+      |  FROM embeddings),
+      |centd AS (
+      |  SELECT cell, pos,
+      |    CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS cv
+      |  FROM expl GROUP BY cell, pos),
+      |cent AS (SELECT cell, list(cv ORDER BY pos) AS centroid FROM centd GROUP BY cell),
+      |vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |scored AS (
+      |  SELECT vec_id, cell,
+      |    ROUND(list_dot_product(v, v) - 2.0 * list_dot_product(v, centroid)
+      |          + list_dot_product(centroid, centroid), 6) AS d2
+      |  FROM vecs CROSS JOIN cent),
+      |assign AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS arn
+      |    FROM scored) WHERE arn = 1),
+      |av AS (
+      |  SELECT a.vec_id, a.cell, v.v, SQRT(list_dot_product(v.v, v.v)) AS nrm
+      |  FROM assign a JOIN vecs v ON a.vec_id = v.vec_id),
+      |pairs AS (
+      |  SELECT p.vec_id AS probe_id, p.cell AS cell, c.vec_id AS cand_id,
+      |    ROUND(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 6) AS cos6
+      |  FROM av p JOIN av c ON p.cell = c.cell AND p.vec_id < 20 AND p.vec_id <> c.vec_id),
+      |ranked AS (
+      |  SELECT probe_id, cell, cand_id, cos6,
+      |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos6 DESC, cand_id ASC) AS rn
+      |  FROM pairs)
+      |SELECT probe_id, cell, cand_id, cos6, rn FROM ranked WHERE rn <= 3
+      |ORDER BY probe_id NULLS FIRST, rn NULLS FIRST""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_exact_dedup" -> (q58 _),
     "q59_minhash_lsh" -> (q59 _),
@@ -304,7 +351,8 @@ object LlmOps {
     "q66_token_count" -> (q66 _),
     "q67_simhash" -> (q67 _),
     "q68_ann_lsh" -> (q68 _),
-    "q69_embed_neardup" -> (q69 _))
+    "q69_embed_neardup" -> (q69 _),
+    "q72_ann_ivf" -> (q72 _))
 
   def oracles: Map[String, String] = Map(
     "q58_exact_dedup" -> q58Sql,
@@ -317,5 +365,6 @@ object LlmOps {
     "q66_token_count" -> q66Sql,
     "q67_simhash" -> q67Sql,
     "q68_ann_lsh" -> q68Sql,
-    "q69_embed_neardup" -> q69Sql)
+    "q69_embed_neardup" -> q69Sql,
+    "q72_ann_ivf" -> q72Sql)
 }

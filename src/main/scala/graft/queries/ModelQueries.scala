@@ -48,9 +48,11 @@ object ModelQueries {
     registry.register(model)
     val spec = TaskSpec(modelClass = "RevenuePerNation",
       resolverContext = Map("data_dir" -> dir))
-    runner.runSync(spec) // lifecycle: running → complete in status tables
-    require(status.status(spec.taskId) == "complete",
-      s"model task ended ${status.status(spec.taskId)}")
+    try {
+      runner.runSync(spec) // lifecycle: running → complete in status tables
+      require(status.status(spec.taskId) == "complete",
+        s"model task ended ${status.status(spec.taskId)}")
+    } finally runner.close() // don't leave per-query listeners on the session
     model.build(EngineContext(spark, Map("data_dir" -> dir)))
   }
 
