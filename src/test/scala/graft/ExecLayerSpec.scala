@@ -60,6 +60,18 @@ private class Gathering extends PartitionedEtlModel {
     seen.add(r.value): Unit
 }
 
+// a deliberately slow distributed job (sleep per row) for cancel tests
+private class CrawlModel extends EtlModel {
+  override def name = "CrawlEtl"
+  override def build(ctx: EngineContext): DataFrame = {
+    val spark = ctx.spark
+    import spark.implicits._
+    spark.range(0, 400, 1, 4).as[Long]
+      .map { i => Thread.sleep(100); i }
+      .toDF()
+  }
+}
+
 class ExecLayerSpec extends SparkSpec {
 
   private def freshRunner(maxConcurrent: Int = 2) = {
@@ -145,6 +157,25 @@ class ExecLayerSpec extends SparkSpec {
       runner.submit(TaskSpec(modelClass = "SlowEtl"), blockMillis = 50))
     Await.result(f1, 60.seconds)
     assert(runner.availableCapacity == 1)
+  }
+
+  test("cancel kills a running task's Spark jobs (A19, shutdown analogue)") {
+    val (reg, status, runner) = freshRunner()
+    reg.register(new CrawlModel)
+    val spec = TaskSpec(modelClass = "CrawlEtl")
+    val fut = runner.submit(spec)
+    // wait until the task's job is actually running, then kill it
+    val deadline = System.nanoTime() + 30L * 1000000000L
+    while (status.status(spec.taskId) != "running" && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    Thread.sleep(300)
+    runner.cancel(spec.taskId)
+    val outcome = Await.result(fut, 60.seconds)
+    outcome match {
+      case TaskFailed(cls, _, _) => assert(cls.toLowerCase.contains("exception"))
+      case other => fail(s"expected TaskFailed after cancel, got $other")
+    }
+    assert(status.status(spec.taskId) == "failed")
   }
 
   test("submit validates the class before queueing (412 precedes 503)") {

@@ -1,0 +1,39 @@
+package graft
+
+import graft.queries._
+
+/** Registry integrity: module maps must not shadow each other (Map ++
+  * would silently drop a duplicated key → a query silently vanishing from
+  * the correctness gate), and every oracle key must have a query.
+  */
+class RegistrySpec extends SparkSpec {
+
+  private val modules: Seq[(String, Map[String, _])] = Seq(
+    "Scans" -> Scans.all, "Projections" -> Projections.all,
+    "Joins" -> Joins.all, "Aggregates" -> Aggregates.all,
+    "Windows" -> Windows.all, "SortsLimits" -> SortsLimits.all,
+    "SetOps" -> SetOps.all, "Scalars" -> Scalars.all,
+    "LlmOps" -> LlmOps.all, "Streaming" -> StreamingQueries.all,
+    "Extensibility" -> Extensibility.all, "Models" -> ModelQueries.all)
+
+  test("no query key collisions across modules") {
+    val expected = modules.map(_._2.size).sum
+    assert(Registry.all.size == expected,
+      s"Registry has ${Registry.all.size} entries but modules define $expected")
+  }
+
+  test("every oracle key has a matching query") {
+    val missing = Registry.oracles.keySet -- Registry.all.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("the full surface covers the SURVEY ids Q01..Q72") {
+    val ids = Registry.all.keySet.map(_.takeWhile(_ != '_'))
+    val expected = (1 to 72).map(i => f"q$i%02d").toSet
+    assert(ids == expected, s"missing: ${expected -- ids}, extra: ${ids -- expected}")
+  }
+
+  test("entry() returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
