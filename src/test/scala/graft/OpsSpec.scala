@@ -112,6 +112,34 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("sessionize matches the streaming session_window on the same data") {
+    import org.apache.spark.sql.types.TimestampType
+    val events = graft.core.Tables.t(spark, sfDir, "events")
+      .filter($"user_id" < 10)
+    val batch = Sessionize.byGap(events, $"user_id", $"ts", gapSeconds = 1800)
+      .groupBy($"user_id", $"session_id")
+      .agg(min($"ts").as("ss"), count(lit(1)).as("n"))
+      .select($"user_id", $"ss".cast(TimestampType), $"n")
+    val viaSessionWindow = events
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", $"session_window.start".as("ss"), $"n")
+    val a = batch.collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val b = viaSessionWindow.collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(a == b)
+  }
+
+  test("to_json / json_tuple / schema_of_json round the Q44 family out") {
+    val df = spark.range(1).select(
+      to_json(struct(lit("click").as("t"), lit(7).as("k"))).as("j"),
+      schema_of_json(lit("""{"k": 1}""")).as("s"))
+    val r = df.head()
+    assert(r.getString(0) == """{"t":"click","k":7}""")
+    assert(r.getString(1).toLowerCase.contains("struct"))
+    val jt = spark.sql("""SELECT json_tuple('{"a":1,"b":"x"}', 'a', 'b')""").head()
+    assert(jt.getString(0) == "1" && jt.getString(1) == "x")
+  }
+
   test("crc32 and xxhash64 built-ins work (no DuckDB oracle — Q45 note)") {
     val r = spark.range(1).select(
       crc32(lit("graft").cast(BinaryType)).as("c"),
