@@ -64,15 +64,30 @@ object StreamOps {
     * sink and return the final result table. `complete` mode for
     * aggregations replays full state; `append`/`update` for row streams.
     */
-  def runToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    df.sparkSession.table(name)
+  def runToMemory(df: DataFrame, name: String, mode: String): DataFrame =
+    withStreamingPartitions(df.sparkSession) {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      df.sparkSession.table(name)
+    }
+
+  /** Stateful streaming ops allocate one state store per shuffle
+    * partition per operator; a batch-oriented partition count (32+) buys
+    * nothing at micro-batch sizes and multiplies store init/commit cost.
+    * Pin a small count for the duration of a streaming run. (The sink
+    * partitioning is fixed at query START — restoring the conf afterwards
+    * does not affect the running query.)
+    */
+  private def withStreamingPartitions[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try body finally spark.conf.set(key, prev)
   }
 
   /** Run a streaming frame through foreachBatch into a parquet dir (the
