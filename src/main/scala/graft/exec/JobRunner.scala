@@ -64,6 +64,8 @@ final class JobRunner(
     spark.sparkContext.setJobGroup(spec.taskId,
       s"graft task ${spec.taskId}: ${spec.modelClass}.${spec.method}",
       interruptOnCancel = true)
+    graft.tools.EngineLog.log(
+      s"task ${spec.taskId} ${spec.modelClass}.${spec.method} started")
     val outcome =
       try {
         model match {
@@ -79,6 +81,11 @@ final class JobRunner(
         spark.sparkContext.clearJobGroup()
       }
     status.markFinished(spec.taskId, outcome)
+    val (lvl, word) = outcome match {
+      case _: TaskComplete => ("INFO", "complete")
+      case _: TaskFailed => ("ERROR", "failed")
+    }
+    graft.tools.EngineLog.log(s"task ${spec.taskId} $word", lvl)
     outcome
   }
 

@@ -183,6 +183,28 @@ class ExecLayerSpec extends SparkSpec {
     assertThrows[InvalidTaskSpec](runner.submit(TaskSpec(modelClass = "Nope")))
   }
 
+  test("log fan-out reaches pluggable external sinks across a task run (A20)") {
+    import graft.tools.EngineLog
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    EngineLog.echoToConsole = false
+    EngineLog.addSink("q", (level: String, msg: String) => seen.add(s"$level:$msg"): Unit)
+    try {
+      val (reg, _, runner) = freshRunner()
+      reg.register(new NothingModel)
+      val spec = TaskSpec(modelClass = "NothingEtl")
+      runner.runSync(spec)
+      val msgs = scala.jdk.CollectionConverters.IteratorHasAsScala(seen.iterator()).asScala.toSeq
+      assert(msgs.exists(m => m.startsWith("INFO:") && m.contains(s"${spec.taskId}") && m.contains("started")))
+      assert(msgs.exists(m => m.contains(s"${spec.taskId} complete")))
+      // broken sinks must not kill tasks
+      EngineLog.addSink("broken", (_: String, _: String) => throw new RuntimeException("boom"))
+      assert(runner.runSync(TaskSpec(modelClass = "NothingEtl")).isInstanceOf[TaskComplete])
+    } finally {
+      EngineLog.removeSink("q"); EngineLog.removeSink("broken")
+      EngineLog.echoToConsole = true
+    }
+  }
+
   test("engine-url templating resolves context vars and rejects unknowns") {
     val ctx = EngineContext(spark, Map("output_datasets" -> "/tmp/x"))
     assert(ctx.resolve("csv://{output_datasets}/r.csv") == "csv:///tmp/x/r.csv")
