@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench's contract is "stdout ends with exactly one JSON line"; sbt's
+// "[success] Total time: …" epilogue after `runMain graft.Bench` broke the
+// driver's parser in round 1 (BENCH_r01.json parsed:null). Suppress it.
+Global / showSuccess := false
+Global / showTiming := false
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
+// Pass the forked runMain's stdout through verbatim (no "[info] " logger
+// prefix) so Bench's single JSON line survives as the last raw stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -115,22 +115,28 @@ object Aggregates {
       |ORDER BY gid NULLS FIRST, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
   /** Q25 — collect_list / collect_set (explicitly sorted for determinism —
-    * SURVEY §7.4: in-group order is partition-dependent otherwise).
+    * SURVEY §7.4: in-group order is partition-dependent otherwise). The
+    * sorted arrays are joined to a scalar string at the output edge: the
+    * driver's pandas-based comparator cannot sort/hash ndarray cells
+    * (round-1 `TypeError: unhashable type`), and a CSV string carries the
+    * identical information.
     */
   def q25(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     t(spark, dir, "lineitem")
       .groupBy($"l_orderkey")
       .agg(
-        sort_array(collect_list($"l_linenumber")).as("lines"),
-        sort_array(collect_set($"l_returnflag")).as("flags"))
+        array_join(transform(sort_array(collect_list($"l_linenumber")),
+          _.cast(StringType)), ",").as("lines"),
+        array_join(sort_array(collect_set($"l_returnflag")), ",").as("flags"))
       .orderBy($"l_orderkey".asc_nulls_first)
       .limit(2000)
   }
 
   val q25Sql: String =
-    """SELECT l_orderkey, list_sort(list(l_linenumber)) AS lines,
-      | list_sort(list(DISTINCT l_returnflag)) AS flags
+    """SELECT l_orderkey,
+      | array_to_string(list_sort(list(l_linenumber)), ',') AS lines,
+      | array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS flags
       |FROM lineitem GROUP BY l_orderkey
       |ORDER BY l_orderkey NULLS FIRST LIMIT 2000""".stripMargin
 

@@ -109,24 +109,42 @@ object Joins {
       |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
       |ORDER BY c_custkey NULLS FIRST""".stripMargin
 
-  /** Q15 — theta (non-equi) join: bounded dim×dim band match. */
+  /** Q15 — theta (non-equi) join as a BANDED equi-join: the naive form is a
+    * BroadcastNestedLoopJoin evaluating O(|part|·|supplier|) pairs — a
+    * scale-killer at 100 TB. Instead we derive a band-bucket key: the band
+    * `p_retailprice ∈ (center-5, center+5]` has width 10, so with bucket
+    * width 10 every supplier band spans exactly two consecutive buckets.
+    * Explode supplier to those two bucket keys, hash-equi-join on the
+    * bucket, and post-filter the exact band predicate. All band arithmetic
+    * is DECIMAL (exact in both engines) per the determinism contract.
+    */
   def q15(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val p = t(spark, dir, "part")
+      .select($"p_partkey", dec2($"p_retailprice").as("p_price"))
+      .withColumn("band_bucket", floor($"p_price" / 10))
     val s = t(spark, dir, "supplier")
-    p.join(s,
-        $"p_retailprice" > ($"s_acctbal" / 10.0) - lit(5.0) &&
-        $"p_retailprice" <= ($"s_acctbal" / 10.0) + lit(5.0))
+      .select($"s_suppkey", (dec2($"s_acctbal") / 10).as("center"))
+      // width-10 band over width-10 buckets → exactly these two buckets
+      .withColumn("band_bucket",
+        explode(array(floor(($"center" - 5) / 10), floor(($"center" + 5) / 10))))
+    p.join(s, Seq("band_bucket"))
+      .filter($"p_price" > $"center" - 5 && $"p_price" <= $"center" + 5)
       .agg(count(lit(1)).as("n_pairs"),
         sum($"p_partkey").as("sum_pkey"),
         sum($"s_suppkey").as("sum_skey"))
   }
 
+  // DuckDB SUM(BIGINT) yields HUGEINT, which pandas reads back as float64
+  // and the driver's row-hash then sees 1723458.0 vs Spark's 1723458 —
+  // CAST back to BIGINT so both frames carry int64.
   val q15Sql: String =
-    """SELECT COUNT(*) AS n_pairs, SUM(p_partkey) AS sum_pkey, SUM(s_suppkey) AS sum_skey
+    """SELECT COUNT(*) AS n_pairs,
+      | CAST(SUM(p_partkey) AS BIGINT) AS sum_pkey,
+      | CAST(SUM(s_suppkey) AS BIGINT) AS sum_skey
       |FROM part, supplier
-      |WHERE p_retailprice > (s_acctbal / 10.0) - 5.0
-      |  AND p_retailprice <= (s_acctbal / 10.0) + 5.0""".stripMargin
+      |WHERE CAST(p_retailprice AS DECIMAL(18,2)) > CAST(s_acctbal AS DECIMAL(18,2)) / 10 - 5
+      |  AND CAST(p_retailprice AS DECIMAL(18,2)) <= CAST(s_acctbal AS DECIMAL(18,2)) / 10 + 5""".stripMargin
 
   /** Q16 — cross join (explicit cartesian). */
   def q16(spark: SparkSession, dir: String): DataFrame = {

@@ -23,6 +23,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("Q15 banded theta join plans as an equi-join, not a nested loop") {
+    val p = plan(Joins.q15(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ survived banding:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"no equi-join on the band bucket in:\n$p")
+  }
+
   test("Q26 group-by runs map-side partial aggregation") {
     val p = plan(Aggregates.q26(spark, sfDir))
     assert(p.contains("partial_"), s"no partial agg in:\n$p")
