@@ -49,12 +49,86 @@ final class StatusServer(
       s"""$exc$origin}"""
   }
 
-  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+  private def respond(ex: HttpExchange, code: Int, body: String,
+      contentType: String = "application/json"): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
-    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.getResponseHeaders.set("Content-Type", contentType)
     ex.sendResponseHeaders(code, bytes.length.toLong)
     ex.getResponseBody.write(bytes)
     ex.close()
+  }
+
+  // ---- HTML views (views/web.py:11-27 + templates/web_root.html,
+  // task_details.html analogue): a human node-summary page at "/" and a
+  // per-task page at "/task/<id>", templated over the same StatusRegistry
+  // data the JSON API serves.
+
+  private def esc(s: String): String = s.flatMap {
+    case '<' => "&lt;"; case '>' => "&gt;"; case '&' => "&amp;"
+    case '"' => "&quot;"; case c => c.toString
+  }
+
+  private def htmlPage(title: String, body: String): String =
+    s"""<!DOCTYPE html><html><head><meta charset="utf-8"><title>${esc(title)}</title>
+       |<style>body{font-family:sans-serif;margin:2em}table{border-collapse:collapse;margin:0.5em 0}
+       |th,td{border:1px solid #ccc;padding:4px 10px;text-align:left}
+       |tr:nth-child(even){background:#f5f5f5}</style></head>
+       |<body>$body</body></html>""".stripMargin
+
+  private def taskTable(ts: Seq[TaskRecord], withFinished: Boolean): String = {
+    val finishedHead = if (withFinished) "<th>Finished</th>" else ""
+    val rows = ts.map { r =>
+      val finishedCell = if (withFinished)
+        s"<td>${esc(r.finished.map(_.toString).getOrElse(""))}</td>" else ""
+      s"""<tr><td><a href="/task/${esc(r.spec.taskId)}">${esc(r.spec.taskId)}</a></td>""" +
+        s"<td>${esc(r.status)}</td><td>${esc(r.started.toString)}</td>$finishedCell" +
+        s"<td>${esc(r.spec.modelClass)}</td><td>${esc(r.spec.method)}</td></tr>"
+    }.mkString
+    s"""<table><thead><tr><th>Task Id</th><th>Status</th><th>Started</th>
+       |$finishedHead<th>Model class</th><th>Method</th></tr></thead>
+       |<tbody>$rows</tbody></table>""".stripMargin
+  }
+
+  private def nodePage: String = {
+    val running = status.runningTasks
+    val recent = status.recentCompleted()
+    val runningHtml =
+      if (running.nonEmpty) taskTable(running, withFinished = false)
+      else "<p>There aren't currently any running tasks.</p>"
+    val recentHtml =
+      if (recent.nonEmpty) taskTable(recent, withFinished = true)
+      else "<p>This node hasn't run any tasks since it started.</p>"
+    htmlPage(s"Graft — $nodeIdent",
+      s"""<h1>Graft</h1><p><small>Spark execution engine for ETL models</small></p>
+         |<h2>Node info</h2><table><tbody>
+         |<tr><th>node_ident</th><td>${esc(nodeIdent)}</td></tr>
+         |<tr><th>max_concurrent_tasks</th><td>$maxConcurrentTasks</td></tr>
+         |<tr><th>available_processing_capacity</th><td>${runner.availableCapacity}</td></tr>
+         |</tbody></table>
+         |<h2>Running Tasks</h2>$runningHtml
+         |<h2>Recently Completed Tasks</h2>$recentHtml""".stripMargin)
+  }
+
+  private def taskPage(r: TaskRecord): String = {
+    val outcomeRows = r.outcome.map {
+      case TaskComplete(rows) => s"<tr><th>rows</th><td>$rows</td></tr>"
+      case TaskFailed(cls, tb, origin) =>
+        s"<tr><th>exception_class_name</th><td>${esc(cls)}</td></tr>" +
+          origin.map(o => s"<tr><th>failure_origin_task_id</th><td>${esc(o)}</td></tr>").getOrElse("") +
+          s"<tr><th>traceback</th><td><pre>${esc(tb.mkString("\n"))}</pre></td></tr>"
+    }.getOrElse("")
+    val jobs = status.sparkJobs(r.spec.taskId)
+    htmlPage(s"Task ${r.spec.taskId}",
+      s"""<h1>Task Details</h1><table><tbody>
+         |<tr><th>task_id</th><td>${esc(r.spec.taskId)}</td></tr>
+         |<tr><th>model_class</th><td>${esc(r.spec.modelClass)}</td></tr>
+         |<tr><th>method</th><td>${esc(r.spec.method)}</td></tr>
+         |<tr><th>status</th><td>${esc(r.status)}</td></tr>
+         |<tr><th>started</th><td>${esc(r.started.toString)}</td></tr>
+         |<tr><th>finished</th><td>${esc(r.finished.map(_.toString).getOrElse(""))}</td></tr>
+         |<tr><th>spark_jobs</th><td>${jobs.mkString(", ")}</td></tr>
+         |$outcomeRows
+         |</tbody></table><p><a href="/">&larr; node summary</a></p>""".stripMargin)
   }
 
   /** Crude single-level JSON-object field extraction (string values). */
@@ -101,7 +175,22 @@ final class StatusServer(
             } catch {
               case _: NoCapacity =>
                 respond(ex, 503, """{"error":"no processing capacity"}""")
+              case e: InvalidTaskSpec => // e.g. unknown method (412 analogue)
+                respond(ex, 412, s"""{"error":${jsonStr(e.getMessage)}}""")
             }
+        }
+      } else respond(ex, 404, """{"error":"not found"}""")
+    })
+    // HTML views ("/" is HttpServer's fallback context)
+    s.createContext("/", (ex: HttpExchange) => {
+      val path = ex.getRequestURI.getPath
+      if (path == "/" || path == "/index.html")
+        respond(ex, 200, nodePage, "text/html; charset=utf-8")
+      else if (path.matches("^/task/[^/]+$")) {
+        val id = path.substring(path.lastIndexOf('/') + 1)
+        status.record(id) match {
+          case Some(r) => respond(ex, 200, taskPage(r), "text/html; charset=utf-8")
+          case None => respond(ex, 404, "Task not found", "text/html; charset=utf-8")
         }
       } else respond(ex, 404, """{"error":"not found"}""")
     })

@@ -46,7 +46,7 @@ final class JobRunner(
     * (503). Returns the future outcome; the task id is in the spec.
     */
   def submit(spec: TaskSpec, blockMillis: Long = 1000): Future[TaskOutcome] = {
-    registry.resolve(spec.modelClass) // 412 before queueing
+    validate(spec) // 412 before queueing
     if (!capacity.tryAcquire(blockMillis, TimeUnit.MILLISECONDS))
       throw new NoCapacity(
         s"no processing capacity for '${spec.modelClass}' within ${blockMillis}ms")
@@ -70,7 +70,10 @@ final class JobRunner(
       try {
         model match {
           case pm: PartitionedEtlModel => runPartitioned(spec, pm)
-          case m => TaskComplete(m.build(ctx).count())
+          // method dispatch — getattr(model, method)(**kwargs) analogue
+          // (control/process.py:99-100); unknown method = InvalidTaskSpec
+          case m => TaskComplete(
+            dispatchable(m, spec)(ctx, spec.methodKwargs).count())
         }
       } catch {
         case e: SubTaskFailedException =>
@@ -91,10 +94,26 @@ final class JobRunner(
 
   /** Blocking convenience wrapper used by tests and the model queries. */
   def runSync(spec: TaskSpec): TaskOutcome = {
-    registry.resolve(spec.modelClass)
+    validate(spec)
     capacity.acquire()
     try runAdmitted(spec) finally capacity.release()
   }
+
+  /** Accepted-class + known-method gate (both are InvalidTaskSpec → the
+    * 412 analogue). Partitioned models run via their slices, so the
+    * top-level `method` is not dispatched there.
+    */
+  private def validate(spec: TaskSpec): Unit =
+    registry.resolve(spec.modelClass) match {
+      case _: PartitionedEtlModel => ()
+      case m => dispatchable(m, spec): Unit
+    }
+
+  private def dispatchable(
+      m: EtlModel, spec: TaskSpec): (EngineContext, Map[String, String]) => org.apache.spark.sql.DataFrame =
+    m.methods.getOrElse(spec.method, throw new InvalidTaskSpec(
+      s"model '${spec.modelClass}' has no method '${spec.method}' " +
+        s"(has: ${m.methods.keys.toSeq.sorted.mkString(", ")})"))
 
   /** Scatter/gather for partitioned models (§3.3 of SURVEY): plea →
     * slice → one distributed job per attempt round → unordered driver
@@ -144,8 +163,32 @@ final class JobRunner(
   /** Kill one running task's Spark jobs (A19; governor.py:421-451). */
   def cancel(taskId: String): Unit = spark.sparkContext.cancelJobGroup(taskId)
 
+  private val sources =
+    scala.collection.mutable.ArrayBuffer.empty[(TaskSource, Thread)]
+
+  /** Attach a sidecar task source (A21; broker.py's `run_forever` contract):
+    * the source runs on its own daemon thread for the runner's lifetime,
+    * submitting into this governor as capacity allows.
+    */
+  def attachSource(src: TaskSource): Unit = synchronized {
+    val th = new Thread(() =>
+      try src.runForever(this)
+      catch { case NonFatal(e) =>
+        graft.tools.EngineLog.log(s"sidecar ${src.name} died: $e", "ERROR")
+      }, s"graft-sidecar-${src.name}")
+    th.setDaemon(true)
+    th.start()
+    sources += ((src, th)): Unit
+  }
+
+  private def stopSources(): Unit = synchronized {
+    sources.foreach { case (s, th) => s.stop(); th.interrupt() }
+    sources.clear()
+  }
+
   /** Graceful shutdown: cancel everything still running. */
   def shutdown(): Unit = {
+    stopSources()
     status.runningTasks.foreach(r => cancel(r.spec.taskId))
     pool.shutdown(): Unit
   }
@@ -154,6 +197,7 @@ final class JobRunner(
     * short-lived runners so listeners don't accumulate on the session.
     */
   def close(): Unit = {
+    stopSources()
     spark.sparkContext.removeSparkListener(status)
     pool.shutdown(): Unit
   }

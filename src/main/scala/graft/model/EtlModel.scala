@@ -15,6 +15,15 @@ trait EtlModel extends Serializable {
     * heavy lifting happens in the returned (lazy) plan.
     */
   def build(ctx: EngineContext): DataFrame
+
+  /** Named entry points — the analogue of the reference's dynamic dispatch
+    * `getattr(model, method)(**kwargs)` (control/process.py:99-100). The
+    * engine runs `methods(spec.method)(ctx, spec.methodKwargs)`; `"go"` is
+    * the whole-model default (views/api.py:45) and always maps to `build`.
+    * Override (keeping the `"go"` entry) to expose more entry points.
+    */
+  def methods: Map[String, (EngineContext, Map[String, String]) => DataFrame] =
+    Map("go" -> ((ctx, _) => build(ctx)))
 }
 
 /** Requested parallelism — mirror of ayeaye's `PartitionOption`

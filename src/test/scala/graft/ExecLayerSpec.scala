@@ -183,6 +183,52 @@ class ExecLayerSpec extends SparkSpec {
     assertThrows[InvalidTaskSpec](runner.submit(TaskSpec(modelClass = "Nope")))
   }
 
+  private class TwoMethodModel extends EtlModel {
+    override def name = "TwoMethodEtl"
+    override def build(ctx: EngineContext): DataFrame = ctx.spark.range(10).toDF()
+    // second entry point, kwargs-driven — getattr(model, method) analogue
+    override def methods = super.methods + ("head" -> { (ctx, kwargs) =>
+      ctx.spark.range(kwargs.getOrElse("n", "3").toLong).toDF()
+    })
+  }
+
+  test("task method dispatch honors TaskSpec.method + kwargs (process.py getattr)") {
+    val (reg, _, runner) = freshRunner()
+    reg.register(new TwoMethodModel)
+    assert(runner.runSync(TaskSpec(modelClass = "TwoMethodEtl")) == TaskComplete(10))
+    assert(runner.runSync(TaskSpec(modelClass = "TwoMethodEtl",
+      method = "head", methodKwargs = Map("n" -> "4"))) == TaskComplete(4))
+    // unknown method is rejected at submission (412), not run
+    assertThrows[InvalidTaskSpec](
+      runner.runSync(TaskSpec(modelClass = "TwoMethodEtl", method = "nope")))
+  }
+
+  test("sidecar task source: fetch → submit → result routed back (A21)") {
+    import java.nio.file.{Files, Paths}
+    val (reg, status, runner) = freshRunner()
+    reg.register(new NothingModel)
+    val spool = Paths.get(sys.props("java.io.tmpdir"), s"graft_spool_${System.nanoTime()}")
+    runner.attachSource(new graft.exec.DirectoryTaskSource(spool, pollMillis = 50))
+    try {
+      // (i) external drop appears...
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (!Files.isDirectory(spool) && System.nanoTime() < deadline) Thread.sleep(20)
+      Files.write(spool.resolve("job1.task"), "NothingEtl:go".getBytes)
+      // (ii)+(iii) ...is submitted and its result file comes back
+      val result = spool.resolve("job1.result.json")
+      while (!Files.exists(result) && System.nanoTime() < deadline) Thread.sleep(50)
+      val body = new String(Files.readAllBytes(result))
+      assert(body.contains("\"status\":\"complete\"") && body.contains("\"rows\":10"), body)
+      val id = "\"task_id\":\"([a-f0-9]+)\"".r.findFirstMatchIn(body).get.group(1)
+      assert(status.status(id) == "complete")
+      // a bad drop gets a failed result instead of wedging the loop
+      Files.write(spool.resolve("bad.task"), "NoSuchModel".getBytes)
+      val badResult = spool.resolve("bad.result.json")
+      while (!Files.exists(badResult) && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(new String(Files.readAllBytes(badResult)).contains("\"status\":\"failed\""))
+    } finally runner.shutdown()
+  }
+
   test("log fan-out reaches pluggable external sinks across a task run (A20)") {
     import graft.tools.EngineLog
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()

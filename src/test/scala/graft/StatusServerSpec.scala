@@ -15,6 +15,8 @@ class StatusServerSpec extends SparkSpec {
   private class Quick extends EtlModel {
     override def name = "QuickEtl"
     override def build(ctx: EngineContext) = ctx.spark.range(3).toDF()
+    override def methods = super.methods +
+      ("wide" -> { (ctx, _) => ctx.spark.range(7).toDF() })
   }
 
   private def get(port: Int, path: String): (Int, String) = {
@@ -67,6 +69,33 @@ class StatusServerSpec extends SparkSpec {
       assert(c3 == 412)
       val (c4, b4) = get(port, "/api/0.01/task/zzzzz")
       assert(c4 == 200 && b4.contains("\"status\":\"unknown\""))
+
+      // non-"go" method dispatch over HTTP; unknown method → 412
+      val (c5, b5) = post(port, "/api/0.01/task",
+        """{"model_class":"QuickEtl","method":"wide"}""")
+      assert(c5 == 200, b5)
+      val id5 = "\"task_id\":\"([a-f0-9]+)\"".r.findFirstMatchIn(b5).get.group(1)
+      var st5 = ""
+      while (st5 != "complete" && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        st5 = "\"status\":\"(\\w+)\"".r
+          .findFirstMatchIn(get(port, s"/api/0.01/task/$id5")._2).get.group(1)
+      }
+      assert(st5 == "complete")
+      assert(get(port, s"/api/0.01/task/$id5")._2.contains("\"method\":\"wide\""))
+      val (c6, b6) = post(port, "/api/0.01/task",
+        """{"model_class":"QuickEtl","method":"nope"}""")
+      assert(c6 == 412 && b6.contains("no method"), b6)
+
+      // HTML views (views/web.py analogue): node summary + per-task page
+      val (h0, hb0) = get(port, "/")
+      assert(h0 == 200 && hb0.startsWith("<!DOCTYPE html>"), hb0.take(100))
+      assert(hb0.contains("Node info") && hb0.contains("Recently Completed Tasks"))
+      assert(hb0.contains(s"""<a href="/task/$id""""), "completed task not linked")
+      val (h1, hb1) = get(port, s"/task/$id")
+      assert(h1 == 200 && hb1.contains("Task Details")
+        && hb1.contains(id) && hb1.contains("QuickEtl") && hb1.contains("complete"))
+      assert(get(port, "/task/zzzzz")._1 == 404)
     } finally server.stop()
   }
 }
