@@ -1,8 +1,8 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 import graft.core.Tables._
 import graft.streaming.StreamOps
 import graft.streaming.StreamOps.{eventsStream, runToMemory}
@@ -12,6 +12,30 @@ import graft.streaming.StreamOps.{eventsStream, runToMemory}
   */
 case class UserAgg(userId: Long, nEvents: Long, minEid: Long, maxEid: Long)
 case class CounterState(n: Long, minEid: Long, maxEid: Long)
+
+/** Q74 — the modern arbitrary-state API (`transformWithState`,
+  * Spark 4.x): explicit named state handles with optional TTL, timers,
+  * and RocksDB-backed storage. Functionally the q51 counter, rebuilt as a
+  * StatefulProcessor so both state APIs are covered.
+  */
+class UserCounterProcessor extends StatefulProcessor[Long, (Long, Long), UserAgg] {
+  @transient private var state: ValueState[CounterState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[CounterState]("counter",
+      Encoders.product[CounterState], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+      timerValues: TimerValues): Iterator[UserAgg] = {
+    val prev = if (state.exists()) state.get()
+      else CounterState(0L, Long.MaxValue, Long.MinValue)
+    val next = rows.foldLeft(prev) { (s, r) =>
+      CounterState(s.n + 1, math.min(s.minEid, r._2), math.max(s.maxEid, r._2))
+    }
+    state.update(next)
+    Iterator.single(UserAgg(key, next.n, next.minEid, next.maxEid))
+  }
+}
 
 /** SURVEY.md §2B.9 — Structured Streaming (Q46–Q53), each run to
   * completion with Trigger.AvailableNow and checked against its batch
@@ -262,6 +286,83 @@ object StreamingQueries {
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id NULLS FIRST, event_type NULLS FIRST""".stripMargin
 
+  /** Q73 — stream-stream LEFT OUTER interval join: every view, with its
+    * within-5-minutes purchase when one exists. Outer rows (buy_id NULL)
+    * are emitted only once the watermark proves no match can still
+    * arrive — i.e. when the view's 5-minute match window is wholly below
+    * the final watermark min(max view_ts, max buy_ts) − 10 min; the
+    * oracle applies the same closure rule (the q49 pattern).
+    */
+  def q73(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = eventsStream(spark, dir)
+    val views = base.filter($"event_type" === "view")
+      .select($"event_id".as("view_id"), $"user_id", $"ts".as("view_ts"))
+      .withWatermark("view_ts", "10 minutes")
+    val buys = base.filter($"event_type" === "purchase")
+      .select($"event_id".as("buy_id"), $"user_id".as("buy_user"), $"ts".as("buy_ts"))
+      .withWatermark("buy_ts", "10 minutes")
+    val joined = views.join(buys,
+      $"user_id" === $"buy_user" &&
+        $"buy_ts" >= $"view_ts" &&
+        $"buy_ts" < $"view_ts" + expr("INTERVAL 5 MINUTES"),
+      "left_outer")
+    runToMemory(joined, "q73_sink", "append")
+      .select($"view_id", $"buy_id", $"user_id")
+      .orderBy($"view_id".asc_nulls_first, $"buy_id".asc_nulls_first)
+  }
+
+  val q73Sql: String =
+    """WITH v AS (SELECT event_id AS view_id, user_id, CAST(ts AS TIMESTAMP) AS view_ts
+      |           FROM events WHERE event_type = 'view'),
+      |b AS (SELECT event_id AS buy_id, user_id AS buy_user, CAST(ts AS TIMESTAMP) AS buy_ts
+      |      FROM events WHERE event_type = 'purchase'),
+      |wm AS (SELECT least((SELECT MAX(view_ts) FROM v), (SELECT MAX(buy_ts) FROM b))
+      |         - INTERVAL 10 MINUTE AS cut),
+      |matched AS (
+      |  SELECT v.view_id, b.buy_id, v.user_id
+      |  FROM v JOIN b ON v.user_id = b.buy_user
+      |   AND b.buy_ts >= v.view_ts AND b.buy_ts < v.view_ts + INTERVAL 5 MINUTE),
+      |outer_rows AS (
+      |  SELECT v.view_id, CAST(NULL AS BIGINT) AS buy_id, v.user_id
+      |  FROM v, wm
+      |  WHERE NOT EXISTS (SELECT 1 FROM b
+      |          WHERE v.user_id = b.buy_user
+      |            AND b.buy_ts >= v.view_ts AND b.buy_ts < v.view_ts + INTERVAL 5 MINUTE)
+      |    AND v.view_ts + INTERVAL 5 MINUTE <= wm.cut)
+      |SELECT view_id, buy_id, user_id FROM matched
+      |UNION ALL SELECT view_id, buy_id, user_id FROM outer_rows
+      |ORDER BY view_id NULLS FIRST, buy_id NULLS FIRST""".stripMargin
+
+  /** Q74 — transformWithState (named ValueState, RocksDB state store):
+    * the q51 per-user counter on the modern API. RocksDB is the at-scale
+    * state backend (off-heap, changelog checkpoints); transformWithState
+    * requires it.
+    */
+  def q74(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counted = StreamOps.withRocksDB(spark) {
+      val ds = eventsStream(spark, dir)
+        .filter($"user_id" >= 20 && $"user_id" < 40)
+        .select($"user_id", $"event_id")
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new UserCounterProcessor,
+          TimeMode.None(), OutputMode.Update())
+      runToMemory(ds.toDF(), "q74_sink", "update")
+    }
+    counted
+      .groupBy($"userId".as("user_id"))
+      .agg(max($"nEvents").as("n_events"), min($"minEid").as("min_eid"),
+        max($"maxEid").as("max_eid"))
+      .orderBy($"user_id".asc_nulls_first)
+  }
+
+  val q74Sql: String =
+    """SELECT user_id, COUNT(*) AS n_events, MIN(event_id) AS min_eid, MAX(event_id) AS max_eid
+      |FROM events WHERE user_id >= 20 AND user_id < 40
+      |GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_tumbling_window" -> (q46 _),
     "q47_sliding_window" -> (q47 _),
@@ -272,7 +373,9 @@ object StreamingQueries {
     "q52_stream_static_join" -> (q52 _),
     "q53_foreach_batch_sink" -> (q53 _),
     "q70_stream_stream_join" -> (q70 _),
-    "q71_dedup_within_watermark" -> (q71 _))
+    "q71_dedup_within_watermark" -> (q71 _),
+    "q73_stream_stream_outer_join" -> (q73 _),
+    "q74_transform_with_state" -> (q74 _))
 
   def oracles: Map[String, String] = Map(
     "q46_tumbling_window" -> q46Sql,
@@ -284,5 +387,7 @@ object StreamingQueries {
     "q52_stream_static_join" -> q52Sql,
     "q53_foreach_batch_sink" -> q53Sql,
     "q70_stream_stream_join" -> q70Sql,
-    "q71_dedup_within_watermark" -> q71Sql)
+    "q71_dedup_within_watermark" -> q71Sql,
+    "q73_stream_stream_outer_join" -> q73Sql,
+    "q74_transform_with_state" -> q74Sql)
 }

@@ -90,6 +90,25 @@ object StreamOps {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** Run `body` (which starts+finishes streaming queries) against the
+    * RocksDB state store provider instead of the default in-memory
+    * HDFS-backed one — the production choice once per-key state exceeds
+    * executor heap (large dedup/join/session state at 100 TB): state
+    * lives off-heap in RocksDB with changelog/snapshot recovery.
+    * `transformWithState` requires it. Provider is bound at query START,
+    * so restoring the conf afterwards doesn't disturb the finished run.
+    */
+  def withRocksDB[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Run a streaming frame through foreachBatch into a parquet dir (the
     * arbitrary-sink hook — reference's on_completion_callback analogue,
     * governor.py:309), then read the result back.

@@ -55,4 +55,68 @@ class StreamingSemanticsSpec extends SparkSpec {
     assert(got == Set(("10:00", 1L), ("10:55", 2L)), s"got $got")
     assert(spark.table("wm_sink").count() == 2) // no duplicate emission
   }
+
+  test("stream-stream left outer join emits nulls only after watermark closes the window") {
+    val dir = Files.createTempDirectory("graft_oj").toString
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("event_id", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType)))
+
+    def write(rows: Seq[(String, Long, Long, String)]): Unit = {
+      rows.map { case (t, e, u, ty) => (java.sql.Timestamp.valueOf(t), e, u, ty) }
+        .toDF("ts", "event_id", "user_id", "event_type")
+        .coalesce(1).write.mode("append").parquet(s"$dir/data")
+      Thread.sleep(1100) // distinct mtimes → deterministic batch order
+    }
+
+    // b1: view V1 (will stay unmatched) + a purchase that seeds the buy-side watermark
+    write(Seq(("2024-01-01 10:00:00", 1L, 1L, "view"),
+      ("2024-01-01 10:00:00", 90L, 99L, "purchase")))
+    // b2: matched pair (V2,B2) + unmatched view V3 whose window never closes;
+    // this batch advances the watermark to 10:20 > V1's window end 10:05
+    write(Seq(("2024-01-01 10:30:00", 2L, 2L, "view"),
+      ("2024-01-01 10:31:00", 91L, 2L, "purchase"),
+      ("2024-01-01 10:29:00", 3L, 3L, "view")))
+    // b3: just advances file order so the post-b2 watermark gets a batch to evict in
+    write(Seq(("2024-01-01 10:32:00", 4L, 4L, "view")))
+
+    val base = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/data")
+    val views = base.filter($"event_type" === "view")
+      .select($"event_id".as("view_id"), $"user_id", $"ts".as("view_ts"))
+      .withWatermark("view_ts", "10 minutes")
+    val buys = base.filter($"event_type" === "purchase")
+      .select($"event_id".as("buy_id"), $"user_id".as("buy_user"), $"ts".as("buy_ts"))
+      .withWatermark("buy_ts", "10 minutes")
+    val joined = views.join(buys,
+      $"user_id" === $"buy_user" &&
+        $"buy_ts" >= $"view_ts" &&
+        $"buy_ts" < $"view_ts" + org.apache.spark.sql.functions.expr("INTERVAL 5 MINUTES"),
+      "left_outer")
+
+    // record (batchId, view_id, buy_id) per micro-batch to see WHEN rows emit
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Option[Long])]()
+    val q = joined.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        batch.select($"view_id", $"buy_id").collect().foreach { r =>
+          emitted.add((batchId, r.getLong(0),
+            if (r.isNullAt(1)) None else Some(r.getLong(1)))): Unit
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val rows = scala.jdk.CollectionConverters.IteratorHasAsScala(emitted.iterator()).asScala.toSeq
+    val byView = rows.groupBy(_._2)
+    // V2 matched B2 — emitted as a match, in the batch it arrived
+    assert(byView(2L).map(r => r._3) == Seq(Some(91L)), s"got $rows")
+    // V1's null row emitted, and STRICTLY AFTER the match's batch (eviction
+    // happens once a later batch runs with the advanced watermark)
+    assert(byView(1L).map(_._3) == Seq(None), s"got $rows")
+    assert(byView(1L).head._1 > byView(2L).head._1, s"null emitted too early: $rows")
+    // V3/V4: windows not closed by the final watermark → no output at all
+    assert(!byView.contains(3L) && !byView.contains(4L), s"got $rows")
+  }
 }
