@@ -53,7 +53,7 @@ object StreamingQueries {
     val agg = eventsStream(spark, dir)
       .groupBy(window($"ts", "5 minutes"), $"event_type")
       .agg(count(lit(1)).as("n"))
-    runToMemory(agg, "q46_sink", "complete")
+    runToMemory(agg, "q46_sink", "complete", finalWatermarkBatch = false)
       .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("ws"),
         $"event_type", $"n")
       .orderBy($"ws".asc_nulls_first, $"event_type".asc_nulls_first)
@@ -72,7 +72,7 @@ object StreamingQueries {
     val agg = eventsStream(spark, dir)
       .groupBy(window($"ts", "10 minutes", "5 minutes"))
       .agg(count(lit(1)).as("n"))
-    runToMemory(agg, "q47_sink", "complete")
+    runToMemory(agg, "q47_sink", "complete", finalWatermarkBatch = false)
       .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("ws"), $"n")
       .orderBy($"ws".asc_nulls_first)
   }
@@ -95,7 +95,7 @@ object StreamingQueries {
       .filter($"user_id" < 20)
       .groupBy(session_window($"ts", "30 minutes"), $"user_id")
       .agg(count(lit(1)).as("n"))
-    runToMemory(agg, "q48_sink", "complete")
+    runToMemory(agg, "q48_sink", "complete", finalWatermarkBatch = false)
       .select($"user_id",
         date_format($"session_window.start", "yyyy-MM-dd HH:mm:ss").as("ss"),
         $"n")
@@ -153,7 +153,7 @@ object StreamingQueries {
     val deduped = s.union(s)
       .withWatermark("ts", "10 minutes")
       .dropDuplicates("event_id")
-    runToMemory(deduped, "q50_sink", "append")
+    runToMemory(deduped, "q50_sink", "append", finalWatermarkBatch = false)
       .select($"event_id", $"event_type")
       .orderBy($"event_id".asc_nulls_first)
   }
@@ -182,7 +182,7 @@ object StreamingQueries {
           state.update(next)
           UserAgg(uid, next.n, next.minEid, next.maxEid)
       }
-    runToMemory(counted.toDF(), "q51_sink", "update")
+    runToMemory(counted.toDF(), "q51_sink", "update", finalWatermarkBatch = false)
       .groupBy($"userId".as("user_id"))
       .agg(max($"nEvents").as("n_events"), min($"minEid").as("min_eid"),
         max($"maxEid").as("max_eid"))
@@ -206,7 +206,7 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n"),
         sum($"value".cast(org.apache.spark.sql.types.DecimalType(18, 6)))
           .cast("double").as("sum_value"))
-    runToMemory(joined, "q52_sink", "complete")
+    runToMemory(joined, "q52_sink", "complete", finalWatermarkBatch = false)
       .orderBy($"c_mktsegment".asc_nulls_first)
   }
 
@@ -277,7 +277,7 @@ object StreamingQueries {
       .select($"user_id", $"event_type", $"ts")
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
-    runToMemory(deduped, "q71_sink", "append")
+    runToMemory(deduped, "q71_sink", "append", finalWatermarkBatch = false)
       .select($"user_id", $"event_type")
       .orderBy($"user_id".asc_nulls_first, $"event_type".asc_nulls_first)
   }
@@ -349,7 +349,7 @@ object StreamingQueries {
         .groupByKey(_._1)
         .transformWithState(new UserCounterProcessor,
           TimeMode.None(), OutputMode.Update())
-      runToMemory(ds.toDF(), "q74_sink", "update")
+      runToMemory(ds.toDF(), "q74_sink", "update", finalWatermarkBatch = false)
     }
     counted
       .groupBy($"userId".as("user_id"))

@@ -60,20 +60,73 @@ object StreamOps {
     base.toString
   }
 
+  /** Checkpoint base for run-to-completion queries. Every micro-batch
+    * fsyncs offsets/commits WAL entries plus one state-store delta per
+    * partition under the checkpoint — for a bounded oracle/bench run
+    * that's pure fixed cost, so prefer the RAM-backed /dev/shm when
+    * present. A production deployment needs a durable, cluster-visible
+    * location instead: pass it via GRAFT_STREAM_CKPT.
+    */
+  private def ckptBase: java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    val base = sys.env.get("GRAFT_STREAM_CKPT").map(Paths.get(_)).getOrElse {
+      val shm = Paths.get("/dev/shm")
+      if (Files.isWritable(shm)) shm.resolve("graft_ckpt")
+      else Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_ckpt")
+    }
+    Files.createDirectories(base)
+    base
+  }
+
+  /** Unique checkpoint dir for one run, deleted afterwards (these are
+    * run-to-completion queries — there is nothing to resume).
+    */
+  private def withCheckpoint[A](body: String => A): A = {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory(ckptBase, "q")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    try body(dir.toString) finally rm(dir.toFile)
+  }
+
   /** Run a streaming frame to completion (AvailableNow) into a memory
     * sink and return the final result table. `complete` mode for
     * aggregations replays full state; `append`/`update` for row streams.
+    *
+    * `finalWatermarkBatch=false` skips the trailing no-data micro-batch:
+    * complete/update-mode queries and streaming dedups emit everything on
+    * the data batches themselves, so the extra batch is a full
+    * state-store load/commit round that produces nothing. Append-mode
+    * queries whose OUTPUT is watermark-driven (window close, outer-join
+    * nulls) must keep it.
     */
-  def runToMemory(df: DataFrame, name: String, mode: String): DataFrame =
+  def runToMemory(df: DataFrame, name: String, mode: String,
+      finalWatermarkBatch: Boolean = true): DataFrame =
     withStreamingPartitions(df.sparkSession) {
-      val q = df.writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      df.sparkSession.table(name)
+      withNoDataBatch(df.sparkSession, finalWatermarkBatch) {
+        withCheckpoint { ckpt =>
+          val q = df.writeStream
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .outputMode(mode)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          df.sparkSession.table(name)
+        }
+      }
+    }
+
+  private def withNoDataBatch[A](spark: SparkSession, enabled: Boolean)(body: => A): A =
+    if (enabled) body
+    else {
+      val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, "false")
+      try body finally spark.conf.set(key, prev)
     }
 
   /** Stateful streaming ops allocate one state store per shuffle
@@ -86,7 +139,7 @@ object StreamOps {
   private def withStreamingPartitions[A](spark: SparkSession)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, "8")
+    spark.conf.set(key, sys.props.getOrElse("graft.stream.partitions", "8"))
     try body finally spark.conf.set(key, prev)
   }
 
@@ -123,14 +176,17 @@ object StreamOps {
       }
       rm(target)
     }
-    val q = df.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.write.mode("append").parquet(outDir)
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withCheckpoint { ckpt =>
+      val q = df.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(outDir)
   }
 }
