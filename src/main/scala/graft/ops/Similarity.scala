@@ -37,12 +37,33 @@ object Similarity {
     dot(a, b) / (norm(a) * norm(b))
 
   /** Sign-bit LSH bucket from the first `bits` dimensions (fixed axis
-    * hyperplanes — deterministic and oracle-portable; swap in fixed random
-    * hyperplane dot-signs for better isotropy on real data).
+    * hyperplanes — deterministic and oracle-portable; [[lshBucketRandom]]
+    * is the isotropic variant and the q68 default).
     */
   def lshBucket(v: Column, bits: Int = 4): Column =
     (0 until bits).map { i =>
       when(element_at(v, i + 1) > 0f, lit(1L << (bits - 1 - i))).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** Fixed-seed random hyperplanes for sign LSH: `bits` direction vectors
+    * in [-1,1)^dim from java.util.Random (algorithm specified by its
+    * Javadoc — stable across JVMs, so the planes are compile-time-stable
+    * constants that the DuckDB oracle embeds as literals too).
+    */
+  def hyperplanes(dim: Int, bits: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val r = new java.util.Random(seed)
+    Seq.fill(bits)(Seq.fill(dim)(r.nextDouble() * 2 - 1))
+  }
+
+  /** Random-hyperplane sign LSH bucket: bit i = sign of ⟨v, plane_i⟩.
+    * Unlike the first-`bits`-dims variant this is isotropic — bucket
+    * occupancy stays balanced when the embedding dimensions are
+    * correlated or low-variance (real embedding models).
+    */
+  def lshBucketRandom(v: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val plane = array(p.map(lit): _*)
+      when(dot(v, plane) > 0.0, lit(1L << (planes.size - 1 - i))).otherwise(0L)
     }.reduce(_ + _)
 
   /** Brute-force cosine top-k: every probe row scored against the whole
@@ -95,13 +116,58 @@ object Similarity {
       .select(col(idCol), col("__cell").as("cell"))
   }
 
-  /** IVF search (nprobe=1): probes scan only the vectors assigned to their
-    * own cell.
+  /** Deterministic Lloyd's k-means cell assignments: init = the `k`
+    * lowest-`idCol` vectors (cells 1..k in id order), then `iters` rounds
+    * of nearest-centroid assignment + exact-decimal centroid recompute.
+    * Per round: centroids are a k-row broadcast, assignment is a map-side
+    * broadcast join, recompute is one explode + hash-agg — nothing scales
+    * with more than one pass over the corpus, the 100 TB k-means shape.
+    * Distances are rounded to 6dp with cell-ascending tie-break so the
+    * DuckDB oracle (same unrolled iterations) argmins identically.
     */
-  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
-              cellCol: String, probeFilter: Column, k: Int): DataFrame = {
-    val assigned = corpus.join(
-      ivfAssign(corpus, idCol, vecCol, cellCol), Seq(idCol))
+  def kmeansAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val vecs = corpus.select(col(idCol).as("__id"), toDouble(col(vecCol)).as("__vec"))
+    var cent = vecs.orderBy(col("__id").asc).limit(k)
+      .withColumn("__cell",
+        row_number().over(Window.orderBy(col("__id").asc)).cast(LongType))
+      .select(col("__cell"), col("__vec").as("__centroid"))
+    for (_ <- 1 to iters) {
+      val assigned = nearestCell(vecs, cent)
+      val expl = vecs.join(assigned, "__id")
+        .select(col("__cell"), posexplode(col("__vec")).as(Seq("__pos", "__v")))
+      cent = expl.groupBy(col("__cell"), col("__pos"))
+        .agg((sum(col("__v").cast(DecimalType(28, 10))).cast(DoubleType)
+          / count(lit(1))).as("__cv"))
+        .groupBy(col("__cell"))
+        .agg(transform(sort_array(collect_list(struct(col("__pos"), col("__cv")))),
+          s => s.getField("__cv")).as("__centroid"))
+    }
+    nearestCell(vecs, cent).select(col("__id").as(idCol), col("__cell").as("cell"))
+  }
+
+  /** Nearest centroid per vector by rounded squared L2 (tie → lowest cell). */
+  private def nearestCell(vecs: DataFrame, cent: DataFrame): DataFrame = {
+    val scored = vecs.join(broadcast(cent))
+      .withColumn("__d2",
+        round(dot(col("__vec"), col("__vec"))
+          - lit(2.0) * dot(col("__vec"), col("__centroid"))
+          + dot(col("__centroid"), col("__centroid")), 6))
+    TopK.perGroup(scored, 1,
+        partition = Seq(col("__id")),
+        order = Seq(col("__d2").asc, col("__cell").asc))
+      .select(col("__id"), col("__cell"))
+  }
+
+  /** IVF search (nprobe=1) over an explicit (idCol, cell) assignment
+    * table: probes scan only the vectors assigned to their own cell.
+    */
+  def ivfTopKAssigned(corpus: DataFrame, assignments: DataFrame,
+                      idCol: String, vecCol: String,
+                      probeFilter: Column, k: Int): DataFrame = {
+    val assigned = corpus.join(assignments, Seq(idCol))
     val p = assigned.filter(probeFilter)
       .select(col(idCol).as("probe_id"), col(vecCol).as("__pv"),
         norm(col(vecCol)).as("__pn"), col("cell"))
@@ -117,15 +183,33 @@ object Similarity {
       .select(col("probe_id"), col("cell"), col("cand_id"), col("cos6"), col("rn"))
   }
 
+  /** IVF search (nprobe=1) with per-`cellCol`-mean centroids (labelled
+    * data); for unlabelled corpora pair [[ivfTopKAssigned]] with
+    * [[kmeansAssign]].
+    */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              cellCol: String, probeFilter: Column, k: Int): DataFrame =
+    ivfTopKAssigned(corpus, ivfAssign(corpus, idCol, vecCol, cellCol),
+      idCol, vecCol, probeFilter, k)
+
   /** LSH-bucketed cosine top-k: probes only scan corpus rows in their own
     * sign-bit bucket — the scan per probe shrinks ~2^bits-fold.
     */
   def lshTopK(probes: DataFrame, corpus: DataFrame, idCol: String,
-              vecCol: String, k: Int, bits: Int = 4): DataFrame = {
+              vecCol: String, k: Int, bits: Int = 4): DataFrame =
+    lshTopKBy(probes, corpus, idCol, vecCol, k, lshBucket(_, bits))
+
+  /** [[lshTopK]] over fixed-seed random hyperplanes ([[lshBucketRandom]]). */
+  def lshTopKRandom(probes: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, k: Int, planes: Seq[Seq[Double]]): DataFrame =
+    lshTopKBy(probes, corpus, idCol, vecCol, k, lshBucketRandom(_, planes))
+
+  private def lshTopKBy(probes: DataFrame, corpus: DataFrame, idCol: String,
+                        vecCol: String, k: Int, bucket: Column => Column): DataFrame = {
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv"),
-      norm(col(vecCol)).as("__pn"), lshBucket(col(vecCol), bits).as("__bkt"))
+      norm(col(vecCol)).as("__pn"), bucket(col(vecCol)).as("__bkt"))
     val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("__cv"),
-      norm(col(vecCol)).as("__cn"), lshBucket(col(vecCol), bits).as("__bkt"))
+      norm(col(vecCol)).as("__cn"), bucket(col(vecCol)).as("__bkt"))
     val scored = p.join(c, Seq("__bkt"))
       .filter(col("probe_id") =!= col("cand_id"))
       .withColumn("cos6",

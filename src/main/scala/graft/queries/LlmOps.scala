@@ -235,35 +235,49 @@ object LlmOps {
        |SELECT doc_id, $fp AS fp FROM bits ORDER BY doc_id NULLS FIRST""".stripMargin
   }
 
-  /** Q68 — LSH-bucketed ANN (sign-bit buckets; the 100 TB similarity
-    * path — each probe scans ~corpus/2^bits).
+  /** Fixed-seed random hyperplanes shared by the q68 plan and its oracle
+    * (embedded as literals on both sides — java.util.Random's algorithm
+    * is Javadoc-specified, so these are stable constants).
+    */
+  val q68Planes: Seq[Seq[Double]] = Similarity.hyperplanes(dim = 64, bits = 4)
+
+  /** Q68 — LSH-bucketed ANN over fixed-seed RANDOM hyperplanes (isotropic,
+    * unlike first-k-dim sign bits; the 100 TB similarity path — each probe
+    * scans ~corpus/2^bits).
     */
   def q68(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = t(spark, dir, "embeddings")
-    Similarity.lshTopK(e.filter($"vec_id" < 20), e, "vec_id", "embedding",
-        k = 3, bits = 4)
+    Similarity.lshTopKRandom(e.filter($"vec_id" < 20), e, "vec_id", "embedding",
+        k = 3, planes = q68Planes)
       .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
   }
 
-  val q68Sql: String =
-    """WITH e AS (
-      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-      |    (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END
-      |     + CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END
-      |     + CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END
-      |     + CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS bkt
-      |  FROM embeddings),
-      |scored AS (
-      |  SELECT p.vec_id AS probe_id, p.bkt AS bucket, c.vec_id AS cand_id,
-      |    ROUND(list_dot_product(p.v, c.v) / (SQRT(list_dot_product(p.v, p.v)) * SQRT(list_dot_product(c.v, c.v))), 6) AS cos6
-      |  FROM e p JOIN e c ON p.bkt = c.bkt AND p.vec_id < 20 AND p.vec_id <> c.vec_id),
-      |ranked AS (
-      |  SELECT probe_id, bucket, cand_id, cos6,
-      |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos6 DESC, cand_id ASC) AS rn
-      |  FROM scored)
-      |SELECT probe_id, bucket, cand_id, cos6, rn FROM ranked WHERE rn <= 3
-      |ORDER BY probe_id NULLS FIRST, rn NULLS FIRST""".stripMargin
+  val q68Sql: String = {
+    // bit i of the bucket = sign of <v, plane_i>, identical constants to
+    // the Spark plan; Double.toString round-trips exactly through DuckDB's
+    // literal parser, and list_dot_product folds left-to-right like
+    // FloatVecDot, so the bucket ids match bit-for-bit.
+    val bucketExpr = q68Planes.zipWithIndex.map { case (p, i) =>
+      val lits = p.map(_.toString).mkString("[", ", ", "]")
+      s"CASE WHEN list_dot_product(v, $lits) > 0 THEN ${1L << (q68Planes.size - 1 - i)} ELSE 0 END"
+    }.mkString("(", "\n     + ", ")")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |eb AS (
+       |  SELECT vec_id, v, $bucketExpr AS bkt FROM e),
+       |scored AS (
+       |  SELECT p.vec_id AS probe_id, p.bkt AS bucket, c.vec_id AS cand_id,
+       |    ROUND(list_dot_product(p.v, c.v) / (SQRT(list_dot_product(p.v, p.v)) * SQRT(list_dot_product(c.v, c.v))), 6) AS cos6
+       |  FROM eb p JOIN eb c ON p.bkt = c.bkt AND p.vec_id < 20 AND p.vec_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT probe_id, bucket, cand_id, cos6,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos6 DESC, cand_id ASC) AS rn
+       |  FROM scored)
+       |SELECT probe_id, bucket, cand_id, cos6, rn FROM ranked WHERE rn <= 3
+       |ORDER BY probe_id NULLS FIRST, rn NULLS FIRST""".stripMargin
+  }
 
   /** Q69 — embedding-cosine near-dup pairs within a blocking key (label):
     * the blocked-pairs shape of embedding dedup (block → pair → threshold).
@@ -292,52 +306,76 @@ object LlmOps {
       |WHERE ROUND(list_dot_product(a.v, b.v) / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))), 6) >= 0.4
       |ORDER BY a.label NULLS FIRST, d1 NULLS FIRST, d2 NULLS FIRST""".stripMargin
 
-  /** Q72 — IVF-style ANN: build a centroid table (exact-decimal per-cell
-    * means), assign every vector to its nearest centroid, and search only
-    * within the probe's cell (nprobe=1) — the classic inverted-file index
-    * shape; [[graft.ops.Similarity.ivfAssign]] documents the 100 TB plan.
+  /** Q72 — IVF ANN over real k-means cells: deterministic Lloyd's
+    * ([[graft.ops.Similarity.kmeansAssign]] — seed-by-lowest-ids init,
+    * 2 rounds, exact-decimal centroid means, 6dp-rounded argmin), then
+    * nprobe=1 search within the probe's cell — the classic inverted-file
+    * shape, no label column needed. The oracle unrolls the identical two
+    * Lloyd's iterations in SQL.
     */
   def q72(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Similarity.ivfTopK(t(spark, dir, "embeddings"), "vec_id", "embedding",
-        cellCol = "label", probeFilter = $"vec_id" < 20, k = 3)
+    val e = t(spark, dir, "embeddings")
+    Similarity.ivfTopKAssigned(e,
+        Similarity.kmeansAssign(e, "vec_id", "embedding", k = 8, iters = 2),
+        "vec_id", "embedding", probeFilter = $"vec_id" < 20, k = 3)
       .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
   }
 
-  val q72Sql: String =
-    """WITH expl AS (
-      |  SELECT label AS cell, generate_subscripts(embedding, 1) AS pos,
-      |         unnest(embedding) AS v
-      |  FROM embeddings),
-      |centd AS (
-      |  SELECT cell, pos,
-      |    CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS cv
-      |  FROM expl GROUP BY cell, pos),
-      |cent AS (SELECT cell, list(cv ORDER BY pos) AS centroid FROM centd GROUP BY cell),
-      |vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-      |scored AS (
-      |  SELECT vec_id, cell,
-      |    ROUND(list_dot_product(v, v) - 2.0 * list_dot_product(v, centroid)
-      |          + list_dot_product(centroid, centroid), 6) AS d2
-      |  FROM vecs CROSS JOIN cent),
-      |assign AS (
-      |  SELECT vec_id, cell FROM (
-      |    SELECT vec_id, cell,
-      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS arn
-      |    FROM scored) WHERE arn = 1),
-      |av AS (
-      |  SELECT a.vec_id, a.cell, v.v, SQRT(list_dot_product(v.v, v.v)) AS nrm
-      |  FROM assign a JOIN vecs v ON a.vec_id = v.vec_id),
-      |pairs AS (
-      |  SELECT p.vec_id AS probe_id, p.cell AS cell, c.vec_id AS cand_id,
-      |    ROUND(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 6) AS cos6
-      |  FROM av p JOIN av c ON p.cell = c.cell AND p.vec_id < 20 AND p.vec_id <> c.vec_id),
-      |ranked AS (
-      |  SELECT probe_id, cell, cand_id, cos6,
-      |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos6 DESC, cand_id ASC) AS rn
-      |  FROM pairs)
-      |SELECT probe_id, cell, cand_id, cos6, rn FROM ranked WHERE rn <= 3
-      |ORDER BY probe_id NULLS FIRST, rn NULLS FIRST""".stripMargin
+  val q72Sql: String = {
+    // one Lloyd's round: argmin against centN → recompute exact-decimal
+    // per-dim means as centN+1 (same expression tree as kmeansAssign)
+    def round_(n: Int, prevCent: String): String =
+      s"""scored$n AS (
+         |  SELECT vec_id, cell,
+         |    ROUND(list_dot_product(v, v) - 2.0 * list_dot_product(v, centroid)
+         |          + list_dot_product(centroid, centroid), 6) AS d2
+         |  FROM vecs CROSS JOIN $prevCent),
+         |assign$n AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS arn
+         |    FROM scored$n) WHERE arn = 1),
+         |centd$n AS (
+         |  SELECT a.cell, e.pos,
+         |    CAST(SUM(CAST(e.ev AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS cv
+         |  FROM assign$n a JOIN expl e ON a.vec_id = e.vec_id GROUP BY a.cell, e.pos),
+         |cent$n AS (SELECT cell, list(cv ORDER BY pos) AS centroid FROM centd$n GROUP BY cell)""".stripMargin
+    s"""WITH vecs AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |expl AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+       |         CAST(unnest(embedding) AS DOUBLE) AS ev
+       |  FROM embeddings),
+       |cent0 AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC) AS BIGINT) AS cell, v AS centroid
+       |  FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id ASC LIMIT 8)),
+       |${round_(1, "cent0")},
+       |${round_(2, "cent1")},
+       |scored3 AS (
+       |  SELECT vec_id, cell,
+       |    ROUND(list_dot_product(v, v) - 2.0 * list_dot_product(v, centroid)
+       |          + list_dot_product(centroid, centroid), 6) AS d2
+       |  FROM vecs CROSS JOIN cent2),
+       |assign3 AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS arn
+       |    FROM scored3) WHERE arn = 1),
+       |avx AS (
+       |  SELECT a.vec_id, a.cell, v.v, SQRT(list_dot_product(v.v, v.v)) AS nrm
+       |  FROM assign3 a JOIN vecs v ON a.vec_id = v.vec_id),
+       |pairs AS (
+       |  SELECT p.vec_id AS probe_id, p.cell AS cell, c.vec_id AS cand_id,
+       |    ROUND(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 6) AS cos6
+       |  FROM avx p JOIN avx c ON p.cell = c.cell AND p.vec_id < 20 AND p.vec_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT probe_id, cell, cand_id, cos6,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos6 DESC, cand_id ASC) AS rn
+       |  FROM pairs)
+       |SELECT probe_id, cell, cand_id, cos6, rn FROM ranked WHERE rn <= 3
+       |ORDER BY probe_id NULLS FIRST, rn NULLS FIRST""".stripMargin
+  }
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_exact_dedup" -> (q58 _),

@@ -79,6 +79,39 @@ class OpsSpec extends SparkSpec {
     assert(df.as[Long].head() == 10L) // 1010
   }
 
+  test("kmeansAssign: deterministic, total, convergent on the embeddings fixture") {
+    val e = graft.core.Tables.t(spark, sfDir, "embeddings")
+    val n = e.count()
+    val a1 = Similarity.kmeansAssign(e, "vec_id", "embedding", k = 8, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a2 = Similarity.kmeansAssign(e, "vec_id", "embedding", k = 8, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a1 == a2, "k-means assignments not deterministic across runs")
+    assert(a1.size == n, "every vector must land in exactly one cell")
+    assert(a1.values.toSet.subsetOf((1L to 8L).toSet))
+    assert(a1.values.toSet.size > 1, "degenerate clustering: all in one cell")
+  }
+
+  test("random-hyperplane LSH recalls a reasonable share of brute-force top-k") {
+    val e = graft.core.Tables.t(spark, sfDir, "embeddings")
+    val planes = Similarity.hyperplanes(dim = 64, bits = 4)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(
+      e.filter($"vec_id" < 20), e, "vec_id", "embedding", k = 3))
+    val lsh = pairs(Similarity.lshTopKRandom(
+      e.filter($"vec_id" < 20), e, "vec_id", "embedding", k = 3, planes))
+    val recall = (brute & lsh).size.toDouble / brute.size
+    // 4-bit LSH scans ~1/16 of the corpus per probe; on the synthetic
+    // fixture it must still recover a meaningful share of the true top-3
+    assert(recall >= 0.15, f"LSH recall vs brute force too low: $recall%.3f")
+    // buckets must not be degenerate (isotropy — the reason for random planes)
+    val nBuckets = e.select(Similarity.lshBucketRandom($"embedding", planes)
+      .as("b")).distinct().count()
+    assert(nBuckets >= 8, s"only $nBuckets of 16 buckets occupied")
+  }
+
   test("langId: empty text → und; stopword-majority language wins") {
     val df = Seq((1L, "xyzzy plugh"), (2L, "der und das ist gut"),
       (3L, "the cat of the hat is a cat")).toDF("id", "t")
