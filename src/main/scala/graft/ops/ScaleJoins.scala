@@ -41,4 +41,19 @@ object ScaleJoins {
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Collect table + column statistics for a catalog table — the CBO
+    * feed: row count/size replace raw-file-size guesses in broadcast
+    * selection and join reordering; per-column min/max/NDV/null counts
+    * drive filter-cardinality estimates. The 100 TB pattern is
+    * stats-at-ingest: run right after [[writeBucketed]] so every
+    * downstream plan sees real cardinalities (enable
+    * `spark.sql.cbo.enabled` + `spark.sql.cbo.joinReorder.enabled`).
+    */
+  def analyzeTable(spark: org.apache.spark.sql.SparkSession, table: String,
+                   columns: Seq[String] = Nil): Unit = {
+    spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS"): Unit
+    if (columns.nonEmpty)
+      spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR COLUMNS ${columns.mkString(", ")}"): Unit
+  }
 }

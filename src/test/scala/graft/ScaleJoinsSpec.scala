@@ -35,4 +35,38 @@ class ScaleJoinsSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS bkt_a")
     spark.sql("DROP TABLE IF EXISTS bkt_b")
   }
+
+  test("ANALYZE feeds the CBO: rowCount lands in plan stats and stats pick the broadcast side") {
+    val big = (1 to 20000).map(i => (i.toLong, "x" * 60)).toDF("k", "pad")
+    val small = (1 to 300).map(i => (i.toLong, i.toString)).toDF("k", "sv")
+    ScaleJoins.writeBucketed(big, "cbo_big", "k", 4)
+    small.write.mode("overwrite").format("parquet").saveAsTable("cbo_small")
+    ScaleJoins.analyzeTable(spark, "cbo_big", Seq("k"))
+    ScaleJoins.analyzeTable(spark, "cbo_small", Seq("k"))
+    val confs = Seq(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true",
+      // tight threshold: only a STATS-size estimate of the 300-row side
+      // fits under it; the 20k-row side must stay the probe side
+      "spark.sql.autoBroadcastJoinThreshold" -> (64 * 1024).toString)
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // ANALYZE row count surfaces in the optimized plan's statistics
+      val rc = spark.table("cbo_small").queryExecution.optimizedPlan.stats.rowCount
+      assert(rc.contains(BigInt(300)), s"rowCount from ANALYZE missing: $rc")
+      // stats-driven broadcast: small analyzed side broadcasts, big doesn't
+      val joined = spark.table("cbo_big").join(spark.table("cbo_small"), Seq("k"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"no stats-driven broadcast:\n$plan")
+      assert(joined.count() == 300)
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      spark.sql("DROP TABLE IF EXISTS cbo_big")
+      spark.sql("DROP TABLE IF EXISTS cbo_small")
+    }
+  }
 }
