@@ -130,36 +130,63 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.{DecimalType, LongType}
     val vecs = corpus.select(col(idCol).as("__id"), toDouble(col(vecCol)).as("__vec"))
-    var cent = vecs.orderBy(col("__id").asc).limit(k)
-      .withColumn("__cell",
-        row_number().over(Window.orderBy(col("__id").asc)).cast(LongType))
-      .select(col("__cell"), col("__vec").as("__centroid"))
-    for (_ <- 1 to iters) {
-      val assigned = nearestCell(vecs, cent)
-      val expl = vecs.join(assigned, "__id")
-        .select(col("__cell"), posexplode(col("__vec")).as(Seq("__pos", "__v")))
-      cent = expl.groupBy(col("__cell"), col("__pos"))
-        .agg((sum(col("__v").cast(DecimalType(28, 10))).cast(DoubleType)
-          / count(lit(1))).as("__cv"))
-        .groupBy(col("__cell"))
-        .agg(transform(sort_array(collect_list(struct(col("__pos"), col("__cv")))),
-          s => s.getField("__cv")).as("__centroid"))
-    }
-    nearestCell(vecs, cent).select(col("__id").as(idCol), col("__cell").as("cell"))
+      .persist() // read the corpus once, not once per Lloyd's round
+    try {
+      var cent = localize(vecs.orderBy(col("__id").asc).limit(k)
+        .withColumn("__cell",
+          row_number().over(Window.orderBy(col("__id").asc)).cast(LongType))
+        .select(col("__cell"), col("__vec").as("__centroid")))
+      for (_ <- 1 to iters) {
+        val assigned = nearestCell(vecs, cent)
+        val expl = vecs.join(assigned, "__id")
+          .select(col("__cell"), posexplode(col("__vec")).as(Seq("__pos", "__v")))
+        cent = localize(expl.groupBy(col("__cell"), col("__pos"))
+          .agg((sum(col("__v").cast(DecimalType(28, 10))).cast(DoubleType)
+            / count(lit(1))).as("__cv"))
+          .groupBy(col("__cell"))
+          .agg(transform(sort_array(collect_list(struct(col("__pos"), col("__cv")))),
+            s => s.getField("__cv")).as("__centroid")))
+      }
+      // the assignment table IS the IVF index: cache + materialize it so
+      // every search over it reuses the one build (and the vec cache can
+      // be dropped)
+      val assignments = nearestCell(vecs, cent)
+        .select(col("__id").as(idCol), col("__cell").as("cell"))
+        .persist()
+      assignments.count(): Unit
+      assignments
+    } finally vecs.unpersist(): Unit
   }
 
-  /** Nearest centroid per vector by rounded squared L2 (tie → lowest cell). */
-  private def nearestCell(vecs: DataFrame, cent: DataFrame): DataFrame = {
-    val scored = vecs.join(broadcast(cent))
+  /** Materialise a centroid table (k rows — driver-size BY DESIGN, like
+    * every IVF/k-means implementation) into a local relation: truncates
+    * the per-round lineage so round N+1's plan doesn't re-nest and
+    * re-execute rounds 1..N, and makes the subsequent join a plain
+    * broadcast of literals. The values are exact-decimal means, so the
+    * driver round-trip changes no bits.
+    */
+  private def localize(cent: DataFrame): DataFrame = {
+    val spark = cent.sparkSession
+    import spark.implicits._
+    cent.collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .toDF("__cell", "__centroid")
+  }
+
+  /** Nearest centroid per vector by rounded squared L2 (tie → lowest
+    * cell). argmin as a `min_by` over a (d2, cell) struct — one
+    * partial+final hash-agg, no sort/window stage; struct ordering is
+    * lexicographic so the tie-break matches the oracle's
+    * `ORDER BY d2, cell`.
+    */
+  private def nearestCell(vecs: DataFrame, cent: DataFrame): DataFrame =
+    vecs.join(broadcast(cent))
       .withColumn("__d2",
         round(dot(col("__vec"), col("__vec"))
           - lit(2.0) * dot(col("__vec"), col("__centroid"))
           + dot(col("__centroid"), col("__centroid")), 6))
-    TopK.perGroup(scored, 1,
-        partition = Seq(col("__id")),
-        order = Seq(col("__d2").asc, col("__cell").asc))
-      .select(col("__id"), col("__cell"))
-  }
+      .groupBy(col("__id"))
+      .agg(min_by(col("__cell"), struct(col("__d2"), col("__cell"))).as("__cell"))
 
   /** IVF search (nprobe=1) over an explicit (idCol, cell) assignment
     * table: probes scan only the vectors assigned to their own cell.
