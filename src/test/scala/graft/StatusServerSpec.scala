@@ -98,4 +98,37 @@ class StatusServerSpec extends SparkSpec {
       assert(get(port, "/task/zzzzz")._1 == 404)
     } finally server.stop()
   }
+
+  test("GraftApp wires config: cpu_task_ratio capacity, models, loggers, sidecar, HTTP") {
+    import java.nio.file.{Files, Paths}
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val spool = Paths.get(sys.props("java.io.tmpdir"), s"graft_app_spool_${System.nanoTime()}")
+    val cfg = graft.api.EngineConfig(
+      appTitle = "test-node",
+      acceptedModels = Seq(new Quick),
+      taskSources = Seq(new graft.exec.DirectoryTaskSource(spool, pollMillis = 50)),
+      externalLoggers = Map("cap" -> ((l: String, m: String) => seen.add(s"$l:$m"): Unit)),
+      logToStdout = false,
+      cpuTaskRatio = Some(0.5))
+    // capacity = ceil(ratio × cores); explicit override wins
+    assert(cfg.resolvedCapacity(8) == 4)
+    assert(cfg.copy(maxConcurrentTasks = Some(3)).resolvedCapacity(8) == 3)
+    assert(cfg.copy(cpuTaskRatio = None).resolvedCapacity(8) == 8)
+    val app = new graft.api.GraftApp(spark, cfg)
+    val port = app.start()
+    try {
+      val (c, b) = get(port, "/api/0.01/node_info")
+      assert(c == 200 && b.contains("\"node_ident\":\"test-node\""))
+      // sidecar drop runs through the whole assembled node
+      Files.write(spool.resolve("j.task"), "QuickEtl".getBytes)
+      val result = spool.resolve("j.result.json")
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (!Files.exists(result) && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(new String(Files.readAllBytes(result)).contains("\"status\":\"complete\""))
+      assert(!seen.isEmpty, "external logger saw no engine events")
+    } finally {
+      app.stop()
+      graft.tools.EngineLog.echoToConsole = true
+    }
+  }
 }
