@@ -110,6 +110,38 @@ object TextOps {
     }.reduce(_ + _)
   }
 
+  /** Rabin–Karp rolling-hash fingerprint sketch (winnowing-style): hash
+    * each ordered token once, slide a `k`-token polynomial rolling hash
+    * over the sequence (base 257, mod 2^31−1 — all arithmetic exact in
+    * long), and keep the `bottom` smallest window hashes as the document
+    * sketch. Shared-substring documents share window hashes, so sketch
+    * overlap ≈ local similarity (the MOSS fingerprinting idea). The
+    * window pass is a per-document `lead` window — partition-local,
+    * no cross-doc shuffle beyond the doc_id hash.
+    */
+  def rollingFingerprint(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                         textCol: String, k: Int = 3, bottom: Int = 4): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && bottom >= 1)
+    val B = 257L
+    val M = 2147483647L // 2^31 - 1
+    val id = col(idCol)
+    val toks = docs.select(id, posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")))
+      .withColumn("__h", hash32(col("__tok")))
+    val w = Window.partitionBy(id).orderBy(col("__pos"))
+    // r = Σ_{j<k} h_{i+j} · B^(k-1-j)  (mod M); max term < 2^32·257^(k-1)
+    val rolled = (0 until k).map { j =>
+      lead(col("__h"), j).over(w) * math.pow(B.toDouble, (k - 1 - j).toDouble).toLong
+    }.reduce(_ + _)
+    toks.withColumn("__last", lead(col("__h"), k - 1).over(w))
+      .withColumn("__r", pmod(rolled, lit(M)))
+      .filter(col("__last").isNotNull) // full windows only
+      .groupBy(id)
+      .agg(count(lit(1)).as("n_windows"),
+        array_join(transform(slice(sort_array(collect_list(col("__r"))), 1, bottom),
+          _.cast(StringType)), ",").as("fp"))
+  }
+
   /** Table-shaped SimHash: explode distinct tokens, hash each ONCE, then
     * 16 integer bit-sums in one hash aggregate — the shuffle-based form
     * that scales (and is ~20× cheaper than the scalar fold: 1 md5 per

@@ -377,6 +377,33 @@ object LlmOps {
        |ORDER BY probe_id NULLS FIRST, rn NULLS FIRST""".stripMargin
   }
 
+  /** Q75 — rolling-hash document fingerprinting
+    * ([[TextOps.rollingFingerprint]]): Rabin–Karp 3-token windows, bottom-4
+    * winnowing sketch per document. Integer-exact → engine-portable.
+    */
+  def q75(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    TextOps.rollingFingerprint(t(spark, dir, "documents"), "doc_id", "text",
+        k = 3, bottom = 4)
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  val q75Sql: String =
+    s"""$tokCte,
+       |th AS (
+       |  SELECT doc_id, r.i AS pos,
+       |    CAST(('0x' || substr(md5(toks[r.i]),1,8)) AS BIGINT) AS h
+       |  FROM tok, UNNEST(range(1, len(toks) + 1)) AS r(i)),
+       |roll AS (
+       |  SELECT doc_id,
+       |    (h * 66049 + LEAD(h, 1) OVER w * 257 + LEAD(h, 2) OVER w) % 2147483647 AS r,
+       |    LEAD(h, 2) OVER w AS lasth
+       |  FROM th WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+       |SELECT doc_id, COUNT(*) AS n_windows,
+       |  array_to_string(list_slice(list_sort(list(r)), 1, 4), ',') AS fp
+       |FROM roll WHERE lasth IS NOT NULL
+       |GROUP BY doc_id ORDER BY doc_id NULLS FIRST""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_exact_dedup" -> (q58 _),
     "q59_minhash_lsh" -> (q59 _),
@@ -390,6 +417,7 @@ object LlmOps {
     "q67_simhash" -> (q67 _),
     "q68_ann_lsh" -> (q68 _),
     "q69_embed_neardup" -> (q69 _),
+    "q75_rolling_fingerprint" -> (q75 _),
     "q72_ann_ivf" -> (q72 _))
 
   def oracles: Map[String, String] = Map(
@@ -404,5 +432,6 @@ object LlmOps {
     "q67_simhash" -> q67Sql,
     "q68_ann_lsh" -> q68Sql,
     "q69_embed_neardup" -> q69Sql,
-    "q72_ann_ivf" -> q72Sql)
+    "q72_ann_ivf" -> q72Sql,
+    "q75_rolling_fingerprint" -> q75Sql)
 }

@@ -10,14 +10,14 @@ object Registry {
     Scans.all ++ Projections.all ++ Joins.all ++ Aggregates.all ++
       Windows.all ++ SortsLimits.all ++ SetOps.all ++ Scalars.all ++
       LlmOps.all ++ StreamingQueries.all ++ Extensibility.all ++
-      ModelQueries.all
+      ModelQueries.all ++ Reshape.all
 
   def oracles: Map[String, String] =
     Scans.oracles ++ Projections.oracles ++ Joins.oracles ++
       Aggregates.oracles ++ Windows.oracles ++ SortsLimits.oracles ++
       SetOps.oracles ++ Scalars.oracles ++ LlmOps.oracles ++
       StreamingQueries.oracles ++ Extensibility.oracles ++
-      ModelQueries.oracles
+      ModelQueries.oracles ++ Reshape.oracles
 }
 
 trait QueryModule {

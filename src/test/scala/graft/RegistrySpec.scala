@@ -14,7 +14,8 @@ class RegistrySpec extends SparkSpec {
     "Windows" -> Windows.all, "SortsLimits" -> SortsLimits.all,
     "SetOps" -> SetOps.all, "Scalars" -> Scalars.all,
     "LlmOps" -> LlmOps.all, "Streaming" -> StreamingQueries.all,
-    "Extensibility" -> Extensibility.all, "Models" -> ModelQueries.all)
+    "Extensibility" -> Extensibility.all, "Models" -> ModelQueries.all,
+    "Reshape" -> Reshape.all)
 
   test("no query key collisions across modules") {
     val expected = modules.map(_._2.size).sum
@@ -29,7 +30,7 @@ class RegistrySpec extends SparkSpec {
 
   test("the full surface covers the SURVEY ids Q01..Q72 + round-2 additions") {
     val ids = Registry.all.keySet.map(_.takeWhile(_ != '_'))
-    val expected = (1 to 74).map(i => f"q$i%02d").toSet
+    val expected = (1 to 77).map(i => f"q$i%02d").toSet
     assert(ids == expected, s"missing: ${expected -- ids}, extra: ${ids -- expected}")
   }
 
