@@ -76,4 +76,36 @@ object Multimodal {
         rows.map { case (path, content) => stubDecode(path, content) }
       }
   }
+
+  /** Split binary payloads into fixed-size chunk rows
+    * (`key, chunk_idx, n_chunks, chunk`). At 100 TB a single media asset
+    * can exceed comfortable row/shuffle-block sizes; chunk rows hash-
+    * partition evenly, stream through shuffles, and let downstream stages
+    * (per-frame sampling, range requests) address byte ranges without
+    * materialising whole assets. Pure-`Column` (sequence + posexplode +
+    * binary substring) — no UDF.
+    */
+  def chunkBinary(df: DataFrame, keyCol: String, contentCol: String,
+                  chunkSize: Int): DataFrame = {
+    require(chunkSize > 0)
+    df.select(col(keyCol).as("key"), col(contentCol).as("__c"))
+      .withColumn("n_chunks",
+        greatest(ceil(length(col("__c")).cast("double") / chunkSize).cast("int"), lit(1)))
+      .select(col("key"), col("n_chunks"), col("__c"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_idx"))
+      .select(col("key"), col("chunk_idx"), col("n_chunks"),
+        expr(s"substring(__c, chunk_idx * $chunkSize + 1, $chunkSize)").as("chunk"))
+  }
+
+  /** Reassemble [[chunkBinary]] rows back into whole payloads (one
+    * shuffle on the key; order restored from chunk_idx).
+    */
+  def reassemble(chunks: DataFrame): DataFrame =
+    chunks.groupBy(col("key"))
+      .agg(aggregate(
+        transform(
+          sort_array(collect_list(struct(col("chunk_idx"), col("chunk")))),
+          s => s.getField("chunk")),
+        lit(Array.emptyByteArray),
+        (acc, c) => concat(acc, c)).as("content"))
 }

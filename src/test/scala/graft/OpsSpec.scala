@@ -191,4 +191,33 @@ class OpsSpec extends SparkSpec {
     assert(twice._1 == twice._2)
     assert(feats.head().features.length == 8)
   }
+
+  test("binary chunking round-trips content and balances row sizes") {
+    import graft.sources.Multimodal
+    val payloads = Seq(
+      ("a", Array.range(0, 2500).map(_.toByte)), // 3 chunks of 1024
+      ("b", Array.range(0, 1024).map(_.toByte)), // exactly 1 chunk
+      ("c", Array.empty[Byte]))                  // empty → 1 empty chunk
+    val df = payloads.toDF("k", "content")
+    val chunks = Multimodal.chunkBinary(df, "k", "content", chunkSize = 1024)
+    val byKey = chunks.collect().groupBy(_.getString(0))
+    assert(byKey("a").length == 3 && byKey("b").length == 1 && byKey("c").length == 1)
+    assert(byKey("a").map(_.getAs[Array[Byte]]("chunk").length).sorted.toSeq == Seq(452, 1024, 1024))
+    val back = Multimodal.reassemble(chunks).collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]]("content").toSeq).toMap
+    assert(back == payloads.map { case (k, v) => k -> v.toSeq }.toMap)
+  }
+
+  test("binaryFile source pushes metadata filters and prunes content from the scan") {
+    import graft.sources.Multimodal
+    // metadata-only projection must not read file contents
+    val meta = Multimodal.readBinary(spark, s"$sfDir/*.parquet")
+      .filter(col("length") > 100).select("path", "length")
+    val plan = meta.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(length"),
+      s"length filter not pushed to the binaryFile scan:\n$plan")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("content"), s"content read for metadata query: $readSchema")
+    assert(meta.count() > 0)
+  }
 }
