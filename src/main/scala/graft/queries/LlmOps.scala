@@ -404,6 +404,53 @@ object LlmOps {
        |FROM roll WHERE lasth IS NOT NULL
        |GROUP BY doc_id ORDER BY doc_id NULLS FIRST""".stripMargin
 
+  /** Q79 — fuzzy near-match pairs by edit distance: block on p_brand
+    * (bounded blocks — never all-pairs), then Levenshtein within the
+    * block. Integer edit distance is engine-portable; the blocked-pairs
+    * shape is the same 100 TB-safe pattern as q69.
+    */
+  def q79(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = t(spark, dir, "part").filter($"p_partkey" <= 500)
+    val a = p.select($"p_brand", $"p_partkey".as("d1"), $"p_name".as("n1"))
+    val b = p.select($"p_brand", $"p_partkey".as("d2"), $"p_name".as("n2"))
+    a.join(b, Seq("p_brand"))
+      .filter($"d1" < $"d2")
+      .withColumn("dist", levenshtein($"n1", $"n2"))
+      .filter($"dist" <= 15)
+      .select($"p_brand", $"d1", $"d2", $"dist")
+      .orderBy($"p_brand".asc_nulls_first, $"d1".asc_nulls_first, $"d2".asc_nulls_first)
+  }
+
+  val q79Sql: String =
+    """SELECT a.p_brand AS p_brand, a.p_partkey AS d1, b.p_partkey AS d2,
+      | levenshtein(a.p_name, b.p_name) AS dist
+      |FROM part a JOIN part b
+      |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |WHERE a.p_partkey <= 500 AND b.p_partkey <= 500
+      |  AND levenshtein(a.p_name, b.p_name) <= 15
+      |ORDER BY p_brand NULLS FIRST, d1 NULLS FIRST, d2 NULLS FIRST""".stripMargin
+
+  /** Q80 — deterministic (reproducible) corpus sampling: a ~10% sample
+    * selected by md5-hash bucket of the document id — the same rows on
+    * every run, every engine, any partitioning, unlike RNG-based
+    * TABLESAMPLE. This is how training corpora take auditable subsamples.
+    */
+  def q80(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "documents")
+      .filter(pmod(TextOps.hash32($"doc_id".cast(StringType)), lit(100)) < 10)
+      .select($"doc_id", TextOps.wsTokenCount($"text").as("n_tokens"))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  val q80Sql: String =
+    """SELECT doc_id,
+      | len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS n_tokens
+      |FROM documents
+      |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 100 < 10
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_exact_dedup" -> (q58 _),
     "q59_minhash_lsh" -> (q59 _),
@@ -418,6 +465,8 @@ object LlmOps {
     "q68_ann_lsh" -> (q68 _),
     "q69_embed_neardup" -> (q69 _),
     "q75_rolling_fingerprint" -> (q75 _),
+    "q79_fuzzy_pairs" -> (q79 _),
+    "q80_hash_sample" -> (q80 _),
     "q72_ann_ivf" -> (q72 _))
 
   def oracles: Map[String, String] = Map(
@@ -433,5 +482,7 @@ object LlmOps {
     "q68_ann_lsh" -> q68Sql,
     "q69_embed_neardup" -> q69Sql,
     "q72_ann_ivf" -> q72Sql,
-    "q75_rolling_fingerprint" -> q75Sql)
+    "q75_rolling_fingerprint" -> q75Sql,
+    "q79_fuzzy_pairs" -> q79Sql,
+    "q80_hash_sample" -> q80Sql)
 }

@@ -143,17 +143,49 @@ object Windows {
       |WHERE rn <= 3
       |ORDER BY o_custkey NULLS FIRST, rn NULLS FIRST""".stripMargin
 
+  /** Q78 — distribution windows: ntile / percent_rank / cume_dist per
+    * status partition. The (decimal price, orderkey) ordering is total, so
+    * every rank function is deterministic; percent_rank and cume_dist are
+    * integer-ratio doubles — identical in both engines — rounded to 6dp
+    * at the edge anyway.
+    */
+  def q78(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_orderstatus")
+      .orderBy(dec2($"o_totalprice").asc, $"o_orderkey".asc)
+    t(spark, dir, "orders")
+      .filter($"o_custkey" < 200)
+      .select($"o_orderkey", $"o_orderstatus",
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy($"o_orderkey".asc_nulls_first)
+  }
+
+  val q78Sql: String =
+    """SELECT o_orderkey, o_orderstatus,
+      | NTILE(4) OVER w AS quartile,
+      | ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+      | ROUND(CUME_DIST() OVER w, 6) AS cd
+      |FROM orders WHERE o_custkey < 200
+      |WINDOW w AS (PARTITION BY o_orderstatus
+      |  ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) ASC, o_orderkey ASC)
+      |ORDER BY o_orderkey NULLS FIRST""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_ranking_window" -> (q28 _),
     "q29_analytic_window" -> (q29 _),
     "q30_rows_frame" -> (q30 _),
     "q31_range_frame" -> (q31 _),
-    "q32_topk_per_group" -> (q32 _))
+    "q32_topk_per_group" -> (q32 _),
+    "q78_distribution_window" -> (q78 _))
 
   def oracles: Map[String, String] = Map(
     "q28_ranking_window" -> q28Sql,
     "q29_analytic_window" -> q29Sql,
     "q30_rows_frame" -> q30Sql,
     "q31_range_frame" -> q31Sql,
-    "q32_topk_per_group" -> q32Sql)
+    "q32_topk_per_group" -> q32Sql,
+    "q78_distribution_window" -> q78Sql)
 }
