@@ -162,6 +162,33 @@ object StreamOps {
     }
   }
 
+  /** Idempotent foreachBatch parquet writer — the documented
+    * exactly-once recipe for arbitrary sinks: micro-batches can be
+    * REDELIVERED after a failure/restart (same batchId, same data), so
+    * the handler keys every write by batchId (`batch=<id>/`) and skips
+    * ids it has already committed (commit = atomic rename of a temp dir).
+    * Combined with the checkpoint's offset log this gives end-to-end
+    * exactly-once into the file sink.
+    */
+  def idempotentBatchWriter(outDir: String): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) => {
+      val target = new java.io.File(outDir, s"batch=$batchId")
+      if (!target.exists()) {
+        val tmp = new java.io.File(outDir, s".batch-$batchId.tmp")
+        if (tmp.exists()) { // stale half-write from a previous crash
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete(): Unit
+          }
+          rm(tmp)
+        }
+        batch.write.mode("overwrite").parquet(tmp.getPath)
+        if (!tmp.renameTo(target))
+          throw new java.io.IOException(s"commit rename failed for batch $batchId")
+      } // else: redelivery of a committed batch — exactly-once skip
+    }
+  }
+
   /** Run a streaming frame through foreachBatch into a parquet dir (the
     * arbitrary-sink hook — reference's on_completion_callback analogue,
     * governor.py:309), then read the result back.
@@ -180,13 +207,12 @@ object StreamOps {
       val q = df.writeStream
         .outputMode("append")
         .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          batch.write.mode("append").parquet(outDir)
-        }
+        .foreachBatch(idempotentBatchWriter(outDir))
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
     }
-    spark.read.parquet(outDir)
+    // batch=<id>/ dirs read back as a partitioned table; drop the id
+    spark.read.parquet(outDir).drop("batch")
   }
 }
