@@ -16,8 +16,11 @@ import graft.model.EtlModel
   */
 object ModelQueries {
 
-  /** Example user model: revenue per nation (resolver context carries the
-    * data directory, the reference's `{output_datasets}` pattern).
+  /** Example user model: revenue per nation. Like the reference's models
+    * (which persist outputs through Connect), the model WRITES its result
+    * dataset to the `{output}` location and returns the read-back frame —
+    * the engine runs the heavy plan exactly once; consumers read the
+    * persisted output.
     */
   final class RevenuePerNationModel extends EtlModel {
     override def name: String = "RevenuePerNation"
@@ -25,7 +28,7 @@ object ModelQueries {
       val spark = ctx.spark
       import spark.implicits._
       val dir = ctx.resolve("{data_dir}")
-      Tables.t(spark, dir, "lineitem")
+      val result = Tables.t(spark, dir, "lineitem")
         .join(Tables.t(spark, dir, "orders"), $"l_orderkey" === $"o_orderkey")
         .join(Tables.t(spark, dir, "customer"), $"o_custkey" === $"c_custkey")
         .join(broadcast(Tables.t(spark, dir, "nation")), $"c_nationkey" === $"n_nationkey")
@@ -33,27 +36,32 @@ object ModelQueries {
         .agg(sum(dec2($"l_extendedprice") * (lit(1) - dec2($"l_discount")))
           .cast(DoubleType).as("revenue"),
           count(lit(1)).as("n"))
-        .orderBy($"n_name".asc_nulls_first)
+      val out = ctx.resolve("{output}/revenue_per_nation")
+      result.write.mode("overwrite").parquet(out)
+      spark.read.parquet(out)
     }
   }
 
   /** Q57 — run the model through the full task lifecycle (registry gate,
-    * job group, status tables) and return its frame.
+    * job group, status tables) and return its persisted output.
     */
   def q57(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val registry = new TaskRegistry
     val status = new StatusRegistry
     val runner = new JobRunner(spark, registry, status, maxConcurrentTasks = 2)
     val model = new RevenuePerNationModel
     registry.register(model)
+    val outBase = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_scratch/q57"
     val spec = TaskSpec(modelClass = "RevenuePerNation",
-      resolverContext = Map("data_dir" -> dir))
+      resolverContext = Map("data_dir" -> dir, "output" -> outBase))
     try {
       runner.runSync(spec) // lifecycle: running → complete in status tables
       require(status.status(spec.taskId) == "complete",
         s"model task ended ${status.status(spec.taskId)}")
     } finally runner.close() // don't leave per-query listeners on the session
-    model.build(EngineContext(spark, Map("data_dir" -> dir)))
+    spark.read.parquet(s"$outBase/revenue_per_nation")
+      .orderBy($"n_name".asc_nulls_first)
   }
 
   val q57Sql: String =
