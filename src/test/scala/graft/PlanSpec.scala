@@ -76,6 +76,25 @@ class PlanSpec extends SparkSpec {
       s"no partition pruning in:\n$p")
   }
 
+  test("Q59 MinHash LSH candidate join is an equi-join on band keys (no cartesian)") {
+    val p = plan(LlmOps.q59(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in the LSH pipeline:\n$p")
+  }
+
+  test("Q68 ANN probes join their bucket only (hash equi-join on the LSH key)") {
+    val p = plan(LlmOps.q68(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"ANN fell back to all-pairs:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), s"no equi-join:\n$p")
+  }
+
+  test("Q76 pivot is a single aggregate pass (no join, partial agg present)") {
+    val p = plan(Reshape.q76(spark, sfDir))
+    assert(!p.contains("Join"), s"pivot should not join:\n$p")
+    assert(p.contains("partial_"), s"no map-side partial agg in pivot:\n$p")
+  }
+
   test("Q23 approx distinct is within 5% of exact at sf0.001") {
     import org.apache.spark.sql.functions._
     val approx = Aggregates.q23(spark, sfDir).collect()
