@@ -130,6 +130,8 @@ final class JobRunner(
       val results = spark.createDataset(pending)
         .repartition(math.min(workers, pending.size))
         .mapPartitions { sts =>
+          // per-worker init before any subtask (process.py:91-92)
+          if (sts.hasNext) pm.partitionInitialise()
           sts.map { st =>
             try SubTaskResult(st.method, st.kwargs, ok = true,
               value = pm.runSubTask(st), error = "")

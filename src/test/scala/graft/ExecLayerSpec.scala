@@ -60,6 +60,23 @@ private class Gathering extends PartitionedEtlModel {
     seen.add(r.value): Unit
 }
 
+// partitionInitialise must run on the worker before any of its subtasks
+private class NeedsInit extends PartitionedEtlModel {
+  override def name = "NeedsInit"
+  override def partitionPlea: PartitionOption = PartitionOption(1, 4, 4)
+  override def partitionSlice(n: Int): Seq[SubTask] =
+    (0 until n).map(i => SubTask("go", Map("i" -> i.toString)))
+  @transient private lazy val inited = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+  override def partitionInitialise(): Unit = inited.set(true)
+  override def runSubTask(st: SubTask): String = {
+    if (!inited.get()) throw new IllegalStateException(
+      s"subtask ${st.kwargs("i")} ran before partitionInitialise")
+    "ok"
+  }
+}
+
 // a deliberately slow distributed job (sleep per row) for cancel tests
 private class CrawlModel extends EtlModel {
   override def name = "CrawlEtl"
@@ -139,6 +156,18 @@ class ExecLayerSpec extends SparkSpec {
     assert(runner.runSync(TaskSpec(modelClass = "Gathering")) == TaskComplete(6))
     val got = scala.jdk.CollectionConverters.ListHasAsScala(m.seen).asScala.toSet
     assert(got == (0 until 6).map("r" + _).toSet)
+  }
+
+  test("partitionInitialise runs on each worker before its subtasks (process.py:91-92)") {
+    val (_, _, runner) = freshRunner()
+    val reg2 = new TaskRegistry
+    reg2.register(new NeedsInit)
+    val (_, status2, runner2) = {
+      val st = new StatusRegistry
+      (reg2, st, new JobRunner(spark, reg2, st))
+    }
+    assert(runner2.runSync(TaskSpec(modelClass = "NeedsInit")) == TaskComplete(4))
+    runner.close(); runner2.close()
   }
 
   private class SlowModel extends EtlModel {
