@@ -295,4 +295,22 @@ class ExecLayerSpec extends SparkSpec {
     assert(back.count() == 5)
     assert(back.columns.toSeq == Seq("n"))
   }
+
+  test("engine-url connector round-trips jsonl and parquet too") {
+    import graft.connect.EngineUrl
+    import spark.implicits._
+    val ctx = EngineContext(spark, Map("out" -> s"${sys.props("java.io.tmpdir")}/graft_test"))
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    EngineUrl.write(df, "jsonl://{out}/kv_json", ctx)
+    val j = EngineUrl.read(spark, "jsonl://{out}/kv_json", ctx)
+    assert(j.select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      == Set((1L, "a"), (2L, "b")))
+    EngineUrl.write(df, "parquet://{out}/kv_parquet", ctx)
+    val p = EngineUrl.read(spark, "parquet://{out}/kv_parquet", ctx)
+    // parquet read-back relaxes nullability; names+types must survive
+    assert(p.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      == df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(p.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      == Set((1L, "a"), (2L, "b")))
+  }
 }
