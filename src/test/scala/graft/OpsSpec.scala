@@ -112,6 +112,35 @@ class OpsSpec extends SparkSpec {
     assert(nBuckets >= 8, s"only $nBuckets of 16 buckets occupied")
   }
 
+  test("HLL sketches are mergeable: union of half-sketches equals the whole-corpus sketch") {
+    // the 100 TB sketch pattern: build per-partition sketches, merge —
+    // register-wise max is associative, so the merged estimate is EXACTLY
+    // the whole-data estimate (not just close)
+    val orders = graft.core.Tables.t(spark, sfDir, "orders")
+    val whole = orders
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(o_custkey))").as("n"))
+      .collect()(0).getLong(0)
+    val halves = orders
+      .groupBy((col("o_orderkey") % 2).as("half"))
+      .agg(expr("hll_sketch_agg(o_custkey)").as("sk"))
+    val merged = halves
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("n"))
+      .collect()(0).getLong(0)
+    assert(merged == whole, s"sketch merge changed the estimate: $merged vs $whole")
+    val exact = orders.select(countDistinct(col("o_custkey"))).collect()(0).getLong(0)
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"HLL estimate off >5%: $merged vs exact $exact")
+  }
+
+  test("percentile_approx lands within 2% of the exact percentile") {
+    val part = graft.core.Tables.t(spark, sfDir, "part")
+    val row = part.agg(
+      expr("percentile_approx(p_retailprice, 0.5, 2000)").as("approx"),
+      expr("percentile(p_retailprice, 0.5)").as("exact")).collect()(0)
+    val (approx, exact) = (row.getDouble(0), row.getDouble(1))
+    assert(math.abs(approx - exact) / exact < 0.02, s"approx $approx vs exact $exact")
+  }
+
   test("langId: empty text → und; stopword-majority language wins") {
     val df = Seq((1L, "xyzzy plugh"), (2L, "der und das ist gut"),
       (3L, "the cat of the hat is a cat")).toDF("id", "t")
