@@ -108,4 +108,36 @@ object Multimodal {
           s => s.getField("chunk")),
         lit(Array.emptyByteArray),
         (acc, c) => concat(acc, c)).as("content"))
+
+  /** Frame sampling over [[chunkBinary]] rows: with fixed-size frames one
+    * chunk = one frame, so "every `stride`-th frame starting at `offset`"
+    * is a pure filter on chunk_idx — it prunes (stride−1)/stride of the
+    * bytes BEFORE any decode or shuffle touches them, which is the whole
+    * point of sampling at 100 TB.
+    */
+  def frameSample(chunks: DataFrame, stride: Int, offset: Int = 0): DataFrame = {
+    require(stride > 0 && offset >= 0)
+    chunks.filter(pmod(col("chunk_idx") - offset, lit(stride)) === 0 &&
+      col("chunk_idx") >= offset)
+  }
+
+  /** STUB resize: a real implementation would decode, scale to
+    * (targetW, targetH) and re-encode per partition. The stub keeps the
+    * real pipeline shape — per-partition batching over (key, payload) —
+    * and deterministically "scales" the fake features by the area ratio.
+    */
+  def resizeFeatures(feats: Dataset[MediaFeature], targetW: Int,
+                     targetH: Int): Dataset[MediaFeature] = {
+    val spark = feats.sparkSession
+    import spark.implicits._
+    feats.mapPartitions { rows =>
+      // per-partition init of the (stub) scaler would go here
+      rows.map { f =>
+        val ratio =
+          (targetW.toLong * targetH).toFloat / (f.width.toLong * f.height)
+        f.copy(width = targetW, height = targetH,
+          features = f.features.map(_ * ratio))
+      }
+    }
+  }
 }

@@ -237,6 +237,21 @@ class OpsSpec extends SparkSpec {
     assert(back == payloads.map { case (k, v) => k -> v.toSeq }.toMap)
   }
 
+  test("frame sampling prunes chunks before decode; resize stub rescales deterministically") {
+    import graft.sources.Multimodal
+    val df = Seq(("v", Array.range(0, 10 * 64).map(_.toByte))).toDF("k", "content")
+    val chunks = Multimodal.chunkBinary(df, "k", "content", chunkSize = 64) // 10 frames
+    val sampled = Multimodal.frameSample(chunks, stride = 3, offset = 1)
+    assert(sampled.select("chunk_idx").collect().map(_.getInt(0)).sorted.toSeq
+      == Seq(1, 4, 7))
+    val feats = Multimodal.extractFeatures(
+      Multimodal.readBinary(spark, s"$sfDir/region.parquet"))
+    val resized = Multimodal.resizeFeatures(feats, 64, 64).collect()
+    assert(resized.forall(f => f.width == 64 && f.height == 64))
+    val again = Multimodal.resizeFeatures(feats, 64, 64).collect()
+    assert(resized.map(_.features.toSeq).toSeq == again.map(_.features.toSeq).toSeq)
+  }
+
   test("binaryFile source pushes metadata filters and prunes content from the scan") {
     import graft.sources.Multimodal
     // metadata-only projection must not read file contents
