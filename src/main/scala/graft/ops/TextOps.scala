@@ -142,23 +142,66 @@ object TextOps {
           _.cast(StringType)), ",").as("fp"))
   }
 
+  /** SimHash near-duplicate PAIRS — the banded-fingerprint join that
+    * completes the SimHash dedup pipeline: split a `bits`-wide
+    * fingerprint into 4 bands; two fingerprints within Hamming distance
+    * ≤ 3 must share at least one identical band (pigeonhole: ≤3
+    * differing bits dirty at most 3 of the 4), so an equi-join on
+    * (band, band-value) finds every candidate with no all-pairs blow-up,
+    * and an exact `bit_count(xor)` post-filter keeps true near-dups.
+    * Same shape as the MinHash band join.
+    *
+    * Fingerprint width is the scale knob: band-value cardinality is
+    * 2^(bits/4), and candidate volume ~ Σ bucket². The 16-bit q67
+    * fingerprint has 16-value bands — fine for fingerprinting, hopeless
+    * for pairing beyond a few hundred docs (measured: 5 000 correlated
+    * docs → ~all-pairs). Default 32 bits = 256-value bands keeps
+    * buckets, and therefore candidates, bounded as the corpus grows.
+    */
+  def simhashNearDupPairs(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                          textCol: String, maxHamming: Int = 3,
+                          bits: Int = 32): org.apache.spark.sql.DataFrame = {
+    require(maxHamming < 4, "4 bands guarantee recall only for hamming <= 3")
+    require(bits % 4 == 0 && bits <= 32, "bits must be a multiple of 4, <= 32")
+    val bandBits = bits / 4
+    val mask = (1L << bandBits) - 1
+    val fp = simhashTable(docs, idCol, textCol, bits)
+    val banded = fp
+      .select(col(idCol).as("__id"), col("fp"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bv", expr(s"shiftright(fp, band * $bandBits) & $mask"))
+    val a = banded.select(col("__id").as("d1"), col("fp").as("f1"),
+      col("band"), col("bv"))
+    val b = banded.select(col("__id").as("d2"), col("fp").as("f2"),
+      col("band"), col("bv"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("f1"), col("f2")).distinct()
+      .withColumn("hamming", expr("bit_count(f1 ^ f2)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("d1"), col("d2"), col("hamming"))
+  }
+
   /** Table-shaped SimHash: explode distinct tokens, hash each ONCE, then
-    * 16 integer bit-sums in one hash aggregate — the shuffle-based form
-    * that scales (and is ~20× cheaper than the scalar fold: 1 md5 per
-    * token instead of 16).
+    * `bits` integer bit-sums in one hash aggregate — the shuffle-based
+    * form that scales (and is ~20× cheaper than the scalar fold: 1 md5
+    * per token instead of one per bit). Width 16 is the q67 fingerprint
+    * contract; pairing uses 32 (see [[simhashNearDupPairs]]).
     */
   def simhashTable(docs: org.apache.spark.sql.DataFrame, idCol: String,
-                   textCol: String, fpCol: String = "fp"): org.apache.spark.sql.DataFrame = {
+                   textCol: String, bits: Int = 16,
+                   fpCol: String = "fp"): org.apache.spark.sql.DataFrame = {
+    require(bits >= 1 && bits <= 32, "fp must fit a non-negative long: bits in [1,32]")
     val id = col(idCol)
     val hashed = docs
       .select(id, explode(tokenSet(col(textCol))).as("__tok"))
       .withColumn("__x", hash32(col("__tok")))
-    val bitSums = (0 until 16).map { i =>
+    val bitSums = (0 until bits).map { i =>
       sum(when(shiftright(col("__x"), i).bitwiseAND(1) === 1, 1L)
         .otherwise(-1L)).as(s"__s$i")
     }
     hashed.groupBy(id).agg(bitSums.head, bitSums.tail: _*)
-      .select(id, (0 until 16).map { i =>
+      .select(id, (0 until bits).map { i =>
         when(col(s"__s$i") > 0, lit(1L << i)).otherwise(0L)
       }.reduce(_ + _).as(fpCol))
   }

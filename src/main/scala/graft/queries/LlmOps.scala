@@ -404,6 +404,47 @@ object LlmOps {
        |FROM roll WHERE lasth IS NOT NULL
        |GROUP BY doc_id ORDER BY doc_id NULLS FIRST""".stripMargin
 
+  /** Q81 — SimHash near-dup PAIRS ([[TextOps.simhashNearDupPairs]]):
+    * 32-bit fingerprint, 4 byte-wide bands (pigeonhole-complete for
+    * Hamming ≤ 3) + exact bit_count post-filter — the candidate-pairing
+    * step that completes the SimHash dedup pipeline, same banded shape
+    * as MinHash-LSH. 256-value bands keep candidate buckets bounded as
+    * the corpus grows (16-value bands measured near-all-pairs at 5k
+    * correlated docs).
+    */
+  def q81(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    TextOps.simhashNearDupPairs(
+        t(spark, dir, "documents").filter($"doc_id" < 2000), "doc_id", "text",
+        maxHamming = 3, bits = 32)
+      .orderBy($"d1".asc_nulls_first, $"d2".asc_nulls_first)
+  }
+
+  val q81Sql: String = {
+    val bitSums = (0 until 32).map { i =>
+      s"SUM(CASE WHEN ((x >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS s$i"
+    }.mkString(", ")
+    val fpExpr = (0 until 32).map { i =>
+      s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString(" + ")
+    s"""$tokCte,
+       |dt AS (SELECT DISTINCT doc_id, t.tok FROM tok, UNNEST(toks) AS t(tok)
+       |       WHERE doc_id < 2000),
+       |hx AS (SELECT doc_id, CAST(('0x' || substr(md5(tok),1,8)) AS BIGINT) AS x FROM dt),
+       |bits AS (SELECT doc_id, $bitSums FROM hx GROUP BY doc_id),
+       |fpt AS (SELECT doc_id, $fpExpr AS fp FROM bits),
+       |banded AS (
+       |  SELECT doc_id, fp, b.band, (fp >> (b.band * 8)) & 255 AS bv
+       |  FROM fpt, UNNEST(range(0, 4)) AS b(band)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.fp AS f1, b.fp AS f2
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       |SELECT d1, d2, bit_count(xor(f1, f2)) AS hamming
+       |FROM cand WHERE bit_count(xor(f1, f2)) <= 3
+       |ORDER BY d1 NULLS FIRST, d2 NULLS FIRST""".stripMargin
+  }
+
   /** Q79 — fuzzy near-match pairs by edit distance: block on p_brand
     * (bounded blocks — never all-pairs), then Levenshtein within the
     * block. Integer edit distance is engine-portable; the blocked-pairs
@@ -467,6 +508,7 @@ object LlmOps {
     "q75_rolling_fingerprint" -> (q75 _),
     "q79_fuzzy_pairs" -> (q79 _),
     "q80_hash_sample" -> (q80 _),
+    "q81_simhash_neardup" -> (q81 _),
     "q72_ann_ivf" -> (q72 _))
 
   def oracles: Map[String, String] = Map(
@@ -484,5 +526,6 @@ object LlmOps {
     "q72_ann_ivf" -> q72Sql,
     "q75_rolling_fingerprint" -> q75Sql,
     "q79_fuzzy_pairs" -> q79Sql,
-    "q80_hash_sample" -> q80Sql)
+    "q80_hash_sample" -> q80Sql,
+    "q81_simhash_neardup" -> q81Sql)
 }

@@ -149,6 +149,25 @@ class OpsSpec extends SparkSpec {
     assert(got == Map(1L -> "und", 2L -> "de", 3L -> "en"))
   }
 
+  test("simhash band join finds EVERY pair within hamming ≤3 (pigeonhole recall = 1)") {
+    val docs = graft.core.Tables.t(spark, sfDir, "documents")
+    val fp = TextOps.simhashTable(docs, "doc_id", "text", bits = 32)
+    val a = fp.select($"doc_id".as("d1"), $"fp".as("f1"))
+    val b = fp.select($"doc_id".as("d2"), $"fp".as("f2"))
+    def norm(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue)
+    val brute = a.join(b, $"d1" < $"d2")
+      .withColumn("hamming", expr("bit_count(f1 ^ f2)"))
+      .filter($"hamming" <= 3)
+      .select("d1", "d2", "hamming")
+      .collect().map(norm).toSet
+    val banded = TextOps.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(norm).toSet
+    assert(banded == brute,
+      s"banded join missed ${(brute -- banded).size} / found ${(banded -- brute).size} extra")
+    assert(brute.nonEmpty, "fixture produced no near-dup pairs — test is vacuous")
+  }
+
   test("simhash16: equal token sets → equal fingerprints in [0, 65536)") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha beta"))
       .toDF("id", "t")
