@@ -1,21 +1,38 @@
 package graft
 
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line {"metric":...,"queries":{...}}.
+  * prints ONE compact JSON line {"metric":...,"queries":{...}}.
   *
-  * Methodology (documented in BASELINE.md): per query, one warmup run
-  * (pays JVM/codegen JIT — DuckDB has no analogue of that one-time cost)
-  * then one timed run; both runs force FULL materialisation through the
-  * `noop` sink so projections can't be pruned by a count-only action
-  * (which would under-measure; the DuckDB baseline fetches all rows too).
+  * Methodology (documented in BASELINE.md):
+  *   - per query: TWO warmup runs (JVM/codegen JIT + page cache — DuckDB has
+  *     no analogue of that one-time cost), then THREE timed runs;
+  *   - the reported number is the MEDIAN of the three timed runs, so a single
+  *     multi-second host stall (this box is multi-tenant) cannot fabricate an
+  *     8–14× "regression" the way a min-of-2 could in round 2;
+  *   - every run forces FULL materialisation through the `noop` sink so
+  *     projections can't be pruned by a count-only action (which would
+  *     under-measure; the DuckDB baseline fetches all rows too).
+  *
+  * Artifact contract: the final stdout line must survive a ~2 KB tail
+  * capture, so it uses SHORT keys ("q01".."q81") and 3-decimal seconds
+  * (~1.1 KB for 81 queries). The full-name, full-precision per-run detail
+  * (all three timed runs + min/median) goes to BENCH_DETAIL.json
+  * (override with SPARK_GRAFT_BENCH_DETAIL), which is committed per round.
   */
 object Bench {
+  private val Warmups = 2
+  private val TimedRuns = 3
+
   def main(args: Array[String]): Unit = {
     // stdout carries exactly ONE JSON line — engine logs must not leak there
     graft.tools.EngineLog.echoToConsole = false
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()
@@ -30,28 +47,64 @@ object Bench {
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
+    final case class Timing(name: String, runs: Seq[Double]) {
+      def failed: Boolean = runs.isEmpty
+      def median: Double = if (failed) -1.0 else runs.sorted.apply(runs.size / 2)
+      def min: Double = if (failed) -1.0 else runs.min
+    }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t = try {
-        once(fn) // warmup: codegen + JIT + page cache
-        // min of 2 timed runs: GC/scheduler jitter otherwise dominates the
-        // small-SF numbers
-        val runs = (1 to 2).map { _ =>
+      val runs = try {
+        (1 to Warmups).foreach(_ => once(fn))
+        (1 to TimedRuns).map { _ =>
           val t0 = System.nanoTime()
           once(fn)
           (System.nanoTime() - t0) / 1e9
         }
-        runs.min
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        -1.0
+        Seq.empty[Double]
       }
-      name -> t
+      Timing(name, runs)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val ok = results.filter(_._2 >= 0)
-    val total = ok.map(_._2).sum
-    println(s"""{"metric":"total_warm_sec","value":$total,"unit":"sec","queries":$qs,"n_queries":${results.size},"n_failed":${results.size - ok.size},"sf":"$sfDir"}""")
+
+    val ok = results.filterNot(_.failed)
+    val total = ok.map(_.median).sum
+    val totalMin = ok.map(_.min).sum
+
+    // Full-precision detail artifact (committed per round as BENCH_DETAIL_r<N>.json)
+    val detail = results.map { t =>
+      val runs = t.runs.map(r => f"$r%.6f").mkString("[", ",", "]")
+      s"""    "${t.name}": {"median_sec": ${f"${t.median}%.6f"}, "min_sec": ${f"${t.min}%.6f"}, "runs_sec": $runs}"""
+    }.mkString(",\n")
+    val detailJson =
+      s"""{
+         |  "sf": "$sfDir",
+         |  "cpus": $cpus,
+         |  "warmups": $Warmups,
+         |  "timed_runs": $TimedRuns,
+         |  "stat": "median",
+         |  "total_median_sec": ${f"$total%.6f"},
+         |  "total_min_sec": ${f"$totalMin%.6f"},
+         |  "n_queries": ${results.size},
+         |  "n_failed": ${results.size - ok.size},
+         |  "queries": {
+         |$detail
+         |  }
+         |}
+         |""".stripMargin
+    val tmp = Paths.get(detailPath + ".tmp")
+    Files.write(tmp, detailJson.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(detailPath), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+
+    // Compact final line: short keys ("q01") + 3dp so the driver's ~2 KB
+    // tail capture always parses. Full names/precision live in the detail file.
+    val qs = results.map { t =>
+      val short = t.name.takeWhile(_ != '_')
+      "\"" + short + "\":" + (if (t.failed) "-1" else f"${t.median}%.3f")
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total_warm_sec","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"n_queries":${results.size},"n_failed":${results.size - ok.size},"sf":"$sfDir","stat":"median_of_$TimedRuns","detail":"$detailPath"}""")
     spark.stop()
   }
 }
