@@ -279,32 +279,59 @@ object LlmOps {
        |ORDER BY probe_id NULLS FIRST, rn NULLS FIRST""".stripMargin
   }
 
-  /** Q69 — embedding-cosine near-dup pairs within a blocking key (label):
-    * the blocked-pairs shape of embedding dedup (block → pair → threshold).
+  /** Fixed-seed hyperplanes for q69's banded LSH (8 bands × 4 sign bits);
+    * seed 7 keeps them independent of [[q68Planes]]. Stable constants on
+    * both sides — the oracle embeds them as literals.
+    */
+  val q69Planes: Seq[Seq[Double]] = Similarity.hyperplanes(dim = 64, bits = 32, seed = 7L)
+  private val q69Bands = 8
+
+  /** Q69 — embedding-cosine near-dup pairs via BANDED-LSH candidate
+    * generation + exact post-filter ([[Similarity.lshBandedPairs]]): a
+    * pair is a candidate iff it agrees on all 4 sign bits of at least one
+    * of 8 hyperplane bands, then exact cosine ≥ 0.4 keeps it. This
+    * replaces r2's label-blocked variant, whose fixed-cardinality block
+    * key went quadratic at 100× corpus: the (band, band-value) key
+    * hash-spreads the corpus so block size is ~n/2^bits per band, with
+    * bits-per-band the documented scale knob. Recall is the declared LSH
+    * OR-of-bands probability (measured vs brute force in OpsSpec);
+    * candidate pruning is plan-asserted (equi-join only, no cartesian).
     */
   def q69(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = t(spark, dir, "embeddings")
-    val a = e.select($"label", $"vec_id".as("d1"), $"embedding".as("va"),
-      Similarity.norm($"embedding").as("na"))
-    val b = e.select($"label", $"vec_id".as("d2"), $"embedding".as("vb"),
-      Similarity.norm($"embedding").as("nb"))
-    a.join(b, Seq("label"))
-      .filter($"d1" < $"d2")
-      .withColumn("cos6",
-        round(Similarity.dot($"va", $"vb") / ($"na" * $"nb"), 6))
-      .filter($"cos6" >= 0.4)
-      .select($"label", $"d1", $"d2", $"cos6")
-      .orderBy($"label".asc_nulls_first, $"d1".asc_nulls_first, $"d2".asc_nulls_first)
+    Similarity.lshBandedPairs(t(spark, dir, "embeddings"), "vec_id", "embedding",
+        planes = q69Planes, bands = q69Bands, minCos6 = 0.4)
+      .orderBy($"d1".asc_nulls_first, $"d2".asc_nulls_first)
   }
 
-  val q69Sql: String =
-    """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
-      |SELECT a.label AS label, a.vec_id AS d1, b.vec_id AS d2,
-      |  ROUND(list_dot_product(a.v, b.v) / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))), 6) AS cos6
-      |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-      |WHERE ROUND(list_dot_product(a.v, b.v) / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))), 6) >= 0.4
-      |ORDER BY a.label NULLS FIRST, d1 NULLS FIRST, d2 NULLS FIRST""".stripMargin
+  val q69Sql: String = {
+    val w = q69Planes.size / q69Bands
+    // band b value = sum of sign bits of its 4 planes, identical bit order
+    // to lshBucketRandom over the slice (1 << (w-1-j)); Double.toString
+    // literals round-trip exactly through DuckDB's parser and
+    // list_dot_product folds left-to-right like FloatVecDot.
+    val bandSelects = (0 until q69Bands).map { b =>
+      val expr = (0 until w).map { j =>
+        val lits = q69Planes(b * w + j).map(_.toString).mkString("[", ", ", "]")
+        s"CASE WHEN list_dot_product(v, $lits) > 0 THEN ${1L << (w - 1 - j)} ELSE 0 END"
+      }.mkString("(", "\n     + ", ")")
+      s"SELECT vec_id, $b AS band, $expr AS bv FROM e"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |banded AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id)
+       |SELECT c.d1, c.d2,
+       |  ROUND(list_dot_product(x.v, y.v) / (SQRT(list_dot_product(x.v, x.v)) * SQRT(list_dot_product(y.v, y.v))), 6) AS cos6
+       |FROM cand c JOIN e x ON x.vec_id = c.d1 JOIN e y ON y.vec_id = c.d2
+       |WHERE ROUND(list_dot_product(x.v, y.v) / (SQRT(list_dot_product(x.v, x.v)) * SQRT(list_dot_product(y.v, y.v))), 6) >= 0.4
+       |ORDER BY d1 NULLS FIRST, d2 NULLS FIRST""".stripMargin
+  }
 
   /** Q72 — IVF ANN over real k-means cells: deterministic Lloyd's
     * ([[graft.ops.Similarity.kmeansAssign]] — seed-by-lowest-ids init,
@@ -445,32 +472,60 @@ object LlmOps {
        |ORDER BY d1 NULLS FIRST, d2 NULLS FIRST""".stripMargin
   }
 
-  /** Q79 — fuzzy near-match pairs by edit distance: block on p_brand
-    * (bounded blocks — never all-pairs), then Levenshtein within the
-    * block. Integer edit distance is engine-portable; the blocked-pairs
-    * shape is the same 100 TB-safe pattern as q69.
+  /** Q79 — fuzzy near-match pairs by edit distance via TOKEN-BAND
+    * candidate generation + exact Levenshtein post-filter. Two bands —
+    * (first token, length-bucket) and (second token, length-bucket) — a
+    * pair is a candidate iff it agrees on either band (names within a
+    * small edit distance almost always preserve one of their tokens; the
+    * length bucket co-encodes the |len(a)-len(b)| ≤ dist necessary
+    * condition). This replaces r2's p_brand blocking, whose 25-value key
+    * went quadratic at 100× corpus: token-band keys scale with the name
+    * vocabulary and hash-spread the corpus, the standard record-linkage
+    * blocking shape. Recall is a declared property of the candidate
+    * generator (exact within a band, lossy across bands — same contract
+    * as q59/q69); the probe set is capped at p_partkey ≤ 500 by contract.
     */
   def q79(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val p = t(spark, dir, "part").filter($"p_partkey" <= 500)
-    val a = p.select($"p_brand", $"p_partkey".as("d1"), $"p_name".as("n1"))
-    val b = p.select($"p_brand", $"p_partkey".as("d2"), $"p_name".as("n2"))
-    a.join(b, Seq("p_brand"))
+      .select($"p_partkey", lower($"p_name").as("nm"))
+    val banded = p.select($"p_partkey", explode(array(
+        struct(lit(0).as("band"),
+          concat_ws("#", split($"nm", " ").getItem(0), (length($"nm") / 4).cast(LongType)).as("bv")),
+        struct(lit(1).as("band"),
+          concat_ws("#", split($"nm", " ").getItem(1), (length($"nm") / 4).cast(LongType)).as("bv"))
+      )).as("bb"))
+      .select($"p_partkey", $"bb.band".as("band"), $"bb.bv".as("bv"))
+    val cand = banded.select($"band", $"bv", $"p_partkey".as("d1"))
+      .join(banded.select($"band", $"bv", $"p_partkey".as("d2")), Seq("band", "bv"))
       .filter($"d1" < $"d2")
+      .select($"d1", $"d2").distinct()
+    cand
+      .join(p.select($"p_partkey".as("d1"), $"nm".as("n1")), Seq("d1"))
+      .join(p.select($"p_partkey".as("d2"), $"nm".as("n2")), Seq("d2"))
       .withColumn("dist", levenshtein($"n1", $"n2"))
-      .filter($"dist" <= 15)
-      .select($"p_brand", $"d1", $"d2", $"dist")
-      .orderBy($"p_brand".asc_nulls_first, $"d1".asc_nulls_first, $"d2".asc_nulls_first)
+      .filter($"dist" <= 3)
+      .select($"d1", $"d2", $"dist")
+      .orderBy($"d1".asc_nulls_first, $"d2".asc_nulls_first)
   }
 
   val q79Sql: String =
-    """SELECT a.p_brand AS p_brand, a.p_partkey AS d1, b.p_partkey AS d2,
-      | levenshtein(a.p_name, b.p_name) AS dist
-      |FROM part a JOIN part b
-      |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-      |WHERE a.p_partkey <= 500 AND b.p_partkey <= 500
-      |  AND levenshtein(a.p_name, b.p_name) <= 15
-      |ORDER BY p_brand NULLS FIRST, d1 NULLS FIRST, d2 NULLS FIRST""".stripMargin
+    """WITH p AS (
+      |  SELECT p_partkey, lower(p_name) AS nm FROM part WHERE p_partkey <= 500),
+      |banded AS (
+      |  SELECT p_partkey, 0 AS band,
+      |    split_part(nm, ' ', 1) || '#' || CAST(length(nm) // 4 AS VARCHAR) AS bv FROM p
+      |  UNION ALL
+      |  SELECT p_partkey, 1 AS band,
+      |    split_part(nm, ' ', 2) || '#' || CAST(length(nm) // 4 AS VARCHAR) AS bv FROM p),
+      |cand AS (
+      |  SELECT DISTINCT a.p_partkey AS d1, b.p_partkey AS d2
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.bv = b.bv AND a.p_partkey < b.p_partkey)
+      |SELECT c.d1, c.d2, levenshtein(x.nm, y.nm) AS dist
+      |FROM cand c JOIN p x ON x.p_partkey = c.d1 JOIN p y ON y.p_partkey = c.d2
+      |WHERE levenshtein(x.nm, y.nm) <= 3
+      |ORDER BY d1 NULLS FIRST, d2 NULLS FIRST""".stripMargin
 
   /** Q80 — deterministic (reproducible) corpus sampling: a ~10% sample
     * selected by md5-hash bucket of the document id — the same rows on

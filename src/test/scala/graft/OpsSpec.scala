@@ -283,4 +283,75 @@ class OpsSpec extends SparkSpec {
     assert(!readSchema.contains("content"), s"content read for metadata query: $readSchema")
     assert(meta.count() > 0)
   }
+
+  test("q69 banded-LSH pairs: bucket keys spread the corpus, candidates prune, recall holds") {
+    import graft.queries.LlmOps
+    val e = graft.core.Tables.t(spark, sfDir, "embeddings")
+    val n = e.count()
+    val allPairs = n * (n - 1) / 2
+    // (1) the blocking key must HASH-SPREAD the corpus (the r2 weakness was
+    // a fixed |labels|-cardinality key): most of the 8×16 (band, value)
+    // buckets occupied, no bucket holding more than n/4 rows
+    val w = LlmOps.q69Planes.size / 8
+    val buckets = (0 until 8).flatMap { bnd =>
+      e.select(Similarity.lshBucketRandom($"embedding",
+          LlmOps.q69Planes.slice(bnd * w, (bnd + 1) * w)).as("bv"))
+        .groupBy("bv").count().collect().map(r => (bnd, r.getLong(0), r.getLong(1)))
+    }
+    assert(buckets.size >= 64, s"only ${buckets.size} of 128 (band,value) keys occupied")
+    assert(buckets.map(_._3).max <= n / 4,
+      s"degenerate bucket: ${buckets.map(_._3).max} of $n rows share one key")
+    // (2) candidate generation must PRUNE vs all-pairs (minCos6 = -1 keeps
+    // every candidate, so this counts the raw banded join output)
+    val candidates = Similarity.lshBandedPairs(e, "vec_id", "embedding",
+      LlmOps.q69Planes, bands = 8, minCos6 = -1.0).count()
+    assert(candidates < allPairs * 0.6,
+      s"banded join barely prunes: $candidates of $allPairs pairs are candidates")
+    // (3) declared recall: banded+filtered output vs the brute-force truth
+    // at the same threshold (1-(1-p^4)^8 ≈ 0.76 at cos≈0.45 on this fixture)
+    val withN = e.select($"vec_id", $"embedding", Similarity.norm($"embedding").as("nn"))
+    val brute = withN.select($"vec_id".as("d1"), $"embedding".as("v1"), $"nn".as("n1"))
+      .join(withN.select($"vec_id".as("d2"), $"embedding".as("v2"), $"nn".as("n2")),
+        $"d1" < $"d2")
+      .withColumn("cos6", round(Similarity.dot($"v1", $"v2") / ($"n1" * $"n2"), 6))
+      .filter($"cos6" >= 0.4)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = LlmOps.q69(spark, sfDir)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded.subsetOf(brute), "banded output contains a pair below the threshold")
+    val recall = (brute & banded).size.toDouble / brute.size
+    assert(recall >= 0.5, f"banded recall vs brute force too low: $recall%.3f")
+    assert(brute.nonEmpty, "fixture produced no true pairs — test is vacuous")
+  }
+
+  test("q79 token-band pairs: keys spread, candidates prune, in-band recall is exact") {
+    import graft.queries.LlmOps
+    val p = graft.core.Tables.t(spark, sfDir, "part")
+      .filter($"p_partkey" <= 500)
+      .select($"p_partkey", lower($"p_name").as("nm"))
+    val n = p.count()
+    val allPairs = n * (n - 1) / 2
+    // brute-force truth at the same threshold
+    val brute = p.select($"p_partkey".as("d1"), $"nm".as("n1"))
+      .join(p.select($"p_partkey".as("d2"), $"nm".as("n2")), $"d1" < $"d2")
+      .withColumn("dist", levenshtein($"n1", $"n2")).filter($"dist" <= 3)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = LlmOps.q79(spark, sfDir)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded.subsetOf(brute), "banded output contains a pair above the threshold")
+    val recall = (brute & banded).size.toDouble / brute.size
+    assert(recall >= 0.8, f"token-band recall vs brute force too low: $recall%.3f")
+    assert(banded.size.toLong < allPairs, s"no pruning at all: ${banded.size}")
+    // key spread: the (band, token#lenbucket) keys must distribute the
+    // corpus (the r2 weakness was a fixed 25-value p_brand key) — many
+    // occupied keys, no block holding more than n/4 rows
+    val keys = p.select(explode(array(
+        concat_ws("#", lit(0), split($"nm", " ").getItem(0),
+          (length($"nm") / 4).cast(LongType)),
+        concat_ws("#", lit(1), split($"nm", " ").getItem(1),
+          (length($"nm") / 4).cast(LongType)))).as("key"))
+      .groupBy("key").count().collect().map(_.getLong(1))
+    assert(keys.length >= 20, s"only ${keys.length} token-band keys occupied")
+    assert(keys.max <= n / 4, s"degenerate block: ${keys.max} of $n rows share one key")
+  }
 }

@@ -89,6 +89,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), s"no equi-join:\n$p")
   }
 
+  test("Q69 banded-LSH near-dup join is an equi-join on (band, value) keys (no cartesian)") {
+    val p = plan(LlmOps.q69(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in the banded-LSH pipeline:\n$p")
+  }
+
+  test("Q79 token-band fuzzy join is an equi-join on (band, value) keys (no cartesian)") {
+    val p = plan(LlmOps.q79(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in the token-band pipeline:\n$p")
+  }
+
   test("Q76 pivot is a single aggregate pass (no join, partial agg present)") {
     val p = plan(Reshape.q76(spark, sfDir))
     assert(!p.contains("Join"), s"pivot should not join:\n$p")
