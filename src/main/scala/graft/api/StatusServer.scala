@@ -131,11 +131,30 @@ final class StatusServer(
          |</tbody></table><p><a href="/">&larr; node summary</a></p>""".stripMargin)
   }
 
-  /** Crude single-level JSON-object field extraction (string values). */
-  private def field(body: String, name: String): Option[String] = {
-    val m = ("\"" + name + "\"\\s*:\\s*\"([^\"]*)\"").r
-    m.findFirstMatchIn(body).map(_.group(1))
-  }
+  // Request-body parsing via Jackson (ships with Spark — no extra dep).
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def parseJson(body: String): Option[com.fasterxml.jackson.databind.JsonNode] =
+    try Option(mapper.readTree(body)).filter(_.isObject)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def strField(node: com.fasterxml.jackson.databind.JsonNode,
+      name: String): Option[String] =
+    Option(node.get(name)).filter(n => !n.isNull).map(_.asText)
+
+  /** A nested {"k": "v", ...} object field as a string map (scalar values
+    * stringified) — the shape of method_kwargs / resolver_context /
+    * model_construction_kwargs in the reference submit API
+    * (views/api.py:41-50).
+    */
+  private def mapField(node: com.fasterxml.jackson.databind.JsonNode,
+      name: String): Map[String, String] =
+    Option(node.get(name)).filter(_.isObject).map { o =>
+      val b = Map.newBuilder[String, String]
+      val it = o.fields()
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText }
+      b.result()
+    }.getOrElse(Map.empty)
 
   def start(port: Int = 0): Int = {
     val s = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -159,25 +178,35 @@ final class StatusServer(
         }
       } else if (ex.getRequestMethod == "POST") {
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-        field(body, "model_class") match {
+        parseJson(body) match {
           case None =>
-            respond(ex, 400, """{"error":"model_class is mandatory"}""")
-          case Some(cls) if !registry.isAccepted(cls) =>
-            respond(ex, 412, s"""{"error":${jsonStr(s"class '$cls' not accepted")}}""")
-          case Some(cls) =>
-            val spec = TaskSpec(modelClass = cls,
-              method = field(body, "method").getOrElse("go"))
-            try {
-              runner.submit(spec, blockMillis = 1000): Unit
-              respond(ex, 200,
-                s"""{"task_id":${jsonStr(spec.taskId)},""" +
-                  s""""status_url":${jsonStr(s"/api/0.01/task/${spec.taskId}")}}""")
-            } catch {
-              case _: NoCapacity =>
-                respond(ex, 503, """{"error":"no processing capacity"}""")
-              case e: InvalidTaskSpec => // e.g. unknown method (412 analogue)
-                respond(ex, 412, s"""{"error":${jsonStr(e.getMessage)}}""")
-            }
+            respond(ex, 400, """{"error":"request body is not a JSON object"}""")
+          case Some(doc) => strField(doc, "model_class") match {
+            case None =>
+              respond(ex, 400, """{"error":"model_class is mandatory"}""")
+            case Some(cls) if !registry.isAccepted(cls) =>
+              respond(ex, 412, s"""{"error":${jsonStr(s"class '$cls' not accepted")}}""")
+            case Some(cls) =>
+              // full TaskMessage fidelity (views/api.py:41-50): kwargs and
+              // resolver context ride the spec into method dispatch
+              val spec = TaskSpec(modelClass = cls,
+                method = strField(doc, "method").getOrElse("go"),
+                methodKwargs = mapField(doc, "method_kwargs"),
+                resolverContext = mapField(doc, "resolver_context"),
+                modelConstructionKwargs = mapField(doc, "model_construction_kwargs"),
+                partitionInitialiseKwargs = mapField(doc, "partition_initialise_kwargs"))
+              try {
+                runner.submit(spec, blockMillis = 1000): Unit
+                respond(ex, 200,
+                  s"""{"task_id":${jsonStr(spec.taskId)},""" +
+                    s""""status_url":${jsonStr(s"/api/0.01/task/${spec.taskId}")}}""")
+              } catch {
+                case _: NoCapacity =>
+                  respond(ex, 503, """{"error":"no processing capacity"}""")
+                case e: InvalidTaskSpec => // e.g. unknown method/kwargs (412 analogue)
+                  respond(ex, 412, s"""{"error":${jsonStr(e.getMessage)}}""")
+              }
+          }
         }
       } else respond(ex, 404, """{"error":"not found"}""")
     })

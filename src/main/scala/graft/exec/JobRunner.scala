@@ -58,7 +58,9 @@ final class JobRunner(
 
   /** Synchronous execution (admission already done). */
   private def runAdmitted(spec: TaskSpec): TaskOutcome = {
-    val model = registry.resolve(spec.modelClass)
+    // per-task instance: model_cls(**model_construction_kwargs)
+    // (control/process.py:89) via the registry's factory
+    val model = registry.resolve(spec.modelClass, spec.modelConstructionKwargs)
     val ctx = EngineContext(spark, spec.resolverContext)
     status.markRunning(spec)
     spark.sparkContext.setJobGroup(spec.taskId,
@@ -104,7 +106,7 @@ final class JobRunner(
     * top-level `method` is not dispatched there.
     */
   private def validate(spec: TaskSpec): Unit =
-    registry.resolve(spec.modelClass) match {
+    registry.resolve(spec.modelClass, spec.modelConstructionKwargs) match {
       case _: PartitionedEtlModel => ()
       case m => dispatchable(m, spec): Unit
     }
@@ -131,7 +133,7 @@ final class JobRunner(
         .repartition(math.min(workers, pending.size))
         .mapPartitions { sts =>
           // per-worker init before any subtask (process.py:91-92)
-          if (sts.hasNext) pm.partitionInitialise()
+          if (sts.hasNext) pm.partitionInitialise(spec.partitionInitialiseKwargs)
           sts.map { st =>
             try SubTaskResult(st.method, st.kwargs, ok = true,
               value = pm.runSubTask(st), error = "")

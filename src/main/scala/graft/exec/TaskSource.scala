@@ -60,15 +60,40 @@ abstract class TaskSource {
   * leg of the sidecar contract, with a file-drop protocol standing in for
   * the reference's messaging service. Malformed or rejected drops get a
   * `failed` result file rather than wedging the loop.
+  *
+  * Durable handoff (A17 — the reference ACKs only after governor handoff
+  * and relies on persistent delivery, rabbit_mq/pika_client.py:74-75,
+  * message_exchange.py:123): an accepted drop is RENAMED into
+  * `inflight/`, not deleted, and cleaned up only after its result file is
+  * written. On start, anything still in `inflight/` — submitted by a
+  * previous engine run that died before writing a result — is restored to
+  * the spool and re-submitted (at-least-once redelivery, like an
+  * unacknowledged broker message).
   */
 final class DirectoryTaskSource(spoolDir: Path, pollMillis: Long = 100)
     extends TaskSource {
+  import java.nio.file.StandardCopyOption.REPLACE_EXISTING
   import scala.concurrent.ExecutionContext.Implicits.global
 
   def name: String = s"dir-watch:$spoolDir"
 
+  private def inflightDir: Path = spoolDir.resolve("inflight")
+
   override def runForever(runner: JobRunner): Unit = {
     Files.createDirectories(spoolDir)
+    Files.createDirectories(inflightDir)
+    // crash recovery: restore unacknowledged drops for re-submission
+    val leftovers = {
+      val s = Files.list(inflightDir)
+      try s.iterator().asScala.filter(_.toString.endsWith(".task"))
+        .toSeq.sortBy(_.toString)
+      finally s.close()
+    }
+    leftovers.foreach { p =>
+      graft.tools.EngineLog.log(
+        s"sidecar $name: redelivering inflight drop ${p.getFileName}", "WARNING")
+      Files.move(p, spoolDir.resolve(p.getFileName.toString), REPLACE_EXISTING): Unit
+    }
     graft.tools.EngineLog.log(s"sidecar $name started")
     while (running) {
       val drops = {
@@ -78,7 +103,8 @@ final class DirectoryTaskSource(spoolDir: Path, pollMillis: Long = 100)
         finally s.close()
       }
       drops.foreach(handle(runner, _))
-      Thread.sleep(pollMillis)
+      try Thread.sleep(pollMillis)
+      catch { case _: InterruptedException => return } // engine shutdown
     }
     graft.tools.EngineLog.log(s"sidecar $name stopped")
   }
@@ -96,15 +122,20 @@ final class DirectoryTaskSource(spoolDir: Path, pollMillis: Long = 100)
         method = if (parts.length > 1 && parts(1).nonEmpty) parts(1) else "go")
       submitTask(runner, spec) match {
         case Some(fut) =>
-          Files.delete(f)
-          fut.onComplete {
-            case Success(TaskComplete(rows)) =>
-              writeResult(spec.taskId, "complete", s""","rows":$rows""")
-            case Success(TaskFailed(cls, _, _)) =>
-              writeResult(spec.taskId, "failed", s""","exception_class_name":"$cls"""")
-            case Failure(e) =>
-              writeResult(spec.taskId, "failed",
-                s""","exception_class_name":"${e.getClass.getName}"""")
+          // late-ACK: park the drop in inflight/ until the result lands
+          val parked = inflightDir.resolve(f.getFileName.toString)
+          Files.move(f, parked, REPLACE_EXISTING)
+          fut.onComplete { outcome =>
+            outcome match {
+              case Success(TaskComplete(rows)) =>
+                writeResult(spec.taskId, "complete", s""","rows":$rows""")
+              case Success(TaskFailed(cls, _, _)) =>
+                writeResult(spec.taskId, "failed", s""","exception_class_name":"$cls"""")
+              case Failure(e) =>
+                writeResult(spec.taskId, "failed",
+                  s""","exception_class_name":"${e.getClass.getName}"""")
+            }
+            Files.deleteIfExists(parked): Unit // ACK: result durably beside the drop
           }
         case None => () // governor full this round; file stays, retried next poll
       }

@@ -10,13 +10,19 @@ object Tasks {
 
   /** Unit of submitted work (TaskMessage analogue, control/message.py:
     * 10-19). `method` defaults to "go" = run the whole model
-    * (views/api.py:45).
+    * (views/api.py:45); `modelConstructionKwargs` parameterise the
+    * per-task model instance (control/process.py:89) and
+    * `partitionInitialiseKwargs` the per-worker init hook
+    * (control/process.py:91-92) — both carried on the message like the
+    * reference's TaskMessage (control/message.py:18-19).
     */
   final case class TaskSpec(
       modelClass: String,
       method: String = "go",
       methodKwargs: Map[String, String] = Map.empty,
       resolverContext: Map[String, String] = Map.empty,
+      modelConstructionKwargs: Map[String, String] = Map.empty,
+      partitionInitialiseKwargs: Map[String, String] = Map.empty,
       taskId: String = newTaskId())
 
   sealed trait TaskOutcome

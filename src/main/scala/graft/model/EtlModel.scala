@@ -63,12 +63,14 @@ trait PartitionedEtlModel extends EtlModel {
   def partitionPlea: PartitionOption
 
   /** Per-worker initialisation hook, invoked once on each executor
-    * partition before any of its subtasks run (the reference calls
+    * partition before any of its subtasks run, with the task's
+    * `partition_initialise_kwargs` (the reference calls
     * `model.partition_initialise(**kwargs)` in the isolated process
-    * before method dispatch, control/process.py:91-92) — open
-    * connections, load codecs/dictionaries here.
+    * before method dispatch, control/process.py:91-92; the kwargs ride
+    * the TaskMessage, control/message.py:19) — open connections, load
+    * codecs/dictionaries here.
     */
-  def partitionInitialise(): Unit = ()
+  def partitionInitialise(kwargs: Map[String, String]): Unit = ()
 
   /** Yield the subtask definitions for `n` workers. */
   def partitionSlice(n: Int): Seq[SubTask]

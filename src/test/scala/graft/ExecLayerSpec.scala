@@ -60,19 +60,22 @@ private class Gathering extends PartitionedEtlModel {
     seen.add(r.value): Unit
 }
 
-// partitionInitialise must run on the worker before any of its subtasks
+// partitionInitialise must run on the worker before any of its subtasks,
+// receiving the task's partition_initialise_kwargs (message.py:19)
 private class NeedsInit extends PartitionedEtlModel {
   override def name = "NeedsInit"
   override def partitionPlea: PartitionOption = PartitionOption(1, 4, 4)
   override def partitionSlice(n: Int): Seq[SubTask] =
     (0 until n).map(i => SubTask("go", Map("i" -> i.toString)))
-  @transient private lazy val inited = new ThreadLocal[Boolean] {
-    override def initialValue(): Boolean = false
+  @transient private lazy val inited = new ThreadLocal[String] {
+    override def initialValue(): String = ""
   }
-  override def partitionInitialise(): Unit = inited.set(true)
+  override def partitionInitialise(kwargs: Map[String, String]): Unit =
+    inited.set(kwargs.getOrElse("dict", "missing"))
   override def runSubTask(st: SubTask): String = {
-    if (!inited.get()) throw new IllegalStateException(
-      s"subtask ${st.kwargs("i")} ran before partitionInitialise")
+    if (inited.get() != "en-GB") throw new IllegalStateException(
+      s"subtask ${st.kwargs("i")} ran before partitionInitialise " +
+        s"or without its kwargs (got '${inited.get()}')")
     "ok"
   }
 }
@@ -166,8 +169,38 @@ class ExecLayerSpec extends SparkSpec {
       val st = new StatusRegistry
       (reg2, st, new JobRunner(spark, reg2, st))
     }
-    assert(runner2.runSync(TaskSpec(modelClass = "NeedsInit")) == TaskComplete(4))
+    assert(runner2.runSync(TaskSpec(modelClass = "NeedsInit",
+      partitionInitialiseKwargs = Map("dict" -> "en-GB"))) == TaskComplete(4))
     runner.close(); runner2.close()
+  }
+
+  // a model with per-task constructor state (model_construction_kwargs,
+  // control/process.py:89): row count comes from construction, not method
+  private class SizedModel(rows: Long) extends EtlModel {
+    override def name = "SizedEtl"
+    override def build(ctx: EngineContext): DataFrame =
+      ctx.spark.range(rows).toDF()
+  }
+
+  test("factory registry constructs a differently-configured instance per task (process.py:89)") {
+    val (reg, _, runner) = freshRunner()
+    reg.registerFactory("SizedEtl",
+      kwargs => new SizedModel(kwargs.getOrElse("rows", "1").toLong))
+    val small = runner.runSync(TaskSpec(modelClass = "SizedEtl",
+      modelConstructionKwargs = Map("rows" -> "3")))
+    val large = runner.runSync(TaskSpec(modelClass = "SizedEtl",
+      modelConstructionKwargs = Map("rows" -> "17")))
+    assert(small == TaskComplete(3) && large == TaskComplete(17))
+    runner.close()
+  }
+
+  test("singleton registration rejects construction kwargs instead of dropping them") {
+    val (reg, _, runner) = freshRunner()
+    reg.register(new NothingModel)
+    assertThrows[InvalidTaskSpec](runner.runSync(TaskSpec(
+      modelClass = "NothingEtl",
+      modelConstructionKwargs = Map("unexpected" -> "x"))))
+    runner.close()
   }
 
   private class SlowModel extends EtlModel {
@@ -255,6 +288,30 @@ class ExecLayerSpec extends SparkSpec {
       val badResult = spool.resolve("bad.result.json")
       while (!Files.exists(badResult) && System.nanoTime() < deadline) Thread.sleep(50)
       assert(new String(Files.readAllBytes(badResult)).contains("\"status\":\"failed\""))
+    } finally runner.shutdown()
+  }
+
+  test("spool handoff is durable: inflight drops are redelivered on restart (A17)") {
+    import java.nio.file.{Files, Paths}
+    val (reg, _, runner) = freshRunner()
+    reg.register(new NothingModel)
+    val spool = Paths.get(sys.props("java.io.tmpdir"), s"graft_spool_rec_${System.nanoTime()}")
+    val inflight = spool.resolve("inflight")
+    Files.createDirectories(inflight)
+    // a drop consumed by a previous engine run that died before writing
+    // its result (the crash window the r2 design lost silently)
+    Files.write(inflight.resolve("lost.task"), "NothingEtl:go".getBytes)
+    runner.attachSource(new graft.exec.DirectoryTaskSource(spool, pollMillis = 50))
+    try {
+      val result = spool.resolve("lost.result.json")
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (!Files.exists(result) && System.nanoTime() < deadline) Thread.sleep(50)
+      val body = new String(Files.readAllBytes(result))
+      assert(body.contains("\"status\":\"complete\"") && body.contains("\"rows\":10"), body)
+      // ACK: once the result is durable the inflight copy must be gone
+      while (Files.exists(inflight.resolve("lost.task"))
+        && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(!Files.exists(inflight.resolve("lost.task")), "inflight drop not acked")
     } finally runner.shutdown()
   }
 

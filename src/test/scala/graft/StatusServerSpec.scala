@@ -99,6 +99,46 @@ class StatusServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("POST forwards method_kwargs, resolver_context and construction kwargs into dispatch (views/api.py:41-50)") {
+    val reg = new TaskRegistry
+    val status = new StatusRegistry
+    val runner = new JobRunner(spark, reg, status, maxConcurrentTasks = 2)
+    // rows = base (construction kwarg) + n (method kwarg) × mult (resolver
+    // context) — only the POST body can make the task produce 22 rows
+    reg.registerFactory("KwargEtl", ctor => new EtlModel {
+      override def name = "KwargEtl"
+      private val base = ctor.getOrElse("base", "0").toLong
+      override def build(ctx: EngineContext) = ctx.spark.range(base).toDF()
+      override def methods = Map(
+        "go" -> ((ctx, _) => build(ctx)),
+        "sized" -> ((ctx, kw) => ctx.spark.range(
+          base + kw("n").toLong * ctx.resolve("{mult}").toLong).toDF()))
+    })
+    val server = new StatusServer(runner, reg, status)
+    val port = server.start()
+    try {
+      val (c, b) = post(port, "/api/0.01/task",
+        """{"model_class":"KwargEtl","method":"sized",
+          |"method_kwargs":{"n":"5"},"resolver_context":{"mult":"4"},
+          |"model_construction_kwargs":{"base":"2"}}""".stripMargin)
+      assert(c == 200, b)
+      val id = "\"task_id\":\"([a-f0-9]+)\"".r.findFirstMatchIn(b).get.group(1)
+      var st = ""
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (st != "complete" && st != "failed" && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        st = "\"status\":\"(\\w+)\"".r
+          .findFirstMatchIn(get(port, s"/api/0.01/task/$id")._2).get.group(1)
+      }
+      assert(st == "complete")
+      // 2 + 5×4 = 22 rows, reported on the task detail page
+      val page = get(port, s"/task/$id")._2
+      assert(page.contains("<td>22</td>"), s"kwargs did not reach dispatch:\n$page")
+      // malformed body → 400, not a silent default submit
+      assert(post(port, "/api/0.01/task", "{not json")._1 == 400)
+    } finally { server.stop(); runner.close() }
+  }
+
   test("GraftApp wires config: cpu_task_ratio capacity, models, loggers, sidecar, HTTP") {
     import java.nio.file.{Files, Paths}
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
