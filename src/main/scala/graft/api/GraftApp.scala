@@ -53,10 +53,15 @@ final class GraftApp(spark: SparkSession, config: EngineConfig) {
 
   def httpPort: Option[Int] = port
 
+  @volatile private var prevEcho: Option[Boolean] = None
+
   /** Register classes, attach loggers + sidecars, open the HTTP facade.
     * Returns the bound port.
     */
   def start(): Int = {
+    // capture the process-wide echo flag so stop() can restore it —
+    // silencing engine logging must not outlive this app
+    prevEcho = Some(EngineLog.echoToConsole)
     EngineLog.echoToConsole = config.logToStdout
     config.externalLoggers.foreach { case (n, s) => EngineLog.addSink(n, s) }
     config.acceptedModels.foreach(registry.register)
@@ -73,6 +78,8 @@ final class GraftApp(spark: SparkSession, config: EngineConfig) {
     runner.shutdown()
     runner.close()
     config.externalLoggers.keys.foreach(EngineLog.removeSink)
+    prevEcho.foreach(EngineLog.echoToConsole = _)
+    prevEcho = None
     port = None
   }
 }

@@ -52,8 +52,13 @@ object ScaleJoins {
     */
   def analyzeTable(spark: org.apache.spark.sql.SparkSession, table: String,
                    columns: Seq[String] = Nil): Unit = {
-    spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS"): Unit
+    // backtick-quote identifiers: names that need quoting (or arrive from
+    // an external submitter) must not break or inject into the statement
+    def q(ident: String) = "`" + ident.replace("`", "``") + "`"
+    val qualified = table.split('.').map(q).mkString(".")
+    spark.sql(s"ANALYZE TABLE $qualified COMPUTE STATISTICS"): Unit
     if (columns.nonEmpty)
-      spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR COLUMNS ${columns.mkString(", ")}"): Unit
+      spark.sql(s"ANALYZE TABLE $qualified COMPUTE STATISTICS FOR COLUMNS " +
+        columns.map(q).mkString(", ")): Unit
   }
 }

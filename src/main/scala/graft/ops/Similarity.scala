@@ -199,7 +199,9 @@ object Similarity {
       }
       // the assignment table IS the IVF index: cache + materialize it so
       // every search over it reuses the one build (and the vec cache can
-      // be dropped)
+      // be dropped). The CALLER owns the cache lifecycle: unpersist the
+      // returned frame once the search is done, or the entry lingers for
+      // the session (see q72 for the pattern)
       val assignments = nearestCell(vecs, cent)
         .select(col("__id").as(idCol), col("__cell").as("cell"))
         .persist()

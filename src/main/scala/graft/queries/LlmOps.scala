@@ -343,10 +343,18 @@ object LlmOps {
   def q72(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = t(spark, dir, "embeddings")
-    Similarity.ivfTopKAssigned(e,
-        Similarity.kmeansAssign(e, "vec_id", "embedding", k = 8, iters = 2),
-        "vec_id", "embedding", probeFilter = $"vec_id" < 20, k = 3)
-      .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
+    val index = Similarity.kmeansAssign(e, "vec_id", "embedding", k = 8, iters = 2)
+    try {
+      val out = Similarity.ivfTopKAssigned(e, index, "vec_id", "embedding",
+          probeFilter = $"vec_id" < 20, k = 3)
+        .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
+      // k-bounded result (|probes|·k = 60 rows — driver-size BY DESIGN,
+      // like the centroid localize): materialise it so the cached IVF
+      // index can be released deterministically instead of leaking one
+      // cache entry per invocation
+      val rows = out.collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
+    } finally index.unpersist(): Unit
   }
 
   val q72Sql: String = {

@@ -52,11 +52,15 @@ object ModelQueries {
     val runner = new JobRunner(spark, registry, status, maxConcurrentTasks = 2)
     val model = new RevenuePerNationModel
     registry.register(model)
-    val outBase = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_scratch/q57"
-    val spec = TaskSpec(modelClass = "RevenuePerNation",
+    // task-id-suffixed output: two concurrent sessions on one machine must
+    // not read each other's half-written parquet despite overwrite mode
+    val spec = TaskSpec(modelClass = "RevenuePerNation")
+    val outBase =
+      s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_scratch/q57_${spec.taskId}"
+    val specWithCtx = spec.copy(
       resolverContext = Map("data_dir" -> dir, "output" -> outBase))
     try {
-      runner.runSync(spec) // lifecycle: running → complete in status tables
+      runner.runSync(specWithCtx) // lifecycle: running → complete in status tables
       require(status.status(spec.taskId) == "complete",
         s"model task ended ${status.status(spec.taskId)}")
     } finally runner.close() // don't leave per-query listeners on the session

@@ -121,6 +121,9 @@ object StreamingQueries {
   /** Q49 — watermark + late-data semantics in append mode: only windows
     * whose end is at or before the final watermark (max event time − 10
     * minutes) are emitted; the oracle applies the same closure rule.
+    * Runs through [[StreamOps.run]] — the PRODUCTION default path
+    * (watermark+append into the exactly-once foreachBatch parquet sink),
+    * so the deployment-shape pipeline is itself oracle-gated.
     */
   def q49(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -128,7 +131,7 @@ object StreamingQueries {
       .withWatermark("ts", "10 minutes")
       .groupBy(window($"ts", "5 minutes"))
       .agg(count(lit(1)).as("n"))
-    runToMemory(agg, "q49_sink", "append")
+    StreamOps.run(agg)
       .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("ws"), $"n")
       .orderBy($"ws".asc_nulls_first)
   }
@@ -224,7 +227,7 @@ object StreamingQueries {
     import spark.implicits._
     val base = sys.props.getOrElse("java.io.tmpdir", "/tmp")
     val out = s"$base/graft_scratch/q53_foreach_batch"
-    val result = StreamOps.runForeachBatchParquet(
+    val result = StreamOps.run(
       eventsStream(spark, dir).select($"event_id", $"event_type", $"value"), out)
     result.groupBy($"event_type")
       .agg(count(lit(1)).as("n"),
@@ -292,6 +295,16 @@ object StreamingQueries {
     * arrive — i.e. when the view's 5-minute match window is wholly below
     * the final watermark min(max view_ts, max buy_ts) − 10 min; the
     * oracle applies the same closure rule (the q49 pattern).
+    *
+    * BOUNDARY CONTRACT: the oracle closes a view's join window with
+    * `view_ts + 5 MINUTE <= cut`. Spark derives the state-value watermark
+    * via StreamingJoinHelper with strict-inequality/millisecond
+    * adjustments, so a view whose window end lands EXACTLY on the final
+    * watermark could disagree by one outer row. The events fixture has
+    * microsecond-jittered timestamps, so no `view_ts + 5min` coincides
+    * with `cut` (asserted by StreamingSemanticsSpec's boundary guard);
+    * regenerated fixtures must preserve that property or shift the
+    * interval by 1 ms.
     */
   def q73(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -91,9 +91,12 @@ object StreamOps {
     try body(dir.toString) finally rm(dir.toFile)
   }
 
-  /** Run a streaming frame to completion (AvailableNow) into a memory
-    * sink and return the final result table. `complete` mode for
-    * aggregations replays full state; `append`/`update` for row streams.
+  /** ORACLE/TEST HARNESS: run a streaming frame to completion
+    * (AvailableNow) into a memory sink and return the final result table.
+    * `complete` mode for aggregations replays full state; `append`/
+    * `update` for row streams. Production deployments use [[run]] — the
+    * watermark+append foreachBatch path — not a driver-resident memory
+    * sink.
     *
     * `finalWatermarkBatch=false` skips the trailing no-data micro-batch:
     * complete/update-mode queries and streaming dedups emit everything on
@@ -189,9 +192,33 @@ object StreamOps {
     }
   }
 
-  /** Run a streaming frame through foreachBatch into a parquet dir (the
-    * arbitrary-sink hook — reference's on_completion_callback analogue,
-    * governor.py:309), then read the result back.
+  /** PRODUCTION-DEFAULT entry point for running a streaming frame:
+    * watermark-driven APPEND emission through the exactly-once
+    * [[idempotentBatchWriter]] parquet sink (the arbitrary-sink hook —
+    * reference's on_completion_callback analogue, governor.py:309), with
+    * streaming-tuned shuffle partitioning; returns the sink read back.
+    *
+    * This — not [[runToMemory]] — is how a deployment should run these
+    * queries: `complete`-into-memory replays the FULL state every
+    * micro-batch and materialises the whole result on the driver, which
+    * is an oracle/test harness shape only. With no `outDir` a unique
+    * scratch dir is created per call, so concurrent sessions never race
+    * on a shared path.
+    */
+  def run(df: DataFrame, outDir: String = ""): DataFrame = {
+    val target =
+      if (outDir.nonEmpty) outDir
+      else java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp")),
+        "graft_stream_out").toString
+    withStreamingPartitions(df.sparkSession) {
+      runForeachBatchParquet(df, target)
+    }
+  }
+
+  /** Run a streaming frame through foreachBatch into a parquet dir, then
+    * read the result back. Prefer [[run]], which adds streaming shuffle
+    * tuning and a race-free default output location.
     */
   def runForeachBatchParquet(df: DataFrame, outDir: String): DataFrame = {
     val spark = df.sparkSession

@@ -159,4 +159,23 @@ class StreamingSemanticsSpec extends SparkSpec {
     // rows 1-3 must NOT be reprocessed; 4-5 appended exactly once
     assert(all == Seq(1L, 2L, 3L, 4L, 5L), s"got $all")
   }
+
+  test("q73 fixture guard: no view window end coincides with the final watermark") {
+    // The q73 oracle closes windows with `view_ts + 5min <= cut`; Spark's
+    // symmetric hash join evicts with strict-inequality/ms adjustments
+    // (StreamingJoinHelper), so exact coincidence could flip one outer
+    // row. Pin the fixture property the oracle's boundary rule relies on.
+    val e = graft.core.Tables.t(spark, sfDir, "events")
+    val cutRow = e.agg(
+      least(
+        max(when($"event_type" === "view", $"ts")),
+        max(when($"event_type" === "purchase", $"ts"))).as("m")).collect()(0)
+    val cut = cutRow.getTimestamp(0).toInstant.minusSeconds(600)
+    val coincident = e.filter($"event_type" === "view")
+      .filter($"ts" + expr("INTERVAL 5 MINUTES") === lit(java.sql.Timestamp.from(cut)))
+      .count()
+    assert(coincident == 0,
+      s"$coincident view(s) close exactly on the watermark — q73's oracle " +
+        "boundary rule is ambiguous for them; jitter the fixture or shift the interval")
+  }
 }
