@@ -129,21 +129,43 @@ object LlmOps {
        |GROUP BY t.tok
        |ORDER BY cnt DESC NULLS LAST, token ASC NULLS FIRST LIMIT 100""".stripMargin
 
-  /** Q63 — multimodal binary columns: binaryFile scan + partition-wise
-    * stubbed decode ([[graft.sources.Multimodal]]). No DuckDB oracle
-    * (binary fixtures/codecs absent) → driver rows>0 smoke; the ScalaTest
-    * spec checks schema, batching and determinism.
+  /** Q63 — multimodal binary columns: binaryFile scan over the
+    * deterministic fixture corpus ([[Multimodal.ensureFixtures]]) +
+    * partition-wise stubbed decode, emitting per-asset metadata and an
+    * md5 CONTENT CHECKSUM. Oracle-gated for real (r2 stretch item): the
+    * fixture bytes follow a reproducible ASCII rule, so DuckDB recomputes
+    * size/kind/stub-dimensions/md5 via `read_blob` — only the
+    * pseudo-feature vector stays Spark-side (its determinism and
+    * batching are OpsSpec-tested). The decode step itself remains a
+    * clearly-marked stub (no codecs in this environment).
     */
   def q63(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val bin = Multimodal.readBinary(spark, s"$dir/*.parquet")
-    Multimodal.extractFeatures(bin).toDF()
+    val fix = Multimodal.ensureFixtures()
+    val bin = Multimodal.readBinary(spark, s"$fix/*")
+    val feats = Multimodal.extractFeatures(bin).toDF()
+    val hashes = bin.select($"path", md5($"content").as("h"))
+    feats.join(hashes, "path")
       .select(
         regexp_extract($"path", "([^/]+)$", 1).as("fname"),
-        $"nBytes", $"kind", $"width", $"height",
-        round(element_at($"features", 1), 3).as("f0"))
+        $"nBytes".as("n_bytes"), $"kind",
+        $"width".cast(LongType).as("width"),
+        $"height".cast(LongType).as("height"),
+        $"h")
       .orderBy($"fname".asc_nulls_first)
   }
+
+  val q63Sql: String =
+    s"""SELECT regexp_extract(filename, '([^/]+)$$', 1) AS fname,
+       |  size AS n_bytes,
+       |  CASE WHEN filename LIKE '%.png' THEN 'image'
+       |       WHEN filename LIKE '%.wav' THEN 'audio'
+       |       ELSE 'other' END AS kind,
+       |  greatest(1, size % 1920) AS width,
+       |  greatest(1, size % 1080) AS height,
+       |  md5(decode(content)) AS h
+       |FROM read_blob('${Multimodal.fixturesPath}/*')
+       |ORDER BY fname NULLS FIRST""".stripMargin
 
   /** Q64 — language-ID heuristic (stopword argmax; [[TextOps.langId]]). */
   def q64(spark: SparkSession, dir: String): DataFrame = {
@@ -580,6 +602,7 @@ object LlmOps {
     "q60_jaccard_pairs" -> q60Sql,
     "q61_cosine_topk" -> q61Sql,
     "q62_token_freq" -> q62Sql,
+    "q63_multimodal_binary" -> q63Sql,
     "q64_langid" -> q64Sql,
     "q65_quality_score" -> q65Sql,
     "q66_token_count" -> q66Sql,

@@ -34,6 +34,43 @@ object Multimodal {
   def readBinary(spark: SparkSession, glob: String): DataFrame =
     spark.read.format("binaryFile").load(glob)
 
+  /** Fixed machine-local location of the deterministic binary fixture
+    * corpus (versioned — bump when the generation rule changes).
+    */
+  val fixturesPath: String =
+    new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_mm_fixtures_v1").getPath
+
+  /** Generate the q63 oracle corpus: 12 small files with DETERMINISTIC
+    * printable-ASCII byte patterns (byte j of file i = (i·7 + j·13) % 64
+    * + 48) and mixed media extensions. No codecs involved — the content
+    * rule is reproducible by any engine, so metadata + md5 checksums are
+    * DuckDB-checkable (`read_blob`). Files are written once,
+    * write-if-missing with atomic rename, so concurrent sessions never
+    * observe partial files and re-runs are free.
+    */
+  def ensureFixtures(): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Paths.get(fixturesPath)
+    Files.createDirectories(dir)
+    for (i <- 0 until 12) {
+      val ext = i % 3 match { case 0 => "png"; case 1 => "wav"; case _ => "dat" }
+      val target = dir.resolve(f"asset_$i%02d.$ext")
+      if (!Files.exists(target)) {
+        val n = 101 + 137 * i
+        val bytes = Array.tabulate[Byte](n)(j => ((i * 7 + j * 13) % 64 + 48).toByte)
+        val tmp = Files.createTempFile(dir, ".asset", ".tmp")
+        Files.write(tmp, bytes)
+        try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+        catch { // another session committed first — identical bytes, keep theirs
+          case _: java.nio.file.FileAlreadyExistsException =>
+            Files.deleteIfExists(tmp): Unit
+        }
+      }
+    }
+    fixturesPath
+  }
+
   private def kindOf(path: String): String = {
     val p = path.toLowerCase
     if (p.endsWith(".png") || p.endsWith(".jpg") || p.endsWith(".jpeg")) "image"
