@@ -41,6 +41,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // benchmark outputs are report-sized by contract → single-partition
+      // final sort instead of a range exchange + its sampling job
+      .config("spark.graft.smallResultSort", "true")
+      .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

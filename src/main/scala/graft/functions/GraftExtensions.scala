@@ -35,5 +35,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         WordShingles(args.head, n)
       }))
+    // report-sized root-sort strategy (conf-gated, default off)
+    ext.injectOptimizerRule(_ => graft.plans.SmallResultSort())
   }
 }

@@ -107,6 +107,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), s"no map-side partial agg in pivot:\n$p")
   }
 
+  test("smallResultSort rewrites the root ORDER BY to a 1-partition sort (no sampling job)") {
+    val key = "spark.graft.smallResultSort"
+    val df = Aggregates.q20(spark, sfDir)
+    val before = plan(df)
+    assert(before.contains("rangepartitioning"),
+      s"flag-off plan should range-partition the final sort:\n$before")
+    spark.conf.set(key, "true")
+    try {
+      val df2 = Aggregates.q20(spark, sfDir)
+      val after = plan(df2)
+      assert(!after.contains("rangepartitioning"),
+        s"flag-on plan still range-partitions (sampling job not cut):\n$after")
+      assert(after.contains("SinglePartition"),
+        s"expected a single-partition exchange for the final sort:\n$after")
+      // identical rows in identical order — the determinism contract holds
+      val a = df.collect().map(_.toString).toSeq
+      val b = df2.collect().map(_.toString).toSeq
+      assert(a == b, "optimized sort changed the result")
+    } finally spark.conf.unset(key)
+  }
+
   test("Q23 approx distinct is within 5% of exact at sf0.001") {
     import org.apache.spark.sql.functions._
     val approx = Aggregates.q23(spark, sfDir).collect()
