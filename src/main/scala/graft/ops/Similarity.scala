@@ -176,7 +176,17 @@ object Similarity {
     * DuckDB oracle (same unrolled iterations) argmins identically.
     */
   def kmeansAssign(corpus: DataFrame, idCol: String, vecCol: String,
-                   k: Int, iters: Int): DataFrame = {
+                   k: Int, iters: Int): DataFrame =
+    kmeansFit(corpus, idCol, vecCol, k, iters)._1
+
+  /** [[kmeansAssign]] + the final centroid table `(cell, __centroid)` —
+    * needed by multi-probe IVF search, where a probe ranks CELLS by
+    * centroid distance before scanning them. Same caller-owned cache
+    * contract as kmeansAssign (unpersist the assignments when done);
+    * the centroid frame is a k-row local relation.
+    */
+  def kmeansFit(corpus: DataFrame, idCol: String, vecCol: String,
+                k: Int, iters: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.{DecimalType, LongType}
     val vecs = corpus.select(col(idCol).as("__id"), toDouble(col(vecCol)).as("__vec"))
@@ -206,7 +216,7 @@ object Similarity {
         .select(col("__id").as(idCol), col("__cell").as("cell"))
         .persist()
       assignments.count(): Unit
-      assignments
+      (assignments, cent)
     } finally vecs.unpersist(): Unit
   }
 
@@ -260,6 +270,42 @@ object Similarity {
         partition = Seq(col("probe_id")),
         order = Seq(col("cos6").desc, col("cand_id").asc))
       .select(col("probe_id"), col("cell"), col("cand_id"), col("cos6"), col("rn"))
+  }
+
+  /** Multi-probe IVF search: each probe ranks all k cells by (rounded)
+    * squared L2 to the centroid and scans the `nprobe` nearest — the
+    * standard IVF recall knob (nprobe=1 is [[ivfTopKAssigned]]; larger
+    * nprobe trades candidate-scan cost for recall; nprobe=k is exact).
+    * `centroids` is the k-row frame from [[kmeansFit]] → the cell ranking
+    * is a broadcast map-side cross of k rows per probe, and the candidate
+    * scan stays an equi-join on `cell`.
+    */
+  def ivfTopKProbed(corpus: DataFrame, assignments: DataFrame,
+                    centroids: DataFrame, idCol: String, vecCol: String,
+                    probeFilter: Column, k: Int, nprobe: Int): DataFrame = {
+    val probes = corpus.filter(probeFilter)
+      .select(col(idCol).as("probe_id"), toDouble(col(vecCol)).as("__pv"),
+        norm(col(vecCol)).as("__pn"))
+    val scoredCells = probes.join(broadcast(centroids))
+      .withColumn("__d2",
+        round(dot(col("__pv"), col("__pv"))
+          - lit(2.0) * dot(col("__pv"), col("__centroid"))
+          + dot(col("__centroid"), col("__centroid")), 6))
+    val probeCells = TopK.perGroup(scoredCells, nprobe,
+        partition = Seq(col("probe_id")),
+        order = Seq(col("__d2").asc, col("__cell").asc))
+      .select(col("probe_id"), col("__pv"), col("__pn"), col("__cell").as("cell"))
+    val cands = corpus.join(assignments, Seq(idCol))
+      .select(col(idCol).as("cand_id"), col(vecCol).as("__cv"),
+        norm(col(vecCol)).as("__cn"), col("cell"))
+    val scored = probeCells.join(cands, Seq("cell"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("cos6",
+        round(dot(col("__pv"), col("__cv")) / (col("__pn") * col("__cn")), 6))
+    TopK.perGroup(scored, k,
+        partition = Seq(col("probe_id")),
+        order = Seq(col("cos6").desc, col("cand_id").asc))
+      .select(col("probe_id"), col("cand_id"), col("cos6"), col("rn"))
   }
 
   /** IVF search (nprobe=1) with per-`cellCol`-mean centroids (labelled

@@ -379,7 +379,12 @@ object LlmOps {
     } finally index.unpersist(): Unit
   }
 
-  val q72Sql: String = {
+  /** Shared oracle CTE block: the unrolled deterministic k-means (2
+    * Lloyd's rounds + final assignment) ending in `avx(vec_id, cell, v,
+    * nrm)` and the final centroids `cent2(cell, centroid)` — used by both
+    * the nprobe=1 (q72) and nprobe=2 (q82) IVF oracles.
+    */
+  private val kmeansOracleCtes: String = {
     // one Lloyd's round: argmin against centN → recompute exact-decimal
     // per-dim means as centN+1 (same expression tree as kmeansAssign)
     def round_(n: Int, prevCent: String): String =
@@ -421,7 +426,11 @@ object LlmOps {
        |    FROM scored3) WHERE arn = 1),
        |avx AS (
        |  SELECT a.vec_id, a.cell, v.v, SQRT(list_dot_product(v.v, v.v)) AS nrm
-       |  FROM assign3 a JOIN vecs v ON a.vec_id = v.vec_id),
+       |  FROM assign3 a JOIN vecs v ON a.vec_id = v.vec_id)""".stripMargin
+  }
+
+  val q72Sql: String =
+    s"""$kmeansOracleCtes,
        |pairs AS (
        |  SELECT p.vec_id AS probe_id, p.cell AS cell, c.vec_id AS cand_id,
        |    ROUND(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 6) AS cos6
@@ -432,7 +441,52 @@ object LlmOps {
        |  FROM pairs)
        |SELECT probe_id, cell, cand_id, cos6, rn FROM ranked WHERE rn <= 3
        |ORDER BY probe_id NULLS FIRST, rn NULLS FIRST""".stripMargin
+
+  /** Q82 — multi-probe IVF (nprobe=2): each probe ranks the 8 k-means
+    * cells by rounded centroid distance and scans the two nearest — the
+    * standard IVF recall knob over the same deterministic index as q72
+    * ([[Similarity.ivfTopKProbed]]). The oracle unrolls the identical
+    * k-means and ranks cells with the same 6dp/cell-ascending rule.
+    */
+  def q82(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = t(spark, dir, "embeddings")
+    val (assignments, centroids) =
+      Similarity.kmeansFit(e, "vec_id", "embedding", k = 8, iters = 2)
+    try {
+      val out = Similarity.ivfTopKProbed(e, assignments, centroids,
+          "vec_id", "embedding", probeFilter = $"vec_id" < 20, k = 3, nprobe = 2)
+        .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
+      // k-bounded result; materialise so the cached index can be released
+      // (same lifecycle pattern as q72)
+      val rows = out.collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
+    } finally assignments.unpersist(): Unit
   }
+
+  val q82Sql: String =
+    s"""$kmeansOracleCtes,
+       |pcell AS (
+       |  SELECT vec_id AS probe_id, cell FROM (
+       |    SELECT v.vec_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+       |        ROUND(list_dot_product(v.v, v.v) - 2.0 * list_dot_product(v.v, c.centroid)
+       |              + list_dot_product(c.centroid, c.centroid), 6) ASC, c.cell ASC) AS crn
+       |    FROM vecs v CROSS JOIN cent2 c WHERE v.vec_id < 20)
+       |  WHERE crn <= 2),
+       |pairs AS (
+       |  SELECT p.probe_id, c.vec_id AS cand_id,
+       |    ROUND(list_dot_product(pv.v, c.v) / (pv.nrm * c.nrm), 6) AS cos6
+       |  FROM pcell p
+       |  JOIN avx c ON c.cell = p.cell
+       |  JOIN avx pv ON pv.vec_id = p.probe_id
+       |  WHERE c.vec_id <> p.probe_id),
+       |ranked AS (
+       |  SELECT probe_id, cand_id, cos6,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos6 DESC, cand_id ASC) AS rn
+       |  FROM pairs)
+       |SELECT probe_id, cand_id, cos6, rn FROM ranked WHERE rn <= 3
+       |ORDER BY probe_id NULLS FIRST, rn NULLS FIRST""".stripMargin
 
   /** Q75 — rolling-hash document fingerprinting
     * ([[TextOps.rollingFingerprint]]): Rabin–Karp 3-token windows, bottom-4
@@ -594,7 +648,8 @@ object LlmOps {
     "q79_fuzzy_pairs" -> (q79 _),
     "q80_hash_sample" -> (q80 _),
     "q81_simhash_neardup" -> (q81 _),
-    "q72_ann_ivf" -> (q72 _))
+    "q72_ann_ivf" -> (q72 _),
+    "q82_ann_ivf_nprobe" -> (q82 _))
 
   def oracles: Map[String, String] = Map(
     "q58_exact_dedup" -> q58Sql,
@@ -613,5 +668,6 @@ object LlmOps {
     "q75_rolling_fingerprint" -> q75Sql,
     "q79_fuzzy_pairs" -> q79Sql,
     "q80_hash_sample" -> q80Sql,
-    "q81_simhash_neardup" -> q81Sql)
+    "q81_simhash_neardup" -> q81Sql,
+    "q82_ann_ivf_nprobe" -> q82Sql)
 }

@@ -284,6 +284,26 @@ class OpsSpec extends SparkSpec {
     assert(meta.count() > 0)
   }
 
+  test("multi-probe IVF: nprobe=2 recall vs brute force is >= nprobe=1 (the recall knob)") {
+    val e = graft.core.Tables.t(spark, sfDir, "embeddings")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(
+      e.filter($"vec_id" < 20), e, "vec_id", "embedding", k = 3))
+    val (assign, cent) = Similarity.kmeansFit(e, "vec_id", "embedding", k = 8, iters = 2)
+    try {
+      val r1 = pairs(Similarity.ivfTopKAssigned(e, assign, "vec_id", "embedding",
+        $"vec_id" < 20, k = 3))
+      val r2 = pairs(Similarity.ivfTopKProbed(e, assign, cent, "vec_id", "embedding",
+        $"vec_id" < 20, k = 3, nprobe = 2))
+      val (rec1, rec2) = ((brute & r1).size.toDouble / brute.size,
+        (brute & r2).size.toDouble / brute.size)
+      assert(rec2 >= rec1, f"nprobe=2 recall $rec2%.3f < nprobe=1 $rec1%.3f")
+      assert(rec2 > 0.0 && brute.nonEmpty)
+    } finally assign.unpersist(): Unit
+  }
+
   test("q69 banded-LSH pairs: bucket keys spread the corpus, candidates prune, recall holds") {
     import graft.queries.LlmOps
     val e = graft.core.Tables.t(spark, sfDir, "embeddings")
