@@ -631,6 +631,62 @@ object LlmOps {
       |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 100 < 10
       |ORDER BY doc_id NULLS FIRST""".stripMargin
 
+  /** Q83 — the COMPOSED corpus-prep pipeline, end to end in one declared
+    * plan: language gate (q64's langId) → quality gate (q65's score) →
+    * exact dedup keeping the lowest doc_id (q58) → deterministic 50%
+    * md5-bucket sample (q80). This is the shape a training-data pipeline
+    * actually runs; each stage fuses into the same scan/agg plan instead
+    * of materialising intermediates, and the whole composition is
+    * hash-compared against a CTE-for-CTE DuckDB mirror.
+    */
+  def q83(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = t(spark, dir, "documents")
+      .select($"doc_id",
+        size(TextOps.tokens($"text")).as("n_tok"),
+        TextOps.langId($"text").as("lang"),
+        TextOps.qualityScore($"text").as("score"),
+        md5(lower(trim($"text"))).as("h"))
+      .filter($"lang" === "en" && $"score" >= -0.15)
+    val keepers = scored.groupBy($"h").agg(min($"doc_id").as("doc_id"))
+    scored.join(keepers, Seq("h", "doc_id"))
+      .filter(pmod(TextOps.hash32($"doc_id".cast(StringType)), lit(100)) < 50)
+      .select($"doc_id", $"n_tok", $"lang", $"score")
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  val q83Sql: String =
+    s"""$tokCte,
+       |hits AS (
+       |  SELECT doc_id,
+       |    len(list_filter(toks, x -> list_contains(['the','a','of','and','is'], x))) AS en,
+       |    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS de,
+       |    len(list_filter(toks, x -> list_contains(['le','la','et','les','des'], x))) AS fr,
+       |    len(list_filter(toks, x -> list_contains(['el','los','las','y','es'], x))) AS es
+       |  FROM tok),
+       |lang AS (
+       |  SELECT doc_id,
+       |    CASE WHEN en + de + fr + es = 0 THEN 'und'
+       |         WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+       |         WHEN de >= fr AND de >= es THEN 'de'
+       |         WHEN fr >= es THEN 'fr'
+       |         ELSE 'es' END AS lang
+       |  FROM hits),
+       |scored AS (
+       |  SELECT d.doc_id, len(t.toks) AS n_tok, l.lang,
+       |    ROUND(CAST(len(list_filter(t.toks, x -> list_contains(['the','a','of','and','is'], x))) AS DOUBLE) / greatest(len(t.toks), 1)
+       |      - 0.5 * (CAST(length(lower(d.text)) - length(regexp_replace(lower(d.text), '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(lower(d.text)))
+       |      + CAST(least(len(t.toks), 100) AS DOUBLE) / 200.0, 6) AS score,
+       |    md5(lower(trim(d.text))) AS h
+       |  FROM documents d JOIN tok t ON d.doc_id = t.doc_id
+       |  JOIN lang l ON d.doc_id = l.doc_id),
+       |kept AS (SELECT * FROM scored WHERE lang = 'en' AND score >= -0.15),
+       |keepers AS (SELECT h, MIN(doc_id) AS doc_id FROM kept GROUP BY h)
+       |SELECT k.doc_id, k.n_tok, k.lang, k.score
+       |FROM kept k JOIN keepers d ON k.h = d.h AND k.doc_id = d.doc_id
+       |WHERE CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)),1,8)) AS BIGINT) % 100 < 50
+       |ORDER BY k.doc_id NULLS FIRST""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_exact_dedup" -> (q58 _),
     "q59_minhash_lsh" -> (q59 _),
@@ -649,7 +705,8 @@ object LlmOps {
     "q80_hash_sample" -> (q80 _),
     "q81_simhash_neardup" -> (q81 _),
     "q72_ann_ivf" -> (q72 _),
-    "q82_ann_ivf_nprobe" -> (q82 _))
+    "q82_ann_ivf_nprobe" -> (q82 _),
+    "q83_corpus_pipeline" -> (q83 _))
 
   def oracles: Map[String, String] = Map(
     "q58_exact_dedup" -> q58Sql,
@@ -669,5 +726,6 @@ object LlmOps {
     "q79_fuzzy_pairs" -> q79Sql,
     "q80_hash_sample" -> q80Sql,
     "q81_simhash_neardup" -> q81Sql,
-    "q82_ann_ivf_nprobe" -> q82Sql)
+    "q82_ann_ivf_nprobe" -> q82Sql,
+    "q83_corpus_pipeline" -> q83Sql)
 }
