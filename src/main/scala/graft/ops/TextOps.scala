@@ -14,9 +14,12 @@ import org.apache.spark.sql.types._
   */
 object TextOps {
 
-  /** Lowercased alnum word tokens (order-preserving, may repeat). */
-  def tokens(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+  /** Lowercased alnum word tokens (order-preserving, may repeat) — the
+    * native single-pass expression [[graft.functions.Tokens]]; identical
+    * output to `filter(split(lower(text), "[^a-z0-9]+"), _ =!= "")`, but
+    * without that HOF's interpreted per-element lambda in the hot loop.
+    */
+  def tokens(text: Column): Column = graft.functions.Tokens.tokens(text)
 
   /** Distinct token set. */
   def tokenSet(text: Column): Column = array_distinct(tokens(text))
