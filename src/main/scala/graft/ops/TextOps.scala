@@ -63,9 +63,12 @@ object TextOps {
     "fr" -> Seq("le", "la", "et", "les", "des"),
     "es" -> Seq("el", "los", "las", "y", "es"))
 
-  /** Stopword-hit count for one language list. */
+  /** Stopword-hit count for one language list (multiplicity-preserving;
+    * native [[graft.functions.CountInList]] — no per-token interpreted
+    * lambda).
+    */
   def stopwordHits(toks: Column, lang: String): Column =
-    size(filter(toks, t => t.isInCollection(stopwords(lang))))
+    graft.functions.CountInList.countIn(toks, stopwords(lang))
 
   /** n-gram-heuristic language ID: argmax of per-language stopword hits
     * with a fixed priority order (en > de > fr > es), "und" when no list
