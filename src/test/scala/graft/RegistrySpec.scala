@@ -37,4 +37,15 @@ class RegistrySpec extends SparkSpec {
   test("entry() returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("bench stdout line fits the driver's ~2KB tail capture at worst-case widths") {
+    // r2's round artifact was lost because the per-query JSON line outgrew
+    // the capture window; Bench now emits short keys + 3dp, and this guard
+    // fails the build before a future query addition regrows the line.
+    val worst = SparkEntry.queries.keys.toSeq.sorted
+      .map(k => "\"" + k.takeWhile(_ != '_') + "\":999.999")
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total_warm_sec","value":99999.999,"unit":"sec","queries":$worst,"n_queries":999,"n_failed":999,"sf":"/root/testdata/sf0.1","stat":"median_of_3","detail":"BENCH_DETAIL.json"}"""
+    assert(line.length < 1900, s"bench line would be ${line.length}B — shrink keys or precision")
+  }
 }
