@@ -31,23 +31,24 @@ object MinHashDedup {
 
   val prime = 4294967311L // smallest prime > 2^32
 
-  /** Per-doc MinHash signature columns h0..h{k-1} from a docs frame.
+  /** Per-doc MinHash signature columns h0..h{k-1} from a docs frame —
+    * ONE map-only pass via the native [[graft.functions.MinHashSig]]
+    * expression (no shingle explode, no shuffle; min over the shingle
+    * multiset equals min over the distinct set, so the result is
+    * identical to the former explode→distinct→hash-agg build). Docs with
+    * fewer than `shingleN` tokens yield NULL and drop out, matching the
+    * oracle's UNNEST semantics.
     *
     * @param docs  input with `idCol` and `textCol`
     * @param shingleN word-n-gram size
     */
   def signatures(docs: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 3): DataFrame = {
-    // explode (not explode_outer): docs with fewer than n tokens have no
-    // shingles and drop out, matching the oracle's UNNEST semantics.
-    val exploded = docs
-      .select(col(idCol), explode(TextOps.shingles(col(textCol), shingleN)).as("__sh"))
-      .distinct()
-      .withColumn("__x", TextOps.hash32(col("__sh")))
-    val aggs = coeffs.zipWithIndex.map { case ((a, b), i) =>
-      min((col("__x") * a + b) % prime).as(s"h$i")
-    }
-    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val sig = graft.functions.MinHashSig.sig(col(textCol), shingleN, coeffs, prime)
+    docs.select(col(idCol), sig.as("__sig"))
+      .filter(col("__sig").isNotNull)
+      .select(col(idCol) +:
+        coeffs.indices.map(i => element_at(col("__sig"), i + 1).as(s"h$i")): _*)
   }
 
   /** Candidate near-duplicate pairs (d1 < d2) via banded LSH self-join. */
