@@ -127,25 +127,14 @@ object TextOps {
     */
   def rollingFingerprint(docs: org.apache.spark.sql.DataFrame, idCol: String,
                          textCol: String, k: Int = 3, bottom: Int = 4): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(k >= 1 && bottom >= 1)
-    val B = 257L
-    val M = 2147483647L // 2^31 - 1
-    val id = col(idCol)
-    val toks = docs.select(id, posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")))
-      .withColumn("__h", hash32(col("__tok")))
-    val w = Window.partitionBy(id).orderBy(col("__pos"))
-    // r = Σ_{j<k} h_{i+j} · B^(k-1-j)  (mod M); max term < 2^32·257^(k-1)
-    val rolled = (0 until k).map { j =>
-      lead(col("__h"), j).over(w) * math.pow(B.toDouble, (k - 1 - j).toDouble).toLong
-    }.reduce(_ + _)
-    toks.withColumn("__last", lead(col("__h"), k - 1).over(w))
-      .withColumn("__r", pmod(rolled, lit(M)))
-      .filter(col("__last").isNotNull) // full windows only
-      .groupBy(id)
-      .agg(count(lit(1)).as("n_windows"),
-        array_join(transform(slice(sort_array(collect_list(col("__r"))), 1, bottom),
-          _.cast(StringType)), ",").as("fp"))
+    // one map-only pass via the native expression (no per-token explode,
+    // no per-doc window shuffle/sort — the sketch is a per-doc quantity)
+    docs.select(col(idCol),
+        graft.functions.RollingFp.fp(col(textCol), k, bottom).as("__r"))
+      .filter(col("__r").isNotNull) // docs with < k tokens have no windows
+      .select(col(idCol), col("__r.n_windows").as("n_windows"),
+        col("__r.fp").as("fp"))
   }
 
   /** SimHash near-duplicate PAIRS — the banded-fingerprint join that
