@@ -102,19 +102,14 @@ object TextOps {
     * texts (high token overlap) land within small Hamming distance.
     * Pure integer arithmetic → engine-portable.
     *
-    * Scalar form for composability; hashes each token once per bit (16
-    * md5s/token) — use [[simhashTable]] for whole-table fingerprinting.
+    * Scalar form for composability — the same native
+    * [[graft.functions.SimHashFp]] pass as [[simhashTable]] (1 md5 per
+    * token; the former HOF fold hashed each token once PER BIT), with
+    * tokenless text mapping to fingerprint 0 (the empty fold's value)
+    * rather than the table form's dropped row.
     */
-  def simhash16(text: Column): Column = {
-    val toks = tokenSet(text)
-    val bitSums = (0 until 16).map { i =>
-      aggregate(toks, lit(0L), (acc, t) =>
-        acc + when(shiftright(hash32(t), i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-    }
-    bitSums.zipWithIndex.map { case (s, i) =>
-      when(s > 0, lit(1L << i)).otherwise(0L)
-    }.reduce(_ + _)
-  }
+  def simhash16(text: Column): Column =
+    coalesce(graft.functions.SimHashFp.fp(text, 16), lit(0L))
 
   /** Rabin–Karp rolling-hash fingerprint sketch (winnowing-style): hash
     * each ordered token once, slide a `k`-token polynomial rolling hash

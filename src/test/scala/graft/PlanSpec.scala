@@ -101,6 +101,13 @@ class PlanSpec extends SparkSpec {
       s"all-pairs join in the token-band pipeline:\n$p")
   }
 
+  test("Q83 composed pipeline fuses: map-only gates, partial dedup agg, no cartesian") {
+    val p = plan(LlmOps.q83(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"composed pipeline fell back to all-pairs:\n$p")
+    assert(p.contains("partial_"), s"dedup agg lost its map-side partial:\n$p")
+  }
+
   test("Q76 pivot is a single aggregate pass (no join, partial agg present)") {
     val p = plan(Reshape.q76(spark, sfDir))
     assert(!p.contains("Join"), s"pivot should not join:\n$p")
