@@ -12,13 +12,17 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  /** Apply the engine's settings to any builder. */
+  /** Apply the engine's settings to any builder — including the engine's
+    * SparkSessionExtensions (custom SQL functions + the SmallResultSort
+    * rule), so cluster sessions get the same surface as [[local]].
+    */
   def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
     b.config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .withExtensions(new graft.functions.GraftExtensions)
 
   /** Local session: `local[cores]` with shuffle partitions = cores. */
   def local(cores: Int = math.min(32, Runtime.getRuntime.availableProcessors()),
@@ -27,7 +31,6 @@ object GraftSession {
       .master(s"local[$cores]")
       .appName(appName)
       .config("spark.ui.enabled", ui.toString)
-      .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
