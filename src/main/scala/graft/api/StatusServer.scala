@@ -142,17 +142,33 @@ final class StatusServer(
       name: String): Option[String] =
     Option(node.get(name)).filter(n => !n.isNull).map(_.asText)
 
+  /** Structurally invalid request body — surfaces as a 400 (the
+    * reference's submit path would TypeError on the same shape).
+    */
+  private final class BadRequest(msg: String) extends RuntimeException(msg)
+
   /** A nested {"k": "v", ...} object field as a string map (scalar values
     * stringified) — the shape of method_kwargs / resolver_context /
     * model_construction_kwargs in the reference submit API
-    * (views/api.py:41-50).
+    * (views/api.py:41-50). Non-object fields and nested object/array
+    * values are REJECTED (BadRequest → 400), never silently emptied:
+    * JsonNode.asText returns "" for containers, which would submit a
+    * corrupted task.
     */
   private def mapField(node: com.fasterxml.jackson.databind.JsonNode,
       name: String): Map[String, String] =
-    Option(node.get(name)).filter(_.isObject).map { o =>
+    Option(node.get(name)).filter(n => !n.isNull).map { o =>
+      if (!o.isObject)
+        throw new BadRequest(s"'$name' must be a JSON object, got ${o.getNodeType}")
       val b = Map.newBuilder[String, String]
       val it = o.fields()
-      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText }
+      while (it.hasNext) {
+        val e = it.next()
+        if (!e.getValue.isValueNode)
+          throw new BadRequest(
+            s"'$name.${e.getKey}' must be a scalar, got ${e.getValue.getNodeType}")
+        b += e.getKey -> e.getValue.asText
+      }
       b.result()
     }.getOrElse(Map.empty)
 
@@ -187,20 +203,22 @@ final class StatusServer(
             case Some(cls) if !registry.isAccepted(cls) =>
               respond(ex, 412, s"""{"error":${jsonStr(s"class '$cls' not accepted")}}""")
             case Some(cls) =>
-              // full TaskMessage fidelity (views/api.py:41-50): kwargs and
-              // resolver context ride the spec into method dispatch
-              val spec = TaskSpec(modelClass = cls,
-                method = strField(doc, "method").getOrElse("go"),
-                methodKwargs = mapField(doc, "method_kwargs"),
-                resolverContext = mapField(doc, "resolver_context"),
-                modelConstructionKwargs = mapField(doc, "model_construction_kwargs"),
-                partitionInitialiseKwargs = mapField(doc, "partition_initialise_kwargs"))
               try {
+                // full TaskMessage fidelity (views/api.py:41-50): kwargs and
+                // resolver context ride the spec into method dispatch
+                val spec = TaskSpec(modelClass = cls,
+                  method = strField(doc, "method").getOrElse("go"),
+                  methodKwargs = mapField(doc, "method_kwargs"),
+                  resolverContext = mapField(doc, "resolver_context"),
+                  modelConstructionKwargs = mapField(doc, "model_construction_kwargs"),
+                  partitionInitialiseKwargs = mapField(doc, "partition_initialise_kwargs"))
                 runner.submit(spec, blockMillis = 1000): Unit
                 respond(ex, 200,
                   s"""{"task_id":${jsonStr(spec.taskId)},""" +
                     s""""status_url":${jsonStr(s"/api/0.01/task/${spec.taskId}")}}""")
               } catch {
+                case e: BadRequest =>
+                  respond(ex, 400, s"""{"error":${jsonStr(e.getMessage)}}""")
                 case _: NoCapacity =>
                   respond(ex, 503, """{"error":"no processing capacity"}""")
                 case e: InvalidTaskSpec => // e.g. unknown method/kwargs (412 analogue)

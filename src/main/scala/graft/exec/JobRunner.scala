@@ -46,21 +46,21 @@ final class JobRunner(
     * (503). Returns the future outcome; the task id is in the spec.
     */
   def submit(spec: TaskSpec, blockMillis: Long = 1000): Future[TaskOutcome] = {
-    validate(spec) // 412 before queueing
+    val model = validate(spec) // 412 before queueing
     if (!capacity.tryAcquire(blockMillis, TimeUnit.MILLISECONDS))
       throw new NoCapacity(
         s"no processing capacity for '${spec.modelClass}' within ${blockMillis}ms")
     Future {
-      try runAdmitted(spec)
+      try runAdmitted(spec, model)
       finally capacity.release()
     }
   }
 
-  /** Synchronous execution (admission already done). */
-  private def runAdmitted(spec: TaskSpec): TaskOutcome = {
-    // per-task instance: model_cls(**model_construction_kwargs)
-    // (control/process.py:89) via the registry's factory
-    val model = registry.resolve(spec.modelClass, spec.modelConstructionKwargs)
+  /** Synchronous execution (admission already done, `model` the single
+    * per-task instance constructed at admission — factory constructors
+    * with side effects must run exactly once per task).
+    */
+  private def runAdmitted(spec: TaskSpec, model: EtlModel): TaskOutcome = {
     val ctx = EngineContext(spark, spec.resolverContext)
     status.markRunning(spec)
     spark.sparkContext.setJobGroup(spec.taskId,
@@ -96,20 +96,25 @@ final class JobRunner(
 
   /** Blocking convenience wrapper used by tests and the model queries. */
   def runSync(spec: TaskSpec): TaskOutcome = {
-    validate(spec)
+    val model = validate(spec)
     capacity.acquire()
-    try runAdmitted(spec) finally capacity.release()
+    try runAdmitted(spec, model) finally capacity.release()
   }
 
   /** Accepted-class + known-method gate (both are InvalidTaskSpec → the
     * 412 analogue). Partitioned models run via their slices, so the
-    * top-level `method` is not dispatched there.
+    * top-level `method` is not dispatched there. Returns the constructed
+    * instance so dispatch reuses it — model_cls(**model_construction_kwargs)
+    * runs ONCE per task (control/process.py:89), not once per phase.
     */
-  private def validate(spec: TaskSpec): Unit =
-    registry.resolve(spec.modelClass, spec.modelConstructionKwargs) match {
+  private def validate(spec: TaskSpec): EtlModel = {
+    val model = registry.resolve(spec.modelClass, spec.modelConstructionKwargs)
+    model match {
       case _: PartitionedEtlModel => ()
       case m => dispatchable(m, spec): Unit
     }
+    model
+  }
 
   private def dispatchable(
       m: EtlModel, spec: TaskSpec): (EngineContext, Map[String, String]) => org.apache.spark.sql.DataFrame =

@@ -36,8 +36,10 @@ case class RollingFp(child: Expression, k: Int, bottom: Int)
   override def nullable: Boolean = true
 
   private val M = 2147483647L // 2^31 - 1
+  // 257^(k-1-j) mod M by square-and-multiply: exact for any k (a raw
+  // math.pow loses precision at e >= 8 and a raw Long power overflows).
   private val pows: Array[Long] =
-    (0 until k).map(j => math.pow(257.0, (k - 1 - j).toDouble).toLong).toArray
+    (0 until k).map(j => RollingFp.powMod(257L, k - 1 - j, M)).toArray
 
   override protected def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString.toLowerCase(Locale.ROOT)
@@ -69,10 +71,16 @@ case class RollingFp(child: Expression, k: Int, bottom: Int)
     val rs = new Array[Long](n)
     i = 0
     while (i < n) {
+      // Reduce mod M per term: operands stay < 2^31 so each product is
+      // < 2^62 and the running value never overflows a Long, keeping the
+      // fingerprint non-negative for ANY k (a deferred single % M
+      // overflowed — and went negative — once k >= 5). Congruence makes
+      // this bit-identical to the former exact-sum formulation for the
+      // k values where that one was safe.
       var r = 0L
       var j = 0
-      while (j < k) { r += hs(i + j) * pows(j); j += 1 }
-      rs(i) = r % M
+      while (j < k) { r = (r + (hs(i + j) % M) * pows(j)) % M; j += 1 }
+      rs(i) = r
       i += 1
     }
     java.util.Arrays.sort(rs)
@@ -94,6 +102,18 @@ case class RollingFp(child: Expression, k: Int, bottom: Int)
 object RollingFp {
   private val digests: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  private[functions] def powMod(base: Long, exp: Int, m: Long): Long = {
+    var r = 1L
+    var b = base % m
+    var e = exp
+    while (e > 0) {
+      if ((e & 1) == 1) r = r * b % m
+      b = b * b % m
+      e >>= 1
+    }
+    r
+  }
 
   def fp(text: Column, k: Int, bottom: Int): Column =
     GraftExpressionBridge.column(

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.Tables._
@@ -573,11 +573,15 @@ object LlmOps {
     import spark.implicits._
     val p = t(spark, dir, "part").filter($"p_partkey" <= 500)
       .select($"p_partkey", lower($"p_name").as("nm"))
+    // coalesce-to-"" + concat (NOT concat_ws, which SKIPS nulls): a
+    // single-token name must band as "#<len>" exactly like DuckDB's
+    // split_part, which returns '' for a missing field.
+    def tokBand(i: Int): Column = concat(
+      coalesce(split($"nm", " ").getItem(i), lit("")), lit("#"),
+      (length($"nm") / 4).cast(LongType).cast(StringType))
     val banded = p.select($"p_partkey", explode(array(
-        struct(lit(0).as("band"),
-          concat_ws("#", split($"nm", " ").getItem(0), (length($"nm") / 4).cast(LongType)).as("bv")),
-        struct(lit(1).as("band"),
-          concat_ws("#", split($"nm", " ").getItem(1), (length($"nm") / 4).cast(LongType)).as("bv"))
+        struct(lit(0).as("band"), tokBand(0).as("bv")),
+        struct(lit(1).as("band"), tokBand(1).as("bv"))
       )).as("bb"))
       .select($"p_partkey", $"bb.band".as("band"), $"bb.bv".as("bv"))
     val cand = banded.select($"band", $"bv", $"p_partkey".as("d1"))

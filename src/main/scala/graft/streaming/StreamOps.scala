@@ -178,13 +178,7 @@ object StreamOps {
       val target = new java.io.File(outDir, s"batch=$batchId")
       if (!target.exists()) {
         val tmp = new java.io.File(outDir, s".batch-$batchId.tmp")
-        if (tmp.exists()) { // stale half-write from a previous crash
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) f.listFiles().foreach(rm)
-            f.delete(): Unit
-          }
-          rm(tmp)
-        }
+        if (tmp.exists()) rmTree(tmp) // stale half-write from a previous crash
         batch.write.mode("overwrite").parquet(tmp.getPath)
         if (!tmp.renameTo(target))
           throw new java.io.IOException(s"commit rename failed for batch $batchId")
@@ -206,14 +200,29 @@ object StreamOps {
     * on a shared path.
     */
   def run(df: DataFrame, outDir: String = ""): DataFrame = {
-    val target =
-      if (outDir.nonEmpty) outDir
-      else java.nio.file.Files.createTempDirectory(
+    if (outDir.nonEmpty)
+      withStreamingPartitions(df.sparkSession) {
+        runForeachBatchParquet(df, outDir)
+      }
+    else {
+      // Ephemeral default sink: unique scratch dir per call (so
+      // concurrent sessions never race), pinned to the driver after the
+      // run and DELETED — otherwise every call leaks a parquet dir.
+      val scratch = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp")),
-        "graft_stream_out").toString
-    withStreamingPartitions(df.sparkSession) {
-      runForeachBatchParquet(df, target)
+        "graft_stream_out").toFile
+      try {
+        val out = withStreamingPartitions(df.sparkSession) {
+          runForeachBatchParquet(df, scratch.getPath)
+        }
+        df.sparkSession.createDataFrame(out.collectAsList(), out.schema)
+      } finally rmTree(scratch)
     }
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete(): Unit
   }
 
   /** Run a streaming frame through foreachBatch into a parquet dir, then
@@ -223,13 +232,7 @@ object StreamOps {
   def runForeachBatchParquet(df: DataFrame, outDir: String): DataFrame = {
     val spark = df.sparkSession
     val target = new java.io.File(outDir)
-    if (target.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
-      }
-      rm(target)
-    }
+    if (target.exists()) rmTree(target)
     withCheckpoint { ckpt =>
       val q = df.writeStream
         .outputMode("append")

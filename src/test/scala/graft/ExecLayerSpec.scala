@@ -194,6 +194,22 @@ class ExecLayerSpec extends SparkSpec {
     runner.close()
   }
 
+  test("factory constructors run EXACTLY once per task (validate + dispatch share the instance)") {
+    val (reg, _, runner) = freshRunner()
+    val constructions = new java.util.concurrent.atomic.AtomicInteger(0)
+    reg.registerFactory("CountingEtl", kwargs => {
+      constructions.incrementAndGet(): Unit
+      new SizedModel(kwargs.getOrElse("rows", "2").toLong)
+    })
+    assert(runner.runSync(TaskSpec(modelClass = "CountingEtl")) == TaskComplete(2))
+    assert(constructions.get() == 1,
+      s"runSync constructed ${constructions.get()} instances, expected 1")
+    Await.result(runner.submit(TaskSpec(modelClass = "CountingEtl")), 60.seconds): Unit
+    assert(constructions.get() == 2,
+      s"submit constructed ${constructions.get() - 1} more instances, expected 1")
+    runner.close()
+  }
+
   test("singleton registration rejects construction kwargs instead of dropping them") {
     val (reg, _, runner) = freshRunner()
     reg.register(new NothingModel)

@@ -38,6 +38,45 @@ class ExtensionsSpec extends SparkSpec {
     assert(bad.isEmpty, s"Tokens mismatch on ${bad.take(3).mkString("; ")}")
   }
 
+  test("RollingFp stays non-negative and exact for large k (Horner mod reduction)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val M = BigInt(2147483647L)
+    def tokens(text: String): Seq[String] =
+      "[a-z0-9]+".r.findAllIn(text.toLowerCase(java.util.Locale.ROOT)).toSeq
+    def h(tok: String): BigInt = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      BigInt(((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL))
+    }
+    // Exact reference: unbounded-integer polynomial window hashes.
+    def expected(text: String, k: Int, bottom: Int): (Long, String) = {
+      val hs = tokens(text).map(h)
+      val ws = hs.sliding(k).filter(_.size == k).map { w =>
+        w.zipWithIndex.map { case (x, j) => x * BigInt(257).pow(k - 1 - j) }
+          .sum.mod(M).toLong
+      }.toSeq
+      (ws.size.toLong, ws.sorted.take(bottom).mkString(","))
+    }
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "one two three four five six seven eight nine ten eleven twelve",
+      (1 to 40).map(i => s"w$i").mkString(" "))
+    for (k <- Seq(3, 5, 8, 12)) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+        .select($"id", $"t",
+          graft.functions.RollingFp.fp($"t", k, 4).as("r"))
+        .select($"id", $"t", $"r.n_windows".as("n"), $"r.fp".as("fp"))
+      df.collect().foreach { row =>
+        val (en, efp) = expected(row.getString(1), k, 4)
+        assert(row.getLong(2) == en, s"k=$k window count")
+        assert(row.getString(3) == efp, s"k=$k fp for id=${row.getLong(0)}")
+        assert(row.getString(3).split(",").forall(_.toLong >= 0L), s"k=$k negative fp")
+      }
+    }
+  }
+
   test("native CountInList ≡ size(filter(isInCollection)) incl. multiplicity") {
     import org.apache.spark.sql.functions._
     import org.scalacheck.Gen

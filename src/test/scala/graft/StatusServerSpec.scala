@@ -136,6 +136,17 @@ class StatusServerSpec extends SparkSpec {
       assert(page.contains("<td>22</td>"), s"kwargs did not reach dispatch:\n$page")
       // malformed body → 400, not a silent default submit
       assert(post(port, "/api/0.01/task", "{not json")._1 == 400)
+      // structurally invalid kwargs → 400, never a silently-emptied value
+      // (Jackson asText renders containers as "")
+      val (cNested, bNested) = post(port, "/api/0.01/task",
+        """{"model_class":"KwargEtl","method_kwargs":{"n":{"nested":1}}}""")
+      assert(cNested == 400 && bNested.contains("must be a scalar"), bNested)
+      val (cArr, _) = post(port, "/api/0.01/task",
+        """{"model_class":"KwargEtl","resolver_context":{"mult":[4]}}""")
+      assert(cArr == 400)
+      val (cNotObj, bNotObj) = post(port, "/api/0.01/task",
+        """{"model_class":"KwargEtl","method_kwargs":"n=5"}""")
+      assert(cNotObj == 400 && bNotObj.contains("must be a JSON object"), bNotObj)
     } finally { server.stop(); runner.close() }
   }
 
