@@ -72,6 +72,53 @@ object MinHashDedup {
       .distinct()
   }
 
+  /** Character n-gram Jaccard near-duplicate pairs — the remaining dedup
+    * modality (exact / MinHash-LSH / SimHash / embedding-cosine are
+    * Q58/Q59/Q81/Q69): EXACT Jaccard over char n-gram sets, with banded
+    * char-gram MinHash as the candidate generator.
+    *
+    * Shape at 100 TB: both the gram-set array and the MinHash signature
+    * are map-only native expressions ([[graft.functions.CharGrams]] /
+    * [[graft.functions.CharMinHash]]) that fuse into the scan; the band
+    * self-join exchanges only (band, key, id) triples; the exact
+    * post-filter joins the candidate pairs (≈ linear in corpus for a
+    * well-spread band key) back to the gram arrays. Nothing is quadratic,
+    * nothing materialises on the driver. Recall is the declared property
+    * of the band generator (same contract as Q59/Q69/Q81); precision is
+    * exact — every emitted pair carries its true Jaccard ≥ `minJaccard`.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        gramN: Int = 5, rowsPerBand: Int = 2,
+                        minJaccard: Double = 0.5): DataFrame = {
+    val sig = graft.functions.CharMinHash.sig(col(textCol), gramN, coeffs, prime)
+    val sigs = docs.select(col(idCol), sig.as("__sig"))
+      .filter(col("__sig").isNotNull)
+    val nBands = coeffs.size / rowsPerBand
+    val bandStructs = (0 until nBands).map { b =>
+      val key = md5(concat_ws("_", (0 until rowsPerBand).map(r =>
+        element_at(col("__sig"), b * rowsPerBand + r + 1)): _*))
+      struct(lit(b).as("band"), key.as("bh"))
+    }
+    val bands = sigs
+      .select(col(idCol), explode(array(bandStructs: _*)).as("__b"))
+      .select(col(idCol), col("__b.band").as("band"), col("__b.bh").as("bh"))
+    val cand = bands.select(col("band"), col("bh"), col(idCol).as("d1"))
+      .join(bands.select(col("band"), col("bh"), col(idCol).as("d2")),
+        Seq("band", "bh"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+    val grams = docs.select(col(idCol),
+        graft.functions.CharGrams.grams(col(textCol), gramN).as("__g"))
+      .filter(col("__g").isNotNull)
+    cand
+      .join(grams.select(col(idCol).as("d1"), col("__g").as("g1")), Seq("d1"))
+      .join(grams.select(col(idCol).as("d2"), col("__g").as("g2")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        (size(array_intersect(col("g1"), col("g2"))).cast("double") /
+          size(array_union(col("g1"), col("g2")))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** Exact duplicate groups on normalised text: md5(lower(trim(text))). */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.groupBy(md5(lower(trim(col(textCol)))).as("h"))

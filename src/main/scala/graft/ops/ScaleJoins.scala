@@ -35,12 +35,28 @@ object ScaleJoins {
     * layout for fact-fact joins at scale.
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int): Unit =
+                    buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `${table.replace("`", "``")}`"): Unit
+    // A PREVIOUS session's files at the managed location block CREATE
+    // (LOCATION_ALREADY_EXISTS): with an in-memory catalog the table is
+    // unknown but its directory survives, so clear the local leftover.
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+    if (wh.getScheme == null || wh.getScheme == "file") {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      val path = Option(wh.getPath).getOrElse(wh.getSchemeSpecificPart)
+      rm(new java.io.File(new java.io.File(path),
+        table.toLowerCase(java.util.Locale.ROOT)))
+    }
     df.write.mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Collect table + column statistics for a catalog table — the CBO
     * feed: row count/size replace raw-file-size guesses in broadcast

@@ -245,6 +245,73 @@ object Joins {
       |GROUP BY n_name
       |ORDER BY revenue DESC NULLS LAST, n_name NULLS FIRST""".stripMargin
 
+  /** Q84 — skew-salted fact-fact join: lineitem (salted 8 ways) ⋈ orders
+    * (replicated 8×) on the order key, then an aggregate. The explicit
+    * tool for a hot key the planner can't see (AQE skew-join covers the
+    * runtime-detectable case): the hot key's rows spread over `salts`
+    * reducers instead of stalling one. The salt is derived, used only for
+    * load-spreading, and dropped — the result is identical to the plain
+    * join, which is exactly what the oracle checks.
+    */
+  def q84(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val l = t(spark, dir, "lineitem")
+      .select($"l_orderkey".as("k"), dec2($"l_extendedprice").as("price"))
+    val o = t(spark, dir, "orders")
+      .select($"o_orderkey".as("k"), $"o_orderpriority")
+    graft.ops.ScaleJoins.saltedInnerJoin(l, o, "k", salts = 8)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum($"price").cast(DoubleType).as("sum_price"))
+      .orderBy($"o_orderpriority".asc_nulls_first)
+  }
+
+  val q84Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority NULLS FIRST""".stripMargin
+
+  /** Q85 — persistent co-located layout: customer and orders written as
+    * bucketed+sorted catalog tables on the customer key, then a
+    * sort-merge join that plans with NO shuffle exchange (bucket-local
+    * merge; asserted in PlanSpec). This is the repeated-fact-fact-join
+    * answer at 100 TB: pay the shuffle ONCE at ingest, never per query —
+    * so the ingest is memoized per source dir (bench reps measure the
+    * co-located join, exactly the pattern's production economics; noted
+    * in BASELINE.md). The oracle sees only the join semantics — layout
+    * must not change results.
+    */
+  private val bucketedFor = new java.util.concurrent.atomic.AtomicReference("")
+
+  def q85(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    if (bucketedFor.get != dir) bucketedFor.synchronized {
+      if (bucketedFor.get != dir) {
+        graft.ops.ScaleJoins.writeBucketed(
+          t(spark, dir, "customer").select($"c_custkey", $"c_mktsegment"),
+          "graft_bkt_customer", "c_custkey", buckets = 8)
+        graft.ops.ScaleJoins.writeBucketed(
+          t(spark, dir, "orders")
+            .select($"o_custkey", $"o_orderstatus", dec2($"o_totalprice").as("price")),
+          "graft_bkt_orders", "o_custkey", buckets = 8)
+        bucketedFor.set(dir)
+      }
+    }
+    spark.table("graft_bkt_customer")
+      .join(spark.table("graft_bkt_orders").hint("merge"),
+        $"c_custkey" === $"o_custkey")
+      .groupBy($"c_mktsegment", $"o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum($"price").cast(DoubleType).as("sum_price"))
+      .orderBy($"c_mktsegment".asc_nulls_first, $"o_orderstatus".asc_nulls_first)
+  }
+
+  val q85Sql: String =
+    """SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_mktsegment, o_orderstatus
+      |ORDER BY c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_inner_join" -> (q10 _),
     "q11_broadcast_join" -> (q11 _),
@@ -255,7 +322,9 @@ object Joins {
     "q16_cross_join" -> (q16 _),
     "q17_asof_join" -> (q17 _),
     "q18_interval_join" -> (q18 _),
-    "q19_star_join" -> (q19 _))
+    "q19_star_join" -> (q19 _),
+    "q84_salted_skew_join" -> (q84 _),
+    "q85_bucketed_join" -> (q85 _))
 
   def oracles: Map[String, String] = Map(
     "q10_inner_join" -> q10Sql,
@@ -267,5 +336,7 @@ object Joins {
     "q16_cross_join" -> q16Sql,
     "q17_asof_join" -> q17Sql,
     "q18_interval_join" -> q18Sql,
-    "q19_star_join" -> q19Sql)
+    "q19_star_join" -> q19Sql,
+    "q84_salted_skew_join" -> q84Sql,
+    "q85_bucketed_join" -> q85Sql)
 }

@@ -691,6 +691,59 @@ object LlmOps {
        |WHERE CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)),1,8)) AS BIGINT) % 100 < 50
        |ORDER BY k.doc_id NULLS FIRST""".stripMargin
 
+  /** Q86 — character n-gram Jaccard near-dup pairs: EXACT 5-gram Jaccard
+    * ≥ 0.5, candidates from banded char-gram MinHash (4 bands × 2 rows,
+    * the q59 permutations). The last of the brief's five dedup
+    * modalities as a first-class oracle-gated query (exact q58,
+    * word-MinHash q59, SimHash q81, embedding-cosine q69, n-gram
+    * Jaccard here). Map-only fingerprint/gram builds; see
+    * [[graft.ops.MinHashDedup.ngramJaccardPairs]] for the 100 TB shape.
+    */
+  def q86(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    MinHashDedup.ngramJaccardPairs(
+        t(spark, dir, "documents"), "doc_id", "text",
+        gramN = 5, rowsPerBand = 2, minJaccard = 0.5)
+      .orderBy($"d1".asc_nulls_first, $"d2".asc_nulls_first)
+  }
+
+  val q86Sql: String = {
+    val hashAggs = MinHashDedup.coeffs.zipWithIndex.map { case ((a, b), i) =>
+      s"MIN(($a * x + $b) % ${MinHashDedup.prime}) AS h$i"
+    }.mkString(", ")
+    val bandSelects = (0 until 4).map { bnd =>
+      val r0 = bnd * 2; val r1 = bnd * 2 + 1
+      s"SELECT doc_id, $bnd AS band, md5(CAST(h$r0 AS VARCHAR) || '_' || CAST(h$r1 AS VARCHAR)) AS bh FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+       |  FROM documents),
+       |g AS (
+       |  SELECT DISTINCT doc_id, substr(norm, i, 5) AS gram
+       |  FROM d, UNNEST(range(1, length(norm) - 3)) AS t(i)
+       |  WHERE length(norm) >= 5),
+       |hx AS (SELECT doc_id, CAST(('0x' || substr(md5(gram),1,8)) AS BIGINT) AS x FROM g),
+       |sig AS (SELECT doc_id, $hashAggs FROM hx GROUP BY doc_id),
+       |bands AS ($bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |gsz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.d1, c.d2, COUNT(*) AS ni
+       |  FROM cand c JOIN g ga ON ga.doc_id = c.d1
+       |              JOIN g gb ON gb.doc_id = c.d2 AND gb.gram = ga.gram
+       |  GROUP BY c.d1, c.d2)
+       |SELECT i.d1, i.d2,
+       |  CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) AS jaccard
+       |FROM inter i JOIN gsz sa ON sa.doc_id = i.d1
+       |             JOIN gsz sb ON sb.doc_id = i.d2
+       |WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.5
+       |ORDER BY d1 NULLS FIRST, d2 NULLS FIRST""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_exact_dedup" -> (q58 _),
     "q59_minhash_lsh" -> (q59 _),
@@ -710,7 +763,8 @@ object LlmOps {
     "q81_simhash_neardup" -> (q81 _),
     "q72_ann_ivf" -> (q72 _),
     "q82_ann_ivf_nprobe" -> (q82 _),
-    "q83_corpus_pipeline" -> (q83 _))
+    "q83_corpus_pipeline" -> (q83 _),
+    "q86_ngram_jaccard" -> (q86 _))
 
   def oracles: Map[String, String] = Map(
     "q58_exact_dedup" -> q58Sql,
@@ -731,5 +785,6 @@ object LlmOps {
     "q80_hash_sample" -> q80Sql,
     "q81_simhash_neardup" -> q81Sql,
     "q82_ann_ivf_nprobe" -> q82Sql,
-    "q83_corpus_pipeline" -> q83Sql)
+    "q83_corpus_pipeline" -> q83Sql,
+    "q86_ngram_jaccard" -> q86Sql)
 }

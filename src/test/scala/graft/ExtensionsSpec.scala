@@ -38,6 +38,58 @@ class ExtensionsSpec extends SparkSpec {
     assert(bad.isEmpty, s"Tokens mismatch on ${bad.take(3).mkString("; ")}")
   }
 
+  test("native CharGrams ≡ the HOF substr-over-sequence formulation on arbitrary text") {
+    import org.apache.spark.sql.functions._
+    import org.scalacheck.Gen
+    import spark.implicits._
+    val weird = Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.listOf(Gen.oneOf(
+        Gen.alphaNumChar.map(_.toString), Gen.const(" "), Gen.const("\t"),
+        Gen.const("é"), Gen.const("中"), Gen.const("𝕏"),
+        Gen.const("!"), Gen.const("Ü"))).map(_.mkString))
+    val samples = (1 to 80).flatMap(_ => weird.sample) :+
+      "" :+ "  " :+ "abcd" :+ "abcde" :+ "Hello, WORLD!  42x " :+ "𝕏ab𝕏cd𝕏ef"
+    val norm = trim(regexp_replace(lower($"t"), "[^a-z0-9]+", " "))
+    val hof = when(length(norm) >= 5,
+      array_sort(array_distinct(transform(
+        sequence(lit(1), length(norm) - 4), i => norm.substr(i, lit(5))))))
+    val df = samples.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "t")
+      .select($"id",
+        graft.functions.CharGrams.grams($"t", 5).as("native"), hof.as("hof"))
+    val bad = df.filter(not($"native" <=> $"hof")).collect()
+    assert(bad.isEmpty, s"CharGrams mismatch on ${bad.take(3).mkString("; ")}")
+  }
+
+  test("native CharMinHash ≡ permutation minima over the CharGrams set") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.ops.MinHashDedup.{coeffs, prime}
+    val samples = Seq("the quick brown fox", "aaaaa aaaaa aaaaa",
+      "Hello, WORLD! of text dedup", "abcd", "")
+    val rows = samples.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "t")
+      .select($"id",
+        graft.functions.CharGrams.grams($"t", 5).as("g"),
+        graft.functions.CharMinHash.sig($"t", 5, coeffs, prime).as("sig"))
+      .collect()
+    def h32(g: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    rows.foreach { r =>
+      if (r.isNullAt(1)) assert(r.isNullAt(2), "grams null but sig not")
+      else {
+        val grams = r.getSeq[String](1)
+        val expected = coeffs.map { case (a, b) =>
+          grams.map(g => (a * h32(g) + b) % prime).min }
+        assert(r.getSeq[Long](2) == expected, s"sig mismatch for id=${r.getLong(0)}")
+      }
+    }
+  }
+
   test("RollingFp stays non-negative and exact for large k (Horner mod reduction)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

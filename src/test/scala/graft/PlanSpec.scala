@@ -108,6 +108,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), s"dedup agg lost its map-side partial:\n$p")
   }
 
+  test("Q85 bucketed join plans bucket-local: SMJ with no shuffle exchange") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // run the query once so the bucketed catalog tables exist, then
+      // re-plan the join itself and assert the buckets killed the shuffle
+      Joins.q85(spark, sfDir).collect(): Unit
+      import org.apache.spark.sql.functions.col
+      val j = spark.table("graft_bkt_customer")
+        .join(spark.table("graft_bkt_orders").hint("merge"),
+          col("c_custkey") === col("o_custkey"))
+      val p = plan(j)
+      assert(p.contains("SortMergeJoin"), s"no SMJ over buckets:\n$p")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("Q86 n-gram Jaccard candidate join is an equi-join on band keys (no cartesian)") {
+    val p = plan(LlmOps.q86(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in the n-gram Jaccard pipeline:\n$p")
+  }
+
   test("Q76 pivot is a single aggregate pass (no join, partial agg present)") {
     val p = plan(Reshape.q76(spark, sfDir))
     assert(!p.contains("Join"), s"pivot should not join:\n$p")
