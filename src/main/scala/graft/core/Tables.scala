@@ -21,13 +21,32 @@ object Tables {
     * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to µs — exactly
     * what DuckDB's TIMESTAMP_NS→TIMESTAMP cast does, so oracle SQL can use
     * plain `CAST(ts AS TIMESTAMP)` semantics.
+    *
+    * The table schema is inferred once per (dir, table) and cached — the
+    * catalog-metadata pattern: immutable ingested data never needs its
+    * parquet footers re-read for every query that scans it.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
+      spark.read.schema(cachedSchema(spark, dir, name))
+        .parquet(s"$dir/$name.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    } else {
+      spark.read.schema(cachedSchema(spark, dir, name))
+        .parquet(s"$dir/$name.parquet")
+    }
+
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
+  private def cachedSchema(spark: SparkSession, dir: String,
+                           name: String): StructType =
+    schemaCache.computeIfAbsent(s"$dir/$name", _ => {
+      if (name == "events") // nanos column must surface as long pre-cache too
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet").schema
+    })
 
   /** Money/quantity column → exact decimal(18,2); mirrors
     * CAST(x AS DECIMAL(18,2)) in the oracle SQL. Input doubles carry 2
