@@ -74,18 +74,25 @@ object MinHashDedup {
 
   /** Character n-gram Jaccard near-duplicate pairs — the remaining dedup
     * modality (exact / MinHash-LSH / SimHash / embedding-cosine are
-    * Q58/Q59/Q81/Q69): EXACT Jaccard over char n-gram sets, with banded
-    * char-gram MinHash as the candidate generator.
+    * Q58/Q59/Q81/Q69): EXACT Jaccard over hashed char n-gram sets, with
+    * banded char-gram MinHash as the candidate generator. "Hashed" is
+    * part of the shared contract: both engines compare the 32-bit
+    * first-8-md5-hex gram values (what the MinHash permutes anyway), so
+    * the comparison is exact on both sides while each set element is a
+    * long, not a string.
     *
-    * Shape at 100 TB: both the gram-set array and the MinHash signature
-    * are map-only native expressions ([[graft.functions.CharGrams]] /
+    * Shape at 100 TB: the gram-hash set and the MinHash signature are
+    * map-only native expressions ([[graft.functions.CharGramHashes]] /
     * [[graft.functions.CharMinHash]]) that fuse into the scan; the band
-    * self-join exchanges only (band, key, id) triples; the exact
-    * post-filter joins the candidate pairs (≈ linear in corpus for a
-    * well-spread band key) back to the gram arrays. Nothing is quadratic,
-    * nothing materialises on the driver. Recall is the declared property
-    * of the band generator (same contract as Q59/Q69/Q81); precision is
-    * exact — every emitted pair carries its true Jaccard ≥ `minJaccard`.
+    * self-join exchanges only (band, key, id) triples; the post-filter
+    * joins candidates back to the compact hash arrays and intersects by
+    * LINEAR MERGE ([[graft.functions.SortedOverlapCount]], ~µs/pair).
+    * The pair LISTING itself is inherently Ω(Σ cluster²) when the corpus
+    * has k-doc near-dup clusters — that's the output's size, not a plan
+    * artifact; when only the dedup decision is needed, [[ngramKeepers]]
+    * reduces the same candidates to one keeper row per doc (linear
+    * output). Recall is the declared property of the band generator
+    * (same contract as Q59/Q69/Q81); precision is exact.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         gramN: Int = 5, rowsPerBand: Int = 2,
@@ -108,15 +115,38 @@ object MinHashDedup {
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2")).distinct()
     val grams = docs.select(col(idCol),
-        graft.functions.CharGrams.grams(col(textCol), gramN).as("__g"))
+        graft.functions.CharGramHashes.hashes(col(textCol), gramN).as("__g"))
       .filter(col("__g").isNotNull)
+    val overlap = graft.functions.SortedOverlapCount.overlap(col("g1"), col("g2"))
     cand
       .join(grams.select(col(idCol).as("d1"), col("__g").as("g1")), Seq("d1"))
       .join(grams.select(col(idCol).as("d2"), col("__g").as("g2")), Seq("d2"))
-      .select(col("d1"), col("d2"),
-        (size(array_intersect(col("g1"), col("g2"))).cast("double") /
-          size(array_union(col("g1"), col("g2")))).as("jaccard"))
+      .select(col("d1"), col("d2"), (overlap.cast("double") /
+        (size(col("g1")) + size(col("g2")) - overlap)).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Near-dup DEDUP DECISION from the same candidate generation: each doc
+    * maps to keeper = min(own id, smallest DIRECT neighbor with Jaccard ≥
+    * threshold). LINEAR output — the shape a 100 TB dedup actually wants
+    * (the Ω(cluster²) pair set is aggregated away before it is ever
+    * materialised as a result). Docs with no near-dup keep themselves;
+    * one-hop keeper assignment is the declared contract (transitive
+    * closure needs iteration and is out of scope).
+    */
+  def ngramKeepers(docs: DataFrame, idCol: String, textCol: String,
+                   gramN: Int = 5, rowsPerBand: Int = 2,
+                   minJaccard: Double = 0.5): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, idCol, textCol, gramN, rowsPerBand,
+      minJaccard)
+    // both orientations so every member of a pair sees its neighbor
+    val neighbors = pairs.select(col("d1").as("doc"), col("d2").as("nb"))
+      .union(pairs.select(col("d2").as("doc"), col("d1").as("nb")))
+      .groupBy(col("doc")).agg(min(col("nb")).as("min_nb"))
+    docs.select(col(idCol).as("doc"))
+      .join(neighbors, Seq("doc"), "left")
+      .select(col("doc"),
+        least(col("doc"), coalesce(col("min_nb"), col("doc"))).as("keeper"))
   }
 
   /** Exact duplicate groups on normalised text: md5(lower(trim(text))). */

@@ -707,7 +707,12 @@ object LlmOps {
       .orderBy($"d1".asc_nulls_first, $"d2".asc_nulls_first)
   }
 
-  val q86Sql: String = {
+  /** Shared q86/q87 DuckDB pipeline: WITH-block ending in a `pairs` CTE
+    * of thresholded (d1, d2, jaccard) rows. Jaccard compares the DISTINCT
+    * 32-bit gram-hash sets — the same values the MinHash permutes — which
+    * is the contract [[graft.functions.CharGramHashes]] implements.
+    */
+  private val ngramPairCtes: String = {
     val hashAggs = MinHashDedup.coeffs.zipWithIndex.map { case ((a, b), i) =>
       s"MIN(($a * x + $b) % ${MinHashDedup.prime}) AS h$i"
     }.mkString(", ")
@@ -723,26 +728,56 @@ object LlmOps {
        |  SELECT DISTINCT doc_id, substr(norm, i, 5) AS gram
        |  FROM d, UNNEST(range(1, length(norm) - 3)) AS t(i)
        |  WHERE length(norm) >= 5),
-       |hx AS (SELECT doc_id, CAST(('0x' || substr(md5(gram),1,8)) AS BIGINT) AS x FROM g),
+       |hx AS (SELECT DISTINCT doc_id, CAST(('0x' || substr(md5(gram),1,8)) AS BIGINT) AS x FROM g),
        |sig AS (SELECT doc_id, $hashAggs FROM hx GROUP BY doc_id),
        |bands AS ($bandSelects),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-       |gsz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+       |gsz AS (SELECT doc_id, COUNT(*) AS n FROM hx GROUP BY doc_id),
        |inter AS (
        |  SELECT c.d1, c.d2, COUNT(*) AS ni
-       |  FROM cand c JOIN g ga ON ga.doc_id = c.d1
-       |              JOIN g gb ON gb.doc_id = c.d2 AND gb.gram = ga.gram
-       |  GROUP BY c.d1, c.d2)
-       |SELECT i.d1, i.d2,
-       |  CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) AS jaccard
-       |FROM inter i JOIN gsz sa ON sa.doc_id = i.d1
-       |             JOIN gsz sb ON sb.doc_id = i.d2
-       |WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.5
-       |ORDER BY d1 NULLS FIRST, d2 NULLS FIRST""".stripMargin
+       |  FROM cand c JOIN hx ga ON ga.doc_id = c.d1
+       |              JOIN hx gb ON gb.doc_id = c.d2 AND gb.x = ga.x
+       |  GROUP BY c.d1, c.d2),
+       |pairs AS (
+       |  SELECT i.d1, i.d2,
+       |    CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) AS jaccard
+       |  FROM inter i JOIN gsz sa ON sa.doc_id = i.d1
+       |               JOIN gsz sb ON sb.doc_id = i.d2
+       |  WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.5)""".stripMargin
   }
+
+  val q86Sql: String =
+    s"""$ngramPairCtes
+       |SELECT d1, d2, jaccard FROM pairs
+       |ORDER BY d1 NULLS FIRST, d2 NULLS FIRST""".stripMargin
+
+  /** Q87 — near-dup KEEPER ASSIGNMENT: the q86 candidates reduced to one
+    * row per doc (keeper = min of self and smallest direct neighbor with
+    * Jaccard ≥ 0.5). The linear-output shape a 100 TB dedup actually
+    * ships — the Ω(cluster²) pair set is aggregated away inside the plan.
+    */
+  def q87(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    MinHashDedup.ngramKeepers(
+        t(spark, dir, "documents"), "doc_id", "text",
+        gramN = 5, rowsPerBand = 2, minJaccard = 0.5)
+      .orderBy($"doc".asc_nulls_first)
+  }
+
+  val q87Sql: String =
+    s"""$ngramPairCtes,
+       |nb AS (
+       |  SELECT d1 AS doc, d2 AS nbr FROM pairs
+       |  UNION ALL
+       |  SELECT d2 AS doc, d1 AS nbr FROM pairs),
+       |mn AS (SELECT doc, MIN(nbr) AS min_nb FROM nb GROUP BY doc)
+       |SELECT d.doc_id AS doc,
+       |  LEAST(d.doc_id, COALESCE(mn.min_nb, d.doc_id)) AS keeper
+       |FROM documents d LEFT JOIN mn ON mn.doc = d.doc_id
+       |ORDER BY doc NULLS FIRST""".stripMargin
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_exact_dedup" -> (q58 _),
@@ -764,7 +799,8 @@ object LlmOps {
     "q72_ann_ivf" -> (q72 _),
     "q82_ann_ivf_nprobe" -> (q82 _),
     "q83_corpus_pipeline" -> (q83 _),
-    "q86_ngram_jaccard" -> (q86 _))
+    "q86_ngram_jaccard" -> (q86 _),
+    "q87_neardup_keepers" -> (q87 _))
 
   def oracles: Map[String, String] = Map(
     "q58_exact_dedup" -> q58Sql,
@@ -786,5 +822,6 @@ object LlmOps {
     "q81_simhash_neardup" -> q81Sql,
     "q82_ann_ivf_nprobe" -> q82Sql,
     "q83_corpus_pipeline" -> q83Sql,
-    "q86_ngram_jaccard" -> q86Sql)
+    "q86_ngram_jaccard" -> q86Sql,
+    "q87_neardup_keepers" -> q87Sql)
 }

@@ -17,6 +17,31 @@ class ExtensionsSpec extends SparkSpec {
     assert(sh == Seq("the quick brown", "quick brown fox"))
   }
 
+  test("the full native family is SQL-callable: tokens, char_grams, simhash_fp, rolling_fp") {
+    val toks = spark.sql("SELECT tokens('Hello, WORLD 42!') AS t")
+      .head().getSeq[String](0)
+    assert(toks == Seq("hello", "world", "42"))
+    val grams = spark.sql("SELECT char_grams('abcdef', 5) AS g")
+      .head().getSeq[String](0)
+    assert(grams == Seq("abcde", "bcdef"))
+    val fp = spark.sql("SELECT simhash_fp('the quick brown fox', 16) AS f")
+      .head().getLong(0)
+    assert(fp >= 0L && fp < 65536L)
+    val rf = spark.sql(
+      "SELECT rolling_fp('one two three four five', 3, 2).n_windows AS n")
+      .head().getLong(0)
+    assert(rf == 3L)
+    // a foldable size expression is constant-evaluated
+    val g2 = spark.sql("SELECT char_grams('abcdef', length('xx') + 3) AS g")
+      .head().getSeq[String](0)
+    assert(g2 == Seq("abcde", "bcdef"))
+    // a per-row (non-literal) size argument is rejected, not misparsed
+    val err = intercept[Exception](
+      spark.sql("SELECT char_grams('abc', n) AS g FROM VALUES (5) AS t(n)")
+        .collect())
+    assert(err.getMessage.contains("literal") || err.toString.contains("literal"))
+  }
+
   test("native Tokens ≡ the HOF filter(split(lower)) formulation on arbitrary text") {
     import org.apache.spark.sql.functions._
     import org.scalacheck.Gen
@@ -59,6 +84,30 @@ class ExtensionsSpec extends SparkSpec {
         graft.functions.CharGrams.grams($"t", 5).as("native"), hof.as("hof"))
     val bad = df.filter(not($"native" <=> $"hof")).collect()
     assert(bad.isEmpty, s"CharGrams mismatch on ${bad.take(3).mkString("; ")}")
+  }
+
+  test("CharGramHashes ≡ sorted distinct hash32 over CharGrams; SortedOverlapCount ≡ array_intersect size") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val samples = Seq("the quick brown fox", "the quick brown cat",
+      "aaaaa bbbbb aaaaa", "abcd", "", "Hello, WORLD! of text dedup")
+    val df = samples.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "t")
+      .select($"id",
+        graft.functions.CharGramHashes.hashes($"t", 5).as("native"),
+        graft.functions.CharGrams.grams($"t", 5).as("g"))
+      .withColumn("viaGrams", when($"g".isNotNull, array_sort(array_distinct(
+        transform($"g", g =>
+          conv(substring(md5(g), 1, 8), 16, 10).cast("long"))))))
+    val bad = df.filter(not($"native" <=> $"viaGrams")).collect()
+    assert(bad.isEmpty, s"CharGramHashes mismatch: ${bad.take(3).mkString("; ")}")
+    // overlap count by linear merge ≡ intersect size, on every sample pair
+    val pairs = df.select($"id".as("i1"), $"native".as("a"))
+      .join(df.select($"id".as("i2"), $"native".as("b")), $"i1" < $"i2")
+      .filter($"a".isNotNull && $"b".isNotNull)
+      .select(
+        graft.functions.SortedOverlapCount.overlap($"a", $"b").as("native"),
+        size(array_intersect($"a", $"b")).as("viaIntersect"))
+    assert(pairs.filter($"native" =!= $"viaIntersect").count() == 0)
   }
 
   test("native CharMinHash ≡ permutation minima over the CharGrams set") {

@@ -374,4 +374,45 @@ class OpsSpec extends SparkSpec {
     assert(keys.length >= 20, s"only ${keys.length} token-band keys occupied")
     assert(keys.max <= n / 4, s"degenerate block: ${keys.max} of $n rows share one key")
   }
+
+  test("q86 n-gram Jaccard: band keys spread, candidates prune, recall holds") {
+    import graft.ops.MinHashDedup.{coeffs, prime}
+    val d = graft.core.Tables.t(spark, sfDir, "documents")
+    val n = d.count()
+    val allPairs = n * (n - 1) / 2
+    // (1) the (band, minhash-pair) keys must hash-spread the corpus: at
+    // least one distinct key per doc on average, no degenerate bucket
+    val keys = d.select(
+        graft.functions.CharMinHash.sig($"text", 5, coeffs, prime).as("sig"))
+      .filter($"sig".isNotNull)
+      .select(explode(array((0 until 4).map(b => concat_ws("_", lit(b),
+        element_at($"sig", b * 2 + 1), element_at($"sig", b * 2 + 2))): _*)).as("key"))
+      .groupBy("key").count().collect().map(_.getLong(1))
+    assert(keys.length >= n.toInt, s"only ${keys.length} band keys for $n docs")
+    assert(keys.max <= n / 4, s"degenerate bucket: ${keys.max} of $n docs share one key")
+    // (2) candidate generation must prune vs all-pairs (minJaccard = -1
+    // keeps every banded candidate)
+    val candidates = MinHashDedup.ngramJaccardPairs(
+      d, "doc_id", "text", gramN = 5, minJaccard = -1.0).count()
+    assert(candidates < allPairs / 10,
+      s"banded join barely prunes: $candidates of $allPairs pairs are candidates")
+    // (3) recall vs brute-force truth on a bounded subset (banded MinHash
+    // is near-lossless for the fixture's ~0.9+ Jaccard duplicate pairs)
+    val sub = d.filter($"doc_id" <= 250)
+      .select($"doc_id", graft.functions.CharGramHashes.hashes($"text", 5).as("g"))
+      .filter($"g".isNotNull)
+    val brute = sub.select($"doc_id".as("d1"), $"g".as("g1"))
+      .join(sub.select($"doc_id".as("d2"), $"g".as("g2")), $"d1" < $"d2")
+      .withColumn("jac", size(array_intersect($"g1", $"g2")).cast("double") /
+        size(array_union($"g1", $"g2")))
+      .filter($"jac" >= 0.5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = graft.queries.LlmOps.q86(spark, sfDir)
+      .filter($"d1" <= 250 && $"d2" <= 250)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded.subsetOf(brute), "banded output contains a pair below the threshold")
+    assert(brute.nonEmpty, "fixture produced no true near-dup pairs — test is vacuous")
+    val recall = (brute & banded).size.toDouble / brute.size
+    assert(recall >= 0.8, f"banded recall vs brute force too low: $recall%.3f")
+  }
 }

@@ -36,6 +36,41 @@ class ScaleJoinsSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS bkt_b")
   }
 
+  test("AQE splits a runtime-detected skewed partition in a sort-merge join") {
+    // the OTHER half of the skew story: saltedInnerJoin is the explicit
+    // tool for a KNOWN hot key; AQE's skew-join handles the one the
+    // planner discovers at runtime. Thresholds tightened so the ~1 MB hot
+    // partition counts as skewed at test scale.
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16384",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 30k rows of ~64B on the hot key + a 3k-row spread tail
+      val left = spark.range(30000).select(lit(1L).as("k"),
+          concat(lit("x" * 56), col("id")).as("pad"))
+        .union(spark.range(3000).select((col("id") % 100 + 2).as("k"),
+          col("id").cast("string").as("pad")))
+      val right = (1 to 101).map(i => (i.toLong, s"r$i")).toDF("k", "rv")
+      val joined = left.join(right.hint("merge"), Seq("k"))
+      // collect() drives THIS QueryExecution to its final adaptive plan
+      // (count() would execute a different, wrapped QueryExecution)
+      assert(joined.collect().length == 33000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("skew"),
+        s"AQE did not mark the skewed partition:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("ANALYZE feeds the CBO: rowCount lands in plan stats and stats pick the broadcast side") {
     val big = (1 to 20000).map(i => (i.toLong, "x" * 60)).toDF("k", "pad")
     val small = (1 to 300).map(i => (i.toLong, i.toString)).toDF("k", "sv")
