@@ -1,0 +1,35 @@
+#!/usr/bin/env python3
+"""Render the BASELINE.md per-query table from a Bench detail artifact and
+a scripts/baseline.py DuckDB run, so doc and artifacts cannot drift.
+Usage: baseline_table.py [BENCH_DETAIL.json] [duckdb.json]"""
+import json
+import sys
+
+detail = json.load(open(sys.argv[1] if len(sys.argv) > 1 else "BENCH_DETAIL.json"))
+duck = json.load(open(sys.argv[2] if len(sys.argv) > 2 else "/tmp/duckdb.json"))
+
+dq = duck["queries"]
+print("| query | spark | duckdb | ratio |")
+print("|---|---|---|---|")
+spark_total = 0.0
+duck_total = 0.0
+for name, row in sorted(detail["queries"].items()):
+    s = row["median_sec"]
+    spark_total += s
+    d = dq.get(name)
+    if d is None or d < 0:
+        print(f"| {name} | {s:.2f} | — | — |")
+    else:
+        duck_total += d
+        print(f"| {name} | {s:.2f} | {d:.3f} | {s / d:.1f}× |")
+print()
+print(f"# spark_total={spark_total:.1f}s duckdb_total={duck_total:.1f}s "
+      f"overall={spark_total / duck_total:.1f}x")
+heavy = [(n, r["median_sec"], dq[n]) for n, r in detail["queries"].items()
+         if dq.get(n, -1) >= 0.05]
+hs = sum(s for _, s, _ in heavy)
+hd = sum(d for _, _, d in heavy)
+print(f"# heavy(duckdb>=50ms): n={len(heavy)} spark={hs:.1f}s duckdb={hd:.1f}s "
+      f"ratio={hs / hd:.1f}x")
+wins = sorted((n, s / d) for n, s, d in heavy if s / d < 1.3)
+print(f"# wins/near-wins (<1.3x): {wins}")

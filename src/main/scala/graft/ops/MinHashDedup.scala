@@ -139,10 +139,12 @@ object MinHashDedup {
                    minJaccard: Double = 0.5): DataFrame = {
     val pairs = ngramJaccardPairs(docs, idCol, textCol, gramN, rowsPerBand,
       minJaccard)
-    // both orientations so every member of a pair sees its neighbor
-    val neighbors = pairs.select(col("d1").as("doc"), col("d2").as("nb"))
-      .union(pairs.select(col("d2").as("doc"), col("d1").as("nb")))
-      .groupBy(col("doc")).agg(min(col("nb")).as("min_nb"))
+    // pairs are oriented d1 < d2, and only a SMALLER neighbor can lower
+    // the min — so keeper(doc) = least(doc, min{d1 : (d1, doc) ∈ pairs}).
+    // One aggregation pass over the pair set, referenced once (a
+    // both-orientations union would compute the candidate pipeline twice).
+    val neighbors = pairs.groupBy(col("d2").as("doc"))
+      .agg(min(col("d1")).as("min_nb"))
     docs.select(col(idCol).as("doc"))
       .join(neighbors, Seq("doc"), "left")
       .select(col("doc"),

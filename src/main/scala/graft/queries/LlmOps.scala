@@ -769,11 +769,7 @@ object LlmOps {
 
   val q87Sql: String =
     s"""$ngramPairCtes,
-       |nb AS (
-       |  SELECT d1 AS doc, d2 AS nbr FROM pairs
-       |  UNION ALL
-       |  SELECT d2 AS doc, d1 AS nbr FROM pairs),
-       |mn AS (SELECT doc, MIN(nbr) AS min_nb FROM nb GROUP BY doc)
+       |mn AS (SELECT d2 AS doc, MIN(d1) AS min_nb FROM pairs GROUP BY d2)
        |SELECT d.doc_id AS doc,
        |  LEAST(d.doc_id, COALESCE(mn.min_nb, d.doc_id)) AS keeper
        |FROM documents d LEFT JOIN mn ON mn.doc = d.doc_id
