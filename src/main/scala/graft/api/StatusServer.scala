@@ -183,14 +183,20 @@ final class StatusServer(
           s""""available_processing_capacity":${runner.availableCapacity}},""" +
           s""""running_tasks":$running,"recent_completed_tasks":$recent}""")
     })
+    // API index (views/api.py:17-20) — the reference's liveness hello
+    s.createContext("/api/0.01/", (ex: HttpExchange) => {
+      if (ex.getRequestURI.getPath.stripSuffix("/") == "/api/0.01")
+        respond(ex, 200, """{"hello":"world"}""")
+      else respond(ex, 404, """{"error":"not found"}""")
+    })
     s.createContext("/api/0.01/task", (ex: HttpExchange) => {
       val path = ex.getRequestURI.getPath
       if (ex.getRequestMethod == "GET" && path.matches(".*/task/[^/]+$")) {
         val id = path.substring(path.lastIndexOf('/') + 1)
         status.record(id) match {
           case Some(r) => respond(ex, 200, taskJson(r))
-          case None => respond(ex, 200,
-            s"""{"task_id":${jsonStr(id)},"status":"unknown"}""")
+          // unknown task is a 404 (views/api.py:80-81), not a soft 200
+          case None => respond(ex, 404, """{"message":"task unknown"}""")
         }
       } else if (ex.getRequestMethod == "POST") {
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
@@ -213,8 +219,14 @@ final class StatusServer(
                   modelConstructionKwargs = mapField(doc, "model_construction_kwargs"),
                   partitionInitialiseKwargs = mapField(doc, "partition_initialise_kwargs"))
                 runner.submit(spec, blockMillis = 1000): Unit
+                // reference submit shape (views/api.py:61-71): an external
+                // link to the task resource + the accepting node's ident
+                val taskUrl = s"http://127.0.0.1:${s.getAddress.getPort}" +
+                  s"/api/0.01/task/${spec.taskId}"
                 respond(ex, 200,
-                  s"""{"task_id":${jsonStr(spec.taskId)},""" +
+                  s"""{"_metadata":{"links":{"task":${jsonStr(taskUrl)}}},""" +
+                    s""""governor_accepted_ident":${jsonStr(nodeIdent)},""" +
+                    s""""task_id":${jsonStr(spec.taskId)},""" +
                     s""""status_url":${jsonStr(s"/api/0.01/task/${spec.taskId}")}}""")
               } catch {
                 case e: BadRequest =>

@@ -49,8 +49,15 @@ class StatusServerSpec extends SparkSpec {
       assert(b0.contains("\"node_ident\"") && b0.contains("\"max_concurrent_tasks\":2")
         && b0.contains("\"available_processing_capacity\""))
 
+      // API index hello (views/api.py:17-20)
+      val (ci, bi) = get(port, "/api/0.01/")
+      assert(ci == 200 && bi.contains("\"hello\":\"world\""))
+
       val (c1, b1) = post(port, "/api/0.01/task", """{"model_class":"QuickEtl"}""")
       assert(c1 == 200 && b1.contains("\"task_id\"") && b1.contains("\"status_url\""))
+      // reference submit shape: external task link + accepting node ident
+      assert(b1.contains("\"_metadata\"") && b1.contains("\"links\"")
+        && b1.contains("/api/0.01/task/") && b1.contains("\"governor_accepted_ident\""))
       val id = "\"task_id\":\"([a-f0-9]+)\"".r.findFirstMatchIn(b1).get.group(1)
 
       // poll to terminal state
@@ -67,8 +74,9 @@ class StatusServerSpec extends SparkSpec {
       assert(c2 == 400 && b2.contains("model_class"))
       val (c3, _) = post(port, "/api/0.01/task", """{"model_class":"Unknown"}""")
       assert(c3 == 412)
+      // unknown task → 404 (views/api.py:80-81)
       val (c4, b4) = get(port, "/api/0.01/task/zzzzz")
-      assert(c4 == 200 && b4.contains("\"status\":\"unknown\""))
+      assert(c4 == 404 && b4.contains("task unknown"))
 
       // non-"go" method dispatch over HTTP; unknown method → 412
       val (c5, b5) = post(port, "/api/0.01/task",
