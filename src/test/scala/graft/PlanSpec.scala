@@ -132,6 +132,20 @@ class PlanSpec extends SparkSpec {
       s"all-pairs join in the n-gram Jaccard pipeline:\n$p")
   }
 
+  test("Q84 salted join stays an equi-join on (key, salt) — no nested loop") {
+    val p = plan(Joins.q84(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"salting broke the equi-join:\n$p")
+    assert(p.contains("__salt"), s"salt key missing from the join plan:\n$p")
+  }
+
+  test("Q87 keeper reduction aggregates map-side before the final join") {
+    val p = plan(LlmOps.q87(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in the keeper pipeline:\n$p")
+    assert(p.contains("partial_"), s"keeper min lost its map-side partial agg:\n$p")
+  }
+
   test("Q76 pivot is a single aggregate pass (no join, partial agg present)") {
     val p = plan(Reshape.q76(spark, sfDir))
     assert(!p.contains("Join"), s"pivot should not join:\n$p")
