@@ -26,7 +26,11 @@ object ScaleJoins {
       pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(salts)))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0L), lit((salts - 1).toLong))))
-    l.join(r, Seq(key, "__salt"), "inner").drop("__salt")
+    // shuffled-hash: the replicated side is the SMALL side by this
+    // operator's contract, so build a hash table per partition instead of
+    // sorting both sides (SMJ would sort the big salted side — the exact
+    // cost salting is trying to spread)
+    l.join(r.hint("shuffle_hash"), Seq(key, "__salt"), "inner").drop("__salt")
   }
 
   /** Write a frame bucketed+sorted by `key` as a catalog table: repeated
