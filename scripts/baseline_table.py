@@ -11,8 +11,9 @@ duck = json.load(open(sys.argv[2] if len(sys.argv) > 2 else "/tmp/duckdb.json"))
 dq = duck["queries"]
 print("| query | spark | duckdb | ratio |")
 print("|---|---|---|---|")
-spark_total = 0.0
-duck_total = 0.0
+spark_total = 0.0        # every benched query (the headline number)
+spark_paired = 0.0       # only queries with a DuckDB result — the ratio
+duck_total = 0.0         # compares IDENTICAL query sets, never mismatched
 for name, row in sorted(detail["queries"].items()):
     s = row["median_sec"]
     spark_total += s
@@ -20,16 +21,22 @@ for name, row in sorted(detail["queries"].items()):
     if d is None or d < 0:
         print(f"| {name} | {s:.2f} | — | — |")
     else:
+        spark_paired += s
         duck_total += d
         print(f"| {name} | {s:.2f} | {d:.3f} | {s / d:.1f}× |")
 print()
-print(f"# spark_total={spark_total:.1f}s duckdb_total={duck_total:.1f}s "
-      f"overall={spark_total / duck_total:.1f}x")
+if duck_total > 0:
+    print(f"# spark_total={spark_total:.1f}s (all queries); paired subset "
+          f"spark={spark_paired:.1f}s duckdb={duck_total:.1f}s "
+          f"overall={spark_paired / duck_total:.1f}x")
+else:
+    print(f"# spark_total={spark_total:.1f}s; no DuckDB results to compare")
 heavy = [(n, r["median_sec"], dq[n]) for n, r in detail["queries"].items()
          if dq.get(n, -1) >= 0.05]
-hs = sum(s for _, s, _ in heavy)
-hd = sum(d for _, _, d in heavy)
-print(f"# heavy(duckdb>=50ms): n={len(heavy)} spark={hs:.1f}s duckdb={hd:.1f}s "
-      f"ratio={hs / hd:.1f}x")
-wins = sorted((n, s / d) for n, s, d in heavy if s / d < 1.3)
-print(f"# wins/near-wins (<1.3x): {wins}")
+if heavy:
+    hs = sum(s for _, s, _ in heavy)
+    hd = sum(d for _, _, d in heavy)
+    print(f"# heavy(duckdb>=50ms): n={len(heavy)} spark={hs:.1f}s duckdb={hd:.1f}s "
+          f"ratio={hs / hd:.1f}x")
+    wins = sorted((n, s / d) for n, s, d in heavy if s / d < 1.3)
+    print(f"# wins/near-wins (<1.3x): {wins}")

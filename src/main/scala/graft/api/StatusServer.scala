@@ -183,8 +183,11 @@ final class StatusServer(
           s""""available_processing_capacity":${runner.availableCapacity}},""" +
           s""""running_tasks":$running,"recent_completed_tasks":$recent}""")
     })
-    // API index (views/api.py:17-20) — the reference's liveness hello
-    s.createContext("/api/0.01/", (ex: HttpExchange) => {
+    // API index (views/api.py:17-20) — the reference's liveness hello.
+    // Context path WITHOUT the trailing slash so the bare probe URL
+    // /api/0.01 matches too (JDK contexts are prefix-matched; /task and
+    // /node_info still win as longer prefixes).
+    s.createContext("/api/0.01", (ex: HttpExchange) => {
       if (ex.getRequestURI.getPath.stripSuffix("/") == "/api/0.01")
         respond(ex, 200, """{"hello":"world"}""")
       else respond(ex, 404, """{"error":"not found"}""")

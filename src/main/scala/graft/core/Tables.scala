@@ -41,12 +41,18 @@ object Tables {
     new java.util.concurrent.ConcurrentHashMap[String, StructType]()
 
   private def cachedSchema(spark: SparkSession, dir: String,
-                           name: String): StructType =
-    schemaCache.computeIfAbsent(s"$dir/$name", _ => {
+                           name: String): StructType = {
+    // the cache key carries the file's (mtime, size): rewritten data at
+    // the same path re-infers instead of silently reading NULLs for
+    // renamed columns through a stale explicit schema
+    val f = new java.io.File(s"$dir/$name.parquet")
+    val key = s"$dir/$name@${f.lastModified}:${f.length}"
+    schemaCache.computeIfAbsent(key, _ => {
       if (name == "events") // nanos column must surface as long pre-cache too
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet").schema
     })
+  }
 
   /** Money/quantity column → exact decimal(18,2); mirrors
     * CAST(x AS DECIMAL(18,2)) in the oracle SQL. Input doubles carry 2

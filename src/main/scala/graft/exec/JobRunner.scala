@@ -106,6 +106,12 @@ final class JobRunner(
     * top-level `method` is not dispatched there. Returns the constructed
     * instance so dispatch reuses it — model_cls(**model_construction_kwargs)
     * runs ONCE per task (control/process.py:89), not once per phase.
+    *
+    * A submission rejected later with NoCapacity has still constructed the
+    * instance once: the 412-precedes-503 contract requires method
+    * validation (which needs the factory's instance) before the capacity
+    * verdict. Factories should therefore construct cheaply; heavy
+    * resource acquisition belongs in partitionInitialise / first use.
     */
   private def validate(spec: TaskSpec): EtlModel = {
     val model = registry.resolve(spec.modelClass, spec.modelConstructionKwargs)

@@ -24,6 +24,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * and DuckDB codepoint substr agree.
   */
 private[functions] object CharGramming {
+  /** The shared 32-bit gram-hash: first 8 md5 hex chars as an unsigned
+    * value — THE cross-engine contract (DuckDB:
+    * `CAST('0x'||substr(md5(g),1,8) AS BIGINT)`). One definition, used by
+    * [[CharMinHash]] and [[CharGramHashes]]; a drifted copy would
+    * silently break q86/q87 oracle agreement.
+    */
+  def hash32(md: java.security.MessageDigest, gram: String): Long = {
+    md.reset()
+    val d = md.digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
   /** Lowercase, non-alnum runs → single space, trimmed. */
   def normalize(text: String): String = {
     val lower = text.toLowerCase(Locale.ROOT)
@@ -81,10 +94,16 @@ case class CharGrams(child: Expression, n: Int)
   * so signature rows and gram rows cover the same documents.
   */
 case class CharMinHash(child: Expression, n: Int,
-                       as: Array[Long], bs: Array[Long], prime: Long)
+                       as: Seq[Long], bs: Seq[Long], prime: Long)
   extends UnaryExpression with CodegenFallback {
+  // Seq fields (not Array): case-class equality must be structural so
+  // canonicalization / subexpression elimination / plan reuse see two
+  // identical sig() calls as equal expressions.
 
   require(n >= 1 && as.length == bs.length && as.nonEmpty)
+
+  @transient private lazy val asArr = as.toArray
+  @transient private lazy val bsArr = bs.toArray
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
@@ -94,17 +113,14 @@ case class CharMinHash(child: Expression, n: Int,
     val len = norm.length
     if (len < n) return null
     val md = CharMinHash.digests.get()
-    val k = as.length
+    val k = asArr.length
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i <= len - n) {
-      md.reset()
-      val d = md.digest(norm.substring(i, i + n).getBytes(StandardCharsets.UTF_8))
-      val x = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      val x = CharGramming.hash32(md, norm.substring(i, i + n))
       var c = 0
       while (c < k) {
-        val h = (as(c) * x + bs(c)) % prime
+        val h = (asArr(c) * x + bsArr(c)) % prime
         if (h < mins(c)) mins(c) = h
         c += 1
       }
@@ -130,5 +146,5 @@ object CharMinHash {
   def sig(text: Column, n: Int, coeffs: Seq[(Long, Long)], prime: Long): Column =
     GraftExpressionBridge.column(CharMinHash(
       GraftExpressionBridge.expression(text), n,
-      coeffs.map(_._1).toArray, coeffs.map(_._2).toArray, prime))
+      coeffs.map(_._1), coeffs.map(_._2), prime))
 }

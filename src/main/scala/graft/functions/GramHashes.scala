@@ -38,11 +38,7 @@ case class CharGramHashes(child: Expression, n: Int)
     val set = new java.util.TreeSet[java.lang.Long]()
     var i = 0
     while (i <= len - n) {
-      md.reset()
-      val d = md.digest(norm.substring(i, i + n).getBytes(StandardCharsets.UTF_8))
-      val x = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-      set.add(x): Unit
+      set.add(CharGramming.hash32(md, norm.substring(i, i + n))): Unit
       i += 1
     }
     val out = new Array[Long](set.size)

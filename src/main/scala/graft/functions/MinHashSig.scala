@@ -28,8 +28,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * fewer than n tokens (the explode-drop semantics).
   */
 case class MinHashSig(child: Expression, n: Int,
-                      as: Array[Long], bs: Array[Long], prime: Long)
+                      as: Seq[Long], bs: Seq[Long], prime: Long)
   extends UnaryExpression with CodegenFallback {
+  // Seq fields (not Array): structural case-class equality keeps
+  // canonicalization / subexpression elimination / plan reuse working.
+
+  @transient private lazy val asArr = as.toArray
+  @transient private lazy val bsArr = bs.toArray
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
@@ -51,7 +56,7 @@ case class MinHashSig(child: Expression, n: Int,
     val m = toks.size
     if (m < n) return null
     val md = MinHashSig.digests.get()
-    val k = as.length
+    val k = asArr.length
     val mins = Array.fill(k)(Long.MaxValue)
     val sb = new java.lang.StringBuilder
     i = 0
@@ -66,7 +71,7 @@ case class MinHashSig(child: Expression, n: Int,
         ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
       var c = 0
       while (c < k) {
-        val h = (as(c) * x + bs(c)) % prime
+        val h = (asArr(c) * x + bsArr(c)) % prime
         if (h < mins(c)) mins(c) = h
         c += 1
       }
@@ -86,5 +91,5 @@ object MinHashSig {
   def sig(text: Column, n: Int, coeffs: Seq[(Long, Long)], prime: Long): Column =
     GraftExpressionBridge.column(MinHashSig(
       GraftExpressionBridge.expression(text), n,
-      coeffs.map(_._1).toArray, coeffs.map(_._2).toArray, prime))
+      coeffs.map(_._1), coeffs.map(_._2), prime))
 }

@@ -45,15 +45,24 @@ object ScaleJoins {
     // A PREVIOUS session's files at the managed location block CREATE
     // (LOCATION_ALREADY_EXISTS): with an in-memory catalog the table is
     // unknown but its directory survives, so clear the local leftover.
-    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
-    if (wh.getScheme == null || wh.getScheme == "file") {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
+    // Only the unqualified-name default-database layout is handled here
+    // (db.tbl lives under <db>.db/ and needs a metastore-aware drop); the
+    // raw warehouse string is parsed leniently — spaces in the path must
+    // not crash the write (URI would throw on them).
+    if (!table.contains('.')) {
+      val whRaw = spark.conf.get("spark.sql.warehouse.dir")
+      val whPath =
+        if (whRaw.startsWith("file:")) whRaw.stripPrefix("file:")
+        else if (whRaw.contains(":")) "" // non-local scheme: not ours to clean
+        else whRaw
+      if (whPath.nonEmpty) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(new java.io.File(whPath),
+          table.toLowerCase(java.util.Locale.ROOT)))
       }
-      val path = Option(wh.getPath).getOrElse(wh.getSchemeSpecificPart)
-      rm(new java.io.File(new java.io.File(path),
-        table.toLowerCase(java.util.Locale.ROOT)))
     }
     df.write.mode("overwrite")
       .bucketBy(buckets, key)

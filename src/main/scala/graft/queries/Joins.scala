@@ -285,8 +285,13 @@ object Joins {
 
   def q85(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    if (bucketedFor.get != dir) bucketedFor.synchronized {
-      if (bucketedFor.get != dir) {
+    // re-ingest when the dir changes OR the tables are missing from this
+    // session's catalog (a fresh session in the same JVM starts empty —
+    // the memo alone must not skip ingest it never did)
+    def tablesReady = spark.catalog.tableExists("graft_bkt_customer") &&
+      spark.catalog.tableExists("graft_bkt_orders")
+    if (bucketedFor.get != dir || !tablesReady) bucketedFor.synchronized {
+      if (bucketedFor.get != dir || !tablesReady) {
         graft.ops.ScaleJoins.writeBucketed(
           t(spark, dir, "customer").select($"c_custkey", $"c_mktsegment"),
           "graft_bkt_customer", "c_custkey", buckets = 8)

@@ -208,6 +208,9 @@ object StreamOps {
       // Ephemeral default sink: unique scratch dir per call (so
       // concurrent sessions never race), pinned to the driver after the
       // run and DELETED — otherwise every call leaks a parquet dir.
+      // Driver-pinning bounds this path to modest results by design; a
+      // deployment with a large streaming output passes `outDir` and
+      // keeps the parquet-backed laziness (plus the durable sink).
       val scratch = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp")),
         "graft_stream_out").toFile
