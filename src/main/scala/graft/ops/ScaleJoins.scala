@@ -71,6 +71,26 @@ object ScaleJoins {
       .saveAsTable(table)
   }
 
+  /** Inner equi-join where the BIG side is first pruned by a Bloom filter
+    * built (distributed, via `stat.bloomFilter`'s tree-aggregation) over
+    * the small side's join keys. False positives survive the prune but
+    * are removed by the exact join, so the result is identical to the
+    * plain join for any fpp — the filter only cuts how much of the big
+    * side reaches the shuffle. This is the manual form of Spark's
+    * InjectRuntimeFilter for when the planner can't prove the pattern
+    * (e.g. the small side is a subquery behind a non-pushable predicate):
+    * at 100 TB a 2%-selective dimension predicate means the fact side
+    * shuffles 2% of its rows instead of all of them.
+    */
+  def bloomPrunedInnerJoin(big: DataFrame, small: DataFrame,
+                           bigKey: String, smallKey: String,
+                           fpp: Double = 0.01): DataFrame = {
+    val nKeys = math.max(small.count(), 1L)
+    val bf = small.stat.bloomFilter(smallKey, nKeys, fpp)
+    big.filter(graft.functions.BloomMightContain.mightContain(col(bigKey), bf))
+      .join(small, col(bigKey) === col(smallKey), "inner")
+  }
+
   /** Collect table + column statistics for a catalog table — the CBO
     * feed: row count/size replace raw-file-size guesses in broadcast
     * selection and join reordering; per-column min/max/NDV/null counts

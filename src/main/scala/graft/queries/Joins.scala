@@ -317,6 +317,36 @@ object Joins {
       |GROUP BY c_mktsegment, o_orderstatus
       |ORDER BY c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
 
+  /** Q92 — Bloom-pruned fact⋈dim join: a Bloom filter over the selected
+    * part keys prunes lineitem BEFORE the join
+    * ([[graft.ops.ScaleJoins.bloomPrunedInnerJoin]]). The result is
+    * provably identical to the plain join (false positives die in the
+    * exact join), which is exactly what the oracle checks; the plan
+    * assertion (PlanSpec) pins the probe onto the fact-side scan. At
+    * 100 TB this is the difference between shuffling all of lineitem and
+    * shuffling the ~2% whose part survives the predicate.
+    */
+  def q92(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val small = t(spark, dir, "part")
+      .filter($"p_size" === 1)
+      .select($"p_partkey", $"p_brand")
+    val big = t(spark, dir, "lineitem")
+      .select($"l_partkey", dec2($"l_extendedprice").as("price"))
+    graft.ops.ScaleJoins
+      .bloomPrunedInnerJoin(big, small, "l_partkey", "p_partkey", fpp = 0.01)
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n"), sum($"price").cast(DoubleType).as("sum_price"))
+      .orderBy($"p_brand".asc_nulls_first)
+  }
+
+  val q92Sql: String =
+    """SELECT p_brand, COUNT(*) AS n,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_size = 1
+      |GROUP BY p_brand ORDER BY p_brand NULLS FIRST""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_inner_join" -> (q10 _),
     "q11_broadcast_join" -> (q11 _),
@@ -329,7 +359,8 @@ object Joins {
     "q18_interval_join" -> (q18 _),
     "q19_star_join" -> (q19 _),
     "q84_salted_skew_join" -> (q84 _),
-    "q85_bucketed_join" -> (q85 _))
+    "q85_bucketed_join" -> (q85 _),
+    "q92_bloom_pruned_join" -> (q92 _))
 
   def oracles: Map[String, String] = Map(
     "q10_inner_join" -> q10Sql,
@@ -343,5 +374,6 @@ object Joins {
     "q18_interval_join" -> q18Sql,
     "q19_star_join" -> q19Sql,
     "q84_salted_skew_join" -> q84Sql,
-    "q85_bucketed_join" -> q85Sql)
+    "q85_bucketed_join" -> q85Sql,
+    "q92_bloom_pruned_join" -> q92Sql)
 }

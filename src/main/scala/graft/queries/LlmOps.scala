@@ -775,6 +775,128 @@ object LlmOps {
        |FROM documents d LEFT JOIN mn ON mn.doc = d.doc_id
        |ORDER BY doc NULLS FIRST""".stripMargin
 
+  /** Q89 — intra-document REPETITION score (the Gopher-style quality
+    * rule): fraction of 3-token shingle occurrences that are repeats of
+    * an earlier shingle in the same doc, `1 - distinct/total`. Entirely
+    * per-row array arithmetic on the native [[graft.functions.WordShingles]]
+    * output — map-only, no explode, no shuffle: the shape that matters
+    * when this gate fronts a 100 TB corpus scan.
+    */
+  def q89(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "documents")
+      .select($"doc_id",
+        graft.functions.WordShingles.shingles($"text", 3).as("g"))
+      .filter(size($"g") > 0)
+      .select($"doc_id",
+        size($"g").cast(LongType).as("n_grams"),
+        size(array_distinct($"g")).cast(LongType).as("n_distinct"))
+      .withColumn("rep_ratio",
+        round(lit(1.0) - $"n_distinct".cast(DoubleType) / $"n_grams", 6))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  val q89Sql: String =
+    s"""$tokCte,
+       |sh AS (
+       |  SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+       |  FROM tok, UNNEST(range(1, len(toks) - 1)) AS t(i)
+       |  WHERE len(toks) >= 3),
+       |st AS (SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT g) AS n_distinct
+       |       FROM sh GROUP BY doc_id)
+       |SELECT doc_id, n_grams, n_distinct,
+       |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 6) AS rep_ratio
+       |FROM st ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  /** Q90 — train/eval CONTAMINATION check: split the corpus by doc_id
+    * parity into a pseudo train/eval pair, hash every distinct 8-token
+    * shingle ([[TextOps.hash32]] over [[graft.functions.WordShingles]]),
+    * and count per eval doc how many of its shingles appear anywhere in
+    * the train side. The train set is a DISTINCT gram-hash inverted
+    * index and the probe is one equi-join on the hash — candidate volume
+    * scales with Σ|grams|, never |eval|×|train|. This is the overlap
+    * audit every LLM data pipeline runs before a benchmark claim.
+    */
+  def q90(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grams = t(spark, dir, "documents")
+      .select($"doc_id",
+        explode(graft.functions.WordShingles.shingles($"text", 8)).as("g"))
+      .select($"doc_id", TextOps.hash32($"g").as("gh"))
+      .distinct()
+    val train = grams.filter($"doc_id" % 2 === 0)
+      .select($"gh").distinct().withColumn("__hit", lit(1))
+    grams.filter($"doc_id" % 2 === 1)
+      .join(train, Seq("gh"), "left")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce($"__hit", lit(0))).as("n_hit"))
+      .withColumn("contamination",
+        round($"n_hit".cast(DoubleType) / $"n_grams", 6))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  val q90Sql: String =
+    s"""$tokCte,
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    CAST(('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]), 1, 8)) AS BIGINT) AS gh
+       |  FROM tok, UNNEST(range(1, len(toks) - 6)) AS t(i)
+       |  WHERE len(toks) >= 8),
+       |tr AS (SELECT DISTINCT gh FROM sh WHERE doc_id % 2 = 0)
+       |SELECT e.doc_id, COUNT(*) AS n_grams,
+       |  CAST(COUNT(t.gh) AS BIGINT) AS n_hit,
+       |  round(CAST(COUNT(t.gh) AS DOUBLE) / COUNT(*), 6) AS contamination
+       |FROM sh e LEFT JOIN tr t ON t.gh = e.gh
+       |WHERE e.doc_id % 2 = 1
+       |GROUP BY e.doc_id ORDER BY e.doc_id NULLS FIRST""".stripMargin
+
+  /** Q91 — PII-style identifier SCRUB: count and redact digit runs (≥3)
+    * per record — the anonymization pass shape (emails/phones/ids are the
+    * same regex plumbing; this corpus's deterministic identifiers live in
+    * `c_name`). Pure per-row codegen'd regex — map-only at any scale.
+    */
+  def q91(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "customer")
+      .select(
+        $"c_custkey",
+        size(regexp_extract_all($"c_name", lit("[0-9]{3,}"), lit(0)))
+          .cast(LongType).as("n_ids"),
+        regexp_replace($"c_name", "[0-9]{3,}", "<ID>").as("redacted"))
+      .orderBy($"c_custkey".asc_nulls_first)
+  }
+
+  val q91Sql: String =
+    """SELECT c_custkey,
+      | len(regexp_extract_all(c_name, '[0-9]{3,}')) AS n_ids,
+      | regexp_replace(c_name, '[0-9]{3,}', '<ID>', 'g') AS redacted
+      |FROM customer ORDER BY c_custkey NULLS FIRST""".stripMargin
+
+  /** Q93 — STRATIFIED deterministic sample: per-language sampling rates
+    * (downsample the dominant language, keep the tail) via the same
+    * md5-threshold rule as Q80 — reproducible under re-runs and
+    * partitioning changes, no RNG state. This is how a 100 TB corpus is
+    * rebalanced: the rate map is the knob, the scan stays one pass.
+    */
+  def q93(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rate = when($"lang" === "en", lit(10))
+      .when($"lang" === "zh", lit(20))
+      .otherwise(lit(50))
+    t(spark, dir, "documents")
+      .filter(pmod(TextOps.hash32($"doc_id".cast(StringType)), lit(100)) < rate)
+      .select($"doc_id", $"lang", $"n_chars")
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  val q93Sql: String =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 100
+      |  < CASE lang WHEN 'en' THEN 10 WHEN 'zh' THEN 20 ELSE 50 END
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_exact_dedup" -> (q58 _),
     "q59_minhash_lsh" -> (q59 _),
@@ -796,7 +918,11 @@ object LlmOps {
     "q82_ann_ivf_nprobe" -> (q82 _),
     "q83_corpus_pipeline" -> (q83 _),
     "q86_ngram_jaccard" -> (q86 _),
-    "q87_neardup_keepers" -> (q87 _))
+    "q87_neardup_keepers" -> (q87 _),
+    "q89_repetition" -> (q89 _),
+    "q90_contamination" -> (q90 _),
+    "q91_pii_scrub" -> (q91 _),
+    "q93_stratified_sample" -> (q93 _))
 
   def oracles: Map[String, String] = Map(
     "q58_exact_dedup" -> q58Sql,
@@ -819,5 +945,9 @@ object LlmOps {
     "q82_ann_ivf_nprobe" -> q82Sql,
     "q83_corpus_pipeline" -> q83Sql,
     "q86_ngram_jaccard" -> q86Sql,
-    "q87_neardup_keepers" -> q87Sql)
+    "q87_neardup_keepers" -> q87Sql,
+    "q89_repetition" -> q89Sql,
+    "q90_contamination" -> q90Sql,
+    "q91_pii_scrub" -> q91Sql,
+    "q93_stratified_sample" -> q93Sql)
 }

@@ -115,17 +115,44 @@ object Scans {
       | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus NULLS FIRST""".stripMargin
 
+  /** Q88 — ORC sink + scan round-trip: the third columnar format of the
+    * connector matrix (parquet Q01/Q04, CSV Q02, JSON Q03). ORC reads get
+    * the same DataSource-V2 treatment as parquet — column pruning and
+    * predicate pushdown reach the stripe reader — so the choice of format
+    * is a layout decision, not a capability loss. The oracle reads the
+    * original parquet: the round-trip must be value-preserving.
+    */
+  def q88(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = scratch("q88_supplier_orc")
+    t(spark, dir, "supplier")
+      .write.mode(SaveMode.Overwrite).orc(out)
+    spark.read.orc(out)
+      .filter($"s_suppkey" % 2 === 0)
+      .groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n"), sumDec2($"s_acctbal").as("sum_bal"))
+      .orderBy($"s_nationkey".asc_nulls_first)
+  }
+
+  val q88Sql: String =
+    """SELECT s_nationkey, COUNT(*) AS n,
+      | CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      |FROM supplier WHERE s_suppkey % 2 = 0
+      |GROUP BY s_nationkey ORDER BY s_nationkey NULLS FIRST""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_parquet_scan" -> (q01 _),
     "q02_csv_roundtrip" -> (q02 _),
     "q03_json_roundtrip" -> (q03 _),
     "q04_parquet_sink" -> (q04 _),
-    "q05_partitioned_sink" -> (q05 _))
+    "q05_partitioned_sink" -> (q05 _),
+    "q88_orc_roundtrip" -> (q88 _))
 
   def oracles: Map[String, String] = Map(
     "q01_parquet_scan" -> q01Sql,
     "q02_csv_roundtrip" -> q02Sql,
     "q03_json_roundtrip" -> q03Sql,
     "q04_parquet_sink" -> q04Sql,
-    "q05_partitioned_sink" -> q05Sql)
+    "q05_partitioned_sink" -> q05Sql,
+    "q88_orc_roundtrip" -> q88Sql)
 }

@@ -415,4 +415,27 @@ class OpsSpec extends SparkSpec {
     val recall = (brute & banded).size.toDouble / brute.size
     assert(recall >= 0.8, f"banded recall vs brute force too low: $recall%.3f")
   }
+
+  test("bloom filter probe has no false negatives; pruned join ≡ plain join") {
+    import spark.implicits._
+    import graft.core.Tables.t
+    // (1) expression-level: every inserted key must probe true
+    val keys = t(spark, sfDir, "part").filter($"p_size" === 1).select($"p_partkey")
+    val bf = keys.stat.bloomFilter("p_partkey", math.max(keys.count(), 1L), 0.01)
+    val missed = keys
+      .filter(!graft.functions.BloomMightContain.mightContain($"p_partkey", bf))
+      .count()
+    assert(missed == 0, s"bloom filter dropped $missed of its own keys")
+    // (2) operator-level: prune + exact join must equal the plain join
+    val small = t(spark, sfDir, "part").filter($"p_size" === 1)
+      .select($"p_partkey", $"p_brand")
+    val big = t(spark, sfDir, "lineitem").select($"l_partkey", $"l_orderkey")
+    val pruned = graft.ops.ScaleJoins
+      .bloomPrunedInnerJoin(big, small, "l_partkey", "p_partkey", fpp = 0.01)
+      .select($"l_orderkey", $"l_partkey", $"p_brand")
+    val plain = big.join(small, $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey", $"l_partkey", $"p_brand")
+    assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty,
+      "bloom-pruned join diverges from the plain join")
+  }
 }

@@ -173,6 +173,37 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset(key)
   }
 
+  test("Q92 bloom probe lands on the fact side BEFORE the join") {
+    val p = plan(Joins.q92(spark, sfDir))
+    assert(p.contains("bloom_might_contain"),
+      s"no bloom probe in the executed plan:\n$p")
+    // the probe must be a Filter below the join, not a post-join residual:
+    // the first bloom_might_contain occurrence sits deeper (later in the
+    // printed tree) than the join node itself
+    val joinAt = p.indexOf("Join")
+    val probeAt = p.indexOf("bloom_might_contain")
+    assert(joinAt >= 0 && probeAt > joinAt,
+      s"bloom probe is not below the join in:\n$p")
+  }
+
+  test("Q90 contamination probe is an equi-join on the gram hash (no cartesian)") {
+    val p = plan(LlmOps.q90(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"contamination join exploded to all pairs:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"no equi-join on the gram hash in:\n$p")
+  }
+
+  test("Q89 repetition score is map-only (no explode, no agg shuffle)") {
+    val p = plan(LlmOps.q89(spark, sfDir))
+    // the only exchange allowed is the final presentation ORDER BY
+    // (rangepartitioning); the gate itself must not shuffle or explode
+    assert(!p.contains("hashpartitioning"),
+      s"repetition gate shuffles on a hash key (explode-agg shape):\n$p")
+    assert(!p.contains("Generate"), s"repetition gate explodes shingles:\n$p")
+    assert(!p.contains("Join"), s"repetition gate joins:\n$p")
+  }
+
   test("Q23 approx distinct is within 5% of exact at sf0.001") {
     import org.apache.spark.sql.functions._
     val approx = Aggregates.q23(spark, sfDir).collect()
