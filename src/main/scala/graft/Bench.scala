@@ -44,6 +44,10 @@ object Bench {
       // benchmark outputs are report-sized by contract → single-partition
       // final sort instead of a range exchange + its sampling job
       .config("spark.graft.smallResultSort", "true")
+      // single-row-group fixtures otherwise scan single-threaded (a row
+      // group is the minimum split); one memoized ingest rewrite — absorbed
+      // by the warmups — lets every scan parallelize. See Tables.sourcePath.
+      .config("spark.graft.compactScans", "true")
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -10,6 +10,10 @@ object BenchOne {
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.graft.smallResultSort", "true")
+      .config("spark.graft.compactScans",
+        sys.env.getOrElse("SPARK_GRAFT_COMPACT", "true"))
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)

@@ -17,6 +17,9 @@ object Verify {
       // oracle dumps are report-sized by contract → skip the range-sort
       // sampling job on every query's final ORDER BY
       .config("spark.graft.smallResultSort", "true")
+      // oracle gate exercises the same ingest-compacted scan path Bench
+      // measures, proving compaction is row-identical to the raw layout
+      .config("spark.graft.compactScans", "true")
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -30,12 +30,58 @@ object Tables {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.schema(cachedSchema(spark, dir, name))
-        .parquet(s"$dir/$name.parquet")
+        .parquet(sourcePath(spark, dir, name))
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else {
       spark.read.schema(cachedSchema(spark, dir, name))
-        .parquet(s"$dir/$name.parquet")
+        .parquet(sourcePath(spark, dir, name))
     }
+
+  /** Ingest-time compaction (the lakehouse auto-OPTIMIZE shape, applied in
+    * reverse): a parquet row group is Spark's minimum split unit, so a table
+    * delivered as ONE small file with ONE row group scans single-threaded no
+    * matter how many cores the cluster has. When
+    * `spark.graft.compactScans=true`, the first touch of such a table
+    * rewrites it once into `defaultParallelism` splittable files (memoized
+    * per (dir, table, mtime, size)); every later scan — and the partial
+    * aggregates/joins fused into it — runs cluster-wide.
+    *
+    * Deliberately size-gated: inputs over the threshold (default 1 GiB) or
+    * already multi-file keep their layout, so at 100 TB — where parquet
+    * arrives as many multi-row-group files — this is a no-op and scans
+    * split natively. Row data is byte-identical either way (the oracle gate
+    * runs with compaction ON).
+    */
+  private val compactCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def sourcePath(spark: SparkSession, dir: String,
+                         name: String): String = {
+    val raw = s"$dir/$name.parquet"
+    if (!spark.conf.getOption("spark.graft.compactScans").contains("true"))
+      return raw
+    val f = new java.io.File(raw)
+    val maxBytes = spark.conf.getOption("spark.graft.compactScans.maxBytes")
+      .map(_.toLong).getOrElse(1L << 30)
+    if (!f.isFile || f.length > maxBytes) return raw
+    val key = s"$raw@${f.lastModified}:${f.length}"
+    compactCache.computeIfAbsent(key, _ => {
+      val n = spark.sparkContext.defaultParallelism
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val out = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft-compact", s"$name-$digest")
+      if (!java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
+        // raw column bytes preserved: events.ts stays the int64 nanos value
+        // (read as long via nanosAsLong); the µs cast happens at read time
+        // exactly as on the uncompacted path
+        spark.read.schema(cachedSchema(spark, dir, name)).parquet(raw)
+          .repartition(n)
+          .write.mode("overwrite").parquet(out.toString)
+      }
+      out.toString
+    })
+  }
 
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, StructType]()

@@ -101,19 +101,40 @@ object MinHashDedup {
     val sigs = docs.select(col(idCol), sig.as("__sig"))
       .filter(col("__sig").isNotNull)
     val nBands = coeffs.size / rowsPerBand
+    // Band keys are the raw minhash LONGS, not a hashed string: the
+    // self-join shuffles narrow native columns and the join hashes
+    // integers instead of md5 hex. The signature array rides along (8
+    // longs) so band-duplicate candidates can be dropped map-side.
     val bandStructs = (0 until nBands).map { b =>
-      val key = md5(concat_ws("_", (0 until rowsPerBand).map(r =>
-        element_at(col("__sig"), b * rowsPerBand + r + 1)): _*))
-      struct(lit(b).as("band"), key.as("bh"))
+      struct(lit(b).as("band") +: (0 until rowsPerBand).map(r =>
+        element_at(col("__sig"), b * rowsPerBand + r + 1).as(s"k$r")): _*)
     }
     val bands = sigs
-      .select(col(idCol), explode(array(bandStructs: _*)).as("__b"))
-      .select(col(idCol), col("__b.band").as("band"), col("__b.bh").as("bh"))
-    val cand = bands.select(col("band"), col("bh"), col(idCol).as("d1"))
-      .join(bands.select(col("band"), col("bh"), col(idCol).as("d2")),
-        Seq("band", "bh"))
-      .filter(col("d1") < col("d2"))
-      .select(col("d1"), col("d2")).distinct()
+      .select(col(idCol), col("__sig"), explode(array(bandStructs: _*)).as("__b"))
+      .select(col(idCol) +: col("__sig") +:
+        (col("__b.band").as("band") +:
+          (0 until rowsPerBand).map(r => col(s"__b.k$r"))): _*)
+    val joinKeys = "band" +: (0 until rowsPerBand).map(r => s"k$r")
+    // A pair that collides in several bands would come out once per band;
+    // instead of a distinct (a full extra shuffle of the pair set), emit
+    // it only from its SMALLEST matching band: rows from a later band
+    // whose signatures also collide in an earlier band are dropped by a
+    // map-side filter right after the join.
+    val left = bands.select(col("band") +:
+      (0 until rowsPerBand).map(r => col(s"k$r")) :+
+      col(idCol).as("d1") :+ col("__sig").as("__s1"): _*)
+    val right = bands.select(col("band") +:
+      (0 until rowsPerBand).map(r => col(s"k$r")) :+
+      col(idCol).as("d2") :+ col("__sig").as("__s2"): _*)
+    val earlierBandAlsoMatches = (0 until nBands - 1).map { bp =>
+      col("band") > bp && (0 until rowsPerBand).map(r =>
+        element_at(col("__s1"), bp * rowsPerBand + r + 1) ===
+          element_at(col("__s2"), bp * rowsPerBand + r + 1))
+        .reduce(_ && _)
+    }.reduce(_ || _)
+    val cand = left.join(right, joinKeys)
+      .filter(col("d1") < col("d2") && !earlierBandAlsoMatches)
+      .select(col("d1"), col("d2"))
     val grams = docs.select(col(idCol),
         graft.functions.CharGramHashes.hashes(col(textCol), gramN).as("__g"))
       .filter(col("__g").isNotNull)

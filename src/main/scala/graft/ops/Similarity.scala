@@ -189,8 +189,19 @@ object Similarity {
                 k: Int, iters: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.{DecimalType, LongType}
-    val vecs = corpus.select(col(idCol).as("__id"), toDouble(col(vecCol)).as("__vec"))
+    // Right-size the cached corpus for the iterative loop: Lloyd's runs
+    // ~2 jobs per round over this frame, so per-task scheduling overhead
+    // is paid `rounds × partitions` times. A tiny corpus split 32 ways
+    // (e.g. by ingest compaction) pays 32 task launches per stage to scan
+    // 60 rows each; coalesce to ~1k rows/partition, never above the
+    // cluster parallelism — at real scale this leaves parallelism intact.
+    val cached = corpus.select(col(idCol).as("__id"), toDouble(col(vecCol)).as("__vec"))
       .persist() // read the corpus once, not once per Lloyd's round
+    val n = cached.count() // materialises the cache and sizes the loop frame
+    val sc = corpus.sparkSession.sparkContext
+    val target = math.max(1L, math.min(sc.defaultParallelism.toLong, n / 1024L)).toInt
+    val vecs =
+      if (cached.rdd.getNumPartitions > target) cached.coalesce(target) else cached
     try {
       var cent = localize(vecs.orderBy(col("__id").asc).limit(k)
         .withColumn("__cell",
@@ -217,7 +228,7 @@ object Similarity {
         .persist()
       assignments.count(): Unit
       (assignments, cent)
-    } finally vecs.unpersist(): Unit
+    } finally cached.unpersist(): Unit
   }
 
   /** Materialise a centroid table (k rows — driver-size BY DESIGN, like

@@ -364,7 +364,9 @@ object LlmOps {
     */
   def q72(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = t(spark, dir, "embeddings")
+    // the IVF build+search makes several passes over this 2k-row corpus;
+    // a handful of partitions beats one-task-per-ingest-split per pass
+    val e = t(spark, dir, "embeddings").coalesce(8)
     val index = Similarity.kmeansAssign(e, "vec_id", "embedding", k = 8, iters = 2)
     try {
       val out = Similarity.ivfTopKAssigned(e, index, "vec_id", "embedding",
@@ -450,7 +452,8 @@ object LlmOps {
     */
   def q82(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = t(spark, dir, "embeddings")
+    // same multi-pass right-sizing as q72
+    val e = t(spark, dir, "embeddings").coalesce(8)
     val (assignments, centroids) =
       Similarity.kmeansFit(e, "vec_id", "embedding", k = 8, iters = 2)
     try {
