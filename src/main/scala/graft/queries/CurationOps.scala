@@ -1,0 +1,270 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables._
+import graft.ops.{Components, MinHashDedup, Similarity, TextOps}
+
+/** Round-5 corpus-curation additions (q94–q99): the operations that sit
+  * between "near-dup pairs exist" and "a training mix ships" — duplicate
+  * CLUSTERS (transitive closure), TF-IDF term salience, sequence packing
+  * into fixed token budgets, mixture rebalancing to target language
+  * shares, int8 embedding quantization, and Z-order layout keys for
+  * multi-dimensional file skipping. All oracle-gated against DuckDB.
+  */
+object CurationOps {
+
+  /** Q94 — near-dup CLUSTERS: connected components of the q86 n-gram
+    * Jaccard pair graph via 3 unrolled rounds of min-label propagation
+    * ([[graft.ops.Components]]). q87's keeper is one hop; this is the
+    * fixpoint — every member of a duplicate cluster maps to the cluster's
+    * minimum doc_id, plus the cluster size a dedup report ships.
+    * Convergence within 3 rounds is asserted in CurationSpec (near-dup
+    * graphs are unions of near-cliques); the oracle unrolls the identical
+    * 3 rounds.
+    */
+  def q94(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents")
+    val pairs = MinHashDedup.ngramJaccardPairs(docs, "doc_id", "text",
+      gramN = 5, rowsPerBand = 2, minJaccard = 0.5)
+    Components.clustersWithSize(
+        pairs.select($"d1".as("a"), $"d2".as("b")),
+        docs.select($"doc_id".as("id")), rounds = 3)
+      .select($"id".as("doc_id"), $"cluster", $"cluster_size")
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  val q94Sql: String = {
+    def round_(n: Int): String =
+      s"""lab$n AS (
+         |  SELECT l.id, least(l.cluster, coalesce(MIN(nb.cluster), l.cluster)) AS cluster
+         |  FROM lab${n - 1} l
+         |  LEFT JOIN e ON e.a = l.id
+         |  LEFT JOIN lab${n - 1} nb ON nb.id = e.b
+         |  GROUP BY l.id, l.cluster)""".stripMargin
+    s"""${LlmOps.ngramPairCtes},
+       |e AS (SELECT d1 AS a, d2 AS b FROM pairs
+       |      UNION ALL SELECT d2 AS a, d1 AS b FROM pairs),
+       |lab0 AS (SELECT doc_id AS id, doc_id AS cluster FROM documents),
+       |${round_(1)},
+       |${round_(2)},
+       |${round_(3)},
+       |sz AS (SELECT cluster, COUNT(*) AS n FROM lab3 GROUP BY cluster)
+       |SELECT l.id AS doc_id, l.cluster, s.n AS cluster_size
+       |FROM lab3 l JOIN sz s ON s.cluster = l.cluster
+       |ORDER BY doc_id NULLS FIRST""".stripMargin
+  }
+
+  /** Q95 — TF-IDF top-5 terms per document: tf from the token explode,
+    * df from the distinct (doc, term) set, idf = ln(N/df), ranked on the
+    * 6dp-rounded score with the term as tie-break. The inverted-index
+    * shape: one explode → one (doc,term) agg → one slim per-term agg
+    * joined back (Catalyst broadcasts the term side when it fits);
+    * nothing quadratic, nothing driver-side.
+    */
+  def q95(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents")
+    val tok = docs.select($"doc_id", explode(TextOps.tokens($"text")).as("term"))
+    val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("__n"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(total))
+      .withColumn("score6",
+        round($"tf" * log($"__n".cast(DoubleType) / $"df"), 6))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy($"score6".desc, $"term".asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5)
+      .select($"doc_id", $"term", $"tf", $"df", $"score6", $"rn")
+      .orderBy($"doc_id".asc_nulls_first, $"rn".asc_nulls_first)
+  }
+
+  val q95Sql: String =
+    s"""${LlmOps.tokCte},
+       |tfx AS (
+       |  SELECT doc_id, t.tok AS term, COUNT(*) AS tf
+       |  FROM tok, UNNEST(toks) AS t(tok) GROUP BY doc_id, t.tok),
+       |dfx AS (SELECT term, COUNT(*) AS df FROM tfx GROUP BY term),
+       |scored AS (
+       |  SELECT f.doc_id, f.term, f.tf, d.df,
+       |    ROUND(f.tf * ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / d.df), 6) AS score6
+       |  FROM tfx f JOIN dfx d ON d.term = f.term),
+       |ranked AS (
+       |  SELECT doc_id, term, tf, df, score6,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score6 DESC, term ASC) AS rn
+       |  FROM scored)
+       |SELECT doc_id, term, tf, df, score6, rn FROM ranked WHERE rn <= 5
+       |ORDER BY doc_id NULLS FIRST, rn NULLS FIRST""".stripMargin
+
+  /** Q96 — SEQUENCE PACKING: assign documents (in stable doc_id order,
+    * per language) to fixed 2048-token training bins by running token
+    * count — the greedy contiguous packing an LLM pre-tokenization
+    * pipeline runs before batching. One window over (lang, doc_id): no
+    * joins, no driver state; at 100 TB the window partitions by the
+    * mixture stratum and streams.
+    */
+  def q96(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val budget = 2048.0
+    val w = Window.partitionBy($"lang").orderBy($"doc_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "documents")
+      .select($"doc_id", $"lang",
+        size(TextOps.tokens($"text")).cast(LongType).as("n_tok"))
+      .withColumn("cum_tok", sum($"n_tok").over(w))
+      .withColumn("bin",
+        floor(($"cum_tok" - $"n_tok") / budget).cast(LongType))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  val q96Sql: String =
+    s"""${LlmOps.tokCte},
+       |n AS (
+       |  SELECT d.doc_id, d.lang, CAST(len(t.toks) AS BIGINT) AS n_tok
+       |  FROM documents d JOIN tok t ON t.doc_id = d.doc_id),
+       |c AS (
+       |  SELECT doc_id, lang, n_tok,
+       |    SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+       |  FROM n)
+       |SELECT doc_id, lang, n_tok, cum_tok,
+       |  CAST(FLOOR((cum_tok - n_tok) / 2048.0) AS BIGINT) AS bin
+       |FROM c ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  /** Q97 — MIXTURE REBALANCING: deterministically sample each language
+    * stratum toward a declared target share (en .35 / de .15 / es .15 /
+    * fr .15 / zh .20). rate = min(1, target·N / count) — over-represented
+    * strata are downsampled, the rest pass whole — applied with q80's
+    * reproducible md5-bucket rule, so the same doc survives on every
+    * run/engine. The whole op is two tiny aggregates broadcast onto one
+    * corpus scan.
+    */
+  val q97Targets: Seq[(String, Double)] =
+    Seq("en" -> 0.35, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.20)
+
+  def q97(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents")
+    val targets = q97Targets.toDF("lang", "target")
+    val counts = docs.groupBy($"lang").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("__n"))))
+    val rates = counts.join(targets, "lang")
+      .select($"lang",
+        least(lit(1.0), $"target" * $"__n".cast(DoubleType) / $"cnt").as("rate"))
+    val bucket = conv(substring(md5($"doc_id".cast(StringType)), 1, 8), 16, 10)
+      .cast(LongType) % 1000000L
+    docs.join(broadcast(rates), "lang")
+      .filter(bucket < floor($"rate" * 1000000.0).cast(LongType))
+      .select($"doc_id", $"lang", round($"rate", 6).as("rate6"))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  val q97Sql: String = {
+    val targetRows = q97Targets
+      .map { case (l, t) => s"('$l', $t)" }.mkString(", ")
+    s"""WITH tgt(lang, target) AS (VALUES $targetRows),
+       |cnt AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+       |rates AS (
+       |  SELECT c.lang,
+       |    least(1.0, t.target * CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / c.cnt) AS rate
+       |  FROM cnt c JOIN tgt t ON t.lang = c.lang)
+       |SELECT d.doc_id, d.lang, ROUND(r.rate, 6) AS rate6
+       |FROM documents d JOIN rates r ON r.lang = d.lang
+       |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+       |      < CAST(FLOOR(r.rate * 1000000.0) AS BIGINT)
+       |ORDER BY doc_id NULLS FIRST""".stripMargin
+  }
+
+  /** Q98 — INT8 EMBEDDING QUANTIZATION: per-vector symmetric scale
+    * (max|v|/127), quantize with floor(x/scale + 0.5) (well-defined in
+    * both engines, unlike round-half ties), then report reconstruction
+    * quality — max absolute error and cosine(original, dequantized). The
+    * 4× memory cut every 100 TB ANN index takes first; map-only per-row
+    * array math, zero shuffles before the output sort.
+    */
+  def q98(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = transform($"embedding", x => x.cast(DoubleType))
+    val base = t(spark, dir, "embeddings")
+      .select($"vec_id", v.as("v"),
+        (array_max(transform(v, abs(_))) / 127.0).as("scale"))
+      .filter($"scale" > 0.0)
+    val dq = transform($"v", x => floor(x / $"scale" + 0.5) * $"scale")
+    base.withColumn("dq", dq)
+      .select($"vec_id",
+        round($"scale", 6).as("scale6"),
+        round(array_max(zip_with($"v", $"dq", (a, b) => abs(a - b))), 6).as("err6"),
+        round(Similarity.dot($"v", $"dq")
+          / (Similarity.norm($"v") * Similarity.norm($"dq")), 6).as("cos6"))
+      .orderBy($"vec_id".asc_nulls_first)
+  }
+
+  val q98Sql: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      |      FROM e),
+      |d AS (SELECT vec_id, v, scale,
+      |        list_transform(v, x -> floor(x / scale + 0.5) * scale) AS dq
+      |      FROM s WHERE scale > 0)
+      |SELECT vec_id, ROUND(scale, 6) AS scale6,
+      |  ROUND(list_max(list_transform(range(1, len(v) + 1), i -> abs(v[i] - dq[i]))), 6) AS err6,
+      |  ROUND(list_dot_product(v, dq)
+      |    / (SQRT(list_dot_product(v, v)) * SQRT(list_dot_product(dq, dq))), 6) AS cos6
+      |FROM d ORDER BY vec_id NULLS FIRST""".stripMargin
+
+  /** Q99 — Z-ORDER LAYOUT KEY: interleave the low 8 bits of a customer
+    * bucket and an order-date day bucket into one 16-bit Morton key, the
+    * multi-dimensional clustering order that makes min/max file skipping
+    * work on BOTH predicates at once. Writing 100 TB sorted by `zkey`
+    * (`sortWithinPartitions` after a range partition on it) is the layout
+    * this key exists for; here the key itself is the oracle-gated part —
+    * pure integer bit arithmetic, identical in any engine.
+    */
+  def q99(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val xb = ($"o_custkey" % 256).cast(LongType)
+    val yb = (datediff(to_date($"o_orderdate"), lit("1992-01-01")) % 256)
+      .cast(LongType)
+    val z = (0 until 8).map { i =>
+      (shiftright($"xb", i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))) +
+        (shiftright($"yb", i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)))
+    }.reduce(_ + _)
+    t(spark, dir, "orders")
+      .select($"o_orderkey", xb.as("xb"), yb.as("yb"))
+      .withColumn("zkey", z)
+      .orderBy($"zkey".asc_nulls_first, $"o_orderkey".asc_nulls_first)
+  }
+
+  val q99Sql: String = {
+    val z = (0 until 8).map { i =>
+      s"((xb >> $i) & 1) * ${1L << (2 * i + 1)} + ((yb >> $i) & 1) * ${1L << (2 * i)}"
+    }.mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT o_orderkey,
+       |    CAST(o_custkey % 256 AS BIGINT) AS xb,
+       |    CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 256 AS BIGINT) AS yb
+       |  FROM orders)
+       |SELECT o_orderkey, xb, yb, $z AS zkey
+       |FROM b ORDER BY zkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin
+  }
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q94_neardup_clusters" -> (q94 _),
+    "q95_tfidf_terms" -> (q95 _),
+    "q96_sequence_packing" -> (q96 _),
+    "q97_mixture_rebalance" -> (q97 _),
+    "q98_int8_quantize" -> (q98 _),
+    "q99_zorder_key" -> (q99 _))
+
+  def oracles: Map[String, String] = Map(
+    "q94_neardup_clusters" -> q94Sql,
+    "q95_tfidf_terms" -> q95Sql,
+    "q96_sequence_packing" -> q96Sql,
+    "q97_mixture_rebalance" -> q97Sql,
+    "q98_int8_quantize" -> q98Sql,
+    "q99_zorder_key" -> q99Sql)
+}

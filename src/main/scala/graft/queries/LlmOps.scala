@@ -16,7 +16,7 @@ import graft.sources.Multimodal
 object LlmOps {
 
   /** Shared DuckDB CTE: per-doc filtered token list. */
-  private val tokCte =
+  private[queries] val tokCte =
     """WITH tok AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
       |  FROM documents)""".stripMargin
@@ -715,7 +715,7 @@ object LlmOps {
     * 32-bit gram-hash sets — the same values the MinHash permutes — which
     * is the contract [[graft.functions.CharGramHashes]] implements.
     */
-  private val ngramPairCtes: String = {
+  private[queries] val ngramPairCtes: String = {
     val hashAggs = MinHashDedup.coeffs.zipWithIndex.map { case ((a, b), i) =>
       s"MIN(($a * x + $b) % ${MinHashDedup.prime}) AS h$i"
     }.mkString(", ")

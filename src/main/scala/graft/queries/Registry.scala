@@ -10,14 +10,14 @@ object Registry {
     Scans.all ++ Projections.all ++ Joins.all ++ Aggregates.all ++
       Windows.all ++ SortsLimits.all ++ SetOps.all ++ Scalars.all ++
       LlmOps.all ++ StreamingQueries.all ++ Extensibility.all ++
-      ModelQueries.all ++ Reshape.all
+      ModelQueries.all ++ Reshape.all ++ CurationOps.all
 
   def oracles: Map[String, String] =
     Scans.oracles ++ Projections.oracles ++ Joins.oracles ++
       Aggregates.oracles ++ Windows.oracles ++ SortsLimits.oracles ++
       SetOps.oracles ++ Scalars.oracles ++ LlmOps.oracles ++
       StreamingQueries.oracles ++ Extensibility.oracles ++
-      ModelQueries.oracles ++ Reshape.oracles
+      ModelQueries.oracles ++ Reshape.oracles ++ CurationOps.oracles
 }
 
 trait QueryModule {

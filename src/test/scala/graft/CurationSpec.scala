@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Components
+import graft.queries.CurationOps
+
+/** Round-5 curation operators (q94–q99): semantics the DuckDB hash-gate
+  * can't see on its own — multi-hop label propagation really propagates,
+  * the declared round count converges on the corpus, packing bins respect
+  * the budget, rebalancing hits its declared rates, quantization error is
+  * bounded by scale/2, and the Z-order key round-trips its inputs.
+  */
+class CurationSpec extends SparkSpec {
+
+  test("min-label propagation is multi-hop: a 4-chain needs 2+ rounds, 3 suffice") {
+    import spark.implicits._
+    // path graph 10-11-12-13: component min = 10, diameter 3
+    val edges = Seq((10L, 11L), (11L, 12L), (12L, 13L)).toDF("a", "b")
+    val nodes = Seq(10L, 11L, 12L, 13L).toDF("id")
+    val r1 = Components.minLabelRounds(edges, nodes, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one round: 13 only sees 12's ORIGINAL label
+    assert(r1(13L) == 12L, s"round-1 label of 13 should be 12, got ${r1(13L)}")
+    val r3 = Components.minLabelRounds(edges, nodes, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r3 == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L),
+      s"3 rounds must collapse the 4-chain to min 10: $r3")
+  }
+
+  test("q94's 3 declared rounds converge on the corpus (round 4 changes nothing)") {
+    import spark.implicits._
+    val docs = graft.core.Tables.t(spark, sfDir, "documents")
+    val pairs = graft.ops.MinHashDedup.ngramJaccardPairs(
+      docs, "doc_id", "text", gramN = 5, rowsPerBand = 2, minJaccard = 0.5)
+      .select($"d1".as("a"), $"d2".as("b")).cache()
+    try {
+      val nodes = docs.select($"doc_id".as("id"))
+      val l3 = Components.minLabelRounds(pairs, nodes, 3)
+      val l4 = Components.minLabelRounds(pairs, nodes, 4)
+      assert(l3.exceptAll(l4).isEmpty && l4.exceptAll(l3).isEmpty,
+        "labels still changing after the declared 3 rounds")
+    } finally pairs.unpersist(): Unit
+  }
+
+  test("q95 ranks are 1..5 and scores never increase within a doc") {
+    import spark.implicits._
+    val out = CurationOps.q95(spark, sfDir).cache()
+    try {
+      assert(out.filter($"rn" < 1 || $"rn" > 5).isEmpty, "rank outside 1..5")
+      val bad = out.withColumn("prev",
+          lag($"score6", 1).over(org.apache.spark.sql.expressions.Window
+            .partitionBy($"doc_id").orderBy($"rn")))
+        .filter($"prev".isNotNull && $"score6" > $"prev")
+      assert(bad.isEmpty, "tf-idf score increased with rank")
+    } finally out.unpersist(): Unit
+  }
+
+  test("q96 packing: first bin per language is 0 and bins never decrease") {
+    import spark.implicits._
+    val out = CurationOps.q96(spark, sfDir).cache()
+    try {
+      val firsts = out.withColumn("rn",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy($"lang").orderBy($"doc_id")))
+        .filter($"rn" === 1 && $"bin" =!= 0)
+      assert(firsts.isEmpty, "a language's first document landed outside bin 0")
+      val dec = out.withColumn("prev",
+          lag($"bin", 1).over(org.apache.spark.sql.expressions.Window
+            .partitionBy($"lang").orderBy($"doc_id")))
+        .filter($"prev".isNotNull && $"bin" < $"prev")
+      assert(dec.isEmpty, "bin number decreased within a language")
+      // a doc never starts a new bin while the previous one is under budget
+      val gap = out.filter($"cum_tok" - $"n_tok" < ($"bin") * 2048)
+      assert(gap.isEmpty, "bin opened before the previous bin reached its budget")
+    } finally out.unpersist(): Unit
+  }
+
+  test("q97 rebalancing downsamples only over-represented strata, deterministically") {
+    import spark.implicits._
+    val docs = graft.core.Tables.t(spark, sfDir, "documents")
+    val total = docs.count().toDouble
+    val counts = docs.groupBy($"lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = CurationOps.q97(spark, sfDir).groupBy($"lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    CurationOps.q97Targets.foreach { case (lang, target) =>
+      val rate = math.min(1.0, target * total / counts(lang))
+      if (rate >= 1.0)
+        assert(kept(lang) == counts(lang), s"$lang should pass whole")
+      else {
+        assert(kept(lang) < counts(lang), s"$lang should be downsampled")
+        // md5 buckets are uniform-ish; allow generous tolerance on 100s of docs
+        val frac = kept(lang).toDouble / counts(lang)
+        assert(math.abs(frac - rate) < 0.15,
+          f"$lang sampled $frac%.3f vs declared rate $rate%.3f")
+      }
+    }
+    // reproducible: second run keeps the identical doc set
+    val a = CurationOps.q97(spark, sfDir).select("doc_id").collect().map(_.getLong(0)).toSeq
+    val b = CurationOps.q97(spark, sfDir).select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(a == b, "q97 sample is not deterministic")
+  }
+
+  test("q98 quantization error is bounded by scale/2 and cosine stays near 1") {
+    import spark.implicits._
+    val out = CurationOps.q98(spark, sfDir).cache()
+    try {
+      assert(out.count() > 0)
+      val badErr = out.filter($"err6" > $"scale6" * 0.5 + 1e-6)
+      assert(badErr.isEmpty, "reconstruction error above scale/2")
+      val badCos = out.filter($"cos6" < 0.995)
+      assert(badCos.isEmpty, "int8 quantization lost more than 0.5% cosine")
+    } finally out.unpersist(): Unit
+  }
+
+  test("q99 zkey de-interleaves back to its inputs and stays in 16 bits") {
+    import spark.implicits._
+    val out = CurationOps.q99(spark, sfDir).cache()
+    try {
+      assert(out.filter($"zkey" < 0 || $"zkey" > 65535).isEmpty, "zkey out of range")
+      val xBack = (0 until 8).map(i =>
+        shiftright($"zkey", 2 * i + 1).bitwiseAND(lit(1L)) * lit(1L << i)).reduce(_ + _)
+      val yBack = (0 until 8).map(i =>
+        shiftright($"zkey", 2 * i).bitwiseAND(lit(1L)) * lit(1L << i)).reduce(_ + _)
+      val bad = out.filter(xBack =!= $"xb" || yBack =!= $"yb")
+      assert(bad.isEmpty, "Morton round-trip failed")
+    } finally out.unpersist(): Unit
+  }
+}
