@@ -50,6 +50,14 @@ def eq_cell(a, b) -> bool:
         if math.isnan(a) and math.isnan(b):
             return True
         return a == b
+    # Type-strict int/float: the driver hashes 123 and 123.0 differently,
+    # so a numpy-int vs numpy-float pair must FAIL here too.
+    import numpy as np
+    a_f = isinstance(a, (float, np.floating)); b_f = isinstance(b, (float, np.floating))
+    a_i = isinstance(a, (int, np.integer)) and not isinstance(a, bool)
+    b_i = isinstance(b, (int, np.integer)) and not isinstance(b, bool)
+    if (a_f and b_i) or (a_i and b_f):
+        return False
     if isinstance(a, tuple) and isinstance(b, tuple):
         return len(a) == len(b) and all(eq_cell(x, y) for x, y in zip(a, b))
     try:

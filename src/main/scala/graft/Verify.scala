@@ -27,8 +27,9 @@ object Verify {
     // Optional substring filter for fast local iteration; the driver never
     // sets this so its runs always cover the full surface.
     val only = sys.env.get("SPARK_GRAFT_ONLY").filter(_.nonEmpty)
+      .map(_.split(',').toSeq.filter(_.nonEmpty))
     val selected = SparkEntry.queries.filter { case (name, _) =>
-      only.forall(name.contains)
+      only.forall(_.exists(name.contains))
     }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -51,6 +51,12 @@ object Tables {
     * arrives as many multi-row-group files — this is a no-op and scans
     * split natively. Row data is byte-identical either way (the oracle gate
     * runs with compaction ON).
+    *
+    * ROW-ORDER CAVEAT: `repartition(n)` round-robins rows, so the compacted
+    * copy's physical order differs from the raw file's. Every query in the
+    * declared surface ends in a total ORDER BY (the oracle contract), so no
+    * caller observes it — but an order-sensitive op (first/limit without
+    * sort) must read the raw path.
     */
   private val compactCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -64,13 +70,20 @@ object Tables {
     val maxBytes = spark.conf.getOption("spark.graft.compactScans.maxBytes")
       .map(_.toLong).getOrElse(1L << 30)
     if (!f.isFile || f.length > maxBytes) return raw
-    val key = s"$raw@${f.lastModified}:${f.length}"
+    // content fingerprint, not just (mtime, size): a regenerated fixture
+    // copied with preserved timestamps must not serve a stale compacted copy
+    val key = s"$raw@${f.lastModified}:${f.length}:${headTailMd5(f)}"
     compactCache.computeIfAbsent(key, _ => {
       val n = spark.sparkContext.defaultParallelism
       val digest = java.security.MessageDigest.getInstance("MD5")
         .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
       val out = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"), "graft-compact", s"$name-$digest")
+      // evict stale digests for the same table before writing a fresh one
+      val parent = out.getParent.toFile
+      Option(parent.listFiles).getOrElse(Array.empty)
+        .filter(d => d.getName.startsWith(s"$name-") && d.getName != out.getFileName.toString)
+        .foreach(deleteRecursively)
       if (!java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
         // raw column bytes preserved: events.ts stays the int64 nanos value
         // (read as long via nanosAsLong); the µs cast happens at read time
@@ -81,6 +94,30 @@ object Tables {
       }
       out.toString
     })
+  }
+
+  /** md5 of the first and last 64 KiB — a cheap content fingerprint that
+    * catches regenerated-but-timestamp-preserved files without a full read.
+    */
+  private def headTailMd5(f: java.io.File): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val raf = new java.io.RandomAccessFile(f, "r")
+    try {
+      val chunk = 64 * 1024
+      val head = new Array[Byte](math.min(chunk.toLong, raf.length).toInt)
+      raf.readFully(head); md.update(head)
+      if (raf.length > chunk) {
+        raf.seek(raf.length - chunk)
+        val tail = new Array[Byte](chunk)
+        raf.readFully(tail); md.update(tail)
+      }
+    } finally raf.close()
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
   }
 
   private val schemaCache =

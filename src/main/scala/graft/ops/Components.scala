@@ -26,44 +26,33 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
-  private val lastEdgesCache =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
-  private val lastLabelsCache =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
-
   /** `edges` must have columns (`a`, `b`) with one row per undirected
     * edge (either orientation); `nodes` one row per node id in column
     * `id`. Returns (id, cluster) where cluster = min node id within
     * `rounds` hops along edges.
+    *
+    * Cache ownership: each invocation is self-contained. The edge list
+    * and every intermediate round are persisted only while the loop
+    * runs and unpersisted before returning; the FINAL labels frame is
+    * returned fully materialised in its own cache (one (id, cluster)
+    * row per node — small), owned by the caller. Call [[release]] when
+    * done with the result. Concurrent invocations do not interact.
     */
   def minLabelRounds(edges: DataFrame, nodes: DataFrame,
                      rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    // Cache lifecycle: Spark's CacheManager keys entries by CANONICAL
-    // plan, so the previous invocation's entries must be dropped BEFORE
-    // this invocation persists its (canonically identical) frames —
-    // unpersisting afterwards would silently drop the new entries too and
-    // re-execute the edge pipeline once per round. Cleanup-on-entry also
-    // means every invocation recomputes from its inputs (nothing memoized
-    // across runs — same honesty contract as the q72 k-means build) while
-    // exactly one generation of caches lingers for the returned plan.
-    Option(lastEdgesCache.getAndSet(null)).foreach(_.unpersist(): Unit)
-    Option(lastLabelsCache.getAndSet(null)).foreach(_.unpersist(): Unit)
-    // The edge list is referenced once per round in the final plan tree —
+    // The edge list is referenced once per round in the loop below —
     // without a persist the (possibly expensive) upstream pair pipeline
-    // executes `rounds` times per action. Iterative graph algorithms cache
-    // their edges (GraphX does the same).
+    // executes `rounds` times. Iterative graph algorithms cache their
+    // edges (GraphX does the same).
     val sym = edges.select(col("a"), col("b"))
       .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
       .persist()
     sym.count(): Unit
-    lastEdgesCache.set(sym)
     // Each round references the previous labels frame TWICE (neighbor
     // lookup + self), so an unpersisted chain re-executes round k
-    // 2^(rounds-k) times. Persist per round, drop the previous round —
-    // the standard iterative-dataflow shape; the final round's cache is
-    // what the returned plan reads (same lingering-entry policy as the
-    // edges above).
+    // 2^(rounds-k) times. Persist per round, materialise, drop the
+    // previous round — the standard iterative-dataflow shape.
     var labels = nodes.select(col("id"), col("id").as("cluster"))
     var prevRound: DataFrame = null
     for (_ <- 1 to rounds) {
@@ -81,9 +70,16 @@ object Components {
       prevRound = next
       labels = next
     }
-    lastLabelsCache.set(labels)
+    // The final frame is materialised in its own cache, so later actions
+    // on it never re-read sym — safe to drop the edge cache now.
+    sym.unpersist(): Unit
     labels
   }
+
+  /** Drop the cache backing a frame returned by [[minLabelRounds]] /
+    * [[clustersWithSize]] once the caller is done with it.
+    */
+  def release(labels: DataFrame): Unit = labels.unpersist(): Unit
 
   /** [[minLabelRounds]] plus the per-cluster size — the summary a dedup
     * report ships (every member knows its cluster and how many docs it

@@ -131,7 +131,7 @@ object MinHashDedup {
         element_at(col("__s1"), bp * rowsPerBand + r + 1) ===
           element_at(col("__s2"), bp * rowsPerBand + r + 1))
         .reduce(_ && _)
-    }.reduce(_ || _)
+    }.reduceOption(_ || _).getOrElse(lit(false)) // nBands == 1: no earlier band exists
     val cand = left.join(right, joinKeys)
       .filter(col("d1") < col("d2") && !earlierBandAlsoMatches)
       .select(col("d1"), col("d2"))

@@ -131,7 +131,7 @@ object CurationOps {
        |    SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id ASC
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
        |  FROM n)
-       |SELECT doc_id, lang, n_tok, cum_tok,
+       |SELECT doc_id, lang, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok,
        |  CAST(FLOOR((cum_tok - n_tok) / 2048.0) AS BIGINT) AS bin
        |FROM c ORDER BY doc_id NULLS FIRST""".stripMargin
 
