@@ -1,0 +1,310 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables._
+import graft.ops.TextOps
+
+/** Round-6 pipeline additions (q100–q104): the remaining operations a
+  * 100 TB training-data/lakehouse pipeline runs that the surface did not
+  * yet cover — corpus-wide boilerplate line removal (the C4 shape),
+  * BM25 relevance ranking, Count-Min sketch frequency estimation,
+  * CDC-style MERGE/upsert, and column profiling. All oracle-gated
+  * against DuckDB.
+  */
+object PipelineOps {
+
+  /** Q100 — BOILERPLATE LINE REMOVAL (the C4/RefinedWeb shape): break
+    * each document into "lines", count every line's occurrences across
+    * the WHOLE corpus, delete lines that repeat ≥ 3 times anywhere, and
+    * reassemble each document's surviving lines in their original order.
+    *
+    * The fixture text has no newlines, so a "line" here is a chunk of 10
+    * consecutive tokens — the plumbing (explode → corpus-wide frequency →
+    * anti-join → ordered reassembly) is byte-identical to newline-split
+    * production text.
+    *
+    * Scale shape: the boiler set (distinct lines above threshold) is
+    * small by construction — boilerplate is what repeats — so the
+    * anti-join broadcasts; the only wide exchange is the line-frequency
+    * hash-agg, which map-side combines. Reassembly is one partial-able
+    * collect_list per doc keyed by the line ordinal.
+    */
+  def q100(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = t(spark, dir, "documents")
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .withColumn("n_lines", ceil(size($"toks") / lit(10.0)).cast(LongType))
+    val lineArr = when($"n_lines" > lit(0L),
+        transform(sequence(lit(0L), $"n_lines" - lit(1L)),
+          i => array_join(slice($"toks", (i * 10 + 1).cast(IntegerType), lit(10)), " ")))
+      .otherwise(array().cast(ArrayType(StringType)))
+    val lines = base.select($"doc_id", posexplode(lineArr).as(Seq("line_no", "line")))
+    val boiler = lines.groupBy($"line").agg(count(lit(1)).as("c"))
+      .filter($"c" >= 3).select($"line")
+    val kept = lines.join(broadcast(boiler), Seq("line"), "left_anti")
+    val clean = kept.groupBy($"doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(array_sort(collect_list(struct($"line_no", $"line"))),
+        s => s.getField("line")), " ").as("text_clean"))
+    base.join(clean, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_lines",
+        ($"n_lines" - coalesce($"n_kept", lit(0L))).as("n_removed"),
+        md5(coalesce($"text_clean", lit(""))).as("clean_md5"))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  val q100Sql: String =
+    s"""${LlmOps.tokCte},
+       |ln AS (SELECT doc_id, CAST(ceil(len(toks) / 10.0) AS BIGINT) AS n_lines, toks FROM tok),
+       |lines AS (
+       |  SELECT doc_id, r.i AS line_no,
+       |    array_to_string(toks[(r.i*10+1):(r.i*10+10)], ' ') AS line
+       |  FROM ln, UNNEST(range(0, n_lines)) AS r(i)),
+       |freq AS (SELECT line, COUNT(*) AS c FROM lines GROUP BY line),
+       |kept AS (SELECT l.doc_id, l.line_no, l.line FROM lines l
+       |         WHERE l.line NOT IN (SELECT line FROM freq WHERE c >= 3)),
+       |clean AS (
+       |  SELECT doc_id, COUNT(*) AS n_kept,
+       |    string_agg(line, ' ' ORDER BY line_no) AS text_clean
+       |  FROM kept GROUP BY doc_id)
+       |SELECT n.doc_id, n.n_lines,
+       |  n.n_lines - COALESCE(c.n_kept, 0) AS n_removed,
+       |  md5(COALESCE(c.text_clean, '')) AS clean_md5
+       |FROM ln n LEFT JOIN clean c ON c.doc_id = n.doc_id
+       |ORDER BY n.doc_id NULLS FIRST""".stripMargin
+
+  /** Q101 — BM25 TOP-K RETRIEVAL for a fixed query over the corpus
+    * (k1=1.2, b=0.75, idf = ln(1 + (N−df+0.5)/(df+0.5))): the ranking
+    * function behind every lexical retrieval / RAG candidate stage.
+    *
+    * One token explode filtered to the query terms (the posting-list
+    * scan), two slim broadcast frames (per-term df, global N/avgdl), and
+    * a per-doc sum in FIXED term order — each term's contribution is
+    * summed as `SUM(CASE term)` so floating addition order is
+    * deterministic and engine-portable. Top-10 via TakeOrdered on the
+    * 6dp-rounded score.
+    */
+  val bm25Terms: Seq[String] = Seq("spark", "merge", "vector")
+
+  def q101(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = t(spark, dir, "documents")
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .withColumn("dl", size($"toks").cast(LongType))
+    val stats = d.agg(count(lit(1)).as("__n"), sum($"dl").as("__sumdl"))
+    val tf = d.select($"doc_id", $"dl", explode($"toks").as("term"))
+      .filter($"term".isin(bm25Terms: _*))
+      .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfc), "term").crossJoin(broadcast(stats))
+      .withColumn("avgdl", $"__sumdl".cast(DoubleType) / $"__n".cast(DoubleType))
+      .withColumn("s",
+        log(lit(1.0) + ($"__n".cast(DoubleType) - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
+          * ($"tf" * lit(2.2))
+          / ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl")))
+    val termSum = bm25Terms.map(t => sum(when($"term" === t, $"s").otherwise(lit(0.0))))
+      .reduce(_ + _)
+    scored.groupBy($"doc_id").agg(round(termSum, 6).as("score6"))
+      .orderBy($"score6".desc, $"doc_id".asc).limit(10)
+      .withColumn("rank",
+        row_number().over(Window.orderBy($"score6".desc, $"doc_id".asc)).cast(LongType))
+      .select($"rank", $"doc_id", $"score6")
+      .orderBy($"rank".asc_nulls_first)
+  }
+
+  val q101Sql: String = {
+    val inList = bm25Terms.map(t => s"'$t'").mkString(", ")
+    val termSum = bm25Terms
+      .map(t => s"SUM(CASE WHEN term = '$t' THEN s ELSE 0.0 END)")
+      .mkString(" + ")
+    s"""${LlmOps.tokCte},
+       |d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM tok),
+       |st AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl FROM d),
+       |tf AS (SELECT doc_id, dl, t.tok AS term, COUNT(*) AS tf
+       |       FROM d, UNNEST(toks) AS t(tok) WHERE t.tok IN ($inList)
+       |       GROUP BY doc_id, dl, t.tok),
+       |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |sc AS (SELECT f.doc_id, f.term,
+       |         ln(1.0 + (CAST(s.n AS DOUBLE) - x.df + 0.5) / (x.df + 0.5))
+       |           * (f.tf * 2.2)
+       |           / (f.tf + 1.2 * (0.25 + 0.75 * f.dl / (CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE)))) AS s
+       |       FROM tf f JOIN dfx x USING (term) CROSS JOIN st s),
+       |agg AS (SELECT doc_id, ROUND($termSum, 6) AS score6 FROM sc GROUP BY doc_id),
+       |top AS (SELECT doc_id, score6 FROM agg ORDER BY score6 DESC, doc_id ASC LIMIT 10)
+       |SELECT ROW_NUMBER() OVER (ORDER BY score6 DESC, doc_id ASC) AS rank, doc_id, score6
+       |FROM top ORDER BY rank NULLS FIRST""".stripMargin
+  }
+
+  /** Q102 — COUNT-MIN SKETCH frequency estimation: d=4 hash rows ×
+    * w=1024 buckets over every token occurrence in the corpus; the
+    * estimate for a token is the MIN over its 4 bucket counters —
+    * always ≥ the true count, with collision overcount shrinking as w
+    * grows. The sketch itself is a 4096-row frame built by ONE map-side-
+    * combinable hash-agg — the mergeable-sketch shape that replaces an
+    * exact (token → count) table when the vocabulary doesn't fit.
+    *
+    * Verified here against the 20 highest-frequency tokens: true count,
+    * CMS estimate, and the overcount. Hashes are the engine-portable
+    * md5-based [[TextOps.hash32]] so DuckDB reproduces the sketch
+    * bit-for-bit.
+    */
+  private val cmParams: Seq[(Int, Long, Long)] =
+    Seq((0, 131L, 57L), (1, 1031L, 17L), (2, 8191L, 3L), (3, 524287L, 11L))
+  private val cmP = 1048573L // > 2^20, keeps a*x below 2^52 (exact in i64)
+  private val cmW = 1024L
+
+  private def cmBuckets(x: Column): Column =
+    array(cmParams.map { case (i, a, b) =>
+      struct(lit(i).as("i"), (((lit(a) * x + lit(b)) % cmP) % cmW).as("bucket"))
+    }: _*)
+
+  def q102(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val occ = t(spark, dir, "documents")
+      .select(explode(TextOps.tokens($"text")).as("token"))
+    val sketch = occ
+      .select(explode(cmBuckets(TextOps.hash32($"token"))).as("h"))
+      .select($"h.i".as("i"), $"h.bucket".as("bucket"))
+      .groupBy($"i", $"bucket").agg(count(lit(1)).as("c"))
+    val top = occ.groupBy($"token").agg(count(lit(1)).as("true_cnt"))
+      .orderBy($"true_cnt".desc, $"token".asc).limit(20)
+    val probes = top
+      .select($"token", $"true_cnt",
+        explode(cmBuckets(TextOps.hash32($"token"))).as("h"))
+      .select($"token", $"true_cnt", $"h.i".as("i"), $"h.bucket".as("bucket"))
+    probes.join(broadcast(sketch), Seq("i", "bucket"))
+      .groupBy($"token", $"true_cnt").agg(min($"c").as("est_cnt"))
+      .select($"token", $"true_cnt", $"est_cnt",
+        ($"est_cnt" - $"true_cnt").as("overcount"))
+      .orderBy($"true_cnt".desc, $"token".asc)
+  }
+
+  val q102Sql: String = {
+    val paramRows = cmParams
+      .map { case (i, a, b) => s"($i, $a, $b)" }.mkString(", ")
+    s"""${LlmOps.tokCte},
+       |params(i, a, b) AS (VALUES $paramRows),
+       |occ AS (SELECT t.tok AS token,
+       |          CAST(('0x' || substr(md5(t.tok), 1, 8)) AS BIGINT) AS x
+       |        FROM tok, UNNEST(toks) AS t(tok)),
+       |sk AS (SELECT p.i, ((p.a * o.x + p.b) % $cmP) % $cmW AS bucket, COUNT(*) AS c
+       |       FROM occ o CROSS JOIN params p GROUP BY 1, 2),
+       |tru AS (SELECT token, MIN(x) AS x, COUNT(*) AS true_cnt FROM occ GROUP BY token
+       |        ORDER BY true_cnt DESC, token ASC LIMIT 20),
+       |est AS (SELECT t.token, t.true_cnt, MIN(s.c) AS est_cnt
+       |        FROM tru t CROSS JOIN params p
+       |        JOIN sk s ON s.i = p.i AND s.bucket = ((p.a * t.x + p.b) % $cmP) % $cmW
+       |        GROUP BY t.token, t.true_cnt)
+       |SELECT token, true_cnt, est_cnt, est_cnt - true_cnt AS overcount
+       |FROM est ORDER BY true_cnt DESC, token ASC""".stripMargin
+  }
+
+  /** Q103 — CDC MERGE / UPSERT (the Delta/Iceberg MERGE INTO shape,
+    * expressed as one full-outer join): a deterministic change set —
+    * updates (keys ≡0 mod 10: +10% price), deletes (keys ≡1 mod 10) and
+    * inserts (keys ≡2 mod 100, re-keyed above the base range) — applied
+    * onto `orders` in a single pass. Update arithmetic runs in exact
+    * DECIMAL and surfaces as DOUBLE.
+    *
+    * Scale shape: both sides shuffle-partition on the merge key once and
+    * sort-merge — the layout a 100 TB nightly CDC apply uses (with
+    * bucketed base tables the exchange on the base side disappears;
+    * see q85).
+    */
+  def q103(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = t(spark, dir, "orders")
+    val upd = o.filter($"o_orderkey" % 10 === 0)
+      .select($"o_orderkey".as("k"), lit("U").as("op"),
+        round(dec2($"o_totalprice") * lit(new java.math.BigDecimal("1.1")), 2)
+          .cast(DoubleType).as("nt"))
+    val del = o.filter($"o_orderkey" % 10 === 1)
+      .select($"o_orderkey".as("k"), lit("D").as("op"),
+        lit(null).cast(DoubleType).as("nt"))
+    val ins = o.filter($"o_orderkey" % 100 === 2)
+      .select(($"o_orderkey" + 100000000L).as("k"), lit("I").as("op"),
+        $"o_totalprice".cast(DoubleType).as("nt"))
+    val ch = upd.unionByName(del).unionByName(ins)
+    o.join(ch, $"o_orderkey" === $"k", "full_outer")
+      .filter($"op".isNull || $"op" =!= "D")
+      .select(coalesce($"o_orderkey", $"k").as("o_orderkey"),
+        when($"op" === "I", lit("NEW")).otherwise($"o_orderstatus").as("status"),
+        when($"op".isin("U", "I"), $"nt")
+          .otherwise($"o_totalprice".cast(DoubleType)).as("total"))
+      .orderBy($"o_orderkey".asc_nulls_first)
+  }
+
+  val q103Sql: String =
+    """WITH ch AS (
+      |  SELECT o_orderkey AS k, 'U' AS op,
+      |    CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1, 2) AS DOUBLE) AS nt
+      |  FROM orders WHERE o_orderkey % 10 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 'D', CAST(NULL AS DOUBLE) FROM orders WHERE o_orderkey % 10 = 1
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, 'I', CAST(o_totalprice AS DOUBLE)
+      |  FROM orders WHERE o_orderkey % 100 = 2)
+      |SELECT COALESCE(b.o_orderkey, c.k) AS o_orderkey,
+      |  CASE WHEN c.op = 'I' THEN 'NEW' ELSE b.o_orderstatus END AS status,
+      |  CASE WHEN c.op IN ('U','I') THEN c.nt ELSE CAST(b.o_totalprice AS DOUBLE) END AS total
+      |FROM orders b FULL JOIN ch c ON c.k = b.o_orderkey
+      |WHERE c.op IS NULL OR c.op <> 'D'
+      |ORDER BY o_orderkey NULLS FIRST""".stripMargin
+
+  /** Q104 — COLUMN PROFILING: count / nulls / exact NDV / min / max /
+    * median for a set of columns in ONE scan — the stats pass every
+    * ingest pipeline runs before planning (and the numbers AQE-style
+    * optimizers feed on). The exact interpolated median here keeps the
+    * oracle bit-exact; Spark's `percentile` buffers counts per DISTINCT
+    * value (fine for bounded-domain columns like these). For unbounded
+    * 100 TB domains the production swap is `approx_percentile`, whose
+    * error bound is asserted in PipelineOpsSpec.
+    */
+  private val profileCols = Seq("l_quantity", "l_extendedprice", "l_discount")
+
+  def q104(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val l = t(spark, dir, "lineitem")
+    val aggs = profileCols.flatMap { c =>
+      Seq(count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"ndv_$c"),
+        round(min(col(c)), 6).as(s"min_$c"),
+        round(max(col(c)), 6).as(s"max_$c"),
+        round(expr(s"percentile($c, 0.5)"), 6).as(s"p50_$c"))
+    }
+    val row = l.agg(count(lit(1)).as("n"), aggs: _*)
+    val stats = array(profileCols.map { c =>
+      struct(lit(c).as("col_name"), $"n",
+        ($"n" - col(s"nn_$c")).as("n_null"), col(s"ndv_$c").as("ndv"),
+        col(s"min_$c").as("min6"), col(s"max_$c").as("max6"),
+        col(s"p50_$c").as("p50_6"))
+    }: _*)
+    row.select(explode(stats).as("s")).select($"s.*")
+      .orderBy($"col_name".asc_nulls_first)
+  }
+
+  val q104Sql: String = profileCols.map { c =>
+    s"""SELECT '$c' AS col_name, COUNT(*) AS n,
+       |  COUNT(*) - COUNT($c) AS n_null, COUNT(DISTINCT $c) AS ndv,
+       |  ROUND(MIN($c), 6) AS min6, ROUND(MAX($c), 6) AS max6,
+       |  ROUND(quantile_cont($c, 0.5), 6) AS p50_6
+       |FROM lineitem""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name NULLS FIRST")
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_boiler_lines" -> (q100 _),
+    "q101_bm25_topk" -> (q101 _),
+    "q102_countmin_freq" -> (q102 _),
+    "q103_merge_upsert" -> (q103 _),
+    "q104_col_profile" -> (q104 _))
+
+  def oracles: Map[String, String] = Map(
+    "q100_boiler_lines" -> q100Sql,
+    "q101_bm25_topk" -> q101Sql,
+    "q102_countmin_freq" -> q102Sql,
+    "q103_merge_upsert" -> q103Sql,
+    "q104_col_profile" -> q104Sql)
+}

@@ -10,14 +10,15 @@ object Registry {
     Scans.all ++ Projections.all ++ Joins.all ++ Aggregates.all ++
       Windows.all ++ SortsLimits.all ++ SetOps.all ++ Scalars.all ++
       LlmOps.all ++ StreamingQueries.all ++ Extensibility.all ++
-      ModelQueries.all ++ Reshape.all ++ CurationOps.all
+      ModelQueries.all ++ Reshape.all ++ CurationOps.all ++ PipelineOps.all
 
   def oracles: Map[String, String] =
     Scans.oracles ++ Projections.oracles ++ Joins.oracles ++
       Aggregates.oracles ++ Windows.oracles ++ SortsLimits.oracles ++
       SetOps.oracles ++ Scalars.oracles ++ LlmOps.oracles ++
       StreamingQueries.oracles ++ Extensibility.oracles ++
-      ModelQueries.oracles ++ Reshape.oracles ++ CurationOps.oracles
+      ModelQueries.oracles ++ Reshape.oracles ++ CurationOps.oracles ++
+      PipelineOps.oracles
 }
 
 trait QueryModule {

@@ -376,6 +376,43 @@ object StreamingQueries {
       |FROM events WHERE user_id >= 20 AND user_id < 40
       |GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin
 
+  /** Q105 — CHAINED STREAMING AGGREGATION (multiple stateful operators
+    * in one query, Spark 4): a 5-minute tumbling count per window feeds a
+    * second 10-minute windowed aggregation over the FIRST's window column
+    * — peak and total 5-minute event rate inside each 10-minute window.
+    * Both operators share the stream's watermark; in append mode a
+    * 10-minute window emits only once the watermark passes its end, and
+    * every 5-minute sub-window inside it has then closed too, so one
+    * no-data flush batch finalizes both levels. The oracle applies the
+    * identical closure rule (window end ≤ max ts − 10 min).
+    */
+  def q105(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val small = eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "5 minutes"))
+      .agg(count(lit(1)).as("n5"))
+    val big = small
+      .groupBy(window($"window", "10 minutes"))
+      .agg(max($"n5").as("peak5"), sum($"n5").as("tot"))
+    runToMemory(big, "q105_sink", "append", finalWatermarkBatch = true)
+      .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("ws"),
+        $"peak5", $"tot")
+      .orderBy($"ws".asc_nulls_first)
+  }
+
+  val q105Sql: String =
+    """WITH w5 AS (
+      |  SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 300000000) * 300 AS s5, COUNT(*) AS n5
+      |  FROM events GROUP BY 1),
+      |w10 AS (
+      |  SELECT (s5 // 600) * 600 AS s10, MAX(n5) AS peak5, SUM(n5) AS tot
+      |  FROM w5 GROUP BY 1),
+      |wm AS (SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) - 600000000 AS cut FROM events)
+      |SELECT strftime(to_timestamp(s10), '%Y-%m-%d %H:%M:%S') AS ws, peak5, CAST(tot AS BIGINT) AS tot
+      |FROM w10, wm WHERE (s10 + 600) * 1000000 <= cut
+      |ORDER BY ws NULLS FIRST""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_tumbling_window" -> (q46 _),
     "q47_sliding_window" -> (q47 _),
@@ -388,7 +425,8 @@ object StreamingQueries {
     "q70_stream_stream_join" -> (q70 _),
     "q71_dedup_within_watermark" -> (q71 _),
     "q73_stream_stream_outer_join" -> (q73 _),
-    "q74_transform_with_state" -> (q74 _))
+    "q74_transform_with_state" -> (q74 _),
+    "q105_chained_window_agg" -> (q105 _))
 
   def oracles: Map[String, String] = Map(
     "q46_tumbling_window" -> q46Sql,
@@ -402,5 +440,6 @@ object StreamingQueries {
     "q70_stream_stream_join" -> q70Sql,
     "q71_dedup_within_watermark" -> q71Sql,
     "q73_stream_stream_outer_join" -> q73Sql,
-    "q74_transform_with_state" -> q74Sql)
+    "q74_transform_with_state" -> q74Sql,
+    "q105_chained_window_agg" -> q105Sql)
 }

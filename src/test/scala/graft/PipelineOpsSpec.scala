@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{PipelineOps, StreamingQueries}
+
+/** Round-6 pipeline operators (q100–q105): the semantic invariants the
+  * DuckDB hash-gate can't see — boilerplate removal only deletes
+  * repeated lines and preserves order, BM25 only scores docs containing
+  * query terms, the CMS estimate NEVER undercounts, merge applies each
+  * change class, exact and approx medians agree within bound, and the
+  * chained streaming agg equals its batch twin.
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  test("q100: removed lines are exactly the corpus-wide repeats; order survives") {
+    import spark.implicits._
+    val out = PipelineOps.q100(spark, sfDir).cache()
+    try {
+      assert(out.count() > 0)
+      assert(out.filter($"n_removed" < 0 || $"n_removed" > $"n_lines").isEmpty,
+        "removed-line count outside [0, n_lines]")
+      // at least one doc must lose a line on this corpus (near-dup
+      // clusters share 10-token chunks) and at least one must keep all
+      assert(out.filter($"n_removed" > 0).count() > 0, "no boilerplate found")
+      assert(out.filter($"n_removed" === 0).count() > 0, "everything removed")
+      // a doc with nothing removed reassembles to its own token stream
+      val intact = out.filter($"n_removed" === 0).limit(1)
+        .select($"doc_id", $"clean_md5").as[(Long, String)].head()
+      val roundTrip = graft.core.Tables.t(spark, sfDir, "documents")
+        .filter($"doc_id" === intact._1)
+        .select(md5(concat_ws(" ", graft.ops.TextOps.tokens($"text"))).as("m"))
+        .as[String].head()
+      assert(roundTrip == intact._2,
+        "untouched doc must reassemble to its original token stream")
+    } finally out.unpersist(): Unit
+  }
+
+  test("q101: BM25 scores are positive, ranked 1..10, non-increasing") {
+    import spark.implicits._
+    val out = PipelineOps.q101(spark, sfDir).cache()
+    try {
+      val rows = out.orderBy($"rank").collect()
+      assert(rows.length == 10, s"expected top-10, got ${rows.length}")
+      assert(rows.map(_.getLong(0)).toSeq == (1L to 10L), "ranks not 1..10")
+      val scores = rows.map(_.getDouble(2))
+      assert(scores.forall(_ > 0.0), "BM25 score must be positive")
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        "scores must be non-increasing in rank")
+    } finally out.unpersist(): Unit
+  }
+
+  test("q102: count-min NEVER undercounts, and est==true when no collision") {
+    import spark.implicits._
+    val out = PipelineOps.q102(spark, sfDir).cache()
+    try {
+      assert(out.count() == 20)
+      assert(out.filter($"est_cnt" < $"true_cnt").isEmpty,
+        "CMS estimate below true count — impossible by construction")
+      assert(out.filter($"overcount" =!= ($"est_cnt" - $"true_cnt")).isEmpty)
+    } finally out.unpersist(): Unit
+  }
+
+  test("q103: merge applies updates, drops deletes, appends inserts") {
+    import spark.implicits._
+    val base = graft.core.Tables.t(spark, sfDir, "orders").cache()
+    val out = PipelineOps.q103(spark, sfDir).cache()
+    try {
+      val nBase = base.count()
+      val nDel = base.filter($"o_orderkey" % 10 === 1).count()
+      val nIns = base.filter($"o_orderkey" % 100 === 2).count()
+      assert(out.count() == nBase - nDel + nIns, "merge row accounting is off")
+      assert(out.filter($"o_orderkey" % 10 === 1 && $"o_orderkey" < 100000000L).isEmpty,
+        "deleted keys survived the merge")
+      assert(out.filter($"status" === "NEW").count() == nIns, "insert count wrong")
+      // one updated key: price grew by exactly 10% (to the cent)
+      val k = base.filter($"o_orderkey" % 10 === 0)
+        .select($"o_orderkey", $"o_totalprice").as[(Long, Double)].head()
+      val updated = out.filter($"o_orderkey" === k._1).select($"total").as[Double].head()
+      val expected = (BigDecimal(k._2).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        * BigDecimal("1.1")).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      assert(math.abs(updated - expected.toDouble) < 1e-9,
+        s"update must be +10%: base ${k._2}, got $updated, want $expected")
+    } finally { out.unpersist(); base.unpersist(): Unit }
+  }
+
+  test("q104: profile is sane and approx_percentile stays near the exact median") {
+    import spark.implicits._
+    val out = PipelineOps.q104(spark, sfDir).cache()
+    try {
+      assert(out.count() == 3)
+      assert(out.filter($"n_null" =!= 0L).isEmpty, "fixtures have no nulls")
+      assert(out.filter($"p50_6" < $"min6" || $"p50_6" > $"max6").isEmpty,
+        "median outside [min, max]")
+      // the documented 100 TB swap: approx_percentile must land within the
+      // value range neighbourhood of the exact median (rank error <= 1%)
+      val l = graft.core.Tables.t(spark, sfDir, "lineitem")
+      val approx = l.agg(expr("approx_percentile(l_quantity, 0.5, 10000)")).as[Double].head()
+      val exact = out.filter($"col_name" === "l_quantity").select($"p50_6").as[Double].head()
+      assert(math.abs(approx - exact) <= 1.0,
+        s"approx median $approx vs exact $exact drifted beyond one quantity step")
+    } finally out.unpersist(): Unit
+  }
+
+  test("q105: chained streaming agg equals its batch twin (closure rule applied)") {
+    import spark.implicits._
+    val streamed = StreamingQueries.q105(spark, sfDir)
+    val ev = graft.core.Tables.t(spark, sfDir, "events")
+      .select((unix_timestamp($"ts") / lit(300L)).cast("long").as("b5"),
+        unix_timestamp($"ts").as("sec"))
+    val cut = ev.agg(max($"sec")).as[Long].head() - 600L
+    val batch = ev.groupBy(($"b5" * 300).as("s5")).agg(count(lit(1)).as("n5"))
+      .groupBy((($"s5".cast("long") / 600L).cast("long") * 600L).as("s10"))
+      .agg(max($"n5").as("peak5"), sum($"n5").as("tot"))
+      .filter($"s10" + 600L <= cut)
+      .select(date_format(timestamp_seconds($"s10"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+        $"peak5", $"tot")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "chained streaming agg diverges from batch twin")
+  }
+}

@@ -204,6 +204,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"repetition gate joins:\n$p")
   }
 
+  test("q100 boiler-set anti-join broadcasts (no shuffle of the line stream for the filter)") {
+    val p = plan(PipelineOps.q100(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"boilerplate filter is not a broadcast anti-join:\n$p")
+  }
+
+  test("q102 sketch probe broadcasts the 4096-row sketch") {
+    val p = plan(PipelineOps.q102(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"CMS probe does not broadcast the sketch:\n$p")
+  }
+
+  test("q103 merge applies in ONE join pass over the base table") {
+    val p = plan(PipelineOps.q103(spark, sfDir))
+    val joins = "SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size
+    assert(joins == 1, s"CDC merge should be a single full-outer join, found $joins:\n$p")
+    assert(p.contains("FullOuter"), s"merge join is not full-outer:\n$p")
+  }
+
   test("Q23 approx distinct is within 5% of exact at sf0.001") {
     import org.apache.spark.sql.functions._
     val approx = Aggregates.q23(spark, sfDir).collect()

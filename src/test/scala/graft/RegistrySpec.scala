@@ -15,7 +15,8 @@ class RegistrySpec extends SparkSpec {
     "SetOps" -> SetOps.all, "Scalars" -> Scalars.all,
     "LlmOps" -> LlmOps.all, "Streaming" -> StreamingQueries.all,
     "Extensibility" -> Extensibility.all, "Models" -> ModelQueries.all,
-    "Reshape" -> Reshape.all, "Curation" -> CurationOps.all)
+    "Reshape" -> Reshape.all, "Curation" -> CurationOps.all,
+    "Pipeline" -> PipelineOps.all)
 
   test("no query key collisions across modules") {
     val expected = modules.map(_._2.size).sum
@@ -28,9 +29,9 @@ class RegistrySpec extends SparkSpec {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
-  test("the full surface covers the SURVEY ids Q01..Q72 + r2..r5 additions") {
+  test("the full surface covers the SURVEY ids Q01..Q72 + r2..r6 additions") {
     val ids = Registry.all.keySet.map(_.takeWhile(_ != '_'))
-    val expected = (1 to 99).map(i => f"q$i%02d").toSet
+    val expected = (1 to 105).map(i => f"q$i%02d").toSet
     assert(ids == expected, s"missing: ${expected -- ids}, extra: ${ids -- expected}")
   }
 
