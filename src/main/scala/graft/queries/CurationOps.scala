@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -224,33 +224,47 @@ object CurationOps {
     * this key exists for; here the key itself is the oracle-gated part —
     * pure integer bit arithmetic, identical in any engine.
     */
+  /** The (xb, yb) bucket columns and their interleaved Morton key —
+    * shared by q99 (the key itself) and q107 (the range-partitioned
+    * layout write that uses it).
+    */
+  private[queries] def zBuckets(spark: SparkSession): (Column, Column) = {
+    import spark.implicits._
+    (($"o_custkey" % 256).cast(LongType),
+      (datediff(to_date($"o_orderdate"), lit("1992-01-01")) % 256).cast(LongType))
+  }
+
+  private[queries] def zInterleave(xb: Column, yb: Column): Column =
+    (0 until 8).map { i =>
+      (shiftright(xb, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))) +
+        (shiftright(yb, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)))
+    }.reduce(_ + _)
+
+  /** The identical interleave over SQL columns named xb/yb. */
+  private[queries] val zInterleaveSql: String = (0 until 8).map { i =>
+    s"((xb >> $i) & 1) * ${1L << (2 * i + 1)} + ((yb >> $i) & 1) * ${1L << (2 * i)}"
+  }.mkString(" + ")
+
+  private[queries] val zBucketsSqlCte: String =
+    """b AS (
+      |  SELECT o_orderkey,
+      |    CAST(o_custkey % 256 AS BIGINT) AS xb,
+      |    CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 256 AS BIGINT) AS yb
+      |  FROM orders)""".stripMargin
+
   def q99(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val xb = ($"o_custkey" % 256).cast(LongType)
-    val yb = (datediff(to_date($"o_orderdate"), lit("1992-01-01")) % 256)
-      .cast(LongType)
-    val z = (0 until 8).map { i =>
-      (shiftright($"xb", i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))) +
-        (shiftright($"yb", i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)))
-    }.reduce(_ + _)
+    val (xb, yb) = zBuckets(spark)
     t(spark, dir, "orders")
       .select($"o_orderkey", xb.as("xb"), yb.as("yb"))
-      .withColumn("zkey", z)
+      .withColumn("zkey", zInterleave($"xb", $"yb"))
       .orderBy($"zkey".asc_nulls_first, $"o_orderkey".asc_nulls_first)
   }
 
-  val q99Sql: String = {
-    val z = (0 until 8).map { i =>
-      s"((xb >> $i) & 1) * ${1L << (2 * i + 1)} + ((yb >> $i) & 1) * ${1L << (2 * i)}"
-    }.mkString(" + ")
-    s"""WITH b AS (
-       |  SELECT o_orderkey,
-       |    CAST(o_custkey % 256 AS BIGINT) AS xb,
-       |    CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 256 AS BIGINT) AS yb
-       |  FROM orders)
-       |SELECT o_orderkey, xb, yb, $z AS zkey
+  val q99Sql: String =
+    s"""WITH $zBucketsSqlCte
+       |SELECT o_orderkey, xb, yb, $zInterleaveSql AS zkey
        |FROM b ORDER BY zkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin
-  }
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q94_neardup_clusters" -> (q94 _),

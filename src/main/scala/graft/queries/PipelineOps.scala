@@ -294,17 +294,90 @@ object PipelineOps {
        |FROM lineitem""".stripMargin
   }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name NULLS FIRST")
 
+  /** Q107 — Z-ORDER LAYOUT WRITE + SKIPPING READ: materialise `orders`
+    * range-partitioned AND sorted by the q99 Morton key
+    * (`repartitionByRange(8) + sortWithinPartitions`), then answer a
+    * zkey-range predicate from the laid-out copy. Range partitioning
+    * makes the per-file zkey intervals pairwise DISJOINT (asserted in
+    * PipelineOpsSpec), so the parquet reader's row-group min/max stats
+    * skip every file outside the predicate — the mechanics Delta/Iceberg
+    * OPTIMIZE ZORDER relies on, here as a plain Spark write. The oracle
+    * answers the same predicate from the raw table: layout must never
+    * change results.
+    */
+  def q107(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (xb, yb) = CurationOps.zBuckets(spark)
+    val keyed = t(spark, dir, "orders")
+      .select($"o_orderkey", xb.as("xb"), yb.as("yb"))
+      .withColumn("zkey", CurationOps.zInterleave($"xb", $"yb"))
+    val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val out = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-zorder", s"orders_$slug").toString
+    keyed.repartitionByRange(8, $"zkey")
+      .sortWithinPartitions($"zkey", $"o_orderkey")
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+      .filter($"zkey" >= 1000L && $"zkey" < 5000L)
+      .select($"o_orderkey", $"zkey")
+      .orderBy($"o_orderkey".asc_nulls_first)
+  }
+
+  val q107Sql: String =
+    s"""WITH ${CurationOps.zBucketsSqlCte},
+       |z AS (SELECT o_orderkey, ${CurationOps.zInterleaveSql} AS zkey FROM b)
+       |SELECT o_orderkey, zkey FROM z
+       |WHERE zkey >= 1000 AND zkey < 5000
+       |ORDER BY o_orderkey NULLS FIRST""".stripMargin
+
+  /** Q108 — SCD2 DIMENSION BUILD: turn the order event log into
+    * slowly-changing-dimension validity intervals per customer —
+    * valid_from = the change date, valid_to = the NEXT change's date
+    * (NULL = current) via one lead() window, the standard warehouse
+    * versioned-dimension shape. One shuffle on the dimension key, then
+    * the window streams each partition; at 100 TB the key count is the
+    * parallelism and no state outlives a partition.
+    */
+  def q108(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    t(spark, dir, "orders").filter($"o_custkey" < 1000)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_orderstatus")
+      .withColumn("valid_to", lead($"o_orderdate", 1).over(w))
+      .select($"o_custkey", $"o_orderkey",
+        $"o_orderdate".as("valid_from"), $"valid_to",
+        $"o_orderstatus".as("status"), $"valid_to".isNull.as("is_current"))
+      .orderBy($"o_custkey".asc_nulls_first, $"o_orderkey".asc_nulls_first)
+  }
+
+  val q108Sql: String =
+    """WITH s AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate AS valid_from,
+      |    LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate ASC, o_orderkey ASC) AS valid_to,
+      |    o_orderstatus AS status
+      |  FROM orders WHERE o_custkey < 1000)
+      |SELECT o_custkey, o_orderkey, valid_from, valid_to, status,
+      |  (valid_to IS NULL) AS is_current
+      |FROM s
+      |ORDER BY o_custkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q100_boiler_lines" -> (q100 _),
     "q101_bm25_topk" -> (q101 _),
     "q102_countmin_freq" -> (q102 _),
     "q103_merge_upsert" -> (q103 _),
-    "q104_col_profile" -> (q104 _))
+    "q104_col_profile" -> (q104 _),
+    "q107_zorder_layout" -> (q107 _),
+    "q108_scd2_dimension" -> (q108 _))
 
   def oracles: Map[String, String] = Map(
     "q100_boiler_lines" -> q100Sql,
     "q101_bm25_topk" -> q101Sql,
     "q102_countmin_freq" -> q102Sql,
     "q103_merge_upsert" -> q103Sql,
-    "q104_col_profile" -> q104Sql)
+    "q104_col_profile" -> q104Sql,
+    "q107_zorder_layout" -> q107Sql,
+    "q108_scd2_dimension" -> q108Sql)
 }

@@ -413,6 +413,43 @@ object StreamingQueries {
       |FROM w10, wm WHERE (s10 + 600) * 1000000 <= cut
       |ORDER BY ws NULLS FIRST""".stripMargin
 
+  /** Q106 — stream-stream LEFT SEMI join (completes the streaming join
+    * matrix next to q70 inner and q73 left outer): views that WERE
+    * followed by a purchase from the same user within 2 hours, each
+    * view emitted at most once regardless of how many purchases matched.
+    * Semi output is match-driven (like inner), so no watermark-closure
+    * rule is needed in the oracle; the watermarks bound the retained
+    * state exactly as in q70.
+    */
+  def q106(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = eventsStream(spark, dir)
+    val views = base.filter($"event_type" === "view")
+      .select($"event_id".as("view_id"), $"user_id", $"ts".as("view_ts"))
+      .withWatermark("view_ts", "10 minutes")
+    val buys = base.filter($"event_type" === "purchase")
+      .select($"event_id".as("buy_id"), $"user_id".as("buy_user"), $"ts".as("buy_ts"))
+      .withWatermark("buy_ts", "10 minutes")
+    val semi = views.join(buys,
+      $"user_id" === $"buy_user" &&
+        $"buy_ts" >= $"view_ts" &&
+        $"buy_ts" < $"view_ts" + expr("INTERVAL 120 MINUTES"),
+      "left_semi")
+    runToMemory(semi, "q106_sink", "append")
+      .select($"view_id", $"user_id")
+      .orderBy($"view_id".asc_nulls_first)
+  }
+
+  val q106Sql: String =
+    """SELECT e.event_id AS view_id, e.user_id
+      |FROM events e
+      |WHERE e.event_type = 'view' AND EXISTS (
+      |  SELECT 1 FROM events b
+      |  WHERE b.event_type = 'purchase' AND b.user_id = e.user_id
+      |    AND CAST(b.ts AS TIMESTAMP) >= CAST(e.ts AS TIMESTAMP)
+      |    AND CAST(b.ts AS TIMESTAMP) < CAST(e.ts AS TIMESTAMP) + INTERVAL 120 MINUTE)
+      |ORDER BY view_id NULLS FIRST""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_tumbling_window" -> (q46 _),
     "q47_sliding_window" -> (q47 _),
@@ -426,7 +463,8 @@ object StreamingQueries {
     "q71_dedup_within_watermark" -> (q71 _),
     "q73_stream_stream_outer_join" -> (q73 _),
     "q74_transform_with_state" -> (q74 _),
-    "q105_chained_window_agg" -> (q105 _))
+    "q105_chained_window_agg" -> (q105 _),
+    "q106_stream_semi_join" -> (q106 _))
 
   def oracles: Map[String, String] = Map(
     "q46_tumbling_window" -> q46Sql,
@@ -441,5 +479,6 @@ object StreamingQueries {
     "q71_dedup_within_watermark" -> q71Sql,
     "q73_stream_stream_outer_join" -> q73Sql,
     "q74_transform_with_state" -> q74Sql,
-    "q105_chained_window_agg" -> q105Sql)
+    "q105_chained_window_agg" -> q105Sql,
+    "q106_stream_semi_join" -> q106Sql)
 }

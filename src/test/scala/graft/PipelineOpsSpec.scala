@@ -101,6 +101,51 @@ class PipelineOpsSpec extends SparkSpec {
     } finally out.unpersist(): Unit
   }
 
+  test("q107: range-partitioned z-order layout yields pairwise-DISJOINT per-file key ranges") {
+    import spark.implicits._
+    PipelineOps.q107(spark, sfDir).write.format("noop").mode("overwrite").save()
+    val slug = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val out = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-zorder", s"orders_$slug").toString
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getPath).toSeq
+    assert(files.size > 1, s"expected multiple range files, got ${files.size}")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min($"zkey"), max($"zkey")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.zip(ranges.tail).foreach { case ((_, hi), (lo2, _)) =>
+      assert(hi <= lo2, s"file key ranges overlap: $ranges — min/max skipping broken")
+    }
+  }
+
+  test("q108: SCD2 intervals chain per customer and exactly one row is current") {
+    import spark.implicits._
+    val out = PipelineOps.q108(spark, sfDir).cache()
+    try {
+      val perKey = out.groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n"), sum($"is_current".cast("int")).as("cur"))
+      assert(perKey.filter($"cur" =!= 1).isEmpty,
+        "each customer must have exactly one current (open) interval")
+      // every closed interval's valid_to equals the NEXT interval's valid_from
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_custkey").orderBy($"valid_from".asc, $"o_orderkey".asc)
+      val chained = out.withColumn("next_from", lead($"valid_from", 1).over(w))
+        .filter($"valid_to".isNotNull && $"valid_to" =!= $"next_from")
+      assert(chained.isEmpty, "validity intervals do not chain")
+    } finally out.unpersist(): Unit
+  }
+
+  test("q106: stream-stream semi join emits each matched view exactly once") {
+    import spark.implicits._
+    val out = StreamingQueries.q106(spark, sfDir).cache()
+    try {
+      assert(out.count() > 0, "no semi matches on the fixture")
+      assert(out.groupBy($"view_id").count().filter($"count" > 1).isEmpty,
+        "semi join emitted a view more than once")
+    } finally out.unpersist(): Unit
+  }
+
   test("q105: chained streaming agg equals its batch twin (closure rule applied)") {
     import spark.implicits._
     val streamed = StreamingQueries.q105(spark, sfDir)
