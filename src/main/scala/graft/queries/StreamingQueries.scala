@@ -440,15 +440,91 @@ object StreamingQueries {
       .orderBy($"view_id".asc_nulls_first)
   }
 
+  // decorrelated on purpose: DuckDB plans the naive correlated EXISTS as
+  // an inequality join over ALL view×purchase pairs (~3.8e10 at sf0.1);
+  // the explicit equi-join + DISTINCT pins the hash join on user_id
   val q106Sql: String =
-    """SELECT e.event_id AS view_id, e.user_id
-      |FROM events e
-      |WHERE e.event_type = 'view' AND EXISTS (
-      |  SELECT 1 FROM events b
-      |  WHERE b.event_type = 'purchase' AND b.user_id = e.user_id
-      |    AND CAST(b.ts AS TIMESTAMP) >= CAST(e.ts AS TIMESTAMP)
-      |    AND CAST(b.ts AS TIMESTAMP) < CAST(e.ts AS TIMESTAMP) + INTERVAL 120 MINUTE)
+    """WITH v AS (SELECT event_id AS view_id, user_id, CAST(ts AS TIMESTAMP) AS vts
+      |           FROM events WHERE event_type = 'view'),
+      |b AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS bts
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT DISTINCT v.view_id, v.user_id
+      |FROM v JOIN b ON b.user_id = v.user_id
+      |  AND b.bts >= v.vts AND b.bts < v.vts + INTERVAL 120 MINUTE
       |ORDER BY view_id NULLS FIRST""".stripMargin
+
+  /** Q109 — STREAMING CDC APPLY: keep a keyed parquet TARGET TABLE
+    * current by merging every micro-batch of changes into it inside
+    * foreachBatch — q103's MERGE as a continuously-applied stream, the
+    * production materialized-upsert shape (what Delta's streaming MERGE
+    * INTO does). Each batch reduces to its latest change per key
+    * (highest event_id — deterministic under any batch split), full-outer
+    * merges with the current table version, writes a NEW immutable
+    * version dir, and atomically repoints a version file — so readers
+    * never see a half-written table and redelivered batches are
+    * idempotent (merge of the same changes is a no-op). Returns the
+    * final target table.
+    */
+  def q109(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_cdc", s"target_$slug")
+    if (Files.exists(root)) { // fresh apply per invocation
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root.toFile)
+    }
+    Files.createDirectories(root)
+    val pointer = root.resolve("CURRENT")
+    def currentVersion(s: SparkSession): Option[DataFrame] =
+      if (Files.exists(pointer))
+        Some(s.read.parquet(root.resolve(
+          new String(Files.readAllBytes(pointer), "UTF-8").trim).toString))
+      else None
+    val changes = eventsStream(spark, dir)
+      .filter($"event_type".isin("purchase", "view"))
+      .select($"user_id", $"event_id", $"value")
+    val merge: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val s = batch.sparkSession
+      val latest = batch.groupBy(col("user_id"))
+        .agg(max_by(struct(col("event_id"), col("value")), col("event_id")).as("s"))
+        .select(col("user_id"), col("s.event_id").as("last_event_id"),
+          col("s.value").as("last_value"))
+      val merged = currentVersion(s) match {
+        case None => latest
+        case Some(cur) =>
+          cur.select(col("user_id"), col("last_event_id").as("c_eid"),
+              col("last_value").as("c_val"))
+            .join(latest, Seq("user_id"), "full_outer")
+            .select(col("user_id"),
+              when(col("last_event_id").isNotNull &&
+                  (col("c_eid").isNull || col("last_event_id") > col("c_eid")),
+                col("last_event_id")).otherwise(col("c_eid")).as("last_event_id"),
+              when(col("last_event_id").isNotNull &&
+                  (col("c_eid").isNull || col("last_event_id") > col("c_eid")),
+                col("last_value")).otherwise(col("c_val")).as("last_value"))
+      }
+      val v = s"v$batchId"
+      merged.write.mode("overwrite").parquet(root.resolve(v).toString)
+      val tmp = root.resolve(s".CURRENT-$batchId.tmp")
+      Files.write(tmp, v.getBytes("UTF-8"))
+      Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE): Unit
+    }
+    StreamOps.runForeachBatch(changes, merge)
+    currentVersion(spark).get
+      .orderBy($"user_id".asc_nulls_first)
+  }
+
+  val q109Sql: String =
+    """SELECT user_id, MAX(event_id) AS last_event_id,
+      |  arg_max(value, event_id) AS last_value
+      |FROM events WHERE event_type IN ('purchase', 'view')
+      |GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_tumbling_window" -> (q46 _),
@@ -464,7 +540,8 @@ object StreamingQueries {
     "q73_stream_stream_outer_join" -> (q73 _),
     "q74_transform_with_state" -> (q74 _),
     "q105_chained_window_agg" -> (q105 _),
-    "q106_stream_semi_join" -> (q106 _))
+    "q106_stream_semi_join" -> (q106 _),
+    "q109_streaming_cdc_apply" -> (q109 _))
 
   def oracles: Map[String, String] = Map(
     "q46_tumbling_window" -> q46Sql,
@@ -480,5 +557,6 @@ object StreamingQueries {
     "q73_stream_stream_outer_join" -> q73Sql,
     "q74_transform_with_state" -> q74Sql,
     "q105_chained_window_agg" -> q105Sql,
-    "q106_stream_semi_join" -> q106Sql)
+    "q106_stream_semi_join" -> q106Sql,
+    "q109_streaming_cdc_apply" -> q109Sql)
 }

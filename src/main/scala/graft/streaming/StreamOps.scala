@@ -228,6 +228,25 @@ object StreamOps {
     f.delete(): Unit
   }
 
+  /** Run a streaming frame to completion through an ARBITRARY
+    * foreachBatch handler (update mode: the handler owns downstream
+    * semantics — e.g. q109's CDC merge-into-table). Streaming shuffle
+    * tuning + scratch checkpoint as everywhere else; the handler must be
+    * idempotent under micro-batch redelivery.
+    */
+  def runForeachBatch(df: DataFrame, handler: (DataFrame, Long) => Unit): Unit =
+    withStreamingPartitions(df.sparkSession) {
+      withCheckpoint { ckpt =>
+        val q = df.writeStream
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch(handler)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    }
+
   /** Run a streaming frame through foreachBatch into a parquet dir, then
     * read the result back. Prefer [[run]], which adds streaming shuffle
     * tuning and a race-free default output location.

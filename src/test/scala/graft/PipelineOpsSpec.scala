@@ -146,6 +146,20 @@ class PipelineOpsSpec extends SparkSpec {
     } finally out.unpersist(): Unit
   }
 
+  test("q109: CDC-applied target equals batch latest-per-key; re-apply is deterministic") {
+    import spark.implicits._
+    val first = StreamingQueries.q109(spark, sfDir).collect().toSeq
+    val second = StreamingQueries.q109(spark, sfDir).collect().toSeq
+    assert(first == second, "re-applying the same change stream diverged")
+    val twin = graft.core.Tables.t(spark, sfDir, "events")
+      .filter($"event_type".isin("purchase", "view"))
+      .groupBy($"user_id")
+      .agg(max($"event_id").as("last_event_id"),
+        max_by($"value", $"event_id").as("last_value"))
+      .orderBy($"user_id".asc_nulls_first).collect().toSeq
+    assert(first == twin, "CDC target diverges from batch latest-per-key")
+  }
+
   test("q105: chained streaming agg equals its batch twin (closure rule applied)") {
     import spark.implicits._
     val streamed = StreamingQueries.q105(spark, sfDir)
