@@ -41,7 +41,12 @@ object PipelineOps {
         transform(sequence(lit(0L), $"n_lines" - lit(1L)),
           i => array_join(slice($"toks", (i * 10 + 1).cast(IntegerType), lit(10)), " ")))
       .otherwise(array().cast(ArrayType(StringType)))
+    // the line stream feeds BOTH the boiler-frequency agg and the keep
+    // filter; persist so the corpus is tokenized once, not per subtree
+    // (Catalyst does not CSE across join branches). CacheManager dedups
+    // identical plans, so repeated invocations share one entry.
     val lines = base.select($"doc_id", posexplode(lineArr).as(Seq("line_no", "line")))
+      .persist()
     val boiler = lines.groupBy($"line").agg(count(lit(1)).as("c"))
       .filter($"c" >= 3).select($"line")
     val kept = lines.join(broadcast(boiler), Seq("line"), "left_anti")
@@ -94,6 +99,7 @@ object PipelineOps {
     val d = t(spark, dir, "documents")
       .select($"doc_id", TextOps.tokens($"text").as("toks"))
       .withColumn("dl", size($"toks").cast(LongType))
+      .persist() // feeds the N/avgdl stats AND the posting-list explode
     val stats = d.agg(count(lit(1)).as("__n"), sum($"dl").as("__sumdl"))
     val tf = d.select($"doc_id", $"dl", explode($"toks").as("term"))
       .filter($"term".isin(bm25Terms: _*))
@@ -153,7 +159,7 @@ object PipelineOps {
     */
   private val cmParams: Seq[(Int, Long, Long)] =
     Seq((0, 131L, 57L), (1, 1031L, 17L), (2, 8191L, 3L), (3, 524287L, 11L))
-  private val cmP = 1048573L // > 2^20, keeps a*x below 2^52 (exact in i64)
+  private val cmP = 1048573L // just under 2^20: a,b < p keep a*x < 2^52 (exact in i64)
   private val cmW = 1024L
 
   private def cmBuckets(x: Column): Column =
@@ -165,6 +171,7 @@ object PipelineOps {
     import spark.implicits._
     val occ = t(spark, dir, "documents")
       .select(explode(TextOps.tokens($"text")).as("token"))
+      .persist() // feeds the sketch build AND the true-count top-20
     val sketch = occ
       .select(explode(cmBuckets(TextOps.hash32($"token"))).as("h"))
       .select($"h.i".as("i"), $"h.bucket".as("bucket"))
@@ -205,7 +212,8 @@ object PipelineOps {
   /** Q103 — CDC MERGE / UPSERT (the Delta/Iceberg MERGE INTO shape,
     * expressed as one full-outer join): a deterministic change set —
     * updates (keys ≡0 mod 10: +10% price), deletes (keys ≡1 mod 10) and
-    * inserts (keys ≡2 mod 100, re-keyed above the base range) — applied
+    * inserts (keys ≡2 mod 100, re-keyed to the NEGATED key, disjoint
+    * from the positive base domain at any scale factor) — applied
     * onto `orders` in a single pass. Update arithmetic runs in exact
     * DECIMAL and surfaces as DOUBLE.
     *
@@ -225,7 +233,7 @@ object PipelineOps {
       .select($"o_orderkey".as("k"), lit("D").as("op"),
         lit(null).cast(DoubleType).as("nt"))
     val ins = o.filter($"o_orderkey" % 100 === 2)
-      .select(($"o_orderkey" + 100000000L).as("k"), lit("I").as("op"),
+      .select((-$"o_orderkey").as("k"), lit("I").as("op"),
         $"o_totalprice".cast(DoubleType).as("nt"))
     val ch = upd.unionByName(del).unionByName(ins)
     o.join(ch, $"o_orderkey" === $"k", "full_outer")
@@ -245,7 +253,7 @@ object PipelineOps {
       |  UNION ALL
       |  SELECT o_orderkey, 'D', CAST(NULL AS DOUBLE) FROM orders WHERE o_orderkey % 10 = 1
       |  UNION ALL
-      |  SELECT o_orderkey + 100000000, 'I', CAST(o_totalprice AS DOUBLE)
+      |  SELECT -o_orderkey, 'I', CAST(o_totalprice AS DOUBLE)
       |  FROM orders WHERE o_orderkey % 100 = 2)
       |SELECT COALESCE(b.o_orderkey, c.k) AS o_orderkey,
       |  CASE WHEN c.op = 'I' THEN 'NEW' ELSE b.o_orderstatus END AS status,
@@ -305,15 +313,23 @@ object PipelineOps {
     * answers the same predicate from the raw table: layout must never
     * change results.
     */
+  /** The q107 layout location — application-scoped so concurrent processes on
+    * the same fixture never overwrite each other's lazily-read files.
+    * Shared with PipelineOpsSpec's per-file disjointness assertion.
+    */
+  def zorderOutDir(spark: SparkSession, dir: String): String = {
+    val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+    java.nio.file.Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft-zorder", s"orders_${slug}_${spark.sparkContext.applicationId}").toString
+  }
+
   def q107(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (xb, yb) = CurationOps.zBuckets(spark)
     val keyed = t(spark, dir, "orders")
       .select($"o_orderkey", xb.as("xb"), yb.as("yb"))
       .withColumn("zkey", CurationOps.zInterleave($"xb", $"yb"))
-    val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val out = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft-zorder", s"orders_$slug").toString
+    val out = zorderOutDir(spark, dir)
     keyed.repartitionByRange(8, $"zkey")
       .sortWithinPartitions($"zkey", $"o_orderkey")
       .write.mode("overwrite").parquet(out)

@@ -468,9 +468,11 @@ object StreamingQueries {
   def q109(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import java.nio.file.{Files, Paths, StandardCopyOption}
+    // application-scoped target: concurrent processes on the same fixture must
+    // never overwrite each other's lazily-read table versions
     val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
     val root = Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      "graft_cdc", s"target_$slug")
+      "graft_cdc", s"target_${slug}_${spark.sparkContext.applicationId}")
     if (Files.exists(root)) { // fresh apply per invocation
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)
@@ -490,34 +492,48 @@ object StreamingQueries {
       .select($"user_id", $"event_id", $"value")
     val merge: (DataFrame, Long) => Unit = (batch, batchId) => {
       val s = batch.sparkSession
-      val latest = batch.groupBy(col("user_id"))
-        .agg(max_by(struct(col("event_id"), col("value")), col("event_id")).as("s"))
-        .select(col("user_id"), col("s.event_id").as("last_event_id"),
-          col("s.value").as("last_value"))
-      val merged = currentVersion(s) match {
-        case None => latest
-        case Some(cur) =>
-          cur.select(col("user_id"), col("last_event_id").as("c_eid"),
-              col("last_value").as("c_val"))
-            .join(latest, Seq("user_id"), "full_outer")
-            .select(col("user_id"),
-              when(col("last_event_id").isNotNull &&
-                  (col("c_eid").isNull || col("last_event_id") > col("c_eid")),
-                col("last_event_id")).otherwise(col("c_eid")).as("last_event_id"),
-              when(col("last_event_id").isNotNull &&
-                  (col("c_eid").isNull || col("last_event_id") > col("c_eid")),
-                col("last_value")).otherwise(col("c_val")).as("last_value"))
+      // redelivery guard (exactly-once): a crash between the pointer move
+      // and the checkpoint commit redelivers this batchId — the pointer
+      // then already names v<batchId>, and re-merging would read the very
+      // version dir the overwrite targets. Applied == skip.
+      val applied = Files.exists(pointer) &&
+        new String(Files.readAllBytes(pointer), "UTF-8").trim == s"v$batchId"
+      if (!applied) {
+        val latest = batch.groupBy(col("user_id"))
+          .agg(max_by(struct(col("event_id"), col("value")), col("event_id")).as("s"))
+          .select(col("user_id"), col("s.event_id").as("last_event_id"),
+            col("s.value").as("last_value"))
+        val merged = currentVersion(s) match {
+          case None => latest
+          case Some(cur) =>
+            cur.select(col("user_id"), col("last_event_id").as("c_eid"),
+                col("last_value").as("c_val"))
+              .join(latest, Seq("user_id"), "full_outer")
+              .select(col("user_id"),
+                when(col("last_event_id").isNotNull &&
+                    (col("c_eid").isNull || col("last_event_id") > col("c_eid")),
+                  col("last_event_id")).otherwise(col("c_eid")).as("last_event_id"),
+                when(col("last_event_id").isNotNull &&
+                    (col("c_eid").isNull || col("last_event_id") > col("c_eid")),
+                  col("last_value")).otherwise(col("c_val")).as("last_value"))
+        }
+        val v = s"v$batchId"
+        merged.write.mode("overwrite").parquet(root.resolve(v).toString)
+        val tmp = root.resolve(s".CURRENT-$batchId.tmp")
+        Files.write(tmp, v.getBytes("UTF-8"))
+        Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING,
+          StandardCopyOption.ATOMIC_MOVE): Unit
       }
-      val v = s"v$batchId"
-      merged.write.mode("overwrite").parquet(root.resolve(v).toString)
-      val tmp = root.resolve(s".CURRENT-$batchId.tmp")
-      Files.write(tmp, v.getBytes("UTF-8"))
-      Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING,
-        StandardCopyOption.ATOMIC_MOVE): Unit
     }
     StreamOps.runForeachBatch(changes, merge)
-    currentVersion(spark).get
-      .orderBy($"user_id".asc_nulls_first)
+    // zero micro-batches (empty source) → empty table, not a crash
+    currentVersion(spark).getOrElse {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("user_id", LongType),
+          StructField("last_event_id", LongType),
+          StructField("last_value", DoubleType))))
+    }.orderBy($"user_id".asc_nulls_first)
   }
 
   val q109Sql: String =

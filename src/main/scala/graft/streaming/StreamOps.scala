@@ -234,11 +234,12 @@ object StreamOps {
     * tuning + scratch checkpoint as everywhere else; the handler must be
     * idempotent under micro-batch redelivery.
     */
-  def runForeachBatch(df: DataFrame, handler: (DataFrame, Long) => Unit): Unit =
+  def runForeachBatch(df: DataFrame, handler: (DataFrame, Long) => Unit,
+      outputMode: String = "update"): Unit =
     withStreamingPartitions(df.sparkSession) {
       withCheckpoint { ckpt =>
         val q = df.writeStream
-          .outputMode("update")
+          .outputMode(outputMode)
           .option("checkpointLocation", ckpt)
           .foreachBatch(handler)
           .trigger(Trigger.AvailableNow())
@@ -248,22 +249,14 @@ object StreamOps {
     }
 
   /** Run a streaming frame through foreachBatch into a parquet dir, then
-    * read the result back. Prefer [[run]], which adds streaming shuffle
-    * tuning and a race-free default output location.
+    * read the result back. Prefer [[run]], which adds a race-free default
+    * output location.
     */
   def runForeachBatchParquet(df: DataFrame, outDir: String): DataFrame = {
     val spark = df.sparkSession
     val target = new java.io.File(outDir)
     if (target.exists()) rmTree(target)
-    withCheckpoint { ckpt =>
-      val q = df.writeStream
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .foreachBatch(idempotentBatchWriter(outDir))
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
+    runForeachBatch(df, idempotentBatchWriter(outDir), "append")
     // batch=<id>/ dirs read back as a partitioned table; drop the id
     spark.read.parquet(outDir).drop("batch")
   }

@@ -69,7 +69,7 @@ class PipelineOpsSpec extends SparkSpec {
       val nDel = base.filter($"o_orderkey" % 10 === 1).count()
       val nIns = base.filter($"o_orderkey" % 100 === 2).count()
       assert(out.count() == nBase - nDel + nIns, "merge row accounting is off")
-      assert(out.filter($"o_orderkey" % 10 === 1 && $"o_orderkey" < 100000000L).isEmpty,
+      assert(out.filter($"o_orderkey" % 10 === 1 && $"o_orderkey" > 0).isEmpty,
         "deleted keys survived the merge")
       assert(out.filter($"status" === "NEW").count() == nIns, "insert count wrong")
       // one updated key: price grew by exactly 10% (to the cent)
@@ -104,10 +104,8 @@ class PipelineOpsSpec extends SparkSpec {
   test("q107: range-partitioned z-order layout yields pairwise-DISJOINT per-file key ranges") {
     import spark.implicits._
     PipelineOps.q107(spark, sfDir).write.format("noop").mode("overwrite").save()
-    val slug = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    val out = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft-zorder", s"orders_$slug").toString
-    val files = new java.io.File(out).listFiles()
+    val out = PipelineOps.zorderOutDir(spark, sfDir)
+    val files = Option(new java.io.File(out).listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.endsWith(".parquet")).map(_.getPath).toSeq
     assert(files.size > 1, s"expected multiple range files, got ${files.size}")
     val ranges = files.map { f =>
