@@ -10,7 +10,8 @@ object Registry {
     Scans.all ++ Projections.all ++ Joins.all ++ Aggregates.all ++
       Windows.all ++ SortsLimits.all ++ SetOps.all ++ Scalars.all ++
       LlmOps.all ++ StreamingQueries.all ++ Extensibility.all ++
-      ModelQueries.all ++ Reshape.all ++ CurationOps.all ++ PipelineOps.all
+      ModelQueries.all ++ Reshape.all ++ CurationOps.all ++ PipelineOps.all ++
+      AnalyticsOps.all
 
   def oracles: Map[String, String] =
     Scans.oracles ++ Projections.oracles ++ Joins.oracles ++
@@ -18,7 +19,7 @@ object Registry {
       SetOps.oracles ++ Scalars.oracles ++ LlmOps.oracles ++
       StreamingQueries.oracles ++ Extensibility.oracles ++
       ModelQueries.oracles ++ Reshape.oracles ++ CurationOps.oracles ++
-      PipelineOps.oracles
+      PipelineOps.oracles ++ AnalyticsOps.oracles
 }
 
 trait QueryModule {
