@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables._
+import graft.ops.TextOps
+
+/** Round-6 batch 3 (q115–q117): event-sequence analytics (funnel,
+  * retention cohorts) and deterministic weighted sampling — the product-
+  * analytics and curation-sampling shapes layered on the relational
+  * core. All oracle-gated against DuckDB.
+  */
+object BehaviorOps {
+
+  /** Q115 — FUNNEL ANALYSIS: how far each user progresses through the
+    * ordered view → click → purchase sequence (each stage must occur
+    * STRICTLY AFTER the previous stage's first completion). Three
+    * conditional min-aggregations on the same user_id shuffle key — the
+    * sequential dependency is expressed as chained `min(when(ts > prev))`
+    * over one grouped pass each, never a per-user sort. Output: users
+    * per deepest-stage-reached (0 = never viewed).
+    */
+  def q115(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = t(spark, dir, "events")
+      .select($"user_id", $"event_type", $"ts")
+    val t1 = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t_view"))
+    val t2 = ev.filter($"event_type" === "click").join(t1, "user_id")
+      .filter($"ts" > $"t_view")
+      .groupBy($"user_id", $"t_view").agg(min($"ts").as("t_click"))
+    val t3 = ev.filter($"event_type" === "purchase").join(t2, "user_id")
+      .filter($"ts" > $"t_click")
+      .groupBy($"user_id").agg(min($"ts").as("t_buy"))
+    val users = ev.select($"user_id").distinct()
+    val staged = users
+      .join(t1.select($"user_id", lit(1).as("s1")), Seq("user_id"), "left")
+      .join(t2.select($"user_id", lit(1).as("s2")), Seq("user_id"), "left")
+      .join(t3.select($"user_id", lit(1).as("s3")), Seq("user_id"), "left")
+      .select($"user_id",
+        (coalesce($"s1", lit(0)) + coalesce($"s2", lit(0))
+          + coalesce($"s3", lit(0))).cast(LongType).as("funnel_stage"))
+    staged.groupBy($"funnel_stage").agg(count(lit(1)).as("n_users"))
+      .orderBy($"funnel_stage".asc_nulls_first)
+  }
+
+  val q115Sql: String =
+    """WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |t1 AS (SELECT user_id, MIN(ts) AS t_view FROM ev WHERE event_type = 'view' GROUP BY user_id),
+      |t2 AS (SELECT e.user_id, MIN(e.ts) AS t_click
+      |       FROM ev e JOIN t1 ON t1.user_id = e.user_id
+      |       WHERE e.event_type = 'click' AND e.ts > t1.t_view GROUP BY e.user_id),
+      |t3 AS (SELECT e.user_id, MIN(e.ts) AS t_buy
+      |       FROM ev e JOIN t2 ON t2.user_id = e.user_id
+      |       WHERE e.event_type = 'purchase' AND e.ts > t2.t_click GROUP BY e.user_id),
+      |staged AS (
+      |  SELECT u.user_id,
+      |    CAST((CASE WHEN t1.user_id IS NULL THEN 0 ELSE 1 END)
+      |       + (CASE WHEN t2.user_id IS NULL THEN 0 ELSE 1 END)
+      |       + (CASE WHEN t3.user_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS funnel_stage
+      |  FROM (SELECT DISTINCT user_id FROM ev) u
+      |  LEFT JOIN t1 ON t1.user_id = u.user_id
+      |  LEFT JOIN t2 ON t2.user_id = u.user_id
+      |  LEFT JOIN t3 ON t3.user_id = u.user_id)
+      |SELECT funnel_stage, COUNT(*) AS n_users FROM staged
+      |GROUP BY funnel_stage ORDER BY funnel_stage NULLS FIRST""".stripMargin
+
+  /** Q116 — RETENTION COHORTS: users grouped by their first-activity day
+    * (the cohort), counted by how many distinct days-since-cohort they
+    * returned on (offsets 0..7) — the standard retention triangle. One
+    * agg for first-day, one join back (shuffle on user_id both sides),
+    * one distinct-count per (cohort, offset); nothing driver-side.
+    */
+  def q116(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = t(spark, dir, "events")
+      .select($"user_id", to_date($"ts").as("day"))
+    val first = ev.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    ev.join(first, "user_id")
+      .withColumn("day_offset", datediff($"day", $"cohort_day").cast(LongType))
+      .filter($"day_offset" <= 7)
+      .groupBy($"cohort_day", $"day_offset")
+      .agg(countDistinct($"user_id").as("n_users"))
+      .select(date_format($"cohort_day", "yyyy-MM-dd").as("cohort"),
+        $"day_offset", $"n_users")
+      .orderBy($"cohort".asc_nulls_first, $"day_offset".asc_nulls_first)
+  }
+
+  val q116Sql: String =
+    """WITH ev AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+      |f AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id)
+      |SELECT strftime(e.cohort_day, '%Y-%m-%d') AS cohort,
+      |  CAST(date_diff('day', e.cohort_day, e.day) AS BIGINT) AS day_offset,
+      |  COUNT(DISTINCT e.user_id) AS n_users
+      |FROM (SELECT ev.user_id, ev.day, f.cohort_day FROM ev JOIN f ON f.user_id = ev.user_id) e
+      |WHERE date_diff('day', e.cohort_day, e.day) <= 7
+      |GROUP BY 1, 2 ORDER BY cohort NULLS FIRST, day_offset NULLS FIRST""".stripMargin
+
+  /** Q117 — DETERMINISTIC WEIGHTED PRIORITY SAMPLE: draw 200 documents
+    * with probability increasing in document length, reproducibly on any
+    * engine/run. priority = hash32(doc_id)·10^9 / n_chars in PURE BIGINT
+    * arithmetic (no transcendental functions whose last-ulp rounding
+    * could diverge between engines), smallest-k priorities win → longer
+    * docs draw proportionally more often. The q80/q93 md5 rule's
+    * weighted sibling; one scan + one TakeOrdered, no RNG state.
+    */
+  def q117(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "documents")
+      .filter($"n_chars" > 0)
+      .withColumn("h", TextOps.hash32($"doc_id".cast(StringType)))
+      // `div` (not `/`): long division stays exact above 2^53, where a
+      // double round-trip would corrupt the priority
+      .withColumn("priority", expr("(h * 1000000000L) div n_chars"))
+      .select($"doc_id", $"lang", $"n_chars", $"priority")
+      .orderBy($"priority".asc, $"doc_id".asc).limit(200)
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  val q117Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |      * 1000000000 // n_chars AS priority
+      |  FROM documents WHERE n_chars > 0),
+      |top AS (SELECT * FROM p ORDER BY priority ASC, doc_id ASC LIMIT 200)
+      |SELECT doc_id, lang, n_chars, priority FROM top
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_funnel" -> (q115 _),
+    "q116_retention_cohorts" -> (q116 _),
+    "q117_weighted_sample" -> (q117 _))
+
+  def oracles: Map[String, String] = Map(
+    "q115_funnel" -> q115Sql,
+    "q116_retention_cohorts" -> q116Sql,
+    "q117_weighted_sample" -> q117Sql)
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.BehaviorOps
+
+/** Round-6 batch-3 operators (q115–q117): funnel stages partition the
+  * user base, cohort offsets stay in range with day-0 present for every
+  * cohort, and the weighted sample is length-biased relative to a
+  * uniform draw.
+  */
+class BehaviorOpsSpec extends SparkSpec {
+
+  test("q115: funnel stages partition all users; deeper stages never gain users") {
+    import spark.implicits._
+    val out = BehaviorOps.q115(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val users = graft.core.Tables.t(spark, sfDir, "events")
+      .select($"user_id").distinct().count()
+    assert(out.values.sum == users, "funnel stages must partition the user base")
+    assert(out.keySet.subsetOf(Set(0L, 1L, 2L, 3L)), s"unexpected stages: ${out.keySet}")
+    // cumulative: users reaching stage >= k never increases with k
+    val reach = (0 to 3).map(k => (k to 3).map(j => out.getOrElse(j.toLong, 0L)).sum)
+    assert(reach.zip(reach.tail).forall { case (a, b) => a >= b },
+      s"funnel reach must be non-increasing: $reach")
+  }
+
+  test("q116: offsets are 0..7 and every cohort has a day-0 row counting itself") {
+    import spark.implicits._
+    val out = BehaviorOps.q116(spark, sfDir).cache()
+    try {
+      assert(out.filter($"day_offset" < 0 || $"day_offset" > 7).isEmpty)
+      val cohorts = out.select($"cohort").distinct().count()
+      val day0 = out.filter($"day_offset" === 0).count()
+      assert(day0 == cohorts, "every cohort must have a day-0 row")
+    } finally out.unpersist(): Unit
+  }
+
+  test("q117: weighted sample is length-biased vs the corpus mean") {
+    import spark.implicits._
+    val out = BehaviorOps.q117(spark, sfDir).cache()
+    try {
+      assert(out.count() == 200)
+      val sampleMean = out.agg(avg($"n_chars")).as[Double].head()
+      val corpusMean = graft.core.Tables.t(spark, sfDir, "documents")
+        .filter($"n_chars" > 0).agg(avg($"n_chars")).as[Double].head()
+      assert(sampleMean > corpusMean,
+        f"length-weighted sample mean $sampleMean%.1f should exceed corpus mean $corpusMean%.1f")
+    } finally out.unpersist(): Unit
+  }
+}

@@ -16,7 +16,8 @@ class RegistrySpec extends SparkSpec {
     "LlmOps" -> LlmOps.all, "Streaming" -> StreamingQueries.all,
     "Extensibility" -> Extensibility.all, "Models" -> ModelQueries.all,
     "Reshape" -> Reshape.all, "Curation" -> CurationOps.all,
-    "Pipeline" -> PipelineOps.all, "Analytics" -> AnalyticsOps.all)
+    "Pipeline" -> PipelineOps.all, "Analytics" -> AnalyticsOps.all,
+    "Behavior" -> BehaviorOps.all)
 
   test("no query key collisions across modules") {
     val expected = modules.map(_._2.size).sum
@@ -31,7 +32,7 @@ class RegistrySpec extends SparkSpec {
 
   test("the full surface covers the SURVEY ids Q01..Q72 + r2..r6 additions") {
     val ids = Registry.all.keySet.map(_.takeWhile(_ != '_'))
-    val expected = (1 to 114).map(i => f"q$i%02d").toSet
+    val expected = (1 to 117).map(i => f"q$i%02d").toSet
     assert(ids == expected, s"missing: ${expected -- ids}, extra: ${ids -- expected}")
   }
 
