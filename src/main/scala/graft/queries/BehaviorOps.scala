@@ -128,13 +128,55 @@ object BehaviorOps {
       |SELECT doc_id, lang, n_chars, priority FROM top
       |ORDER BY doc_id NULLS FIRST""".stripMargin
 
+  /** Q118 — GROUPED QUANTILE BANDS: per-language p25/p50/p75 of document
+    * length, plus how many documents fall in each inter-quantile band —
+    * the quality-band bucketing a mixture pipeline uses to stratify its
+    * sampling. One grouped percentile agg (memory ∝ per-group NDV, the
+    * scale-sane exact shape; see q104 for the approx swap), broadcast
+    * back onto one corpus scan, conditional counts — no second shuffle.
+    */
+  def q118(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents")
+    val qs = docs.groupBy($"lang").agg(
+      round(expr("percentile(n_chars, 0.25)"), 6).as("p25_6"),
+      round(expr("percentile(n_chars, 0.5)"), 6).as("p50_6"),
+      round(expr("percentile(n_chars, 0.75)"), 6).as("p75_6"))
+    docs.join(broadcast(qs), "lang")
+      .groupBy($"lang", $"p25_6", $"p50_6", $"p75_6")
+      .agg(
+        sum(when($"n_chars" <= $"p25_6", 1L).otherwise(0L)).as("n_q1"),
+        sum(when($"n_chars" > $"p25_6" && $"n_chars" <= $"p50_6", 1L).otherwise(0L)).as("n_q2"),
+        sum(when($"n_chars" > $"p50_6" && $"n_chars" <= $"p75_6", 1L).otherwise(0L)).as("n_q3"),
+        sum(when($"n_chars" > $"p75_6", 1L).otherwise(0L)).as("n_q4"))
+      .orderBy($"lang".asc_nulls_first)
+  }
+
+  val q118Sql: String =
+    """WITH q AS (
+      |  SELECT lang,
+      |    ROUND(quantile_cont(n_chars, 0.25), 6) AS p25_6,
+      |    ROUND(quantile_cont(n_chars, 0.5), 6) AS p50_6,
+      |    ROUND(quantile_cont(n_chars, 0.75), 6) AS p75_6
+      |  FROM documents GROUP BY lang)
+      |SELECT d.lang, q.p25_6, q.p50_6, q.p75_6,
+      |  CAST(SUM(CASE WHEN d.n_chars <= q.p25_6 THEN 1 ELSE 0 END) AS BIGINT) AS n_q1,
+      |  CAST(SUM(CASE WHEN d.n_chars > q.p25_6 AND d.n_chars <= q.p50_6 THEN 1 ELSE 0 END) AS BIGINT) AS n_q2,
+      |  CAST(SUM(CASE WHEN d.n_chars > q.p50_6 AND d.n_chars <= q.p75_6 THEN 1 ELSE 0 END) AS BIGINT) AS n_q3,
+      |  CAST(SUM(CASE WHEN d.n_chars > q.p75_6 THEN 1 ELSE 0 END) AS BIGINT) AS n_q4
+      |FROM documents d JOIN q ON q.lang = d.lang
+      |GROUP BY d.lang, q.p25_6, q.p50_6, q.p75_6
+      |ORDER BY d.lang NULLS FIRST""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q115_funnel" -> (q115 _),
     "q116_retention_cohorts" -> (q116 _),
-    "q117_weighted_sample" -> (q117 _))
+    "q117_weighted_sample" -> (q117 _),
+    "q118_quantile_bands" -> (q118 _))
 
   def oracles: Map[String, String] = Map(
     "q115_funnel" -> q115Sql,
     "q116_retention_cohorts" -> q116Sql,
-    "q117_weighted_sample" -> q117Sql)
+    "q117_weighted_sample" -> q117Sql,
+    "q118_quantile_bands" -> q118Sql)
 }

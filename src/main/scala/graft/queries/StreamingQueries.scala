@@ -542,6 +542,64 @@ object StreamingQueries {
       |FROM events WHERE event_type IN ('purchase', 'view')
       |GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin
 
+  /** Q119 — stream-stream FULL OUTER interval join, completing the
+    * streaming join matrix (q70 inner, q73 left outer, q106 left semi):
+    * every view with its within-5-minutes purchase when one exists, PLUS
+    * unmatched purchases with a NULL view. Null emission on each side is
+    * watermark-gated by that side's own state-eviction bound: a view's
+    * window closes at view_ts+5min (as q73), a purchase's at buy_ts (its
+    * latest admissible matching view_ts); the oracle applies both
+    * closure rules. Same microsecond-jitter boundary contract as q73.
+    */
+  def q119(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = eventsStream(spark, dir)
+    val views = base.filter($"event_type" === "view")
+      .select($"event_id".as("view_id"), $"user_id", $"ts".as("view_ts"))
+      .withWatermark("view_ts", "10 minutes")
+    val buys = base.filter($"event_type" === "purchase")
+      .select($"event_id".as("buy_id"), $"user_id".as("buy_user"), $"ts".as("buy_ts"))
+      .withWatermark("buy_ts", "10 minutes")
+    val joined = views.join(buys,
+      $"user_id" === $"buy_user" &&
+        $"buy_ts" >= $"view_ts" &&
+        $"buy_ts" < $"view_ts" + expr("INTERVAL 5 MINUTES"),
+      "full_outer")
+    runToMemory(joined, "q119_sink", "append")
+      .select($"view_id", $"buy_id", coalesce($"user_id", $"buy_user").as("uid"))
+      .orderBy($"view_id".asc_nulls_first, $"buy_id".asc_nulls_first)
+  }
+
+  val q119Sql: String =
+    """WITH v AS (SELECT event_id AS view_id, user_id, CAST(ts AS TIMESTAMP) AS view_ts
+      |           FROM events WHERE event_type = 'view'),
+      |b AS (SELECT event_id AS buy_id, user_id AS buy_user, CAST(ts AS TIMESTAMP) AS buy_ts
+      |      FROM events WHERE event_type = 'purchase'),
+      |wm AS (SELECT least((SELECT MAX(view_ts) FROM v), (SELECT MAX(buy_ts) FROM b))
+      |         - INTERVAL 10 MINUTE AS cut),
+      |matched AS (
+      |  SELECT v.view_id, b.buy_id, v.user_id AS uid
+      |  FROM v JOIN b ON v.user_id = b.buy_user
+      |   AND b.buy_ts >= v.view_ts AND b.buy_ts < v.view_ts + INTERVAL 5 MINUTE),
+      |left_nulls AS (
+      |  SELECT v.view_id, CAST(NULL AS BIGINT) AS buy_id, v.user_id AS uid
+      |  FROM v, wm
+      |  WHERE NOT EXISTS (SELECT 1 FROM b
+      |          WHERE v.user_id = b.buy_user
+      |            AND b.buy_ts >= v.view_ts AND b.buy_ts < v.view_ts + INTERVAL 5 MINUTE)
+      |    AND v.view_ts + INTERVAL 5 MINUTE <= wm.cut),
+      |right_nulls AS (
+      |  SELECT CAST(NULL AS BIGINT) AS view_id, b.buy_id, b.buy_user AS uid
+      |  FROM b, wm
+      |  WHERE NOT EXISTS (SELECT 1 FROM v
+      |          WHERE v.user_id = b.buy_user
+      |            AND b.buy_ts >= v.view_ts AND b.buy_ts < v.view_ts + INTERVAL 5 MINUTE)
+      |    AND b.buy_ts <= wm.cut)
+      |SELECT view_id, buy_id, uid FROM matched
+      |UNION ALL SELECT view_id, buy_id, uid FROM left_nulls
+      |UNION ALL SELECT view_id, buy_id, uid FROM right_nulls
+      |ORDER BY view_id NULLS FIRST, buy_id NULLS FIRST""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_tumbling_window" -> (q46 _),
     "q47_sliding_window" -> (q47 _),
@@ -557,7 +615,8 @@ object StreamingQueries {
     "q74_transform_with_state" -> (q74 _),
     "q105_chained_window_agg" -> (q105 _),
     "q106_stream_semi_join" -> (q106 _),
-    "q109_streaming_cdc_apply" -> (q109 _))
+    "q109_streaming_cdc_apply" -> (q109 _),
+    "q119_stream_full_outer_join" -> (q119 _))
 
   def oracles: Map[String, String] = Map(
     "q46_tumbling_window" -> q46Sql,
@@ -574,5 +633,6 @@ object StreamingQueries {
     "q74_transform_with_state" -> q74Sql,
     "q105_chained_window_agg" -> q105Sql,
     "q106_stream_semi_join" -> q106Sql,
-    "q109_streaming_cdc_apply" -> q109Sql)
+    "q109_streaming_cdc_apply" -> q109Sql,
+    "q119_stream_full_outer_join" -> q119Sql)
 }

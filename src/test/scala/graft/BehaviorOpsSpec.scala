@@ -35,6 +35,35 @@ class BehaviorOpsSpec extends SparkSpec {
     } finally out.unpersist(): Unit
   }
 
+  test("q118: band counts partition each language and quantiles are ordered") {
+    import spark.implicits._
+    val out = BehaviorOps.q118(spark, sfDir).cache()
+    try {
+      assert(out.filter($"p25_6" > $"p50_6" || $"p50_6" > $"p75_6").isEmpty,
+        "quantiles out of order")
+      val sums = out.select($"lang", ($"n_q1" + $"n_q2" + $"n_q3" + $"n_q4").as("tot"))
+      val counts = graft.core.Tables.t(spark, sfDir, "documents")
+        .groupBy($"lang").agg(count(lit(1)).as("cnt"))
+      assert(sums.join(counts, "lang").filter($"tot" =!= $"cnt").isEmpty,
+        "bands must partition each language's documents")
+    } finally out.unpersist(): Unit
+  }
+
+  test("q119: full outer = q70 inner matches plus null rows on both sides") {
+    import spark.implicits._
+    val out = graft.queries.StreamingQueries.q119(spark, sfDir).cache()
+    try {
+      val matched = out.filter($"view_id".isNotNull && $"buy_id".isNotNull).count()
+      val inner = graft.queries.StreamingQueries.q70(spark, sfDir).count()
+      assert(matched == inner, s"full-outer matched rows $matched != inner join $inner")
+      assert(out.filter($"view_id".isNull && $"buy_id".isNull).isEmpty,
+        "a row with both sides NULL is impossible")
+      val dupNullBuys = out.filter($"view_id".isNull)
+        .groupBy($"buy_id").count().filter($"count" > 1)
+      assert(dupNullBuys.isEmpty, "an unmatched purchase emitted twice")
+    } finally out.unpersist(): Unit
+  }
+
   test("q117: weighted sample is length-biased vs the corpus mean") {
     import spark.implicits._
     val out = BehaviorOps.q117(spark, sfDir).cache()
