@@ -6,8 +6,9 @@ import org.apache.spark.sql.types._
 import graft.core.Tables._
 import graft.ops.TextOps
 
-/** Round-6 batch 3 (q115–q117): event-sequence analytics (funnel,
-  * retention cohorts) and deterministic weighted sampling — the product-
+/** Round-6 batch 3 (q115–q120): event-sequence analytics (funnel,
+  * retention cohorts), deterministic weighted sampling, grouped quantile
+  * bands, and the `spark.sql` SQL-text entry path — the product-
   * analytics and curation-sampling shapes layered on the relational
   * core. All oracle-gated against DuckDB.
   */
@@ -168,15 +169,58 @@ object BehaviorOps {
       |GROUP BY d.lang, q.p25_6, q.p50_6, q.p75_6
       |ORDER BY d.lang NULLS FIRST""".stripMargin
 
+  /** Q120 — SQL-TEXT ENTRY PATH: the user-facing `spark.sql(...)` door —
+    * the tables registered as temp views and a TPC-H Q3-shaped query
+    * submitted as a SQL STRING (parser → analyzer → Catalyst, same
+    * engine as the DataFrame surface). The SQL is written once in the
+    * engine's determinism discipline (DECIMAL-exact money math surfaced
+    * as DOUBLE, total ORDER BY) and is near-verbatim the DuckDB oracle.
+    */
+  def q120(spark: SparkSession, dir: String): DataFrame = {
+    for (tbl <- Seq("customer", "orders", "lineitem"))
+      t(spark, dir, tbl).createOrReplaceTempView(s"graft_$tbl")
+    spark.sql(
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM graft_customer c
+        |JOIN graft_orders o ON c.c_custkey = o.o_custkey
+        |JOIN graft_lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < '1995-03-15'
+        |  AND l.l_shipdate > '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin)
+  }
+
+  val q120Sql: String =
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  o_orderdate, o_orderpriority
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |  AND o.o_orderdate < '1995-03-15'
+      |  AND l.l_shipdate > '1995-03-15'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey ASC
+      |LIMIT 10""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q115_funnel" -> (q115 _),
     "q116_retention_cohorts" -> (q116 _),
     "q117_weighted_sample" -> (q117 _),
-    "q118_quantile_bands" -> (q118 _))
+    "q118_quantile_bands" -> (q118 _),
+    "q120_sql_text_entry" -> (q120 _))
 
   def oracles: Map[String, String] = Map(
     "q115_funnel" -> q115Sql,
     "q116_retention_cohorts" -> q116Sql,
     "q117_weighted_sample" -> q117Sql,
-    "q118_quantile_bands" -> q118Sql)
+    "q118_quantile_bands" -> q118Sql,
+    "q120_sql_text_entry" -> q120Sql)
 }
