@@ -167,7 +167,11 @@ object AnalyticsOps {
   def q113(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val bucket = (unix_timestamp($"ts") / 900L).cast(LongType) * 900L
+    // value IS NOT NULL on BOTH sides: Spark's min_by returns the value at
+    // the extremal key even when NULL, DuckDB's arg_min skips NULLs — the
+    // explicit filter pins one contract for any future fixture with nulls
     t(spark, dir, "events")
+      .filter($"value".isNotNull)
       .groupBy($"event_type", bucket.as("bucket"))
       .agg(min_by($"value", $"event_id").as("open"),
         max($"value").as("high"), min($"value").as("low"),
@@ -180,7 +184,7 @@ object AnalyticsOps {
     """SELECT event_type, (epoch_us(CAST(ts AS TIMESTAMP)) // 900000000) * 900 AS bucket,
       |  arg_min(value, event_id) AS open, MAX(value) AS high, MIN(value) AS low,
       |  arg_max(value, event_id) AS close, COUNT(*) AS n
-      |FROM events GROUP BY 1, 2
+      |FROM events WHERE value IS NOT NULL GROUP BY 1, 2
       |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin
 
   /** Q114 — SNAPSHOT DIFF: classify every key across two table versions

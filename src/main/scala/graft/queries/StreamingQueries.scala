@@ -241,11 +241,16 @@ object StreamingQueries {
       | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin
 
-  /** Q70 — stream-stream interval join: views followed by a purchase from
-    * the same user within 5 minutes. Both sides watermarked; the range
-    * condition bounds the join state the engine must retain.
+  /** Shared watermarked view/purchase stream pair for the stream-stream
+    * join family (q70 inner, q73 left outer, q106 left semi, q119 full
+    * outer): ONE place owns the 10-minute watermark delay and the
+    * (view_id, user_id, view_ts)/(buy_id, buy_user, buy_ts) naming, so a
+    * tuning change cannot silently shift one join's null-emission
+    * boundary relative to its siblings (their oracles share the closure
+    * constant).
     */
-  def q70(spark: SparkSession, dir: String): DataFrame = {
+  private def viewBuyStreams(spark: SparkSession, dir: String):
+      (DataFrame, DataFrame) = {
     import spark.implicits._
     val base = eventsStream(spark, dir)
     val views = base.filter($"event_type" === "view")
@@ -254,6 +259,16 @@ object StreamingQueries {
     val buys = base.filter($"event_type" === "purchase")
       .select($"event_id".as("buy_id"), $"user_id".as("buy_user"), $"ts".as("buy_ts"))
       .withWatermark("buy_ts", "10 minutes")
+    (views, buys)
+  }
+
+  /** Q70 — stream-stream interval join: views followed by a purchase from
+    * the same user within 5 minutes. Both sides watermarked; the range
+    * condition bounds the join state the engine must retain.
+    */
+  def q70(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (views, buys) = viewBuyStreams(spark, dir)
     val joined = views.join(buys,
       $"user_id" === $"buy_user" &&
         $"buy_ts" >= $"view_ts" &&
@@ -308,13 +323,7 @@ object StreamingQueries {
     */
   def q73(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val base = eventsStream(spark, dir)
-    val views = base.filter($"event_type" === "view")
-      .select($"event_id".as("view_id"), $"user_id", $"ts".as("view_ts"))
-      .withWatermark("view_ts", "10 minutes")
-    val buys = base.filter($"event_type" === "purchase")
-      .select($"event_id".as("buy_id"), $"user_id".as("buy_user"), $"ts".as("buy_ts"))
-      .withWatermark("buy_ts", "10 minutes")
+    val (views, buys) = viewBuyStreams(spark, dir)
     val joined = views.join(buys,
       $"user_id" === $"buy_user" &&
         $"buy_ts" >= $"view_ts" &&
@@ -423,13 +432,7 @@ object StreamingQueries {
     */
   def q106(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val base = eventsStream(spark, dir)
-    val views = base.filter($"event_type" === "view")
-      .select($"event_id".as("view_id"), $"user_id", $"ts".as("view_ts"))
-      .withWatermark("view_ts", "10 minutes")
-    val buys = base.filter($"event_type" === "purchase")
-      .select($"event_id".as("buy_id"), $"user_id".as("buy_user"), $"ts".as("buy_ts"))
-      .withWatermark("buy_ts", "10 minutes")
+    val (views, buys) = viewBuyStreams(spark, dir)
     val semi = views.join(buys,
       $"user_id" === $"buy_user" &&
         $"buy_ts" >= $"view_ts" &&
@@ -553,13 +556,7 @@ object StreamingQueries {
     */
   def q119(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val base = eventsStream(spark, dir)
-    val views = base.filter($"event_type" === "view")
-      .select($"event_id".as("view_id"), $"user_id", $"ts".as("view_ts"))
-      .withWatermark("view_ts", "10 minutes")
-    val buys = base.filter($"event_type" === "purchase")
-      .select($"event_id".as("buy_id"), $"user_id".as("buy_user"), $"ts".as("buy_ts"))
-      .withWatermark("buy_ts", "10 minutes")
+    val (views, buys) = viewBuyStreams(spark, dir)
     val joined = views.join(buys,
       $"user_id" === $"buy_user" &&
         $"buy_ts" >= $"view_ts" &&

@@ -73,10 +73,10 @@ class AnalyticsOpsSpec extends SparkSpec {
       val nDel = o.filter($"o_orderkey" % 10 === 1).count()
       val nIns = o.filter($"o_orderkey" % 100 === 2).count()
       val nAll = o.count()
-      assert(out("added") == nIns, s"added ${out.get("added")} != inserts $nIns")
-      assert(out("removed") == nDel, s"removed ${out.get("removed")} != deletes $nDel")
-      assert(out("changed") == nUpd, s"changed ${out.get("changed")} != updates $nUpd")
-      assert(out("unchanged") == nAll - nUpd - nDel,
+      assert(out.getOrElse("added", 0L) == nIns, s"added ${out.get("added")} != inserts $nIns")
+      assert(out.getOrElse("removed", 0L) == nDel, s"removed ${out.get("removed")} != deletes $nDel")
+      assert(out.getOrElse("changed", 0L) == nUpd, s"changed ${out.get("changed")} != updates $nUpd")
+      assert(out.getOrElse("unchanged", 0L) == nAll - nUpd - nDel,
         "unchanged must be the untouched remainder")
     } finally o.unpersist(): Unit
   }
