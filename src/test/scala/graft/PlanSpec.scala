@@ -223,6 +223,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("FullOuter"), s"merge join is not full-outer:\n$p")
   }
 
+  test("q110 scores against a BROADCAST centroid table (no shuffle of the corpus)") {
+    val p = plan(AnalyticsOps.q110(spark, sfDir))
+    // k-row centroid side must broadcast (BNL for the unconditioned cross
+    // is the intended shape); the corpus must never sort-merge against it
+    assert(p.contains("Broadcast"), s"centroids not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") || !p.contains("CartesianProduct"),
+      s"corpus shuffled against the k-row centroid table:\n$p")
+  }
+
+  test("q118 quantile frame broadcasts back onto the corpus scan") {
+    val p = plan(BehaviorOps.q118(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-lang quantiles not broadcast:\n$p")
+  }
+
+  test("q115 funnel aggregations run map-side partials on the user_id key") {
+    val p = plan(BehaviorOps.q115(spark, sfDir))
+    assert(p.contains("partial_"), s"no partial aggregation in funnel:\n$p")
+    assert(!p.contains("CartesianProduct"), s"funnel joins exploded:\n$p")
+  }
+
   test("Q23 approx distinct is within 5% of exact at sf0.001") {
     import org.apache.spark.sql.functions._
     val approx = Aggregates.q23(spark, sfDir).collect()
