@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.Tables._
@@ -210,17 +211,57 @@ object BehaviorOps {
       |ORDER BY revenue DESC, l_orderkey ASC
       |LIMIT 10""".stripMargin
 
+  /** Q121 — JOIN-KEY SKEW REPORT: per-key cardinality profile of a
+    * prospective join key (top-20 hottest keys, each with its exact
+    * skew factor = cnt·n_keys/total, i.e. how many times hotter than the
+    * mean) — the decision input for q84's salted join and AQE's skew
+    * thresholds. One hash-agg for the counts, one 3-number global agg
+    * broadcast back, one TakeOrdered: the profile costs one pass however
+    * large the fact table is. The skew factor is computed as
+    * `cnt·n_keys` in exact i64 BEFORE the one double division so both
+    * engines round identically.
+    */
+  def q121(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = t(spark, dir, "events")
+      .groupBy($"user_id").agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(count(lit(1)).as("n_keys"), sum($"cnt").as("total"))
+    counts.crossJoin(broadcast(stats))
+      .select($"user_id", $"cnt",
+        round(($"cnt" * $"n_keys").cast(DoubleType) / $"total".cast(DoubleType), 6)
+          .as("skew6"))
+      .orderBy($"cnt".desc, $"user_id".asc).limit(20)
+      .withColumn("rank",
+        row_number().over(Window.orderBy($"cnt".desc, $"user_id".asc)).cast(LongType))
+      .select($"rank", $"user_id", $"cnt", $"skew6")
+      .orderBy($"rank".asc_nulls_first)
+  }
+
+  val q121Sql: String =
+    """WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),
+      |s AS (SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+      |scored AS (
+      |  SELECT c.user_id, c.cnt,
+      |    ROUND(CAST(c.cnt * s.n_keys AS DOUBLE) / CAST(s.total AS DOUBLE), 6) AS skew6
+      |  FROM c CROSS JOIN s),
+      |top AS (SELECT * FROM scored ORDER BY cnt DESC, user_id ASC LIMIT 20)
+      |SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id ASC) AS rank,
+      |  user_id, cnt, skew6
+      |FROM top ORDER BY rank NULLS FIRST""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q115_funnel" -> (q115 _),
     "q116_retention_cohorts" -> (q116 _),
     "q117_weighted_sample" -> (q117 _),
     "q118_quantile_bands" -> (q118 _),
-    "q120_sql_text_entry" -> (q120 _))
+    "q120_sql_text_entry" -> (q120 _),
+    "q121_skew_report" -> (q121 _))
 
   def oracles: Map[String, String] = Map(
     "q115_funnel" -> q115Sql,
     "q116_retention_cohorts" -> q116Sql,
     "q117_weighted_sample" -> q117Sql,
     "q118_quantile_bands" -> q118Sql,
-    "q120_sql_text_entry" -> q120Sql)
+    "q120_sql_text_entry" -> q120Sql,
+    "q121_skew_report" -> q121Sql)
 }
