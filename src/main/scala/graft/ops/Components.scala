@@ -17,11 +17,13 @@ import org.apache.spark.sql.functions._
   *    round changes zero labels (one cheap count on the already-cached
   *    round frame), so chain-shaped dup graphs of ANY diameter get
   *    correct clusters; a generous round cap turns a pathological graph
-  *    into a loud error instead of a silent mislabel.
+  *    into a loud error instead of a silent mislabel. q94 and ScaleCheck
+  *    run this path (via [[clustersWithSize]]'s default).
   *  - [[minLabelRounds]] — the declared-round twin the DuckDB oracle
-  *    unrolls verbatim; CurationSpec asserts fixpoint == unrolled on
-  *    the corpus, which is exactly the "declared rounds suffice here"
-  *    convergence claim.
+  *    unrolls verbatim. CurationSpec asserts fixpoint == unrolled-3 on
+  *    the corpus (so the 3-round oracle SQL stays a valid gate for the
+  *    fixpoint production path) and that the fixpoint resolves a
+  *    diameter-5 chain that 3 rounds provably cannot.
   *
   * Scale shape: each round is one shuffle of the (symmetrised) edge list
   * joined to the current labels plus a min-aggregation — all
@@ -73,6 +75,21 @@ object Components {
     sym
   }
 
+  /** Re-cache the final round as a plain (id, cluster) frame and drop
+    * the 3-col round cache, so the frame handed to the caller IS the
+    * persisted one — `Dataset.unpersist` only drops a cache whose plan
+    * sameResult-matches the dataset itself, so returning a projection
+    * *over* the cache would make [[release]] a silent no-op (the r7
+    * regression). The extra pass is a scan of the small cached labels,
+    * not a recompute.
+    */
+  private def finalizeLabels(lastRound: DataFrame): DataFrame = {
+    val out = lastRound.select(col("id"), col("cluster")).persist()
+    out.count(): Unit
+    lastRound.unpersist(): Unit
+    out
+  }
+
   /** `edges` must have columns (`a`, `b`) with one row per undirected
     * edge (either orientation); `nodes` one row per node id in column
     * `id`. Returns (id, cluster) where cluster = min node id within
@@ -81,10 +98,11 @@ object Components {
     *
     * Cache ownership: each invocation is self-contained. The edge list
     * and every intermediate round are persisted only while the loop
-    * runs and unpersisted before returning; the FINAL labels frame is
-    * returned fully materialised in its own cache (one (id, cluster)
-    * row per node — small), owned by the caller. Call [[release]] when
-    * done with the result. Concurrent invocations do not interact.
+    * runs and unpersisted before returning; the RETURNED frame is
+    * itself the sole surviving cache entry (one (id, cluster) row per
+    * node — small), owned by the caller. Call [[release]] on exactly
+    * the returned frame when done; OpsSpec asserts the CacheManager is
+    * empty afterwards. Concurrent invocations do not interact.
     */
   def minLabelRounds(edges: DataFrame, nodes: DataFrame,
                      rounds: Int): DataFrame = {
@@ -102,10 +120,10 @@ object Components {
       prevRound = next
       labels = next.select(col("id"), col("cluster"))
     }
-    // The final frame is materialised in its own cache, so later actions
-    // on it never re-read sym — safe to drop the edge cache now.
+    // The final labels are re-cached as the returned frame, so later
+    // actions on it never re-read sym — safe to drop the edge cache now.
     sym.unpersist(): Unit
-    labels
+    finalizeLabels(prevRound)
   }
 
   /** True connected components: min-label propagation iterated until a
@@ -141,19 +159,23 @@ object Components {
       labels = next.select(col("id"), col("cluster"))
     }
     sym.unpersist(): Unit
-    labels
+    finalizeLabels(prevRound)
   }
 
   /** Drop the cache backing a frame returned by [[minLabelRounds]] /
     * [[minLabelFixpoint]] / [[clustersWithSize]] once the caller is done
-    * with it.
+    * with it. Must be called on EXACTLY the returned frame (unpersist
+    * matches the dataset's own plan); derived projections won't release.
     */
   def release(labels: DataFrame): Unit = labels.unpersist(): Unit
 
-  /** [[minLabelFixpoint]] plus the per-cluster size — the summary a
-    * dedup report ships (every member knows its cluster and how many
-    * docs it collapses with). `rounds` > 0 pins the declared-round twin
-    * (oracle unrolling); `rounds` <= 0 (default) runs to fixpoint.
+  /** Labels plus the per-cluster size — the summary a dedup report
+    * ships (every member knows its cluster and how many docs it
+    * collapses with). `rounds` > 0 pins the declared-round twin (oracle
+    * unrolling); `rounds` <= 0 (default) runs [[minLabelFixpoint]], the
+    * production path. Same cache ownership contract: the returned frame
+    * is the one persisted entry (the inner labels cache is released
+    * before returning); callers hand it to [[release]] when done.
     */
   def clustersWithSize(edges: DataFrame, nodes: DataFrame,
                        rounds: Int = 0): DataFrame = {
@@ -161,7 +183,11 @@ object Components {
     val labels =
       if (rounds > 0) minLabelRounds(edges, nodes, rounds)
       else minLabelFixpoint(edges, nodes)
-    labels.withColumn("cluster_size",
-      count(lit(1)).over(Window.partitionBy(col("cluster"))))
+    val out = labels.withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster"))))
+      .persist()
+    out.count(): Unit
+    release(labels)
+    out
   }
 }

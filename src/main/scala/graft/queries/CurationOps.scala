@@ -16,14 +16,26 @@ import graft.ops.{Components, MinHashDedup, Similarity, TextOps}
   */
 object CurationOps {
 
-  /** Q94 — near-dup CLUSTERS: connected components of the q86 n-gram
-    * Jaccard pair graph via 3 unrolled rounds of min-label propagation
-    * ([[graft.ops.Components]]). q87's keeper is one hop; this is the
-    * fixpoint — every member of a duplicate cluster maps to the cluster's
-    * minimum doc_id, plus the cluster size a dedup report ships.
-    * Convergence within 3 rounds is asserted in CurationSpec (near-dup
-    * graphs are unions of near-cliques); the oracle unrolls the identical
-    * 3 rounds.
+  /** Q94 — near-dup CLUSTERS: TRUE connected components of the q86
+    * n-gram Jaccard pair graph — min-label propagation iterated to
+    * fixpoint ([[graft.ops.Components.minLabelFixpoint]], the production
+    * path), so duplicate chains of ANY diameter collapse correctly.
+    * q87's keeper is one hop; this is the closure — every member of a
+    * duplicate cluster maps to the cluster's minimum doc_id, plus the
+    * cluster size a dedup report ships.
+    *
+    * The DuckDB oracle unrolls exactly 3 rounds: a valid gate because
+    * CurationSpec asserts fixpoint == unrolled-3 on this corpus
+    * (near-dup graphs are unions of near-cliques, diameter ≤ 3 here);
+    * on a deeper graph the fixpoint keeps going where the unrolled SQL
+    * would stop.
+    *
+    * Cache note: the returned frame projects over the ONE persisted
+    * labels frame `clustersWithSize` hands back (eagerly materialised;
+    * all intermediates already released). One-shot drivers (Verify /
+    * Bench) end with the session; a long-lived caller should use
+    * `Components.clustersWithSize` + `Components.release` directly —
+    * OpsSpec proves that pairing leaves the CacheManager empty.
     */
   def q94(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -32,7 +44,7 @@ object CurationOps {
       gramN = 5, rowsPerBand = 2, minJaccard = 0.5)
     Components.clustersWithSize(
         pairs.select($"d1".as("a"), $"d2".as("b")),
-        docs.select($"doc_id".as("id")), rounds = 3)
+        docs.select($"doc_id".as("id")))
       .select($"id".as("doc_id"), $"cluster", $"cluster_size")
       .orderBy($"doc_id".asc_nulls_first)
   }

@@ -31,8 +31,11 @@ object ScaleCheck {
 
     val docs = graft.core.Tables.t(spark, sfDir, "documents")
       .select($"doc_id", $"text")
+    // Replica id offset derived from the corpus itself so re-keyed ids
+    // can never collide with originals, whatever the input id range.
+    val stride = docs.agg(max($"doc_id")).head.getLong(0) + 1L
     val big = (0 until k).map { i =>
-      docs.select(($"doc_id" + lit(i.toLong * 10000000L)).as("doc_id"), $"text")
+      docs.select(($"doc_id" + lit(i.toLong * stride)).as("doc_id"), $"text")
     }.reduce(_ unionByName _)
     val nDocs = big.count()
 
@@ -45,7 +48,7 @@ object ScaleCheck {
     t0 = System.nanoTime()
     val labels = graft.ops.Components.clustersWithSize(
       pairs.select($"d1".as("a"), $"d2".as("b")),
-      big.select($"doc_id".as("id")), rounds = 3)
+      big.select($"doc_id".as("id")))
     val nLabeled = labels.count()
     val compSec = (System.nanoTime() - t0) / 1e9
     graft.ops.Components.release(labels)

@@ -27,7 +27,7 @@ class CurationSpec extends SparkSpec {
       s"3 rounds must collapse the 4-chain to min 10: $r3")
   }
 
-  test("q94's 3 declared rounds converge on the corpus (round 4 changes nothing)") {
+  test("q94 oracle validity: fixpoint == unrolled-3 on the corpus (3 rounds converge)") {
     import spark.implicits._
     val docs = graft.core.Tables.t(spark, sfDir, "documents")
     val pairs = graft.ops.MinHashDedup.ngramJaccardPairs(
@@ -36,10 +36,42 @@ class CurationSpec extends SparkSpec {
     try {
       val nodes = docs.select($"doc_id".as("id"))
       val l3 = Components.minLabelRounds(pairs, nodes, 3)
-      val l4 = Components.minLabelRounds(pairs, nodes, 4)
-      assert(l3.exceptAll(l4).isEmpty && l4.exceptAll(l3).isEmpty,
-        "labels still changing after the declared 3 rounds")
+      val fix = Components.minLabelFixpoint(pairs, nodes)
+      try assert(l3.exceptAll(fix).isEmpty && fix.exceptAll(l3).isEmpty,
+        "fixpoint labels differ from the 3-round unrolled oracle twin " +
+          "— the q94 oracle SQL is no longer a valid gate for this corpus")
+      finally { Components.release(l3); Components.release(fix) }
     } finally pairs.unpersist(): Unit
+  }
+
+  test("fixpoint resolves a diameter-5 chain that 3 unrolled rounds provably cannot") {
+    import spark.implicits._
+    // path graph 20-21-22-23-24-25: min = 20, node 25 is 5 hops away
+    val edges = Seq((20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L), (24L, 25L))
+      .toDF("a", "b")
+    val nodes = (20L to 25L).toDF("id")
+    val r3 = Components.minLabelRounds(edges, nodes, 3)
+    val r3Map = r3.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Components.release(r3)
+    assert(r3Map(25L) == 22L,
+      s"after 3 rounds node 25 should only see distance-3 min 22, got ${r3Map(25L)}")
+    val fix = Components.minLabelFixpoint(edges, nodes)
+    val fixMap = fix.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Components.release(fix)
+    assert(fixMap == (20L to 25L).map(_ -> 20L).toMap,
+      s"fixpoint must collapse the whole chain to 20: $fixMap")
+  }
+
+  test("fixpoint fails loudly (not silently under-merged) when maxRounds is too small") {
+    import spark.implicits._
+    val edges = Seq((20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L), (24L, 25L))
+      .toDF("a", "b")
+    val nodes = (20L to 25L).toDF("id")
+    val ex = intercept[IllegalStateException] {
+      Components.minLabelFixpoint(edges, nodes, maxRounds = 2)
+    }
+    assert(ex.getMessage.contains("still changing"),
+      s"unexpected failure message: ${ex.getMessage}")
   }
 
   test("q95 ranks are 1..5 and scores never increase within a doc") {

@@ -438,4 +438,28 @@ class OpsSpec extends SparkSpec {
     assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty,
       "bloom-pruned join diverges from the plain join")
   }
+
+  test("Components releases every cache it creates (job-server hygiene)") {
+    import org.apache.spark.sql.graft.CacheProbe
+    spark.catalog.clearCache()
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val nodes = (1L to 12L).toDF("id")
+    // the returned frame must BE the persisted entry (not a projection
+    // over it) or release() is a silent no-op — the r7 regression
+    val cs = Components.clustersWithSize(edges, nodes)
+    assert(cs.count() == 12)
+    assert(cs.storageLevel.useMemory,
+      "clustersWithSize must hand back the persisted frame itself")
+    Components.release(cs)
+    assert(CacheProbe.cacheIsEmpty(spark),
+      "cache entries survived a clustersWithSize run + release")
+    val fix = Components.minLabelFixpoint(edges, nodes)
+    val r2 = Components.minLabelRounds(edges, nodes, 2)
+    assert(fix.storageLevel.useMemory && r2.storageLevel.useMemory,
+      "minLabel* must hand back the persisted frame itself")
+    Components.release(fix)
+    Components.release(r2)
+    assert(CacheProbe.cacheIsEmpty(spark),
+      "minLabel* left cache entries after release")
+  }
 }
