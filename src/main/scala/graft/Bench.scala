@@ -72,7 +72,7 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         Seq.empty[Double]
-      }
+      } finally graft.core.CacheScope.releaseAll() // free query-owned caches
       Timing(name, runs)
     }
 

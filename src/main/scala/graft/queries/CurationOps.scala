@@ -32,8 +32,9 @@ object CurationOps {
     *
     * Cache note: the returned frame projects over the ONE persisted
     * labels frame `clustersWithSize` hands back (eagerly materialised;
-    * all intermediates already released). One-shot drivers (Verify /
-    * Bench) end with the session; a long-lived caller should use
+    * all intermediates already released). That frame is registered with
+    * [[graft.core.CacheScope]], so the consumer's `releaseAll()` after
+    * the action frees it; ops-level callers use
     * `Components.clustersWithSize` + `Components.release` directly —
     * OpsSpec proves that pairing leaves the CacheManager empty.
     */
@@ -42,9 +43,9 @@ object CurationOps {
     val docs = t(spark, dir, "documents")
     val pairs = MinHashDedup.ngramJaccardPairs(docs, "doc_id", "text",
       gramN = 5, rowsPerBand = 2, minJaccard = 0.5)
-    Components.clustersWithSize(
+    graft.core.CacheScope.adopt(Components.clustersWithSize(
         pairs.select($"d1".as("a"), $"d2".as("b")),
-        docs.select($"doc_id".as("id")))
+        docs.select($"doc_id".as("id"))))
       .select($"id".as("doc_id"), $"cluster", $"cluster_size")
       .orderBy($"doc_id".asc_nulls_first)
   }

@@ -43,10 +43,10 @@ object PipelineOps {
       .otherwise(array().cast(ArrayType(StringType)))
     // the line stream feeds BOTH the boiler-frequency agg and the keep
     // filter; persist so the corpus is tokenized once, not per subtree
-    // (Catalyst does not CSE across join branches). CacheManager dedups
-    // identical plans, so repeated invocations share one entry.
-    val lines = base.select($"doc_id", posexplode(lineArr).as(Seq("line_no", "line")))
-      .persist()
+    // (Catalyst does not CSE across join branches). CacheScope-tracked:
+    // the consumer releases it after the action (see core.CacheScope).
+    val lines = graft.core.CacheScope.track(
+      base.select($"doc_id", posexplode(lineArr).as(Seq("line_no", "line"))))
     val boiler = lines.groupBy($"line").agg(count(lit(1)).as("c"))
       .filter($"c" >= 3).select($"line")
     val kept = lines.join(broadcast(boiler), Seq("line"), "left_anti")
@@ -96,10 +96,10 @@ object PipelineOps {
 
   def q101(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val d = t(spark, dir, "documents")
+    val d = graft.core.CacheScope.track(t(spark, dir, "documents")
       .select($"doc_id", TextOps.tokens($"text").as("toks"))
       .withColumn("dl", size($"toks").cast(LongType))
-      .persist() // feeds the N/avgdl stats AND the posting-list explode
+    ) // feeds the N/avgdl stats AND the posting-list explode
     val stats = d.agg(count(lit(1)).as("__n"), sum($"dl").as("__sumdl"))
     val tf = d.select($"doc_id", $"dl", explode($"toks").as("term"))
       .filter($"term".isin(bm25Terms: _*))
@@ -169,9 +169,9 @@ object PipelineOps {
 
   def q102(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val occ = t(spark, dir, "documents")
+    val occ = graft.core.CacheScope.track(t(spark, dir, "documents")
       .select(explode(TextOps.tokens($"text")).as("token"))
-      .persist() // feeds the sketch build AND the true-count top-20
+    ) // feeds the sketch build AND the true-count top-20
     val sketch = occ
       .select(explode(cmBuckets(TextOps.hash32($"token"))).as("h"))
       .select($"h.i".as("i"), $"h.bucket".as("bucket"))
@@ -319,8 +319,9 @@ object PipelineOps {
     */
   def zorderOutDir(spark: SparkSession, dir: String): String = {
     val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
-    java.nio.file.Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      "graft-zorder", s"orders_${slug}_${spark.sparkContext.applicationId}").toString
+    graft.core.Scratch.deleteOnExit(
+      java.nio.file.Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        "graft-zorder", s"orders_${slug}_${spark.sparkContext.applicationId}").toString)
   }
 
   def q107(spark: SparkSession, dir: String): DataFrame = {

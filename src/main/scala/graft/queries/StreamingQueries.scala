@@ -474,8 +474,9 @@ object StreamingQueries {
     // application-scoped target: concurrent processes on the same fixture must
     // never overwrite each other's lazily-read table versions
     val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val root = Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      "graft_cdc", s"target_${slug}_${spark.sparkContext.applicationId}")
+    val root = Paths.get(graft.core.Scratch.deleteOnExit(
+      Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        "graft_cdc", s"target_${slug}_${spark.sparkContext.applicationId}").toString))
     if (Files.exists(root)) { // fresh apply per invocation
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)

@@ -174,4 +174,17 @@ class PipelineOpsSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
       "chained streaming agg diverges from batch twin")
   }
+
+  test("query-owned caches are freed by CacheScope.releaseAll (Verify/Bench hygiene)") {
+    import org.apache.spark.sql.graft.CacheProbe
+    spark.catalog.clearCache()
+    graft.core.CacheScope.releaseAll() // drop stale registrations from other tests
+    val out = PipelineOps.q100(spark, sfDir)
+    assert(out.count() > 0)
+    assert(!CacheProbe.cacheIsEmpty(spark),
+      "q100 should hold its tokenized line cache while the frame is live")
+    graft.core.CacheScope.releaseAll()
+    assert(CacheProbe.cacheIsEmpty(spark),
+      "query-owned cache survived CacheScope.releaseAll")
+  }
 }

@@ -228,8 +228,10 @@ class PlanSpec extends SparkSpec {
     // k-row centroid side must broadcast (BNL for the unconditioned cross
     // is the intended shape); the corpus must never sort-merge against it
     assert(p.contains("Broadcast"), s"centroids not broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin") || !p.contains("CartesianProduct"),
-      s"corpus shuffled against the k-row centroid table:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus sort-merged against the k-row centroid table:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"centroid cross fell back to a non-broadcast cartesian:\n$p")
   }
 
   test("q118 quantile frame broadcasts back onto the corpus scan") {
