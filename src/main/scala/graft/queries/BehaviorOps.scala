@@ -170,6 +170,38 @@ object BehaviorOps {
       |GROUP BY d.lang, q.p25_6, q.p50_6, q.p75_6
       |ORDER BY d.lang NULLS FIRST""".stripMargin
 
+  /** Q123 — the q118 quantile bands on GROUPED APPROX percentiles: one
+    * `approx_percentile(n_chars, array(...), 10000)` sketch agg per
+    * language instead of three exact `percentile` buffers — the swap a
+    * 100 TB mixture pipeline makes because the sketch's state is
+    * constant per group while `percentile`'s grows with per-group NDV
+    * (see q104 → q122 for the global twin). Approx quantiles land on
+    * real data values, not interpolations, so there is no SQL-portable
+    * oracle (q23 pattern): the driver records rows>0 and
+    * BehaviorOpsSpec bounds each band's population share against the
+    * exact q118 twin.
+    */
+  def q123(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents")
+    val qs = docs.groupBy($"lang").agg(
+      expr("approx_percentile(n_chars, array(0.25, 0.5, 0.75), 10000)").as("qa"))
+      .select($"lang",
+        // approx_percentile keeps the input's integer type (it returns a
+        // real data value); surface as DOUBLE to match the exact twin
+        round($"qa".getItem(0).cast(DoubleType), 6).as("p25_6"),
+        round($"qa".getItem(1).cast(DoubleType), 6).as("p50_6"),
+        round($"qa".getItem(2).cast(DoubleType), 6).as("p75_6"))
+    docs.join(broadcast(qs), "lang")
+      .groupBy($"lang", $"p25_6", $"p50_6", $"p75_6")
+      .agg(
+        sum(when($"n_chars" <= $"p25_6", 1L).otherwise(0L)).as("n_q1"),
+        sum(when($"n_chars" > $"p25_6" && $"n_chars" <= $"p50_6", 1L).otherwise(0L)).as("n_q2"),
+        sum(when($"n_chars" > $"p50_6" && $"n_chars" <= $"p75_6", 1L).otherwise(0L)).as("n_q3"),
+        sum(when($"n_chars" > $"p75_6", 1L).otherwise(0L)).as("n_q4"))
+      .orderBy($"lang".asc_nulls_first)
+  }
+
   /** Q120 — SQL-TEXT ENTRY PATH: the user-facing `spark.sql(...)` door —
     * the tables registered as temp views and a TPC-H Q3-shaped query
     * submitted as a SQL STRING (parser → analyzer → Catalyst, same
@@ -255,7 +287,8 @@ object BehaviorOps {
     "q117_weighted_sample" -> (q117 _),
     "q118_quantile_bands" -> (q118 _),
     "q120_sql_text_entry" -> (q120 _),
-    "q121_skew_report" -> (q121 _))
+    "q121_skew_report" -> (q121 _),
+    "q123_approx_bands" -> (q123 _))
 
   def oracles: Map[String, String] = Map(
     "q115_funnel" -> q115Sql,

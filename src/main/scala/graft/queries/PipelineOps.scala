@@ -268,8 +268,9 @@ object PipelineOps {
     * optimizers feed on). The exact interpolated median here keeps the
     * oracle bit-exact; Spark's `percentile` buffers counts per DISTINCT
     * value (fine for bounded-domain columns like these). For unbounded
-    * 100 TB domains the production swap is `approx_percentile`, whose
-    * error bound is asserted in PipelineOpsSpec.
+    * 100 TB domains the production swap is [[q122]] — the same plan on
+    * `approx_percentile` + `approx_count_distinct`, error-bounded
+    * against this exact twin in PipelineOpsSpec.
     */
   private val profileCols = Seq("l_quantity", "l_extendedprice", "l_discount")
 
@@ -301,6 +302,42 @@ object PipelineOps {
        |  ROUND(quantile_cont($c, 0.5), 6) AS p50_6
        |FROM lineitem""".stripMargin
   }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name NULLS FIRST")
+
+  /** Q122 — the q104 profile with the 100 TB PRODUCTION estimators
+    * swapped in: `approx_count_distinct` (HLL++, fixed-size mergeable
+    * sketch instead of an exact distinct whose hash table grows with
+    * NDV) and `approx_percentile` (KLL-style quantile sketch instead of
+    * `percentile`'s per-value count buffer). Same one-scan multi-agg
+    * plan as q104; only the per-group state changes from unbounded to
+    * constant. Sketches have no SQL-portable oracle (the q23 pattern):
+    * the driver records rows>0 and PipelineOpsSpec bounds the error
+    * against the exact q104 twin (NDV within 5%, p50 within the
+    * declared 1/accuracy rank error).
+    */
+  def q122(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val l = t(spark, dir, "lineitem")
+    val aggs = profileCols.flatMap { c =>
+      Seq(count(col(c)).as(s"nn_$c"),
+        // rsd 0.01: still a fixed-size sketch, but tight enough that the
+        // 5% bound vs the exact twin holds as an invariant, not a coin
+        // flip (default rsd 0.05 is one STDDEV — single draws exceed it)
+        approx_count_distinct(col(c), 0.01).as(s"ndv_$c"),
+        round(min(col(c)), 6).as(s"min_$c"),
+        round(max(col(c)), 6).as(s"max_$c"),
+        round(expr(s"approx_percentile($c, 0.5, 10000)").cast(DoubleType), 6)
+          .as(s"p50_$c"))
+    }
+    val row = l.agg(count(lit(1)).as("n"), aggs: _*)
+    val stats = array(profileCols.map { c =>
+      struct(lit(c).as("col_name"), $"n",
+        ($"n" - col(s"nn_$c")).as("n_null"), col(s"ndv_$c").as("ndv"),
+        col(s"min_$c").as("min6"), col(s"max_$c").as("max6"),
+        col(s"p50_$c").as("p50_6"))
+    }: _*)
+    row.select(explode(stats).as("s")).select($"s.*")
+      .orderBy($"col_name".asc_nulls_first)
+  }
 
   /** Q107 — Z-ORDER LAYOUT WRITE + SKIPPING READ: materialise `orders`
     * range-partitioned AND sorted by the q99 Morton key
@@ -387,7 +424,8 @@ object PipelineOps {
     "q103_merge_upsert" -> (q103 _),
     "q104_col_profile" -> (q104 _),
     "q107_zorder_layout" -> (q107 _),
-    "q108_scd2_dimension" -> (q108 _))
+    "q108_scd2_dimension" -> (q108 _),
+    "q122_approx_profile" -> (q122 _))
 
   def oracles: Map[String, String] = Map(
     "q100_boiler_lines" -> q100Sql,

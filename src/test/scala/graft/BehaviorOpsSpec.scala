@@ -76,4 +76,41 @@ class BehaviorOpsSpec extends SparkSpec {
         f"length-weighted sample mean $sampleMean%.1f should exceed corpus mean $corpusMean%.1f")
     } finally out.unpersist(): Unit
   }
+
+  test("q123 grouped approx bands track the exact q118 twin per language") {
+    val exact = BehaviorOps.q118(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = BehaviorOps.q123(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(exact.keySet == approx.keySet, "language sets differ")
+    val langVals = graft.core.Tables.t(spark, sfDir, "documents")
+      .select(col("lang"), col("n_chars").cast("double"))
+      .collect().groupBy(_.getString(0))
+      .map { case (l, rs) => l -> rs.map(_.getDouble(1)).toSet }
+    approx.foreach { case (lang, a) =>
+      val e = exact(lang)
+      // quantiles monotone, and each approx threshold is an ACTUAL data
+      // value of the group (the sketch returns order statistics — unlike
+      // the exact twin's interpolation, whose VALUE can sit far from any
+      // rank-neighbour in a small sparse group, so value-distance is not
+      // the invariant; the rank-based band counts below are)
+      val (p25, p50, p75) = (a.getAs[Double]("p25_6"),
+        a.getAs[Double]("p50_6"), a.getAs[Double]("p75_6"))
+      assert(p25 <= p50 && p50 <= p75, s"$lang: approx quantiles not monotone")
+      Seq(p25, p50, p75).foreach { v =>
+        assert(langVals(lang).contains(v),
+          s"$lang: approx quantile $v is not a data value of the group")
+      }
+      // bands partition the group, and each band count stays within 10%
+      // of the group size from the exact twin's count
+      val bandCols = Seq("n_q1", "n_q2", "n_q3", "n_q4")
+      val total = bandCols.map(e.getAs[Long](_)).sum
+      assert(bandCols.map(a.getAs[Long](_)).sum == total,
+        s"$lang: approx bands do not partition the group")
+      bandCols.foreach { c =>
+        assert(math.abs(a.getAs[Long](c) - e.getAs[Long](c)) <= total * 0.10,
+          s"$lang/$c: band population ${a.getAs[Long](c)} vs exact ${e.getAs[Long](c)}")
+      }
+    }
+  }
 }

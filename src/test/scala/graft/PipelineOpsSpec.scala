@@ -175,6 +175,33 @@ class PipelineOpsSpec extends SparkSpec {
       "chained streaming agg diverges from batch twin")
   }
 
+  test("q122 approx profile tracks the exact q104 twin within sketch bounds") {
+    val exact = PipelineOps.q104(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = PipelineOps.q122(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(exact.keySet == approx.keySet, "profiled column sets differ")
+    exact.foreach { case (c, e) =>
+      val a = approx(c)
+      // count / nulls / min / max are exact under both estimators
+      assert(a.getAs[Long]("n") == e.getAs[Long]("n"), s"$c: row count differs")
+      assert(a.getAs[Long]("n_null") == e.getAs[Long]("n_null"), s"$c: null count differs")
+      assert(a.getAs[Double]("min6") == e.getAs[Double]("min6"), s"$c: min differs")
+      assert(a.getAs[Double]("max6") == e.getAs[Double]("max6"), s"$c: max differs")
+      // HLL++ at default rsd: within 5% of exact NDV (q23's bound)
+      val ndvE = e.getAs[Long]("ndv").toDouble
+      val ndvA = a.getAs[Long]("ndv").toDouble
+      assert(math.abs(ndvA - ndvE) / ndvE <= 0.05,
+        f"$c: approx NDV $ndvA%.0f off >5%% from exact $ndvE%.0f")
+      // approx_percentile(accuracy=10000): rank error <= N/10000 -> the
+      // returned order statistic sits within 2% of the interpolated median
+      val p50E = e.getAs[Double]("p50_6")
+      val p50A = a.getAs[Double]("p50_6")
+      assert(math.abs(p50A - p50E) <= math.abs(p50E) * 0.02 + 1e-9,
+        s"$c: approx p50 $p50A off >2% from exact $p50E")
+    }
+  }
+
   test("query-owned caches are freed by CacheScope.releaseAll (Verify/Bench hygiene)") {
     import org.apache.spark.sql.graft.CacheProbe
     spark.catalog.clearCache()
