@@ -130,42 +130,56 @@ object LlmOps {
        |ORDER BY cnt DESC NULLS LAST, token ASC NULLS FIRST LIMIT 100""".stripMargin
 
   /** Q63 — multimodal binary columns: binaryFile scan over the
-    * deterministic fixture corpus ([[Multimodal.ensureFixtures]]) +
-    * partition-wise stubbed decode, emitting per-asset metadata and an
-    * md5 CONTENT CHECKSUM. Oracle-gated for real (r2 stretch item): the
-    * fixture bytes follow a reproducible ASCII rule, so DuckDB recomputes
-    * size/kind/stub-dimensions/md5 via `read_blob` — only the
-    * pseudo-feature vector stays Spark-side (its determinism and
-    * batching are OpsSpec-tested). The decode step itself remains a
-    * clearly-marked stub (no codecs in this environment).
+    * deterministic REAL-media fixture corpus
+    * ([[Multimodal.ensureFixtures]]: JDK-encoded PNGs, hand-rolled PCM
+    * WAVs, opaque .dat) + partition-wise REAL decode
+    * ([[Multimodal.decode]]: ImageIO pixel decode for images, RIFF
+    * chunk walk for audio), emitting per-asset metadata — parsed
+    * width/height/channels/sample-rate — and an md5 checksum of the hex
+    * encoding (DuckDB's md5 is VARCHAR-only). The oracle recomputes the
+    * expected dims from the shared fixture RULE (index → dims formulas)
+    * plus `read_blob` size/checksum, so the decoder is checked
+    * end-to-end against what the generator wrote. Only the histogram
+    * feature vector stays Spark-side (determinism and exact values
+    * asserted in OpsSpec).
     */
   def q63(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val fix = Multimodal.ensureFixtures()
     val bin = Multimodal.readBinary(spark, s"$fix/*")
     val feats = Multimodal.extractFeatures(bin).toDF()
-    val hashes = bin.select($"path", md5($"content").as("h"))
+    val hashes = bin.select($"path", md5(hex($"content")).as("h"))
     feats.join(hashes, "path")
       .select(
         regexp_extract($"path", "([^/]+)$", 1).as("fname"),
         $"nBytes".as("n_bytes"), $"kind",
         $"width".cast(LongType).as("width"),
         $"height".cast(LongType).as("height"),
+        $"channels".cast(LongType).as("channels"),
+        $"sampleRate".cast(LongType).as("sample_rate"),
         $"h")
       .orderBy($"fname".asc_nulls_first)
   }
 
   val q63Sql: String =
-    s"""SELECT regexp_extract(filename, '([^/]+)$$', 1) AS fname,
-       |  size AS n_bytes,
-       |  CASE WHEN filename LIKE '%.png' THEN 'image'
-       |       WHEN filename LIKE '%.wav' THEN 'audio'
+    s"""WITH b AS (
+       |  SELECT regexp_extract(filename, '([^/]+)$$', 1) AS fname,
+       |    CAST(regexp_extract(filename, 'asset_(\\d+)', 1) AS INT) AS i,
+       |    size, content
+       |  FROM read_blob('${Multimodal.fixturesPath}/*'))
+       |SELECT fname, size AS n_bytes,
+       |  CASE WHEN fname LIKE '%.png' THEN 'image'
+       |       WHEN fname LIKE '%.wav' THEN 'audio'
        |       ELSE 'other' END AS kind,
-       |  greatest(1, size % 1920) AS width,
-       |  greatest(1, size % 1080) AS height,
-       |  md5(decode(content)) AS h
-       |FROM read_blob('${Multimodal.fixturesPath}/*')
-       |ORDER BY fname NULLS FIRST""".stripMargin
+       |  CAST(CASE WHEN fname LIKE '%.png' THEN 16 + 2 * i ELSE 0 END AS BIGINT) AS width,
+       |  CAST(CASE WHEN fname LIKE '%.png' THEN 8 + i ELSE 0 END AS BIGINT) AS height,
+       |  CAST(CASE WHEN fname LIKE '%.png' THEN
+       |              CASE (i // 3) % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+       |            WHEN fname LIKE '%.wav' THEN 1 + ((i // 3) % 2)
+       |            ELSE 0 END AS BIGINT) AS channels,
+       |  CAST(CASE WHEN fname LIKE '%.wav' THEN 8000 + 500 * i ELSE 0 END AS BIGINT) AS sample_rate,
+       |  md5(hex(content)) AS h
+       |FROM b ORDER BY fname NULLS FIRST""".stripMargin
 
   /** Q64 — language-ID heuristic (stopword argmax; [[TextOps.langId]]). */
   def q64(spark: SparkSession, dir: String): DataFrame = {

@@ -8,23 +8,28 @@ import org.apache.spark.sql.functions._
   * Media assets are opaque `binary` columns + typed metadata, read through
   * Spark's `binaryFile` source (path/length/modificationTime/content with
   * content loaded lazily per-row). Decode / feature-extraction runs
-  * per-partition so a real decoder would amortise codec init across a
-  * partition's rows — the shape `mapInPandas` gives Python pipelines.
+  * per-partition so codec state is amortised across a partition's rows —
+  * the shape `mapInPandas` gives Python pipelines.
   *
-  * The decode step itself is a clearly-marked deterministic STUB (no image
-  * or audio codecs ship in this environment); the Spark-side plumbing —
-  * schema, partition-wise batching, metadata propagation — is real and
-  * tested.
+  * The decode step is REAL (r7 "partial" closed): PNG via the JDK's
+  * `javax.imageio` (signature → IHDR dims → full pixel decode) and WAV
+  * via a hand-rolled RIFF chunk walk (fmt → channels/sample-rate, data →
+  * samples); features are 8-bin intensity/amplitude histograms over the
+  * decoded samples. Non-media payloads fall back to a deterministic
+  * byte-fingerprint. No codecs beyond the JDK are involved.
   */
 object Multimodal {
 
-  /** Typed metadata + features for one decoded asset. */
+  /** Typed metadata + features for one decoded asset. Images carry
+    * (width, height, channels); audio carries (channels, sampleRate);
+    * undecodable/other payloads report zeros + a byte fingerprint.
+    */
   case class MediaFeature(
       path: String,
       nBytes: Long,
       kind: String,          // "image" | "audio" | "other" by extension
-      // STUB decode output: deterministic pseudo-features from the bytes.
       width: Int, height: Int,
+      channels: Int, sampleRate: Int,
       features: Array[Float])
 
   /** Read a glob of files as binary rows: (path, modificationTime, length,
@@ -35,34 +40,111 @@ object Multimodal {
     spark.read.format("binaryFile").load(glob)
 
   /** Fixed machine-local location of the deterministic binary fixture
-    * corpus (versioned — bump when the generation rule changes).
+    * corpus (versioned — bump when the generation rule changes; v2 =
+    * real PNG/WAV payloads instead of ASCII patterns).
     */
   val fixturesPath: String =
     new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      "graft_mm_fixtures_v1").getPath
+      "graft_mm_fixtures_v2").getPath
 
-  /** Generate the q63 oracle corpus: 12 small files with DETERMINISTIC
-    * printable-ASCII byte patterns (byte j of file i = (i·7 + j·13) % 64
-    * + 48) and mixed media extensions. No codecs involved — the content
-    * rule is reproducible by any engine, so metadata + md5 checksums are
-    * DuckDB-checkable (`read_blob`). Files are written once,
+  /** The q63 fixture RULE, shared by the generator and the DuckDB oracle
+    * (the oracle recomputes expected dims/channels/rate from the file
+    * index, so the Spark-side header parse is checked end-to-end against
+    * what the generator wrote):
+    *   - i % 3 == 0 → PNG,  width 16+2i, height 8+i,
+    *     channels by (i/3) % 3 → 1 (gray) / 3 (RGB) / 4 (RGBA)
+    *   - i % 3 == 1 → WAV,  16-bit PCM, channels 1+((i/3)%2),
+    *     sampleRate 8000+500i, 50+13i samples per channel
+    *   - i % 3 == 2 → DAT,  opaque deterministic bytes
+    */
+  def pngDims(i: Int): (Int, Int) = (16 + 2 * i, 8 + i)
+  def pngChannels(i: Int): Int = (i / 3) % 3 match {
+    case 0 => 1; case 1 => 3; case _ => 4
+  }
+  def wavChannels(i: Int): Int = 1 + ((i / 3) % 2)
+  def wavRate(i: Int): Int = 8000 + 500 * i
+
+  private def pngBytes(i: Int): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    val (w, h) = pngDims(i)
+    val imgType = pngChannels(i) match {
+      case 1 => BufferedImage.TYPE_BYTE_GRAY
+      case 3 => BufferedImage.TYPE_INT_RGB
+      case _ => BufferedImage.TYPE_INT_ARGB
+    }
+    val img = new BufferedImage(w, h, imgType)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (i * 7 + (y * w + x) * 13) % 256
+      if (imgType == BufferedImage.TYPE_BYTE_GRAY)
+        img.getRaster.setSample(x, y, 0, v)
+      else {
+        val (r, g, b) = (v, (v * 3) % 256, (v * 7) % 256)
+        val a = if (imgType == BufferedImage.TYPE_INT_ARGB) (v * 5) % 256 else 255
+        img.setRGB(x, y, (a << 24) | (r << 16) | (g << 8) | b)
+      }
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def wavBytes(i: Int): Array[Byte] = {
+    val ch = wavChannels(i)
+    val rate = wavRate(i)
+    val nSamples = 50 + 13 * i // per channel
+    val data = new java.io.ByteArrayOutputStream()
+    for (k <- 0 until nSamples * ch) {
+      val s = ((i * 1000 + k * 37) % 65536) - 32768
+      data.write(le16(s & 0xffff))
+    }
+    val d = data.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII")); out.write(le32(36 + d.length))
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); out.write(le32(16))
+    out.write(le16(1))            // PCM
+    out.write(le16(ch))
+    out.write(le32(rate))
+    out.write(le32(rate * ch * 2)) // byte rate
+    out.write(le16(ch * 2))        // block align
+    out.write(le16(16))            // bits per sample
+    out.write("data".getBytes("US-ASCII")); out.write(le32(d.length))
+    out.write(d)
+    out.toByteArray
+  }
+
+  /** Generate the q63 oracle corpus: 12 small REAL media files (4 PNGs
+    * with varying color type, 4 16-bit PCM WAVs, 4 opaque .dat payloads)
+    * following the deterministic rule above. Files are written once,
     * write-if-missing with atomic rename, so concurrent sessions never
     * observe partial files and re-runs are free.
     */
   def ensureFixtures(): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
+    sys.props.getOrElseUpdate("java.awt.headless", "true")
     val dir = Paths.get(fixturesPath)
     Files.createDirectories(dir)
     for (i <- 0 until 12) {
       val ext = i % 3 match { case 0 => "png"; case 1 => "wav"; case _ => "dat" }
       val target = dir.resolve(f"asset_$i%02d.$ext")
       if (!Files.exists(target)) {
-        val n = 101 + 137 * i
-        val bytes = Array.tabulate[Byte](n)(j => ((i * 7 + j * 13) % 64 + 48).toByte)
+        val bytes = i % 3 match {
+          case 0 => pngBytes(i)
+          case 1 => wavBytes(i)
+          case _ =>
+            val n = 101 + 137 * i
+            Array.tabulate[Byte](n)(j => ((i * 7 + j * 13) % 64 + 48).toByte)
+        }
         val tmp = Files.createTempFile(dir, ".asset", ".tmp")
         Files.write(tmp, bytes)
         try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-        catch { // another session committed first — identical bytes, keep theirs
+        catch { // another session committed first — identical rule, keep theirs
           case _: java.nio.file.FileAlreadyExistsException =>
             Files.deleteIfExists(tmp): Unit
         }
@@ -78,28 +160,97 @@ object Multimodal {
     else "other"
   }
 
-  /** STUB decode: a real implementation would decode the codec here
-    * (per-partition, so codec state is reused across rows). This fake is
-    * deterministic in the byte content: "dimensions" from the byte length,
-    * 8 pseudo-features from a rolling byte hash. Marked STUB by contract.
-    */
-  private def stubDecode(path: String, content: Array[Byte]): MediaFeature = {
-    val n = content.length
-    // STUB: pretend dimensions derive from the payload size
-    val w = math.max(1, (n % 1920).toInt)
-    val h = math.max(1, (n % 1080).toInt)
+  private def histogram(samples: Iterator[Double]): Array[Float] = {
+    val bins = new Array[Long](8)
+    var n = 0L
+    samples.foreach { v => // v in [0, 1)
+      bins(math.min(7, math.max(0, (v * 8).toInt))) += 1
+      n += 1
+    }
+    if (n == 0) new Array[Float](8)
+    else bins.map(b => (b.toDouble / n).toFloat)
+  }
+
+  /** Deterministic byte fingerprint for payloads with no decoder. */
+  private def fingerprint(content: Array[Byte]): Array[Float] = {
     val feats = new Array[Float](8)
     var acc = 17L
     var i = 0
-    while (i < n) {
+    while (i < content.length) {
       acc = acc * 31 + (content(i) & 0xff)
       feats(i % 8) += ((acc % 1000).toFloat / 1000.0f)
       i += 1
     }
-    MediaFeature(path, n.toLong, kindOf(path), w, h, feats)
+    feats
   }
 
-  /** Partition-wise "decode" of a binary frame into typed features.
+  private def decodePng(path: String, content: Array[Byte]): MediaFeature = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+    if (img == null) // not a decodable image — degrade to fingerprint
+      MediaFeature(path, content.length.toLong, kindOf(path), 0, 0, 0, 0,
+        fingerprint(content))
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val ch = img.getColorModel.getNumComponents
+      // 8-bin luminance histogram over the decoded pixels
+      val lum = for (y <- Iterator.range(0, h); x <- Iterator.range(0, w)) yield {
+        val rgb = img.getRGB(x, y)
+        val l = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+        l / 256.0
+      }
+      MediaFeature(path, content.length.toLong, kindOf(path), w, h, ch, 0,
+        histogram(lum))
+    }
+  }
+
+  private def u16le(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def u32le(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+  private def decodeWav(path: String, content: Array[Byte]): MediaFeature = {
+    def tag(o: Int) = new String(content, o, 4, "US-ASCII")
+    if (content.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE")
+      return MediaFeature(path, content.length.toLong, kindOf(path), 0, 0, 0, 0,
+        fingerprint(content))
+    var (ch, rate, bits) = (0, 0, 0)
+    var data: Option[(Int, Int)] = None // (offset, len)
+    var o = 12
+    while (o + 8 <= content.length) { // RIFF chunk walk
+      val id = tag(o)
+      val len = u32le(content, o + 4).toInt
+      if (id == "fmt " && o + 8 + 16 <= content.length) {
+        ch = u16le(content, o + 10)
+        rate = u32le(content, o + 12).toInt
+        bits = u16le(content, o + 22)
+      } else if (id == "data")
+        data = Some((o + 8, math.min(len, content.length - o - 8)))
+      o += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    // 8-bin amplitude histogram over the decoded 16-bit samples
+    val feats = data match {
+      case Some((off, len)) if bits == 16 =>
+        histogram(Iterator.range(0, len / 2).map { k =>
+          val s = (u16le(content, off + 2 * k).toShort).toInt // signed
+          (s + 32768) / 65536.0
+        })
+      case _ => new Array[Float](8)
+    }
+    MediaFeature(path, content.length.toLong, kindOf(path), 0, 0, ch, rate, feats)
+  }
+
+  /** Decode one asset by container type (the real per-row decode). */
+  def decode(path: String, content: Array[Byte]): MediaFeature =
+    kindOf(path) match {
+      case "image" => decodePng(path, content)
+      case "audio" => decodeWav(path, content)
+      case k =>
+        MediaFeature(path, content.length.toLong, k, 0, 0, 0, 0,
+          fingerprint(content))
+    }
+
+  /** Partition-wise decode of a binary frame into typed features.
     * Batch shape: one iterator per partition (codec init once per
     * partition, like a Pandas-UDF batch).
     */
@@ -109,8 +260,8 @@ object Multimodal {
     binary.select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions { rows =>
-        // per-partition init would go here (codec/decoder handles)
-        rows.map { case (path, content) => stubDecode(path, content) }
+        sys.props.getOrElseUpdate("java.awt.headless", "true")
+        rows.map { case (path, content) => decode(path, content) }
       }
   }
 
@@ -158,23 +309,42 @@ object Multimodal {
       col("chunk_idx") >= offset)
   }
 
-  /** STUB resize: a real implementation would decode, scale to
-    * (targetW, targetH) and re-encode per partition. The stub keeps the
-    * real pipeline shape — per-partition batching over (key, payload) —
-    * and deterministically "scales" the fake features by the area ratio.
+  /** REAL image resize over (path, content) rows: decode, bilinear-scale
+    * to (targetW, targetH), re-encode as PNG — per partition, so scaler
+    * state is amortised like a Pandas-UDF batch. Non-image (or
+    * undecodable) payloads pass through unchanged; a 100 TB pipeline
+    * filters `kind = 'image'` first (metadata pushdown, see
+    * [[readBinary]]) so no decode is attempted on non-images.
     */
-  def resizeFeatures(feats: Dataset[MediaFeature], targetW: Int,
-                     targetH: Int): Dataset[MediaFeature] = {
-    val spark = feats.sparkSession
+  def resizeImages(binary: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0)
+    val spark = binary.sparkSession
     import spark.implicits._
-    feats.mapPartitions { rows =>
-      // per-partition init of the (stub) scaler would go here
-      rows.map { f =>
-        val ratio =
-          (targetW.toLong * targetH).toFloat / (f.width.toLong * f.height)
-        f.copy(width = targetW, height = targetH,
-          features = f.features.map(_ * ratio))
-      }
-    }
+    binary.select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { rows =>
+        sys.props.getOrElseUpdate("java.awt.headless", "true")
+        rows.map { case (path, content) =>
+          val img =
+            if (kindOf(path) != "image") null
+            else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+          if (img == null) (path, content)
+          else {
+            import java.awt.image.BufferedImage
+            val dst = new BufferedImage(targetW, targetH,
+              if (img.getColorModel.hasAlpha) BufferedImage.TYPE_INT_ARGB
+              else BufferedImage.TYPE_INT_RGB)
+            val g = dst.createGraphics()
+            try {
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, targetW, targetH, null): Unit
+            } finally g.dispose()
+            val out = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(dst, "png", out)
+            (path, out.toByteArray)
+          }
+        }
+      }.toDF("path", "content")
   }
 }

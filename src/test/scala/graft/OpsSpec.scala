@@ -228,16 +228,44 @@ class OpsSpec extends SparkSpec {
     assert(r.getLong(0) > 0 && r.getLong(1) != 0)
   }
 
-  test("multimodal stub decode is deterministic and schema-complete") {
+  test("multimodal decode is deterministic and schema-complete on non-media payloads") {
     import graft.sources.Multimodal
     val bin = Multimodal.readBinary(spark, s"$sfDir/*.parquet")
     val feats = Multimodal.extractFeatures(bin)
     assert(feats.schema.fieldNames.toSeq ==
-      Seq("path", "nBytes", "kind", "width", "height", "features"))
+      Seq("path", "nBytes", "kind", "width", "height", "channels", "sampleRate", "features"))
     val twice = (feats.collect().map(f => (f.path, f.features.toSeq)).toMap,
       Multimodal.extractFeatures(bin).collect().map(f => (f.path, f.features.toSeq)).toMap)
     assert(twice._1 == twice._2)
-    assert(feats.head().features.length == 8)
+    val head = feats.head()
+    assert(head.features.length == 8)
+    assert(head.kind == "other" && head.width == 0 && head.channels == 0)
+  }
+
+  test("real PNG/WAV decode parses the dims/channels/rate the generator wrote") {
+    import graft.sources.Multimodal
+    val fix = Multimodal.ensureFixtures()
+    val feats = Multimodal.extractFeatures(Multimodal.readBinary(spark, s"$fix/*"))
+      .collect().map(f => f.path.split('/').last -> f).toMap
+    assert(feats.size == 12)
+    for (i <- 0 until 12; if i % 3 == 0) { // PNGs
+      val f = feats(f"asset_$i%02d.png")
+      val (w, h) = Multimodal.pngDims(i)
+      assert(f.kind == "image" && f.width == w && f.height == h,
+        s"asset $i: decoded ${f.width}x${f.height}, rule says ${w}x$h")
+      assert(f.channels == Multimodal.pngChannels(i),
+        s"asset $i: decoded ${f.channels} channels, rule says ${Multimodal.pngChannels(i)}")
+      // histogram over real pixels: sums to ~1
+      assert(math.abs(f.features.map(_.toDouble).sum - 1.0) < 1e-3)
+    }
+    for (i <- 0 until 12; if i % 3 == 1) { // WAVs
+      val f = feats(f"asset_$i%02d.wav")
+      assert(f.kind == "audio" && f.width == 0 && f.height == 0)
+      assert(f.channels == Multimodal.wavChannels(i) &&
+        f.sampleRate == Multimodal.wavRate(i),
+        s"asset $i: decoded ch=${f.channels} rate=${f.sampleRate}")
+      assert(math.abs(f.features.map(_.toDouble).sum - 1.0) < 1e-3)
+    }
   }
 
   test("binary chunking round-trips content and balances row sizes") {
@@ -256,19 +284,28 @@ class OpsSpec extends SparkSpec {
     assert(back == payloads.map { case (k, v) => k -> v.toSeq }.toMap)
   }
 
-  test("frame sampling prunes chunks before decode; resize stub rescales deterministically") {
+  test("frame sampling prunes chunks before decode; real resize rescales images") {
     import graft.sources.Multimodal
     val df = Seq(("v", Array.range(0, 10 * 64).map(_.toByte))).toDF("k", "content")
     val chunks = Multimodal.chunkBinary(df, "k", "content", chunkSize = 64) // 10 frames
     val sampled = Multimodal.frameSample(chunks, stride = 3, offset = 1)
     assert(sampled.select("chunk_idx").collect().map(_.getInt(0)).sorted.toSeq
       == Seq(1, 4, 7))
-    val feats = Multimodal.extractFeatures(
-      Multimodal.readBinary(spark, s"$sfDir/region.parquet"))
-    val resized = Multimodal.resizeFeatures(feats, 64, 64).collect()
-    assert(resized.forall(f => f.width == 64 && f.height == 64))
-    val again = Multimodal.resizeFeatures(feats, 64, 64).collect()
-    assert(resized.map(_.features.toSeq).toSeq == again.map(_.features.toSeq).toSeq)
+    val fix = Multimodal.ensureFixtures()
+    val bin = Multimodal.readBinary(spark, s"$fix/*")
+    val resized = Multimodal.resizeImages(bin, 6, 4)
+    val feats = Multimodal.extractFeatures(resized).collect()
+      .map(f => f.path.split('/').last -> f).toMap
+    // every image re-decodes at the target size; non-images pass through
+    assert(feats.values.filter(_.kind == "image")
+      .forall(f => f.width == 6 && f.height == 4),
+      "resized image did not re-decode at 6x4")
+    assert(feats("asset_01.wav").sampleRate == Multimodal.wavRate(1),
+      "non-image payload was not passed through unchanged")
+    val again = Multimodal.extractFeatures(Multimodal.resizeImages(bin, 6, 4))
+      .collect().map(f => f.path.split('/').last -> f.features.toSeq).toMap
+    assert(feats.map { case (k, f) => k -> f.features.toSeq } == again,
+      "resize is not deterministic")
   }
 
   test("binaryFile source pushes metadata filters and prunes content from the scan") {
