@@ -33,6 +33,55 @@ object ScaleJoins {
     l.join(r.hint("shuffle_hash"), Seq(key, "__salt"), "inner").drop("__salt")
   }
 
+  /** The q121 skew metric folded into a join-strategy DECISION: max over
+    * keys of cnt·n_keys/total (how many times the hottest key exceeds
+    * the mean) and the salt count to use. `salts == 1` means a plain
+    * join. Mirrors the reference's measure-then-negotiate capacity shape
+    * (`/root/reference/examples/example_etl.py:148-155`): measure first,
+    * then pick the execution layout.
+    */
+  final case class SaltDecision(maxSkew: Double, salts: Int) {
+    def salted: Boolean = salts > 1
+  }
+
+  /** Decide whether `left`'s `key` distribution needs salting: one
+    * column-pruned agg pass over the key (count per key → max/n/total).
+    * The hot key is spread over ~maxSkew reducers, capped at `maxSalts`
+    * (replication cost of the right side grows with the salt count). At
+    * 100 TB the same decision runs on a TABLESAMPLE of the key column —
+    * the result is correct for ANY decision, so estimation error only
+    * moves the threshold, never the answer.
+    */
+  def decideSalts(left: DataFrame, key: String, threshold: Double = 4.0,
+                  maxSalts: Int = 16): SaltDecision = {
+    require(threshold >= 1.0 && maxSalts >= 1)
+    val row = left.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+      .agg(max(col("cnt")), count(lit(1)), sum(col("cnt")))
+      .head()
+    if (row.isNullAt(0)) SaltDecision(0.0, 1) // empty left side
+    else {
+      val maxSkew = row.getLong(0).toDouble * row.getLong(1) / row.getLong(2)
+      val salts =
+        if (maxSkew >= threshold) math.min(maxSalts, math.ceil(maxSkew).toInt)
+        else 1
+      SaltDecision(maxSkew, salts)
+    }
+  }
+
+  /** Inner equi-join that measures the left side's key skew and picks
+    * plain vs salted-k itself ([[decideSalts]]): the automated version
+    * of the q84 decision a pipeline author otherwise hardcodes. Result
+    * is identical to the plain join either way (OpsSpec proves both the
+    * equivalence and that the decision flips on a hot key).
+    */
+  def autoSaltedInnerJoin(left: DataFrame, right: DataFrame, key: String,
+                          threshold: Double = 4.0,
+                          maxSalts: Int = 16): DataFrame = {
+    val d = decideSalts(left, key, threshold, maxSalts)
+    if (d.salted) saltedInnerJoin(left, right, key, d.salts)
+    else left.join(right, Seq(key), "inner")
+  }
+
   /** Write a frame bucketed+sorted by `key` as a catalog table: repeated
     * equi-joins / aggregations on `key` across such tables plan with NO
     * shuffle (bucket-local sort-merge). This is the persistent co-location

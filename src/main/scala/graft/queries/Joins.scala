@@ -317,6 +317,33 @@ object Joins {
       |GROUP BY c_mktsegment, o_orderstatus
       |ORDER BY c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
 
+  /** Q124 — AUTO-SALTED join: the q121 skew report folded into the q84
+    * decision ([[graft.ops.ScaleJoins.autoSaltedInnerJoin]]) — measure
+    * the fact side's key distribution in one column-pruned agg pass,
+    * then join plain or salted-k by threshold. The oracle is the PLAIN
+    * join SQL because the result is identical under either choice (the
+    * whole point: the decision changes the layout, never the answer).
+    * On this corpus user_id is near-uniform so the plain path runs;
+    * OpsSpec flips the decision on a synthetic hot key.
+    */
+  def q124(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = t(spark, dir, "events").select($"user_id", dec2($"value").as("v"))
+    val dim = t(spark, dir, "events").select($"user_id").distinct()
+      .withColumn("cohort", pmod($"user_id", lit(10L)).cast(LongType))
+    graft.ops.ScaleJoins.autoSaltedInnerJoin(e, dim, "user_id")
+      .groupBy($"cohort")
+      .agg(count(lit(1)).as("n"), sum($"v").cast(DoubleType).as("sum_value"))
+      .orderBy($"cohort".asc_nulls_first)
+  }
+
+  val q124Sql: String =
+    """WITH dim AS (SELECT DISTINCT user_id, CAST(user_id % 10 AS BIGINT) AS cohort FROM events)
+      |SELECT d.cohort, COUNT(*) AS n,
+      |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events e JOIN dim d ON d.user_id = e.user_id
+      |GROUP BY d.cohort ORDER BY cohort NULLS FIRST""".stripMargin
+
   /** Q92 — Bloom-pruned fact⋈dim join: a Bloom filter over the selected
     * part keys prunes lineitem BEFORE the join
     * ([[graft.ops.ScaleJoins.bloomPrunedInnerJoin]]). The result is
@@ -360,7 +387,8 @@ object Joins {
     "q19_star_join" -> (q19 _),
     "q84_salted_skew_join" -> (q84 _),
     "q85_bucketed_join" -> (q85 _),
-    "q92_bloom_pruned_join" -> (q92 _))
+    "q92_bloom_pruned_join" -> (q92 _),
+    "q124_auto_salt_join" -> (q124 _))
 
   def oracles: Map[String, String] = Map(
     "q10_inner_join" -> q10Sql,
@@ -375,5 +403,6 @@ object Joins {
     "q19_star_join" -> q19Sql,
     "q84_salted_skew_join" -> q84Sql,
     "q85_bucketed_join" -> q85Sql,
-    "q92_bloom_pruned_join" -> q92Sql)
+    "q92_bloom_pruned_join" -> q92Sql,
+    "q124_auto_salt_join" -> q124Sql)
 }

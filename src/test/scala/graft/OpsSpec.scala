@@ -476,6 +476,30 @@ class OpsSpec extends SparkSpec {
       "bloom-pruned join diverges from the plain join")
   }
 
+  test("auto-salting decision flips on a hot key and never changes the join result") {
+    // hot: one key holds 90% of the rows; uniform: every key equal
+    val hot = ((1 to 900).map(_ => 1L) ++ (2L to 101L)).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
+    val uniform = (1L to 1000L).map(i => (i % 100, i)).toDF("k", "v")
+    val dim = (0L to 101L).map(k => (k, s"g${k % 5}")).toDF("k", "grp")
+
+    val dHot = ScaleJoins.decideSalts(hot, "k")
+    assert(dHot.salted && dHot.maxSkew > 4.0,
+      s"hot key (skew ${dHot.maxSkew}) must trigger salting: $dHot")
+    val dUni = ScaleJoins.decideSalts(uniform, "k")
+    assert(!dUni.salted && dUni.maxSkew <= 1.5,
+      s"uniform keys (skew ${dUni.maxSkew}) must NOT trigger salting: $dUni")
+
+    // equivalence: auto choice == plain join, under BOTH decisions
+    for (left <- Seq(hot, uniform)) {
+      val auto = ScaleJoins.autoSaltedInnerJoin(left, dim, "k")
+        .select("k", "v", "grp")
+      val plain = left.join(dim, Seq("k"), "inner").select("k", "v", "grp")
+      assert(auto.exceptAll(plain).isEmpty && plain.exceptAll(auto).isEmpty,
+        "auto-salted join diverges from the plain join")
+    }
+  }
+
   test("Components releases every cache it creates (job-server hygiene)") {
     import org.apache.spark.sql.graft.CacheProbe
     spark.catalog.clearCache()
