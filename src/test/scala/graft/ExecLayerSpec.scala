@@ -353,6 +353,52 @@ class ExecLayerSpec extends SparkSpec {
     }
   }
 
+  test("JSONL log sink persists the fan-out and re-attaches by path (A20)") {
+    import graft.tools.{EngineLog, JsonlLogSink}
+    val path = java.nio.file.Files.createTempFile("graft_log", ".jsonl")
+    java.nio.file.Files.delete(path) // sink creates it lazily
+    val sink = new JsonlLogSink(path.toString)
+    EngineLog.echoToConsole = false
+    EngineLog.addSink("jsonl", sink)
+    try {
+      val (reg, _, runner) = freshRunner()
+      reg.register(new Gathering)
+      val spec = TaskSpec(modelClass = "Gathering")
+      // a subtask-side completion callback logging through the engine log
+      // must land in the file too (the reference logs from model code
+      // running inside the task, logging.py's whole point)
+      EngineLog.log(s"subtask probe for ${spec.taskId}")
+      assert(runner.runSync(spec).isInstanceOf[TaskComplete])
+      sink.close()
+      val lines = scala.jdk.CollectionConverters
+        .ListHasAsScala(java.nio.file.Files.readAllLines(path)).asScala.toSeq
+      assert(lines.nonEmpty, "sink wrote nothing")
+      // every line is one parseable JSON object with the structured fields
+      lines.foreach { l =>
+        assert(l.startsWith("{") && l.endsWith("}"), s"not a JSON line: $l")
+        assert(l.contains("\"ts\":") && l.contains("\"level\":") &&
+          l.contains("\"pid\":") && l.contains("\"message\":"), s"missing fields: $l")
+      }
+      assert(lines.exists(l => l.contains(s"${spec.taskId} complete")),
+        "task completion did not reach the file")
+      assert(lines.exists(_.contains("subtask probe")), "probe line missing")
+      // RE-ATTACH: a fresh instance on the same path (as a new process
+      // would construct) appends to the same stream
+      EngineLog.removeSink("jsonl")
+      val again = new JsonlLogSink(path.toString)
+      again.write("INFO", "re-attached")
+      again.close()
+      val all = scala.jdk.CollectionConverters
+        .ListHasAsScala(java.nio.file.Files.readAllLines(path)).asScala.toSeq
+      assert(all.size == lines.size + 1 && all.last.contains("re-attached"),
+        "re-attached sink did not append to the existing stream")
+    } finally {
+      EngineLog.removeSink("jsonl")
+      EngineLog.echoToConsole = true
+      java.nio.file.Files.deleteIfExists(path): Unit
+    }
+  }
+
   test("engine-url templating resolves context vars and rejects unknowns") {
     val ctx = EngineContext(spark, Map("output_datasets" -> "/tmp/x"))
     assert(ctx.resolve("csv://{output_datasets}/r.csv") == "csv:///tmp/x/r.csv")
