@@ -22,9 +22,35 @@ final class StatusServer(
     registry: TaskRegistry,
     status: StatusRegistry,
     nodeIdent: String = "graft-node",
-    maxConcurrentTasks: Int = 8) {
+    maxConcurrentTasks: Int = 8,
+    authToken: Option[String] = sys.env.get("GRAFT_API_TOKEN")) {
 
   private var server: Option[HttpServer] = None
+
+  /** Shared-secret gate (the reference hardens its facade with amqps TLS
+    * + gunicorn settings, `pika_client.py:7-101` / `main.py:79-87`; this
+    * engine's analogue is a bearer token, TLS being the deployment
+    * proxy's job): with `authToken` set — constructor arg or
+    * GRAFT_API_TOKEN — every route requires `Authorization: Bearer
+    * <token>`, compared constant-time. Unset = open (local dev), the
+    * prior behavior.
+    */
+  private def authorized(ex: HttpExchange): Boolean = authToken match {
+    case None => true
+    case Some(tok) =>
+      val got = Option(ex.getRequestHeaders.getFirst("Authorization"))
+        .getOrElse("").getBytes(StandardCharsets.UTF_8)
+      val want = s"Bearer $tok".getBytes(StandardCharsets.UTF_8)
+      java.security.MessageDigest.isEqual(got, want)
+  }
+
+  private def guarded(h: HttpExchange => Unit): com.sun.net.httpserver.HttpHandler =
+    (ex: HttpExchange) =>
+      if (authorized(ex)) h(ex)
+      else {
+        ex.getResponseHeaders.set("WWW-Authenticate", "Bearer")
+        respond(ex, 401, """{"error":"unauthorized"}""")
+      }
 
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {
@@ -174,7 +200,7 @@ final class StatusServer(
 
   def start(port: Int = 0): Int = {
     val s = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-    s.createContext("/api/0.01/node_info", (ex: HttpExchange) => {
+    s.createContext("/api/0.01/node_info", guarded { ex =>
       val running = status.runningTasks.map(taskJson).mkString("[", ",", "]")
       val recent = status.recentCompleted().map(taskJson).mkString("[", ",", "]")
       respond(ex, 200,
@@ -187,12 +213,12 @@ final class StatusServer(
     // Context path WITHOUT the trailing slash so the bare probe URL
     // /api/0.01 matches too (JDK contexts are prefix-matched; /task and
     // /node_info still win as longer prefixes).
-    s.createContext("/api/0.01", (ex: HttpExchange) => {
+    s.createContext("/api/0.01", guarded { ex =>
       if (ex.getRequestURI.getPath.stripSuffix("/") == "/api/0.01")
         respond(ex, 200, """{"hello":"world"}""")
       else respond(ex, 404, """{"error":"not found"}""")
     })
-    s.createContext("/api/0.01/task", (ex: HttpExchange) => {
+    s.createContext("/api/0.01/task", guarded { ex =>
       val path = ex.getRequestURI.getPath
       if (ex.getRequestMethod == "GET" && path.matches(".*/task/[^/]+$")) {
         val id = path.substring(path.lastIndexOf('/') + 1)
@@ -244,7 +270,7 @@ final class StatusServer(
       } else respond(ex, 404, """{"error":"not found"}""")
     })
     // HTML views ("/" is HttpServer's fallback context)
-    s.createContext("/", (ex: HttpExchange) => {
+    s.createContext("/", guarded { ex =>
       val path = ex.getRequestURI.getPath
       if (path == "/" || path == "/index.html")
         respond(ex, 200, nodePage, "text/html; charset=utf-8")

@@ -190,4 +190,42 @@ class StatusServerSpec extends SparkSpec {
       graft.tools.EngineLog.echoToConsole = true
     }
   }
+
+  test("bearer-token auth gates every route when configured (hardened facade)") {
+    val reg = new TaskRegistry
+    val status = new StatusRegistry
+    val runner = new JobRunner(spark, reg, status, maxConcurrentTasks = 2)
+    reg.register(new Quick)
+    val server = new StatusServer(runner, reg, status,
+      authToken = Some("s3cret"))
+    val port = server.start()
+    def getAuth(path: String, token: Option[String]): (Int, String) = {
+      val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET()
+      token.foreach(t => b.header("Authorization", s"Bearer $t"))
+      val r = HttpClient.newHttpClient()
+        .send(b.build(), HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), r.body())
+    }
+    try {
+      for (path <- Seq("/api/0.01/node_info", "/api/0.01/", "/", "/api/0.01/task/x")) {
+        assert(getAuth(path, None)._1 == 401, s"$path open without token")
+        assert(getAuth(path, Some("wrong"))._1 == 401, s"$path accepted a bad token")
+      }
+      // POSTs are gated too
+      val noTok = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/0.01/task"))
+          .POST(HttpRequest.BodyPublishers.ofString("""{"model_class":"QuickEtl"}"""))
+          .build(), HttpResponse.BodyHandlers.ofString())
+      assert(noTok.statusCode() == 401)
+      // the right token restores the normal API behavior
+      val (cOk, bOk) = getAuth("/api/0.01/node_info", Some("s3cret"))
+      assert(cOk == 200 && bOk.contains("\"node_ident\""))
+      val okPost = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/0.01/task"))
+          .header("Authorization", "Bearer s3cret")
+          .POST(HttpRequest.BodyPublishers.ofString("""{"model_class":"QuickEtl"}"""))
+          .build(), HttpResponse.BodyHandlers.ofString())
+      assert(okPost.statusCode() == 200 && okPost.body().contains("\"task_id\""))
+    } finally server.stop()
+  }
 }
