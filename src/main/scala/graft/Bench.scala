@@ -106,23 +106,25 @@ object Bench {
     Files.move(tmp, Paths.get(detailPath), StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
 
-    // Compact final line: short keys ("q01") + 3dp so the driver's ~2 KB
-    // tail capture always parses. Full names/precision live in the detail
-    // file. `queries` stays name→seconds (the driver contract); run-to-run
-    // noise surfaces in `spread_pct` — (max-min)/median per query, listed
-    // only where it exceeds 30% so a drifting host is self-evident in the
-    // artifact without blowing the tail budget (r7's q21/q82 adjudication
-    // needed exactly this).
+    // Compact final line: short keys ("q01") + 2dp seconds so the
+    // driver's ~2 KB tail capture always parses at 124 queries (full
+    // 6dp precision lives in the detail file; BASELINE's table prints
+    // 2dp). `queries` stays name→seconds (the driver contract);
+    // run-to-run noise surfaces in `noisy` — the ≤6 queries with the
+    // largest (max-min)/median percentage at ≥30% — so a drifting host
+    // is self-evident in the artifact without blowing the tail budget
+    // (r7's q21/q82 adjudication needed exactly this). RegistrySpec
+    // guards the worst-case line width.
     val qs = results.map { t =>
       val short = t.name.takeWhile(_ != '_')
-      "\"" + short + "\":" + (if (t.failed) "-1" else f"${t.median}%.3f")
+      "\"" + short + "\":" + (if (t.failed) "-1" else f"${t.median}%.2f")
     }.mkString("{", ",", "}")
-    val spreads = results.filterNot(_.failed)
+    val noisy = results.filterNot(_.failed)
       .map(t => t.name.takeWhile(_ != '_') ->
         (if (t.median > 0) math.round(100.0 * (t.runs.max - t.runs.min) / t.median) else 0L))
-      .filter(_._2 >= 30)
+      .filter(_._2 >= 30).sortBy(-_._2).take(6)
       .map { case (n, p) => s""""$n":$p""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total_warm_sec","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"total_min_sec":${f"$totalMin%.3f"},"spread_pct_ge30":$spreads,"n_queries":${results.size},"n_failed":${results.size - ok.size},"sf":"$sfDir","stat":"median_of_$TimedRuns","detail":"$detailPath"}""")
+    println(s"""{"metric":"total_warm_sec","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"min_total":${f"$totalMin%.3f"},"noisy":$noisy,"n_queries":${results.size},"n_failed":${results.size - ok.size},"sf":"$sfDir","stat":"median_of_$TimedRuns","detail":"$detailPath"}""")
     spark.stop()
   }
 }

@@ -44,20 +44,19 @@ object ScaleJoins {
     def salted: Boolean = salts > 1
   }
 
-  /** Decide whether `left`'s `key` distribution needs salting: one
-    * column-pruned agg pass over the key (count per key → max/n/total).
-    * The hot key is spread over ~maxSkew reducers, capped at `maxSalts`
-    * (replication cost of the right side grows with the salt count). At
-    * 100 TB the same decision runs on a TABLESAMPLE of the key column —
-    * the result is correct for ANY decision, so estimation error only
-    * moves the threshold, never the answer.
+  /** Per-key occurrence counts — the measurement frame both
+    * [[decideFromCounts]] and a caller's own key-derived artifacts (a
+    * dim table, a q121-style report) read, so one shuffle serves all.
     */
-  def decideSalts(left: DataFrame, key: String, threshold: Double = 4.0,
-                  maxSalts: Int = 16): SaltDecision = {
+  def keyCounts(left: DataFrame, key: String): DataFrame =
+    left.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+
+  /** The decision from an existing [[keyCounts]] frame (pass a cached
+    * one to share the measurement pass with other consumers). */
+  def decideFromCounts(counts: DataFrame, threshold: Double = 4.0,
+                       maxSalts: Int = 16): SaltDecision = {
     require(threshold >= 1.0 && maxSalts >= 1)
-    val row = left.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
-      .agg(max(col("cnt")), count(lit(1)), sum(col("cnt")))
-      .head()
+    val row = counts.agg(max(col("cnt")), count(lit(1)), sum(col("cnt"))).head()
     if (row.isNullAt(0)) SaltDecision(0.0, 1) // empty left side
     else {
       val maxSkew = row.getLong(0).toDouble * row.getLong(1) / row.getLong(2)
@@ -67,6 +66,18 @@ object ScaleJoins {
       SaltDecision(maxSkew, salts)
     }
   }
+
+  /** Decide whether `left`'s `key` distribution needs salting: one
+    * column-pruned agg pass over the key (count per key → max/n/total).
+    * The hot key is spread over ~maxSkew reducers, capped at `maxSalts`
+    * (replication cost of the right side grows with the salt count). At
+    * 100 TB the same decision runs on a TABLESAMPLE of the key column —
+    * the result is correct for ANY decision, so estimation error only
+    * moves the threshold, never the answer.
+    */
+  def decideSalts(left: DataFrame, key: String, threshold: Double = 4.0,
+                  maxSalts: Int = 16): SaltDecision =
+    decideFromCounts(keyCounts(left, key), threshold, maxSalts)
 
   /** Inner equi-join that measures the left side's key skew and picks
     * plain vs salted-k itself ([[decideSalts]]): the automated version

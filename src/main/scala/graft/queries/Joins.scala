@@ -318,21 +318,32 @@ object Joins {
       |ORDER BY c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
 
   /** Q124 — AUTO-SALTED join: the q121 skew report folded into the q84
-    * decision ([[graft.ops.ScaleJoins.autoSaltedInnerJoin]]) — measure
-    * the fact side's key distribution in one column-pruned agg pass,
-    * then join plain or salted-k by threshold. The oracle is the PLAIN
-    * join SQL because the result is identical under either choice (the
-    * whole point: the decision changes the layout, never the answer).
-    * On this corpus user_id is near-uniform so the plain path runs;
-    * OpsSpec flips the decision on a synthetic hot key.
+    * decision — measure the fact side's key distribution, then join
+    * plain or salted-k by threshold
+    * ([[graft.ops.ScaleJoins.decideFromCounts]]). The oracle is the
+    * PLAIN join SQL because the result is identical under either choice
+    * (the whole point: the decision changes the layout, never the
+    * answer). On this corpus user_id is near-uniform so the plain path
+    * runs; OpsSpec flips the decision on a synthetic hot key.
+    *
+    * Plan shape: ONE key-counts shuffle (cached, ~one row per user)
+    * serves BOTH the decision aggregate and the per-user dim derived
+    * from it — the fused measure-then-use pass; the dim then broadcasts
+    * onto a single scan of the fact side, so the corpus itself never
+    * shuffles on the plain path.
     */
   def q124(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    import graft.ops.ScaleJoins
     val e = t(spark, dir, "events").select($"user_id", dec2($"value").as("v"))
-    val dim = t(spark, dir, "events").select($"user_id").distinct()
-      .withColumn("cohort", pmod($"user_id", lit(10L)).cast(LongType))
-    graft.ops.ScaleJoins.autoSaltedInnerJoin(e, dim, "user_id")
-      .groupBy($"cohort")
+    val counts = graft.core.CacheScope.track(ScaleJoins.keyCounts(e, "user_id"))
+    val d = ScaleJoins.decideFromCounts(counts)
+    val dim = counts.select($"user_id",
+      pmod($"user_id", lit(10L)).cast(LongType).as("cohort"))
+    val joined =
+      if (d.salted) ScaleJoins.saltedInnerJoin(e, dim, "user_id", d.salts)
+      else e.join(broadcast(dim), Seq("user_id"), "inner")
+    joined.groupBy($"cohort")
       .agg(count(lit(1)).as("n"), sum($"v").cast(DoubleType).as("sum_value"))
       .orderBy($"cohort".asc_nulls_first)
   }

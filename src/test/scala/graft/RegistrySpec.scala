@@ -30,9 +30,9 @@ class RegistrySpec extends SparkSpec {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
-  test("the full surface covers the SURVEY ids Q01..Q72 + r2..r6 additions") {
+  test("the full surface covers the SURVEY ids Q01..Q72 + r2..r8 additions") {
     val ids = Registry.all.keySet.map(_.takeWhile(_ != '_'))
-    val expected = (1 to 121).map(i => f"q$i%02d").toSet
+    val expected = (1 to 124).map(i => f"q$i%02d").toSet
     assert(ids == expected, s"missing: ${expected -- ids}, extra: ${ids -- expected}")
   }
 
@@ -42,12 +42,16 @@ class RegistrySpec extends SparkSpec {
 
   test("bench stdout line fits the driver's ~2KB tail capture at worst-case widths") {
     // r2's round artifact was lost because the per-query JSON line outgrew
-    // the capture window; Bench now emits short keys + 3dp, and this guard
-    // fails the build before a future query addition regrows the line.
+    // the capture window; Bench emits short keys + 2dp seconds and caps the
+    // noise map at 6 entries, and this guard fails the build before a
+    // future query addition regrows the line. Worst-case value width is
+    // 99.99 s — a single query exceeding that would itself be a broken
+    // round, caught long before the artifact matters.
     val worst = SparkEntry.queries.keys.toSeq.sorted
-      .map(k => "\"" + k.takeWhile(_ != '_') + "\":999.999")
+      .map(k => "\"" + k.takeWhile(_ != '_') + "\":99.99")
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total_warm_sec","value":99999.999,"unit":"sec","queries":$worst,"n_queries":999,"n_failed":999,"sf":"/root/testdata/sf0.1","stat":"median_of_3","detail":"BENCH_DETAIL.json"}"""
-    assert(line.length < 1900, s"bench line would be ${line.length}B — shrink keys or precision")
+    val noisyWorst = (1 to 6).map(i => s""""q12$i":999""").mkString("{", ",", "}")
+    val line = s"""{"metric":"total_warm_sec","value":99999.999,"unit":"sec","queries":$worst,"min_total":99999.999,"noisy":$noisyWorst,"n_queries":999,"n_failed":999,"sf":"/root/testdata/sf0.1","stat":"median_of_3","detail":"BENCH_DETAIL.json"}"""
+    assert(line.length < 2000, s"bench line would be ${line.length}B — shrink keys or precision")
   }
 }
