@@ -246,6 +246,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"funnel joins exploded:\n$p")
   }
 
+  test("q124 plain path broadcasts the fused dim — the fact side never shuffles for the join") {
+    val p = plan(Joins.q124(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"counts-derived dim not broadcast onto the fact scan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"fact side sort-merged against the per-key dim:\n$p")
+    graft.core.CacheScope.releaseAll() // q124 tracks its counts frame
+  }
+
+  test("q122 approx profile runs as ONE scan with partial (sketch-merge) aggregation") {
+    val p = plan(PipelineOps.q122(spark, sfDir))
+    val scans = "FileScan|Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"approx profile should read lineitem once, found $scans scans:\n$p")
+    assert(p.contains("partial_"),
+      s"no map-side partial aggregation (sketches must merge, not recompute):\n$p")
+  }
+
   test("Q23 approx distinct is within 5% of exact at sf0.001") {
     import org.apache.spark.sql.functions._
     val approx = Aggregates.q23(spark, sfDir).collect()
