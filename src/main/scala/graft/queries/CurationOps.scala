@@ -50,26 +50,65 @@ object CurationOps {
       .orderBy($"doc_id".asc_nulls_first)
   }
 
-  val q94Sql: String = {
-    def round_(n: Int): String =
-      s"""lab$n AS (
-         |  SELECT l.id, least(l.cluster, coalesce(MIN(nb.cluster), l.cluster)) AS cluster
-         |  FROM lab${n - 1} l
-         |  LEFT JOIN e ON e.a = l.id
-         |  LEFT JOIN lab${n - 1} nb ON nb.id = e.b
-         |  GROUP BY l.id, l.cluster)""".stripMargin
+  /** One unrolled min-label round over the named symmetrised-edge CTE
+    * and `lab{n-1}` — shared by the q94 and q125 oracles so the
+    * unrolling can never diverge between the two cluster queries.
+    */
+  private def labRound(n: Int, edges: String = "e"): String =
+    s"""lab$n AS (
+       |  SELECT l.id, least(l.cluster, coalesce(MIN(nb.cluster), l.cluster)) AS cluster
+       |  FROM lab${n - 1} l
+       |  LEFT JOIN $edges ON $edges.a = l.id
+       |  LEFT JOIN lab${n - 1} nb ON nb.id = $edges.b
+       |  GROUP BY l.id, l.cluster)""".stripMargin
+
+  val q94Sql: String =
     s"""${LlmOps.ngramPairCtes},
        |e AS (SELECT d1 AS a, d2 AS b FROM pairs
        |      UNION ALL SELECT d2 AS a, d1 AS b FROM pairs),
        |lab0 AS (SELECT doc_id AS id, doc_id AS cluster FROM documents),
-       |${round_(1)},
-       |${round_(2)},
-       |${round_(3)},
+       |${labRound(1)},
+       |${labRound(2)},
+       |${labRound(3)},
        |sz AS (SELECT cluster, COUNT(*) AS n FROM lab3 GROUP BY cluster)
        |SELECT l.id AS doc_id, l.cluster, s.n AS cluster_size
        |FROM lab3 l JOIN sz s ON s.cluster = l.cluster
        |ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  /** Q125 — EMBEDDING near-dup CLUSTERS: the q94 closure over q69's
+    * banded-LSH cosine pair graph instead of the n-gram Jaccard graph —
+    * semantic duplicate GROUPS from the embedding space, the decision
+    * unit an embedding-dedup pipeline ships (q69 lists pairs; this
+    * collapses them into clusters with sizes). Same production path
+    * ([[graft.ops.Components.minLabelFixpoint]] via `clustersWithSize`),
+    * same oracle pattern: the DuckDB SQL unrolls 3 rounds over the
+    * IDENTICAL pair CTEs as q69 ([[LlmOps.q69PairCtes]]), valid because
+    * CurationSpec asserts fixpoint == unrolled-3 on this graph too.
+    */
+  def q125(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = t(spark, dir, "embeddings")
+    val pairs = Similarity.lshBandedPairs(emb, "vec_id", "embedding",
+      planes = LlmOps.q69Planes, bands = LlmOps.q69Bands, minCos6 = 0.4)
+    graft.core.CacheScope.adopt(Components.clustersWithSize(
+        pairs.select($"d1".as("a"), $"d2".as("b")),
+        emb.select($"vec_id".as("id"))))
+      .select($"id".as("vec_id"), $"cluster", $"cluster_size")
+      .orderBy($"vec_id".asc_nulls_first)
   }
+
+  val q125Sql: String =
+    s"""${LlmOps.q69PairCtes},
+       |adj AS (SELECT d1 AS a, d2 AS b FROM vpairs
+       |        UNION ALL SELECT d2 AS a, d1 AS b FROM vpairs),
+       |lab0 AS (SELECT vec_id AS id, vec_id AS cluster FROM embeddings),
+       |${labRound(1, "adj")},
+       |${labRound(2, "adj")},
+       |${labRound(3, "adj")},
+       |sz AS (SELECT cluster, COUNT(*) AS n FROM lab3 GROUP BY cluster)
+       |SELECT l.id AS vec_id, l.cluster, s.n AS cluster_size
+       |FROM lab3 l JOIN sz s ON s.cluster = l.cluster
+       |ORDER BY vec_id NULLS FIRST""".stripMargin
 
   /** Q95 — TF-IDF top-5 terms per document: tf from the token explode,
     * df from the distinct (doc, term) set, idf = ln(N/df), ranked on the
@@ -285,7 +324,8 @@ object CurationOps {
     "q96_sequence_packing" -> (q96 _),
     "q97_mixture_rebalance" -> (q97 _),
     "q98_int8_quantize" -> (q98 _),
-    "q99_zorder_key" -> (q99 _))
+    "q99_zorder_key" -> (q99 _),
+    "q125_embed_clusters" -> (q125 _))
 
   def oracles: Map[String, String] = Map(
     "q94_neardup_clusters" -> q94Sql,
@@ -293,5 +333,6 @@ object CurationOps {
     "q96_sequence_packing" -> q96Sql,
     "q97_mixture_rebalance" -> q97Sql,
     "q98_int8_quantize" -> q98Sql,
-    "q99_zorder_key" -> q99Sql)
+    "q99_zorder_key" -> q99Sql,
+    "q125_embed_clusters" -> q125Sql)
 }

@@ -320,7 +320,7 @@ object LlmOps {
     * both sides — the oracle embeds them as literals.
     */
   val q69Planes: Seq[Seq[Double]] = Similarity.hyperplanes(dim = 64, bits = 32, seed = 7L)
-  private val q69Bands = 8
+  val q69Bands = 8
 
   /** Q69 — embedding-cosine near-dup pairs via BANDED-LSH candidate
     * generation + exact post-filter ([[Similarity.lshBandedPairs]]): a
@@ -340,7 +340,11 @@ object LlmOps {
       .orderBy($"d1".asc_nulls_first, $"d2".asc_nulls_first)
   }
 
-  val q69Sql: String = {
+  /** The q69 pair-graph CTE prefix (e, banded, cand, vpairs) — shared by
+    * q69's pair listing and q125's cluster closure over the same graph,
+    * so the two oracles can never drift apart.
+    */
+  private[queries] val q69PairCtes: String = {
     val w = q69Planes.size / q69Bands
     // band b value = sum of sign bits of its 4 planes, identical bit order
     // to lshBucketRandom over the slice (1 << (w-1-j)); Double.toString
@@ -361,13 +365,18 @@ object LlmOps {
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
        |  FROM banded a JOIN banded b
-       |    ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id)
-       |SELECT c.d1, c.d2,
-       |  ROUND(list_dot_product(x.v, y.v) / (SQRT(list_dot_product(x.v, x.v)) * SQRT(list_dot_product(y.v, y.v))), 6) AS cos6
-       |FROM cand c JOIN e x ON x.vec_id = c.d1 JOIN e y ON y.vec_id = c.d2
-       |WHERE ROUND(list_dot_product(x.v, y.v) / (SQRT(list_dot_product(x.v, x.v)) * SQRT(list_dot_product(y.v, y.v))), 6) >= 0.4
-       |ORDER BY d1 NULLS FIRST, d2 NULLS FIRST""".stripMargin
+       |    ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id),
+       |vpairs AS (
+       |  SELECT c.d1, c.d2,
+       |    ROUND(list_dot_product(x.v, y.v) / (SQRT(list_dot_product(x.v, x.v)) * SQRT(list_dot_product(y.v, y.v))), 6) AS cos6
+       |  FROM cand c JOIN e x ON x.vec_id = c.d1 JOIN e y ON y.vec_id = c.d2
+       |  WHERE ROUND(list_dot_product(x.v, y.v) / (SQRT(list_dot_product(x.v, x.v)) * SQRT(list_dot_product(y.v, y.v))), 6) >= 0.4)""".stripMargin
   }
+
+  val q69Sql: String =
+    s"""$q69PairCtes
+       |SELECT d1, d2, cos6 FROM vpairs
+       |ORDER BY d1 NULLS FIRST, d2 NULLS FIRST""".stripMargin
 
   /** Q72 — IVF ANN over real k-means cells: deterministic Lloyd's
     * ([[graft.ops.Similarity.kmeansAssign]] — seed-by-lowest-ids init,

@@ -44,6 +44,24 @@ class CurationSpec extends SparkSpec {
     } finally pairs.unpersist(): Unit
   }
 
+  test("q125 oracle validity: fixpoint == unrolled-3 on the embedding pair graph") {
+    import spark.implicits._
+    val emb = graft.core.Tables.t(spark, sfDir, "embeddings")
+    val pairs = graft.ops.Similarity.lshBandedPairs(emb, "vec_id", "embedding",
+        planes = graft.queries.LlmOps.q69Planes,
+        bands = graft.queries.LlmOps.q69Bands, minCos6 = 0.4)
+      .select($"d1".as("a"), $"d2".as("b")).cache()
+    try {
+      val nodes = emb.select($"vec_id".as("id"))
+      val l3 = Components.minLabelRounds(pairs, nodes, 3)
+      val fix = Components.minLabelFixpoint(pairs, nodes)
+      try assert(l3.exceptAll(fix).isEmpty && fix.exceptAll(l3).isEmpty,
+        "fixpoint labels differ from the 3-round unrolled oracle twin " +
+          "on the embedding graph — the q125 oracle SQL is not a valid gate")
+      finally { Components.release(l3); Components.release(fix) }
+    } finally pairs.unpersist(): Unit
+  }
+
   test("fixpoint resolves a diameter-5 chain that 3 unrolled rounds provably cannot") {
     import spark.implicits._
     // path graph 20-21-22-23-24-25: min = 20, node 25 is 5 hops away
