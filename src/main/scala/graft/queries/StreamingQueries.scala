@@ -598,6 +598,77 @@ object StreamingQueries {
       |UNION ALL SELECT view_id, buy_id, uid FROM right_nulls
       |ORDER BY view_id NULLS FIRST, buy_id NULLS FIRST""".stripMargin
 
+  /** Q126 — STREAMING NEAR-DUP GATE: the continuous-ingestion dedup
+    * shape — each incoming document is fingerprinted map-side
+    * ([[graft.functions.SimHashFp]], 32 bits), exploded into 4 byte
+    * bands, and stream-static joined against the corpus' banded
+    * fingerprint index; candidates within Hamming ≤ 3 aggregate into a
+    * per-doc verdict (distinct dup count + nearest dup id). Docs with no
+    * candidates are restored by a batch left join at the end so every
+    * incoming doc gets a verdict row.
+    *
+    * Scale shape: the fingerprint+band explode is map-only on the
+    * stream; the static index is (4 rows × corpus) but keyed by
+    * (band, bv) — at 100 TB it lives bucketed on that key so the join
+    * co-locates, and the per-band bucket is ~n/256. The oracle is the
+    * identical batch computation over the same corpus (q81's CTE shape
+    * without the d1<d2 restriction).
+    */
+  def q126(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents")
+    val bandsOf = (fp: org.apache.spark.sql.Column) =>
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(fp, b * 8).bitwiseAND(lit(255L)).as("bv"))): _*))
+    val index = graft.ops.TextOps.simhashTable(docs, "doc_id", "text", bits = 32)
+      .select($"doc_id".as("idx_id"), $"fp".as("idx_fp"), bandsOf($"fp").as("b"))
+      .select($"idx_id", $"idx_fp", $"b.band", $"b.bv")
+    val stream = StreamOps.docsStream(spark, dir)
+      .select($"doc_id", graft.functions.SimHashFp.fp($"text", 32).as("fp"))
+      .filter($"fp".isNotNull)
+      .select($"doc_id", $"fp", bandsOf($"fp").as("b"))
+      .select($"doc_id", $"fp", $"b.band", $"b.bv")
+    val verdicts = stream.join(index, Seq("band", "bv"))
+      .filter($"idx_id" =!= $"doc_id" &&
+        expr("bit_count(fp ^ idx_fp)") <= 3)
+      .groupBy($"doc_id")
+      .agg(size(collect_set($"idx_id")).cast("long").as("n_dups"),
+        min($"idx_id").as("nearest_dup"))
+    runToMemory(verdicts, "q126_sink", "complete", finalWatermarkBatch = false)
+      .join(docs.select($"doc_id"), Seq("doc_id"), "right")
+      .select($"doc_id", coalesce($"n_dups", lit(0L)).as("n_dups"), $"nearest_dup")
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  val q126Sql: String = {
+    val bitSums = (0 until 32).map { i =>
+      s"SUM(CASE WHEN ((x >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS s$i"
+    }.mkString(", ")
+    val fpExpr = (0 until 32).map { i =>
+      s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString(" + ")
+    s"""${LlmOps.tokCte},
+       |dt AS (SELECT DISTINCT doc_id, t.tok FROM tok, UNNEST(toks) AS t(tok)),
+       |hx AS (SELECT doc_id, CAST(('0x' || substr(md5(tok),1,8)) AS BIGINT) AS x FROM dt),
+       |bits AS (SELECT doc_id, $bitSums FROM hx GROUP BY doc_id),
+       |fpt AS (SELECT doc_id, $fpExpr AS fp FROM bits),
+       |banded AS (
+       |  SELECT doc_id, fp, b.band, (fp >> (b.band * 8)) & 255 AS bv
+       |  FROM fpt, UNNEST(range(0, 4)) AS b(band)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d, b.doc_id AS o, a.fp AS f1, b.fp AS f2
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id <> b.doc_id),
+       |m AS (
+       |  SELECT d, COUNT(*) AS n_dups, MIN(o) AS nearest
+       |  FROM cand WHERE bit_count(xor(f1, f2)) <= 3 GROUP BY d)
+       |SELECT doc.doc_id, CAST(COALESCE(m.n_dups, 0) AS BIGINT) AS n_dups,
+       |  m.nearest AS nearest_dup
+       |FROM documents doc LEFT JOIN m ON m.d = doc.doc_id
+       |ORDER BY doc_id NULLS FIRST""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_tumbling_window" -> (q46 _),
     "q47_sliding_window" -> (q47 _),
@@ -614,7 +685,8 @@ object StreamingQueries {
     "q105_chained_window_agg" -> (q105 _),
     "q106_stream_semi_join" -> (q106 _),
     "q109_streaming_cdc_apply" -> (q109 _),
-    "q119_stream_full_outer_join" -> (q119 _))
+    "q119_stream_full_outer_join" -> (q119 _),
+    "q126_stream_neardup_gate" -> (q126 _))
 
   def oracles: Map[String, String] = Map(
     "q46_tumbling_window" -> q46Sql,
@@ -632,5 +704,6 @@ object StreamingQueries {
     "q105_chained_window_agg" -> q105Sql,
     "q106_stream_semi_join" -> q106Sql,
     "q109_streaming_cdc_apply" -> q109Sql,
-    "q119_stream_full_outer_join" -> q119Sql)
+    "q119_stream_full_outer_join" -> q119Sql,
+    "q126_stream_neardup_gate" -> q126Sql)
 }

@@ -39,23 +39,40 @@ object StreamOps {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema(eventsRawSchema)
-      .parquet(stageDir(dir))
+      .parquet(stageDir(dir, "events"))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Parquet schema of `documents` (file-source streams need it explicit). */
+  val docsRawSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Unbounded `documents` stream — the continuous-ingestion corpus shape
+    * (q126's incoming docs); same staged-directory file source as
+    * [[eventsStream]].
+    */
+  def docsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(docsRawSchema)
+      .parquet(stageDir(dir, "documents"))
+
   /** The file source wants a directory of files (the unbounded-ingest
     * shape); the fixture is a single parquet file. Stage a scratch dir
-    * with a symlink to it (per source dir, created once).
+    * with a symlink to it (per source dir + table, created once).
     */
-  private def stageDir(dir: String): String = {
+  private def stageDir(dir: String, table: String): String = {
     import java.nio.file.{Files, Paths}
     val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
     val base = Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      "graft_stream", s"events_$slug")
-    val link = base.resolve("events.parquet")
+      "graft_stream", s"${table}_$slug")
+    val link = base.resolve(s"$table.parquet")
     if (!Files.exists(link)) {
       Files.createDirectories(base)
-      Files.createSymbolicLink(link, Paths.get(dir, "events.parquet"))
+      Files.createSymbolicLink(link, Paths.get(dir, s"$table.parquet"))
     }
     base.toString
   }
