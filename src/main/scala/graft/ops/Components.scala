@@ -13,17 +13,20 @@ import org.apache.spark.sql.functions._
   * direct neighbors; after round R every node within graph distance R
   * of its component's minimum carries that minimum. Two drivers:
   *
-  *  - [[minLabelFixpoint]] — the PRODUCTION path: iterates until a
-  *    round changes zero labels (one cheap count on the already-cached
-  *    round frame), so chain-shaped dup graphs of ANY diameter get
-  *    correct clusters; a generous round cap turns a pathological graph
-  *    into a loud error instead of a silent mislabel. q94 and ScaleCheck
-  *    run this path (via [[clustersWithSize]]'s default).
+  *  - [[contractComponents]] — the PRODUCTION path ([[clustersWithSize]]
+  *    default, used by q94/q125/ScaleCheck): quotient-graph contraction
+  *    with path halving, O(log diameter) rounds, loud failure past the
+  *    round cap.
+  *  - [[minLabelFixpoint]] — plain propagation iterated until a round
+  *    changes zero labels: linear in diameter, kept as the
+  *    independently-implemented cross-check the specs compare the
+  *    contraction against.
   *  - [[minLabelRounds]] — the declared-round twin the DuckDB oracle
-  *    unrolls verbatim. CurationSpec asserts fixpoint == unrolled-3 on
-  *    the corpus (so the 3-round oracle SQL stays a valid gate for the
-  *    fixpoint production path) and that the fixpoint resolves a
-  *    diameter-5 chain that 3 rounds provably cannot.
+  *    unrolls verbatim. CurationSpec asserts production == unrolled-3 on
+  *    the documents corpus (so q94's 3-round oracle SQL stays a valid
+  *    gate) and that both full-closure drivers resolve chains that 3
+  *    rounds provably cannot; q125's oracle is a recursive closure
+  *    instead, valid at any diameter.
   *
   * Scale shape: each round is one shuffle of the (symmetrised) edge list
   * joined to the current labels plus a min-aggregation — all
@@ -43,6 +46,22 @@ object Components {
     */
   val MaxFixpointRounds = 64
 
+  /** Persist + materialise a round frame REBASED onto its computed RDD
+    * (a fresh LogicalRDD plan): without the rebase every round's plan
+    * embeds the previous round's 2–4 times, so the logical tree grows
+    * exponentially with rounds — analysis and AQE plan stringification
+    * then dominate (and OOM the driver) long before the data does. The
+    * data is computed exactly once (through the cache); at cluster
+    * scale the same role is played by reliable checkpointing every ~10
+    * rounds, which additionally truncates the RDD lineage for fault
+    * tolerance.
+    */
+  private def mat(df: DataFrame): DataFrame = {
+    val out = df.sparkSession.createDataFrame(df.rdd, df.schema).persist()
+    out.count(): Unit
+    out
+  }
+
   /** One propagation round. Returns a PERSISTED, materialised frame with
     * columns (id, __old, cluster) where __old is the incoming label —
     * kept so the caller can count changes without a second join. Labels
@@ -57,9 +76,7 @@ object Components {
       .select(col("id"), col("cluster").as("__old"),
         least(col("cluster"), coalesce(col("__nbmin"), col("cluster")))
           .as("cluster"))
-      .persist()
-    next.count(): Unit
-    next
+    mat(next)
   }
 
   /** Symmetrised, persisted, materialised edge list. The edges are
@@ -67,13 +84,9 @@ object Components {
     * expensive) upstream pair pipeline executes once per round.
     * Iterative graph algorithms cache their edges (GraphX does the same).
     */
-  private def symEdges(edges: DataFrame): DataFrame = {
-    val sym = edges.select(col("a"), col("b"))
-      .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
-      .persist()
-    sym.count(): Unit
-    sym
-  }
+  private def symEdges(edges: DataFrame): DataFrame =
+    mat(edges.select(col("a"), col("b"))
+      .unionAll(edges.select(col("b").as("a"), col("a").as("b"))))
 
   /** Re-cache the final round as a plain (id, cluster) frame and drop
     * the 3-col round cache, so the frame handed to the caller IS the
@@ -84,8 +97,7 @@ object Components {
     * not a recompute.
     */
   private def finalizeLabels(lastRound: DataFrame): DataFrame = {
-    val out = lastRound.select(col("id"), col("cluster")).persist()
-    out.count(): Unit
+    val out = mat(lastRound.select(col("id"), col("cluster")))
     lastRound.unpersist(): Unit
     out
   }
@@ -162,27 +174,105 @@ object Components {
     finalizeLabels(prevRound)
   }
 
+  /** TRUE connected components by CONTRACTION — min-label over the
+    * shrinking QUOTIENT graph with path halving, converging in O(log d)
+    * rounds where [[minLabelFixpoint]] needs d (component diameter):
+    *
+    *  - each round computes, per current cluster, the minimum over
+    *    itself and its quotient-neighbors (`f`), then composes it with
+    *    itself (`g = f∘f`, pointer jumping — a chain halves per round);
+    *  - node labels and the quotient edge set are rewritten through `g`;
+    *    merged clusters collapse, intra-cluster edges become self-loops
+    *    and are dropped, so the edge frame SHRINKS geometrically;
+    *  - converged when the quotient has no edges left — every component
+    *    is one cluster labeled by its minimum node id (merges only ever
+    *    decrease labels).
+    *
+    * This is the production path for chain-shaped duplicate graphs
+    * (measured: the q125 cosine graph has diameter 12 at sf0.1 — 13
+    * propagation rounds flat vs ~5 contracted). Same cache ownership
+    * contract as [[minLabelRounds]]; OpsSpec proves release() leaves the
+    * CacheManager empty, CurationSpec proves equality with
+    * [[minLabelFixpoint]] and with an in-memory union-find ground truth.
+    */
+  def contractComponents(edges: DataFrame, nodes: DataFrame,
+                         maxRounds: Int = MaxFixpointRounds): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    var labels = mat(nodes.select(col("id"), col("id").as("cluster")))
+    var qe = mat(edges
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct())
+    var edgeCount = qe.count()
+    var r = 0
+    while (edgeCount > 0L) {
+      r += 1
+      if (r > maxRounds) {
+        qe.unpersist(): Unit
+        labels.unpersist(): Unit
+        throw new IllegalStateException(
+          s"quotient graph still has $edgeCount edges after $maxRounds " +
+            "contraction rounds — raise maxRounds")
+      }
+      val sym = qe.select(col("a"), col("b"))
+        .unionAll(qe.select(col("b").as("a"), col("a").as("b")))
+      // f: cluster -> min(cluster, min neighbor); every cluster with an
+      // incident edge appears (isolated clusters keep their label via
+      // the left joins below)
+      val f = mat(sym.groupBy(col("a").as("c")).agg(min(col("b")).as("m"))
+        .select(col("c"), least(col("c"), col("m")).as("f")))
+      // g = f∘f: path halving — follow the merge target's own target
+      val g = mat(f.as("x")
+        .join(f.select(col("c").as("fc"), col("f").as("ff")).as("y"),
+          col("x.f") === col("fc"), "left")
+        .select(col("x.c").as("c"), coalesce(col("ff"), col("x.f")).as("g")))
+      val newLabels = mat(labels
+        .join(g, labels("cluster") === g("c"), "left")
+        .select(labels("id"),
+          coalesce(col("g"), labels("cluster")).as("cluster")))
+      val newQe = mat(qe
+        .join(g.select(col("c").as("a"), col("g").as("ga")), Seq("a"), "left")
+        .join(g.select(col("c").as("b"), col("g").as("gb")), Seq("b"), "left")
+        .select(coalesce(col("ga"), col("a")).as("na"),
+          coalesce(col("gb"), col("b")).as("nb"))
+        .select(least(col("na"), col("nb")).as("a"),
+          greatest(col("na"), col("nb")).as("b"))
+        .filter(col("a") =!= col("b")).distinct())
+      edgeCount = newQe.count()
+      qe.unpersist(): Unit
+      labels.unpersist(): Unit
+      f.unpersist(): Unit
+      g.unpersist(): Unit
+      qe = newQe
+      labels = newLabels
+    }
+    qe.unpersist(): Unit
+    labels
+  }
+
   /** Drop the cache backing a frame returned by [[minLabelRounds]] /
-    * [[minLabelFixpoint]] / [[clustersWithSize]] once the caller is done
-    * with it. Must be called on EXACTLY the returned frame (unpersist
-    * matches the dataset's own plan); derived projections won't release.
+    * [[minLabelFixpoint]] / [[contractComponents]] / [[clustersWithSize]]
+    * once the caller is done with it. Must be called on EXACTLY the
+    * returned frame (unpersist matches the dataset's own plan); derived
+    * projections won't release.
     */
   def release(labels: DataFrame): Unit = labels.unpersist(): Unit
 
   /** Labels plus the per-cluster size — the summary a dedup report
     * ships (every member knows its cluster and how many docs it
     * collapses with). `rounds` > 0 pins the declared-round twin (oracle
-    * unrolling); `rounds` <= 0 (default) runs [[minLabelFixpoint]], the
-    * production path. Same cache ownership contract: the returned frame
-    * is the one persisted entry (the inner labels cache is released
-    * before returning); callers hand it to [[release]] when done.
+    * unrolling); `rounds` <= 0 (default) runs [[contractComponents]],
+    * the production path (true components in O(log diameter) rounds).
+    * Same cache ownership contract: the returned frame is the one
+    * persisted entry (the inner labels cache is released before
+    * returning); callers hand it to [[release]] when done.
     */
   def clustersWithSize(edges: DataFrame, nodes: DataFrame,
                        rounds: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val labels =
       if (rounds > 0) minLabelRounds(edges, nodes, rounds)
-      else minLabelFixpoint(edges, nodes)
+      else contractComponents(edges, nodes)
     val out = labels.withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster"))))
       .persist()

@@ -79,11 +79,12 @@ object CurationOps {
     * banded-LSH cosine pair graph instead of the n-gram Jaccard graph —
     * semantic duplicate GROUPS from the embedding space, the decision
     * unit an embedding-dedup pipeline ships (q69 lists pairs; this
-    * collapses them into clusters with sizes). Same production path
-    * ([[graft.ops.Components.minLabelFixpoint]] via `clustersWithSize`),
-    * same oracle pattern: the DuckDB SQL unrolls 3 rounds over the
-    * IDENTICAL pair CTEs as q69 ([[LlmOps.q69PairCtes]]), valid because
-    * CurationSpec asserts fixpoint == unrolled-3 on this graph too.
+    * collapses them into clusters with sizes). Same production path as
+    * q94 (true components via `clustersWithSize`); the DuckDB oracle is
+    * a RECURSIVE transitive closure over the IDENTICAL pair CTEs as q69
+    * ([[LlmOps.q69PairCtes]]) — see [[q125Sql]] for why closure, not
+    * unrolling. CurationSpec additionally pins the result to an
+    * in-memory union-find ground truth.
     */
   def q125(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -97,18 +98,27 @@ object CurationOps {
       .orderBy($"vec_id".asc_nulls_first)
   }
 
+  /** q125's oracle computes TRUE components via a recursive transitive
+    * closure (`WITH RECURSIVE` reach + MIN over reachable ids) rather
+    * than q94's unrolled rounds: the cosine graph is chain-shaped
+    * (measured diameter 12 at sf0.1), so a fixed unrolling would only
+    * gate small scale factors while the closure is valid at ANY sf —
+    * exactly the property the fixpoint production path has.
+    */
   val q125Sql: String =
     s"""${LlmOps.q69PairCtes},
        |adj AS (SELECT d1 AS a, d2 AS b FROM vpairs
        |        UNION ALL SELECT d2 AS a, d1 AS b FROM vpairs),
-       |lab0 AS (SELECT vec_id AS id, vec_id AS cluster FROM embeddings),
-       |${labRound(1, "adj")},
-       |${labRound(2, "adj")},
-       |${labRound(3, "adj")},
-       |sz AS (SELECT cluster, COUNT(*) AS n FROM lab3 GROUP BY cluster)
-       |SELECT l.id AS vec_id, l.cluster, s.n AS cluster_size
-       |FROM lab3 l JOIN sz s ON s.cluster = l.cluster
+       |reach(a, b) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT r.a, e2.b FROM reach r JOIN adj e2 ON e2.a = r.b),
+       |lab AS (SELECT a AS id, MIN(b) AS cluster FROM reach GROUP BY a),
+       |sz AS (SELECT cluster, COUNT(*) AS n FROM lab GROUP BY cluster)
+       |SELECT l.id AS vec_id, l.cluster, CAST(s.n AS BIGINT) AS cluster_size
+       |FROM lab l JOIN sz s USING (cluster)
        |ORDER BY vec_id NULLS FIRST""".stripMargin
+      .replaceFirst("WITH ", "WITH RECURSIVE ")
 
   /** Q95 — TF-IDF top-5 terms per document: tf from the token explode,
     * df from the distinct (doc, term) set, idf = ln(N/df), ranked on the

@@ -36,15 +36,35 @@ class CurationSpec extends SparkSpec {
     try {
       val nodes = docs.select($"doc_id".as("id"))
       val l3 = Components.minLabelRounds(pairs, nodes, 3)
-      val fix = Components.minLabelFixpoint(pairs, nodes)
-      try assert(l3.exceptAll(fix).isEmpty && fix.exceptAll(l3).isEmpty,
-        "fixpoint labels differ from the 3-round unrolled oracle twin " +
-          "— the q94 oracle SQL is no longer a valid gate for this corpus")
-      finally { Components.release(l3); Components.release(fix) }
+      val con = Components.contractComponents(pairs, nodes)
+      try assert(l3.exceptAll(con).isEmpty && con.exceptAll(l3).isEmpty,
+        "production (contracted) labels differ from the 3-round unrolled " +
+          "oracle twin — the q94 oracle SQL is no longer a valid gate for this corpus")
+      finally { Components.release(l3); Components.release(con) }
     } finally pairs.unpersist(): Unit
   }
 
-  test("q125 oracle validity: fixpoint == unrolled-3 on the embedding pair graph") {
+  /** In-memory union-find over collected pairs — the independent ground
+    * truth the distributed drivers are pinned against.
+    */
+  private def unionFindTruth(pairRows: Seq[(Long, Long)],
+      nodeIds: Seq[Long]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map(nodeIds.map(i => i -> i): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairRows.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    nodeIds.map(i => i -> find(i)).toMap
+  }
+
+  test("q125 graph: contraction == fixpoint == union-find ground truth") {
     import spark.implicits._
     val emb = graft.core.Tables.t(spark, sfDir, "embeddings")
     val pairs = graft.ops.Similarity.lshBandedPairs(emb, "vec_id", "embedding",
@@ -53,13 +73,38 @@ class CurationSpec extends SparkSpec {
       .select($"d1".as("a"), $"d2".as("b")).cache()
     try {
       val nodes = emb.select($"vec_id".as("id"))
-      val l3 = Components.minLabelRounds(pairs, nodes, 3)
+      val truth = unionFindTruth(
+        pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq,
+        nodes.collect().map(_.getLong(0)).toSeq)
+      val con = Components.contractComponents(pairs, nodes)
       val fix = Components.minLabelFixpoint(pairs, nodes)
-      try assert(l3.exceptAll(fix).isEmpty && fix.exceptAll(l3).isEmpty,
-        "fixpoint labels differ from the 3-round unrolled oracle twin " +
-          "on the embedding graph — the q125 oracle SQL is not a valid gate")
-      finally { Components.release(l3); Components.release(fix) }
+      try {
+        val conMap = con.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val fixMap = fix.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(conMap == truth,
+          s"contraction diverges from union-find on ${conMap.count(kv => truth(kv._1) != kv._2)} nodes")
+        assert(fixMap == truth,
+          s"fixpoint diverges from union-find on ${fixMap.count(kv => truth(kv._1) != kv._2)} nodes")
+      } finally { Components.release(con); Components.release(fix) }
     } finally pairs.unpersist(): Unit
+  }
+
+  test("contraction resolves long chains in O(log d) rounds and fails loudly past the cap") {
+    import spark.implicits._
+    // path graph of 13 nodes (diameter 12 — the measured q125 shape at sf0.1)
+    val edges = (0L until 12L).map(i => (100L + i, 101L + i)).toDF("a", "b")
+    val nodes = (100L to 112L).toDF("id")
+    val con = Components.contractComponents(edges, nodes)
+    val conMap = con.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Components.release(con)
+    assert(conMap == (100L to 112L).map(_ -> 100L).toMap,
+      s"diameter-12 chain must collapse to 100: $conMap")
+    // log2(12) ~ 4 rounds needed; a cap of 1 must fail loudly, not under-merge
+    val ex = intercept[IllegalStateException] {
+      Components.contractComponents(edges, nodes, maxRounds = 1)
+    }
+    assert(ex.getMessage.contains("contraction rounds"),
+      s"unexpected failure message: ${ex.getMessage}")
   }
 
   test("fixpoint resolves a diameter-5 chain that 3 unrolled rounds provably cannot") {

@@ -516,11 +516,14 @@ class OpsSpec extends SparkSpec {
       "cache entries survived a clustersWithSize run + release")
     val fix = Components.minLabelFixpoint(edges, nodes)
     val r2 = Components.minLabelRounds(edges, nodes, 2)
-    assert(fix.storageLevel.useMemory && r2.storageLevel.useMemory,
-      "minLabel* must hand back the persisted frame itself")
+    val con = Components.contractComponents(edges, nodes)
+    assert(fix.storageLevel.useMemory && r2.storageLevel.useMemory
+        && con.storageLevel.useMemory,
+      "every Components driver must hand back the persisted frame itself")
     Components.release(fix)
     Components.release(r2)
+    Components.release(con)
     assert(CacheProbe.cacheIsEmpty(spark),
-      "minLabel* left cache entries after release")
+      "a Components driver left cache entries after release")
   }
 }
