@@ -328,6 +328,78 @@ object CurationOps {
        |SELECT o_orderkey, xb, yb, $zInterleaveSql AS zkey
        |FROM b ORDER BY zkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin
 
+  /** Q127 — DEDUP APPLY: the step after q94's decision — materialise the
+    * deduplicated corpus (keep each cluster's representative, the
+    * cluster-minimum doc) to parquet, read it back, and report the
+    * per-language shrink (docs and chars kept vs dropped). This is the
+    * artifact a dedup pipeline actually ships: q86 finds pairs, q94
+    * labels clusters, q127 WRITES the surviving corpus. The write is
+    * application-scoped scratch ([[graft.core.Scratch]], JVM-exit
+    * cleaned); layout must never change results — the oracle computes
+    * the identical report from the raw table.
+    */
+  def q127(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents")
+    val pairs = MinHashDedup.ngramJaccardPairs(docs, "doc_id", "text",
+      gramN = 5, rowsPerBand = 2, minJaccard = 0.5)
+    val cs = graft.core.CacheScope.adopt(Components.clustersWithSize(
+      pairs.select($"d1".as("a"), $"d2".as("b")),
+      docs.select($"doc_id".as("id"))))
+    val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val out = graft.core.Scratch.deleteOnExit(
+      java.nio.file.Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        "graft-dedup", s"docs_${slug}_${spark.sparkContext.applicationId}").toString)
+    docs.join(cs, docs("doc_id") === cs("id"))
+      .filter($"doc_id" === $"cluster") // the cluster representative survives
+      .select(docs("doc_id"), $"lang", $"text", $"n_chars")
+      .write.mode("overwrite").parquet(out)
+    val kept = spark.read.parquet(out)
+      .groupBy($"lang").agg(
+        count(lit(1)).as("n_kept"),
+        sum($"n_chars").as("chars_kept"))
+    docs.groupBy($"lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("chars_total"))
+      .join(kept, Seq("lang"), "left")
+      .select($"lang", $"n_docs",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        ($"n_docs" - coalesce($"n_kept", lit(0L))).as("n_dropped"),
+        coalesce($"chars_kept", lit(0L)).as("chars_kept"),
+        ($"chars_total" - coalesce($"chars_kept", lit(0L))).as("chars_dropped"))
+      .orderBy($"lang".asc_nulls_first)
+  }
+
+  /** The oracle applies the identical keep rule (doc == its cluster min,
+    * clusters from the same 3-round unrolling as q94 — valid per the
+    * corpus convergence spec) without any layout write: layout
+    * independence is exactly what the gate checks.
+    */
+  val q127Sql: String =
+    s"""${LlmOps.ngramPairCtes},
+       |e AS (SELECT d1 AS a, d2 AS b FROM pairs
+       |      UNION ALL SELECT d2 AS a, d1 AS b FROM pairs),
+       |lab0 AS (SELECT doc_id AS id, doc_id AS cluster FROM documents),
+       |${labRound(1)},
+       |${labRound(2)},
+       |${labRound(3)},
+       |k AS (
+       |  SELECT d.lang, COUNT(*) AS n_kept,
+       |    CAST(SUM(d.n_chars) AS BIGINT) AS chars_kept
+       |  FROM documents d JOIN lab3 l ON l.id = d.doc_id
+       |  WHERE d.doc_id = l.cluster GROUP BY d.lang),
+       |tot AS (
+       |  SELECT lang, COUNT(*) AS n_docs,
+       |    CAST(SUM(n_chars) AS BIGINT) AS chars_total
+       |  FROM documents GROUP BY lang)
+       |SELECT t.lang, t.n_docs,
+       |  COALESCE(k.n_kept, 0) AS n_kept,
+       |  t.n_docs - COALESCE(k.n_kept, 0) AS n_dropped,
+       |  COALESCE(k.chars_kept, 0) AS chars_kept,
+       |  t.chars_total - COALESCE(k.chars_kept, 0) AS chars_dropped
+       |FROM tot t LEFT JOIN k ON k.lang = t.lang
+       |ORDER BY t.lang NULLS FIRST""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q94_neardup_clusters" -> (q94 _),
     "q95_tfidf_terms" -> (q95 _),
@@ -335,7 +407,8 @@ object CurationOps {
     "q97_mixture_rebalance" -> (q97 _),
     "q98_int8_quantize" -> (q98 _),
     "q99_zorder_key" -> (q99 _),
-    "q125_embed_clusters" -> (q125 _))
+    "q125_embed_clusters" -> (q125 _),
+    "q127_dedup_apply" -> (q127 _))
 
   def oracles: Map[String, String] = Map(
     "q94_neardup_clusters" -> q94Sql,
@@ -344,5 +417,6 @@ object CurationOps {
     "q97_mixture_rebalance" -> q97Sql,
     "q98_int8_quantize" -> q98Sql,
     "q99_zorder_key" -> q99Sql,
-    "q125_embed_clusters" -> q125Sql)
+    "q125_embed_clusters" -> q125Sql,
+    "q127_dedup_apply" -> q127Sql)
 }
