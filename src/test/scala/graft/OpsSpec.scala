@@ -183,6 +183,31 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("property: contracted components == union-find on random graphs") {
+    val genEdges = Gen.listOfN(25,
+      Gen.zip(Gen.chooseNum(0L, 29L), Gen.chooseNum(0L, 29L)))
+    // a handful of random graphs (self-loops and duplicates included on
+    // purpose — the driver must tolerate both); truth via union-find
+    for (raw <- samples(genEdges, n = 4)) {
+      val edges = raw.toDF("a", "b")
+      val nodes = (0L to 29L).toDF("id")
+      val parent = scala.collection.mutable.Map((0L to 29L).map(i => i -> i): _*)
+      def find(x: Long): Long = {
+        var r = x; while (parent(r) != r) r = parent(r); r
+      }
+      raw.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val truth = (0L to 29L).map(i => i -> find(i)).toMap
+      val con = Components.contractComponents(edges, nodes)
+      val got = con.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      Components.release(con)
+      assert(got == truth,
+        s"contraction diverges from union-find on edges $raw: $got vs $truth")
+    }
+  }
+
   test("property: filter then project commutes with project then filter") {
     for (xs <- samples(Gen.nonEmptyListOf(Gen.chooseNum(-50, 50)))) {
       val df = xs.toDF("x")
