@@ -137,6 +137,32 @@ class CurationSpec extends SparkSpec {
       s"unexpected failure message: ${ex.getMessage}")
   }
 
+  test("q127 shrink report is self-consistent and keeps exactly one doc per cluster") {
+    import spark.implicits._
+    val out = CurationOps.q127(spark, sfDir).cache()
+    try {
+      assert(out.count() > 0)
+      // bands: kept + dropped == total, chars likewise, nothing negative
+      assert(out.filter($"n_kept" + $"n_dropped" =!= $"n_docs").isEmpty,
+        "kept + dropped != total docs")
+      assert(out.filter($"n_kept" < 1 || $"n_dropped" < 0 || $"chars_dropped" < 0).isEmpty,
+        "impossible shrink numbers")
+      // cross-check against the cluster structure: kept == number of clusters
+      val docs = graft.core.Tables.t(spark, sfDir, "documents")
+      val pairs = graft.ops.MinHashDedup.ngramJaccardPairs(docs, "doc_id", "text",
+        gramN = 5, rowsPerBand = 2, minJaccard = 0.5)
+      val cs = Components.clustersWithSize(
+        pairs.select($"d1".as("a"), $"d2".as("b")),
+        docs.select($"doc_id".as("id")))
+      try {
+        val nClusters = cs.select($"cluster").distinct().count()
+        val totalKept = out.agg(sum($"n_kept")).head.getLong(0)
+        assert(totalKept == nClusters,
+          s"kept $totalKept docs but the graph has $nClusters clusters")
+      } finally Components.release(cs)
+    } finally out.unpersist(): Unit
+  }
+
   test("q95 ranks are 1..5 and scores never increase within a doc") {
     import spark.implicits._
     val out = CurationOps.q95(spark, sfDir).cache()
