@@ -56,7 +56,7 @@ object Components {
     * rounds, which additionally truncates the RDD lineage for fault
     * tolerance.
     */
-  private def mat(df: DataFrame): DataFrame = {
+  private[ops] def mat(df: DataFrame): DataFrame = {
     val out = df.sparkSession.createDataFrame(df.rdd, df.schema).persist()
     out.count(): Unit
     out

@@ -281,6 +281,63 @@ object BehaviorOps {
       |  user_id, cnt, skew6
       |FROM top ORDER BY rank NULLS FIRST""".stripMargin
 
+  /** Q128 — BATCH SESSIONIZATION: gap-based session islands over the
+    * event stream (a new session starts when a user is idle longer than
+    * 30 minutes), the batch twin of the streaming session window (q48)
+    * and the canonical first step of behavioral feature pipelines.
+    * Classic islands shape ([[graft.ops.Sessionize.byGap]], the op the
+    * streaming-equivalence OpsSpec test already pins): lag() flags
+    * session starts, a running sum over the same (user_id, ts) window
+    * numbers them, then one grouped pass summarises each session. All
+    * three steps share the user_id hash partitioning — ONE shuffle
+    * end-to-end (the two window operators reuse the sort, the
+    * aggregation's (user_id, sess_seq) clustering is satisfied by the
+    * user_id distribution); PlanSpec pins the single-exchange shape.
+    * Timestamps are compared in epoch microseconds (i64) on both
+    * engines, so gap logic and durations are integer-exact.
+    */
+  def q128(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = t(spark, dir, "events")
+      .select($"user_id", $"event_id", $"event_type", $"ts")
+    val sess = graft.ops.Sessionize.byGap(ev, $"user_id", $"ts",
+      gapSeconds = 1800, sessionCol = "sess_seq")
+    sess.groupBy($"user_id", $"sess_seq")
+      .agg(count(lit(1)).as("n_events"),
+        (max(unix_micros($"ts")) - min(unix_micros($"ts"))).as("duration_us"),
+        countDistinct($"event_type").as("n_types"))
+      .orderBy($"user_id".asc_nulls_first, $"sess_seq".asc_nulls_first)
+  }
+
+  /** Session-boundary flags compare timestamps in epoch MICROseconds
+    * (`Sessionize.byGap` uses `unix_micros`; DuckDB side `epoch_us` over
+    * the ns→µs cast), so the gap predicate and durations are i64-exact
+    * on both engines. The lag/sum windows order by the timestamp only (no
+    * tiebreaker): the boundary flags are order-independent under ties
+    * (equal timestamps have gap 0), so the per-session sums agree no
+    * matter which tie order each engine picks.
+    */
+  val q128Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |g AS (
+      |  SELECT *,
+      |    CASE WHEN lag(us) OVER w IS NULL
+      |              OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+      |s AS (
+      |  SELECT *,
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+      |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_seq
+      |  FROM g)
+      |SELECT user_id, sess_seq, COUNT(*) AS n_events,
+      |       MAX(us) - MIN(us) AS duration_us,
+      |       COUNT(DISTINCT event_type) AS n_types
+      |FROM s GROUP BY user_id, sess_seq
+      |ORDER BY user_id NULLS FIRST, sess_seq NULLS FIRST""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q115_funnel" -> (q115 _),
     "q116_retention_cohorts" -> (q116 _),
@@ -288,7 +345,8 @@ object BehaviorOps {
     "q118_quantile_bands" -> (q118 _),
     "q120_sql_text_entry" -> (q120 _),
     "q121_skew_report" -> (q121 _),
-    "q123_approx_bands" -> (q123 _))
+    "q123_approx_bands" -> (q123 _),
+    "q128_batch_sessionize" -> (q128 _))
 
   def oracles: Map[String, String] = Map(
     "q115_funnel" -> q115Sql,
@@ -296,5 +354,6 @@ object BehaviorOps {
     "q117_weighted_sample" -> q117Sql,
     "q118_quantile_bands" -> q118Sql,
     "q120_sql_text_entry" -> q120Sql,
-    "q121_skew_report" -> q121Sql)
+    "q121_skew_report" -> q121Sql,
+    "q128_batch_sessionize" -> q128Sql)
 }

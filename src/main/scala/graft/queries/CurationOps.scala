@@ -400,6 +400,58 @@ object CurationOps {
        |FROM tot t LEFT JOIN k ON k.lang = t.lang
        |ORDER BY t.lang NULLS FIRST""".stripMargin
 
+  /** Q129 — GRAPH CENTRALITY (integer-scaled PageRank, 5 damped rounds)
+    * over the q86/q94 n-gram similarity graph: the representative-
+    * selection signal a dedup pipeline uses when "lowest doc_id" is too
+    * naive — the highest-rank member of a duplicate cluster is its most
+    * central (best-connected) exemplar, and on a web-link graph the same
+    * op is the classic source-quality weight for pretraining mixes.
+    * All arithmetic is i64 ([[graft.ops.GraphRank]]: ranks in 1e-9
+    * units, per-edge shares by integer floor division) so the
+    * distributed sum is order-independent and the oracle can hash-match
+    * exactly — the q101 fixed-point trick applied to an ITERATIVE
+    * algorithm. One shuffle per round on the cached mirrored edge list;
+    * plans stay constant-size via the [[graft.ops.Components.mat]]
+    * rebase.
+    */
+  def q129(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents")
+    val pairs = MinHashDedup.ngramJaccardPairs(docs, "doc_id", "text",
+      gramN = 5, rowsPerBand = 2, minJaccard = 0.5)
+    graft.core.CacheScope.adopt(
+        graft.ops.GraphRank.pagerank(
+          pairs.select($"d1".as("a"), $"d2".as("b")), rounds = 5))
+      .select($"id".as("doc_id"), $"rank")
+      .orderBy($"rank".desc, $"doc_id".asc_nulls_first)
+  }
+
+  /** One unrolled damped update: rank'(b) = 0.15*Scale +
+    * 85 * sum over neighbors a of (rank(a) // deg(a)) // 100, all BIGINT
+    * (the SUM is cast back down from DuckDB's HUGEINT before the 85*
+    * so every intermediate stays i64, matching Spark exactly).
+    */
+  private def rankRound(n: Int): String =
+    s"""r$n AS (
+       |  SELECT e.b AS id,
+       |         150000000 + (85 * CAST(SUM(r.rank // d.deg) AS BIGINT)) // 100 AS rank
+       |  FROM e JOIN r${n - 1} r ON r.id = e.a JOIN deg d ON d.id = e.a
+       |  GROUP BY e.b)""".stripMargin
+
+  val q129Sql: String =
+    s"""${LlmOps.ngramPairCtes},
+       |e AS (SELECT d1 AS a, d2 AS b FROM pairs
+       |      UNION ALL SELECT d2 AS a, d1 AS b FROM pairs),
+       |deg AS (SELECT a AS id, COUNT(*) AS deg FROM e GROUP BY a),
+       |r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS rank FROM deg),
+       |${rankRound(1)},
+       |${rankRound(2)},
+       |${rankRound(3)},
+       |${rankRound(4)},
+       |${rankRound(5)}
+       |SELECT id AS doc_id, rank FROM r5
+       |ORDER BY rank DESC, doc_id ASC""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q94_neardup_clusters" -> (q94 _),
     "q95_tfidf_terms" -> (q95 _),
@@ -408,7 +460,8 @@ object CurationOps {
     "q98_int8_quantize" -> (q98 _),
     "q99_zorder_key" -> (q99 _),
     "q125_embed_clusters" -> (q125 _),
-    "q127_dedup_apply" -> (q127 _))
+    "q127_dedup_apply" -> (q127 _),
+    "q129_pagerank" -> (q129 _))
 
   def oracles: Map[String, String] = Map(
     "q94_neardup_clusters" -> q94Sql,
@@ -418,5 +471,6 @@ object CurationOps {
     "q98_int8_quantize" -> q98Sql,
     "q99_zorder_key" -> q99Sql,
     "q125_embed_clusters" -> q125Sql,
-    "q127_dedup_apply" -> q127Sql)
+    "q127_dedup_apply" -> q127Sql,
+    "q129_pagerank" -> q129Sql)
 }

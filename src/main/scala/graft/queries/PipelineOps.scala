@@ -417,6 +417,97 @@ object PipelineOps {
       |FROM s
       |ORDER BY o_custkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin
 
+  /** Application-scoped scratch root for q130/q131 layout experiments
+    * (same pattern as [[zorderOutDir]]; JVM-exit cleanup via Scratch).
+    * Shared with PipelineOpsSpec's file-count assertions.
+    */
+  def layoutDir(spark: SparkSession, dir: String, op: String): String = {
+    val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+    graft.core.Scratch.deleteOnExit(
+      java.nio.file.Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-$op", s"docs_${slug}_${spark.sparkContext.applicationId}").toString)
+  }
+
+  /** Q130 — SCHEMA-EVOLUTION READ: a corpus written in two generations
+    * (an early batch with the minimal 3-column schema, a later batch
+    * that added `source`/`n_chars`) read back as ONE table via parquet
+    * `mergeSchema` — columns absent in old files surface as NULL, the
+    * lakehouse schema-evolution contract every long-lived ingestion
+    * pipeline depends on (at 100 TB you never rewrite old files to add
+    * a column). The query proves the merged read end-to-end: write both
+    * generations to scratch, merge-read, and summarise per (lang,
+    * generation) — the oracle computes the same summary from the raw
+    * table, so any row lost or column misaligned by the merge breaks
+    * the hash.
+    */
+  def q130(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents")
+    val out = layoutDir(spark, dir, "schemaevo")
+    // generation 1: even doc_ids, pre-evolution schema (no source/n_chars)
+    docs.filter($"doc_id" % 2 === 0).select($"doc_id", $"text", $"lang")
+      .write.mode("overwrite").parquet(s"$out/gen=1")
+    // generation 2: odd doc_ids, full current schema
+    docs.filter($"doc_id" % 2 === 1)
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      .write.mode("overwrite").parquet(s"$out/gen=2")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$out/gen=1", s"$out/gen=2")
+    merged.groupBy($"lang", $"source".isNotNull.as("has_extras"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("sum_chars"),
+        sum(length($"text")).as("sum_text_len"))
+      .orderBy($"lang".asc_nulls_first, $"has_extras".asc_nulls_first)
+  }
+
+  val q130Sql: String =
+    """SELECT lang, (doc_id % 2 = 1) AS has_extras, COUNT(*) AS n_docs,
+      |       CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT) AS sum_chars,
+      |       CAST(SUM(length(text)) AS BIGINT) AS sum_text_len
+      |FROM documents
+      |GROUP BY lang, has_extras
+      |ORDER BY lang NULLS FIRST, has_extras NULLS FIRST""".stripMargin
+
+  /** Q131 — SMALL-FILE COMPACTION (the lakehouse OPTIMIZE shape): a
+    * corpus fragmented into 64 tiny parquet files is rewritten into
+    * ceil(bytes / target) range-partitioned files (floored at 1), and the
+    * compacted copy is read back in full — the oracle is the raw table
+    * itself, so compaction provably changes LAYOUT and never DATA.
+    * Range partitioning by doc_id (not round-robin) so each output file
+    * covers a disjoint key range and stays skippable by min/max stats,
+    * like q107's z-order layout. The target-file-count rule is the real
+    * production knob (size-based, not count-based); the 256 KiB target is
+    * scaled to the fixture — at cluster scale the same code with a
+    * 256 MiB–1 GiB target is exactly Delta/Iceberg OPTIMIZE.
+    * PipelineOpsSpec asserts the file counts (64 before, the computed
+    * target after) on disk.
+    */
+  def q131(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents")
+    val out = layoutDir(spark, dir, "compact")
+    docs.repartition(64, $"doc_id")
+      .write.mode("overwrite").parquet(s"$out/small")
+    val small = spark.read.parquet(s"$out/small")
+    val fs = new org.apache.hadoop.fs.Path(s"$out/small")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(new org.apache.hadoop.fs.Path(s"$out/small"))
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    val target = math.max(1L, (bytes + TargetFileBytes - 1) / TargetFileBytes).toInt
+    small.repartitionByRange(target, $"doc_id")
+      .write.mode("overwrite").parquet(s"$out/compacted")
+    spark.read.parquet(s"$out/compacted")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  /** q131's size target, fixture-scaled (production: 256 MiB–1 GiB). */
+  val TargetFileBytes: Long = 256L * 1024
+
+  val q131Sql: String =
+    """SELECT doc_id, text, lang, source, n_chars FROM documents
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q100_boiler_lines" -> (q100 _),
     "q101_bm25_topk" -> (q101 _),
@@ -425,7 +516,9 @@ object PipelineOps {
     "q104_col_profile" -> (q104 _),
     "q107_zorder_layout" -> (q107 _),
     "q108_scd2_dimension" -> (q108 _),
-    "q122_approx_profile" -> (q122 _))
+    "q122_approx_profile" -> (q122 _),
+    "q130_schema_evolution" -> (q130 _),
+    "q131_compaction" -> (q131 _))
 
   def oracles: Map[String, String] = Map(
     "q100_boiler_lines" -> q100Sql,
@@ -434,5 +527,7 @@ object PipelineOps {
     "q103_merge_upsert" -> q103Sql,
     "q104_col_profile" -> q104Sql,
     "q107_zorder_layout" -> q107Sql,
-    "q108_scd2_dimension" -> q108Sql)
+    "q108_scd2_dimension" -> q108Sql,
+    "q130_schema_evolution" -> q130Sql,
+    "q131_compaction" -> q131Sql)
 }

@@ -208,6 +208,37 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("property: integer pagerank == in-memory reference on random graphs") {
+    val genEdges = Gen.listOfN(25,
+      Gen.zip(Gen.chooseNum(0L, 19L), Gen.chooseNum(0L, 19L)))
+    // self-loops and duplicate edges included on purpose — the op must
+    // canonicalise them away; truth is the same integer recurrence run
+    // sequentially (Java / on positives == floor == Spark's div)
+    for (raw <- samples(genEdges, n = 3)) {
+      val canon = raw.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      if (canon.nonEmpty) {
+        val sym = canon ++ canon.map(_.swap)
+        val deg = sym.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+        var rank = deg.keys.map(_ -> GraphRank.Scale).toMap
+        for (_ <- 1 to 4) {
+          val share = rank.map { case (id, r) => id -> r / deg(id) }
+          val in = sym.groupBy(_._2)
+            .map { case (b, es) => b -> es.map(e => share(e._1)).sum }
+          rank = in.map { case (id, s) => id -> (GraphRank.Base + 85L * s / 100L) }
+        }
+        val got = GraphRank.pagerank(raw.toDF("a", "b"), rounds = 4)
+        val gotMap = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        Components.release(got)
+        // frame-local cache proof (the session is shared across suites,
+        // so a global CacheManager-empty assert would race other tests)
+        assert(got.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+          "pagerank's returned frame is still cached after release()")
+        assert(gotMap == rank, s"pagerank diverges from reference on $raw")
+      }
+    }
+  }
+
   test("property: filter then project commutes with project then filter") {
     for (xs <- samples(Gen.nonEmptyListOf(Gen.chooseNum(-50, 50)))) {
       val df = xs.toDF("x")

@@ -117,6 +117,39 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q130: mergeSchema surfaces NULL for pre-evolution columns, both generations read") {
+    val rows = PipelineOps.q130(spark, sfDir).collect()
+    val legacy = rows.filter(r => !r.getBoolean(1))
+    val modern = rows.filter(r => r.getBoolean(1))
+    assert(legacy.nonEmpty && modern.nonEmpty,
+      s"expected both generations in the merged read, got ${rows.toSeq}")
+    // sum_chars comes from a column absent in gen-1 files → NULL there
+    assert(legacy.forall(_.isNullAt(3)),
+      s"legacy generation should have NULL sum_chars: ${legacy.toSeq}")
+    assert(modern.forall(!_.isNullAt(3)),
+      s"modern generation lost its n_chars values: ${modern.toSeq}")
+  }
+
+  test("q131: compaction changes layout, never data — fragmented in, size-targeted files out") {
+    PipelineOps.q131(spark, sfDir).write.format("noop").mode("overwrite").save()
+    val out = PipelineOps.layoutDir(spark, sfDir, "compact")
+    def parquetFiles(p: String) =
+      Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+    val small = parquetFiles(s"$out/small")
+    val compacted = parquetFiles(s"$out/compacted")
+    val bytes = small.map(_.length).sum
+    val expected = math.max(1L,
+      (bytes + PipelineOps.TargetFileBytes - 1) / PipelineOps.TargetFileBytes).toInt
+    assert(small.length > compacted.length,
+      s"compaction did not reduce file count: ${small.length} -> ${compacted.length}")
+    assert(compacted.length == expected,
+      s"expected $expected size-targeted files ($bytes bytes in), got ${compacted.length}")
+    val nIn = spark.read.parquet(s"$out/small").count()
+    val nOut = spark.read.parquet(s"$out/compacted").count()
+    assert(nIn == nOut, s"compaction changed row count: $nIn -> $nOut")
+  }
+
   test("q108: SCD2 intervals chain per customer and exactly one row is current") {
     import spark.implicits._
     val out = PipelineOps.q108(spark, sfDir).cache()

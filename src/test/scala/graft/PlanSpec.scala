@@ -126,6 +126,14 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("Q128 sessionization is ONE hash exchange end-to-end (windows + agg share user_id)") {
+    val p = plan(BehaviorOps.q128(spark, sfDir))
+    val n = "Exchange hashpartitioning".r.findAllMatchIn(p).size
+    assert(n == 1,
+      s"expected exactly 1 hash exchange (lag, running sum and the session agg " +
+        s"all cluster by user_id), got $n:\n$p")
+  }
+
   test("Q86 n-gram Jaccard candidate join is an equi-join on band keys (no cartesian)") {
     val p = plan(LlmOps.q86(spark, sfDir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
