@@ -31,12 +31,11 @@ import org.apache.spark.sql.functions._
   * Scale shape: each round is one shuffle of the (symmetrised) edge list
   * joined to the current labels plus a min-aggregation — all
   * hash-partitioned by node id, nothing driver-side, edges never
-  * materialise beyond the verified pair set. Rounds needed = component
-  * diameter; near-dup graphs are unions of near-cliques (diameter 1–3),
-  * so the fixpoint loop typically runs 2–4 rounds. For adversarial
-  * long-chain graphs the classic large-star/small-star contraction
-  * (O(log d) rounds) is the next step; the fixpoint loop stays correct
-  * there, just linear in diameter.
+  * materialise beyond the verified pair set. Near-dup graphs are unions
+  * of near-cliques (diameter 1–3) where either driver runs 2–5 rounds;
+  * for long-chain graphs (the q125 cosine graph measures diameter 12)
+  * contraction's O(log d) wins, which is why it is the production
+  * default.
   */
 object Components {
 
@@ -58,8 +57,44 @@ object Components {
     */
   private[ops] def mat(df: DataFrame): DataFrame = {
     val out = df.sparkSession.createDataFrame(df.rdd, df.schema).persist()
-    out.count(): Unit
+    // persist() registers with the CacheManager BEFORE the materialising
+    // count — if the count fails (transient executor loss), drop the
+    // entry rather than leak it in a long-lived job server.
+    try out.count(): Unit
+    catch { case t: Throwable => out.unpersist(): Unit; throw t }
     out
+  }
+
+  /** Tracks the round frames a driver currently holds persisted, so a
+    * Spark action failing mid-loop (transient executor loss in a
+    * long-lived job server) releases every intermediate instead of
+    * leaking corpus-sized cache entries until the session dies. Success
+    * paths still unpersist eagerly per round (dropping frames from the
+    * tracker); the tracker only pays on the exceptional exit.
+    */
+  private[ops] final class LiveFrames {
+    private val live = new java.util.IdentityHashMap[DataFrame, Unit]()
+    def mat(df: DataFrame): DataFrame = {
+      val m = Components.mat(df); live.put(m, ()); m
+    }
+    def track(df: DataFrame): DataFrame = { live.put(df, ()); df }
+    def drop(df: DataFrame): Unit =
+      if (df ne null) { df.unpersist(): Unit; live.remove(df): Unit }
+    /** Keep `df` persisted but stop tracking it (the caller now owns it). */
+    def handOff(df: DataFrame): DataFrame = { live.remove(df): Unit; df }
+    def releaseAll(): Unit = {
+      live.keySet.forEach(df => df.unpersist(): Unit)
+      live.clear()
+    }
+  }
+
+  /** Run `body` with a [[LiveFrames]] tracker; any throw releases every
+    * still-tracked frame before propagating.
+    */
+  private[ops] def withLive[A](body: LiveFrames => A): A = {
+    val lf = new LiveFrames
+    try body(lf)
+    catch { case t: Throwable => lf.releaseAll(); throw t }
   }
 
   /** One propagation round. Returns a PERSISTED, materialised frame with
@@ -119,23 +154,25 @@ object Components {
   def minLabelRounds(edges: DataFrame, nodes: DataFrame,
                      rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val sym = symEdges(edges)
-    // Each round references the previous labels frame TWICE (neighbor
-    // lookup + self), so an unpersisted chain re-executes round k
-    // 2^(rounds-k) times. Persist per round, materialise, drop the
-    // previous round — the standard iterative-dataflow shape.
-    var labels = nodes.select(col("id"), col("id").as("cluster"))
-    var prevRound: DataFrame = null
-    for (_ <- 1 to rounds) {
-      val next = round1(sym, labels)
-      if (prevRound ne null) prevRound.unpersist(): Unit
-      prevRound = next
-      labels = next.select(col("id"), col("cluster"))
+    withLive { lf =>
+      val sym = lf.track(symEdges(edges))
+      // Each round references the previous labels frame TWICE (neighbor
+      // lookup + self), so an unpersisted chain re-executes round k
+      // 2^(rounds-k) times. Persist per round, materialise, drop the
+      // previous round — the standard iterative-dataflow shape.
+      var labels = nodes.select(col("id"), col("id").as("cluster"))
+      var prevRound: DataFrame = null
+      for (_ <- 1 to rounds) {
+        val next = lf.track(round1(sym, labels))
+        lf.drop(prevRound)
+        prevRound = next
+        labels = next.select(col("id"), col("cluster"))
+      }
+      // The final labels are re-cached as the returned frame, so later
+      // actions on it never re-read sym — safe to drop the edge cache now.
+      lf.drop(sym)
+      lf.handOff(finalizeLabels(prevRound))
     }
-    // The final labels are re-cached as the returned frame, so later
-    // actions on it never re-read sym — safe to drop the edge cache now.
-    sym.unpersist(): Unit
-    finalizeLabels(prevRound)
   }
 
   /** True connected components: min-label propagation iterated until a
@@ -149,29 +186,29 @@ object Components {
   def minLabelFixpoint(edges: DataFrame, nodes: DataFrame,
                        maxRounds: Int = MaxFixpointRounds): DataFrame = {
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
-    val sym = symEdges(edges)
-    var labels = nodes.select(col("id"), col("id").as("cluster"))
-    var prevRound: DataFrame = null
-    var changed = 1L
-    var r = 0
-    while (changed > 0L) {
-      r += 1
-      if (r > maxRounds) {
-        sym.unpersist(): Unit
-        if (prevRound ne null) prevRound.unpersist(): Unit
-        throw new IllegalStateException(
-          s"component labels still changing after $maxRounds rounds — " +
-            "graph diameter exceeds the cap; raise maxRounds or switch " +
-            "to star-contraction")
+    withLive { lf =>
+      val sym = lf.track(symEdges(edges))
+      var labels = nodes.select(col("id"), col("id").as("cluster"))
+      var prevRound: DataFrame = null
+      var changed = 1L
+      var r = 0
+      while (changed > 0L) {
+        r += 1
+        if (r > maxRounds)
+          // withLive releases sym + prevRound on the way out
+          throw new IllegalStateException(
+            s"component labels still changing after $maxRounds rounds — " +
+              "graph diameter exceeds the cap; raise maxRounds or switch " +
+              "to star-contraction")
+        val next = lf.track(round1(sym, labels))
+        changed = next.filter(col("cluster") < col("__old")).count()
+        lf.drop(prevRound)
+        prevRound = next
+        labels = next.select(col("id"), col("cluster"))
       }
-      val next = round1(sym, labels)
-      changed = next.filter(col("cluster") < col("__old")).count()
-      if (prevRound ne null) prevRound.unpersist(): Unit
-      prevRound = next
-      labels = next.select(col("id"), col("cluster"))
+      lf.drop(sym)
+      lf.handOff(finalizeLabels(prevRound))
     }
-    sym.unpersist(): Unit
-    finalizeLabels(prevRound)
   }
 
   /** TRUE connected components by CONTRACTION — min-label over the
@@ -198,56 +235,56 @@ object Components {
   def contractComponents(edges: DataFrame, nodes: DataFrame,
                          maxRounds: Int = MaxFixpointRounds): DataFrame = {
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
-    var labels = mat(nodes.select(col("id"), col("id").as("cluster")))
-    var qe = mat(edges
-      .select(least(col("a"), col("b")).as("a"),
-        greatest(col("a"), col("b")).as("b"))
-      .filter(col("a") =!= col("b")).distinct())
-    var edgeCount = qe.count()
-    var r = 0
-    while (edgeCount > 0L) {
-      r += 1
-      if (r > maxRounds) {
-        qe.unpersist(): Unit
-        labels.unpersist(): Unit
-        throw new IllegalStateException(
-          s"quotient graph still has $edgeCount edges after $maxRounds " +
-            "contraction rounds — raise maxRounds")
-      }
-      val sym = qe.select(col("a"), col("b"))
-        .unionAll(qe.select(col("b").as("a"), col("a").as("b")))
-      // f: cluster -> min(cluster, min neighbor); every cluster with an
-      // incident edge appears (isolated clusters keep their label via
-      // the left joins below)
-      val f = mat(sym.groupBy(col("a").as("c")).agg(min(col("b")).as("m"))
-        .select(col("c"), least(col("c"), col("m")).as("f")))
-      // g = f∘f: path halving — follow the merge target's own target
-      val g = mat(f.as("x")
-        .join(f.select(col("c").as("fc"), col("f").as("ff")).as("y"),
-          col("x.f") === col("fc"), "left")
-        .select(col("x.c").as("c"), coalesce(col("ff"), col("x.f")).as("g")))
-      val newLabels = mat(labels
-        .join(g, labels("cluster") === g("c"), "left")
-        .select(labels("id"),
-          coalesce(col("g"), labels("cluster")).as("cluster")))
-      val newQe = mat(qe
-        .join(g.select(col("c").as("a"), col("g").as("ga")), Seq("a"), "left")
-        .join(g.select(col("c").as("b"), col("g").as("gb")), Seq("b"), "left")
-        .select(coalesce(col("ga"), col("a")).as("na"),
-          coalesce(col("gb"), col("b")).as("nb"))
-        .select(least(col("na"), col("nb")).as("a"),
-          greatest(col("na"), col("nb")).as("b"))
+    withLive { lf =>
+      var labels = lf.mat(nodes.select(col("id"), col("id").as("cluster")))
+      var qe = lf.mat(edges
+        .select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
         .filter(col("a") =!= col("b")).distinct())
-      edgeCount = newQe.count()
-      qe.unpersist(): Unit
-      labels.unpersist(): Unit
-      f.unpersist(): Unit
-      g.unpersist(): Unit
-      qe = newQe
-      labels = newLabels
+      var edgeCount = qe.count()
+      var r = 0
+      while (edgeCount > 0L) {
+        r += 1
+        if (r > maxRounds)
+          // withLive releases qe + labels (+ round frames) on the way out
+          throw new IllegalStateException(
+            s"quotient graph still has $edgeCount edges after $maxRounds " +
+              "contraction rounds — raise maxRounds")
+        val sym = qe.select(col("a"), col("b"))
+          .unionAll(qe.select(col("b").as("a"), col("a").as("b")))
+        // f: cluster -> min(cluster, min neighbor); every cluster with an
+        // incident edge appears (isolated clusters keep their label via
+        // the left joins below)
+        val f = lf.mat(sym.groupBy(col("a").as("c")).agg(min(col("b")).as("m"))
+          .select(col("c"), least(col("c"), col("m")).as("f")))
+        // g = f∘f: path halving — follow the merge target's own target
+        val g = lf.mat(f.as("x")
+          .join(f.select(col("c").as("fc"), col("f").as("ff")).as("y"),
+            col("x.f") === col("fc"), "left")
+          .select(col("x.c").as("c"), coalesce(col("ff"), col("x.f")).as("g")))
+        val newLabels = lf.mat(labels
+          .join(g, labels("cluster") === g("c"), "left")
+          .select(labels("id"),
+            coalesce(col("g"), labels("cluster")).as("cluster")))
+        val newQe = lf.mat(qe
+          .join(g.select(col("c").as("a"), col("g").as("ga")), Seq("a"), "left")
+          .join(g.select(col("c").as("b"), col("g").as("gb")), Seq("b"), "left")
+          .select(coalesce(col("ga"), col("a")).as("na"),
+            coalesce(col("gb"), col("b")).as("nb"))
+          .select(least(col("na"), col("nb")).as("a"),
+            greatest(col("na"), col("nb")).as("b"))
+          .filter(col("a") =!= col("b")).distinct())
+        edgeCount = newQe.count()
+        lf.drop(qe)
+        lf.drop(labels)
+        lf.drop(f)
+        lf.drop(g)
+        qe = newQe
+        labels = newLabels
+      }
+      lf.drop(qe)
+      lf.handOff(labels)
     }
-    qe.unpersist(): Unit
-    labels
   }
 
   /** Drop the cache backing a frame returned by [[minLabelRounds]] /
@@ -276,7 +313,10 @@ object Components {
     val out = labels.withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster"))))
       .persist()
-    out.count(): Unit
+    try out.count(): Unit
+    catch { case t: Throwable =>
+      out.unpersist(): Unit; release(labels); throw t
+    }
     release(labels)
     out
   }

@@ -11,8 +11,15 @@ import org.apache.spark.sql.functions._
   * Determinism contract: ranks are carried as BIGINT in units of 1e-9
   * (`Scale`), every per-edge share is an integer floor-division of the
   * source rank by its degree, and the damping update is
-  * `base + (85 * sum_shares) div 100` — all i64 operations, so the result
-  * is bit-identical no matter what order a distributed sum reduces in.
+  * `base + (s div 100) * 85 + ((s % 100) * 85) div 100` for `s = sum of
+  * in-shares` — algebraically identical to `(85 * s) div 100` for
+  * non-negative `s`, but the largest intermediate is `85 * (s div 100)`,
+  * so it cannot overflow i64 until total graph mass approaches
+  * ~1.1e19/85 ≈ 1.3e17 rank units (~1.3e8 nodes' worth of mass landing
+  * on ONE node) — two orders of magnitude beyond the naive form's bound,
+  * and past the point where the Scale carrier itself would need
+  * widening. All i64 operations, so the result is bit-identical no
+  * matter what order a distributed sum reduces in.
   * That is what makes a DuckDB oracle possible at all: a double-valued
   * PageRank would differ in the last ulp between engines (and between two
   * Spark runs with different partition counts). Same trick as q101's BM25
@@ -54,39 +61,46 @@ object GraphRank {
     */
   def pagerank(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    // Canonicalise once (drop self-loops, dedup by unordered endpoint
-    // pair), cache, THEN mirror — mirroring an uncached plan would run
-    // the dedup shuffle twice, once per union branch.
-    val canon = Components.mat(edges
-      .select(col("a"), col("b")).filter(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("a"),
-        greatest(col("a"), col("b")).as("b"))
-      .distinct())
-    val sym = Components.mat(canon.unionAll(
-      canon.select(col("b").as("a"), col("a").as("b"))))
-    canon.unpersist(): Unit
-    // Degree per node — one grouped count, cached for every round.
-    val deg = Components.mat(
-      sym.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg")))
-    var ranks = Components.mat(
-      deg.select(col("id"), lit(Scale).as("rank")))
-    for (_ <- 1 to rounds) {
-      // share(a) = rank(a) div deg(a): computed once per node, then
-      // joined to the edge list — the join carries one slim (id, share)
-      // row per node, not the full rank frame per edge.
-      val share = ranks.join(deg, Seq("id"))
-        .select(col("id").as("a"), expr("rank div deg").as("share"))
-      val next = Components.mat(sym
-        .join(share, Seq("a"))
-        .groupBy(col("b").as("id"))
-        .agg(sum(col("share")).as("s"))
-        .select(col("id"),
-          (lit(Base) + expr("(85 * s) div 100")).as("rank")))
-      ranks.unpersist(): Unit
-      ranks = next
+    // Any mid-loop action failure releases every still-live intermediate
+    // (same discipline as the Components drivers) — a long-lived job
+    // server must not leak corpus-sized caches on a transient executor
+    // loss.
+    Components.withLive { lf =>
+      // Canonicalise once (drop self-loops, dedup by unordered endpoint
+      // pair), cache, THEN mirror — mirroring an uncached plan would run
+      // the dedup shuffle twice, once per union branch.
+      val canon = lf.mat(edges
+        .select(col("a"), col("b")).filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+        .distinct())
+      val sym = lf.mat(canon.unionAll(
+        canon.select(col("b").as("a"), col("a").as("b"))))
+      lf.drop(canon)
+      // Degree per node — one grouped count, cached for every round.
+      val deg = lf.mat(
+        sym.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg")))
+      var ranks = lf.mat(
+        deg.select(col("id"), lit(Scale).as("rank")))
+      for (_ <- 1 to rounds) {
+        // share(a) = rank(a) div deg(a): computed once per node, then
+        // joined to the edge list — the join carries one slim (id, share)
+        // row per node, not the full rank frame per edge.
+        val share = ranks.join(deg, Seq("id"))
+          .select(col("id").as("a"), expr("rank div deg").as("share"))
+        val next = lf.mat(sym
+          .join(share, Seq("a"))
+          .groupBy(col("b").as("id"))
+          .agg(sum(col("share")).as("s"))
+          .select(col("id"),
+            (lit(Base) +
+              expr("(s div 100) * 85 + ((s % 100) * 85) div 100")).as("rank")))
+        lf.drop(ranks)
+        ranks = next
+      }
+      lf.drop(deg)
+      lf.drop(sym)
+      lf.handOff(ranks)
     }
-    deg.unpersist(): Unit
-    sym.unpersist(): Unit
-    ranks
   }
 }

@@ -17,9 +17,10 @@ import graft.ops.{Components, MinHashDedup, Similarity, TextOps}
 object CurationOps {
 
   /** Q94 — near-dup CLUSTERS: TRUE connected components of the q86
-    * n-gram Jaccard pair graph — min-label propagation iterated to
-    * fixpoint ([[graft.ops.Components.minLabelFixpoint]], the production
-    * path), so duplicate chains of ANY diameter collapse correctly.
+    * n-gram Jaccard pair graph — quotient-graph contraction with path
+    * halving ([[graft.ops.Components.contractComponents]], the production
+    * path; `minLabelFixpoint` survives as the property-test cross-check),
+    * so duplicate chains of ANY diameter collapse in O(log d) rounds.
     * q87's keeper is one hop; this is the closure — every member of a
     * duplicate cluster maps to the cluster's minimum doc_id, plus the
     * cluster size a dedup report ships.
@@ -426,17 +427,21 @@ object CurationOps {
       .orderBy($"rank".desc, $"doc_id".asc_nulls_first)
   }
 
-  /** One unrolled damped update: rank'(b) = 0.15*Scale +
-    * 85 * sum over neighbors a of (rank(a) // deg(a)) // 100, all BIGINT
-    * (the SUM is cast back down from DuckDB's HUGEINT before the 85*
-    * so every intermediate stays i64, matching Spark exactly).
+  /** One unrolled damped update over s = sum of neighbor in-shares
+    * (rank(a) // deg(a)), all BIGINT: the overflow-safe decomposition
+    * `(s // 100) * 85 + ((s % 100) * 85) // 100` — identical to
+    * `(85 * s) // 100` for s >= 0 but the largest intermediate is
+    * `85 * (s // 100)`, matching [[graft.ops.GraphRank]]'s i64 form
+    * exactly (the SUM is cast down from DuckDB's HUGEINT first so every
+    * intermediate stays i64).
     */
   private def rankRound(n: Int): String =
     s"""r$n AS (
-       |  SELECT e.b AS id,
-       |         150000000 + (85 * CAST(SUM(r.rank // d.deg) AS BIGINT)) // 100 AS rank
-       |  FROM e JOIN r${n - 1} r ON r.id = e.a JOIN deg d ON d.id = e.a
-       |  GROUP BY e.b)""".stripMargin
+       |  SELECT id,
+       |         150000000 + (s // 100) * 85 + ((s % 100) * 85) // 100 AS rank
+       |  FROM (SELECT e.b AS id, CAST(SUM(r.rank // d.deg) AS BIGINT) AS s
+       |        FROM e JOIN r${n - 1} r ON r.id = e.a JOIN deg d ON d.id = e.a
+       |        GROUP BY e.b))""".stripMargin
 
   val q129Sql: String =
     s"""${LlmOps.ngramPairCtes},

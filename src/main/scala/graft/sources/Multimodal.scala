@@ -217,17 +217,33 @@ object Multimodal {
     var (ch, rate, bits) = (0, 0, 0)
     var data: Option[(Int, Int)] = None // (offset, len)
     var o = 12
-    while (o + 8 <= content.length) { // RIFF chunk walk
+    var malformed = false
+    while (!malformed && o + 8 <= content.length) { // RIFF chunk walk
       val id = tag(o)
       val len = u32le(content, o + 4).toInt
-      if (id == "fmt " && o + 8 + 16 <= content.length) {
-        ch = u16le(content, o + 10)
-        rate = u32le(content, o + 12).toInt
-        bits = u16le(content, o + 22)
-      } else if (id == "data")
-        data = Some((o + 8, math.min(len, content.length - o - 8)))
-      o += 8 + len + (len & 1) // chunks are word-aligned
+      // A chunk length >= 2^31 goes negative in the i32 narrow; trusting
+      // it would walk the offset BACKWARDS and loop forever in an
+      // executor. Treat any len the buffer can't hold as malformed and
+      // degrade to the fingerprint path (the final chunk alone may be
+      // truncated — tolerate that for `data`, which clamps below).
+      if (len < 0 || (id != "data" && o.toLong + 8 + len > content.length))
+        malformed = true
+      else {
+        if (id == "fmt " && len >= 16 && o + 8 + 16 <= content.length) {
+          ch = u16le(content, o + 10)
+          rate = u32le(content, o + 12).toInt
+          bits = u16le(content, o + 22)
+        } else if (id == "data")
+          data = Some((o + 8, math.min(len, content.length - o - 8)))
+        // Long-arithmetic advance: a near-2^31 len would wrap an i32 sum
+        // negative and re-enter the loop; clamp to end-of-buffer instead.
+        val next = o.toLong + 8 + len + (len & 1) // chunks are word-aligned
+        o = if (next > content.length) content.length else next.toInt
+      }
     }
+    if (malformed)
+      return MediaFeature(path, content.length.toLong, kindOf(path), 0, 0, 0, 0,
+        fingerprint(content))
     // 8-bin amplitude histogram over the decoded 16-bit samples
     val feats = data match {
       case Some((off, len)) if bits == 16 =>

@@ -100,11 +100,16 @@ class CurationSpec extends SparkSpec {
     assert(conMap == (100L to 112L).map(_ -> 100L).toMap,
       s"diameter-12 chain must collapse to 100: $conMap")
     // log2(12) ~ 4 rounds needed; a cap of 1 must fail loudly, not under-merge
+    spark.catalog.clearCache()
     val ex = intercept[IllegalStateException] {
       Components.contractComponents(edges, nodes, maxRounds = 1)
     }
     assert(ex.getMessage.contains("contraction rounds"),
       s"unexpected failure message: ${ex.getMessage}")
+    // the exceptional exit must release every mid-loop intermediate — a
+    // long-lived job server can't leak corpus-sized caches on failure
+    assert(org.apache.spark.sql.graft.CacheProbe.cacheIsEmpty(spark),
+      "contraction leaked persisted round frames on its failure path")
   }
 
   test("fixpoint resolves a diameter-5 chain that 3 unrolled rounds provably cannot") {
@@ -130,11 +135,14 @@ class CurationSpec extends SparkSpec {
     val edges = Seq((20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L), (24L, 25L))
       .toDF("a", "b")
     val nodes = (20L to 25L).toDF("id")
+    spark.catalog.clearCache()
     val ex = intercept[IllegalStateException] {
       Components.minLabelFixpoint(edges, nodes, maxRounds = 2)
     }
     assert(ex.getMessage.contains("still changing"),
       s"unexpected failure message: ${ex.getMessage}")
+    assert(org.apache.spark.sql.graft.CacheProbe.cacheIsEmpty(spark),
+      "fixpoint leaked persisted round frames on its failure path")
   }
 
   test("q127 shrink report is self-consistent and keeps exactly one doc per cluster") {

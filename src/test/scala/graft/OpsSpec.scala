@@ -324,6 +324,47 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("malformed WAV chunk lengths degrade to fingerprint instead of looping") {
+    import graft.sources.Multimodal
+    def wavHeader(): java.io.ByteArrayOutputStream = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write("RIFF".getBytes("US-ASCII")); b.write(Array[Byte](36, 0, 0, 0))
+      b.write("WAVE".getBytes("US-ASCII")); b
+    }
+    // Chunk length 0xFFFFFFF0 narrows to a NEGATIVE i32 — trusting it
+    // would move the walk offset backwards and spin an executor forever.
+    val evil = { val b = wavHeader()
+      b.write("junk".getBytes("US-ASCII"))
+      b.write(Array[Byte](0xf0.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte))
+      b.write(new Array[Byte](16)); b.toByteArray }
+    val f = Multimodal.decode("evil.wav", evil)
+    assert(f.kind == "audio" && f.channels == 0 && f.sampleRate == 0,
+      "malformed len must fall back to the fingerprint path")
+    assert(f.features.length == 8)
+    // A chunk whose declared length overruns the buffer (non-data) is
+    // also malformed — reject rather than read past the next chunk.
+    val overrun = { val b = wavHeader()
+      b.write("fmt ".getBytes("US-ASCII"))
+      b.write(Array[Byte](64, 0, 0, 0)) // declares 64 bytes, only 4 present
+      b.write(new Array[Byte](4)); b.toByteArray }
+    val g = Multimodal.decode("overrun.wav", overrun)
+    assert(g.channels == 0 && g.sampleRate == 0)
+    // But a TRUNCATED final data chunk still decodes (clamped) — real
+    // files cut mid-upload should keep their parsed fmt metadata.
+    val truncated = { val b = wavHeader()
+      b.write("fmt ".getBytes("US-ASCII"))
+      b.write(Array[Byte](16, 0, 0, 0))
+      b.write(Array[Byte](1, 0, 2, 0)) // PCM, 2 channels
+      b.write(Array[Byte](0x44, 0xac.toByte, 0, 0)) // 44100 Hz
+      b.write(Array[Byte](0x10, 0xb1.toByte, 2, 0, 4, 0, 16, 0)) // rates, 16-bit
+      b.write("data".getBytes("US-ASCII"))
+      b.write(Array[Byte](0, 4, 0, 0)) // declares 1024, only 8 present
+      b.write(new Array[Byte](8)); b.toByteArray }
+    val h = Multimodal.decode("truncated.wav", truncated)
+    assert(h.channels == 2 && h.sampleRate == 44100,
+      s"truncated data chunk should keep fmt metadata, got ch=${h.channels} rate=${h.sampleRate}")
+  }
+
   test("binary chunking round-trips content and balances row sizes") {
     import graft.sources.Multimodal
     val payloads = Seq(
