@@ -70,12 +70,19 @@ final class JobRunner(
       s"task ${spec.taskId} ${spec.modelClass}.${spec.method} started")
     val outcome =
       try {
-        model match {
-          case pm: PartitionedEtlModel => runPartitioned(spec, pm)
-          // method dispatch — getattr(model, method)(**kwargs) analogue
-          // (control/process.py:99-100); unknown method = InvalidTaskSpec
-          case m => TaskComplete(
-            dispatchable(m, spec)(ctx, spec.methodKwargs).count())
+        // Per-task cache scope: any CacheScope.track/adopt the model's
+        // query code performs is released when THIS task's action
+        // completes (or fails) — and only this task's; concurrent tasks
+        // each run in their own scope (the global-buffer alternative
+        // would let one task's release unpersist another's live caches).
+        graft.core.CacheScope.scoped {
+          model match {
+            case pm: PartitionedEtlModel => runPartitioned(spec, pm)
+            // method dispatch — getattr(model, method)(**kwargs) analogue
+            // (control/process.py:99-100); unknown method = InvalidTaskSpec
+            case m => TaskComplete(
+              dispatchable(m, spec)(ctx, spec.methodKwargs).count())
+          }
         }
       } catch {
         case e: SubTaskFailedException =>

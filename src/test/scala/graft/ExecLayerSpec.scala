@@ -80,6 +80,43 @@ private class NeedsInit extends PartitionedEtlModel {
   }
 }
 
+// Two cache-owning models for the per-task CacheScope test. The slow one
+// tracks a cache, then waits until the quick one has fully COMPLETED (its
+// task scope released) before asserting its own cache is still live — the
+// exact interleaving where a process-global cache registry would let one
+// task's release unpersist the other's in-flight cache.
+private object CacheOwnership {
+  val slowTracked = new java.util.concurrent.CountDownLatch(1)
+  val quickDone = new java.util.concurrent.CountDownLatch(1)
+}
+
+private class SlowCacheOwner extends EtlModel {
+  override def name = "SlowCacheEtl"
+  override def build(ctx: EngineContext): DataFrame = {
+    val df = graft.core.CacheScope.track(ctx.spark.range(100).toDF())
+    df.count(): Unit // materialise the cache entry
+    CacheOwnership.slowTracked.countDown()
+    require(CacheOwnership.quickDone.await(60,
+        java.util.concurrent.TimeUnit.SECONDS),
+      "peer task did not finish in time")
+    require(df.storageLevel.useMemory,
+      "peer task's completion released THIS task's live cache (cross-release)")
+    df
+  }
+}
+
+private class QuickCacheOwner extends EtlModel {
+  override def name = "QuickCacheEtl"
+  override def build(ctx: EngineContext): DataFrame = {
+    require(CacheOwnership.slowTracked.await(60,
+        java.util.concurrent.TimeUnit.SECONDS),
+      "slow task never tracked its cache")
+    val df = graft.core.CacheScope.track(ctx.spark.range(50).toDF())
+    df.count(): Unit
+    df
+  }
+}
+
 // a deliberately slow distributed job (sleep per row) for cancel tests
 private class CrawlModel extends EtlModel {
   override def name = "CrawlEtl"
@@ -235,6 +272,24 @@ class ExecLayerSpec extends SparkSpec {
       runner.submit(TaskSpec(modelClass = "SlowEtl"), blockMillis = 50))
     Await.result(f1, 60.seconds)
     assert(runner.availableCapacity == 1)
+  }
+
+  test("concurrent tasks own separate cache scopes and both release on completion") {
+    import org.apache.spark.sql.graft.CacheProbe
+    spark.catalog.clearCache()
+    val (reg, _, runner) = freshRunner(maxConcurrent = 2)
+    reg.register(new SlowCacheOwner)
+    reg.register(new QuickCacheOwner)
+    val fSlow = runner.submit(TaskSpec(modelClass = "SlowCacheEtl"))
+    val fQuick = runner.submit(TaskSpec(modelClass = "QuickCacheEtl"))
+    // quick finishes (and releases its task scope) while slow still holds
+    // a live cache; any TaskFailed here means the in-task requires fired
+    assert(Await.result(fQuick, 120.seconds) == TaskComplete(50))
+    CacheOwnership.quickDone.countDown()
+    assert(Await.result(fSlow, 120.seconds) == TaskComplete(100))
+    assert(CacheProbe.cacheIsEmpty(spark),
+      "task completion must release every task-scoped cache")
+    runner.close()
   }
 
   test("cancel kills a running task's Spark jobs (A19, shutdown analogue)") {
