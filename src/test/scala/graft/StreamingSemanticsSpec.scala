@@ -160,6 +160,58 @@ class StreamingSemanticsSpec extends SparkSpec {
     assert(all == Seq(1L, 2L, 3L, 4L, 5L), s"got $all")
   }
 
+  test("q126 gate evicts per-doc state across micro-batches (bounded state)") {
+    import graft.queries.StreamingQueries
+    val dir = Files.createTempDirectory("graft_gate").toString
+    // identical text → every doc is every other doc's near-dup, so each
+    // streamed doc forms an aggregation group (state row) on arrival
+    def write(ids: Seq[Long]): Unit = {
+      ids.map(i => (i, "alpha beta gamma delta epsilon zeta"))
+        .toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(s"$dir/data")
+      Thread.sleep(1100) // distinct mtimes → deterministic batch order
+    }
+    // three ingest waves, 100s apart on the doc_id-derived clock: by the
+    // time wave 3 arrives the 10s watermark is far past waves 1 and 2
+    write(Seq(0L, 1L, 2L, 3L, 4L))
+    write(Seq(100L, 101L, 102L, 103L, 104L))
+    write(Seq(200L, 201L, 202L, 203L, 204L))
+    val allIds = (0L to 4L) ++ (100L to 104L) ++ (200L to 204L)
+    val corpus = allIds.map(i => (i, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1") // one wave per micro-batch
+      .parquet(s"$dir/data")
+      // same epoch-0 shift as q126: a row whose event time equals the
+      // INITIAL watermark (epoch 0) is dropped as late
+      .select($"doc_id", $"text",
+        ($"doc_id" + 86400L).cast("timestamp").as("ing_ts"))
+    val verdicts = StreamingQueries.neardupGateVerdicts(
+      stream, StreamingQueries.neardupIndex(corpus), "10 seconds")
+    val q = verdicts.writeStream.format("memory").queryName("gate_evict_sink")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // completeness: every doc got exactly one verdict, counting all 14 dups
+    val got = spark.table("gate_evict_sink")
+      .select($"doc_id", $"n_dups").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(got.map(_._1).sorted == allIds.sorted, s"got $got")
+    assert(got.forall(_._2 == 14L), s"wrong dup counts: $got")
+    // eviction: the state store must NOT hold one row per doc ever seen.
+    // The final watermark (204s - 10s) passes waves 1 and 2 and the final
+    // no-data batch evicts them; only wave 3's 5 groups may remain.
+    val lastState = q.recentProgress.reverse
+      .find(_.stateOperators.nonEmpty)
+      .map(_.stateOperators(0).numRowsTotal)
+    assert(lastState.exists(_ <= 5),
+      s"state rows were never evicted: final state size = $lastState " +
+        s"(15 docs streamed; unbounded growth at continuous ingest)")
+  }
+
   test("q73 fixture guard: no view window end coincides with the final watermark") {
     // The q73 oracle closes windows with `view_ts + 5min <= cut`; Spark's
     // symmetric hash join evicts with strict-inequality/ms adjustments
