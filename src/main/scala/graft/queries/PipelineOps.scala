@@ -428,6 +428,28 @@ object PipelineOps {
         s"graft-$op", s"docs_${slug}_${spark.sparkContext.applicationId}").toString)
   }
 
+  /** Write `docs` as two schema generations under `out` (gen=1: the
+    * minimal pre-evolution 3-column schema, even doc_ids; gen=2: the
+    * full current schema, odd doc_ids) and merge-read them back as one
+    * table. The `gen` partition directory becomes an EXPLICIT generation
+    * column on the merged read — the generation marker is the write-time
+    * fact itself, never a data-dependent proxy like `source IS NOT NULL`
+    * (which would misclassify a gen-2 row whose source happens to be
+    * NULL). PipelineOpsSpec proves exactly that case.
+    */
+  def generationMergeRead(docs: DataFrame, out: String): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.filter($"doc_id" % 2 === 0).select($"doc_id", $"text", $"lang")
+      .write.mode("overwrite").parquet(s"$out/gen=1")
+    docs.filter($"doc_id" % 2 === 1)
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      .write.mode("overwrite").parquet(s"$out/gen=2")
+    s.read.option("mergeSchema", "true")
+      .option("basePath", out)
+      .parquet(s"$out/gen=1", s"$out/gen=2")
+  }
+
   /** Q130 — SCHEMA-EVOLUTION READ: a corpus written in two generations
     * (an early batch with the minimal 3-column schema, a later batch
     * that added `source`/`n_chars`) read back as ONE table via parquet
@@ -437,36 +459,32 @@ object PipelineOps {
     * a column). The query proves the merged read end-to-end: write both
     * generations to scratch, merge-read, and summarise per (lang,
     * generation) — the oracle computes the same summary from the raw
-    * table, so any row lost or column misaligned by the merge breaks
-    * the hash.
+    * table using the same write-split rule (doc_id parity), so any row
+    * lost or column misaligned by the merge breaks the hash. Both sides
+    * key off the explicit generation, not the presence of the evolved
+    * columns ([[generationMergeRead]]).
     */
   def q130(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = t(spark, dir, "documents")
     val out = layoutDir(spark, dir, "schemaevo")
-    // generation 1: even doc_ids, pre-evolution schema (no source/n_chars)
-    docs.filter($"doc_id" % 2 === 0).select($"doc_id", $"text", $"lang")
-      .write.mode("overwrite").parquet(s"$out/gen=1")
-    // generation 2: odd doc_ids, full current schema
-    docs.filter($"doc_id" % 2 === 1)
-      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
-      .write.mode("overwrite").parquet(s"$out/gen=2")
-    val merged = spark.read.option("mergeSchema", "true")
-      .parquet(s"$out/gen=1", s"$out/gen=2")
-    merged.groupBy($"lang", $"source".isNotNull.as("has_extras"))
+    generationMergeRead(docs, out)
+      .groupBy($"lang", $"gen".cast("long").as("generation"))
       .agg(count(lit(1)).as("n_docs"),
         sum($"n_chars").as("sum_chars"),
         sum(length($"text")).as("sum_text_len"))
-      .orderBy($"lang".asc_nulls_first, $"has_extras".asc_nulls_first)
+      .orderBy($"lang".asc_nulls_first, $"generation".asc_nulls_first)
   }
 
   val q130Sql: String =
-    """SELECT lang, (doc_id % 2 = 1) AS has_extras, COUNT(*) AS n_docs,
+    """SELECT lang,
+      |       CAST(CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 1 END AS BIGINT) AS generation,
+      |       COUNT(*) AS n_docs,
       |       CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT) AS sum_chars,
       |       CAST(SUM(length(text)) AS BIGINT) AS sum_text_len
       |FROM documents
-      |GROUP BY lang, has_extras
-      |ORDER BY lang NULLS FIRST, has_extras NULLS FIRST""".stripMargin
+      |GROUP BY lang, generation
+      |ORDER BY lang NULLS FIRST, generation NULLS FIRST""".stripMargin
 
   /** Q131 — SMALL-FILE COMPACTION (the lakehouse OPTIMIZE shape): a
     * corpus fragmented into 64 tiny parquet files is rewritten into

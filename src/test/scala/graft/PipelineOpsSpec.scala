@@ -1,5 +1,6 @@
 package graft
 
+import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import graft.queries.{PipelineOps, StreamingQueries}
 
@@ -119,8 +120,8 @@ class PipelineOpsSpec extends SparkSpec {
 
   test("q130: mergeSchema surfaces NULL for pre-evolution columns, both generations read") {
     val rows = PipelineOps.q130(spark, sfDir).collect()
-    val legacy = rows.filter(r => !r.getBoolean(1))
-    val modern = rows.filter(r => r.getBoolean(1))
+    val legacy = rows.filter(r => r.getLong(1) == 1L)
+    val modern = rows.filter(r => r.getLong(1) == 2L)
     assert(legacy.nonEmpty && modern.nonEmpty,
       s"expected both generations in the merged read, got ${rows.toSeq}")
     // sum_chars comes from a column absent in gen-1 files → NULL there
@@ -128,6 +129,30 @@ class PipelineOpsSpec extends SparkSpec {
       s"legacy generation should have NULL sum_chars: ${legacy.toSeq}")
     assert(modern.forall(!_.isNullAt(3)),
       s"modern generation lost its n_chars values: ${modern.toSeq}")
+  }
+
+  test("q130: generation key survives a NULL source in gen-2 data") {
+    import spark.implicits._
+    // A gen-2 row with NULL source would be misclassified by a
+    // `source IS NOT NULL` proxy; the explicit generation column (the
+    // write-time fact, surfaced as the gen=N partition) must not be.
+    val docs = Seq(
+      (2L, "even one", "en", "web", 8L),
+      (4L, "even two", "en", "web", 8L),
+      (1L, "odd with source", "en", "web", 15L),
+      (3L, "odd NULL source", "en", null, 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Files.createTempDirectory("graft_genkey").toString
+    val merged = PipelineOps.generationMergeRead(docs, out)
+    val byGen = merged.groupBy($"gen".cast("long").as("generation"))
+      .agg(count(lit(1)).as("n"),
+        sum($"source".isNull.cast("long")).as("n_null_source"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // gen 1 = the two even docs (source column ABSENT → read as NULL);
+    // gen 2 = both odd docs, INCLUDING the one whose source is NULL
+    assert(byGen(1L) == ((2L, 2L)), s"gen-1 miscounted: $byGen")
+    assert(byGen(2L) == ((2L, 1L)),
+      s"gen-2 must keep its NULL-source row under the generation key: $byGen")
   }
 
   test("q131: compaction changes layout, never data — fragmented in, size-targeted files out") {
