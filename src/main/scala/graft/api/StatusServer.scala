@@ -2,12 +2,12 @@ package graft.api
 
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
-import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import com.sun.net.httpserver.{HttpExchange, HttpServer, HttpsConfigurator, HttpsServer}
 import graft.exec.{JobRunner, StatusRegistry, TaskRegistry}
 import graft.exec.Tasks._
 
-/** Minimal HTTP status/submission facade reproducing the reference's JSON
-  * shapes (views/api.py:28-103, views/controller.py:5-80):
+/** Minimal HTTP(S) status/submission facade reproducing the reference's
+  * JSON shapes (views/api.py:28-103, views/controller.py:5-80):
   *
   *   POST /api/0.01/task       → {task_id, status_url} | 400/412/503
   *   GET  /api/0.01/task/<id>  → task summary
@@ -16,6 +16,13 @@ import graft.exec.Tasks._
   * Uses only the JDK's built-in HttpServer — the engine has no web
   * framework dependency; this is a thin ops veneer over
   * [[graft.exec.StatusRegistry]].
+  *
+  * Transport security (the reference's amqps TLS analogue,
+  * `pika_client.py:7-101`): pass a PKCS12 keystore path (constructor arg
+  * or GRAFT_TLS_KEYSTORE / GRAFT_TLS_KEYSTORE_PASS) and the facade
+  * serves HTTPS via the JDK's HttpsServer — no new dependency. Unset,
+  * it serves plaintext on 127.0.0.1, the local-dev default where the
+  * usual deployment terminates TLS at an ingress.
   */
 final class StatusServer(
     runner: JobRunner,
@@ -23,7 +30,9 @@ final class StatusServer(
     status: StatusRegistry,
     nodeIdent: String = "graft-node",
     maxConcurrentTasks: Int = 8,
-    authToken: Option[String] = sys.env.get("GRAFT_API_TOKEN")) {
+    authToken: Option[String] = sys.env.get("GRAFT_API_TOKEN"),
+    tlsKeystore: Option[String] = sys.env.get("GRAFT_TLS_KEYSTORE"),
+    tlsKeystorePass: Option[String] = sys.env.get("GRAFT_TLS_KEYSTORE_PASS")) {
 
   private var server: Option[HttpServer] = None
 
@@ -198,8 +207,32 @@ final class StatusServer(
       b.result()
     }.getOrElse(Map.empty)
 
+  /** TLS context from a PKCS12 keystore — standard JSSE wiring, key
+    * material stays in deployment config, never in code.
+    */
+  private def sslContext(path: String, pass: Array[Char]): javax.net.ssl.SSLContext = {
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
+    try ks.load(in, pass) finally in.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, pass)
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, null, null)
+    ctx
+  }
+
+  private def scheme: String = if (tlsKeystore.isDefined) "https" else "http"
+
   def start(port: Int = 0): Int = {
-    val s = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    val s = tlsKeystore match {
+      case Some(path) =>
+        val hs = HttpsServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+        hs.setHttpsConfigurator(new HttpsConfigurator(
+          sslContext(path, tlsKeystorePass.getOrElse("").toCharArray)))
+        hs
+      case None => HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    }
     s.createContext("/api/0.01/node_info", guarded { ex =>
       val running = status.runningTasks.map(taskJson).mkString("[", ",", "]")
       val recent = status.recentCompleted().map(taskJson).mkString("[", ",", "]")
@@ -250,7 +283,7 @@ final class StatusServer(
                 runner.submit(spec, blockMillis = 1000): Unit
                 // reference submit shape (views/api.py:61-71): an external
                 // link to the task resource + the accepting node's ident
-                val taskUrl = s"http://127.0.0.1:${s.getAddress.getPort}" +
+                val taskUrl = s"$scheme://127.0.0.1:${s.getAddress.getPort}" +
                   s"/api/0.01/task/${spec.taskId}"
                 respond(ex, 200,
                   s"""{"_metadata":{"links":{"task":${jsonStr(taskUrl)}}},""" +

@@ -191,6 +191,59 @@ class StatusServerSpec extends SparkSpec {
     }
   }
 
+  test("TLS: a PKCS12 keystore turns the facade into an HTTPS server") {
+    // self-signed keystore generated with the JDK's own keytool — the
+    // deployment shape (GRAFT_TLS_KEYSTORE/_PASS) with throwaway key
+    // material scoped to this test
+    val dir = java.nio.file.Files.createTempDirectory("graft_tls")
+    val ksPath = dir.resolve("server.p12").toString
+    val keytool = java.nio.file.Paths.get(
+      sys.props("java.home"), "bin", "keytool").toString
+    val cmd = Seq(keytool, "-genkeypair", "-alias", "graft", "-keyalg", "RSA",
+      "-keysize", "2048", "-validity", "1", "-storetype", "PKCS12",
+      "-keystore", ksPath, "-storepass", "changeit",
+      "-dname", "CN=127.0.0.1", "-ext", "SAN=IP:127.0.0.1")
+    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val out = new String(proc.getInputStream.readAllBytes())
+    assert(proc.waitFor() == 0, s"keytool failed: $out")
+
+    val reg = new TaskRegistry
+    val status = new StatusRegistry
+    val runner = new JobRunner(spark, reg, status, maxConcurrentTasks = 2)
+    reg.register(new Quick)
+    val server = new StatusServer(runner, reg, status,
+      tlsKeystore = Some(ksPath), tlsKeystorePass = Some("changeit"))
+    val port = server.start()
+    try {
+      // trust-all client context (the cert is self-signed)
+      val trustAll = javax.net.ssl.SSLContext.getInstance("TLS")
+      trustAll.init(null, Array[javax.net.ssl.TrustManager](
+        new javax.net.ssl.X509TrustManager {
+          override def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+          override def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+          override def getAcceptedIssuers: Array[java.security.cert.X509Certificate] = Array.empty
+        }), new java.security.SecureRandom())
+      val client = HttpClient.newBuilder().sslContext(trustAll).build()
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(s"https://127.0.0.1:$port/api/0.01/")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200 && r.body().contains("\"hello\":\"world\""))
+      // submit over TLS returns an https task link
+      val pr = client.send(
+        HttpRequest.newBuilder(URI.create(s"https://127.0.0.1:$port/api/0.01/task"))
+          .POST(HttpRequest.BodyPublishers.ofString("""{"model_class":"QuickEtl"}"""))
+          .build(), HttpResponse.BodyHandlers.ofString())
+      assert(pr.statusCode() == 200 && pr.body().contains("\"https://127.0.0.1:"),
+        s"task link should be https: ${pr.body()}")
+      // plaintext against the TLS port must NOT succeed
+      val plain = try {
+        val (c, _) = get(port, "/api/0.01/")
+        c == 200
+      } catch { case _: Exception => false }
+      assert(!plain, "plaintext HTTP succeeded against the TLS port")
+    } finally { server.stop(); runner.close() }
+  }
+
   test("bearer-token auth gates every route when configured (hardened facade)") {
     val reg = new TaskRegistry
     val status = new StatusRegistry
