@@ -14,6 +14,11 @@ import org.apache.spark.sql.SparkSession
   *   - the reported number is the MEDIAN of the three timed runs, so a single
   *     multi-second host stall (this box is multi-tenant) cannot fabricate an
   *     8–14× "regression" the way a min-of-2 could in round 2;
+  *   - NOISY-WINDOW REFUSAL: if more than 6 queries show ≥30% run spread
+  *     (a contended window, not a regression), every flagged query is
+  *     re-measured and the calmer run set kept; a window still contended
+  *     after retry is marked "contended":true in the artifact so its
+  *     total is never quoted as a headline;
   *   - every run forces FULL materialisation through the `noop` sink so
   *     projections can't be pruned by a count-only action (which would
   *     under-measure; the DuckDB baseline fetches all rows too).
@@ -61,9 +66,11 @@ object Bench {
       def min: Double = if (failed) -1.0 else runs.min
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = try {
-        (1 to Warmups).foreach(_ => once(fn))
+    def timedRuns(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        warmups: Int): Seq[Double] =
+      try {
+        (1 to warmups).foreach(_ => once(fn))
         (1 to TimedRuns).map { _ =>
           val t0 = System.nanoTime()
           once(fn)
@@ -73,8 +80,41 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         Seq.empty[Double]
       } finally graft.core.CacheScope.releaseAll() // free query-owned caches
-      Timing(name, runs)
+
+    def spreadPct(t: Timing): Long =
+      if (t.failed || t.median <= 0) 0L
+      else math.round(100.0 * (t.runs.max - t.runs.min) / t.median)
+
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      Timing(name, timedRuns(name, fn, Warmups))
     }
+
+    // NOISY-WINDOW REFUSAL (BASELINE.md protocol, codified): a window
+    // where many queries show ≥30% run spread is host contention, not
+    // regression — r8 committed such a headline (20 flagged queries,
+    // total 1.7× the same-day calm pair) and the round's bench read was
+    // polluted. Instead of shipping it, re-measure every flagged query
+    // (JIT is already hot — one warmup) and keep the calmer run set per
+    // query; if the window is STILL contended after the retry, the
+    // artifact says so ("contended":true) so no one quotes its total.
+    val NoisySpreadPct = 30L
+    val MaxNoisyQueries = 6
+    val needRetry = firstPass.count(spreadPct(_) >= NoisySpreadPct) > MaxNoisyQueries
+    var retried = 0
+    val results =
+      if (!needRetry) firstPass
+      else firstPass.map { t =>
+        if (spreadPct(t) < NoisySpreadPct) t
+        else {
+          retried += 1
+          val again = Timing(t.name, timedRuns(t.name, SparkEntry.queries(t.name), 1))
+          if (again.failed) t
+          else if (spreadPct(again) < spreadPct(t) ||
+            (spreadPct(again) == spreadPct(t) && again.median < t.median)) again
+          else t
+        }
+      }
+    val contended = results.count(spreadPct(_) >= NoisySpreadPct) > MaxNoisyQueries
 
     val ok = results.filterNot(_.failed)
     val total = ok.map(_.median).sum
@@ -96,6 +136,8 @@ object Bench {
          |  "total_min_sec": ${f"$totalMin%.6f"},
          |  "n_queries": ${results.size},
          |  "n_failed": ${results.size - ok.size},
+         |  "noisy_retried": $retried,
+         |  "contended_window": $contended,
          |  "queries": {
          |$detail
          |  }
@@ -120,11 +162,10 @@ object Bench {
       "\"" + short + "\":" + (if (t.failed) "-1" else f"${t.median}%.2f")
     }.mkString("{", ",", "}")
     val noisy = results.filterNot(_.failed)
-      .map(t => t.name.takeWhile(_ != '_') ->
-        (if (t.median > 0) math.round(100.0 * (t.runs.max - t.runs.min) / t.median) else 0L))
-      .filter(_._2 >= 30).sortBy(-_._2).take(6)
+      .map(t => t.name.takeWhile(_ != '_') -> spreadPct(t))
+      .filter(_._2 >= NoisySpreadPct).sortBy(-_._2).take(6)
       .map { case (n, p) => s""""$n":$p""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total_warm_sec","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"min_total":${f"$totalMin%.3f"},"noisy":$noisy,"n_queries":${results.size},"n_failed":${results.size - ok.size},"sf":"$sfDir","stat":"median_of_$TimedRuns","detail":"$detailPath"}""")
+    println(s"""{"metric":"total_warm_sec","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"min_total":${f"$totalMin%.3f"},"noisy":$noisy,"retried":$retried,"contended":$contended,"n_queries":${results.size},"n_failed":${results.size - ok.size},"sf":"$sfDir","stat":"median_of_$TimedRuns","detail":"$detailPath"}""")
     spark.stop()
   }
 }
