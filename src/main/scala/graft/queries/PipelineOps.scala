@@ -263,14 +263,17 @@ object PipelineOps {
       |ORDER BY o_orderkey NULLS FIRST""".stripMargin
 
   /** Q104 — COLUMN PROFILING: count / nulls / exact NDV / min / max /
-    * median for a set of columns in ONE scan — the stats pass every
-    * ingest pipeline runs before planning (and the numbers AQE-style
-    * optimizers feed on). The exact interpolated median here keeps the
-    * oracle bit-exact; Spark's `percentile` buffers counts per DISTINCT
-    * value (fine for bounded-domain columns like these). For unbounded
-    * 100 TB domains the production swap is [[q122]] — the same plan on
-    * `approx_percentile` + `approx_count_distinct`, error-bounded
-    * against this exact twin in PipelineOpsSpec.
+    * exact interpolated median for a set of columns in ONE scan — the
+    * stats pass every ingest pipeline runs before planning (and the
+    * numbers AQE-style optimizers feed on). This is the EXACT ORACLE
+    * TWIN: the production default for profiling is [[q122]], the same
+    * plan on constant-state sketches (decision + measured cost curve in
+    * BASELINE.md / `tools/SketchCurve` — the curve also measured a
+    * grouped distinct-value alternative to this multi-`countDistinct` +
+    * `percentile` shape and found it SLOWER at sf0.1, so the built-in
+    * plan stays). Exact NDV/median is inherently NDV-bounded state on
+    * any engine; fine for bounded-domain columns like these, q122 for
+    * unbounded 100 TB domains.
     */
   private val profileCols = Seq("l_quantity", "l_extendedprice", "l_discount")
 
@@ -319,10 +322,15 @@ object PipelineOps {
     val l = t(spark, dir, "lineitem")
     val aggs = profileCols.flatMap { c =>
       Seq(count(col(c)).as(s"nn_$c"),
-        // rsd 0.01: still a fixed-size sketch, but tight enough that the
-        // 5% bound vs the exact twin holds as an invariant, not a coin
-        // flip (default rsd 0.05 is one STDDEV — single draws exceed it)
-        approx_count_distinct(col(c), 0.01).as(s"ndv_$c"),
+        // rsd 0.02, from the measured curve (tools/SketchCurve, sf0.1):
+        // rsd 0.01 costs 2.39 s vs 1.00 s at 0.02 — the HLL register
+        // array quadruples per halving of rsd and its per-row update
+        // dominated the whole query — while observed NDV deviation at
+        // 0.02 stays ≤2% on every profiled column. The spec bounds NDV
+        // at 3·rsd = 6% vs the exact q104 twin (estimates are
+        // deterministic per dataset; the bound is a 3σ design margin,
+        // not a per-run coin flip).
+        approx_count_distinct(col(c), 0.02).as(s"ndv_$c"),
         round(min(col(c)), 6).as(s"min_$c"),
         round(max(col(c)), 6).as(s"max_$c"),
         round(expr(s"approx_percentile($c, 0.5, 10000)").cast(DoubleType), 6)

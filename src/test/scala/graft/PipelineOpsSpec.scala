@@ -246,11 +246,13 @@ class PipelineOpsSpec extends SparkSpec {
       assert(a.getAs[Long]("n_null") == e.getAs[Long]("n_null"), s"$c: null count differs")
       assert(a.getAs[Double]("min6") == e.getAs[Double]("min6"), s"$c: min differs")
       assert(a.getAs[Double]("max6") == e.getAs[Double]("max6"), s"$c: max differs")
-      // HLL++ at default rsd: within 5% of exact NDV (q23's bound)
+      // HLL++ at rsd 0.02 (the measured-curve choice, tools/SketchCurve):
+      // bound = 3·rsd = 6%, a 3σ design margin; estimates are
+      // deterministic per dataset (observed ≤2% at sf0.1)
       val ndvE = e.getAs[Long]("ndv").toDouble
       val ndvA = a.getAs[Long]("ndv").toDouble
-      assert(math.abs(ndvA - ndvE) / ndvE <= 0.05,
-        f"$c: approx NDV $ndvA%.0f off >5%% from exact $ndvE%.0f")
+      assert(math.abs(ndvA - ndvE) / ndvE <= 0.06,
+        f"$c: approx NDV $ndvA%.0f off >6%% from exact $ndvE%.0f")
       // approx_percentile(accuracy=10000): rank error <= N/10000 -> the
       // returned order statistic sits within 2% of the interpolated median
       val p50E = e.getAs[Double]("p50_6")
