@@ -681,13 +681,22 @@ object StreamingQueries {
       .select($"doc_id", $"text",
         ($"doc_id" + 86400L).cast("timestamp").as("ing_ts"))
     val verdicts = neardupGateVerdicts(stream, neardupIndex(docs), "10 seconds")
-    runToMemory(verdicts, "q126_sink", "update")
+    // update-mode verdicts all emit on the data batches; the trailing
+    // no-data batch would only evict state this bounded run is about to
+    // discard (a full state-store load/commit round for nothing).
+    // Continuous ingest evicts on later DATA batches —
+    // StreamingSemanticsSpec proves that across micro-batches.
+    runToMemory(verdicts, "q126_sink", "update", finalWatermarkBatch = false)
       .join(docs.select($"doc_id"), Seq("doc_id"), "right")
       .select($"doc_id", coalesce($"n_dups", lit(0L)).as("n_dups"), $"nearest_dup")
       .orderBy($"doc_id".asc_nulls_first)
   }
 
-  val q126Sql: String = {
+  /** The shared SimHash CTE prefix (tok → fpt → banded) the q126 and
+    * q132 oracles both build on — one text so the two gates' fingerprint
+    * definitions can never diverge.
+    */
+  private val simhashCtes: String = {
     val bitSums = (0 until 32).map { i =>
       s"SUM(CASE WHEN ((x >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS s$i"
     }.mkString(", ")
@@ -701,7 +710,11 @@ object StreamingQueries {
        |fpt AS (SELECT doc_id, $fpExpr AS fp FROM bits),
        |banded AS (
        |  SELECT doc_id, fp, b.band, (fp >> (b.band * 8)) & 255 AS bv
-       |  FROM fpt, UNNEST(range(0, 4)) AS b(band)),
+       |  FROM fpt, UNNEST(range(0, 4)) AS b(band))""".stripMargin
+  }
+
+  val q126Sql: String =
+    s"""$simhashCtes,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS d, b.doc_id AS o, a.fp AS f1, b.fp AS f2
        |  FROM banded a JOIN banded b
@@ -713,7 +726,133 @@ object StreamingQueries {
        |  m.nearest AS nearest_dup
        |FROM documents doc LEFT JOIN m ON m.d = doc.doc_id
        |ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  /** Q132 — INCREMENTAL DEDUP PIPELINE: the continuous-ingestion
+    * composition a production corpus actually runs — q126's near-dup
+    * gate feeding q127's apply as ONE streaming pipeline. Per
+    * micro-batch (foreachBatch = the arbitrary-sink hook): fingerprint
+    * the incoming docs map-side, stream-static join the banded corpus
+    * index, DROP every doc with a direct near-dup (band share + Hamming
+    * ≤ 3) of SMALLER doc_id — first arrival wins, doc_id being the
+    * ingest clock — and MERGE the survivors into a versioned parquet
+    * corpus target (q109's machinery: per-batch version dirs, atomic
+    * CURRENT pointer swap, redelivered batches detected and skipped →
+    * end-to-end exactly-once). The returned frame is the surviving
+    * corpus read back through the pointer.
+    *
+    * Scale shape: the gate join is the q126 (band, bv) equi-join — at
+    * 100 TB the index lives bucketed on that key; the merge appends
+    * disjoint new doc_ids per batch (no rewrite of survivors), which is
+    * exactly Delta/Iceberg MERGE-append. The oracle computes the same
+    * keep rule in one batch pass: semantics are arrival-order-free
+    * because the verdict compares against the WHOLE corpus index, so
+    * batch boundaries cannot change any doc's verdict.
+    */
+  /** Project (doc_id, text, lang, n_chars) rows — stream or batch —
+    * into the gate's banded shape: one row per (doc, band) with the
+    * 32-bit SimHash and byte band value. No fp-null filter: a doc with
+    * no fingerprint (no tokens) can't be anyone's dup — its null band
+    * values match nothing in the equi-join and it flows through to the
+    * survivors, same as the oracle's keep rule.
+    */
+  private[graft] def bandedDocs(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select($"doc_id", $"lang", $"n_chars",
+        graft.functions.SimHashFp.fp($"text", 32).as("fp"))
+      .select($"doc_id", $"lang", $"n_chars", $"fp", bandsOf($"fp").as("b"))
+      .select($"doc_id", $"lang", $"n_chars", $"fp", $"b.band", $"b.bv")
   }
+
+  /** The q132 per-batch MERGE: gate the banded batch against `index`
+    * (drop docs with a smaller-id near-dup), append survivors to the
+    * versioned target under `root` with an atomic CURRENT pointer swap,
+    * and skip redelivered batchIds (exactly-once). Factored so
+    * StreamingSemanticsSpec can drive it batch-by-batch without the
+    * streaming harness.
+    */
+  private[graft] def dedupMergeFn(index: DataFrame,
+      root: java.nio.file.Path): (DataFrame, Long) => Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val pointer = root.resolve("CURRENT")
+    (batch, batchId) => {
+      val s = batch.sparkSession
+      // redelivery guard (exactly-once): pointer already at v<batchId>
+      // means this batch committed before a crash — skip, don't re-merge
+      val applied = Files.exists(pointer) &&
+        new String(Files.readAllBytes(pointer), "UTF-8").trim == s"v$batchId"
+      if (!applied) {
+        val dropped = batch.join(index, Seq("band", "bv"))
+          .filter(col("idx_id") < col("doc_id") &&
+            expr("bit_count(fp ^ idx_fp)") <= 3)
+          .select(col("doc_id")).distinct()
+        val kept = batch.select(col("doc_id"), col("lang"), col("n_chars"))
+          .distinct()
+          .join(dropped, Seq("doc_id"), "left_anti")
+        val merged = dedupCurrent(s, root) match {
+          case None => kept
+          case Some(cur) => cur.unionByName(kept)
+        }
+        val v = s"v$batchId"
+        merged.write.mode("overwrite").parquet(root.resolve(v).toString)
+        val tmp = root.resolve(s".CURRENT-$batchId.tmp")
+        Files.write(tmp, v.getBytes("UTF-8"))
+        Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING,
+          StandardCopyOption.ATOMIC_MOVE): Unit
+      }
+    }
+  }
+
+  /** The surviving corpus behind `root`'s CURRENT pointer, if any
+    * version has committed yet.
+    */
+  private[graft] def dedupCurrent(s: SparkSession,
+      root: java.nio.file.Path): Option[DataFrame] = {
+    import java.nio.file.Files
+    val pointer = root.resolve("CURRENT")
+    if (Files.exists(pointer))
+      Some(s.read.parquet(root.resolve(
+        new String(Files.readAllBytes(pointer), "UTF-8").trim).toString))
+    else None
+  }
+
+  def q132(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = Paths.get(graft.core.Scratch.deleteOnExit(
+      Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        "graft_incdedup", s"corpus_${slug}_${spark.sparkContext.applicationId}").toString))
+    if (Files.exists(root)) { // fresh apply per invocation
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root.toFile)
+    }
+    Files.createDirectories(root)
+    val docs = t(spark, dir, "documents")
+    val banded = bandedDocs(StreamOps.docsStream(spark, dir)
+      .select($"doc_id", $"text", $"lang", $"n_chars"))
+    StreamOps.runForeachBatch(banded, dedupMergeFn(neardupIndex(docs), root))
+    dedupCurrent(spark, root).getOrElse {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("lang", StringType), StructField("n_chars", LongType))))
+    }.orderBy($"doc_id".asc_nulls_first)
+  }
+
+  val q132Sql: String =
+    s"""$simhashCtes,
+       |dropped AS (
+       |  SELECT DISTINCT a.doc_id AS d
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bv = b.bv AND b.doc_id < a.doc_id
+       |  WHERE bit_count(xor(a.fp, b.fp)) <= 3)
+       |SELECT doc_id, lang, n_chars FROM documents
+       |WHERE doc_id NOT IN (SELECT d FROM dropped)
+       |ORDER BY doc_id NULLS FIRST""".stripMargin
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_tumbling_window" -> (q46 _),
@@ -732,7 +871,8 @@ object StreamingQueries {
     "q106_stream_semi_join" -> (q106 _),
     "q109_streaming_cdc_apply" -> (q109 _),
     "q119_stream_full_outer_join" -> (q119 _),
-    "q126_stream_neardup_gate" -> (q126 _))
+    "q126_stream_neardup_gate" -> (q126 _),
+    "q132_incremental_dedup" -> (q132 _))
 
   def oracles: Map[String, String] = Map(
     "q46_tumbling_window" -> q46Sql,
@@ -751,5 +891,6 @@ object StreamingQueries {
     "q106_stream_semi_join" -> q106Sql,
     "q109_streaming_cdc_apply" -> q109Sql,
     "q119_stream_full_outer_join" -> q119Sql,
-    "q126_stream_neardup_gate" -> q126Sql)
+    "q126_stream_neardup_gate" -> q126Sql,
+    "q132_incremental_dedup" -> q132Sql)
 }

@@ -212,6 +212,43 @@ class StreamingSemanticsSpec extends SparkSpec {
         s"(15 docs streamed; unbounded growth at continuous ingest)")
   }
 
+  test("q132 merge: survivors accumulate across batches, dups drop, redelivery is a no-op") {
+    import graft.queries.StreamingQueries
+    def docsDF(rows: Seq[(Long, String)]) =
+      rows.map { case (id, txt) => (id, txt, "en", txt.length.toLong) }
+        .toDF("doc_id", "text", "lang", "n_chars")
+    // corpus: 2 exactly duplicates 1 (Hamming 0 — deterministic); 10 is
+    // unique; 20 duplicates 1 too but arrives in a LATER batch — the
+    // verdict must not depend on batch boundaries
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = docsDF(Seq(
+      1L -> dupText, 2L -> dupText,
+      10L -> "completely different words about spark engines here",
+      20L -> dupText))
+    val index = StreamingQueries.neardupIndex(corpus)
+    val root = Files.createTempDirectory("graft_incdedup_spec")
+    val merge = StreamingQueries.dedupMergeFn(index, root)
+    def survivors: Set[Long] =
+      StreamingQueries.dedupCurrent(spark, root).get
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+
+    // batch 0: 1 kept (no smaller dup), 2 dropped (dups 1), 10 kept
+    merge(StreamingQueries.bandedDocs(docsDF(Seq(
+      1L -> dupText, 2L -> dupText,
+      10L -> "completely different words about spark engines here"))), 0L)
+    assert(survivors == Set(1L, 10L), s"batch-0 survivors wrong: $survivors")
+    // batch 1: 20 dups the batch-0 doc 1 → dropped; earlier survivors stay
+    merge(StreamingQueries.bandedDocs(docsDF(Seq(20L -> dupText))), 1L)
+    assert(survivors == Set(1L, 10L),
+      s"cross-batch dup was not dropped: $survivors")
+    // redelivery of batch 1 (post-crash retry) must not double-append
+    merge(StreamingQueries.bandedDocs(docsDF(Seq(20L -> dupText))), 1L)
+    val rows = StreamingQueries.dedupCurrent(spark, root).get.collect()
+    assert(rows.length == 2, s"redelivered batch re-merged: ${rows.toSeq}")
+    // version trail: v0, v1, CURRENT → v1
+    assert(new String(Files.readAllBytes(root.resolve("CURRENT"))).trim == "v1")
+  }
+
   test("q73 fixture guard: no view window end coincides with the final watermark") {
     // The q73 oracle closes windows with `view_ts + 5min <= cut`; Spark's
     // symmetric hash join evicts with strict-inequality/ms adjustments
