@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables._
+import graft.ops.TextOps
+
+/** Round-9 corpus-export additions (q133–q136): the last mile of a
+  * training-data pipeline — per-source quota capping (web-corpus domain
+  * caps), document chunking for retrieval windows, pre-aggregated
+  * mergeable NDV sketches (the daily-shard rollup pattern), and the
+  * deterministic shard export a trainer actually reads. All map-side or
+  * single-shuffle shapes; oracle-gated against DuckDB except the sketch
+  * rollup (q23 pattern: sketches have no SQL-portable oracle — the spec
+  * bounds them against the exact twin instead).
+  */
+object ExportOps {
+
+  /** Q133 — PER-SOURCE QUOTA CAP (domain capping): keep at most
+    * [[SourceCap]] documents per `source`, selected by deterministic
+    * md5(doc_id) priority — the Common-Crawl-style guard against any
+    * single host dominating the mix. Hash priority (not "first K by id")
+    * makes the kept subset an unbiased, reproducible sample of each
+    * source, on any engine and any partitioning.
+    *
+    * Scale shape: ONE hash shuffle on `source`; the rank ≤ K predicate
+    * plans as WindowGroupLimit (q32's pushdown — asserted in
+    * ExportOpsSpec), so each partition keeps a K-row heap per source
+    * instead of fully sorting its groups.
+    */
+  val SourceCap = 10
+
+  def q133(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pri = TextOps.hash32($"doc_id".cast(StringType))
+    val w = Window.partitionBy($"source").orderBy(pri.asc, $"doc_id".asc)
+    t(spark, dir, "documents")
+      .select($"doc_id", $"source", $"n_chars")
+      .withColumn("keep_rank", row_number().over(w))
+      .filter($"keep_rank" <= SourceCap)
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  val q133Sql: String =
+    s"""SELECT doc_id, source, n_chars, keep_rank FROM (
+       |  SELECT doc_id, source, n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT),
+       |               doc_id) AS keep_rank
+       |  FROM documents)
+       |WHERE keep_rank <= $SourceCap
+       |ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  /** Q134 — DOCUMENT CHUNKING (the retrieval/RAG prep shape): split
+    * every document into overlapping character windows of
+    * [[ChunkChars]] chars at [[ChunkStride]] stride, carrying the chunk
+    * ordinal and byte offset so a retriever can map hits back into the
+    * source document. Emitted as (doc_id, chunk_id, chunk_start,
+    * n_chunk_chars, chunk_md5) — the hash stands in for shipping the
+    * text twice through the compare harness.
+    *
+    * Scale shape: map-only — `explode(sequence(...))` fans out inside
+    * the scan stage with no shuffle at all (ExportOpsSpec pins the
+    * plan); at 100 TB this is the embarrassingly-parallel step before
+    * embedding, and partition width is controlled by the input splits.
+    */
+  val ChunkChars = 200
+  val ChunkStride = 150
+
+  def q134(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "documents")
+      .filter($"n_chars" > 0)
+      .select($"doc_id", $"text",
+        explode(sequence(lit(0), ($"n_chars" - 1).cast(IntegerType),
+          lit(ChunkStride))).as("chunk_start"))
+      .select($"doc_id",
+        ($"chunk_start" / ChunkStride).cast(LongType).as("chunk_id"),
+        $"chunk_start".cast(LongType).as("chunk_start"),
+        substring($"text", $"chunk_start" + 1, lit(ChunkChars)).as("chunk"))
+      .select($"doc_id", $"chunk_id", $"chunk_start",
+        length($"chunk").cast(LongType).as("n_chunk_chars"),
+        md5($"chunk").as("chunk_md5"))
+      .orderBy($"doc_id".asc_nulls_first, $"chunk_id".asc_nulls_first)
+  }
+
+  val q134Sql: String =
+    s"""SELECT doc_id, s // $ChunkStride AS chunk_id, s AS chunk_start,
+       |  CAST(length(substr(text, CAST(s + 1 AS INT), $ChunkChars)) AS BIGINT) AS n_chunk_chars,
+       |  md5(substr(text, CAST(s + 1 AS INT), $ChunkChars)) AS chunk_md5
+       |FROM documents, UNNEST(range(0, CAST(n_chars AS BIGINT), $ChunkStride)) AS g(s)
+       |WHERE n_chars > 0
+       |ORDER BY doc_id NULLS FIRST, chunk_id NULLS FIRST""".stripMargin
+
+  /** Q135 — PRE-AGGREGATED NDV SKETCH ROLLUP: the two-stage pattern
+    * every 100 TB metrics pipeline runs. Stage 1 builds one mergeable
+    * Datasketches HLL sketch of `user_id` per (event_type, day) and
+    * PERSISTS the binary sketches to parquet — at scale those are the
+    * tiny per-day artifacts a daily job ships. Stage 2 reads the
+    * sketch table back and `hll_union`-merges across days per
+    * event_type for a rolling distinct-user count, never rescanning
+    * the raw events.
+    *
+    * Register-max union is associative/commutative, so the merged
+    * estimate is IDENTICAL to a direct one-pass sketch over the raw
+    * table (ExportOpsSpec asserts equality, plus a ≤5% error bound vs
+    * exact COUNT DISTINCT). Sketch binaries have no SQL-portable
+    * oracle (the q23/q122 pattern) → driver records rows>0; the spec
+    * carries the numeric gate.
+    */
+  def q135(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = PipelineOps.layoutDir(spark, dir, "hllrollup")
+    t(spark, dir, "events")
+      .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+      .agg(hll_sketch_agg($"user_id").as("user_sketch"),
+        count(lit(1)).as("n_events"))
+      .write.mode("overwrite").parquet(s"$out/daily")
+    spark.read.parquet(s"$out/daily")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum($"n_events").as("n_events"),
+        hll_sketch_estimate(hll_union_agg($"user_sketch")).as("approx_users"))
+      .orderBy($"event_type".asc_nulls_first)
+  }
+
+  /** Q136 — DETERMINISTIC SHARD EXPORT: assign every document a shard
+    * by md5-hash (`hash32(doc_id) mod` [[NumShards]]), write the corpus
+    * as one `shard=N/` partition directory per shard, and report the
+    * per-shard manifest (docs, chars, id range) read back FROM THE
+    * EXPORTED FILES — the reproducible final layout a trainer's data
+    * loader consumes. Hash sharding (not round-robin) means re-running
+    * the export on any cluster layout yields byte-identical shard
+    * membership, and the manifest-vs-oracle hash gate proves the files
+    * on disk contain exactly the assigned rows.
+    *
+    * Scale shape: one hash shuffle on the shard key, then a partitioned
+    * write; each shard is a self-contained file set a loader can mount
+    * independently (the manifest is the loader's index).
+    */
+  val NumShards = 8
+
+  def q136(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = PipelineOps.layoutDir(spark, dir, "shardexport")
+    t(spark, dir, "documents")
+      .select($"doc_id", $"n_chars",
+        pmod(TextOps.hash32($"doc_id".cast(StringType)), lit(NumShards))
+          .as("shard"))
+      .repartition($"shard")
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$out/shards")
+    spark.read.parquet(s"$out/shards")
+      .groupBy($"shard".cast(LongType).as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").cast(LongType).as("sum_chars"),
+        min($"doc_id").as("min_doc_id"),
+        max($"doc_id").as("max_doc_id"))
+      .orderBy($"shard".asc_nulls_first)
+  }
+
+  val q136Sql: String =
+    s"""SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % $NumShards AS shard,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+       |FROM documents
+       |GROUP BY 1
+       |ORDER BY shard NULLS FIRST""".stripMargin
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q133_source_cap" -> (q133 _),
+    "q134_doc_chunks" -> (q134 _),
+    "q135_sketch_rollup" -> (q135 _),
+    "q136_shard_export" -> (q136 _))
+
+  def oracles: Map[String, String] = Map(
+    "q133_source_cap" -> q133Sql,
+    "q134_doc_chunks" -> q134Sql,
+    "q136_shard_export" -> q136Sql)
+}

@@ -280,14 +280,26 @@ object PipelineOps {
   def q104(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val l = t(spark, dir, "lineitem")
-    val aggs = profileCols.flatMap { c =>
+    // TWO single-row aggregations instead of one, on purpose. `percentile`
+    // is an ObjectHashAggregate (imperative buffer, no codegen) and the
+    // multi-column countDistinct plans an Expand (one row replica per
+    // distinct group): fused, the ONE agg drags the Expand-multiplied
+    // input through the interpreted object path — measured 7 s at sf0.1.
+    // Split, the distinct/min/max side stays whole-stage-codegen'd over
+    // the Expand and the object path sees only plain rows for 3
+    // percentile buffers (~2 s total; the broadcast join of two 1-row
+    // frames is free). Same results, same oracle.
+    val exactAggs = profileCols.flatMap { c =>
       Seq(count(col(c)).as(s"nn_$c"),
         countDistinct(col(c)).as(s"ndv_$c"),
         round(min(col(c)), 6).as(s"min_$c"),
-        round(max(col(c)), 6).as(s"max_$c"),
-        round(expr(s"percentile($c, 0.5)"), 6).as(s"p50_$c"))
+        round(max(col(c)), 6).as(s"max_$c"))
     }
-    val row = l.agg(count(lit(1)).as("n"), aggs: _*)
+    val medAggs = profileCols.map { c =>
+      round(expr(s"percentile($c, 0.5)"), 6).as(s"p50_$c")
+    }
+    val row = l.agg(count(lit(1)).as("n"), exactAggs: _*)
+      .join(broadcast(l.agg(medAggs.head, medAggs.tail: _*)))
     val stats = array(profileCols.map { c =>
       struct(lit(c).as("col_name"), $"n",
         ($"n" - col(s"nn_$c")).as("n_null"), col(s"ndv_$c").as("ndv"),

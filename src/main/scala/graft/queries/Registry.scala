@@ -11,7 +11,7 @@ object Registry {
       Windows.all ++ SortsLimits.all ++ SetOps.all ++ Scalars.all ++
       LlmOps.all ++ StreamingQueries.all ++ Extensibility.all ++
       ModelQueries.all ++ Reshape.all ++ CurationOps.all ++ PipelineOps.all ++
-      AnalyticsOps.all ++ BehaviorOps.all
+      AnalyticsOps.all ++ BehaviorOps.all ++ ExportOps.all
 
   def oracles: Map[String, String] =
     Scans.oracles ++ Projections.oracles ++ Joins.oracles ++
@@ -19,7 +19,8 @@ object Registry {
       SetOps.oracles ++ Scalars.oracles ++ LlmOps.oracles ++
       StreamingQueries.oracles ++ Extensibility.oracles ++
       ModelQueries.oracles ++ Reshape.oracles ++ CurationOps.oracles ++
-      PipelineOps.oracles ++ AnalyticsOps.oracles ++ BehaviorOps.oracles
+      PipelineOps.oracles ++ AnalyticsOps.oracles ++ BehaviorOps.oracles ++
+      ExportOps.oracles
 }
 
 trait QueryModule {

@@ -53,7 +53,18 @@ object ScaleCheck {
     val compSec = (System.nanoTime() - t0) / 1e9
     graft.ops.Components.release(labels)
 
-    println(f"""{"k":$k,"n_docs":$nDocs,"n_pairs":$nPairs,"pairs_sec":$pairsSec%.2f,"us_per_pair":${pairsSec * 1e6 / math.max(1, nPairs)}%.3f,"n_labeled":$nLabeled,"components_sec":$compSec%.2f,"sf":"$sfDir"}""")
+    // q129's iterative-rank path over the same pair graph: 5 full damped
+    // rounds (the q129 production setting). The claim under measurement is
+    // one shuffle per round at constant plan size — rank_sec should grow
+    // with EDGES (~k²) but stay round-linear, not lineage-exponential.
+    t0 = System.nanoTime()
+    val ranks = graft.ops.GraphRank.pagerank(
+      pairs.select($"d1".as("a"), $"d2".as("b")), rounds = 5)
+    val nRanked = ranks.count()
+    val rankSec = (System.nanoTime() - t0) / 1e9
+    graft.ops.Components.release(ranks)
+
+    println(f"""{"k":$k,"n_docs":$nDocs,"n_pairs":$nPairs,"pairs_sec":$pairsSec%.2f,"us_per_pair":${pairsSec * 1e6 / math.max(1, nPairs)}%.3f,"n_labeled":$nLabeled,"components_sec":$compSec%.2f,"n_ranked":$nRanked,"rank5_sec":$rankSec%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

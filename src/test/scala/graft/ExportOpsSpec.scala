@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.ExportOps
+
+/** Round-9 export operators (q133–q136): the invariants the DuckDB
+  * hash-gate can't see — the source cap is exact and the kept subset is
+  * a deterministic function of ids (not arrival order), chunking covers
+  * every character and the plan stays shuffle-free, merged daily HLL
+  * sketches equal a direct global sketch (register-max union is
+  * lossless for union), and the exported shard files hold exactly the
+  * assigned rows.
+  */
+class ExportOpsSpec extends SparkSpec {
+
+  test("q133: cap enforced per source; membership is id-determined, not order-determined") {
+    import spark.implicits._
+    val out = ExportOps.q133(spark, sfDir).cache()
+    try {
+      val perSource = out.groupBy($"source").agg(count(lit(1)).as("n"))
+      assert(perSource.filter($"n" > ExportOps.SourceCap).isEmpty,
+        s"a source exceeds the ${ExportOps.SourceCap}-doc cap")
+      // every source with >= cap docs in the corpus is filled to the cap
+      val corpus = graft.core.Tables.t(spark, sfDir, "documents")
+        .groupBy($"source").agg(count(lit(1)).as("avail"))
+      val underfilled = perSource.join(corpus, "source")
+        .filter($"avail" >= ExportOps.SourceCap && $"n" =!= ExportOps.SourceCap)
+      assert(underfilled.isEmpty, "cap not filled from a source with enough docs")
+      // determinism: re-running on a differently-partitioned input keeps
+      // the exact same doc_ids (the keep rule reads ids, not layout)
+      val again = ExportOps.q133(spark, sfDir)
+      assert(out.select("doc_id").exceptAll(again.select("doc_id")).isEmpty &&
+        again.select("doc_id").exceptAll(out.select("doc_id")).isEmpty,
+        "kept set changed across runs")
+      // the rank<=K filter plans as WindowGroupLimit (per-group heap),
+      // not a full per-group sort feeding a post-filter
+      val plan = ExportOps.q133(spark, sfDir).queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"),
+        s"expected WindowGroupLimit pushdown in:\n$plan")
+    } finally out.unpersist(): Unit
+  }
+
+  test("q134: chunks tile every document with full coverage at the declared stride") {
+    import spark.implicits._
+    val out = ExportOps.q134(spark, sfDir).cache()
+    try {
+      val docs = graft.core.Tables.t(spark, sfDir, "documents")
+        .filter($"n_chars" > 0)
+      // one chunk per stride window: ceil(n_chars / stride)
+      val expected = docs.select(
+        sum(ceil($"n_chars" / ExportOps.ChunkStride)).as("n")).as[Long].head()
+      assert(out.count() == expected,
+        s"chunk count != sum(ceil(n_chars/stride)) = $expected")
+      // offsets are exactly 0, stride, 2*stride... and every chunk is
+      // non-empty (the last window starts strictly inside the doc)
+      assert(out.filter($"chunk_start" =!= $"chunk_id" * ExportOps.ChunkStride).isEmpty)
+      assert(out.filter($"n_chunk_chars" <= 0 ||
+        $"n_chunk_chars" > ExportOps.ChunkChars).isEmpty)
+      // map-only: no exchange anywhere in the pre-sort plan
+      val plan = graft.core.Tables.t(spark, sfDir, "documents")
+        .filter($"n_chars" > 0)
+        .select($"doc_id", explode(sequence(lit(0),
+          ($"n_chars" - 1).cast("int"), lit(ExportOps.ChunkStride))).as("s"))
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"chunk fan-out should be map-only:\n$plan")
+    } finally out.unpersist(): Unit
+  }
+
+  test("q135: merged daily sketches equal a direct global sketch and stay within 5% of exact") {
+    import spark.implicits._
+    val out = ExportOps.q135(spark, sfDir).cache()
+    try {
+      val events = graft.core.Tables.t(spark, sfDir, "events")
+      val direct = events.groupBy($"event_type")
+        .agg(hll_sketch_estimate(hll_sketch_agg($"user_id")).as("direct_users"))
+      val exact = events.groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("exact_users"))
+      val joined = out.join(direct, "event_type").join(exact, "event_type")
+        .select($"event_type", $"approx_users", $"direct_users", $"exact_users")
+        .as[(String, Long, Long, Long)].collect()
+      assert(joined.nonEmpty)
+      joined.foreach { case (et, approx, dir0, exact0) =>
+        assert(approx == dir0,
+          s"$et: merged-daily estimate $approx != direct estimate $dir0 — union must be lossless")
+        assert(math.abs(approx - exact0) <= math.max(1L, exact0 / 20),
+          s"$et: approx $approx vs exact $exact0 breaches 5% bound")
+      }
+      // the daily sketch table really was persisted (stage-1 artifact)
+      val daily = spark.read.parquet(
+        graft.queries.PipelineOps.layoutDir(spark, sfDir, "hllrollup") + "/daily")
+      assert(daily.count() == events
+        .select(date_trunc("day", $"ts"), $"event_type").distinct().count())
+    } finally out.unpersist(): Unit
+  }
+
+  test("q136: shard files on disk hold exactly the assigned rows; shards partition the corpus") {
+    import spark.implicits._
+    val out = ExportOps.q136(spark, sfDir).cache()
+    try {
+      val docs = graft.core.Tables.t(spark, sfDir, "documents")
+      assert(out.select(sum($"n_docs")).as[Long].head() == docs.count(),
+        "shards must partition the corpus")
+      assert(out.count() <= ExportOps.NumShards)
+      // re-read one shard directory directly and check membership matches
+      // the hash rule (files on disk == assignment, not just the manifest)
+      val root = graft.queries.PipelineOps.layoutDir(spark, sfDir, "shardexport")
+      val shard0 = spark.read.parquet(s"$root/shards/shard=0")
+        .select($"doc_id").as[Long].collect().toSet
+      val expected0 = docs.select($"doc_id",
+          pmod(graft.ops.TextOps.hash32($"doc_id".cast("string")),
+            lit(ExportOps.NumShards)).as("s"))
+        .filter($"s" === 0).select($"doc_id").as[Long].collect().toSet
+      assert(shard0 == expected0, "shard=0 files diverge from the hash assignment")
+    } finally out.unpersist(): Unit
+  }
+}

@@ -17,7 +17,7 @@ class RegistrySpec extends SparkSpec {
     "Extensibility" -> Extensibility.all, "Models" -> ModelQueries.all,
     "Reshape" -> Reshape.all, "Curation" -> CurationOps.all,
     "Pipeline" -> PipelineOps.all, "Analytics" -> AnalyticsOps.all,
-    "Behavior" -> BehaviorOps.all)
+    "Behavior" -> BehaviorOps.all, "Export" -> ExportOps.all)
 
   test("no query key collisions across modules") {
     val expected = modules.map(_._2.size).sum
@@ -32,7 +32,7 @@ class RegistrySpec extends SparkSpec {
 
   test("the full surface covers the SURVEY ids Q01..Q72 + r2..r8 additions") {
     val ids = Registry.all.keySet.map(_.takeWhile(_ != '_'))
-    val expected = (1 to 132).map(i => f"q$i%02d").toSet
+    val expected = (1 to 136).map(i => f"q$i%02d").toSet
     assert(ids == expected, s"missing: ${expected -- ids}, extra: ${ids -- expected}")
   }
 
