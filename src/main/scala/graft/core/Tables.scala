@@ -16,11 +16,18 @@ object Tables {
 
   /** Load one of the driver-generated parquet tables (TESTDATA.md).
     *
-    * `events.ts` is INT64 TIMESTAMP(NANOS), which Spark 4 refuses to map to
-    * its µs TimestampType. We read nanos as a plain long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to µs — exactly
-    * what DuckDB's TIMESTAMP_NS→TIMESTAMP cast does, so oracle SQL can use
-    * plain `CAST(ts AS TIMESTAMP)` semantics.
+    * `events.ts` has shipped as BOTH INT64 TIMESTAMP(NANOS) and plain µs
+    * TIMESTAMP across fixture generations, so ingest adapts to the physical
+    * type instead of hard-coding one:
+    *   - nanos: Spark 4 refuses to map ns to its µs TimestampType, so read
+    *     the raw long (`spark.sql.legacy.parquet.nanosAsLong`) and truncate
+    *     to µs — exactly what DuckDB's TIMESTAMP_NS→TIMESTAMP cast does;
+    *   - µs (isAdjustedToUTC=false, inferred TIMESTAMP_NTZ): request
+    *     TimestampType in the read schema rather than casting post-read, so
+    *     `ts` predicates still push down to the parquet scan (a cast on the
+    *     column would fence them off). Session timezone is pinned UTC at
+    *     every entry point, so NTZ-vs-instant wall clocks agree, matching
+    *     DuckDB's naive TIMESTAMP read.
     *
     * The table schema is inferred once per (dir, table) and cached — the
     * catalog-metadata pattern: immutable ingested data never needs its
@@ -29,13 +36,27 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.schema(cachedSchema(spark, dir, name))
-        .parquet(sourcePath(spark, dir, name))
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val inferred = cachedSchema(spark, dir, name)
+      inferred("ts").dataType match {
+        case LongType =>
+          spark.read.schema(inferred)
+            .parquet(sourcePath(spark, dir, name))
+            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ =>
+          spark.read.schema(tsAsTimestamp(inferred))
+            .parquet(sourcePath(spark, dir, name))
+      }
     } else {
       spark.read.schema(cachedSchema(spark, dir, name))
         .parquet(sourcePath(spark, dir, name))
     }
+
+  /** Requested read schema with `ts` surfaced as TimestampType (µs-fixture
+    * path — see [[t]]).
+    */
+  def tsAsTimestamp(inferred: StructType): StructType =
+    StructType(inferred.map(f =>
+      if (f.name == "ts") f.copy(dataType = TimestampType) else f))
 
   /** Ingest-time compaction (the lakehouse auto-OPTIMIZE shape, applied in
     * reverse): a parquet row group is Spark's minimum split unit, so a table
@@ -85,9 +106,9 @@ object Tables {
         .filter(d => d.getName.startsWith(s"$name-") && d.getName != out.getFileName.toString)
         .foreach(deleteRecursively)
       if (!java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
-        // raw column bytes preserved: events.ts stays the int64 nanos value
-        // (read as long via nanosAsLong); the µs cast happens at read time
-        // exactly as on the uncompacted path
+        // raw column values preserved: events.ts is rewritten at its
+        // inferred type (int64 nanos-as-long or µs NTZ); the TimestampType
+        // surfacing happens at read time exactly as on the uncompacted path
         spark.read.schema(cachedSchema(spark, dir, name)).parquet(raw)
           .repartition(n)
           .write.mode("overwrite").parquet(out.toString)
@@ -119,6 +140,14 @@ object Tables {
     if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete(): Unit
   }
+
+  /** Inferred physical schema of a fixture table (cached; `events.ts`
+    * surfaces as LongType on nanos fixtures, TIMESTAMP_NTZ on µs ones).
+    * Streaming ingest uses this to pick the same ts normalization as [[t]].
+    */
+  def inferredSchema(spark: SparkSession, dir: String,
+                     name: String): StructType =
+    cachedSchema(spark, dir, name)
 
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, StructType]()

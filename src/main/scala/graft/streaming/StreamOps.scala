@@ -20,27 +20,30 @@ import org.apache.spark.sql.types._
   */
 object StreamOps {
 
-  /** Parquet schema of `events` with ns-timestamps read as long
-    * (file-source streams need an explicit schema).
-    */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // TIMESTAMP(NANOS) read as raw nanos
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** Unbounded `events` stream from the parquet file source (ordered file
     * replay; at scale this is a directory that keeps receiving files —
     * the file source tracks processed files in the checkpoint).
+    *
+    * File-source streams need an explicit schema; the fixture's `ts` has
+    * shipped as both INT64 TIMESTAMP(NANOS) and µs TIMESTAMP across
+    * generations, so mirror [[graft.core.Tables.t]]'s adaptive ingest:
+    * nanos are read as raw long then truncated to µs, µs is requested as
+    * TimestampType directly (session tz is UTC at every entry point).
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsRawSchema)
-      .parquet(stageDir(dir, "events"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val inferred = graft.core.Tables.inferredSchema(spark, dir, "events")
+    inferred("ts").dataType match {
+      case LongType =>
+        spark.readStream
+          .schema(inferred)
+          .parquet(stageDir(dir, "events"))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        spark.readStream
+          .schema(graft.core.Tables.tsAsTimestamp(inferred))
+          .parquet(stageDir(dir, "events"))
+    }
   }
 
   /** Parquet schema of `documents` (file-source streams need it explicit). */
