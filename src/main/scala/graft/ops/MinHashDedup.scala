@@ -97,23 +97,12 @@ object MinHashDedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         gramN: Int = 5, rowsPerBand: Int = 2,
                         minJaccard: Double = 0.5): DataFrame = {
-    val sig = graft.functions.CharMinHash.sig(col(textCol), gramN, coeffs, prime)
-    val sigs = docs.select(col(idCol), sig.as("__sig"))
-      .filter(col("__sig").isNotNull)
     val nBands = coeffs.size / rowsPerBand
     // Band keys are the raw minhash LONGS, not a hashed string: the
     // self-join shuffles narrow native columns and the join hashes
     // integers instead of md5 hex. The signature array rides along (8
     // longs) so band-duplicate candidates can be dropped map-side.
-    val bandStructs = (0 until nBands).map { b =>
-      struct(lit(b).as("band") +: (0 until rowsPerBand).map(r =>
-        element_at(col("__sig"), b * rowsPerBand + r + 1).as(s"k$r")): _*)
-    }
-    val bands = sigs
-      .select(col(idCol), col("__sig"), explode(array(bandStructs: _*)).as("__b"))
-      .select(col(idCol) +: col("__sig") +:
-        (col("__b.band").as("band") +:
-          (0 until rowsPerBand).map(r => col(s"__b.k$r"))): _*)
+    val bands = ngramBands(docs, idCol, textCol, gramN, rowsPerBand)
     val joinKeys = "band" +: (0 until rowsPerBand).map(r => s"k$r")
     // A pair that collides in several bands would come out once per band;
     // instead of a distinct (a full extra shuffle of the pair set), emit
@@ -170,6 +159,78 @@ object MinHashDedup {
       .join(neighbors, Seq("doc"), "left")
       .select(col("doc"),
         least(col("doc"), coalesce(col("min_nb"), col("doc"))).as("keeper"))
+  }
+
+  /** Char-n-gram MinHash band rows for one side of a banded join:
+    * (band, k0..k{r-1}, id, __sig). Shared by the symmetric
+    * [[ngramJaccardPairs]] self-join and the asymmetric
+    * [[crossNgramPairs]] two-corpus join.
+    */
+  private def ngramBands(docs: DataFrame, idCol: String, textCol: String,
+                         gramN: Int, rowsPerBand: Int): DataFrame = {
+    val sig = graft.functions.CharMinHash.sig(col(textCol), gramN, coeffs, prime)
+    val sigs = docs.select(col(idCol), sig.as("__sig"))
+      .filter(col("__sig").isNotNull)
+    val nBands = coeffs.size / rowsPerBand
+    val bandStructs = (0 until nBands).map { b =>
+      struct(lit(b).as("band") +: (0 until rowsPerBand).map(r =>
+        element_at(col("__sig"), b * rowsPerBand + r + 1).as(s"k$r")): _*)
+    }
+    sigs
+      .select(col(idCol), col("__sig"), explode(array(bandStructs: _*)).as("__b"))
+      .select(col(idCol) +: col("__sig") +:
+        (col("__b.band").as("band") +:
+          (0 until rowsPerBand).map(r => col(s"__b.k$r"))): _*)
+  }
+
+  /** CROSS-CORPUS near-dup pairs: each `incoming` doc against the
+    * `existing` corpus only — the dedup shape a production ingest
+    * actually runs (dedup the new crawl against what is already kept).
+    * Same candidate generator and exact char-n-gram Jaccard post-filter
+    * as [[ngramJaccardPairs]], but the band join is ASYMMETRIC: incoming
+    * bands against existing bands, so no within-side pair is ever
+    * generated or carried — at 100 TB of existing corpus and a daily
+    * incoming slice, the join output is sized by the slice's dup rate,
+    * not the corpus' internal near-dup mass. Returns
+    * (in_id, ex_id, jaccard), exact precision, band-generator recall.
+    */
+  def crossNgramPairs(incoming: DataFrame, existing: DataFrame,
+                      idCol: String, textCol: String,
+                      gramN: Int = 5, rowsPerBand: Int = 2,
+                      minJaccard: Double = 0.5): DataFrame = {
+    val nBands = coeffs.size / rowsPerBand
+    val joinKeys = "band" +: (0 until rowsPerBand).map(r => s"k$r")
+    val left = ngramBands(incoming, idCol, textCol, gramN, rowsPerBand)
+      .select(col("band") +: (0 until rowsPerBand).map(r => col(s"k$r")) :+
+        col(idCol).as("in_id") :+ col("__sig").as("__s1"): _*)
+    val right = ngramBands(existing, idCol, textCol, gramN, rowsPerBand)
+      .select(col("band") +: (0 until rowsPerBand).map(r => col(s"k$r")) :+
+        col(idCol).as("ex_id") :+ col("__sig").as("__s2"): _*)
+    // A pair colliding in several bands must come out once: emit it only
+    // from its SMALLEST matching band (map-side filter, no distinct
+    // shuffle) — same trick as the symmetric join.
+    val earlierBandAlsoMatches = (0 until nBands - 1).map { bp =>
+      col("band") > bp && (0 until rowsPerBand).map(r =>
+        element_at(col("__s1"), bp * rowsPerBand + r + 1) ===
+          element_at(col("__s2"), bp * rowsPerBand + r + 1))
+        .reduce(_ && _)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    val cand = left.join(right, joinKeys)
+      .filter(!earlierBandAlsoMatches)
+      .select(col("in_id"), col("ex_id"))
+    val gIn = incoming.select(col(idCol).as("in_id"),
+        graft.functions.CharGramHashes.hashes(col(textCol), gramN).as("g1"))
+      .filter(col("g1").isNotNull)
+    val gEx = existing.select(col(idCol).as("ex_id"),
+        graft.functions.CharGramHashes.hashes(col(textCol), gramN).as("g2"))
+      .filter(col("g2").isNotNull)
+    val overlap = graft.functions.SortedOverlapCount.overlap(col("g1"), col("g2"))
+    cand
+      .join(gIn, Seq("in_id"))
+      .join(gEx, Seq("ex_id"))
+      .select(col("in_id"), col("ex_id"), (overlap.cast("double") /
+        (size(col("g1")) + size(col("g2")) - overlap)).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
   }
 
   /** Exact duplicate groups on normalised text: md5(lower(trim(text))). */

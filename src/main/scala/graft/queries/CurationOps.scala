@@ -457,6 +457,99 @@ object CurationOps {
        |SELECT id AS doc_id, rank FROM r5
        |ORDER BY rank DESC, doc_id ASC""".stripMargin
 
+  /** Q137 — CROSS-CORPUS DEDUP: each incoming doc (odd ids — the
+    * simulated new-crawl slice) deduped against the EXISTING corpus only
+    * (even ids), via [[graft.ops.MinHashDedup.crossNgramPairs]]'s
+    * asymmetric band join — no within-side pair is generated, so at
+    * 100 TB the join output is sized by the incoming slice's dup rate,
+    * not the corpus' internal near-dup mass. Verdict per incoming doc:
+    * how many existing near-dups, and the smallest existing id (the doc
+    * it would be deduped against); fresh docs report 0/NULL. The oracle
+    * computes ALL pairs (the q86 CTE machinery) and keeps the
+    * cross-parity ones — same set, quadratic-in-SQL vs sliced-in-Spark.
+    */
+  def q137(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents")
+    val incoming = docs.filter($"doc_id" % 2 === 1)
+    val existing = docs.filter($"doc_id" % 2 === 0)
+    val pairs = MinHashDedup.crossNgramPairs(
+      incoming, existing, "doc_id", "text",
+      gramN = 5, rowsPerBand = 2, minJaccard = 0.5)
+    val agg = pairs.groupBy($"in_id".as("doc_id"))
+      .agg(count(lit(1)).as("n_dup_existing"),
+        min($"ex_id").as("nearest_existing"))
+    incoming.select($"doc_id")
+      .join(agg, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_dup_existing", lit(0L)).as("n_dup_existing"),
+        $"nearest_existing")
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  val q137Sql: String =
+    s"""${LlmOps.ngramPairCtes},
+       |cp AS (
+       |  SELECT CASE WHEN d1 % 2 = 1 THEN d1 ELSE d2 END AS in_id,
+       |         CASE WHEN d1 % 2 = 1 THEN d2 ELSE d1 END AS ex_id
+       |  FROM pairs WHERE (d1 % 2) <> (d2 % 2)),
+       |ag AS (SELECT in_id, COUNT(*) AS n_dup_existing,
+       |              MIN(ex_id) AS nearest_existing
+       |       FROM cp GROUP BY in_id)
+       |SELECT d.doc_id,
+       |  COALESCE(ag.n_dup_existing, 0) AS n_dup_existing,
+       |  ag.nearest_existing
+       |FROM documents d LEFT JOIN ag ON ag.in_id = d.doc_id
+       |WHERE d.doc_id % 2 = 1
+       |ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  /** Q138 — TRAIN/VAL/TEST SPLIT LEAKAGE report: assign every doc a
+    * deterministic hash split (md5-bucket 80/10/10 — reproducible across
+    * engines and runs, no rand()), then count the q86 near-dup pairs by
+    * the (unordered) split-pair they straddle. Off-diagonal rows ARE the
+    * leakage a training pipeline must catch before shipping the split: a
+    * near-duplicate of a test doc sitting in train inflates eval. Scale
+    * shape: split assignment is a map-only expression; the pair set is
+    * the already-banded q86 generator; the report is a tiny grouped
+    * count — nothing new shuffles beyond two slim id→split joins.
+    */
+  def q138(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents")
+    val bucket =
+      expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 2), 16, 10) AS INT) % 10")
+    val splits = docs.select($"doc_id",
+      when(bucket < 8, "train").when(bucket === 8, "val")
+        .otherwise("test").as("split"))
+    val pairs = MinHashDedup.ngramJaccardPairs(
+      docs, "doc_id", "text", gramN = 5, rowsPerBand = 2, minJaccard = 0.5)
+    pairs
+      .join(splits.select($"doc_id".as("d1"), $"split".as("s1")), Seq("d1"))
+      .join(splits.select($"doc_id".as("d2"), $"split".as("s2")), Seq("d2"))
+      .select(least($"s1", $"s2").as("split_a"),
+        greatest($"s1", $"s2").as("split_b"))
+      .groupBy($"split_a", $"split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"split_a".asc_nulls_first, $"split_b".asc_nulls_first)
+  }
+
+  val q138Sql: String =
+    s"""${LlmOps.ngramPairCtes},
+       |sp AS (
+       |  SELECT doc_id, CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+       |                      ELSE 'test' END AS split
+       |  FROM (SELECT doc_id,
+       |          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) % 10 AS b
+       |        FROM documents)),
+       |lk AS (
+       |  SELECT LEAST(sa.split, sb.split) AS split_a,
+       |         GREATEST(sa.split, sb.split) AS split_b
+       |  FROM pairs p JOIN sp sa ON sa.doc_id = p.d1
+       |               JOIN sp sb ON sb.doc_id = p.d2)
+       |SELECT split_a, split_b, COUNT(*) AS n_pairs FROM lk
+       |GROUP BY split_a, split_b
+       |ORDER BY split_a NULLS FIRST, split_b NULLS FIRST""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q94_neardup_clusters" -> (q94 _),
     "q95_tfidf_terms" -> (q95 _),
@@ -466,7 +559,9 @@ object CurationOps {
     "q99_zorder_key" -> (q99 _),
     "q125_embed_clusters" -> (q125 _),
     "q127_dedup_apply" -> (q127 _),
-    "q129_pagerank" -> (q129 _))
+    "q129_pagerank" -> (q129 _),
+    "q137_cross_corpus_dedup" -> (q137 _),
+    "q138_split_leakage" -> (q138 _))
 
   def oracles: Map[String, String] = Map(
     "q94_neardup_clusters" -> q94Sql,
@@ -477,5 +572,7 @@ object CurationOps {
     "q99_zorder_key" -> q99Sql,
     "q125_embed_clusters" -> q125Sql,
     "q127_dedup_apply" -> q127Sql,
-    "q129_pagerank" -> q129Sql)
+    "q129_pagerank" -> q129Sql,
+    "q137_cross_corpus_dedup" -> q137Sql,
+    "q138_split_leakage" -> q138Sql)
 }

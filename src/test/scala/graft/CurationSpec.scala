@@ -255,4 +255,40 @@ class CurationSpec extends SparkSpec {
       assert(bad.isEmpty, "Morton round-trip failed")
     } finally out.unpersist(): Unit
   }
+
+  test("crossNgramPairs == symmetric pairs restricted to cross-corpus") {
+    // The asymmetric band join's whole claim: same candidate recall and
+    // exact post-filter as the symmetric generator, minus within-side
+    // work. So filtering the symmetric pair set to (odd, even) pairs
+    // must give EXACTLY the cross join's output (orientation aside).
+    import spark.implicits._
+    val docs = graft.core.Tables.t(spark, sfDir, "documents")
+    val sym = graft.ops.MinHashDedup
+      .ngramJaccardPairs(docs, "doc_id", "text", 5, 2, 0.5)
+      .filter(($"d1" % 2) =!= ($"d2" % 2))
+      .select(
+        when($"d1" % 2 === 1, $"d1").otherwise($"d2").as("in_id"),
+        when($"d1" % 2 === 1, $"d2").otherwise($"d1").as("ex_id"))
+    val cross = graft.ops.MinHashDedup.crossNgramPairs(
+        docs.filter($"doc_id" % 2 === 1), docs.filter($"doc_id" % 2 === 0),
+        "doc_id", "text", 5, 2, 0.5)
+      .select($"in_id", $"ex_id")
+    assert(sym.exceptAll(cross).isEmpty, "symmetric-only pairs exist")
+    assert(cross.exceptAll(sym).isEmpty, "cross-only pairs exist")
+  }
+
+  test("q138 split leakage: classes partition the pair set, splits are valid") {
+    import spark.implicits._
+    val out = CurationOps.q138(spark, sfDir)
+    val rows = out.collect()
+    val valid = Set("test", "train", "val")
+    assert(rows.forall(r => valid(r.getString(0)) && valid(r.getString(1))))
+    // unordered class labels: split_a <= split_b always
+    assert(rows.forall(r => r.getString(0) <= r.getString(1)))
+    val nPairs = graft.ops.MinHashDedup
+      .ngramJaccardPairs(graft.core.Tables.t(spark, sfDir, "documents"),
+        "doc_id", "text", 5, 2, 0.5).count()
+    assert(rows.map(_.getLong(2)).sum == nPairs,
+      "per-class counts must partition the q86 pair set")
+  }
 }

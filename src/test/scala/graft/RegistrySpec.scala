@@ -32,7 +32,7 @@ class RegistrySpec extends SparkSpec {
 
   test("the full surface covers the SURVEY ids Q01..Q72 + r2..r8 additions") {
     val ids = Registry.all.keySet.map(_.takeWhile(_ != '_'))
-    val expected = (1 to 136).map(i => f"q$i%02d").toSet
+    val expected = (1 to 138).map(i => f"q$i%02d").toSet
     assert(ids == expected, s"missing: ${expected -- ids}, extra: ${ids -- expected}")
   }
 
@@ -51,7 +51,7 @@ class RegistrySpec extends SparkSpec {
       .map(k => "\"" + k.takeWhile(_ != '_') + "\":99.99")
       .mkString("{", ",", "}")
     val noisyWorst = (1 to 6).map(i => s""""q12$i":999""").mkString("{", ",", "}")
-    val line = s"""{"metric":"total_warm_sec","value":99999.999,"unit":"sec","queries":$worst,"min_total":99999.999,"noisy":$noisyWorst,"retried":999,"contended":false,"n_queries":999,"n_failed":999,"sf":"/root/testdata/sf0.1","stat":"median_of_3","detail":"BENCH_DETAIL.json"}"""
+    val line = s"""{"metric":"total_warm_sec","value":99999.999,"unit":"sec","queries":$worst,"noisy":$noisyWorst,"retried":999,"contended":false,"n_queries":999,"n_failed":999,"sf":"/root/testdata/sf0.1"}"""
     assert(line.length < 2000, s"bench line would be ${line.length}B — shrink keys or precision")
   }
 }
