@@ -140,6 +140,12 @@ class PlanSpec extends SparkSpec {
       s"all-pairs join in the n-gram Jaccard pipeline:\n$p")
   }
 
+  test("Q137 cross-corpus dedup joins on band keys only (no cartesian, no BNLJ)") {
+    val p = plan(CurationOps.q137(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in the cross-corpus dedup pipeline:\n$p")
+  }
+
   test("Q84 salted join stays an equi-join on (key, salt) — no nested loop") {
     val p = plan(Joins.q84(spark, sfDir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
