@@ -550,6 +550,68 @@ object CurationOps {
        |GROUP BY split_a, split_b
        |ORDER BY split_a NULLS FIRST, split_b NULLS FIRST""".stripMargin
 
+  /** Q140 — EVAL DECONTAMINATION APPLY: q138 found the leakage; this is
+    * the fix a pipeline ships. Using the same deterministic md5-bucket
+    * split, every TRAIN doc that near-duplicates any val/test doc (q137's
+    * asymmetric cross join, train side vs eval side — within-train dups
+    * are q94's business, not contamination) is marked `drop`, with the
+    * dup count and the smallest offending eval id as the audit trail.
+    * Training on a near-copy of an eval doc inflates the eval; dropping
+    * from TRAIN (never from eval) fixes it without changing the
+    * benchmark. Scale shape: q137's — the cross join's output is sized
+    * by the train↔eval dup rate only, and the verdict is one slim
+    * aggregation plus a left join back to the train ids.
+    */
+  def q140(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bucket =
+      expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 2), 16, 10) AS INT) % 10")
+    val withSplit = t(spark, dir, "documents").select($"doc_id", $"text",
+      when(bucket < 8, "train").when(bucket === 8, "val")
+        .otherwise("test").as("split"))
+    val train = withSplit.filter($"split" === "train")
+    val eval = withSplit.filter($"split" =!= "train")
+    val pairs = MinHashDedup.crossNgramPairs(
+      train, eval, "doc_id", "text",
+      gramN = 5, rowsPerBand = 2, minJaccard = 0.5)
+    val agg = pairs.groupBy($"in_id".as("doc_id"))
+      .agg(count(lit(1)).as("n_eval_dups"),
+        min($"ex_id").as("worst_eval_dup"))
+    train.select($"doc_id")
+      .join(agg, Seq("doc_id"), "left")
+      .select($"doc_id",
+        when($"n_eval_dups".isNotNull, lit("drop"))
+          .otherwise(lit("keep")).as("action"),
+        coalesce($"n_eval_dups", lit(0L)).as("n_eval_dups"),
+        $"worst_eval_dup")
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  val q140Sql: String =
+    s"""${LlmOps.ngramPairCtes},
+       |sp AS (
+       |  SELECT doc_id, CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+       |                      ELSE 'test' END AS split
+       |  FROM (SELECT doc_id,
+       |          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) % 10 AS b
+       |        FROM documents)),
+       |cp AS (
+       |  SELECT CASE WHEN sa.split = 'train' THEN p.d1 ELSE p.d2 END AS in_id,
+       |         CASE WHEN sa.split = 'train' THEN p.d2 ELSE p.d1 END AS ex_id
+       |  FROM pairs p JOIN sp sa ON sa.doc_id = p.d1
+       |               JOIN sp sb ON sb.doc_id = p.d2
+       |  WHERE (sa.split = 'train') <> (sb.split = 'train')),
+       |ag AS (SELECT in_id, COUNT(*) AS n_eval_dups,
+       |              MIN(ex_id) AS worst_eval_dup
+       |       FROM cp GROUP BY in_id)
+       |SELECT d.doc_id,
+       |  CASE WHEN ag.in_id IS NOT NULL THEN 'drop' ELSE 'keep' END AS action,
+       |  COALESCE(ag.n_eval_dups, 0) AS n_eval_dups,
+       |  ag.worst_eval_dup
+       |FROM sp d LEFT JOIN ag ON ag.in_id = d.doc_id
+       |WHERE d.split = 'train'
+       |ORDER BY doc_id NULLS FIRST""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q94_neardup_clusters" -> (q94 _),
     "q95_tfidf_terms" -> (q95 _),
@@ -561,7 +623,8 @@ object CurationOps {
     "q127_dedup_apply" -> (q127 _),
     "q129_pagerank" -> (q129 _),
     "q137_cross_corpus_dedup" -> (q137 _),
-    "q138_split_leakage" -> (q138 _))
+    "q138_split_leakage" -> (q138 _),
+    "q140_decontaminate" -> (q140 _))
 
   def oracles: Map[String, String] = Map(
     "q94_neardup_clusters" -> q94Sql,
@@ -574,5 +637,6 @@ object CurationOps {
     "q127_dedup_apply" -> q127Sql,
     "q129_pagerank" -> q129Sql,
     "q137_cross_corpus_dedup" -> q137Sql,
-    "q138_split_leakage" -> q138Sql)
+    "q138_split_leakage" -> q138Sql,
+    "q140_decontaminate" -> q140Sql)
 }

@@ -168,14 +168,80 @@ object ExportOps {
        |GROUP BY 1
        |ORDER BY shard NULLS FIRST""".stripMargin
 
+  /** Number of shuffled training shards q139 exports. */
+  val NumShufShards = 16
+
+  /** Q139 — SHUFFLED SHARD EXPORT (training order): the global
+    * pseudo-random shuffle a trainer consumes, without `rand()` and
+    * without a single-partition global sort. Every doc gets a
+    * deterministic shuffle key `md5('shuf42:' || doc_id)`; its first
+    * byte picks one of [[NumShufShards]] shards, and docs are written
+    * `partitionBy(shard)` SORTED by the key within each shard — readers
+    * interleave shards to reconstruct a uniform shuffled order. The
+    * manifest is computed FROM the exported files and carries an
+    * ORDER-SENSITIVE checksum per shard (Σ rankₖ·doc_id over the
+    * within-shard key order): two engines agree on it only if they agree
+    * on every position of every shard — the property "the shuffle is
+    * deterministic and portable" stated as one BIGINT per shard.
+    *
+    * Scale shape: key + shard are map-side expressions; ONE shard
+    * shuffle; the within-shard sort and the rank window both run per
+    * shard in parallel (no global ordering step anywhere). At 100 TB,
+    * shard count scales with the corpus and each shard stays
+    * executor-sized.
+    */
+  def q139(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = PipelineOps.layoutDir(spark, dir, "shufexport")
+    val keyed = t(spark, dir, "documents").select($"doc_id",
+      md5(concat(lit("shuf42:"), $"doc_id".cast(StringType))).as("k"))
+      .withColumn("shard",
+        expr(s"CAST(conv(substr(k, 1, 2), 16, 10) AS INT) % $NumShufShards"))
+    // sort by (shard, k), not k alone: the dynamic-partition writer
+    // requires task rows ordered by the partition column and would insert
+    // its own UNSTABLE shard-only sort, scrambling k within each shard —
+    // pre-sorting on both satisfies the requirement so no sort is added
+    // and files carry the shuffle order physically.
+    keyed.repartition($"shard").sortWithinPartitions($"shard", $"k")
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$out/shards")
+    val back = spark.read.parquet(s"$out/shards")
+    val w = Window.partitionBy($"shard").orderBy($"k")
+    back.withColumn("rn", row_number().over(w))
+      .groupBy($"shard".cast(LongType).as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"rn".cast(LongType) * $"doc_id").cast(LongType).as("ord_checksum"),
+        min_by($"doc_id", $"k").as("first_doc"),
+        max_by($"doc_id", $"k").as("last_doc"))
+      .orderBy($"shard".asc_nulls_first)
+  }
+
+  val q139Sql: String =
+    s"""WITH keyed AS (
+       |  SELECT doc_id, md5('shuf42:' || CAST(doc_id AS VARCHAR)) AS k
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, k,
+       |    CAST(('0x' || substr(k, 1, 2)) AS INT) % $NumShufShards AS shard
+       |  FROM keyed),
+       |r AS (
+       |  SELECT doc_id, k, shard,
+       |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k) AS rn
+       |  FROM sh)
+       |SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_docs,
+       |  CAST(SUM(rn * doc_id) AS BIGINT) AS ord_checksum,
+       |  arg_min(doc_id, k) AS first_doc, arg_max(doc_id, k) AS last_doc
+       |FROM r GROUP BY 1 ORDER BY shard NULLS FIRST""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q133_source_cap" -> (q133 _),
     "q134_doc_chunks" -> (q134 _),
     "q135_sketch_rollup" -> (q135 _),
-    "q136_shard_export" -> (q136 _))
+    "q136_shard_export" -> (q136 _),
+    "q139_shuffle_export" -> (q139 _))
 
   def oracles: Map[String, String] = Map(
     "q133_source_cap" -> q133Sql,
     "q134_doc_chunks" -> q134Sql,
-    "q136_shard_export" -> q136Sql)
+    "q136_shard_export" -> q136Sql,
+    "q139_shuffle_export" -> q139Sql)
 }

@@ -291,4 +291,27 @@ class CurationSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum == nPairs,
       "per-class counts must partition the q86 pair set")
   }
+
+  test("q140 decontamination: verdicts cover exactly the train split, drops are honest") {
+    import spark.implicits._
+    val out = CurationOps.q140(spark, sfDir).cache()
+    try {
+      val bucket = expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 2), 16, 10) AS INT) % 10")
+      val docs = graft.core.Tables.t(spark, sfDir, "documents")
+      val trainIds = docs.select($"doc_id", bucket.as("b"))
+        .filter($"b" < 8).select($"doc_id").as[Long].collect().toSet
+      val verdictIds = out.select($"doc_id").as[Long].collect().toSet
+      assert(verdictIds == trainIds, "one verdict per train doc, train docs only")
+      // every drop names an eval doc as its witness; every keep names none
+      val badDrop = out.filter($"action" === "drop" &&
+        ($"n_eval_dups" <= 0 || $"worst_eval_dup".isNull))
+      val badKeep = out.filter($"action" === "keep" &&
+        ($"n_eval_dups" =!= 0 || $"worst_eval_dup".isNotNull))
+      assert(badDrop.isEmpty && badKeep.isEmpty, "verdict/witness mismatch")
+      val witnessInTrain = out.filter($"action" === "drop")
+        .select($"worst_eval_dup".as[Long]).collect().toSet.intersect(trainIds)
+      assert(witnessInTrain.isEmpty, "a drop witness must be an eval doc")
+    } finally out.unpersist(): Unit
+  }
 }

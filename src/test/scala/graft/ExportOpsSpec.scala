@@ -113,4 +113,31 @@ class ExportOpsSpec extends SparkSpec {
       assert(shard0 == expected0, "shard=0 files diverge from the hash assignment")
     } finally out.unpersist(): Unit
   }
+
+  test("q139: exported shard files physically carry the shuffle order") {
+    import spark.implicits._
+    val out = ExportOps.q139(spark, sfDir).cache()
+    try {
+      val docs = graft.core.Tables.t(spark, sfDir, "documents")
+      assert(out.select(sum($"n_docs")).as[Long].head() == docs.count(),
+        "shuffled shards must partition the corpus")
+      assert(out.count() <= ExportOps.NumShufShards)
+      // The manifest checksum proves LOGICAL order agreement with the
+      // oracle; this proves the files are PHYSICALLY written in that
+      // order — a trainer streaming a shard file sequentially reads the
+      // shuffle order with no sort on its side. Spark preserves
+      // within-file row order on a single-file read, so a per-file
+      // monotonic id must be k-ascending.
+      val root = graft.queries.PipelineOps.layoutDir(spark, sfDir, "shufexport")
+      val files = new java.io.File(s"$root/shards/shard=0")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.nonEmpty, "shard=0 produced no parquet files")
+      for (f <- files) {
+        val ks = spark.read.parquet(f.getAbsolutePath)
+          .select($"k").as[String].collect()
+        assert(ks.sameElements(ks.sorted),
+          s"${f.getName}: rows not written in shuffle-key order")
+      }
+    } finally out.unpersist(): Unit
+  }
 }
