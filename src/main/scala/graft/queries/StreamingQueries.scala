@@ -467,10 +467,17 @@ object StreamingQueries {
     * never see a half-written table and redelivered batches are
     * idempotent (merge of the same changes is a no-op). Returns the
     * final target table.
+    *
+    * Physical shape: each version is the WHOLE table
+    * ([[graft.ops.VersionedTarget.Rewrite]]). Unlike q132's append-only
+    * survivors, CDC UPDATES existing keys, so without a table format
+    * that can rewrite individual files (Delta/Iceberg) a full rewrite
+    * per batch is inherent — the honest cost of upsert-on-parquet. Old
+    * versions are reclaimed by `Rewrite.vacuum(keepLast)` retention.
     */
   def q109(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Paths}
     // application-scoped target: concurrent processes on the same fixture must
     // never overwrite each other's lazily-read table versions
     val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
@@ -485,12 +492,7 @@ object StreamingQueries {
       rm(root.toFile)
     }
     Files.createDirectories(root)
-    val pointer = root.resolve("CURRENT")
-    def currentVersion(s: SparkSession): Option[DataFrame] =
-      if (Files.exists(pointer))
-        Some(s.read.parquet(root.resolve(
-          new String(Files.readAllBytes(pointer), "UTF-8").trim).toString))
-      else None
+    val target = graft.ops.VersionedTarget.Rewrite(root)
     val changes = eventsStream(spark, dir)
       .filter($"event_type".isin("purchase", "view"))
       .select($"user_id", $"event_id", $"value")
@@ -500,14 +502,12 @@ object StreamingQueries {
       // and the checkpoint commit redelivers this batchId — the pointer
       // then already names v<batchId>, and re-merging would read the very
       // version dir the overwrite targets. Applied == skip.
-      val applied = Files.exists(pointer) &&
-        new String(Files.readAllBytes(pointer), "UTF-8").trim == s"v$batchId"
-      if (!applied) {
+      if (!target.committed(batchId)) {
         val latest = batch.groupBy(col("user_id"))
           .agg(max_by(struct(col("event_id"), col("value")), col("event_id")).as("s"))
           .select(col("user_id"), col("s.event_id").as("last_event_id"),
             col("s.value").as("last_value"))
-        val merged = currentVersion(s) match {
+        val merged = target.current(s) match {
           case None => latest
           case Some(cur) =>
             cur.select(col("user_id"), col("last_event_id").as("c_eid"),
@@ -521,17 +521,12 @@ object StreamingQueries {
                     (col("c_eid").isNull || col("last_event_id") > col("c_eid")),
                   col("last_value")).otherwise(col("c_val")).as("last_value"))
         }
-        val v = s"v$batchId"
-        merged.write.mode("overwrite").parquet(root.resolve(v).toString)
-        val tmp = root.resolve(s".CURRENT-$batchId.tmp")
-        Files.write(tmp, v.getBytes("UTF-8"))
-        Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING,
-          StandardCopyOption.ATOMIC_MOVE): Unit
+        target.commit(merged, batchId)
       }
     }
     StreamOps.runForeachBatch(changes, merge)
     // zero micro-batches (empty source) → empty table, not a crash
-    currentVersion(spark).getOrElse {
+    target.current(spark).getOrElse {
       import org.apache.spark.sql.types._
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("user_id", LongType),
@@ -743,10 +738,15 @@ object StreamingQueries {
     * Scale shape: the gate join is the q126 (band, bv) equi-join — at
     * 100 TB the index lives bucketed on that key; the merge appends
     * disjoint new doc_ids per batch (no rewrite of survivors), which is
-    * exactly Delta/Iceberg MERGE-append. The oracle computes the same
-    * keep rule in one batch pass: semantics are arrival-order-free
-    * because the verdict compares against the WHOLE corpus index, so
-    * batch boundaries cannot change any doc's verdict.
+    * exactly Delta/Iceberg MERGE-append — physically, each commit writes
+    * ONLY the batch's survivors into an immutable `seg<batchId>/` dir and
+    * a byte-sized manifest listing the live segments
+    * ([[graft.ops.VersionedTarget.Segmented]]), so per-batch I/O is
+    * O(batch) regardless of corpus size. Contrast q109, whose CDC merge
+    * updates existing keys and therefore rewrites inherently. The oracle
+    * computes the same keep rule in one batch pass: semantics are
+    * arrival-order-free because the verdict compares against the WHOLE
+    * corpus index, so batch boundaries cannot change any doc's verdict.
     */
   /** Project (doc_id, text, lang, n_chars) rows — stream or batch —
     * into the gate's banded shape: one row per (doc, band) with the
@@ -765,23 +765,22 @@ object StreamingQueries {
   }
 
   /** The q132 per-batch MERGE: gate the banded batch against `index`
-    * (drop docs with a smaller-id near-dup), append survivors to the
-    * versioned target under `root` with an atomic CURRENT pointer swap,
-    * and skip redelivered batchIds (exactly-once). Factored so
+    * (drop docs with a smaller-id near-dup), then commit ONLY the
+    * batch's survivors as a new segment of the manifest-backed target
+    * under `root` ([[graft.ops.VersionedTarget.Segmented]] — O(batch)
+    * write, atomic CURRENT pointer swap), and skip redelivered batchIds
+    * (exactly-once). Survivors are disjoint new doc_ids per batch, so
+    * append IS the merge — no survivor is ever rewritten. Factored so
     * StreamingSemanticsSpec can drive it batch-by-batch without the
     * streaming harness.
     */
   private[graft] def dedupMergeFn(index: DataFrame,
       root: java.nio.file.Path): (DataFrame, Long) => Unit = {
-    import java.nio.file.{Files, StandardCopyOption}
-    val pointer = root.resolve("CURRENT")
+    val target = graft.ops.VersionedTarget.Segmented(root)
     (batch, batchId) => {
-      val s = batch.sparkSession
       // redelivery guard (exactly-once): pointer already at v<batchId>
       // means this batch committed before a crash — skip, don't re-merge
-      val applied = Files.exists(pointer) &&
-        new String(Files.readAllBytes(pointer), "UTF-8").trim == s"v$batchId"
-      if (!applied) {
+      if (!target.committed(batchId)) {
         val dropped = batch.join(index, Seq("band", "bv"))
           .filter(col("idx_id") < col("doc_id") &&
             expr("bit_count(fp ^ idx_fp)") <= 3)
@@ -789,32 +788,17 @@ object StreamingQueries {
         val kept = batch.select(col("doc_id"), col("lang"), col("n_chars"))
           .distinct()
           .join(dropped, Seq("doc_id"), "left_anti")
-        val merged = dedupCurrent(s, root) match {
-          case None => kept
-          case Some(cur) => cur.unionByName(kept)
-        }
-        val v = s"v$batchId"
-        merged.write.mode("overwrite").parquet(root.resolve(v).toString)
-        val tmp = root.resolve(s".CURRENT-$batchId.tmp")
-        Files.write(tmp, v.getBytes("UTF-8"))
-        Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING,
-          StandardCopyOption.ATOMIC_MOVE): Unit
+        target.commit(kept, batchId)
       }
     }
   }
 
-  /** The surviving corpus behind `root`'s CURRENT pointer, if any
-    * version has committed yet.
+  /** The surviving corpus behind `root`'s CURRENT pointer (union of the
+    * live segments its manifest lists), if any version has committed.
     */
   private[graft] def dedupCurrent(s: SparkSession,
-      root: java.nio.file.Path): Option[DataFrame] = {
-    import java.nio.file.Files
-    val pointer = root.resolve("CURRENT")
-    if (Files.exists(pointer))
-      Some(s.read.parquet(root.resolve(
-        new String(Files.readAllBytes(pointer), "UTF-8").trim).toString))
-    else None
-  }
+      root: java.nio.file.Path): Option[DataFrame] =
+    graft.ops.VersionedTarget.Segmented(root).current(s)
 
   def q132(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

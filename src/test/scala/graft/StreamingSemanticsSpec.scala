@@ -241,12 +241,29 @@ class StreamingSemanticsSpec extends SparkSpec {
     merge(StreamingQueries.bandedDocs(docsDF(Seq(20L -> dupText))), 1L)
     assert(survivors == Set(1L, 10L),
       s"cross-batch dup was not dropped: $survivors")
-    // redelivery of batch 1 (post-crash retry) must not double-append
-    merge(StreamingQueries.bandedDocs(docsDF(Seq(20L -> dupText))), 1L)
+    // batch 2: a fresh unique doc — earlier survivors untouched
+    merge(StreamingQueries.bandedDocs(docsDF(Seq(
+      30L -> "another entirely unrelated document about parquet files"))), 2L)
+    assert(survivors == Set(1L, 10L, 30L), s"batch-2 survivors wrong: $survivors")
+    // redelivery of batch 2 (post-crash retry) must not double-append
+    merge(StreamingQueries.bandedDocs(docsDF(Seq(
+      30L -> "another entirely unrelated document about parquet files"))), 2L)
     val rows = StreamingQueries.dedupCurrent(spark, root).get.collect()
-    assert(rows.length == 2, s"redelivered batch re-merged: ${rows.toSeq}")
-    // version trail: v0, v1, CURRENT → v1
-    assert(new String(Files.readAllBytes(root.resolve("CURRENT"))).trim == "v1")
+    assert(rows.length == 3, s"redelivered batch re-merged: ${rows.toSeq}")
+    // version trail: manifests v0..v2, CURRENT → v2
+    assert(new String(Files.readAllBytes(root.resolve("CURRENT"))).trim == "v2")
+    // O(batch) merge: each commit's segment holds ONLY that batch's
+    // survivors — never a rewrite of the accumulated corpus
+    def segIds(seg: String): Set[Long] =
+      spark.read.parquet(root.resolve(seg).toString)
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(segIds("seg0") == Set(1L, 10L), "seg0 must hold batch-0 survivors only")
+    assert(segIds("seg1") == Set.empty[Long], "seg1 must be empty (20 was dropped)")
+    assert(segIds("seg2") == Set(30L),
+      "seg2 rewrote prior survivors — the merge must append per-batch segments")
+    // and the manifest composes them in commit order
+    val target = graft.ops.VersionedTarget.Segmented(root)
+    assert(target.segmentsOf("v2") == Seq("seg0", "seg1", "seg2"))
   }
 
   test("q73 fixture guard: no view window end coincides with the final watermark") {

@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ops.VersionedTarget
+
+/** Retention/GC contract of the versioned parquet targets behind q109
+  * (Rewrite) and q132 (Segmented): vacuum deletes only versions strictly
+  * older than the newest keepLast commits, so a reader that resolved
+  * CURRENT up to keepLast-1 commits ago still reads a complete table —
+  * never a half-deleted one.
+  */
+class VersionedTargetSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df(ids: Long*) =
+    ids.map(i => (i, s"row$i")).toDF("id", "payload")
+
+  test("Segmented: commit appends O(batch) segments; reads compose the manifest") {
+    val root = Files.createTempDirectory("graft_vt_seg")
+    val t = VersionedTarget.Segmented(root)
+    assert(t.current(spark).isEmpty, "no version committed yet")
+    t.commit(df(1L, 2L), 0L)
+    t.commit(df(3L), 1L)
+    t.commit(spark.emptyDataset[(Long, String)].toDF("id", "payload"), 2L)
+    t.commit(df(4L), 3L)
+    assert(VersionedTarget.currentVersion(root).contains("v3"))
+    assert(t.committed(3L) && !t.committed(4L))
+    val ids = t.current(spark).get.select($"id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 3L, 4L))
+    // time travel: any committed version reads its own prefix of segments
+    val v1 = t.read(spark, "v1").get.select($"id").collect().map(_.getLong(0)).toSet
+    assert(v1 == Set(1L, 2L, 3L))
+  }
+
+  test("Segmented vacuum: keeps newest N manifests readable, GCs orphans, " +
+      "never touches a retained reader's segments") {
+    val root = Files.createTempDirectory("graft_vt_segvac")
+    val t = VersionedTarget.Segmented(root)
+    (0L to 4L).foreach(b => t.commit(df(b), b))
+    // orphan from a crash BEFORE the pointer swap: segment written, no manifest
+    df(99L).write.parquet(root.resolve("seg99").toString)
+    // a reader resolved CURRENT one commit ago (v3) and still holds it
+    val oldPointer = "v3"
+    val deleted = t.vacuum(keepLast = 2)
+    assert(deleted.toSet == Set("v0", "v1", "v2", "seg99"),
+      s"vacuum must drop manifests strictly older than the newest 2 plus " +
+        s"unreferenced segments, got $deleted")
+    // append-only: every retained manifest still references ALL its
+    // segments, so no data segment of v3/v4 may be deleted
+    val live = t.read(spark, oldPointer).get.select($"id")
+      .collect().map(_.getLong(0)).toSet
+    assert(live == Set(0L, 1L, 2L, 3L),
+      s"reader holding $oldPointer saw a half-deleted table: $live")
+    assert(t.current(spark).get.count() == 5)
+    // dropped manifests no longer resolve at all (not partially)
+    assert(t.read(spark, "v1").isEmpty)
+  }
+
+  test("Rewrite: commit swaps atomically; vacuum deletes only strictly-older versions") {
+    val root = Files.createTempDirectory("graft_vt_rw")
+    val t = VersionedTarget.Rewrite(root)
+    assert(t.current(spark).isEmpty)
+    (0L to 4L).foreach(b => t.commit(df(0L to b: _*), b))
+    assert(t.committed(4L) && !t.committed(2L))
+    val deleted = t.vacuum(keepLast = 2)
+    assert(deleted == Seq("v0", "v1", "v2"), s"got $deleted")
+    // reader that resolved CURRENT one commit ago still reads v3 whole
+    assert(t.read(spark, "v3").select($"id").collect().map(_.getLong(0)).toSet ==
+      (0L to 3L).toSet)
+    assert(t.current(spark).get.count() == 5)
+    assert(!Files.exists(root.resolve("v2")), "v2 must be gone entirely")
+  }
+
+  test("vacuum refuses keepLast < 1 (would delete CURRENT's own version)") {
+    val root = Files.createTempDirectory("graft_vt_guard")
+    val t = VersionedTarget.Segmented(root)
+    t.commit(df(1L), 0L)
+    intercept[IllegalArgumentException](t.vacuum(0))
+    intercept[IllegalArgumentException](VersionedTarget.Rewrite(root).vacuum(0))
+  }
+}
