@@ -70,18 +70,23 @@ final class JobRunner(
       s"task ${spec.taskId} ${spec.modelClass}.${spec.method} started")
     val outcome =
       try {
-        // Per-task cache scope: any CacheScope.track/adopt the model's
-        // query code performs is released when THIS task's action
+        // Per-task cache + scratch scopes: any CacheScope.track/adopt the
+        // model's query code performs is released when THIS task's action
         // completes (or fails) — and only this task's; concurrent tasks
         // each run in their own scope (the global-buffer alternative
         // would let one task's release unpersist another's live caches).
-        graft.core.CacheScope.scoped {
-          model match {
-            case pm: PartitionedEtlModel => runPartitioned(spec, pm)
-            // method dispatch — getattr(model, method)(**kwargs) analogue
-            // (control/process.py:99-100); unknown method = InvalidTaskSpec
-            case m => TaskComplete(
-              dispatchable(m, spec)(ctx, spec.methodKwargs).count())
+        // Scratch dirs the task registers are deleted immediately on
+        // failure/cancel (nothing will ever read them) and kept until JVM
+        // exit on success (the returned frame reads them lazily).
+        graft.core.Scratch.taskScoped {
+          graft.core.CacheScope.scoped {
+            model match {
+              case pm: PartitionedEtlModel => runPartitioned(spec, pm)
+              // method dispatch — getattr(model, method)(**kwargs) analogue
+              // (control/process.py:99-100); unknown method = InvalidTaskSpec
+              case m => TaskComplete(
+                dispatchable(m, spec)(ctx, spec.methodKwargs).count())
+            }
           }
         }
       } catch {

@@ -129,6 +129,59 @@ private class CrawlModel extends EtlModel {
   }
 }
 
+// chaos: concurrency scoreboard for the stampede test
+private object Stampede {
+  val running = new java.util.concurrent.atomic.AtomicInteger(0)
+  val maxSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+  def reset(): Unit = { running.set(0); maxSeen.set(0) }
+}
+
+private class StampedeModel extends EtlModel {
+  override def name = "StampedeEtl"
+  override def build(ctx: EngineContext): DataFrame = {
+    val n = Stampede.running.incrementAndGet()
+    Stampede.maxSeen.updateAndGet(m => math.max(m, n)): Unit
+    try { Thread.sleep(80); ctx.spark.range(1).toDF() }
+    finally Stampede.running.decrementAndGet(): Unit
+  }
+}
+
+// chaos: a task that acquires scratch + cache, then runs a slow job the
+// test cancels mid-flight — cleanup of both must run on the failure path
+private object CancelCleanup {
+  val scratchDir = new java.util.concurrent.atomic.AtomicReference[String]()
+  @volatile var started: java.util.concurrent.CountDownLatch = _
+}
+
+private class ScratchCrawlModel extends EtlModel {
+  override def name = "ScratchCrawlEtl"
+  override def build(ctx: EngineContext): DataFrame = {
+    val spark = ctx.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cancel_scratch").toString
+    graft.core.Scratch.deleteOnExit(dir): Unit
+    CancelCleanup.scratchDir.set(dir)
+    val df = graft.core.CacheScope.track(spark.range(100).toDF())
+    df.count(): Unit
+    CancelCleanup.started.countDown()
+    spark.range(0, 400, 1, 4).as[Long]
+      .map { i => Thread.sleep(100); i }
+      .toDF()
+  }
+}
+
+private class ScratchQuickModel extends EtlModel {
+  override def name = "ScratchQuickEtl"
+  override def build(ctx: EngineContext): DataFrame = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_keep_scratch").toString
+    graft.core.Scratch.deleteOnExit(dir): Unit
+    CancelCleanup.scratchDir.set(dir)
+    ctx.spark.range(5).toDF()
+  }
+}
+
 class ExecLayerSpec extends SparkSpec {
 
   private def freshRunner(maxConcurrent: Int = 2) = {
@@ -309,6 +362,88 @@ class ExecLayerSpec extends SparkSpec {
       case other => fail(s"expected TaskFailed after cancel, got $other")
     }
     assert(status.status(spec.taskId) == "failed")
+  }
+
+  test("chaos stampede: submitters racing one slot never exceed capacity; " +
+      "every submission is admitted or 503'd; capacity fully drains " +
+      "(test_basics.py:183-250 flood analogue)") {
+    val (reg, _, runner) = freshRunner(maxConcurrent = 1)
+    reg.register(new StampedeModel)
+    Stampede.reset()
+    val n = 24
+    val admitted =
+      new java.util.concurrent.ConcurrentLinkedQueue[scala.concurrent.Future[TaskOutcome]]()
+    val rejected = new java.util.concurrent.atomic.AtomicInteger(0)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val threads = (1 to n).map { _ =>
+      new Thread(() => {
+        gate.await()
+        try admitted.add(
+          runner.submit(TaskSpec(modelClass = "StampedeEtl"), blockMillis = 60)): Unit
+        catch { case _: NoCapacity => rejected.incrementAndGet(): Unit }
+      })
+    }
+    threads.foreach(_.start())
+    gate.countDown() // release all submitters at once — max contention
+    threads.foreach(_.join(60000))
+    assert(admitted.size + rejected.get() == n,
+      s"submissions lost: ${admitted.size} admitted + ${rejected.get()} rejected != $n")
+    assert(!admitted.isEmpty, "at least the first racer must win the slot")
+    admitted.forEach { f =>
+      Await.result(f, 120.seconds) match {
+        case TaskComplete(_) => ()
+        case other => fail(s"admitted task did not complete: $other")
+      }
+    }
+    assert(Stampede.maxSeen.get() <= 1,
+      s"capacity ceiling breached under concurrency: ${Stampede.maxSeen.get()} " +
+        "tasks ran simultaneously on a 1-slot runner")
+    assert(runner.availableCapacity == 1,
+      "capacity permits leaked after the stampede drained")
+    runner.close()
+  }
+
+  test("chaos cancel: mid-query cancel runs scratch + cache cleanup " +
+      "(test_basics.py:106-127 kill analogue)") {
+    import org.apache.spark.sql.graft.CacheProbe
+    spark.catalog.clearCache()
+    graft.core.CacheScope.releaseAll()
+    val (reg, status, runner) = freshRunner()
+    reg.register(new ScratchCrawlModel)
+    CancelCleanup.started = new java.util.concurrent.CountDownLatch(1)
+    CancelCleanup.scratchDir.set(null)
+    val spec = TaskSpec(modelClass = "ScratchCrawlEtl")
+    val fut = runner.submit(spec)
+    // wait until the task has acquired its scratch + cache and entered
+    // the slow distributed job, then kill it mid-flight
+    assert(CancelCleanup.started.await(60, java.util.concurrent.TimeUnit.SECONDS))
+    Thread.sleep(300)
+    runner.cancel(spec.taskId)
+    Await.result(fut, 60.seconds) match {
+      case TaskFailed(_, _, _) => ()
+      case other => fail(s"expected TaskFailed after cancel, got $other")
+    }
+    val dir = CancelCleanup.scratchDir.get()
+    assert(dir != null)
+    assert(!new java.io.File(dir).exists(),
+      s"cancelled task's scratch dir survived: $dir — failed tasks must " +
+        "clean their scratch immediately, not leak it until JVM exit")
+    assert(CacheProbe.cacheIsEmpty(spark),
+      "cancelled task's tracked cache was not released")
+    assert(status.status(spec.taskId) == "failed")
+    runner.close()
+  }
+
+  test("completing task KEEPS its scratch (the returned frame reads it lazily)") {
+    val (reg, _, runner) = freshRunner()
+    reg.register(new ScratchQuickModel)
+    CancelCleanup.scratchDir.set(null)
+    val out = runner.runSync(TaskSpec(modelClass = "ScratchQuickEtl"))
+    assert(out == TaskComplete(5))
+    val dir = CancelCleanup.scratchDir.get()
+    assert(dir != null && new java.io.File(dir).exists(),
+      "success path must promote task scratch to JVM-exit cleanup, not delete it")
+    runner.close()
   }
 
   test("submit validates the class before queueing (412 precedes 503)") {
