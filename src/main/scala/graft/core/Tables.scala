@@ -42,9 +42,17 @@ object Tables {
           spark.read.schema(inferred)
             .parquet(sourcePath(spark, dir, name))
             .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case _ =>
+        case TimestampType | TimestampNTZType =>
           spark.read.schema(tsAsTimestamp(inferred))
             .parquet(sourcePath(spark, dir, name))
+        case other =>
+          // a fixture generation shipping ts as a non-temporal physical
+          // type must fail LOUDLY here, not as an opaque parquet cast
+          // error three operators downstream
+          throw new IllegalStateException(
+            s"events.ts drifted to unsupported inferred type $other " +
+              s"(expected INT64 nanos, TIMESTAMP or TIMESTAMP_NTZ) — " +
+              s"extend Tables.t's ingest adaptation for the new fixture")
       }
     } else {
       spark.read.schema(cachedSchema(spark, dir, name))

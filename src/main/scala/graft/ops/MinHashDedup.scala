@@ -193,6 +193,14 @@ object MinHashDedup {
     * incoming slice, the join output is sized by the slice's dup rate,
     * not the corpus' internal near-dup mass. Returns
     * (in_id, ex_id, jaccard), exact precision, band-generator recall.
+    *
+    * PRECONDITION: `incoming` and `existing` must be DISJOINT on
+    * `idCol`. A doc present on both sides would collide with itself and
+    * come out as a jaccard-1.0 "duplicate" — the ingest shape this op
+    * models (new crawl vs kept corpus) guarantees disjointness, and the
+    * callers (q137, q140) split one table by a partition rule, so no
+    * runtime guard is paid for here; enforce it at the call site if
+    * your corpora can overlap.
     */
   def crossNgramPairs(incoming: DataFrame, existing: DataFrame,
                       idCol: String, textCol: String,

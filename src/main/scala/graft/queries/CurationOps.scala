@@ -504,8 +504,12 @@ object CurationOps {
        |ORDER BY doc_id NULLS FIRST""".stripMargin
 
   /** Q138 — TRAIN/VAL/TEST SPLIT LEAKAGE report: assign every doc a
-    * deterministic hash split (md5-bucket 80/10/10 — reproducible across
-    * engines and runs, no rand()), then count the q86 near-dup pairs by
+    * deterministic hash split (md5-bucket ~80/10/10 — reproducible across
+    * engines and runs, no rand(); the first-byte % 10 rule is ~0.5%
+    * biased — buckets 0–5 occur 26/256, 6–9 occur 25/256, i.e.
+    * 80.5/9.8/9.8 — fine for a leakage report where both engines apply
+    * the identical rule; bucket on more hex digits if exact proportions
+    * matter), then count the q86 near-dup pairs by
     * the (unordered) split-pair they straddle. Off-diagonal rows ARE the
     * leakage a training pipeline must catch before shipping the split: a
     * near-duplicate of a test doc sitting in train inflates eval. Scale
