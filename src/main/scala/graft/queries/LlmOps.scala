@@ -738,42 +738,52 @@ object LlmOps {
     * 32-bit gram-hash sets — the same values the MinHash permutes — which
     * is the contract [[graft.functions.CharGramHashes]] implements.
     */
-  private[queries] val ngramPairCtes: String = {
+  /** The q86 pair pipeline as composable CTE text (no leading WITH):
+    * `rel` is the doc relation to fingerprint (must expose doc_id, text);
+    * `p` prefixes every CTE name so the block can sit in a WITH list
+    * alongside other pipelines (q141 composes it with the SimHash CTEs,
+    * which also define an `hx`). The thresholded output CTE is
+    * `${p}pairs`.
+    */
+  private[queries] def ngramPairCtesOver(rel: String, p: String = ""): String = {
     val hashAggs = MinHashDedup.coeffs.zipWithIndex.map { case ((a, b), i) =>
       s"MIN(($a * x + $b) % ${MinHashDedup.prime}) AS h$i"
     }.mkString(", ")
     val bandSelects = (0 until 4).map { bnd =>
       val r0 = bnd * 2; val r1 = bnd * 2 + 1
-      s"SELECT doc_id, $bnd AS band, md5(CAST(h$r0 AS VARCHAR) || '_' || CAST(h$r1 AS VARCHAR)) AS bh FROM sig"
+      s"SELECT doc_id, $bnd AS band, md5(CAST(h$r0 AS VARCHAR) || '_' || CAST(h$r1 AS VARCHAR)) AS bh FROM ${p}sig"
     }.mkString(" UNION ALL ")
-    s"""WITH d AS (
+    s"""${p}d AS (
        |  SELECT doc_id,
        |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
-       |  FROM documents),
-       |g AS (
+       |  FROM $rel),
+       |${p}g AS (
        |  SELECT DISTINCT doc_id, substr(norm, i, 5) AS gram
-       |  FROM d, UNNEST(range(1, length(norm) - 3)) AS t(i)
+       |  FROM ${p}d, UNNEST(range(1, length(norm) - 3)) AS t(i)
        |  WHERE length(norm) >= 5),
-       |hx AS (SELECT DISTINCT doc_id, CAST(('0x' || substr(md5(gram),1,8)) AS BIGINT) AS x FROM g),
-       |sig AS (SELECT doc_id, $hashAggs FROM hx GROUP BY doc_id),
-       |bands AS ($bandSelects),
-       |cand AS (
+       |${p}hx AS (SELECT DISTINCT doc_id, CAST(('0x' || substr(md5(gram),1,8)) AS BIGINT) AS x FROM ${p}g),
+       |${p}sig AS (SELECT doc_id, $hashAggs FROM ${p}hx GROUP BY doc_id),
+       |${p}bands AS ($bandSelects),
+       |${p}cand AS (
        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-       |  FROM bands a JOIN bands b
+       |  FROM ${p}bands a JOIN ${p}bands b
        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-       |gsz AS (SELECT doc_id, COUNT(*) AS n FROM hx GROUP BY doc_id),
-       |inter AS (
+       |${p}gsz AS (SELECT doc_id, COUNT(*) AS n FROM ${p}hx GROUP BY doc_id),
+       |${p}inter AS (
        |  SELECT c.d1, c.d2, COUNT(*) AS ni
-       |  FROM cand c JOIN hx ga ON ga.doc_id = c.d1
-       |              JOIN hx gb ON gb.doc_id = c.d2 AND gb.x = ga.x
+       |  FROM ${p}cand c JOIN ${p}hx ga ON ga.doc_id = c.d1
+       |              JOIN ${p}hx gb ON gb.doc_id = c.d2 AND gb.x = ga.x
        |  GROUP BY c.d1, c.d2),
-       |pairs AS (
+       |${p}pairs AS (
        |  SELECT i.d1, i.d2,
        |    CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) AS jaccard
-       |  FROM inter i JOIN gsz sa ON sa.doc_id = i.d1
-       |               JOIN gsz sb ON sb.doc_id = i.d2
+       |  FROM ${p}inter i JOIN ${p}gsz sa ON sa.doc_id = i.d1
+       |               JOIN ${p}gsz sb ON sb.doc_id = i.d2
        |  WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.5)""".stripMargin
   }
+
+  private[queries] val ngramPairCtes: String =
+    "WITH " + ngramPairCtesOver("documents")
 
   val q86Sql: String =
     s"""$ngramPairCtes

@@ -11,7 +11,7 @@ object Registry {
       Windows.all ++ SortsLimits.all ++ SetOps.all ++ Scalars.all ++
       LlmOps.all ++ StreamingQueries.all ++ Extensibility.all ++
       ModelQueries.all ++ Reshape.all ++ CurationOps.all ++ PipelineOps.all ++
-      AnalyticsOps.all ++ BehaviorOps.all ++ ExportOps.all
+      AnalyticsOps.all ++ BehaviorOps.all ++ ExportOps.all ++ LifecycleOps.all
 
   def oracles: Map[String, String] =
     Scans.oracles ++ Projections.oracles ++ Joins.oracles ++
@@ -20,7 +20,7 @@ object Registry {
       StreamingQueries.oracles ++ Extensibility.oracles ++
       ModelQueries.oracles ++ Reshape.oracles ++ CurationOps.oracles ++
       PipelineOps.oracles ++ AnalyticsOps.oracles ++ BehaviorOps.oracles ++
-      ExportOps.oracles
+      ExportOps.oracles ++ LifecycleOps.oracles
 }
 
 trait QueryModule {

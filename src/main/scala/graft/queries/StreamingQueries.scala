@@ -691,7 +691,7 @@ object StreamingQueries {
     * q132 oracles both build on — one text so the two gates' fingerprint
     * definitions can never diverge.
     */
-  private val simhashCtes: String = {
+  private[queries] val simhashCtes: String = {
     val bitSums = (0 until 32).map { i =>
       s"SUM(CASE WHEN ((x >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS s$i"
     }.mkString(", ")

@@ -17,7 +17,8 @@ class RegistrySpec extends SparkSpec {
     "Extensibility" -> Extensibility.all, "Models" -> ModelQueries.all,
     "Reshape" -> Reshape.all, "Curation" -> CurationOps.all,
     "Pipeline" -> PipelineOps.all, "Analytics" -> AnalyticsOps.all,
-    "Behavior" -> BehaviorOps.all, "Export" -> ExportOps.all)
+    "Behavior" -> BehaviorOps.all, "Export" -> ExportOps.all,
+    "Lifecycle" -> LifecycleOps.all)
 
   test("no query key collisions across modules") {
     val expected = modules.map(_._2.size).sum
@@ -30,9 +31,9 @@ class RegistrySpec extends SparkSpec {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
-  test("the full surface covers the SURVEY ids Q01..Q72 + r2..r8 additions") {
+  test("the full surface covers the SURVEY ids Q01..Q72 + r2..r10 additions") {
     val ids = Registry.all.keySet.map(_.takeWhile(_ != '_'))
-    val expected = (1 to 140).map(i => f"q$i%02d").toSet
+    val expected = (1 to 141).map(i => f"q$i%02d").toSet
     assert(ids == expected, s"missing: ${expected -- ids}, extra: ${ids -- expected}")
   }
 
