@@ -48,6 +48,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object VersionedTarget {
 
+  /** Default keep-last-N for the streaming merge paths (q109/q132): deep
+    * enough that any reader that resolved CURRENT during the last several
+    * commits still reads a complete table, shallow enough that the
+    * rewrite target holds a bounded number of full copies.
+    */
+  val DefaultRetain = 8
+
   private[ops] def pointerOf(root: Path): Path = root.resolve("CURRENT")
 
   /** The committed version name (`v<batchId>`) behind CURRENT, if any. */

@@ -522,6 +522,9 @@ object StreamingQueries {
                   col("last_value")).otherwise(col("c_val")).as("last_value"))
         }
         target.commit(merged, batchId)
+        // retention: CDC versions are FULL table copies — without this the
+        // target holds one complete corpus per micro-batch forever
+        target.vacuum(graft.ops.VersionedTarget.DefaultRetain): Unit
       }
     }
     StreamOps.runForeachBatch(changes, merge)
@@ -789,6 +792,9 @@ object StreamingQueries {
           .distinct()
           .join(dropped, Seq("doc_id"), "left_anti")
         target.commit(kept, batchId)
+        // retention: old manifests (bytes) + orphan segments from pre-swap
+        // crashes; live segments all stay referenced (append-only)
+        target.vacuum(graft.ops.VersionedTarget.DefaultRetain): Unit
       }
     }
   }

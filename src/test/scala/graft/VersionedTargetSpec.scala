@@ -72,6 +72,31 @@ class VersionedTargetSpec extends SparkSpec {
     assert(!Files.exists(root.resolve("v2")), "v2 must be gone entirely")
   }
 
+  test("Segmented: a crash between data write and pointer swap is healed by " +
+      "redelivery; vacuum sweeps what the crash orphaned") {
+    val root = Files.createTempDirectory("graft_vt_crash")
+    val t = VersionedTarget.Segmented(root)
+    t.commit(df(1L), 0L)
+    // simulate batch 1 crashing AFTER writing its segment and manifest but
+    // BEFORE the atomic pointer swap: garbage data, unreferenced by CURRENT
+    df(99L).write.parquet(root.resolve("seg1").toString)
+    Files.write(root.resolve("v1"), "seg0\nseg1".getBytes("UTF-8"))
+    assert(!t.committed(1L), "pointer never moved — batch 1 must not read as applied")
+    assert(t.current(spark).get.select($"id").collect().map(_.getLong(0)).toSet ==
+      Set(1L), "readers must still see only v0")
+    // streaming redelivers batch 1; the re-run overwrites the partial
+    // segment + manifest and completes the swap
+    t.commit(df(2L), 1L)
+    assert(t.committed(1L))
+    assert(t.current(spark).get.select($"id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L), "redelivered commit must replace the crashed attempt's data")
+    // and if the crashed attempt is instead ABANDONED (no redelivery),
+    // vacuum sweeps its orphan segment once it falls out of retention
+    df(98L).write.parquet(root.resolve("seg7").toString) // orphan, no manifest
+    val deleted = t.vacuum(keepLast = 2)
+    assert(deleted.contains("seg7"), s"orphan segment not swept: $deleted")
+  }
+
   test("vacuum refuses keepLast < 1 (would delete CURRENT's own version)") {
     val root = Files.createTempDirectory("graft_vt_guard")
     val t = VersionedTarget.Segmented(root)
