@@ -158,6 +158,40 @@ class StatusServerSpec extends SparkSpec {
     } finally { server.stop(); runner.close() }
   }
 
+  test("the full corpus lifecycle (q141's model) runs over the HTTP facade " +
+      "(the reference's submit-ETL-and-poll integration shape, test_basics.py:86-104)") {
+    val reg = new TaskRegistry
+    val status = new StatusRegistry
+    val runner = new JobRunner(spark, reg, status, maxConcurrentTasks = 2)
+    reg.register(new graft.queries.LifecycleOps.CorpusLifecycleModel)
+    val server = new StatusServer(runner, reg, status)
+    val port = server.start()
+    val outBase = java.nio.file.Files
+      .createTempDirectory("graft_http_lifecycle").toString
+    try {
+      val (c, b) = post(port, "/api/0.01/task",
+        s"""{"model_class":"CorpusLifecycle",
+           |"resolver_context":{"data_dir":"$sfDir","output":"$outBase"}}"""
+          .stripMargin)
+      assert(c == 200, b)
+      val id = "\"task_id\":\"([a-f0-9]+)\"".r.findFirstMatchIn(b).get.group(1)
+      var st = ""
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while (st != "complete" && st != "failed" && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        st = "\"status\":\"(\\w+)\"".r
+          .findFirstMatchIn(get(port, s"/api/0.01/task/$id")._2).get.group(1)
+      }
+      assert(st == "complete", s"lifecycle over HTTP ended '$st'")
+      // the pipeline's physical outputs exist where the POST body said
+      val manifest = spark.read.parquet(s"$outBase/manifest")
+      assert(manifest.count() > 0, "no shard manifest written")
+      assert(new java.io.File(s"$outBase/shards").exists(), "no shard export")
+      assert(new java.io.File(s"$outBase/dedup/CURRENT").exists(),
+        "no committed dedup version")
+    } finally { server.stop(); runner.close() }
+  }
+
   test("GraftApp wires config: cpu_task_ratio capacity, models, loggers, sidecar, HTTP") {
     import java.nio.file.{Files, Paths}
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
