@@ -490,6 +490,42 @@ object LlmOps {
     } finally assignments.unpersist(): Unit
   }
 
+  /** Q142 — PERSISTED IVF INDEX (the q135 two-stage pattern applied to
+    * ANN): q72/q82 re-fit their k-means coarse quantizer on every run,
+    * which is honest for an index-build benchmark but not how a 100 TB
+    * vector store serves queries. Stage 1 fits ONCE and PERSISTS the
+    * index artifacts — the k-row centroid table and the cell assignments
+    * written `partitionBy(cell)`, the layout that lets a probe's cell
+    * join prune to its nprobe partitions. Stage 2 reads the index back
+    * from parquet and serves the probe wave (nprobe=2 multi-probe, q82's
+    * search) with NO refit — the index build cost is paid once per
+    * corpus version, amortised over every query wave that follows.
+    * Results are byte-identical to q82 (same deterministic quantizer),
+    * so the oracle is q82's.
+    */
+  def q142(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = t(spark, dir, "embeddings").coalesce(8)
+    val out = PipelineOps.layoutDir(spark, dir, "ivfindex")
+    // stage 1: fit once, persist the index (daily-build artifact)
+    val (assignments, centroids) =
+      Similarity.kmeansFit(e, "vec_id", "embedding", k = 8, iters = 2)
+    try {
+      assignments.write.mode("overwrite")
+        .partitionBy("cell").parquet(s"$out/assignments")
+      centroids.write.mode("overwrite").parquet(s"$out/centroids")
+    } finally assignments.unpersist(): Unit
+    // stage 2: serve the probe wave FROM the persisted index — no refit
+    val idxAssign = spark.read.parquet(s"$out/assignments")
+    val idxCent = spark.read.parquet(s"$out/centroids")
+    val res = Similarity.ivfTopKProbed(e, idxAssign, idxCent,
+        "vec_id", "embedding", probeFilter = $"vec_id" < 20, k = 3, nprobe = 2)
+      .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
+    // k-bounded result; materialise so nothing holds the index read open
+    val rows = res.collect().toSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), res.schema)
+  }
+
   val q82Sql: String =
     s"""$kmeansOracleCtes,
        |pcell AS (
@@ -933,6 +969,9 @@ object LlmOps {
       |  < CASE lang WHEN 'en' THEN 10 WHEN 'zh' THEN 20 ELSE 50 END
       |ORDER BY doc_id NULLS FIRST""".stripMargin
 
+  /** q142 returns exactly q82's rows (same deterministic quantizer). */
+  val q142Sql: String = q82Sql
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_exact_dedup" -> (q58 _),
     "q59_minhash_lsh" -> (q59 _),
@@ -958,7 +997,8 @@ object LlmOps {
     "q89_repetition" -> (q89 _),
     "q90_contamination" -> (q90 _),
     "q91_pii_scrub" -> (q91 _),
-    "q93_stratified_sample" -> (q93 _))
+    "q93_stratified_sample" -> (q93 _),
+    "q142_ann_ivf_persisted" -> (q142 _))
 
   def oracles: Map[String, String] = Map(
     "q58_exact_dedup" -> q58Sql,
@@ -985,5 +1025,6 @@ object LlmOps {
     "q89_repetition" -> q89Sql,
     "q90_contamination" -> q90Sql,
     "q91_pii_scrub" -> q91Sql,
-    "q93_stratified_sample" -> q93Sql)
+    "q93_stratified_sample" -> q93Sql,
+    "q142_ann_ivf_persisted" -> q142Sql)
 }

@@ -438,6 +438,22 @@ class OpsSpec extends SparkSpec {
     } finally assign.unpersist(): Unit
   }
 
+  test("q142 persisted-index ANN: identical rows to the refit q82 twin, and the " +
+      "index artifacts really land on disk partitioned by cell") {
+    import graft.queries.LlmOps
+    val refit = LlmOps.q82(spark, sfDir).collect().toSeq
+    val persisted = LlmOps.q142(spark, sfDir).collect().toSeq
+    assert(persisted == refit,
+      "serving from the persisted index must reproduce the refit results exactly")
+    val idx = new java.io.File(
+      graft.queries.PipelineOps.layoutDir(spark, sfDir, "ivfindex"))
+    val cells = new java.io.File(idx, "assignments").listFiles()
+      .filter(_.getName.startsWith("cell="))
+    assert(cells.nonEmpty,
+      "assignments must be partitioned by cell (the probe-pruning layout)")
+    assert(new java.io.File(idx, "centroids").exists())
+  }
+
   test("q69 banded-LSH pairs: bucket keys spread the corpus, candidates prune, recall holds") {
     import graft.queries.LlmOps
     val e = graft.core.Tables.t(spark, sfDir, "embeddings")
