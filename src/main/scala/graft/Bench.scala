@@ -157,9 +157,15 @@ object Bench {
     // is self-evident in the artifact without blowing the tail budget
     // (r7's q21/q82 adjudication needed exactly this). RegistrySpec
     // guards the worst-case line width.
+    // adaptive precision: 2dp below 10 s, 1dp above — worst-case value
+    // width is 4 chars either way ("9.99"/"99.9"), which is what keeps
+    // the 144-query line under the tail budget; micro-queries keep
+    // their 10 ms resolution where it matters
     val qs = results.map { t =>
       val short = t.name.takeWhile(_ != '_')
-      "\"" + short + "\":" + (if (t.failed) "-1" else f"${t.median}%.2f")
+      val v = if (t.failed) "-1"
+        else if (t.median >= 10) f"${t.median}%.1f" else f"${t.median}%.2f"
+      "\"" + short + "\":" + v
     }.mkString("{", ",", "}")
     val noisy = results.filterNot(_.failed)
       .map(t => t.name.takeWhile(_ != '_') -> spreadPct(t))

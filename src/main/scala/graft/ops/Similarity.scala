@@ -231,6 +231,20 @@ object Similarity {
     } finally cached.unpersist(): Unit
   }
 
+  /** Place vectors into an EXISTING quantizer: nearest centroid of
+    * `cent` (a [[kmeansFit]]-shaped `(__cell, __centroid)` frame) per
+    * vector, with the same rounded-L2 / lowest-cell tie rule as the
+    * fit's own final assignment. This is the index-APPEND path: new
+    * arrivals join a broadcast k-row centroid table map-side — no refit,
+    * no shuffle, and the existing index's assignments are never touched.
+    */
+  def assignToCentroids(vecs: DataFrame, cent: DataFrame,
+                        idCol: String, vecCol: String): DataFrame =
+    nearestCell(
+        vecs.select(col(idCol).as("__id"), toDouble(col(vecCol)).as("__vec")),
+        cent)
+      .select(col("__id").as(idCol), col("__cell").as("cell"))
+
   /** Materialise a centroid table (k rows — driver-size BY DESIGN, like
     * every IVF/k-means implementation) into a local relation: truncates
     * the per-round lineage so round N+1's plan doesn't re-nest and

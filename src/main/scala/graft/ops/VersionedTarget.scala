@@ -117,6 +117,40 @@ object VersionedTarget {
       swapPointer(root, batchId)
     }
 
+    /** Compact every live segment into ONE merged segment committed as
+      * version `v<batchId>` (manifest = just `seg<batchId>`). Append-only
+      * commits accumulate one segment per micro-batch; each adds a file
+      * footer + task to every downstream scan, so a 100 TB target fed by
+      * small batches eventually pays more in per-file overhead than in
+      * data. Compaction is the amortised counter-move (Delta OPTIMIZE /
+      * Iceberg rewrite_data_files): O(live corpus) I/O ONCE, scheduled
+      * off the ingest path, after which scans touch one segment again.
+      *
+      * Old manifests still reference the old segments, which stay on disk
+      * until [[vacuum]] drops those manifests — a reader that resolved
+      * CURRENT before the compaction keeps reading its complete version.
+      * `batchId` must exceed every committed batch id (manifests sort by
+      * id); the streaming caller's epoch counter satisfies this.
+      * No-op (returns false) when nothing has committed yet or the live
+      * manifest already holds a single segment.
+      */
+    def compact(s: SparkSession, batchId: Long): Boolean =
+      currentVersion(root) match {
+        case Some(v) if segmentsOf(v).lengthCompare(1) > 0 =>
+          val segs = segmentsOf(v).map(root.resolve(_).toString)
+          val seg = s"seg$batchId"
+          // one shuffle-free rewrite: scan the live segments, write merged
+          s.read.parquet(segs: _*).write.mode("overwrite")
+            .parquet(root.resolve(seg).toString)
+          val mTmp = root.resolve(s".v$batchId.tmp")
+          Files.write(mTmp, seg.getBytes("UTF-8"))
+          Files.move(mTmp, root.resolve(s"v$batchId"),
+            StandardCopyOption.REPLACE_EXISTING): Unit
+          swapPointer(root, batchId)
+          true
+        case _ => false
+      }
+
     /** The live table at `version`: multi-path parquet scan over its
       * segments. Empty-manifest versions read as None (no schema to give).
       */

@@ -53,6 +53,75 @@ object ExportOps {
        |WHERE keep_rank <= $SourceCap
        |ORDER BY doc_id NULLS FIRST""".stripMargin
 
+  /** Q143 — TEMPERATURE-WEIGHTED TOKEN-BUDGET MIXTURE CAP: the step
+    * after q133's per-source count cap in a real pretraining mix — fix a
+    * global character budget (half the corpus, [[MixtureBudgetDiv]]) and
+    * split it across sources by a TEMPERED share: weight w_s =
+    * ⌊√(chars_s)⌋, the classic τ=0.5 mixture temperature that upweights
+    * small sources relative to proportional sampling without letting any
+    * giant source keep its raw share. Each source then keeps documents in
+    * md5(doc_id) priority order until its character budget is exhausted
+    * (running total ≤ budget — a doc that would cross the line is
+    * dropped, as is every doc behind it in priority order).
+    *
+    * Every step is integer-exact cross-engine: ⌊√x⌋ of a BIGINT is
+    * deterministic (IEEE-correctly-rounded sqrt, then floor), and the
+    * budget split is BIGINT multiply + integer division — no doubles
+    * survive into the keep rule. (At true 100 TB char counts the
+    * `budget × w` product should widen to DECIMAL(38,0); at any
+    * realistic corpus mass BIGINT has headroom and stays exact.)
+    *
+    * Scale shape: the mass/weight table is one partial-agg pass (rows =
+    * #sources, broadcast back); the keep rule is ONE hash shuffle on
+    * `source` with a running-sum window — same single-shuffle shape as
+    * q133, just with a char-budget cutoff instead of a row count.
+    */
+  val MixtureBudgetDiv = 2
+
+  def q143(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents").select($"doc_id", $"source", $"n_chars")
+    val mass = docs.groupBy($"source").agg(sum($"n_chars").as("chars_total"))
+      .withColumn("w", floor(sqrt($"chars_total".cast(DoubleType))).cast(LongType))
+    val tot = mass.agg(sum($"chars_total").as("corpus_chars"), sum($"w").as("w_total"))
+    val budgets = mass.crossJoin(broadcast(tot))
+      .select($"source",
+        expr(s"((corpus_chars div $MixtureBudgetDiv) * w) div w_total")
+          .as("budget_chars"))
+    val win = Window.partitionBy($"source")
+      .orderBy(TextOps.hash32($"doc_id".cast(StringType)).asc, $"doc_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("cum_chars", sum($"n_chars").over(win))
+      .join(broadcast(budgets), Seq("source"))
+      .filter($"cum_chars" <= $"budget_chars")
+      .select($"doc_id", $"source", $"n_chars", $"cum_chars", $"budget_chars")
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  val q143Sql: String =
+    s"""WITH mass AS (
+       |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+       |    CAST(FLOOR(SQRT(CAST(SUM(n_chars) AS DOUBLE))) AS BIGINT) AS w
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT CAST(SUM(chars_total) AS BIGINT) AS corpus_chars,
+       |               CAST(SUM(w) AS BIGINT) AS w_total FROM mass),
+       |bud AS (
+       |  SELECT m.source,
+       |    CAST(((t.corpus_chars // $MixtureBudgetDiv) * m.w) // t.w_total AS BIGINT) AS budget_chars
+       |  FROM mass m CROSS JOIN tot t),
+       |cum AS (
+       |  SELECT doc_id, source, n_chars,
+       |    CAST(SUM(n_chars) OVER (PARTITION BY source
+       |      ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT),
+       |               doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_chars
+       |  FROM documents)
+       |SELECT c.doc_id, c.source, c.n_chars, c.cum_chars, b.budget_chars
+       |FROM cum c JOIN bud b ON c.source = b.source
+       |WHERE c.cum_chars <= b.budget_chars
+       |ORDER BY c.doc_id NULLS FIRST""".stripMargin
+
   /** Q134 — DOCUMENT CHUNKING (the retrieval/RAG prep shape): split
     * every document into overlapping character windows of
     * [[ChunkChars]] chars at [[ChunkStride]] stride, carrying the chunk
@@ -237,11 +306,13 @@ object ExportOps {
     "q134_doc_chunks" -> (q134 _),
     "q135_sketch_rollup" -> (q135 _),
     "q136_shard_export" -> (q136 _),
-    "q139_shuffle_export" -> (q139 _))
+    "q139_shuffle_export" -> (q139 _),
+    "q143_mixture_budget_cap" -> (q143 _))
 
   def oracles: Map[String, String] = Map(
     "q133_source_cap" -> q133Sql,
     "q134_doc_chunks" -> q134Sql,
     "q136_shard_export" -> q136Sql,
-    "q139_shuffle_export" -> q139Sql)
+    "q139_shuffle_export" -> q139Sql,
+    "q143_mixture_budget_cap" -> q143Sql)
 }

@@ -406,10 +406,15 @@ object LlmOps {
 
   /** Shared oracle CTE block: the unrolled deterministic k-means (2
     * Lloyd's rounds + final assignment) ending in `avx(vec_id, cell, v,
-    * nrm)` and the final centroids `cent2(cell, centroid)` — used by both
-    * the nprobe=1 (q72) and nprobe=2 (q82) IVF oracles.
+    * nrm)` and the final centroids `cent2(cell, centroid)` — used by the
+    * nprobe=1 (q72), nprobe=2 (q82/q142) and index-append (q144) IVF
+    * oracles. `fitWhere` restricts which vectors the quantizer is FITTED
+    * on (seeds + Lloyd's rounds); the FINAL assignment always covers the
+    * whole table — with a restriction this is exactly the fit-on-base /
+    * assign-everyone split of an appended index (q144), and with `TRUE`
+    * it degenerates to the classic fit-and-assign (q72/q82).
     */
-  private val kmeansOracleCtes: String = {
+  private def kmeansCtes(fitWhere: String): String = {
     // one Lloyd's round: argmin against centN → recompute exact-decimal
     // per-dim means as centN+1 (same expression tree as kmeansAssign)
     def round_(n: Int, prevCent: String): String =
@@ -417,7 +422,7 @@ object LlmOps {
          |  SELECT vec_id, cell,
          |    ROUND(list_dot_product(v, v) - 2.0 * list_dot_product(v, centroid)
          |          + list_dot_product(centroid, centroid), 6) AS d2
-         |  FROM vecs CROSS JOIN $prevCent),
+         |  FROM fitvecs CROSS JOIN $prevCent),
          |assign$n AS (
          |  SELECT vec_id, cell FROM (
          |    SELECT vec_id, cell,
@@ -430,13 +435,14 @@ object LlmOps {
          |cent$n AS (SELECT cell, list(cv ORDER BY pos) AS centroid FROM centd$n GROUP BY cell)""".stripMargin
     s"""WITH vecs AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |fitvecs AS (SELECT * FROM vecs WHERE $fitWhere),
        |expl AS (
        |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
        |         CAST(unnest(embedding) AS DOUBLE) AS ev
        |  FROM embeddings),
        |cent0 AS (
        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC) AS BIGINT) AS cell, v AS centroid
-       |  FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id ASC LIMIT 8)),
+       |  FROM (SELECT vec_id, v FROM fitvecs ORDER BY vec_id ASC LIMIT 8)),
        |${round_(1, "cent0")},
        |${round_(2, "cent1")},
        |scored3 AS (
@@ -453,6 +459,8 @@ object LlmOps {
        |  SELECT a.vec_id, a.cell, v.v, SQRT(list_dot_product(v.v, v.v)) AS nrm
        |  FROM assign3 a JOIN vecs v ON a.vec_id = v.vec_id)""".stripMargin
   }
+
+  private val kmeansOracleCtes: String = kmeansCtes("TRUE")
 
   val q72Sql: String =
     s"""$kmeansOracleCtes,
@@ -526,8 +534,12 @@ object LlmOps {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), res.schema)
   }
 
-  val q82Sql: String =
-    s"""$kmeansOracleCtes,
+  /** The nprobe=2 / k=3 probe-wave SELECT over a [[kmeansCtes]] prefix —
+    * shared by q82/q142 (fit on everything) and q144 (fit on base,
+    * serve over base + appended delta).
+    */
+  private def probedTopKSql(ctes: String): String =
+    s"""$ctes,
        |pcell AS (
        |  SELECT vec_id AS probe_id, cell FROM (
        |    SELECT v.vec_id, c.cell,
@@ -549,6 +561,8 @@ object LlmOps {
        |  FROM pairs)
        |SELECT probe_id, cand_id, cos6, rn FROM ranked WHERE rn <= 3
        |ORDER BY probe_id NULLS FIRST, rn NULLS FIRST""".stripMargin
+
+  val q82Sql: String = probedTopKSql(kmeansOracleCtes)
 
   /** Q75 — rolling-hash document fingerprinting
     * ([[TextOps.rollingFingerprint]]): Rabin–Karp 3-token windows, bottom-4
@@ -972,6 +986,61 @@ object LlmOps {
   /** q142 returns exactly q82's rows (same deterministic quantizer). */
   val q142Sql: String = q82Sql
 
+  /** Q144 — INCREMENTAL IVF INDEX APPEND: q142 persists the index; this
+    * is the OTHER half of running a 100 TB vector store — tonight's new
+    * embeddings arrive and must become searchable WITHOUT refitting the
+    * quantizer or touching the existing assignments. The base corpus
+    * (vec_id % 10 ≠ 0) fits the k-means coarse quantizer; the delta
+    * (vec_id % 10 = 0) is then placed into the EXISTING centroids by
+    * [[Similarity.assignToCentroids]] — a map-only broadcast of the
+    * k-row centroid table, the same per-batch shape as q132's segmented
+    * corpus merge: the new assignments land as a second immutable
+    * parquet segment next to the base's, O(delta) I/O per append. The
+    * probe wave then serves from BOTH segments via one multi-path scan —
+    * proving the appended index answers queries over the full corpus
+    * with no rebuild anywhere.
+    *
+    * The oracle fits the identical unrolled k-means on the base subset
+    * only, assigns everyone to the fitted centroids, and runs the same
+    * nprobe=2 search — so a refit (different centroids) or a missed
+    * delta row flips the hash.
+    */
+  def q144(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = t(spark, dir, "embeddings").coalesce(8)
+    val base = e.filter($"vec_id" % 10 =!= 0)
+    val delta = e.filter($"vec_id" % 10 === 0)
+    val out = PipelineOps.layoutDir(spark, dir, "ivfappend")
+    // nightly build: fit on the base, persist index segment 0 + centroids
+    val (baseAssign, cent) =
+      Similarity.kmeansFit(base, "vec_id", "embedding", k = 8, iters = 2)
+    try {
+      baseAssign.write.mode("overwrite")
+        .partitionBy("cell").parquet(s"$out/assignments/seg0")
+      cent.write.mode("overwrite").parquet(s"$out/centroids")
+    } finally baseAssign.unpersist(): Unit
+    // index APPEND: place the delta into the existing quantizer (no refit),
+    // commit as segment 1 — existing segment untouched
+    val idxCent = spark.read.parquet(s"$out/centroids")
+    Similarity.assignToCentroids(delta, idxCent, "vec_id", "embedding")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$out/assignments/seg1")
+    // serve the probe wave over base + delta from the two index segments
+    // (each carries its own cell= partition layout; the union keeps both
+    // sides' partition pruning intact)
+    val idxAssign = spark.read.parquet(s"$out/assignments/seg0")
+      .unionByName(spark.read.parquet(s"$out/assignments/seg1"))
+    val res = Similarity.ivfTopKProbed(e, idxAssign, idxCent,
+        "vec_id", "embedding", probeFilter = $"vec_id" < 20, k = 3, nprobe = 2)
+      .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
+    // k-bounded result; materialise so nothing holds the index read open
+    val rows = res.collect().toSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), res.schema)
+  }
+
+  /** Same probe wave, quantizer fitted on the base slice only. */
+  val q144Sql: String = probedTopKSql(kmeansCtes("vec_id % 10 <> 0"))
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_exact_dedup" -> (q58 _),
     "q59_minhash_lsh" -> (q59 _),
@@ -998,7 +1067,8 @@ object LlmOps {
     "q90_contamination" -> (q90 _),
     "q91_pii_scrub" -> (q91 _),
     "q93_stratified_sample" -> (q93 _),
-    "q142_ann_ivf_persisted" -> (q142 _))
+    "q142_ann_ivf_persisted" -> (q142 _),
+    "q144_ann_ivf_append" -> (q144 _))
 
   def oracles: Map[String, String] = Map(
     "q58_exact_dedup" -> q58Sql,
@@ -1026,5 +1096,6 @@ object LlmOps {
     "q90_contamination" -> q90Sql,
     "q91_pii_scrub" -> q91Sql,
     "q93_stratified_sample" -> q93Sql,
-    "q142_ann_ivf_persisted" -> q142Sql)
+    "q142_ann_ivf_persisted" -> q142Sql,
+    "q144_ann_ivf_append" -> q144Sql)
 }

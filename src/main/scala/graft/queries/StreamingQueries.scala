@@ -806,13 +806,17 @@ object StreamingQueries {
       root: java.nio.file.Path): Option[DataFrame] =
     graft.ops.VersionedTarget.Segmented(root).current(s)
 
-  def q132(spark: SparkSession, dir: String): DataFrame = {
+  /** Run the q132 streaming dedup pipeline into a fresh scratch target
+    * and return its root (shared by q132 and q145's compaction pass).
+    */
+  private def runIncrementalDedup(spark: SparkSession, dir: String,
+      tag: String): java.nio.file.Path = {
     import spark.implicits._
     import java.nio.file.{Files, Paths}
     val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
     val root = Paths.get(graft.core.Scratch.deleteOnExit(
       Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-        "graft_incdedup", s"corpus_${slug}_${spark.sparkContext.applicationId}").toString))
+        "graft_incdedup", s"${tag}_${slug}_${spark.sparkContext.applicationId}").toString))
     if (Files.exists(root)) { // fresh apply per invocation
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)
@@ -825,6 +829,15 @@ object StreamingQueries {
     val banded = bandedDocs(StreamOps.docsStream(spark, dir)
       .select($"doc_id", $"text", $"lang", $"n_chars"))
     StreamOps.runForeachBatch(banded, dedupMergeFn(neardupIndex(docs), root))
+    root
+  }
+
+  /** The corpus behind `root`, ordered for the hash-compare (empty-typed
+    * frame when nothing committed).
+    */
+  private def corpusOf(spark: SparkSession,
+      root: java.nio.file.Path): DataFrame = {
+    import spark.implicits._
     dedupCurrent(spark, root).getOrElse {
       import org.apache.spark.sql.types._
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -832,6 +845,9 @@ object StreamingQueries {
           StructField("lang", StringType), StructField("n_chars", LongType))))
     }.orderBy($"doc_id".asc_nulls_first)
   }
+
+  def q132(spark: SparkSession, dir: String): DataFrame =
+    corpusOf(spark, runIncrementalDedup(spark, dir, "corpus"))
 
   val q132Sql: String =
     s"""$simhashCtes,
@@ -843,6 +859,36 @@ object StreamingQueries {
        |SELECT doc_id, lang, n_chars FROM documents
        |WHERE doc_id NOT IN (SELECT d FROM dropped)
        |ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  /** Q145 — SEGMENT COMPACTION on the live merge target: q132's
+    * append-only commits leave one immutable segment per micro-batch;
+    * every downstream scan then pays a file footer + scheduler task per
+    * segment, which at 100 TB ingest cadence (thousands of batches)
+    * dwarfs the data cost. This query runs the SAME incremental dedup
+    * pipeline and then runs the maintenance pass a production target
+    * schedules off the ingest path: [[graft.ops.VersionedTarget.Segmented.compact]]
+    * rewrites the live segments into ONE (O(corpus) once, amortised over
+    * the batches it folds), commits it as a normal manifest version
+    * (atomic pointer swap — readers of the pre-compaction version keep
+    * their complete segment set until vacuum retires it), then vacuums to
+    * the compacted version only. The corpus CONTENT is the compaction
+    * invariant — hence the oracle is exactly q132's keep rule: any row
+    * lost or duplicated by the rewrite flips the hash.
+    */
+  def q145(spark: SparkSession, dir: String): DataFrame = {
+    val root = runIncrementalDedup(spark, dir, "compact")
+    val target = graft.ops.VersionedTarget.Segmented(root)
+    val lastBatch = graft.ops.VersionedTarget.currentVersion(root)
+      .map(_.stripPrefix("v").toLong).getOrElse(0L)
+    target.compact(spark, lastBatch + 1)
+    target.vacuum(1): Unit // compacted manifest alone; old segments retired
+    corpusOf(spark, root)
+  }
+
+  /** q145 returns exactly q132's corpus — compaction must not change
+    * content, only physical layout.
+    */
+  val q145Sql: String = q132Sql
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_tumbling_window" -> (q46 _),
@@ -862,7 +908,8 @@ object StreamingQueries {
     "q109_streaming_cdc_apply" -> (q109 _),
     "q119_stream_full_outer_join" -> (q119 _),
     "q126_stream_neardup_gate" -> (q126 _),
-    "q132_incremental_dedup" -> (q132 _))
+    "q132_incremental_dedup" -> (q132 _),
+    "q145_segment_compaction" -> (q145 _))
 
   def oracles: Map[String, String] = Map(
     "q46_tumbling_window" -> q46Sql,
@@ -882,5 +929,6 @@ object StreamingQueries {
     "q109_streaming_cdc_apply" -> q109Sql,
     "q119_stream_full_outer_join" -> q119Sql,
     "q126_stream_neardup_gate" -> q126Sql,
-    "q132_incremental_dedup" -> q132Sql)
+    "q132_incremental_dedup" -> q132Sql,
+    "q145_segment_compaction" -> q145Sql)
 }

@@ -40,6 +40,58 @@ class ExportOpsSpec extends SparkSpec {
     } finally out.unpersist(): Unit
   }
 
+  test("q143: kept prefix is maximal within each source's budget and the " +
+      "tempered split boosts small sources vs proportional") {
+    import spark.implicits._
+    val out = ExportOps.q143(spark, sfDir).collect().toSeq
+    // recompute the whole keep rule in memory (sf0.001 is collect-sized):
+    // integer-sqrt weights, integer budget split, md5-priority prefix
+    val docs = graft.core.Tables.t(spark, sfDir, "documents")
+      .select($"doc_id", $"source", $"n_chars",
+        graft.ops.TextOps.hash32($"doc_id".cast("string")).as("pri"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val mass = docs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val w = mass.view.mapValues(m => math.sqrt(m.toDouble).toLong).toMap
+    val budget = {
+      val b = mass.values.sum / ExportOps.MixtureBudgetDiv
+      val wTot = w.values.sum
+      w.view.mapValues(ws => b * ws / wTot).toMap
+    }
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+      var cum = 0L
+      rows.sortBy(r => (r._4, r._1)).toSeq.takeWhile { r =>
+        cum += r._3; cum <= budget(src)
+      }.map(_._1)
+    }.toSet
+    assert(out.map(_.getLong(0)).toSet == expected,
+      "kept set differs from the in-memory keep rule")
+    // within budget, and maximal: per source, kept chars + the FIRST
+    // dropped doc's chars would cross the line
+    val bySrc = out.groupBy(_.getString(1))
+    bySrc.foreach { case (src, rows) =>
+      val kept = rows.map(_.getLong(2)).sum
+      assert(kept <= budget(src), s"$src exceeds its budget")
+      val keptIds = rows.map(_.getLong(0)).toSet
+      docs.filter(d => d._2 == src && !keptIds.contains(d._1))
+        .minByOption(d => (d._4, d._1)).foreach { firstDropped =>
+          assert(kept + firstDropped._3 > budget(src),
+            s"$src dropped ${firstDropped._1} although it still fits")
+        }
+    }
+    // temperature: the LARGEST source's budget share sits BELOW its raw
+    // char share, the smallest above (⌊√m⌋ flattens the mixture)
+    val corpus = mass.values.sum
+    val bTot = budget.values.sum.toDouble
+    if (mass.size > 1 && mass.values.toSet.size > 1) {
+      val big = mass.maxBy(_._2)._1
+      val small = mass.minBy(_._2)._1
+      assert(budget(big) / bTot < mass(big).toDouble / corpus,
+        "tempering must shrink the dominant source's share")
+      assert(budget(small) / bTot > mass(small).toDouble / corpus,
+        "tempering must boost the smallest source's share")
+    }
+  }
+
   test("q134: chunks tile every document with full coverage at the declared stride") {
     import spark.implicits._
     val out = ExportOps.q134(spark, sfDir).cache()

@@ -454,6 +454,44 @@ class OpsSpec extends SparkSpec {
     assert(new java.io.File(idx, "centroids").exists())
   }
 
+  test("q144 index append: delta placement matches the fit's own rule, and the " +
+      "appended segments serve exactly a monolithic index's results") {
+    import spark.implicits._
+    import graft.queries.LlmOps
+    val e = graft.core.Tables.t(spark, sfDir, "embeddings")
+    val base = e.filter($"vec_id" % 10 =!= 0)
+    val (baseAssign, cent) =
+      Similarity.kmeansFit(base, "vec_id", "embedding", k = 8, iters = 2)
+    try {
+      // placing the BASE into its own fitted centroids reproduces the
+      // fit's final assignment — append uses the identical rule
+      val replaced = Similarity.assignToCentroids(base, cent, "vec_id", "embedding")
+      assert(replaced.exceptAll(baseAssign).isEmpty &&
+        baseAssign.exceptAll(replaced).isEmpty,
+        "assignToCentroids diverges from kmeansFit's own assignment rule")
+      // the two-segment serve (q144) equals one monolithic assignment
+      // table over the same centroids: no row lost at the segment seam
+      val monolithic = Similarity.assignToCentroids(e, cent, "vec_id", "embedding")
+      val servedMono = Similarity.ivfTopKProbed(e, monolithic, cent,
+          "vec_id", "embedding", probeFilter = $"vec_id" < 20, k = 3, nprobe = 2)
+        .orderBy($"probe_id", $"rn").collect().toSeq
+      val appended = LlmOps.q144(spark, sfDir).collect().toSeq
+      assert(appended == servedMono,
+        "appended-segment serve differs from the monolithic index")
+      // the delta segment really landed as its own cell-partitioned dir
+      val segs = new java.io.File(
+        graft.queries.PipelineOps.layoutDir(spark, sfDir, "ivfappend"), "assignments")
+      assert(new java.io.File(segs, "seg0").exists() &&
+        new java.io.File(segs, "seg1").exists(),
+        "index append must write a second immutable segment, not rewrite")
+      val deltaIds = spark.read
+        .parquet(new java.io.File(segs, "seg1").toString)
+        .select($"vec_id").collect().map(_.getLong(0))
+      assert(deltaIds.nonEmpty && deltaIds.forall(_ % 10 == 0),
+        "delta segment must hold exactly the appended arrivals")
+    } finally baseAssign.unpersist(): Unit
+  }
+
   test("q69 banded-LSH pairs: bucket keys spread the corpus, candidates prune, recall holds") {
     import graft.queries.LlmOps
     val e = graft.core.Tables.t(spark, sfDir, "embeddings")

@@ -57,6 +57,44 @@ class VersionedTargetSpec extends SparkSpec {
     assert(t.read(spark, "v1").isEmpty)
   }
 
+  test("Segmented compact: folds live segments into one, preserves content, " +
+      "and keeps the pre-compaction reader whole until vacuum") {
+    val root = Files.createTempDirectory("graft_vt_compact")
+    val t = VersionedTarget.Segmented(root)
+    (0L to 3L).foreach(b => t.commit(df(b * 10, b * 10 + 1), b))
+    val before = t.current(spark).get.orderBy($"id").collect().toSeq
+    assert(t.segmentsOf("v3").size == 4, "one segment per commit pre-compaction")
+    // a reader resolved CURRENT before the compaction and still holds v3
+    assert(t.compact(spark, 4L), "4 live segments must compact")
+    // content invariant: the merged segment carries exactly the same rows
+    val after = t.current(spark).get.orderBy($"id").collect().toSeq
+    assert(after == before, "compaction changed corpus content")
+    assert(t.segmentsOf("v4") == Seq("seg4"), "compacted manifest = one segment")
+    // the pre-compaction reader's segments are all still on disk
+    val v3 = t.read(spark, "v3").get.select($"id").collect().map(_.getLong(0)).toSet
+    assert(v3 == before.map(_.getLong(0)).toSet,
+      "reader holding v3 lost segments during compaction")
+    // vacuum to the compacted version retires the folded segments
+    val deleted = t.vacuum(keepLast = 1)
+    assert(deleted.toSet == Set("v0", "v1", "v2", "v3", "seg0", "seg1", "seg2", "seg3"),
+      s"vacuum after compact must retire the folded segments, got $deleted")
+    assert(t.current(spark).get.orderBy($"id").collect().toSeq == before)
+    // appends continue on top of the compacted segment
+    t.commit(df(100L), 5L)
+    assert(t.segmentsOf("v5") == Seq("seg4", "seg5"))
+    assert(t.current(spark).get.count() == before.size + 1)
+  }
+
+  test("Segmented compact: no-op on empty or already-single-segment targets") {
+    val root = Files.createTempDirectory("graft_vt_compact_noop")
+    val t = VersionedTarget.Segmented(root)
+    assert(!t.compact(spark, 1L), "nothing committed: compact must refuse")
+    t.commit(df(1L), 0L)
+    assert(!t.compact(spark, 1L), "single segment: nothing to fold")
+    assert(VersionedTarget.currentVersion(root).contains("v0"),
+      "a refused compaction must not move the pointer")
+  }
+
   test("Rewrite: commit swaps atomically; vacuum deletes only strictly-older versions") {
     val root = Files.createTempDirectory("graft_vt_rw")
     val t = VersionedTarget.Rewrite(root)
