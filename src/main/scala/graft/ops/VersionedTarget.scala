@@ -133,6 +133,16 @@ object VersionedTarget {
       * id); the streaming caller's epoch counter satisfies this.
       * No-op (returns false) when nothing has committed yet or the live
       * manifest already holds a single segment.
+      *
+      * SINGLE-WRITER, like [[commit]]: both read CURRENT and then swap
+      * it, so a compact racing a concurrent commit would resurrect
+      * whichever manifest list it read first (classic lost update).
+      * The streaming sink serializes them by construction (foreachBatch
+      * runs one batch at a time — schedule compaction inside it, or
+      * between restarts); a crash between the segment write and the
+      * pointer swap leaves CURRENT untouched and an orphan `seg<b>` that
+      * [[vacuum]] sweeps (same recovery story as a pre-swap commit
+      * crash).
       */
     def compact(s: SparkSession, batchId: Long): Boolean =
       currentVersion(root) match {

@@ -134,6 +134,17 @@ class PlanSpec extends SparkSpec {
         s"all cluster by user_id), got $n:\n$p")
   }
 
+  test("Q143 mixture cap: doc stream shuffles once for the window; the budget " +
+      "table comes back as a broadcast (no SMJ, no second doc-side exchange)") {
+    val p = plan(ExportOps.q143(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source budgets must broadcast onto the windowed doc stream:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"budget join must not re-shuffle the doc stream:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"running char total must be a window, not a self-join:\n$p")
+  }
+
   test("Q86 n-gram Jaccard candidate join is an equi-join on band keys (no cartesian)") {
     val p = plan(LlmOps.q86(spark, sfDir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -85,6 +85,25 @@ class VersionedTargetSpec extends SparkSpec {
     assert(t.current(spark).get.count() == before.size + 1)
   }
 
+  test("Segmented compact: a crash before the pointer swap leaves CURRENT " +
+      "whole and vacuum sweeps the orphaned merged segment") {
+    val root = Files.createTempDirectory("graft_vt_compact_crash")
+    val t = VersionedTarget.Segmented(root)
+    (0L to 2L).foreach(b => t.commit(df(b), b))
+    // simulate the crash: the merged segment landed, but neither the
+    // manifest nor the pointer moved (compact dies mid-flight)
+    t.current(spark).get.write.parquet(root.resolve("seg3").toString)
+    assert(VersionedTarget.currentVersion(root).contains("v2"),
+      "a half-done compaction must not be visible")
+    val before = t.current(spark).get.orderBy($"id").collect().toSeq
+    // recovery: vacuum retires the unreferenced orphan; a re-run compact
+    // (fresh batchId, per the single-writer epoch contract) succeeds
+    val deleted = t.vacuum(keepLast = 3)
+    assert(deleted.contains("seg3"), s"orphan merged segment not swept: $deleted")
+    assert(t.compact(spark, 4L))
+    assert(t.current(spark).get.orderBy($"id").collect().toSeq == before)
+  }
+
   test("Segmented compact: no-op on empty or already-single-segment targets") {
     val root = Files.createTempDirectory("graft_vt_compact_noop")
     val t = VersionedTarget.Segmented(root)
