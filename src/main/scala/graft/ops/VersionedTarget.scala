@@ -83,6 +83,11 @@ object VersionedTarget {
     f.delete(): Unit
   }
 
+  private def dirBytes(f: java.io.File): Long =
+    if (!f.exists()) 0L
+    else if (f.isFile) f.length()
+    else Option(f.listFiles()).toSeq.flatten.map(dirBytes).sum
+
   /** Append-only target: version = manifest FILE `v<b>` listing live
     * segment dir names (one per line, commit order); data lives in
     * immutable `seg<b>/` parquet dirs holding ONLY batch b's rows.
@@ -144,13 +149,23 @@ object VersionedTarget {
       * [[vacuum]] sweeps (same recovery story as a pre-swap commit
       * crash).
       */
-    def compact(s: SparkSession, batchId: Long): Boolean =
+    def compact(s: SparkSession, batchId: Long,
+                targetFileBytes: Long = 128L << 20): Boolean =
       currentVersion(root) match {
         case Some(v) if segmentsOf(v).lengthCompare(1) > 0 =>
-          val segs = segmentsOf(v).map(root.resolve(_).toString)
+          val segNames = segmentsOf(v)
+          val segs = segNames.map(root.resolve(_).toString)
           val seg = s"seg$batchId"
-          // one shuffle-free rewrite: scan the live segments, write merged
-          s.read.parquet(segs: _*).write.mode("overwrite")
+          // Bin-pack the fold: without it the merged write inherits one
+          // task (= one output file) per input split, and a target fed by
+          // small batches would fold N tiny files into N tiny files. Size
+          // the output off the live segments' actual bytes — the same
+          // ceil(bytes/target) rule as the q131 table compaction.
+          val bytes = segNames.map(n => dirBytes(root.resolve(n).toFile)).sum
+          val nFiles =
+            math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+          // shuffle-free rewrite: scan the live segments, coalesce, write
+          s.read.parquet(segs: _*).coalesce(nFiles).write.mode("overwrite")
             .parquet(root.resolve(seg).toString)
           val mTmp = root.resolve(s".v$batchId.tmp")
           Files.write(mTmp, seg.getBytes("UTF-8"))

@@ -85,7 +85,35 @@ object MergeScale {
       val rewriteBytes = dirBytes(java.nio.file.Paths.get(rewriteDir))
       f"""{"batch":$i,"commit_sec":$commitSec%.2f,"seg_bytes":$segBytes,"corpus_rows":$corpusRows,"rewrite_sec":$rewriteSec%.2f,"rewrite_bytes":$rewriteBytes}"""
     }
-    println(s"""{"k":$k,"batches":$b,"n_docs":$nDocs,"per_batch":[${rows.mkString(",")}],"sf":"$sfDir"}""")
+    // The compaction counter-move (q145): after b O(batch) commits the
+    // scan pays b file listings/footers; fold once and measure what a
+    // post-compaction reader pays. files_before/after counts the parquet
+    // part files a manifest scan touches — the per-task scheduling unit
+    // the 100 TB projection cares about.
+    val target = graft.ops.VersionedTarget.Segmented(root)
+    def manifestFiles(): Int = {
+      val v = graft.ops.VersionedTarget.currentVersion(root).get
+      target.segmentsOf(v).map { seg =>
+        Option(root.resolve(seg).toFile.listFiles()).toSeq.flatten
+          .count(_.getName.endsWith(".parquet"))
+      }.sum
+    }
+    val filesBefore = manifestFiles()
+    var t0 = System.nanoTime()
+    val preScan = target.current(spark).get.count()
+    val scanBeforeSec = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    target.compact(spark, b.toLong)
+    val compactSec = (System.nanoTime() - t0) / 1e9
+    target.vacuum(1): Unit
+    val filesAfter = manifestFiles()
+    t0 = System.nanoTime()
+    val postScan = target.current(spark).get.count()
+    val scanAfterSec = (System.nanoTime() - t0) / 1e9
+    require(postScan == preScan, s"compaction changed rows: $preScan -> $postScan")
+    val compactLine =
+      f""""compact":{"files_before":$filesBefore,"files_after":$filesAfter,"compact_sec":$compactSec%.2f,"scan_before_sec":$scanBeforeSec%.2f,"scan_after_sec":$scanAfterSec%.2f,"rows":$postScan}"""
+    println(s"""{"k":$k,"batches":$b,"n_docs":$nDocs,"per_batch":[${rows.mkString(",")}],$compactLine,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -70,6 +70,11 @@ class VersionedTargetSpec extends SparkSpec {
     val after = t.current(spark).get.orderBy($"id").collect().toSeq
     assert(after == before, "compaction changed corpus content")
     assert(t.segmentsOf("v4") == Seq("seg4"), "compacted manifest = one segment")
+    // bin-packing: collect-sized data folds to ONE part file, not one
+    // file per input split (the point of compacting at all)
+    val parts = root.resolve("seg4").toFile.listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parts == 1, s"expected 1 bin-packed part file, got $parts")
     // the pre-compaction reader's segments are all still on disk
     val v3 = t.read(spark, "v3").get.select($"id").collect().map(_.getLong(0)).toSet
     assert(v3 == before.map(_.getLong(0)).toSet,
