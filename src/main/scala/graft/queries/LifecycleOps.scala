@@ -65,6 +65,15 @@ object LifecycleOps {
       StreamOps.runForeachBatch(banded,
         StreamingQueries.dedupMergeFn(
           StreamingQueries.neardupIndex(docs), dedupRoot))
+      // ingest-cadence maintenance (q145): fold the per-batch segments
+      // into one bin-packed segment before the downstream stages scan
+      // the corpus — content-invariant (the oracle doesn't change), and
+      // the lifecycle's later stages read 1 segment instead of 1/batch
+      val target = graft.ops.VersionedTarget.Segmented(dedupRoot)
+      val lastBatch = graft.ops.VersionedTarget.currentVersion(dedupRoot)
+        .map(_.stripPrefix("v").toLong).getOrElse(0L)
+      target.compact(spark, lastBatch + 1)
+      target.vacuum(graft.ops.VersionedTarget.DefaultRetain): Unit
       val survivorIds = StreamingQueries.dedupCurrent(spark, dedupRoot)
         .getOrElse(sys.error("dedup stage committed no version"))
         .select($"doc_id")
