@@ -119,6 +119,35 @@ class VersionedTargetSpec extends SparkSpec {
       "a refused compaction must not move the pointer")
   }
 
+  test("property: random commit/compact/vacuum interleavings always read as " +
+      "the union of committed batches") {
+    import org.scalacheck.Gen
+    // op stream: 1 = commit (next batch of fresh ids), 2 = compact,
+    // 3 = vacuum(2) — the three lifecycle verbs in arbitrary order
+    val genOps = Gen.listOfN(7, Gen.chooseNum(1, 3))
+    val cases = (1 to 8).flatMap(_ => genOps.sample).take(4)
+    for (ops <- cases) {
+      val root = Files.createTempDirectory("graft_vt_prop")
+      val t = VersionedTarget.Segmented(root)
+      var epoch = 0L
+      var committed = Set.empty[Long]
+      ops.foreach {
+        case 1 =>
+          val ids = Seq(epoch * 10, epoch * 10 + 1)
+          t.commit(df(ids: _*), epoch); committed ++= ids; epoch += 1
+        case 2 =>
+          if (t.compact(spark, epoch)) epoch += 1
+        case _ =>
+          if (VersionedTarget.currentVersion(root).isDefined) t.vacuum(2): Unit
+      }
+      val read = t.current(spark)
+        .map(_.select($"id").collect().map(_.getLong(0)).toSet)
+        .getOrElse(Set.empty[Long])
+      assert(read == committed,
+        s"ops $ops: read $read but committed $committed")
+    }
+  }
+
   test("Rewrite: commit swaps atomically; vacuum deletes only strictly-older versions") {
     val root = Files.createTempDirectory("graft_vt_rw")
     val t = VersionedTarget.Rewrite(root)
