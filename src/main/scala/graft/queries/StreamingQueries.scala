@@ -890,6 +890,101 @@ object StreamingQueries {
     */
   val q145Sql: String = q132Sql
 
+  /** Q146 — COMMIT-TIME SEGMENT STATS + METADATA-ONLY ROLLUP: the
+    * observability half of the segmented target. Each micro-batch, AFTER
+    * the q132 merge commits its survivor segment, the per-language
+    * (docs, chars) stats of THAT segment are derived from the committed
+    * segment file and written as a tiny stats artifact next to it —
+    * O(batch) like the commit itself. The corpus-level report then rolls
+    * up ONLY the stats artifacts of the live segments (resolved through
+    * the CURRENT manifest): at 100 TB that is a bytes-sized metadata
+    * read where a naive implementation rescans the whole corpus — the
+    * same two-stage persisted-partial pattern as q135's sketch rollup,
+    * with plain additive aggregates instead of sketches. Because stats
+    * derive from the committed segment (not recomputed from the gate's
+    * inputs), the rollup can't silently drift from what the target
+    * actually holds; the oracle recomputes the whole keep rule + GROUP
+    * BY from raw, so any stats/commit divergence flips the hash.
+    */
+  def q146(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = Paths.get(graft.core.Scratch.deleteOnExit(
+      Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        "graft_incdedup", s"stats_${slug}_${spark.sparkContext.applicationId}").toString))
+    if (Files.exists(root)) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root.toFile)
+    }
+    Files.createDirectories(root)
+    val statsRoot = root.resolve("stats")
+    val docs = t(spark, dir, "documents")
+    val banded = bandedDocs(StreamOps.docsStream(spark, dir)
+      .select($"doc_id", $"text", $"lang", $"n_chars"))
+    StreamOps.runForeachBatch(banded,
+      statsMergeFn(neardupIndex(docs), root, statsRoot))
+    statsRollup(spark, root, statsRoot)
+  }
+
+  /** q146's per-batch hook: the q132 merge, then commit-time (docs,
+    * chars)-per-lang stats derived from the batch's COMMITTED segment
+    * file — O(batch) like the commit, idempotent under redelivery (the
+    * stats artifact's presence is the guard, and re-deriving from the
+    * same immutable segment writes identical bytes anyway).
+    */
+  private[graft] def statsMergeFn(index: DataFrame, root: java.nio.file.Path,
+      statsRoot: java.nio.file.Path): (DataFrame, Long) => Unit = {
+    val merge = dedupMergeFn(index, root)
+    (batch, batchId) => {
+      merge(batch, batchId)
+      val s = batch.sparkSession
+      val seg = root.resolve(s"seg$batchId")
+      val stat = statsRoot.resolve(s"seg$batchId")
+      if (java.nio.file.Files.exists(seg) && !java.nio.file.Files.exists(stat))
+        s.read.parquet(seg.toString)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+          .coalesce(1).write.mode("overwrite").parquet(stat.toString)
+    }
+  }
+
+  /** q146's report: roll up ONLY the stats artifacts of the segments the
+    * CURRENT manifest lists — a metadata-sized read; the corpus data is
+    * never rescanned.
+    */
+  private[graft] def statsRollup(spark: SparkSession, root: java.nio.file.Path,
+      statsRoot: java.nio.file.Path): DataFrame = {
+    import spark.implicits._
+    val target = graft.ops.VersionedTarget.Segmented(root)
+    val live = graft.ops.VersionedTarget.currentVersion(root)
+      .map(target.segmentsOf).getOrElse(Seq.empty)
+      .map(sg => statsRoot.resolve(sg))
+      .filter(java.nio.file.Files.exists(_)).map(_.toString)
+    require(live.nonEmpty, "no committed segments to roll up")
+    spark.read.parquet(live: _*)
+      .groupBy($"lang")
+      .agg(sum($"n_docs").as("n_docs"), sum($"n_chars").as("n_chars"))
+      .orderBy($"lang".asc_nulls_first)
+  }
+
+  val q146Sql: String =
+    s"""$simhashCtes,
+       |dropped AS (
+       |  SELECT DISTINCT a.doc_id AS d
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bv = b.bv AND b.doc_id < a.doc_id
+       |  WHERE bit_count(xor(a.fp, b.fp)) <= 3)
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS n_chars
+       |FROM documents
+       |WHERE doc_id NOT IN (SELECT d FROM dropped)
+       |GROUP BY lang
+       |ORDER BY lang NULLS FIRST""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_tumbling_window" -> (q46 _),
     "q47_sliding_window" -> (q47 _),
@@ -909,7 +1004,8 @@ object StreamingQueries {
     "q119_stream_full_outer_join" -> (q119 _),
     "q126_stream_neardup_gate" -> (q126 _),
     "q132_incremental_dedup" -> (q132 _),
-    "q145_segment_compaction" -> (q145 _))
+    "q145_segment_compaction" -> (q145 _),
+    "q146_segment_stats_rollup" -> (q146 _))
 
   def oracles: Map[String, String] = Map(
     "q46_tumbling_window" -> q46Sql,
@@ -930,5 +1026,6 @@ object StreamingQueries {
     "q119_stream_full_outer_join" -> q119Sql,
     "q126_stream_neardup_gate" -> q126Sql,
     "q132_incremental_dedup" -> q132Sql,
-    "q145_segment_compaction" -> q145Sql)
+    "q145_segment_compaction" -> q145Sql,
+    "q146_segment_stats_rollup" -> q146Sql)
 }

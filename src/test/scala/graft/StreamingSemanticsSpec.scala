@@ -266,6 +266,47 @@ class StreamingSemanticsSpec extends SparkSpec {
     assert(target.segmentsOf("v2") == Seq("seg0", "seg1", "seg2"))
   }
 
+  test("q146 stats: one O(batch) artifact per segment, redelivery-safe, " +
+      "rollup equals a direct corpus aggregate") {
+    import graft.queries.StreamingQueries
+    def docsDF(rows: Seq[(Long, String, String)]) =
+      rows.map { case (id, txt, lang) => (id, txt, lang, txt.length.toLong) }
+        .toDF("doc_id", "text", "lang", "n_chars")
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = docsDF(Seq(
+      (1L, dupText, "en"), (2L, dupText, "en"),
+      (10L, "completely different words about spark engines here", "de"),
+      (30L, "another entirely unrelated document about parquet files", "en")))
+    val index = StreamingQueries.neardupIndex(corpus)
+    val root = Files.createTempDirectory("graft_statsroll_spec")
+    val statsRoot = root.resolve("stats")
+    val fn = StreamingQueries.statsMergeFn(index, root, statsRoot)
+    fn(StreamingQueries.bandedDocs(docsDF(Seq(
+      (1L, dupText, "en"), (2L, dupText, "en"),
+      (10L, "completely different words about spark engines here", "de")))), 0L)
+    fn(StreamingQueries.bandedDocs(docsDF(Seq(
+      (30L, "another entirely unrelated document about parquet files", "en")))), 1L)
+    // one stats artifact per committed segment
+    assert(Files.exists(statsRoot.resolve("seg0")) &&
+      Files.exists(statsRoot.resolve("seg1")))
+    def rollup: Map[String, (Long, Long)] =
+      StreamingQueries.statsRollup(spark, root, statsRoot).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val first = rollup
+    // survivors: 1 (en, 45 chars), 10 (de, 51), 30 (en, 55); 2 dropped
+    assert(first == Map("en" -> ((2L, 45L + 55L)), "de" -> ((1L, 51L))),
+      s"rollup wrong: $first")
+    // redelivery of batch 1 must not double-count
+    fn(StreamingQueries.bandedDocs(docsDF(Seq(
+      (30L, "another entirely unrelated document about parquet files", "en")))), 1L)
+    assert(rollup == first, "redelivered batch double-counted in stats")
+    // the rollup must agree with a direct aggregate over the live corpus
+    val direct = StreamingQueries.dedupCurrent(spark, root).get
+      .groupBy($"lang").agg(count(lit(1)), sum($"n_chars")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(direct == first, s"stats drifted from the corpus: $direct vs $first")
+  }
+
   test("q73 fixture guard: no view window end coincides with the final watermark") {
     // The q73 oracle closes windows with `view_ts + 5min <= cut`; Spark's
     // symmetric hash join evicts with strict-inequality/ms adjustments
