@@ -1041,6 +1041,89 @@ object LlmOps {
   /** Same probe wave, quantizer fitted on the base slice only. */
   val q144Sql: String = probedTopKSql(kmeansCtes("vec_id % 10 <> 0"))
 
+  /** Q147 — ANN RECALL REPORT: the evaluation loop every production
+    * vector store runs nightly — how much recall does the IVF shortcut
+    * actually give up? Ground truth is the brute-force cosine top-3 per
+    * probe ([[Similarity.bruteForceTopK]], the q61 baseline); the
+    * candidate under evaluation is the q82 nprobe=2 IVF search over the
+    * same deterministic quantizer. The report is per-probe: how many of
+    * the true top-3 the index returned (n_hits ∈ 0..3). Both sides are
+    * fully deterministic (6dp rounding, cand_id tie-breaks), so the
+    * recall report is itself hash-exact — no float division is emitted,
+    * just the hit count.
+    *
+    * Scale shape: truth is the expensive side (probes × corpus) but the
+    * probe wave is k-bounded by construction; the intersect is a join on
+    * (probe_id, cand_id) of two k·|probes|-row frames, and the report is
+    * one tiny agg. At 100 TB the same query runs over a SAMPLED probe
+    * set — the knob is the probe filter, nothing else changes.
+    */
+  def q147(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = t(spark, dir, "embeddings").coalesce(8)
+    val (assign, cent) =
+      Similarity.kmeansFit(e, "vec_id", "embedding", k = 8, iters = 2)
+    try {
+      val ivf = Similarity.ivfTopKProbed(e, assign, cent,
+          "vec_id", "embedding", probeFilter = $"vec_id" < 20, k = 3, nprobe = 2)
+        .select($"probe_id", $"cand_id")
+      val truth = Similarity.bruteForceTopK(
+          e.filter($"vec_id" < 20), e, "vec_id", "embedding", k = 3)
+        .select($"probe_id", $"cand_id")
+      val hits = truth.join(ivf, Seq("probe_id", "cand_id"))
+        .groupBy($"probe_id").agg(count(lit(1)).as("n_hits"))
+      val out = truth.select($"probe_id").distinct()
+        .join(hits, Seq("probe_id"), "left_outer")
+        .select($"probe_id", coalesce($"n_hits", lit(0L)).as("n_hits"))
+        .orderBy($"probe_id".asc_nulls_first)
+      // k-bounded report; materialise so the cached index can be released
+      val rows = out.collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
+    } finally assign.unpersist(): Unit
+  }
+
+  val q147Sql: String =
+    s"""${kmeansOracleCtes},
+       |pcell AS (
+       |  SELECT vec_id AS probe_id, cell FROM (
+       |    SELECT v.vec_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+       |        ROUND(list_dot_product(v.v, v.v) - 2.0 * list_dot_product(v.v, c.centroid)
+       |              + list_dot_product(c.centroid, c.centroid), 6) ASC, c.cell ASC) AS crn
+       |    FROM vecs v CROSS JOIN cent2 c WHERE v.vec_id < 20)
+       |  WHERE crn <= 2),
+       |ipairs AS (
+       |  SELECT p.probe_id, c.vec_id AS cand_id,
+       |    ROUND(list_dot_product(pv.v, c.v) / (pv.nrm * c.nrm), 6) AS cos6
+       |  FROM pcell p
+       |  JOIN avx c ON c.cell = p.cell
+       |  JOIN avx pv ON pv.vec_id = p.probe_id
+       |  WHERE c.vec_id <> p.probe_id),
+       |ivf AS (
+       |  SELECT probe_id, cand_id FROM (
+       |    SELECT probe_id, cand_id,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos6 DESC, cand_id ASC) AS rn
+       |    FROM ipairs) WHERE rn <= 3),
+       |bpairs AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+       |    ROUND(list_dot_product(p.v, c.v) / (SQRT(list_dot_product(p.v, p.v)) * SQRT(list_dot_product(c.v, c.v))), 6) AS cos6
+       |  FROM vecs p CROSS JOIN vecs c
+       |  WHERE p.vec_id < 20 AND p.vec_id <> c.vec_id),
+       |truth AS (
+       |  SELECT probe_id, cand_id FROM (
+       |    SELECT probe_id, cand_id,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos6 DESC, cand_id ASC) AS rn
+       |    FROM bpairs) WHERE rn <= 3),
+       |hits AS (
+       |  SELECT t.probe_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+       |  FROM truth t JOIN ivf i
+       |    ON t.probe_id = i.probe_id AND t.cand_id = i.cand_id
+       |  GROUP BY t.probe_id)
+       |SELECT p.probe_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits
+       |FROM (SELECT DISTINCT probe_id FROM truth) p
+       |LEFT JOIN hits h ON h.probe_id = p.probe_id
+       |ORDER BY p.probe_id NULLS FIRST""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_exact_dedup" -> (q58 _),
     "q59_minhash_lsh" -> (q59 _),
@@ -1068,7 +1151,8 @@ object LlmOps {
     "q91_pii_scrub" -> (q91 _),
     "q93_stratified_sample" -> (q93 _),
     "q142_ann_ivf_persisted" -> (q142 _),
-    "q144_ann_ivf_append" -> (q144 _))
+    "q144_ann_ivf_append" -> (q144 _),
+    "q147_ann_recall_report" -> (q147 _))
 
   def oracles: Map[String, String] = Map(
     "q58_exact_dedup" -> q58Sql,
@@ -1097,5 +1181,6 @@ object LlmOps {
     "q91_pii_scrub" -> q91Sql,
     "q93_stratified_sample" -> q93Sql,
     "q142_ann_ivf_persisted" -> q142Sql,
-    "q144_ann_ivf_append" -> q144Sql)
+    "q144_ann_ivf_append" -> q144Sql,
+    "q147_ann_recall_report" -> q147Sql)
 }

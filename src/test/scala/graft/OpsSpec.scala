@@ -492,6 +492,33 @@ class OpsSpec extends SparkSpec {
     } finally baseAssign.unpersist(): Unit
   }
 
+  test("q147 recall report: hits bounded by k, and probing every cell is exact " +
+      "(nprobe=k recovers the full brute-force top-3)") {
+    import spark.implicits._
+    import graft.queries.LlmOps
+    val report = LlmOps.q147(spark, sfDir).collect()
+    assert(report.nonEmpty)
+    assert(report.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 3),
+      "hit count outside 0..3")
+    assert(report.map(_.getLong(1)).sum > 0, "index returned zero true neighbors")
+    // the exactness law the report rides on: nprobe = k scans everything,
+    // so every probe's n_hits must be exactly 3
+    val e = graft.core.Tables.t(spark, sfDir, "embeddings")
+    val (assign, cent) =
+      Similarity.kmeansFit(e, "vec_id", "embedding", k = 8, iters = 2)
+    try {
+      val ivfAll = Similarity.ivfTopKProbed(e, assign, cent,
+          "vec_id", "embedding", probeFilter = $"vec_id" < 20, k = 3, nprobe = 8)
+        .select($"probe_id", $"cand_id")
+      val truth = Similarity.bruteForceTopK(
+          e.filter($"vec_id" < 20), e, "vec_id", "embedding", k = 3)
+        .select($"probe_id", $"cand_id")
+      val missed = truth.exceptAll(ivfAll)
+      assert(missed.isEmpty,
+        s"nprobe=k missed true neighbors: ${missed.collect().toSeq}")
+    } finally assign.unpersist(): Unit
+  }
+
   test("q69 banded-LSH pairs: bucket keys spread the corpus, candidates prune, recall holds") {
     import graft.queries.LlmOps
     val e = graft.core.Tables.t(spark, sfDir, "embeddings")
