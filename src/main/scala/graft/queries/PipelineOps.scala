@@ -546,6 +546,78 @@ object PipelineOps {
     """SELECT doc_id, text, lang, source, n_chars FROM documents
       |ORDER BY doc_id NULLS FIRST""".stripMargin
 
+  /** Q148 — DECLARATIVE DATA-QUALITY GATE: the expectations check a
+    * pipeline runs before promoting a batch (Great-Expectations /
+    * Deequ shape, declared as (rule, violation-predicate) pairs). Each
+    * dataset is scanned ONCE: every rule folds into one conditional-sum
+    * aggregate (map-side partials, no shuffle of the data — the report
+    * shuffle moves #rules rows), then the wide agg row unpivots into the
+    * (dataset, rule, n_violations, n_checked) long form a gate consumes.
+    * Null predicate results count as non-violations in both engines
+    * (CASE WHEN semantics) — a rule must say `IS NULL` explicitly to
+    * catch nulls. The fixture trips two rules by design (zh docs outside
+    * the lang allowlist, short docs under 200 chars) so pass AND fail
+    * paths are both exercised.
+    */
+  private val eventRules: Seq[(String, Column)] = Seq(
+    ("null_value", col("value").isNull),
+    ("value_out_of_range", !(col("value") > 0.0 && col("value") <= 500.0)),
+    ("unknown_event_type",
+      !col("event_type").isin("click", "signup", "purchase", "error", "view")),
+    ("ts_out_of_window",
+      !(col("ts") >= lit("2024-01-01").cast(TimestampType) &&
+        col("ts") < lit("2024-02-01").cast(TimestampType))))
+
+  private val docRules: Seq[(String, Column)] = Seq(
+    ("char_count_drift", col("n_chars") =!= length(col("text"))),
+    ("empty_text", col("n_chars") === 0L),
+    ("lang_not_allowed", !col("lang").isin("en", "de", "fr", "es")),
+    ("short_doc", col("n_chars") < 200L))
+
+  private def qualityGate(df: DataFrame, dataset: String,
+      rules: Seq[(String, Column)]): DataFrame = {
+    val wide = df.agg(count(lit(1)).as("n_checked"),
+      rules.map { case (name, viol) =>
+        sum(when(viol, 1L).otherwise(0L)).as(name)
+      }: _*)
+    val stackArgs = rules.map { case (name, _) => s"'$name', $name" }
+      .mkString(", ")
+    wide.select(lit(dataset).as("dataset"),
+        expr(s"stack(${rules.size}, $stackArgs) as (rule, n_violations)"),
+        col("n_checked"))
+      .select(col("dataset"), col("rule"), col("n_violations"), col("n_checked"))
+  }
+
+  def q148(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    qualityGate(t(spark, dir, "events"), "events", eventRules)
+      .unionByName(qualityGate(t(spark, dir, "documents"), "documents", docRules))
+      .orderBy($"dataset".asc_nulls_first, $"rule".asc_nulls_first)
+  }
+
+  val q148Sql: String = {
+    def side(table: String, rules: Seq[(String, String)]): String =
+      rules.map { case (name, cond) =>
+        s"""SELECT '$table' AS dataset, '$name' AS rule,
+           |  CAST(SUM(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+           |  CAST(COUNT(*) AS BIGINT) AS n_checked FROM $table""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    side("events", Seq(
+      ("null_value", "value IS NULL"),
+      ("value_out_of_range", "NOT (value > 0.0 AND value <= 500.0)"),
+      ("unknown_event_type",
+        "event_type NOT IN ('click','signup','purchase','error','view')"),
+      ("ts_out_of_window",
+        "NOT (ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01')"))) +
+      "\nUNION ALL\n" +
+      side("documents", Seq(
+        ("char_count_drift", "n_chars <> length(text)"),
+        ("empty_text", "n_chars = 0"),
+        ("lang_not_allowed", "lang NOT IN ('en','de','fr','es')"),
+        ("short_doc", "n_chars < 200"))) +
+      "\nORDER BY dataset NULLS FIRST, rule NULLS FIRST"
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q100_boiler_lines" -> (q100 _),
     "q101_bm25_topk" -> (q101 _),
@@ -556,7 +628,8 @@ object PipelineOps {
     "q108_scd2_dimension" -> (q108 _),
     "q122_approx_profile" -> (q122 _),
     "q130_schema_evolution" -> (q130 _),
-    "q131_compaction" -> (q131 _))
+    "q131_compaction" -> (q131 _),
+    "q148_quality_gate" -> (q148 _))
 
   def oracles: Map[String, String] = Map(
     "q100_boiler_lines" -> q100Sql,
@@ -567,5 +640,6 @@ object PipelineOps {
     "q107_zorder_layout" -> q107Sql,
     "q108_scd2_dimension" -> q108Sql,
     "q130_schema_evolution" -> q130Sql,
-    "q131_compaction" -> q131Sql)
+    "q131_compaction" -> q131Sql,
+    "q148_quality_gate" -> q148Sql)
 }

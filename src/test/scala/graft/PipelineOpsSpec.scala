@@ -262,6 +262,29 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q148 quality gate: every rule rides ONE scan per dataset (no joins), " +
+      "and the fixture trips exactly the two designed rules") {
+    val out = PipelineOps.q148(spark, sfDir).collect()
+    assert(out.length == 8, s"expected 8 rule rows, got ${out.length}")
+    val tripped = out.filter(_.getLong(2) > 0)
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(tripped == Set(("documents", "lang_not_allowed"),
+        ("documents", "short_doc")),
+      s"unexpected violation pattern: $tripped")
+    // n_checked is the full table count on every rule row of a dataset
+    val byDs = out.groupBy(_.getString(0))
+    byDs.foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(3)).distinct.length == 1,
+        "rules of one dataset disagree on n_checked")
+    }
+    // single-pass shape: one scan per dataset, conditional sums folded
+    // into the aggregate — no joins anywhere in the gate
+    val plan = PipelineOps.q148(spark, sfDir).queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllMatchIn(plan).size
+    assert(scans == 2, s"expected 2 scans (events + documents), got $scans:\n$plan")
+    assert(!plan.contains("Join"), s"quality gate must not join:\n$plan")
+  }
+
   test("query-owned caches are freed by CacheScope.releaseAll (Verify/Bench hygiene)") {
     import org.apache.spark.sql.graft.CacheProbe
     spark.catalog.clearCache()
