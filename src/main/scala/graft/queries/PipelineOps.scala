@@ -618,6 +618,63 @@ object PipelineOps {
       "\nORDER BY dataset NULLS FIRST, rule NULLS FIRST"
   }
 
+  /** Q149 — REFERENTIAL-INTEGRITY GATE: the cross-table half of q148's
+    * expectations check (Deequ's hasReferentialIntegrity / "orphan FK"
+    * staple). Each relation is one LEFT ANTI join from the referencing
+    * side onto the referenced keys, folded to a single (relation,
+    * n_orphans, n_checked) row. Four FK checks ride broadcast anti
+    * joins (the referenced key sets are dimension-sized — the fact side
+    * never shuffles); the fifth is the COMPLETENESS direction (orders
+    * with no lineitems — childless parents), where the referenced side
+    * is the big table and the anti join correctly falls back to a
+    * shuffle on the key. The fixture trips the completeness check by
+    * construction (TPC-H-ish order keys are sparse in lineitem) and
+    * passes all FK checks — both verdict paths exercised.
+    */
+  def q149(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def check(name: String, fact: DataFrame, factKey: String,
+        dim: DataFrame, dimKey: String): DataFrame = {
+      val orphans = fact.join(dim.select(col(dimKey).as(factKey)),
+          Seq(factKey), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      val checked = fact.agg(count(lit(1)).as("n_checked"))
+      orphans.crossJoin(checked).select(lit(name).as("relation"),
+        col("n_orphans"), col("n_checked"))
+    }
+    val customer = t(spark, dir, "customer")
+    val orders = t(spark, dir, "orders")
+    val lineitem = t(spark, dir, "lineitem")
+    Seq(
+      check("lineitem_orders_fk", lineitem, "l_orderkey", orders, "o_orderkey"),
+      check("lineitem_part_fk", lineitem, "l_partkey",
+        t(spark, dir, "part"), "p_partkey"),
+      check("lineitem_supplier_fk", lineitem, "l_suppkey",
+        t(spark, dir, "supplier"), "s_suppkey"),
+      check("orders_customer_fk", orders, "o_custkey", customer, "c_custkey"),
+      check("orders_lineitem_complete", orders, "o_orderkey",
+        lineitem, "l_orderkey"))
+      .reduce(_ unionByName _)
+      .orderBy($"relation".asc_nulls_first)
+  }
+
+  val q149Sql: String = {
+    def side(name: String, fact: String, fk: String,
+        dim: String, dk: String): String =
+      s"""SELECT '$name' AS relation,
+         |  CAST((SELECT COUNT(*) FROM $fact f
+         |        WHERE NOT EXISTS (SELECT 1 FROM $dim d WHERE d.$dk = f.$fk))
+         |    AS BIGINT) AS n_orphans,
+         |  CAST((SELECT COUNT(*) FROM $fact) AS BIGINT) AS n_checked""".stripMargin
+    Seq(
+      side("lineitem_orders_fk", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      side("lineitem_part_fk", "lineitem", "l_partkey", "part", "p_partkey"),
+      side("lineitem_supplier_fk", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      side("orders_customer_fk", "orders", "o_custkey", "customer", "c_custkey"),
+      side("orders_lineitem_complete", "orders", "o_orderkey", "lineitem", "l_orderkey"))
+      .mkString("\nUNION ALL\n") + "\nORDER BY relation NULLS FIRST"
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q100_boiler_lines" -> (q100 _),
     "q101_bm25_topk" -> (q101 _),
@@ -629,7 +686,8 @@ object PipelineOps {
     "q122_approx_profile" -> (q122 _),
     "q130_schema_evolution" -> (q130 _),
     "q131_compaction" -> (q131 _),
-    "q148_quality_gate" -> (q148 _))
+    "q148_quality_gate" -> (q148 _),
+    "q149_referential_gate" -> (q149 _))
 
   def oracles: Map[String, String] = Map(
     "q100_boiler_lines" -> q100Sql,
@@ -641,5 +699,6 @@ object PipelineOps {
     "q108_scd2_dimension" -> q108Sql,
     "q130_schema_evolution" -> q130Sql,
     "q131_compaction" -> q131Sql,
-    "q148_quality_gate" -> q148Sql)
+    "q148_quality_gate" -> q148Sql,
+    "q149_referential_gate" -> q149Sql)
 }

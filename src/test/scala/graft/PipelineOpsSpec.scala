@@ -285,6 +285,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"quality gate must not join:\n$plan")
   }
 
+  test("q149 referential gate: FK anti joins broadcast the key sets, the " +
+      "fixture trips only the completeness check") {
+    val out = PipelineOps.q149(spark, sfDir).collect()
+    assert(out.length == 5)
+    val tripped = out.filter(_.getLong(1) > 0).map(_.getString(0)).toSet
+    assert(tripped == Set("orders_lineitem_complete"),
+      s"unexpected orphan pattern: $tripped")
+    // every FK check rides a broadcast anti join — the fact side must
+    // never shuffle to probe a dimension-sized key set
+    val plan = PipelineOps.q149(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"FK checks must broadcast the referenced keys:\n$plan")
+  }
+
   test("query-owned caches are freed by CacheScope.releaseAll (Verify/Bench hygiene)") {
     import org.apache.spark.sql.graft.CacheProbe
     spark.catalog.clearCache()
