@@ -301,18 +301,84 @@ object ExportOps {
        |  arg_min(doc_id, k) AS first_doc, arg_max(doc_id, k) AS last_doc
        |FROM r GROUP BY 1 ORDER BY shard NULLS FIRST""".stripMargin
 
+  /** Q150 — CURRICULUM SHARD EXPORT: q139 exports in shuffled order;
+    * this is the other training-order regime — easy-to-hard curriculum.
+    * Every document gets the q65 quality score (same native expression,
+    * 6dp-rounded so banding is engine-exact); shards are ABSOLUTE score
+    * bands (⌊(score+0.5)·NumShards/2⌋ clamped — a map-only value bucket,
+    * deliberately NOT a global rank: rank-based NTILE needs a global
+    * sort or a sampled range partitioner, the first doesn't scale and
+    * the second isn't deterministic). Within each shard docs are written
+    * physically sorted by (score, doc_id) — the (shard, …) sort prefix
+    * keeps the dynamic-partition writer from inserting its unstable
+    * shard-only re-sort (q139's trap) — and the manifest is computed
+    * FROM the exported files: per shard the doc count, the
+    * order-sensitive Σ rankₖ·doc_id checksum, the first/last doc in
+    * curriculum order, and the score range the band actually covers.
+    * Band populations are uneven by design — bands are semantic; q136's
+    * balanced hash shards are the rebalancing tool if a trainer needs
+    * even file sizes.
+    */
+  val NumCurrShards = 8
+
+  def q150(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = PipelineOps.layoutDir(spark, dir, "currexport")
+    val scored = t(spark, dir, "documents")
+      .select($"doc_id", TextOps.qualityScore($"text").as("score"))
+      .withColumn("shard", least(lit(NumCurrShards - 1),
+        greatest(lit(0),
+          floor(($"score" + 0.5) * (NumCurrShards / 2.0)).cast(IntegerType))))
+    scored.repartition($"shard")
+      .sortWithinPartitions($"shard", $"score", $"doc_id")
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$out/shards")
+    val back = spark.read.parquet(s"$out/shards")
+    val w = Window.partitionBy($"shard").orderBy($"score".asc, $"doc_id".asc)
+    back.withColumn("rn", row_number().over(w))
+      .groupBy($"shard".cast(LongType).as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"rn".cast(LongType) * $"doc_id").cast(LongType).as("ord_checksum"),
+        min_by($"doc_id", $"rn").as("first_doc"),
+        max_by($"doc_id", $"rn").as("last_doc"),
+        min($"score").as("min_score"),
+        max($"score").as("max_score"))
+      .orderBy($"shard".asc_nulls_first)
+  }
+
+  val q150Sql: String =
+    s"""${LlmOps.tokCte},
+       |scored AS (
+       |  SELECT d.doc_id, ${LlmOps.scoreSqlExpr("d.text", "t.toks")} AS score
+       |  FROM documents d JOIN tok t ON d.doc_id = t.doc_id),
+       |sh AS (
+       |  SELECT doc_id, score,
+       |    LEAST(${NumCurrShards - 1}, GREATEST(0,
+       |      CAST(FLOOR((score + 0.5) * ${NumCurrShards / 2.0}) AS INT))) AS shard
+       |  FROM scored),
+       |r AS (
+       |  SELECT doc_id, score, shard,
+       |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY score, doc_id) AS rn
+       |  FROM sh)
+       |SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_docs,
+       |  CAST(SUM(rn * doc_id) AS BIGINT) AS ord_checksum,
+       |  arg_min(doc_id, rn) AS first_doc, arg_max(doc_id, rn) AS last_doc,
+       |  MIN(score) AS min_score, MAX(score) AS max_score
+       |FROM r GROUP BY 1 ORDER BY shard NULLS FIRST""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q133_source_cap" -> (q133 _),
     "q134_doc_chunks" -> (q134 _),
     "q135_sketch_rollup" -> (q135 _),
     "q136_shard_export" -> (q136 _),
     "q139_shuffle_export" -> (q139 _),
-    "q143_mixture_budget_cap" -> (q143 _))
+    "q143_mixture_budget_cap" -> (q143 _),
+    "q150_curriculum_export" -> (q150 _))
 
   def oracles: Map[String, String] = Map(
     "q133_source_cap" -> q133Sql,
     "q134_doc_chunks" -> q134Sql,
     "q136_shard_export" -> q136Sql,
     "q139_shuffle_export" -> q139Sql,
-    "q143_mixture_budget_cap" -> q143Sql)
+    "q143_mixture_budget_cap" -> q143Sql,
+    "q150_curriculum_export" -> q150Sql)
 }

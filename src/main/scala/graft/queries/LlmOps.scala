@@ -221,13 +221,20 @@ object LlmOps {
       .orderBy($"doc_id".asc_nulls_first)
   }
 
+  /** The q65 quality-score formula as oracle SQL over (text, toks)
+    * references — shared with q150's curriculum banding so the two
+    * oracles can never drift apart.
+    */
+  private[queries] def scoreSqlExpr(textRef: String, toksRef: String): String =
+    s"""ROUND(CAST(len(list_filter($toksRef, x -> list_contains(['the','a','of','and','is'], x))) AS DOUBLE) / greatest(len($toksRef), 1)
+       |   - 0.5 * (CAST(length(lower($textRef)) - length(regexp_replace(lower($textRef), '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(lower($textRef)))
+       |   + CAST(least(len($toksRef), 100) AS DOUBLE) / 200.0, 6)""".stripMargin
+
   val q65Sql: String =
     s"""$tokCte
        |SELECT d.doc_id, len(t.toks) AS n_tok,
        | ROUND(CAST(length(lower(d.text)) - length(regexp_replace(lower(d.text), '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(lower(d.text)), 6) AS punct_r,
-       | ROUND(CAST(len(list_filter(t.toks, x -> list_contains(['the','a','of','and','is'], x))) AS DOUBLE) / greatest(len(t.toks), 1)
-       |   - 0.5 * (CAST(length(lower(d.text)) - length(regexp_replace(lower(d.text), '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(lower(d.text)))
-       |   + CAST(least(len(t.toks), 100) AS DOUBLE) / 200.0, 6) AS score
+       | ${scoreSqlExpr("d.text", "t.toks")} AS score
        |FROM documents d JOIN tok t ON d.doc_id = t.doc_id
        |ORDER BY d.doc_id NULLS FIRST""".stripMargin
 

@@ -166,6 +166,38 @@ class ExportOpsSpec extends SparkSpec {
     } finally out.unpersist(): Unit
   }
 
+  test("q150: curriculum bands are score-disjoint and shard files are " +
+      "physically written easy-to-hard") {
+    import spark.implicits._
+    val out = ExportOps.q150(spark, sfDir).cache()
+    try {
+      val docs = graft.core.Tables.t(spark, sfDir, "documents")
+      assert(out.select(sum($"n_docs")).as[Long].head() == docs.count(),
+        "curriculum shards must partition the corpus")
+      // absolute value bands: every score in shard i is strictly below
+      // every score in any higher shard
+      val bands = out.select($"shard", $"min_score", $"max_score")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+        .sortBy(_._1)
+      bands.sliding(2).foreach {
+        case Array((s1, _, hi), (s2, lo, _)) =>
+          assert(hi <= lo, s"bands $s1/$s2 overlap: max $hi vs min $lo")
+        case _ =>
+      }
+      // physical curriculum order inside each file of the easiest band
+      val root = graft.queries.PipelineOps.layoutDir(spark, sfDir, "currexport")
+      val shardDirs = new java.io.File(s"$root/shards")
+        .listFiles().filter(_.getName.startsWith("shard="))
+      assert(shardDirs.length > 1, "fixture collapsed into a single band")
+      for (d <- shardDirs; f <- d.listFiles() if f.getName.endsWith(".parquet")) {
+        val scores = spark.read.parquet(f.getAbsolutePath)
+          .select($"score").as[Double].collect()
+        assert(scores.sameElements(scores.sorted),
+          s"${d.getName}/${f.getName}: rows not in curriculum order")
+      }
+    } finally out.unpersist(): Unit
+  }
+
   test("q139: exported shard files physically carry the shuffle order") {
     import spark.implicits._
     val out = ExportOps.q139(spark, sfDir).cache()
