@@ -81,10 +81,16 @@ object ExportOps {
   def q143(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = t(spark, dir, "documents").select($"doc_id", $"source", $"n_chars")
-    val mass = docs.groupBy($"source").agg(sum($"n_chars").as("chars_total"))
+    // ONE aggregation pass computes the whole budget table: the corpus
+    // totals come from an unpartitioned window over the #sources-row agg
+    // frame (driver-size BY DESIGN — a second scan of the raw table just
+    // to re-sum #sources rows would be the actual scale mistake)
+    val all = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val budgets = docs.groupBy($"source").agg(sum($"n_chars").as("chars_total"))
       .withColumn("w", floor(sqrt($"chars_total".cast(DoubleType))).cast(LongType))
-    val tot = mass.agg(sum($"chars_total").as("corpus_chars"), sum($"w").as("w_total"))
-    val budgets = mass.crossJoin(broadcast(tot))
+      .withColumn("corpus_chars", sum($"chars_total").over(all))
+      .withColumn("w_total", sum($"w").over(all))
       .select($"source",
         expr(s"((corpus_chars div $MixtureBudgetDiv) * w) div w_total")
           .as("budget_chars"))

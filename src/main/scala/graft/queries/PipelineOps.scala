@@ -635,12 +635,20 @@ object PipelineOps {
     import spark.implicits._
     def check(name: String, fact: DataFrame, factKey: String,
         dim: DataFrame, dimKey: String): DataFrame = {
-      val orphans = fact.join(dim.select(col(dimKey).as(factKey)),
-          Seq(factKey), "left_anti")
-        .agg(count(lit(1)).as("n_orphans"))
-      val checked = fact.agg(count(lit(1)).as("n_checked"))
-      orphans.crossJoin(checked).select(lit(name).as("relation"),
-        col("n_orphans"), col("n_checked"))
+      // one pass per check: left-join the DISTINCT referenced keys with a
+      // hit marker, count rows and misses in the same aggregate — the
+      // fact is scanned once, and n_checked/n_orphans come from the same
+      // snapshot (an anti-join + separate count would scan twice and
+      // could disagree under concurrent writes). distinct() on the
+      // referenced side keeps the outer join from multiplying fact rows
+      // when the referenced key repeats (lineitem in the completeness
+      // direction).
+      val keys = dim.select(col(dimKey).as(factKey)).distinct()
+        .withColumn("__hit", lit(1))
+      fact.select(col(factKey)).join(keys, Seq(factKey), "left_outer")
+        .agg(count(lit(1)).as("n_checked"),
+          sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(lit(name).as("relation"), col("n_orphans"), col("n_checked"))
     }
     val customer = t(spark, dir, "customer")
     val orders = t(spark, dir, "orders")

@@ -285,18 +285,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"quality gate must not join:\n$plan")
   }
 
-  test("q149 referential gate: FK anti joins broadcast the key sets, the " +
-      "fixture trips only the completeness check") {
+  test("q149 referential gate: FK probes broadcast the key sets in one pass, " +
+      "the fixture trips only the completeness check") {
     val out = PipelineOps.q149(spark, sfDir).collect()
     assert(out.length == 5)
     val tripped = out.filter(_.getLong(1) > 0).map(_.getString(0)).toSet
     assert(tripped == Set("orders_lineitem_complete"),
       s"unexpected orphan pattern: $tripped")
-    // every FK check rides a broadcast anti join — the fact side must
-    // never shuffle to probe a dimension-sized key set
+    // every FK check probes a broadcast dimension key set — the fact
+    // side must never shuffle for it, and each fact is scanned ONCE per
+    // check (n_checked and n_orphans fold into the same aggregate)
     val plan = PipelineOps.q149(spark, sfDir).queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+    assert(plan.contains("BroadcastHashJoin"),
       s"FK checks must broadcast the referenced keys:\n$plan")
+    val lineitemScans = plan.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("lineitem.parquet"))
+    assert(lineitemScans == 4, // 3 FK facts + 1 completeness key set
+      s"expected 4 lineitem scans (one per check side), got $lineitemScans")
   }
 
   test("query-owned caches are freed by CacheScope.releaseAll (Verify/Bench hygiene)") {
