@@ -960,11 +960,17 @@ object StreamingQueries {
       statsRoot: java.nio.file.Path): DataFrame = {
     import spark.implicits._
     val target = graft.ops.VersionedTarget.Segmented(root)
-    val live = graft.ops.VersionedTarget.currentVersion(root)
+    val liveSegs = graft.ops.VersionedTarget.currentVersion(root)
       .map(target.segmentsOf).getOrElse(Seq.empty)
-      .map(sg => statsRoot.resolve(sg))
-      .filter(java.nio.file.Files.exists(_)).map(_.toString)
-    require(live.nonEmpty, "no committed segments to roll up")
+    require(liveSegs.nonEmpty, "no committed segments to roll up")
+    // every live segment MUST have its stats artifact — silently skipping
+    // one (e.g. a compacted segment that never went through statsMergeFn)
+    // would undercount the corpus and still look like a healthy report
+    val missing = liveSegs.filterNot(sg =>
+      java.nio.file.Files.exists(statsRoot.resolve(sg)))
+    require(missing.isEmpty,
+      s"live segments without stats artifacts (rollup would undercount): $missing")
+    val live = liveSegs.map(sg => statsRoot.resolve(sg).toString)
     spark.read.parquet(live: _*)
       .groupBy($"lang")
       .agg(sum($"n_docs").as("n_docs"), sum($"n_chars").as("n_chars"))

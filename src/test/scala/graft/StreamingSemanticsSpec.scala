@@ -305,6 +305,14 @@ class StreamingSemanticsSpec extends SparkSpec {
       .groupBy($"lang").agg(count(lit(1)), sum($"n_chars")).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(direct == first, s"stats drifted from the corpus: $direct vs $first")
+    // a live segment WITHOUT a stats artifact must fail the rollup loudly,
+    // not silently undercount (e.g. a compacted segment that never went
+    // through statsMergeFn)
+    graft.ops.VersionedTarget.Segmented(root).commit( // bare commit: no stats step
+      StreamingQueries.dedupCurrent(spark, root).get.limit(0), 9L)
+    intercept[IllegalArgumentException] {
+      StreamingQueries.statsRollup(spark, root, statsRoot)
+    }: Unit
   }
 
   test("q73 fixture guard: no view window end coincides with the final watermark") {
