@@ -954,7 +954,12 @@ object StreamingQueries {
 
   /** q146's report: roll up ONLY the stats artifacts of the segments the
     * CURRENT manifest lists — a metadata-sized read; the corpus data is
-    * never rescanned.
+    * never rescanned. Retention: stats artifacts mirror segment names, so
+    * when [[graft.ops.VersionedTarget.Segmented.vacuum]] retires a
+    * segment its stats dir is identifiable garbage (delete
+    * `statsRoot/<seg>` for every name vacuum returned); the artifacts are
+    * bytes-sized, so q146 leaves them to the caller's retention sweep
+    * rather than coupling the report to GC.
     */
   private[graft] def statsRollup(spark: SparkSession, root: java.nio.file.Path,
       statsRoot: java.nio.file.Path): DataFrame = {
