@@ -633,36 +633,55 @@ object PipelineOps {
     */
   def q149(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    def check(name: String, fact: DataFrame, factKey: String,
-        dim: DataFrame, dimKey: String): DataFrame = {
-      // one pass per check: left-join the DISTINCT referenced keys with a
-      // hit marker, count rows and misses in the same aggregate — the
-      // fact is scanned once, and n_checked/n_orphans come from the same
-      // snapshot (an anti-join + separate count would scan twice and
-      // could disagree under concurrent writes). distinct() on the
-      // referenced side keeps the outer join from multiplying fact rows
-      // when the referenced key repeats (lineitem in the completeness
-      // direction).
-      val keys = dim.select(col(dimKey).as(factKey)).distinct()
-        .withColumn("__hit", lit(1))
-      fact.select(col(factKey)).join(keys, Seq(factKey), "left_outer")
-        .agg(count(lit(1)).as("n_checked"),
-          sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
-        .select(lit(name).as("relation"), col("n_orphans"), col("n_checked"))
+    // DISTINCT referenced keys with a hit marker. distinct() keeps the
+    // outer join from multiplying fact rows when the referenced key
+    // repeats (lineitem in the completeness direction); broadcast hints
+    // go only on truly dimension-sized key sets — the orders/lineitem
+    // key sets are left to the planner, which broadcasts them at test
+    // scale and correctly shuffles them at 100 TB.
+    def keys(df: DataFrame, k: String, as: String, marker: String,
+        dim: Boolean): DataFrame = {
+      val d = df.select(col(k).as(as)).distinct().withColumn(marker, lit(1))
+      if (dim) broadcast(d) else d
     }
-    val customer = t(spark, dir, "customer")
+    // ALL checks of one fact share ONE pass: chained left joins each add
+    // a hit marker, then a single aggregate counts rows and every miss
+    // kind together — one lineitem scan probes all three FK sets instead
+    // of one scan per check, and n_checked/n_orphans of every relation
+    // come from the same snapshot.
+    def report(wide: DataFrame, rels: Seq[String]): DataFrame = {
+      val stackArgs = rels.map(r => s"'$r', $r").mkString(", ")
+      wide.select(
+          expr(s"stack(${rels.size}, $stackArgs) as (relation, n_orphans)"),
+          col("n_checked"))
+        .select(col("relation"), col("n_orphans"), col("n_checked"))
+    }
     val orders = t(spark, dir, "orders")
     val lineitem = t(spark, dir, "lineitem")
-    Seq(
-      check("lineitem_orders_fk", lineitem, "l_orderkey", orders, "o_orderkey"),
-      check("lineitem_part_fk", lineitem, "l_partkey",
-        t(spark, dir, "part"), "p_partkey"),
-      check("lineitem_supplier_fk", lineitem, "l_suppkey",
-        t(spark, dir, "supplier"), "s_suppkey"),
-      check("orders_customer_fk", orders, "o_custkey", customer, "c_custkey"),
-      check("orders_lineitem_complete", orders, "o_orderkey",
-        lineitem, "l_orderkey"))
-      .reduce(_ unionByName _)
+    def miss(m: String) = sum(when(col(m).isNull, 1L).otherwise(0L))
+    val liWide = lineitem.select($"l_orderkey", $"l_partkey", $"l_suppkey")
+      .join(keys(orders, "o_orderkey", "l_orderkey", "__o", dim = false),
+        Seq("l_orderkey"), "left_outer")
+      .join(keys(t(spark, dir, "part"), "p_partkey", "l_partkey", "__p",
+        dim = true), Seq("l_partkey"), "left_outer")
+      .join(keys(t(spark, dir, "supplier"), "s_suppkey", "l_suppkey", "__s",
+        dim = true), Seq("l_suppkey"), "left_outer")
+      .agg(count(lit(1)).as("n_checked"),
+        miss("__o").as("lineitem_orders_fk"),
+        miss("__p").as("lineitem_part_fk"),
+        miss("__s").as("lineitem_supplier_fk"))
+    val ordWide = orders.select($"o_orderkey", $"o_custkey")
+      .join(keys(t(spark, dir, "customer"), "c_custkey", "o_custkey", "__c",
+        dim = true), Seq("o_custkey"), "left_outer")
+      .join(keys(lineitem, "l_orderkey", "o_orderkey", "__l", dim = false),
+        Seq("o_orderkey"), "left_outer")
+      .agg(count(lit(1)).as("n_checked"),
+        miss("__c").as("orders_customer_fk"),
+        miss("__l").as("orders_lineitem_complete"))
+    report(liWide, Seq("lineitem_orders_fk", "lineitem_part_fk",
+        "lineitem_supplier_fk"))
+      .unionByName(report(ordWide,
+        Seq("orders_customer_fk", "orders_lineitem_complete")))
       .orderBy($"relation".asc_nulls_first)
   }
 

@@ -292,16 +292,17 @@ class PipelineOpsSpec extends SparkSpec {
     val tripped = out.filter(_.getLong(1) > 0).map(_.getString(0)).toSet
     assert(tripped == Set("orders_lineitem_complete"),
       s"unexpected orphan pattern: $tripped")
-    // every FK check probes a broadcast dimension key set — the fact
-    // side must never shuffle for it, and each fact is scanned ONCE per
-    // check (n_checked and n_orphans fold into the same aggregate)
+    // every dimension-sized key set probes via broadcast, and ALL checks
+    // of one fact share one scan: lineitem appears exactly twice in the
+    // whole plan — once as the fact of its three FK checks, once as the
+    // completeness key set
     val plan = PipelineOps.q149(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"FK checks must broadcast the referenced keys:\n$plan")
     val lineitemScans = plan.linesIterator
       .count(l => l.contains("Scan parquet") && l.contains("lineitem.parquet"))
-    assert(lineitemScans == 4, // 3 FK facts + 1 completeness key set
-      s"expected 4 lineitem scans (one per check side), got $lineitemScans")
+    assert(lineitemScans == 2,
+      s"expected 2 lineitem scans (shared fact pass + key set), got $lineitemScans")
   }
 
   test("query-owned caches are freed by CacheScope.releaseAll (Verify/Bench hygiene)") {
