@@ -944,13 +944,22 @@ object StreamingQueries {
       val s = batch.sparkSession
       val seg = root.resolve(s"seg$batchId")
       val stat = statsRoot.resolve(s"seg$batchId")
-      if (java.nio.file.Files.exists(seg) && !java.nio.file.Files.exists(stat))
+      // completeness marker, not bare dir existence: a crash mid-write
+      // leaves a partial parquet dir that would otherwise satisfy the
+      // skip guard and silently undercount forever — _SUCCESS only
+      // lands on job commit, so a half-written artifact is re-derived
+      // (mode=overwrite) on redelivery
+      if (java.nio.file.Files.exists(seg) && !statsComplete(stat))
         s.read.parquet(seg.toString)
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
           .coalesce(1).write.mode("overwrite").parquet(stat.toString)
     }
   }
+
+  /** A stats artifact counts as present only once its job committed. */
+  private def statsComplete(stat: java.nio.file.Path): Boolean =
+    java.nio.file.Files.exists(stat.resolve("_SUCCESS"))
 
   /** q146's report: roll up ONLY the stats artifacts of the segments the
     * CURRENT manifest lists — a metadata-sized read; the corpus data is
@@ -968,11 +977,11 @@ object StreamingQueries {
     val liveSegs = graft.ops.VersionedTarget.currentVersion(root)
       .map(target.segmentsOf).getOrElse(Seq.empty)
     require(liveSegs.nonEmpty, "no committed segments to roll up")
-    // every live segment MUST have its stats artifact — silently skipping
-    // one (e.g. a compacted segment that never went through statsMergeFn)
+    // every live segment MUST have a COMMITTED stats artifact (_SUCCESS)
+    // — silently skipping one (a compacted segment that never went
+    // through statsMergeFn, or a half-written artifact from a crash)
     // would undercount the corpus and still look like a healthy report
-    val missing = liveSegs.filterNot(sg =>
-      java.nio.file.Files.exists(statsRoot.resolve(sg)))
+    val missing = liveSegs.filterNot(sg => statsComplete(statsRoot.resolve(sg)))
     require(missing.isEmpty,
       s"live segments without stats artifacts (rollup would undercount): $missing")
     val live = liveSegs.map(sg => statsRoot.resolve(sg).toString)

@@ -308,6 +308,15 @@ class StreamingSemanticsSpec extends SparkSpec {
     // a live segment WITHOUT a stats artifact must fail the rollup loudly,
     // not silently undercount (e.g. a compacted segment that never went
     // through statsMergeFn)
+    // a HALF-WRITTEN artifact (no _SUCCESS — crash mid-write) must also
+    // fail the rollup, and a redelivery must re-derive it
+    Files.delete(statsRoot.resolve("seg1").resolve("_SUCCESS"))
+    intercept[IllegalArgumentException] {
+      StreamingQueries.statsRollup(spark, root, statsRoot)
+    }: Unit
+    fn(StreamingQueries.bandedDocs(docsDF(Seq(
+      (30L, "another entirely unrelated document about parquet files", "en")))), 1L)
+    assert(rollup == first, "redelivery did not re-derive the partial artifact")
     graft.ops.VersionedTarget.Segmented(root).commit( // bare commit: no stats step
       StreamingQueries.dedupCurrent(spark, root).get.limit(0), 9L)
     intercept[IllegalArgumentException] {
