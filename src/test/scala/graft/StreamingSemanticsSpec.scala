@@ -266,6 +266,44 @@ class StreamingSemanticsSpec extends SparkSpec {
     assert(target.segmentsOf("v2") == Seq("seg0", "seg1", "seg2"))
   }
 
+  test("property: q132 survivors are arrival-order-free — any batch " +
+      "partitioning of the corpus yields the same kept set") {
+    import graft.queries.StreamingQueries
+    // docs 0..19 with overlapping token sets: plenty of near-dup pairs
+    // at various Hamming distances (incl. cross-"group" ones a human
+    // would not predict — which is the point: the reference verdict
+    // comes from the rule itself, run once over a SINGLE batch)
+    val texts = (0 until 10).map(g =>
+      s"group $g alpha beta gamma delta epsilon zeta token$g words")
+    val rows = (0L until 20L).map(i => (i, texts((i / 2).toInt), "en",
+      texts((i / 2).toInt).length.toLong))
+    val corpus = rows.toDF("doc_id", "text", "lang", "n_chars")
+    val index = StreamingQueries.neardupIndex(corpus)
+    val oneBatchRoot = Files.createTempDirectory("graft_orderfree_ref")
+    StreamingQueries.dedupMergeFn(index, oneBatchRoot)(
+      StreamingQueries.bandedDocs(corpus), 0L)
+    val expected = StreamingQueries.dedupCurrent(spark, oneBatchRoot).get
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(expected.nonEmpty && expected.size < rows.size,
+      s"fixture must both keep and drop docs, kept $expected")
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val nBatches = 2 + rnd.nextInt(3)
+      val assign = rows.map(_ => rnd.nextInt(nBatches))
+      val root = Files.createTempDirectory(s"graft_orderfree_$trial")
+      val merge = StreamingQueries.dedupMergeFn(index, root)
+      (0 until nBatches).foreach { b =>
+        val batch = rows.zip(assign).collect { case (r, a) if a == b => r }
+          .toDF("doc_id", "text", "lang", "n_chars")
+        merge(StreamingQueries.bandedDocs(batch), b.toLong)
+      }
+      val got = StreamingQueries.dedupCurrent(spark, root).get
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == expected,
+        s"trial $trial (batches=$nBatches, assign=$assign): got $got")
+    }
+  }
+
   test("q146 stats: one O(batch) artifact per segment, redelivery-safe, " +
       "rollup equals a direct corpus aggregate") {
     import graft.queries.StreamingQueries
