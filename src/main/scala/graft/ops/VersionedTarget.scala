@@ -153,6 +153,12 @@ object VersionedTarget {
                 targetFileBytes: Long = 128L << 20): Boolean =
       currentVersion(root) match {
         case Some(v) if segmentsOf(v).lengthCompare(1) > 0 =>
+          // enforce the epoch contract instead of trusting the caller: a
+          // stale batchId would OVERWRITE the live seg<batchId> in place
+          // (destroying committed data) and write a manifest that sorts
+          // before the current one, confusing vacuum's retention order
+          require(batchId > batchIdOf(v),
+            s"compact batchId v$batchId must exceed the committed $v")
           val segNames = segmentsOf(v)
           val segs = segNames.map(root.resolve(_).toString)
           val seg = s"seg$batchId"

@@ -119,6 +119,23 @@ class VersionedTargetSpec extends SparkSpec {
       "a refused compaction must not move the pointer")
   }
 
+  test("Segmented compact: a stale batchId is refused before it can " +
+      "overwrite a live segment") {
+    val root = Files.createTempDirectory("graft_vt_compact_stale")
+    val t = VersionedTarget.Segmented(root)
+    (0L to 2L).foreach(b => t.commit(df(b), b))
+    val before = t.current(spark).get.orderBy($"id").collect().toSeq
+    intercept[IllegalArgumentException] { t.compact(spark, 1L) }: Unit
+    assert(VersionedTarget.currentVersion(root).contains("v2"),
+      "refused compact must not move the pointer")
+    assert(t.current(spark).get.orderBy($"id").collect().toSeq == before,
+      "refused compact corrupted live data")
+    // a redelivered compact (same id as its own committed version, now a
+    // single-segment manifest) stays a harmless no-op
+    assert(t.compact(spark, 3L))
+    assert(!t.compact(spark, 3L), "redelivered compact must be a no-op")
+  }
+
   test("property: random commit/compact/vacuum interleavings always read as " +
       "the union of committed batches") {
     import org.scalacheck.Gen
