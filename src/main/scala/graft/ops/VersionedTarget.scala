@@ -1,15 +1,19 @@
 package graft.ops
 
-import java.nio.file.{Files, Path, StandardCopyOption}
+import java.nio.channels.FileChannel
+import java.nio.file.{Files, Path, StandardCopyOption, StandardOpenOption}
+import java.util.concurrent.ConcurrentHashMap
 
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Versioned parquet targets with an atomic CURRENT pointer — the
-  * machinery behind the streaming MERGE sinks (q109, q132) and their
-  * retention/GC, factored so both queries share one committed/commit/
-  * vacuum implementation and the specs can drive it batch-by-batch.
+  * machinery behind the streaming MERGE sinks (q109, q132), segment
+  * compaction (q145) and their retention/GC, factored so the queries
+  * share one committed/commit/compact/vacuum implementation and the
+  * specs can drive it batch-by-batch.
   *
   * Two physical shapes, chosen by what the workload's merge actually
   * changes (mirrors the reference's durable-state split between
@@ -28,16 +32,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     individual files, a full new version dir per batch is inherent;
   *     each version is the whole table.
   *
+  * VERSION NAMESPACES. Stream commits and compactions write to disjoint
+  * name spaces so a maintenance pass can never collide with a stream
+  * epoch (the failure family: a compaction consuming epoch N+1 makes
+  * the stream's real batch N+1 look already-applied, and a redelivery
+  * after an in-batch compact re-commits on top of the fold):
+  *
+  *   - stream commit of batch e:  manifest `v<e>`, segment `seg<e>`
+  *   - compaction #n (a global, strictly increasing sequence) that
+  *     reconciled against epoch e': manifest `v<e'>c<n>`, segment
+  *     `seg<e>c<n>` (e = the epoch the fold started from)
+  *
+  * Versions totally order by (epoch, compaction-seq): `v<e>c<n>` is
+  * strictly newer than `v<e>` (it folds it) and strictly older than
+  * `v<e+1>`. The EPOCH of a version — the highest stream batch it
+  * contains — survives any number of compactions, so the streaming
+  * redelivery guard is "epoch(CURRENT) >= batchId", not pointer
+  * equality: a redelivered batch stays skipped even when a compaction
+  * has since moved the pointer past its own `v<b>`.
+  *
   * Shared contract (both shapes):
   *   - commit(df, b) writes the version's data, then atomically swaps
-  *     CURRENT to `v<b>` (tmp file + ATOMIC_MOVE) — readers never see a
-  *     half-written version.
-  *   - committed(b) is the redelivery guard: a crash AFTER the pointer
-  *     swap but BEFORE the streaming checkpoint commit redelivers batch
-  *     b; the pointer already naming v<b> means the merge is durable —
-  *     skip, don't re-apply (end-to-end exactly-once). A crash BEFORE
-  *     the swap leaves orphan files that the redelivered commit
-  *     overwrites and vacuum eventually removes.
+  *     CURRENT to the new version (tmp file + ATOMIC_MOVE) — readers
+  *     never see a half-written version.
+  *   - redelivery guard: a crash AFTER the pointer swap but BEFORE the
+  *     streaming checkpoint commit redelivers batch b; CURRENT's epoch
+  *     already at-or-past b means the merge is durable — skip, don't
+  *     re-apply (end-to-end exactly-once). A crash BEFORE the swap
+  *     leaves orphan files that the redelivered commit overwrites and
+  *     vacuum eventually removes.
   *   - vacuum(keepLast) deletes versions STRICTLY OLDER than the newest
   *     `keepLast` committed versions (plus any uncommitted orphans from
   *     pre-swap crashes). Every retained version stays fully readable,
@@ -55,28 +78,86 @@ object VersionedTarget {
     */
   val DefaultRetain = 8
 
+  private val StreamVersionRe = "^v(\\d+)$".r
+  private val CompactVersionRe = "^v(\\d+)c(\\d+)$".r
+
   private[ops] def pointerOf(root: Path): Path = root.resolve("CURRENT")
 
-  /** The committed version name (`v<batchId>`) behind CURRENT, if any. */
+  /** The committed version name behind CURRENT, if any. */
   def currentVersion(root: Path): Option[String] = {
     val p = pointerOf(root)
     if (Files.exists(p)) Some(new String(Files.readAllBytes(p), "UTF-8").trim)
     else None
   }
 
-  /** Redelivery guard: true iff CURRENT already names `v<batchId>`. */
+  /** The highest stream batch id a version contains: `v<e>` → e, and a
+    * compaction `v<e>c<n>` keeps the epoch of the manifest it folded —
+    * compaction reorganizes bytes, it never advances the stream clock.
+    */
+  def epochOf(version: String): Long = version match {
+    case StreamVersionRe(e) => e.toLong
+    case CompactVersionRe(e, _) => e.toLong
+    case other => throw new IllegalArgumentException(s"not a version name: $other")
+  }
+
+  /** Total order of versions: by epoch, then stream-before-compaction
+    * (a compaction folds the same-epoch stream version, so it is newer),
+    * then by the global compaction sequence.
+    */
+  private def sortKeyOf(version: String): (Long, Long) = version match {
+    case StreamVersionRe(e) => (e.toLong, 0L)
+    case CompactVersionRe(e, n) => (e.toLong, n.toLong)
+    case other => throw new IllegalArgumentException(s"not a version name: $other")
+  }
+
+  /** Epoch of CURRENT — the highest stream batch the target contains. */
+  def currentEpoch(root: Path): Option[Long] = currentVersion(root).map(epochOf)
+
+  /** Exact-pointer check (kept for the Rewrite shape, which has no
+    * compactions in its namespace): CURRENT names `v<batchId>` itself.
+    */
   def committed(root: Path, batchId: Long): Boolean =
     currentVersion(root).contains(s"v$batchId")
 
-  /** Atomically repoint CURRENT at `v<batchId>` (tmp + ATOMIC_MOVE). */
-  private[ops] def swapPointer(root: Path, batchId: Long): Unit = {
-    val tmp = root.resolve(s".CURRENT-$batchId.tmp")
-    Files.write(tmp, s"v$batchId".getBytes("UTF-8"))
+  /** The streaming redelivery guard for [[Segmented]]: batch `batchId`
+    * is already durable iff CURRENT's EPOCH is at-or-past it. Epoch, not
+    * pointer equality — a compaction moves the pointer to `v<e>c<n>`
+    * without advancing the epoch, and a crash-redelivery of batch e must
+    * still be skipped (re-applying it would duplicate rows the fold
+    * already contains).
+    */
+  def appliedAtOrAfter(root: Path, batchId: Long): Boolean =
+    currentEpoch(root).exists(_ >= batchId)
+
+  /** Atomically repoint CURRENT at `version` (tmp + ATOMIC_MOVE). */
+  private[ops] def swapPointer(root: Path, version: String): Unit = {
+    val tmp = root.resolve(s".CURRENT-$version.tmp")
+    Files.write(tmp, version.getBytes("UTF-8"))
     Files.move(tmp, pointerOf(root), StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE): Unit
   }
 
-  private def batchIdOf(version: String): Long = version.stripPrefix("v").toLong
+  /** Serialize every pointer-transaction (read manifest → write manifest
+    * → swap CURRENT) on this target: an OS file lock for cross-process
+    * writers plus a per-root JVM monitor (file locks are per-process, and
+    * overlapping same-JVM FileLocks throw). The DATA writes stay outside
+    * the lock — only the metadata transaction (bytes-sized) serializes,
+    * so a compaction's O(corpus) fold never blocks the ingest path.
+    */
+  private val monitors = new ConcurrentHashMap[String, Object]()
+
+  private def withPointerLock[T](root: Path)(f: => T): T = {
+    val key = root.toAbsolutePath.normalize.toString
+    val mon = monitors.computeIfAbsent(key, _ => new Object)
+    mon.synchronized {
+      val ch = FileChannel.open(root.resolve(".lock"),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        val l = ch.lock()
+        try f finally { l.release(): Unit }
+      } finally ch.close()
+    }
+  }
 
   private def rmTree(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rmTree)
@@ -88,12 +169,31 @@ object VersionedTarget {
     else if (f.isFile) f.length()
     else Option(f.listFiles()).toSeq.flatten.map(dirBytes).sum
 
-  /** Append-only target: version = manifest FILE `v<b>` listing live
-    * segment dir names (one per line, commit order); data lives in
-    * immutable `seg<b>/` parquet dirs holding ONLY batch b's rows.
+  /** What a completed compaction committed: its version name, the merged
+    * segment, the segments it folded, and the segments that committed
+    * DURING the fold and were reconciled into the new manifest unfolded.
     */
-  final case class Segmented(root: Path) {
+  final case class Compacted(version: String, segment: String,
+      folded: Seq[String], reconciled: Seq[String])
 
+  /** Append-only target: version = manifest FILE listing live segment
+    * dir names (one per line, commit order); data lives in immutable
+    * segment parquet dirs, each holding ONLY its batch's rows.
+    *
+    * `partitionCols`, when non-empty, is the hive-partition layout every
+    * segment is written with (`partitionBy(...)`) — the q142/q144 IVF
+    * index shape, where each segment carries its own `cell=` dirs so a
+    * probe's cell filter prunes to its nprobe partitions in every
+    * segment of the multi-path scan.
+    */
+  final case class Segmented(root: Path, partitionCols: Seq[String] = Seq.empty) {
+
+    /** Epoch-based redelivery guard (see [[VersionedTarget.appliedAtOrAfter]]). */
+    def applied(batchId: Long): Boolean = appliedAtOrAfter(root, batchId)
+
+    /** Exact-pointer check — true only while CURRENT is `v<batchId>`
+      * itself (a later commit or compaction moves it).
+      */
     def committed(batchId: Long): Boolean = VersionedTarget.committed(root, batchId)
 
     /** Segment dir names listed by manifest `version` (commit order). */
@@ -105,82 +205,156 @@ object VersionedTarget {
       else Seq.empty
     }
 
+    private def writeManifest(version: String, segments: Seq[String]): Unit = {
+      val mTmp = root.resolve(s".$version.tmp")
+      Files.write(mTmp, segments.mkString("\n").getBytes("UTF-8"))
+      Files.move(mTmp, root.resolve(version),
+        StandardCopyOption.REPLACE_EXISTING): Unit
+    }
+
+    private def writeSegment(rows: DataFrame, seg: String): Unit = {
+      val w = rows.write.mode("overwrite")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(root.resolve(seg).toString)
+    }
+
     /** Commit batch `batchId`: write ONLY `rows` into `seg<batchId>/`,
       * write manifest v<batchId> = previous live segments + the new one,
-      * atomically swap CURRENT. O(batch) data I/O; the manifest is bytes.
+      * atomically swap CURRENT. O(batch) data I/O; the manifest is bytes,
+      * and only the manifest+swap transaction takes the pointer lock —
+      * a concurrently running compaction fold never blocks the commit.
       * An empty batch still commits (empty parquet segment) so the
-      * pointer advances and redelivery stays detectable.
+      * pointer advances and redelivery stays detectable. `batchId` must
+      * advance the epoch — committing at-or-below the current epoch
+      * would overwrite a live segment in place (the caller's redelivery
+      * guard [[applied]] is what skips replayed batches before this).
       */
     def commit(rows: DataFrame, batchId: Long): Unit = {
       val seg = s"seg$batchId"
-      rows.write.mode("overwrite").parquet(root.resolve(seg).toString)
-      val live = currentVersion(root).map(segmentsOf).getOrElse(Seq.empty) :+ seg
-      val mTmp = root.resolve(s".v$batchId.tmp")
-      Files.write(mTmp, live.mkString("\n").getBytes("UTF-8"))
-      Files.move(mTmp, root.resolve(s"v$batchId"),
-        StandardCopyOption.REPLACE_EXISTING): Unit
-      swapPointer(root, batchId)
+      // epoch check BEFORE the data write too (cheap, and the overwrite
+      // of a live `seg<batchId>` is exactly what must never happen); the
+      // authoritative re-check runs under the pointer lock below.
+      require(currentEpoch(root).forall(batchId > _),
+        s"commit batch v$batchId must advance the epoch past ${currentVersion(root)}")
+      writeSegment(rows, seg)
+      withPointerLock(root) {
+        val cur = currentVersion(root)
+        require(cur.map(epochOf).forall(batchId > _),
+          s"commit batch v$batchId raced a newer commit ($cur)")
+        val live = cur.map(segmentsOf).getOrElse(Seq.empty) :+ seg
+        writeManifest(s"v$batchId", live)
+        swapPointer(root, s"v$batchId")
+      }
     }
 
-    /** Compact every live segment into ONE merged segment committed as
-      * version `v<batchId>` (manifest = just `seg<batchId>`). Append-only
+    /** Next value of the global compaction sequence: one past the
+      * largest `c<n>` suffix any manifest OR segment dir in the root
+      * carries (segment dirs count so a crashed compaction's orphan can
+      * never be overwritten by the next attempt while still on disk).
+      */
+    private def nextCompactionId(): Long = {
+      val SegRe = "^seg\\d+c(\\d+)$".r
+      val ns = Files.list(root).iterator().asScala
+        .map(_.getFileName.toString).collect {
+          case CompactVersionRe(_, n) => n.toLong
+          case SegRe(n) => n.toLong
+        }.toSeq
+      if (ns.isEmpty) 1L else ns.max + 1L
+    }
+
+    /** Compact every live segment into ONE merged segment. Append-only
       * commits accumulate one segment per micro-batch; each adds a file
       * footer + task to every downstream scan, so a 100 TB target fed by
       * small batches eventually pays more in per-file overhead than in
       * data. Compaction is the amortised counter-move (Delta OPTIMIZE /
-      * Iceberg rewrite_data_files): O(live corpus) I/O ONCE, scheduled
-      * off the ingest path, after which scans touch one segment again.
+      * Iceberg rewrite_data_files): O(live corpus) I/O ONCE, after which
+      * scans touch one segment again.
+      *
+      * SAFE OFF THE INGEST PATH. The compaction commits in its own id
+      * namespace (`v<e>c<n>` / `seg<e>c<n>`, never a stream `v<b>`), so
+      * it cannot consume or collide with a stream epoch, and the
+      * OPTIMISTIC pointer transaction makes a fold racing live commits
+      * safe: the O(corpus) fold runs WITHOUT the pointer lock; under the
+      * lock the fold re-reads CURRENT and (a) if commits landed since,
+      * RECONCILES — new manifest = merged segment + the segments
+      * committed during the fold, epoch = the newest commit's (no row
+      * lost, no row duplicated); (b) if another compaction retired any
+      * folded segment first, ABORTS — deletes its own merged segment and
+      * returns None (the caller may retry; concurrent compactors are the
+      * one writer pattern this target refuses rather than reconciles,
+      * since two overlapping folds both contain the same rows).
       *
       * Old manifests still reference the old segments, which stay on disk
       * until [[vacuum]] drops those manifests — a reader that resolved
       * CURRENT before the compaction keeps reading its complete version.
-      * `batchId` must exceed every committed batch id (manifests sort by
-      * id); the streaming caller's epoch counter satisfies this.
-      * No-op (returns false) when nothing has committed yet or the live
-      * manifest already holds a single segment.
+      * A crash between the segment write and the pointer swap leaves
+      * CURRENT untouched and an orphan `seg<e>c<n>` that [[vacuum]]
+      * sweeps (same recovery story as a pre-swap commit crash).
       *
-      * SINGLE-WRITER, like [[commit]]: both read CURRENT and then swap
-      * it, so a compact racing a concurrent commit would resurrect
-      * whichever manifest list it read first (classic lost update).
-      * The streaming sink serializes them by construction (foreachBatch
-      * runs one batch at a time — schedule compaction inside it, or
-      * between restarts); a crash between the segment write and the
-      * pointer swap leaves CURRENT untouched and an orphan `seg<b>` that
-      * [[vacuum]] sweeps (same recovery story as a pre-swap commit
-      * crash).
+      * `afterFold` is a test seam invoked between the fold write and the
+      * pointer transaction (where a racing commit would land).
+      * `beforeSwap(segment, folded)` runs INSIDE the pointer transaction
+      * just before CURRENT moves — the stats path uses it to commit the
+      * merged segment's metadata artifact so no live segment is ever
+      * visible without one.
+      *
+      * No-op (returns None) when nothing has committed yet or the live
+      * manifest already holds a single segment.
       */
-    def compact(s: SparkSession, batchId: Long,
-                targetFileBytes: Long = 128L << 20): Boolean =
-      currentVersion(root) match {
-        case Some(v) if segmentsOf(v).lengthCompare(1) > 0 =>
-          // enforce the epoch contract instead of trusting the caller: a
-          // stale batchId would OVERWRITE the live seg<batchId> in place
-          // (destroying committed data) and write a manifest that sorts
-          // before the current one, confusing vacuum's retention order
-          require(batchId > batchIdOf(v),
-            s"compact batchId v$batchId must exceed the committed $v")
-          val segNames = segmentsOf(v)
-          val segs = segNames.map(root.resolve(_).toString)
-          val seg = s"seg$batchId"
-          // Bin-pack the fold: without it the merged write inherits one
-          // task (= one output file) per input split, and a target fed by
-          // small batches would fold N tiny files into N tiny files. Size
-          // the output off the live segments' actual bytes — the same
-          // ceil(bytes/target) rule as the q131 table compaction.
-          val bytes = segNames.map(n => dirBytes(root.resolve(n).toFile)).sum
-          val nFiles =
-            math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-          // shuffle-free rewrite: scan the live segments, coalesce, write
-          s.read.parquet(segs: _*).coalesce(nFiles).write.mode("overwrite")
-            .parquet(root.resolve(seg).toString)
-          val mTmp = root.resolve(s".v$batchId.tmp")
-          Files.write(mTmp, seg.getBytes("UTF-8"))
-          Files.move(mTmp, root.resolve(s"v$batchId"),
-            StandardCopyOption.REPLACE_EXISTING): Unit
-          swapPointer(root, batchId)
-          true
-        case _ => false
+    def compact(s: SparkSession, targetFileBytes: Long = 128L << 20,
+        afterFold: () => Unit = () => (),
+        beforeSwap: (String, Seq[String]) => Unit = (_, _) => ()): Option[Compacted] = {
+      // reserve the fold's identity under the lock: the folded snapshot,
+      // the global sequence number, and the segment dir (created empty so
+      // a concurrent compactor's nextCompactionId sees it taken)
+      val reserved = withPointerLock(root) {
+        currentVersion(root) match {
+          case Some(v) if segmentsOf(v).lengthCompare(1) > 0 =>
+            val n = nextCompactionId()
+            val seg = s"seg${epochOf(v)}c$n"
+            Files.createDirectories(root.resolve(seg))
+            Some((segmentsOf(v), seg, n))
+          case _ => None
+        }
       }
+      reserved.flatMap { case (folded, seg, n) =>
+        // the O(corpus) fold — deliberately OUTSIDE the pointer lock.
+        // Bin-pack the rewrite: without it the merged write inherits one
+        // task (= one output file) per input split, and a target fed by
+        // small batches would fold N tiny files into N tiny files. Size
+        // the output off the live segments' actual bytes — the same
+        // ceil(bytes/target) rule as the q131 table compaction.
+        val bytes = folded.map(nm => dirBytes(root.resolve(nm).toFile)).sum
+        val nFiles =
+          math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+        val merged = s.read.parquet(folded.map(root.resolve(_).toString): _*)
+        val sized =
+          if (partitionCols.isEmpty) merged.coalesce(nFiles)
+          // partitioned layout: cluster by the partition key so each of
+          // the nFiles tasks writes whole hive partitions, not one
+          // fragment of every partition per task
+          else merged.repartition(nFiles, partitionCols.map(col): _*)
+        writeSegment(sized, seg)
+        afterFold()
+        withPointerLock(root) {
+          val vNow = currentVersion(root).get
+          val liveNow = segmentsOf(vNow)
+          if (!folded.forall(liveNow.contains)) {
+            // a concurrent compaction already retired part of our fold —
+            // our merged segment would duplicate its rows; abort cleanly
+            rmTree(root.resolve(seg).toFile)
+            None
+          } else {
+            val reconciled = liveNow.filterNot(folded.toSet)
+            val version = s"v${epochOf(vNow)}c$n"
+            beforeSwap(seg, folded)
+            writeManifest(version, seg +: reconciled)
+            swapPointer(root, version)
+            Some(Compacted(version, seg, folded, reconciled))
+          }
+        }
+      }
+    }
 
     /** The live table at `version`: multi-path parquet scan over its
       * segments. Empty-manifest versions read as None (no schema to give).
@@ -202,7 +376,7 @@ object VersionedTarget {
       require(keepLast >= 1, "must retain at least the current version")
       val manifests = Files.list(root).iterator().asScala
         .map(_.getFileName.toString)
-        .filter(_.matches("v\\d+")).toSeq.sortBy(batchIdOf)
+        .filter(n => n.matches("v\\d+(c\\d+)?")).toSeq.sortBy(sortKeyOf)
       val retained = manifests.takeRight(keepLast)
       val dropManifests = manifests.dropRight(keepLast)
       val liveSegs = retained.flatMap(segmentsOf).toSet
@@ -211,7 +385,7 @@ object VersionedTarget {
       dropManifests.foreach(m => Files.deleteIfExists(root.resolve(m)): Unit)
       val dropSegs = Files.list(root).iterator().asScala
         .map(_.getFileName.toString)
-        .filter(n => n.matches("seg\\d+") && !liveSegs.contains(n)).toSeq
+        .filter(n => n.matches("seg\\d+(c\\d+)?") && !liveSegs.contains(n)).toSeq
       dropSegs.foreach(sg => rmTree(root.resolve(sg).toFile))
       dropManifests ++ dropSegs
     }
@@ -229,7 +403,7 @@ object VersionedTarget {
       */
     def commit(table: DataFrame, batchId: Long): Unit = {
       table.write.mode("overwrite").parquet(root.resolve(s"v$batchId").toString)
-      swapPointer(root, batchId)
+      swapPointer(root, s"v$batchId")
     }
 
     def read(s: SparkSession, version: String): DataFrame =
@@ -246,7 +420,7 @@ object VersionedTarget {
       require(keepLast >= 1, "must retain at least the current version")
       val versions = Files.list(root).iterator().asScala
         .map(_.getFileName.toString)
-        .filter(_.matches("v\\d+")).toSeq.sortBy(batchIdOf)
+        .filter(_.matches("v\\d+")).toSeq.sortBy(v => epochOf(v))
       val drop = versions.dropRight(keepLast)
       drop.foreach(v => rmTree(root.resolve(v).toFile))
       drop

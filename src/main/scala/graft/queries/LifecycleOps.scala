@@ -56,27 +56,39 @@ object LifecycleOps {
       val out = graft.core.Scratch.deleteOnExit(ctx.resolve("{output}"))
       val docs = t(spark, dir, "documents")
 
-      // stage 1 — streaming incremental dedup into a segmented target
+      // stage 1 — streaming incremental dedup into a segmented target,
+      // through the STATS path (q146): each batch commits its survivor
+      // segment plus a per-segment (lang → docs, chars) artifact
       val dedupRoot = java.nio.file.Paths.get(out, "dedup")
+      val statsRoot = dedupRoot.resolve("stats")
       java.nio.file.Files.createDirectories(dedupRoot)
       val banded = StreamingQueries.bandedDocs(
         StreamOps.docsStream(spark, dir)
           .select($"doc_id", $"text", $"lang", $"n_chars"))
       StreamOps.runForeachBatch(banded,
-        StreamingQueries.dedupMergeFn(
-          StreamingQueries.neardupIndex(docs), dedupRoot))
-      // ingest-cadence maintenance (q145): fold the per-batch segments
-      // into one bin-packed segment before the downstream stages scan
-      // the corpus — content-invariant (the oracle doesn't change), and
-      // the lifecycle's later stages read 1 segment instead of 1/batch
+        StreamingQueries.statsMergeFn(
+          StreamingQueries.neardupIndex(docs), dedupRoot, statsRoot))
+      // ingest-cadence maintenance (q145 × q146): fold the per-batch
+      // segments into one bin-packed segment — content-invariant (the
+      // oracle doesn't change), the later stages read 1 segment instead
+      // of 1/batch — and carry the stats forward by SUMMING the folded
+      // artifacts inside the pointer transaction, so the metadata-only
+      // rollup stays answerable after the fold
       val target = graft.ops.VersionedTarget.Segmented(dedupRoot)
-      val lastBatch = graft.ops.VersionedTarget.currentVersion(dedupRoot)
-        .map(_.stripPrefix("v").toLong).getOrElse(0L)
-      target.compact(spark, lastBatch + 1)
-      target.vacuum(graft.ops.VersionedTarget.DefaultRetain): Unit
-      val survivorIds = StreamingQueries.dedupCurrent(spark, dedupRoot)
+      StreamingQueries.statsPreservingCompact(spark, dedupRoot, statsRoot): Unit
+      StreamingQueries.statsVacuum(statsRoot,
+        target.vacuum(graft.ops.VersionedTarget.DefaultRetain))
+      val survivors = StreamingQueries.dedupCurrent(spark, dedupRoot)
         .getOrElse(sys.error("dedup stage committed no version"))
-        .select($"doc_id")
+      // the composition invariant, checked in-line where a production
+      // operator would alert on it: the metadata-only rollup over the
+      // post-compaction artifacts must agree with the corpus itself
+      val rolled = StreamingQueries.statsRollup(spark, dedupRoot, statsRoot)
+        .agg(sum($"n_docs")).head.getLong(0)
+      val corpusDocs = survivors.count()
+      require(rolled == corpusDocs,
+        s"stats rollup ($rolled docs) diverged from corpus ($corpusDocs) after compaction")
+      val survivorIds = survivors.select($"doc_id")
 
       // stage 2 — per-source cap over the survivors (q133 rule)
       val surv = docs.join(survivorIds, Seq("doc_id"), "left_semi")

@@ -778,12 +778,17 @@ object StreamingQueries {
     * streaming harness.
     */
   private[graft] def dedupMergeFn(index: DataFrame,
-      root: java.nio.file.Path): (DataFrame, Long) => Unit = {
+      root: java.nio.file.Path,
+      onVacuum: Seq[String] => Unit = _ => ()): (DataFrame, Long) => Unit = {
     val target = graft.ops.VersionedTarget.Segmented(root)
     (batch, batchId) => {
-      // redelivery guard (exactly-once): pointer already at v<batchId>
-      // means this batch committed before a crash — skip, don't re-merge
-      if (!target.committed(batchId)) {
+      // redelivery guard (exactly-once): the target's EPOCH already
+      // at-or-past batchId means this batch committed before a crash —
+      // skip, don't re-merge. Epoch, not pointer equality: a compaction
+      // between batches moves CURRENT to `v<e>c<n>` without advancing
+      // the epoch, and a replay of batch e must stay skipped (its rows
+      // are already inside the fold).
+      if (!target.applied(batchId)) {
         val dropped = batch.join(index, Seq("band", "bv"))
           .filter(col("idx_id") < col("doc_id") &&
             expr("bit_count(fp ^ idx_fp)") <= 3)
@@ -793,8 +798,10 @@ object StreamingQueries {
           .join(dropped, Seq("doc_id"), "left_anti")
         target.commit(kept, batchId)
         // retention: old manifests (bytes) + orphan segments from pre-swap
-        // crashes; live segments all stay referenced (append-only)
-        target.vacuum(graft.ops.VersionedTarget.DefaultRetain): Unit
+        // crashes; live segments all stay referenced (append-only).
+        // `onVacuum` hands the retired names to the caller's sidecar GC
+        // (the stats path deletes each retired segment's artifact dir).
+        onVacuum(target.vacuum(graft.ops.VersionedTarget.DefaultRetain))
       }
     }
   }
@@ -878,9 +885,7 @@ object StreamingQueries {
   def q145(spark: SparkSession, dir: String): DataFrame = {
     val root = runIncrementalDedup(spark, dir, "compact")
     val target = graft.ops.VersionedTarget.Segmented(root)
-    val lastBatch = graft.ops.VersionedTarget.currentVersion(root)
-      .map(_.stripPrefix("v").toLong).getOrElse(0L)
-    target.compact(spark, lastBatch + 1)
+    target.compact(spark): Unit // commits v<e>c<n> in its own namespace
     target.vacuum(1): Unit // compacted manifest alone; old segments retired
     corpusOf(spark, root)
   }
@@ -938,7 +943,11 @@ object StreamingQueries {
     */
   private[graft] def statsMergeFn(index: DataFrame, root: java.nio.file.Path,
       statsRoot: java.nio.file.Path): (DataFrame, Long) => Unit = {
-    val merge = dedupMergeFn(index, root)
+    // sidecar GC: when vacuum retires a segment, its stats artifact is
+    // identifiable garbage — delete statsRoot/<seg> for every retired
+    // name, so the artifact store tracks the segment store's footprint
+    // (the one unbounded-growth path the segmented target had left)
+    val merge = dedupMergeFn(index, root, onVacuum = statsVacuum(statsRoot, _))
     (batch, batchId) => {
       merge(batch, batchId)
       val s = batch.sparkSession
@@ -961,14 +970,60 @@ object StreamingQueries {
   private def statsComplete(stat: java.nio.file.Path): Boolean =
     java.nio.file.Files.exists(stat.resolve("_SUCCESS"))
 
+  /** Delete the stats artifacts of retired segments (`vacuum`'s returned
+    * names): manifests have no artifacts, segment names map 1:1.
+    */
+  private[graft] def statsVacuum(statsRoot: java.nio.file.Path,
+      retired: Seq[String]): Unit =
+    retired.filter(_.startsWith("seg")).foreach { sg =>
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(statsRoot.resolve(sg).toFile)
+    }
+
+  /** STATS-PRESERVING COMPACTION — the composition of the segmented
+    * target's two maintenance halves (q145 compaction × q146 metadata
+    * rollup). The per-segment (lang → docs, chars) stats are ADDITIVE,
+    * so the folded segment's artifact is derivable by SUMMING the folded
+    * segments' artifacts — a metadata-only read; the corpus data is not
+    * rescanned a second time for stats. The sum commits INSIDE the
+    * pointer transaction (compact's `beforeSwap` hook), so no reader of
+    * CURRENT ever resolves a live segment without a committed artifact —
+    * [[statsRollup]]'s loud completeness `require` stays satisfiable
+    * across any number of compactions. Segments that committed DURING
+    * the fold are reconciled into the new manifest unfolded and keep
+    * their own artifacts.
+    */
+  private[graft] def statsPreservingCompact(spark: SparkSession,
+      root: java.nio.file.Path, statsRoot: java.nio.file.Path):
+      Option[graft.ops.VersionedTarget.Compacted] =
+    graft.ops.VersionedTarget.Segmented(root).compact(spark,
+      beforeSwap = (seg, folded) => {
+        val arts = folded.map(statsRoot.resolve)
+        val missing = folded.zip(arts).collect {
+          case (nm, a) if !statsComplete(a) => nm
+        }
+        require(missing.isEmpty,
+          s"folded segments without stats artifacts (fold would lose them): $missing")
+        spark.read.parquet(arts.map(_.toString): _*)
+          .groupBy(col("lang"))
+          .agg(sum(col("n_docs")).as("n_docs"),
+            sum(col("n_chars")).as("n_chars"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(statsRoot.resolve(seg).toString)
+      })
+
   /** q146's report: roll up ONLY the stats artifacts of the segments the
     * CURRENT manifest lists — a metadata-sized read; the corpus data is
-    * never rescanned. Retention: stats artifacts mirror segment names, so
-    * when [[graft.ops.VersionedTarget.Segmented.vacuum]] retires a
-    * segment its stats dir is identifiable garbage (delete
-    * `statsRoot/<seg>` for every name vacuum returned); the artifacts are
-    * bytes-sized, so q146 leaves them to the caller's retention sweep
-    * rather than coupling the report to GC.
+    * never rescanned. Retention: stats artifacts mirror segment names,
+    * and the ingest path's [[statsVacuum]] deletes `statsRoot/<seg>` for
+    * every name vacuum retires, so the artifact store tracks the segment
+    * store's footprint. Compacted segments carry artifacts too
+    * ([[statsPreservingCompact]] sums the folded artifacts inside the
+    * pointer transaction), so the completeness `require` below holds
+    * across the full maintenance lifecycle.
     */
   private[graft] def statsRollup(spark: SparkSession, root: java.nio.file.Path,
       statsRoot: java.nio.file.Path): DataFrame = {
@@ -978,8 +1033,8 @@ object StreamingQueries {
       .map(target.segmentsOf).getOrElse(Seq.empty)
     require(liveSegs.nonEmpty, "no committed segments to roll up")
     // every live segment MUST have a COMMITTED stats artifact (_SUCCESS)
-    // — silently skipping one (a compacted segment that never went
-    // through statsMergeFn, or a half-written artifact from a crash)
+    // — silently skipping one (a compaction run outside the
+    // stats-preserving path, or a half-written artifact from a crash)
     // would undercount the corpus and still look like a healthy report
     val missing = liveSegs.filterNot(sg => statsComplete(statsRoot.resolve(sg)))
     require(missing.isEmpty,

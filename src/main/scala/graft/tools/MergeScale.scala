@@ -103,7 +103,7 @@ object MergeScale {
     val preScan = target.current(spark).get.count()
     val scanBeforeSec = (System.nanoTime() - t0) / 1e9
     t0 = System.nanoTime()
-    target.compact(spark, b.toLong)
+    target.compact(spark): Unit
     val compactSec = (System.nanoTime() - t0) / 1e9
     target.vacuum(1): Unit
     val filesAfter = manifestFiles()

@@ -362,6 +362,114 @@ class StreamingSemanticsSpec extends SparkSpec {
     }: Unit
   }
 
+  test("stats-preserving compaction: fold mid-run, rollup stays equal to the " +
+      "corpus before and after, artifacts GC with vacuum") {
+    import graft.queries.StreamingQueries
+    def docsDF(rows: Seq[(Long, String, String)]) =
+      rows.map { case (id, txt, lang) => (id, txt, lang, txt.length.toLong) }
+        .toDF("doc_id", "text", "lang", "n_chars")
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = docsDF(Seq(
+      (1L, dupText, "en"), (2L, dupText, "en"),
+      (10L, "completely different words about spark engines here", "de"),
+      (30L, "another entirely unrelated document about parquet files", "en"),
+      (40L, "ganz anderes dokument ueber verteilte systeme hier", "de")))
+    val index = StreamingQueries.neardupIndex(corpus)
+    val root = Files.createTempDirectory("graft_statscompact_spec")
+    val statsRoot = root.resolve("stats")
+    val fn = StreamingQueries.statsMergeFn(index, root, statsRoot)
+    def rollup: Map[String, (Long, Long)] =
+      StreamingQueries.statsRollup(spark, root, statsRoot).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def direct: Map[String, (Long, Long)] =
+      StreamingQueries.dedupCurrent(spark, root).get
+        .groupBy($"lang").agg(count(lit(1)), sum($"n_chars")).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    fn(StreamingQueries.bandedDocs(docsDF(Seq(
+      (1L, dupText, "en"), (2L, dupText, "en"),
+      (10L, "completely different words about spark engines here", "de")))), 0L)
+    fn(StreamingQueries.bandedDocs(docsDF(Seq(
+      (30L, "another entirely unrelated document about parquet files", "en")))), 1L)
+    // MID-RUN fold: the folded segment's artifact is the SUM of the
+    // folded artifacts (metadata-only), committed before the pointer
+    // swap — the rollup never sees a live segment without an artifact
+    val res = StreamingQueries.statsPreservingCompact(spark, root, statsRoot)
+    assert(res.isDefined, "two live segments must compact")
+    assert(Files.exists(statsRoot.resolve(res.get.segment).resolve("_SUCCESS")),
+      "folded segment's stats artifact must be committed")
+    assert(rollup == direct,
+      s"rollup diverged from the corpus right after the fold")
+    // ingest continues on top of the compacted segment; the composition
+    // keeps holding
+    fn(StreamingQueries.bandedDocs(docsDF(Seq(
+      (40L, "ganz anderes dokument ueber verteilte systeme hier", "de")))), 2L)
+    val afterIngest = rollup
+    assert(afterIngest == direct, s"rollup diverged after post-fold ingest")
+    assert(afterIngest == Map("en" -> ((2L, 45L + 55L)), "de" -> ((2L, 51L + 50L))),
+      s"rollup values wrong: $afterIngest")
+    // retention: vacuum retires the folded segments; the sidecar GC
+    // removes exactly their artifacts, and the rollup still answers
+    val target = graft.ops.VersionedTarget.Segmented(root)
+    StreamingQueries.statsVacuum(statsRoot, target.vacuum(1))
+    assert(!Files.exists(statsRoot.resolve("seg0")) &&
+      !Files.exists(statsRoot.resolve("seg1")),
+      "retired segments' stats artifacts must be GC'd")
+    assert(Files.exists(statsRoot.resolve(res.get.segment)) &&
+      Files.exists(statsRoot.resolve("seg2")),
+      "live segments' artifacts must survive the sweep")
+    assert(rollup == afterIngest, "rollup broken after vacuum + artifact GC")
+  }
+
+  test("q132 merge with compaction interleaved between batches: a replay " +
+      "arriving AFTER the fold is skipped, corpus and verdicts unchanged") {
+    import graft.queries.StreamingQueries
+    def docsDF(rows: Seq[(Long, String)]) =
+      rows.map { case (id, txt) => (id, txt, "en", txt.length.toLong) }
+        .toDF("doc_id", "text", "lang", "n_chars")
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = docsDF(Seq(
+      1L -> dupText, 2L -> dupText,
+      10L -> "completely different words about spark engines here",
+      20L -> dupText,
+      30L -> "another entirely unrelated document about parquet files"))
+    val index = StreamingQueries.neardupIndex(corpus)
+    val root = Files.createTempDirectory("graft_instream_compact")
+    val target = graft.ops.VersionedTarget.Segmented(root)
+    val merge = StreamingQueries.dedupMergeFn(index, root)
+    def survivors: Set[Long] =
+      StreamingQueries.dedupCurrent(spark, root).get
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+    merge(StreamingQueries.bandedDocs(docsDF(Seq(
+      1L -> dupText, 2L -> dupText,
+      10L -> "completely different words about spark engines here"))), 0L)
+    merge(StreamingQueries.bandedDocs(docsDF(Seq(20L -> dupText))), 1L)
+    // the maintenance pass runs INSIDE the ingest cadence (foreachBatch
+    // serializes it with the merges) — own id namespace, no stream epoch
+    // consumed
+    assert(target.compact(spark).isDefined)
+    // the ADVICE failure family: a crash-redelivery of batch 1 lands
+    // AFTER the compaction moved the pointer off v1. Pointer equality
+    // would re-merge it (duplicating rows already inside the fold and
+    // appending a stale segment); the epoch guard skips it.
+    merge(StreamingQueries.bandedDocs(docsDF(Seq(20L -> dupText))), 1L)
+    assert(survivors == Set(1L, 10L),
+      s"replayed batch after compaction changed the corpus: $survivors")
+    assert(StreamingQueries.dedupCurrent(spark, root).get.count() == 2,
+      "replayed batch duplicated rows inside the fold")
+    // ingest continues at the next epoch on top of the fold
+    merge(StreamingQueries.bandedDocs(docsDF(Seq(
+      30L -> "another entirely unrelated document about parquet files"))), 2L)
+    assert(survivors == Set(1L, 10L, 30L), s"post-fold ingest wrong: $survivors")
+    // and the verdicts equal a run that never compacted at all
+    val refRoot = Files.createTempDirectory("graft_instream_ref")
+    StreamingQueries.dedupMergeFn(index, refRoot)(
+      StreamingQueries.bandedDocs(corpus), 0L)
+    val expected = StreamingQueries.dedupCurrent(spark, refRoot).get
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == expected,
+      s"in-stream compaction changed verdicts: $survivors vs $expected")
+  }
+
   test("q73 fixture guard: no view window end coincides with the final watermark") {
     // The q73 oracle closes windows with `view_ts + 5min <= cut`; Spark's
     // symmetric hash join evicts with strict-inequality/ms adjustments

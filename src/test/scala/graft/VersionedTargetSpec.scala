@@ -4,11 +4,13 @@ import java.nio.file.Files
 
 import graft.ops.VersionedTarget
 
-/** Retention/GC contract of the versioned parquet targets behind q109
-  * (Rewrite) and q132 (Segmented): vacuum deletes only versions strictly
-  * older than the newest keepLast commits, so a reader that resolved
-  * CURRENT up to keepLast-1 commits ago still reads a complete table —
-  * never a half-deleted one.
+/** Retention/GC/concurrency contract of the versioned parquet targets
+  * behind q109 (Rewrite) and q132/q145 (Segmented): vacuum deletes only
+  * versions strictly older than the newest keepLast commits, so a reader
+  * that resolved CURRENT up to keepLast-1 commits ago still reads a
+  * complete table — never a half-deleted one; compaction commits in its
+  * own id namespace and reconciles optimistically against commits that
+  * land during the fold, so it can run truly off the ingest path.
   */
 class VersionedTargetSpec extends SparkSpec {
   import spark.implicits._
@@ -26,11 +28,26 @@ class VersionedTargetSpec extends SparkSpec {
     t.commit(df(4L), 3L)
     assert(VersionedTarget.currentVersion(root).contains("v3"))
     assert(t.committed(3L) && !t.committed(4L))
+    assert(t.applied(3L) && t.applied(1L) && !t.applied(4L),
+      "epoch guard covers every batch at-or-below the committed epoch")
     val ids = t.current(spark).get.select($"id").collect().map(_.getLong(0)).toSet
     assert(ids == Set(1L, 2L, 3L, 4L))
     // time travel: any committed version reads its own prefix of segments
     val v1 = t.read(spark, "v1").get.select($"id").collect().map(_.getLong(0)).toSet
     assert(v1 == Set(1L, 2L, 3L))
+  }
+
+  test("Segmented: commit refuses a batch id at-or-below the current epoch " +
+      "(it would overwrite a live segment in place)") {
+    val root = Files.createTempDirectory("graft_vt_epoch")
+    val t = VersionedTarget.Segmented(root)
+    t.commit(df(1L), 0L)
+    t.commit(df(2L), 1L)
+    val before = t.current(spark).get.orderBy($"id").collect().toSeq
+    intercept[IllegalArgumentException] { t.commit(df(99L), 1L) }: Unit
+    intercept[IllegalArgumentException] { t.commit(df(99L), 0L) }: Unit
+    assert(t.current(spark).get.orderBy($"id").collect().toSeq == before,
+      "refused commit corrupted live data")
   }
 
   test("Segmented vacuum: keeps newest N manifests readable, GCs orphans, " +
@@ -57,22 +74,30 @@ class VersionedTargetSpec extends SparkSpec {
     assert(t.read(spark, "v1").isEmpty)
   }
 
-  test("Segmented compact: folds live segments into one, preserves content, " +
-      "and keeps the pre-compaction reader whole until vacuum") {
+  test("Segmented compact: folds live segments into one IN ITS OWN ID " +
+      "NAMESPACE, preserves content, keeps the pre-compaction reader whole") {
     val root = Files.createTempDirectory("graft_vt_compact")
     val t = VersionedTarget.Segmented(root)
     (0L to 3L).foreach(b => t.commit(df(b * 10, b * 10 + 1), b))
     val before = t.current(spark).get.orderBy($"id").collect().toSeq
     assert(t.segmentsOf("v3").size == 4, "one segment per commit pre-compaction")
     // a reader resolved CURRENT before the compaction and still holds v3
-    assert(t.compact(spark, 4L), "4 live segments must compact")
+    val res = t.compact(spark)
+    assert(res.isDefined, "4 live segments must compact")
+    // the compaction's version and segment never collide with a stream
+    // epoch: v3c1/seg3c1, NOT v4 — batch 4's identity stays available to
+    // the stream, and the epoch is still 3 (no stream batch invented)
+    assert(res.get.version == "v3c1" && res.get.segment == "seg3c1",
+      s"compaction must commit in the c-namespace, got ${res.get}")
+    assert(VersionedTarget.currentEpoch(root).contains(3L),
+      "compaction must not advance the stream epoch")
     // content invariant: the merged segment carries exactly the same rows
     val after = t.current(spark).get.orderBy($"id").collect().toSeq
     assert(after == before, "compaction changed corpus content")
-    assert(t.segmentsOf("v4") == Seq("seg4"), "compacted manifest = one segment")
+    assert(t.segmentsOf("v3c1") == Seq("seg3c1"), "compacted manifest = one segment")
     // bin-packing: collect-sized data folds to ONE part file, not one
     // file per input split (the point of compacting at all)
-    val parts = root.resolve("seg4").toFile.listFiles()
+    val parts = root.resolve("seg3c1").toFile.listFiles()
       .count(_.getName.endsWith(".parquet"))
     assert(parts == 1, s"expected 1 bin-packed part file, got $parts")
     // the pre-compaction reader's segments are all still on disk
@@ -84,10 +109,68 @@ class VersionedTargetSpec extends SparkSpec {
     assert(deleted.toSet == Set("v0", "v1", "v2", "v3", "seg0", "seg1", "seg2", "seg3"),
       s"vacuum after compact must retire the folded segments, got $deleted")
     assert(t.current(spark).get.orderBy($"id").collect().toSeq == before)
-    // appends continue on top of the compacted segment
-    t.commit(df(100L), 5L)
-    assert(t.segmentsOf("v5") == Seq("seg4", "seg5"))
+    // appends continue on top of the compacted segment at the next epoch
+    t.commit(df(100L), 4L)
+    assert(t.segmentsOf("v4") == Seq("seg3c1", "seg4"))
     assert(t.current(spark).get.count() == before.size + 1)
+  }
+
+  test("Segmented compact: the epoch guard keeps a batch replayed AFTER a " +
+      "compaction skipped — the fold already contains its rows") {
+    val root = Files.createTempDirectory("graft_vt_replay")
+    val t = VersionedTarget.Segmented(root)
+    t.commit(df(1L), 0L)
+    t.commit(df(2L), 1L)
+    assert(t.compact(spark).isDefined)
+    // CURRENT is now v1c1 — pointer equality would say "batch 1 never
+    // committed" and re-apply it (duplicating its rows inside the fold);
+    // the epoch guard says applied
+    assert(!t.committed(1L), "pointer moved past v1")
+    assert(t.applied(1L) && t.applied(0L),
+      "epoch guard must hold across the compaction")
+    assert(!t.applied(2L), "future batches still unapplied")
+  }
+
+  test("Segmented compact: a commit landing DURING the fold is reconciled " +
+      "into the compacted manifest — no committed row lost") {
+    val root = Files.createTempDirectory("graft_vt_race")
+    val t = VersionedTarget.Segmented(root)
+    (0L to 2L).foreach(b => t.commit(df(b), b))
+    // the race the docstring used to forbid: batch 3 commits between the
+    // fold's segment write and its pointer transaction
+    val res = t.compact(spark, afterFold = () => t.commit(df(30L, 31L), 3L))
+    assert(res.isDefined, "a racing commit must not abort the fold")
+    assert(res.get.reconciled == Seq("seg3"),
+      s"batch 3's segment must ride the reconciled manifest, got ${res.get}")
+    // epoch follows the newest commit, so batch 3 stays replay-guarded
+    assert(res.get.version == "v3c1" && t.applied(3L),
+      s"reconciled version must carry epoch 3, got ${res.get.version}")
+    val ids = t.current(spark).get.select($"id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(0L, 1L, 2L, 30L, 31L),
+      s"reconciliation lost or duplicated rows: $ids")
+    // and the manifest composes: fold first (oldest data), then the rider
+    assert(t.segmentsOf("v3c1") == Seq("seg2c1", "seg3"))
+  }
+
+  test("Segmented compact: a CONCURRENT COMPACTION that retired part of the " +
+      "fold aborts cleanly — two overlapping folds would duplicate rows") {
+    val root = Files.createTempDirectory("graft_vt_ccomp")
+    val t = VersionedTarget.Segmented(root)
+    (0L to 2L).foreach(b => t.commit(df(b), b))
+    val before = t.current(spark).get.orderBy($"id").collect().toSeq
+    var inner: Option[VersionedTarget.Compacted] = None
+    val outer = t.compact(spark, afterFold = () => {
+      inner = t.compact(spark)
+      inner.foreach(_ => t.vacuum(1): Unit) // inner fold retires seg0..seg2
+    })
+    assert(inner.isDefined, "inner compaction must win")
+    assert(outer.isEmpty, "outer compaction must detect the retired fold and abort")
+    assert(t.current(spark).get.orderBy($"id").collect().toSeq == before,
+      "aborted compaction corrupted live data")
+    // the aborted fold's segment (the outer reservation, seg2c1) is
+    // deleted, not left behind as garbage the next reader could trip on
+    assert(!Files.exists(root.resolve("seg2c1")),
+      "aborted fold segment must be deleted")
   }
 
   test("Segmented compact: a crash before the pointer swap leaves CURRENT " +
@@ -95,45 +178,42 @@ class VersionedTargetSpec extends SparkSpec {
     val root = Files.createTempDirectory("graft_vt_compact_crash")
     val t = VersionedTarget.Segmented(root)
     (0L to 2L).foreach(b => t.commit(df(b), b))
-    // simulate the crash: the merged segment landed, but neither the
-    // manifest nor the pointer moved (compact dies mid-flight)
-    t.current(spark).get.write.parquet(root.resolve("seg3").toString)
+    // simulate the crash: the merged segment landed (with its reserved
+    // c-namespace name), but neither the manifest nor the pointer moved
+    t.current(spark).get.write.parquet(root.resolve("seg2c1").toString)
     assert(VersionedTarget.currentVersion(root).contains("v2"),
       "a half-done compaction must not be visible")
     val before = t.current(spark).get.orderBy($"id").collect().toSeq
     // recovery: vacuum retires the unreferenced orphan; a re-run compact
-    // (fresh batchId, per the single-writer epoch contract) succeeds
+    // picks a FRESH sequence number and succeeds
     val deleted = t.vacuum(keepLast = 3)
-    assert(deleted.contains("seg3"), s"orphan merged segment not swept: $deleted")
-    assert(t.compact(spark, 4L))
+    assert(deleted.contains("seg2c1"), s"orphan merged segment not swept: $deleted")
+    val res = t.compact(spark)
+    assert(res.isDefined)
     assert(t.current(spark).get.orderBy($"id").collect().toSeq == before)
+  }
+
+  test("Segmented compact: a crashed orphan still on disk is never " +
+      "overwritten — the next compaction takes a fresh sequence number") {
+    val root = Files.createTempDirectory("graft_vt_compact_seq")
+    val t = VersionedTarget.Segmented(root)
+    (0L to 2L).foreach(b => t.commit(df(b), b))
+    df(99L).write.parquet(root.resolve("seg1c1").toString) // crashed attempt
+    val res = t.compact(spark)
+    assert(res.exists(_.segment == "seg2c2"),
+      s"compaction must skip the orphan's sequence number, got $res")
+    val ids = t.current(spark).get.select($"id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(0L, 1L, 2L), "orphan data leaked into the live corpus")
   }
 
   test("Segmented compact: no-op on empty or already-single-segment targets") {
     val root = Files.createTempDirectory("graft_vt_compact_noop")
     val t = VersionedTarget.Segmented(root)
-    assert(!t.compact(spark, 1L), "nothing committed: compact must refuse")
+    assert(t.compact(spark).isEmpty, "nothing committed: compact must refuse")
     t.commit(df(1L), 0L)
-    assert(!t.compact(spark, 1L), "single segment: nothing to fold")
+    assert(t.compact(spark).isEmpty, "single segment: nothing to fold")
     assert(VersionedTarget.currentVersion(root).contains("v0"),
       "a refused compaction must not move the pointer")
-  }
-
-  test("Segmented compact: a stale batchId is refused before it can " +
-      "overwrite a live segment") {
-    val root = Files.createTempDirectory("graft_vt_compact_stale")
-    val t = VersionedTarget.Segmented(root)
-    (0L to 2L).foreach(b => t.commit(df(b), b))
-    val before = t.current(spark).get.orderBy($"id").collect().toSeq
-    intercept[IllegalArgumentException] { t.compact(spark, 1L) }: Unit
-    assert(VersionedTarget.currentVersion(root).contains("v2"),
-      "refused compact must not move the pointer")
-    assert(t.current(spark).get.orderBy($"id").collect().toSeq == before,
-      "refused compact corrupted live data")
-    // a redelivered compact (same id as its own committed version, now a
-    // single-segment manifest) stays a harmless no-op
-    assert(t.compact(spark, 3L))
-    assert(!t.compact(spark, 3L), "redelivered compact must be a no-op")
   }
 
   test("property: random commit/compact/vacuum interleavings always read as " +
@@ -153,7 +233,7 @@ class VersionedTargetSpec extends SparkSpec {
           val ids = Seq(epoch * 10, epoch * 10 + 1)
           t.commit(df(ids: _*), epoch); committed ++= ids; epoch += 1
         case 2 =>
-          if (t.compact(spark, epoch)) epoch += 1
+          t.compact(spark): Unit // own namespace: never consumes an epoch
         case _ =>
           if (VersionedTarget.currentVersion(root).isDefined) t.vacuum(2): Unit
       }
@@ -189,13 +269,13 @@ class VersionedTargetSpec extends SparkSpec {
     // BEFORE the atomic pointer swap: garbage data, unreferenced by CURRENT
     df(99L).write.parquet(root.resolve("seg1").toString)
     Files.write(root.resolve("v1"), "seg0\nseg1".getBytes("UTF-8"))
-    assert(!t.committed(1L), "pointer never moved — batch 1 must not read as applied")
+    assert(!t.applied(1L), "pointer never moved — batch 1 must not read as applied")
     assert(t.current(spark).get.select($"id").collect().map(_.getLong(0)).toSet ==
       Set(1L), "readers must still see only v0")
     // streaming redelivers batch 1; the re-run overwrites the partial
     // segment + manifest and completes the swap
     t.commit(df(2L), 1L)
-    assert(t.committed(1L))
+    assert(t.applied(1L))
     assert(t.current(spark).get.select($"id").collect().map(_.getLong(0)).toSet ==
       Set(1L, 2L), "redelivered commit must replace the crashed attempt's data")
     // and if the crashed attempt is instead ABANDONED (no redelivery),
