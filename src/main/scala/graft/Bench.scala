@@ -157,13 +157,16 @@ object Bench {
     // is self-evident in the artifact without blowing the tail budget
     // (r7's q21/q82 adjudication needed exactly this). RegistrySpec
     // guards the worst-case line width.
-    // adaptive precision: 2dp below 10 s, 1dp above — worst-case value
-    // width is 4 chars either way ("9.99"/"99.9"), which is what keeps
-    // the 144-query line under the tail budget; micro-queries keep
-    // their 10 ms resolution where it matters
+    // adaptive precision: 2dp below 10 s, 1dp to 100 s, integer seconds
+    // above — worst-case value width stays 4 chars through 9999 s
+    // ("9.99"/"99.9"/"9999"), which is what keeps the 144-query line
+    // under the tail budget (a 1dp "100.0" would be the first 5-char
+    // value and silently break the width guard's model); micro-queries
+    // keep their 10 ms resolution where it matters
     val qs = results.map { t =>
       val short = t.name.takeWhile(_ != '_')
       val v = if (t.failed) "-1"
+        else if (t.median >= 100) f"${t.median}%.0f"
         else if (t.median >= 10) f"${t.median}%.1f" else f"${t.median}%.2f"
       "\"" + short + "\":" + v
     }.mkString("{", ",", "}")

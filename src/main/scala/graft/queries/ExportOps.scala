@@ -66,10 +66,14 @@ object ExportOps {
     *
     * Every step is integer-exact cross-engine: ⌊√x⌋ of a BIGINT is
     * deterministic (IEEE-correctly-rounded sqrt, then floor), and the
-    * budget split is BIGINT multiply + integer division — no doubles
-    * survive into the keep rule. (At true 100 TB char counts the
-    * `budget × w` product should widen to DECIMAL(38,0); at any
-    * realistic corpus mass BIGINT has headroom and stays exact.)
+    * budget split is exact multiply + integer division — no doubles
+    * survive into the keep rule. The `budget × w` product is computed in
+    * DECIMAL(38,0): at the query's own design scale (100 TB ≈ 1e14
+    * chars, w ≈ 1e7) the BIGINT product would overflow, and with
+    * ansi=false Spark would WRAP silently where the DuckDB oracle
+    * raises — decimal keeps the Spark side exact (~1e21 ≪ 1e38) and the
+    * final per-source budget is provably ≤ corpus_chars, so the result
+    * narrows back to BIGINT losslessly.
     *
     * Scale shape: the mass/weight table is one partial-agg pass (rows =
     * #sources, broadcast back); the keep rule is ONE hash shuffle on
@@ -92,7 +96,8 @@ object ExportOps {
       .withColumn("corpus_chars", sum($"chars_total").over(all))
       .withColumn("w_total", sum($"w").over(all))
       .select($"source",
-        expr(s"((corpus_chars div $MixtureBudgetDiv) * w) div w_total")
+        expr(s"CAST((CAST(corpus_chars div $MixtureBudgetDiv AS DECIMAL(38,0))" +
+            s" * w) div w_total AS BIGINT)")
           .as("budget_chars"))
     val win = Window.partitionBy($"source")
       .orderBy(TextOps.hash32($"doc_id".cast(StringType)).asc, $"doc_id".asc)
@@ -319,8 +324,10 @@ object ExportOps {
     * keeps the dynamic-partition writer from inserting its unstable
     * shard-only re-sort (q139's trap) — and the manifest is computed
     * FROM the exported files: per shard the doc count, the
-    * order-sensitive Σ rankₖ·doc_id checksum, the first/last doc in
-    * curriculum order, and the score range the band actually covers.
+    * order-sensitive Σ rankₖ·doc_id checksum ranked by PHYSICAL row
+    * position (`_metadata` file/row-index — so a scrambled on-disk order
+    * fails the hash, not just the spec's per-file scan), the first/last
+    * doc in curriculum order, and the score range the band covers.
     * Band populations are uneven by design — bands are semantic; q136's
     * balanced hash shards are the rebalancing tool if a trainer needs
     * even file sizes.
@@ -338,8 +345,16 @@ object ExportOps {
     scored.repartition($"shard")
       .sortWithinPartitions($"shard", $"score", $"doc_id")
       .write.mode("overwrite").partitionBy("shard").parquet(s"$out/shards")
+    // the manifest rank is the PHYSICAL row position in the exported
+    // files (parquet `_metadata` file name + row index), NOT a re-sort by
+    // the curriculum rule: a writer that scrambled the on-disk order
+    // would produce a different Σ rankₖ·doc_id than the oracle (which
+    // ranks by the rule) and fail the hash — the claim "files carry
+    // curriculum order physically" is itself oracle-guarded
     val back = spark.read.parquet(s"$out/shards")
-    val w = Window.partitionBy($"shard").orderBy($"score".asc, $"doc_id".asc)
+      .select(col("*"), col("_metadata.file_name").as("phys_file"),
+        col("_metadata.row_index").as("phys_row"))
+    val w = Window.partitionBy($"shard").orderBy($"phys_file".asc, $"phys_row".asc)
     back.withColumn("rn", row_number().over(w))
       .groupBy($"shard".cast(LongType).as("shard"))
       .agg(count(lit(1)).as("n_docs"),

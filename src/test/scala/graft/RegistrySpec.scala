@@ -31,9 +31,9 @@ class RegistrySpec extends SparkSpec {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
-  test("the full surface covers the SURVEY ids Q01..Q72 + r2..r10 additions") {
+  test("the full surface covers the SURVEY ids Q01..Q72 + r2..r11 additions") {
     val ids = Registry.all.keySet.map(_.takeWhile(_ != '_'))
-    val expected = (1 to 150).map(i => f"q$i%02d").toSet
+    val expected = (1 to 152).map(i => f"q$i%02d").toSet
     assert(ids == expected, s"missing: ${expected -- ids}, extra: ${ids -- expected}")
   }
 
@@ -44,13 +44,14 @@ class RegistrySpec extends SparkSpec {
   test("bench stdout line fits the driver's ~2KB tail capture at worst-case widths") {
     // r2's round artifact was lost because the per-query JSON line outgrew
     // the capture window; Bench emits short keys + adaptive-precision
-    // seconds (2dp < 10 s, 1dp above — both 4 chars at their widest) and
-    // caps the noise map at 6 entries, and this guard fails the build
-    // before a future query addition regrows the line. Worst-case value
-    // width is 99.9 s — a single query exceeding that would itself be a
-    // broken round, caught long before the artifact matters.
+    // seconds (2dp < 10 s, 1dp to 100 s, integer seconds above — 4 chars
+    // at their widest through 9999 s) and caps the noise map at 6
+    // entries, and this guard fails the build before a future query
+    // addition regrows the line. Worst-case modelled value is the 4-char
+    // "9999" (a query running 2.7 HOURS — the round itself would be dead
+    // long before the artifact width matters).
     val worst = SparkEntry.queries.keys.toSeq.sorted
-      .map(k => "\"" + k.takeWhile(_ != '_') + "\":99.9")
+      .map(k => "\"" + k.takeWhile(_ != '_') + "\":9999")
       .mkString("{", ",", "}")
     val noisyWorst = (1 to 6).map(i => s""""q12$i":999""").mkString("{", ",", "}")
     val line = s"""{"metric":"total_warm_sec","value":99999.999,"unit":"sec","queries":$worst,"noisy":$noisyWorst,"retried":999,"contended":false,"n_queries":999,"n_failed":999,"sf":"/root/testdata/sf0.1"}"""
