@@ -93,6 +93,39 @@ object ScaleJoins {
     else left.join(right, Seq(key), "inner")
   }
 
+  /** Two-stage SALTED AGGREGATION for a hot grouping key — the skew tool
+    * AQE does NOT provide. The division of labour (ScaleJoinsSpec proves
+    * both halves on one fixture; SURVEY §4.2 states the rule):
+    *
+    *   - JOIN-side skew: leave it to AQE. `skewJoin` observes the map
+    *     output sizes at the shuffle boundary and SPLITS the skewed
+    *     partition into per-split tasks at runtime — no replication cost,
+    *     no salt column, works for skew nobody predicted.
+    *   - AGGREGATION-side skew: AQE never splits a skewed AGGREGATE
+    *     partition (splitting would break "all rows of a group on one
+    *     reducer"). Algebraic aggs (sum/count/min/max) are already saved
+    *     by map-side partial aggregation; what's left exposed is the
+    *     NON-DECOMPOSABLE tail — collect_list/collect_set-style state
+    *     that grows with the hot key's row count on ONE reducer. That is
+    *     where salting stays necessary: stage 1 aggregates by
+    *     (key, salt(value)) so the hot key's state builds on `salts`
+    *     reducers, stage 2 merges the per-salt partials by key.
+    *
+    * This helper ships the collect_set instance (distinct values per
+    * key): stage-1 partials are per-salt distinct sets (disjoint across
+    * salts when salted by the VALUE hash), stage 2 flattens and sorts —
+    * result provably equals the direct `collect_set` for any salt count.
+    */
+  def saltedDistinctValues(df: DataFrame, key: String, valueCol: String,
+                           salts: Int): DataFrame = {
+    require(salts > 0)
+    df.withColumn("__salt", pmod(xxhash64(col(valueCol)), lit(salts)))
+      .groupBy(col(key), col("__salt"))
+      .agg(collect_set(col(valueCol)).as("__part"))
+      .groupBy(col(key))
+      .agg(array_sort(flatten(collect_list(col("__part")))).as("values"))
+  }
+
   /** Write a frame bucketed+sorted by `key` as a catalog table: repeated
     * equi-joins / aggregations on `key` across such tables plan with NO
     * shuffle (bucket-local sort-merge). This is the persistent co-location

@@ -245,6 +245,27 @@ object Similarity {
         cent)
       .select(col("__id").as(idCol), col("__cell").as("cell"))
 
+  /** The maintenance decision for a persisted IVF index, driven by the
+    * measured recall report (q147's shape: one `n_hits` ∈ 0..k row per
+    * probe): REFIT when the index's mean recall fell below `minRecall`
+    * (the appended corpus has drifted off the fitted quantizer — cells
+    * no longer separate it, and more appends only dig deeper), else keep
+    * APPENDING (the cheap O(delta) path). The report is k-bounded
+    * (|probes| rows), so the decision aggregate is one tiny job; at
+    * 100 TB the probe set is a sample and `minRecall` the operator's SLO.
+    */
+  def refitDecision(recallReport: DataFrame, k: Int,
+                    minRecall: Double): Boolean = {
+    require(k > 0 && minRecall >= 0.0 && minRecall <= 1.0)
+    val agg = recallReport
+      .agg(sum(col("n_hits")).cast(DoubleType).as("hits"),
+        count(lit(1)).cast(DoubleType).as("probes"))
+      .head()
+    val probes = agg.getDouble(1)
+    require(probes > 0, "empty recall report cannot drive a refit decision")
+    agg.getDouble(0) / (probes * k) < minRecall
+  }
+
   /** Materialise a centroid table (k rows — driver-size BY DESIGN, like
     * every IVF/k-means implementation) into a local relation: truncates
     * the per-round lineage so round N+1's plan doesn't re-nest and

@@ -212,6 +212,19 @@ object VersionedTarget {
         StandardCopyOption.REPLACE_EXISTING): Unit
     }
 
+    /** Scan a set of segments as one table. Unpartitioned segments go
+      * through one multi-path scan; hive-partitioned segments are read
+      * per segment root (`basePath` = the segment, so its partition dirs
+      * resolve) and unioned — each side keeps its own partition pruning,
+      * the q144 index shape.
+      */
+    private def readSegs(s: SparkSession, segs: Seq[String]): DataFrame = {
+      val paths = segs.map(root.resolve(_).toString)
+      if (partitionCols.isEmpty) s.read.parquet(paths: _*)
+      else paths.map(p => s.read.option("basePath", p).parquet(p))
+        .reduce(_.unionByName(_))
+    }
+
     private def writeSegment(rows: DataFrame, seg: String): Unit = {
       val w = rows.write.mode("overwrite")
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
@@ -327,7 +340,7 @@ object VersionedTarget {
         val bytes = folded.map(nm => dirBytes(root.resolve(nm).toFile)).sum
         val nFiles =
           math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-        val merged = s.read.parquet(folded.map(root.resolve(_).toString): _*)
+        val merged = readSegs(s, folded)
         val sized =
           if (partitionCols.isEmpty) merged.coalesce(nFiles)
           // partitioned layout: cluster by the partition key so each of
@@ -360,8 +373,8 @@ object VersionedTarget {
       * segments. Empty-manifest versions read as None (no schema to give).
       */
     def read(s: SparkSession, version: String): Option[DataFrame] = {
-      val segs = segmentsOf(version).map(root.resolve(_).toString)
-      if (segs.isEmpty) None else Some(s.read.parquet(segs: _*))
+      val segs = segmentsOf(version)
+      if (segs.isEmpty) None else Some(readSegs(s, segs))
     }
 
     /** The live table behind CURRENT, if any version has committed. */

@@ -1131,6 +1131,155 @@ object LlmOps {
        |LEFT JOIN hits h ON h.probe_id = p.probe_id
        |ORDER BY p.probe_id NULLS FIRST""".stripMargin
 
+  /** Q151 — IVF INDEX MAINTENANCE: the missing third verb of the
+    * persisted-index lifecycle (q142 build, q144 append, q147 evaluate —
+    * this is COMPACT + the refit trigger). The index's cell assignments
+    * live in a [[graft.ops.VersionedTarget.Segmented]] with
+    * `partitionCols = cell` — every segment (the base build and each
+    * nightly delta) carries its own `cell=` hive layout, so the probe
+    * wave's cell join prunes to its nprobe partitions in every segment
+    * of the multi-path scan. Two deltas commit as O(delta) appends (the
+    * q144 path, map-side placement into the broadcast quantizer — no
+    * refit, no shuffle); then the SAME maintenance machinery the corpus
+    * target got in q145 folds the accumulated segments into one
+    * cell-partitioned segment behind the atomic pointer swap, and the
+    * query re-runs the probe wave from the compacted index, `require`-ing
+    * row-identical results — compaction is physical, never semantic.
+    * Last, the refit-or-append trigger ([[Similarity.refitDecision]])
+    * runs on the measured recall of the served index vs brute-force
+    * truth (q147's report): recall at-or-above the floor keeps the index
+    * on the cheap append path; drift below it demands a refit. The
+    * fixture's quantizer serves its own corpus, so the decision must be
+    * "append" — `require`d, so a silent recall collapse fails the run.
+    *
+    * Content equals q144's two-segment index (same base fit, same
+    * placement rule, deltas split differently across appends), so the
+    * oracle is q144's — any row the fold loses or duplicates flips it.
+    */
+  def q151(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val e = t(spark, dir, "embeddings").coalesce(8)
+    val base = e.filter($"vec_id" % 10 =!= 0)
+    val deltaA = e.filter($"vec_id" % 20 === 0)
+    val deltaB = e.filter($"vec_id" % 20 === 10)
+    val out = PipelineOps.layoutDir(spark, dir, "ivfmaint")
+    val root = Paths.get(out, "assignments")
+    if (Files.exists(root)) { // fresh target per invocation
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root.toFile)
+    }
+    Files.createDirectories(root)
+    val target = graft.ops.VersionedTarget.Segmented(root,
+      partitionCols = Seq("cell"))
+    // nightly build: fit on the base, segment 0 + persisted centroids
+    val (baseAssign, cent) =
+      Similarity.kmeansFit(base, "vec_id", "embedding", k = 8, iters = 2)
+    try {
+      target.commit(baseAssign, 0L)
+      cent.write.mode("overwrite").parquet(s"$out/centroids")
+    } finally baseAssign.unpersist(): Unit
+    val idxCent = spark.read.parquet(s"$out/centroids")
+    // two O(delta) appends into the existing quantizer
+    target.commit(
+      Similarity.assignToCentroids(deltaA, idxCent, "vec_id", "embedding"), 1L)
+    target.commit(
+      Similarity.assignToCentroids(deltaB, idxCent, "vec_id", "embedding"), 2L)
+    def probeWave(): DataFrame = {
+      val idxAssign = target.current(spark)
+        .getOrElse(sys.error("index target committed no version"))
+      // k-bounded result (|probes|·k rows — driver-size BY DESIGN, the
+      // q72 lifecycle pattern): materialise so nothing holds the old
+      // segment scan open across the fold
+      val res = Similarity.ivfTopKProbed(e, idxAssign, idxCent,
+          "vec_id", "embedding", probeFilter = $"vec_id" < 20, k = 3,
+          nprobe = 2)
+        .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(res.collect().toSeq, 1), res.schema)
+    }
+    val served = probeWave()
+    // maintenance: fold base + deltas into ONE cell-partitioned segment
+    require(target.compact(spark).isDefined,
+      "index compaction must fold the appended segments")
+    target.vacuum(1): Unit
+    require(probeWave().collect().toSeq == served.collect().toSeq,
+      "index compaction changed probe results — the fold must be physical only")
+    // refit trigger on measured recall (q147's report over this index)
+    val truth = Similarity.bruteForceTopK(
+        e.filter($"vec_id" < 20), e, "vec_id", "embedding", k = 3)
+      .select($"probe_id", $"cand_id")
+    val report = truth.select($"probe_id").distinct()
+      .join(truth.join(served.select($"probe_id", $"cand_id"),
+            Seq("probe_id", "cand_id"))
+          .groupBy($"probe_id").agg(count(lit(1)).as("n_hits")),
+        Seq("probe_id"), "left_outer")
+      .select($"probe_id", coalesce($"n_hits", lit(0L)).as("n_hits"))
+    require(!Similarity.refitDecision(report, k = 3, minRecall = 0.5),
+      "self-serving index fell below the recall floor — refit demanded")
+    served
+  }
+
+  /** Same index content as q144 (base fit + placed deltas), so the same
+    * probe wave — compaction must be invisible to the oracle.
+    */
+  val q151Sql: String = q144Sql
+
+  /** Q152 — the q86 n-gram-Jaccard dedup pipeline entered as SQL TEXT:
+    * parser-path parity for the engine's custom expressions. q120 proved
+    * the `spark.sql(...)` door for built-in relational SQL; this proves
+    * it for the NATIVE dedup operators — `char_minhash`,
+    * `char_gram_hashes` and `sorted_overlap` resolve through the
+    * [[graft.functions.GraftExtensions]] registry into the SAME Catalyst
+    * expressions the Column API builds (fixed engine permutation bank
+    * included), so a SQL-entry user gets bit-identical signatures,
+    * candidates and Jaccard values. The oracle is exactly q86's — the
+    * DataFrame pipeline, the SQL-text pipeline and the DuckDB unroll all
+    * hash to the same pair set. The SQL twin keeps the same scale shape
+    * (map-side fingerprints, one band self-join, linear-merge
+    * post-filter); only the band-dedup differs (DISTINCT candidate
+    * shuffle instead of the smallest-band map-side filter — SQL text has
+    * no place to hang that rewrite, which is why the Column pipeline
+    * stays the recommended 100 TB entry).
+    */
+  def q152(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "documents").createOrReplaceTempView("graft_documents")
+    spark.sql(
+      """WITH sig AS (
+        |  SELECT doc_id, char_minhash(text, 5) AS s,
+        |         char_gram_hashes(text, 5) AS gh
+        |  FROM graft_documents
+        |  WHERE char_minhash(text, 5) IS NOT NULL),
+        |bands AS (
+        |  SELECT doc_id, band,
+        |         element_at(s, band * 2 + 1) AS k0,
+        |         element_at(s, band * 2 + 2) AS k1
+        |  FROM sig LATERAL VIEW explode(array(0, 1, 2, 3)) AS band),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
+        |   AND a.doc_id < b.doc_id),
+        |scored AS (
+        |  SELECT c.d1, c.d2,
+        |    CAST(sorted_overlap(ga.gh, gb.gh) AS DOUBLE)
+        |      / (size(ga.gh) + size(gb.gh) - sorted_overlap(ga.gh, gb.gh))
+        |      AS jaccard
+        |  FROM cand c
+        |  JOIN sig ga ON ga.doc_id = c.d1
+        |  JOIN sig gb ON gb.doc_id = c.d2)
+        |SELECT d1, d2, jaccard FROM scored WHERE jaccard >= 0.5
+        |ORDER BY d1 NULLS FIRST, d2 NULLS FIRST""".stripMargin)
+  }
+
+  /** The SQL-text twin must produce exactly the DataFrame pipeline's
+    * pairs, so the oracle is q86's.
+    */
+  val q152Sql: String = q86Sql
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_exact_dedup" -> (q58 _),
     "q59_minhash_lsh" -> (q59 _),
@@ -1159,7 +1308,9 @@ object LlmOps {
     "q93_stratified_sample" -> (q93 _),
     "q142_ann_ivf_persisted" -> (q142 _),
     "q144_ann_ivf_append" -> (q144 _),
-    "q147_ann_recall_report" -> (q147 _))
+    "q147_ann_recall_report" -> (q147 _),
+    "q151_ann_index_maintain" -> (q151 _),
+    "q152_sql_text_dedup" -> (q152 _))
 
   def oracles: Map[String, String] = Map(
     "q58_exact_dedup" -> q58Sql,
@@ -1189,5 +1340,7 @@ object LlmOps {
     "q93_stratified_sample" -> q93Sql,
     "q142_ann_ivf_persisted" -> q142Sql,
     "q144_ann_ivf_append" -> q144Sql,
-    "q147_ann_recall_report" -> q147Sql)
+    "q147_ann_recall_report" -> q147Sql,
+    "q151_ann_index_maintain" -> q151Sql,
+    "q152_sql_text_dedup" -> q152Sql)
 }

@@ -178,6 +178,56 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("the dedup-pipeline family is SQL-callable and equals its Column twins: " +
+      "minhash_sig, char_minhash, char_gram_hashes, sorted_overlap, " +
+      "count_in_list, bloom_might_contain") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.ops.MinHashDedup.{coeffs, prime}
+    val samples = Seq("the quick brown fox jumps over the lazy dog",
+      "the quick brown cat naps under the lazy dog",
+      "Hello, WORLD! of text dedup", "abcd", "")
+    samples.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "t")
+      .createOrReplaceTempView("graft_ext_docs")
+    // SQL text resolves to the same expressions (engine permutation bank
+    // baked into the SQL forms) — results must be column-for-column equal
+    val viaSql = spark.sql(
+      """SELECT id, minhash_sig(t, 3) AS ws, char_minhash(t, 5) AS cs,
+        |       char_gram_hashes(t, 5) AS gh
+        |FROM graft_ext_docs""".stripMargin)
+    val viaCols = spark.table("graft_ext_docs").select($"id",
+      graft.functions.MinHashSig.sig($"t", 3, coeffs, prime).as("ws"),
+      graft.functions.CharMinHash.sig($"t", 5, coeffs, prime).as("cs"),
+      graft.functions.CharGramHashes.hashes($"t", 5).as("gh"))
+    assert(viaSql.orderBy($"id").collect().toSeq ==
+      viaCols.orderBy($"id").collect().toSeq,
+      "SQL-text and Column-API expressions diverged")
+    // sorted_overlap over the SQL-derived hash sets
+    val ov = spark.sql(
+      """SELECT sorted_overlap(a.gh, b.gh) AS o,
+        |       size(array_intersect(a.gh, b.gh)) AS ref
+        |FROM (SELECT char_gram_hashes(t, 5) AS gh FROM graft_ext_docs WHERE id = 0) a,
+        |     (SELECT char_gram_hashes(t, 5) AS gh FROM graft_ext_docs WHERE id = 1) b""".stripMargin)
+      .head()
+    assert(ov.getInt(0) == ov.getInt(1) && ov.getInt(0) > 0,
+      s"sorted_overlap wrong: $ov")
+    // count_in_list takes a literal word array; per-row lists are rejected
+    val cil = spark.sql(
+      "SELECT count_in_list(tokens('the cat and the dog'), array('the', 'and')) AS c")
+      .head().getInt(0)
+    assert(cil == 3, s"count_in_list wrong: $cil")
+    // bloom_might_contain takes the serialized filter as a binary literal
+    val bf = spark.range(0, 50).toDF("id").stat.bloomFilter("id", 50, 0.03)
+    val hex = graft.functions.BloomMightContain.serialize(bf)
+      .map("%02X".format(_)).mkString
+    val bl = spark.sql(
+      s"""SELECT id, bloom_might_contain(id, X'$hex') AS hit
+         |FROM VALUES (7L), (4999L) AS t(id)""".stripMargin)
+      .orderBy($"id").collect()
+    assert(bl(0).getBoolean(1), "member must hit the bloom filter")
+    // (non-members may rarely false-positive; 4999 not asserted)
+  }
+
   test("native CountInList ≡ size(filter(isInCollection)) incl. multiplicity") {
     import org.apache.spark.sql.functions._
     import org.scalacheck.Gen

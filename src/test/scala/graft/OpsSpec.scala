@@ -678,6 +678,52 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("IVF index maintenance: folding N appended cell-partitioned index " +
+      "segments is byte-invisible to the probe wave; recall drives refit-or-append") {
+    import java.nio.file.Files
+    val e = graft.core.Tables.t(spark, sfDir, "embeddings").coalesce(4)
+    val base = e.filter($"vec_id" % 10 =!= 0)
+    val root = Files.createTempDirectory("graft_ivf_maint_spec")
+    val target = graft.ops.VersionedTarget.Segmented(root,
+      partitionCols = Seq("cell"))
+    val (baseAssign, cent) =
+      Similarity.kmeansFit(base, "vec_id", "embedding", k = 8, iters = 2)
+    try target.commit(baseAssign, 0L) finally baseAssign.unpersist(): Unit
+    // N=3 appended deltas, each placed into the EXISTING quantizer and
+    // committed as its own immutable cell-partitioned segment
+    Seq(0, 10, 30).zipWithIndex.foreach { case (r, i) =>
+      target.commit(Similarity.assignToCentroids(
+        e.filter($"vec_id" % 40 === r), cent, "vec_id", "embedding"), i + 1L)
+    }
+    def wave(): Seq[org.apache.spark.sql.Row] =
+      Similarity.ivfTopKProbed(e, target.current(spark).get, cent,
+          "vec_id", "embedding", probeFilter = $"vec_id" < 20, k = 3, nprobe = 2)
+        .orderBy($"probe_id", $"rn").collect().toSeq
+    val before = wave()
+    assert(before.nonEmpty)
+    val res = target.compact(spark)
+    assert(res.isDefined, "4 index segments must fold")
+    target.vacuum(1): Unit
+    // the fold preserved the hive layout: the compacted segment carries
+    // its own cell= partition dirs, so probe-side pruning still applies
+    assert(Option(root.resolve(res.get.segment).toFile.listFiles()).toSeq
+      .flatten.exists(_.getName.startsWith("cell=")),
+      "compacted index segment lost its cell partitioning")
+    assert(wave() == before,
+      "index compaction changed probe results — must be physical only")
+    // trigger rule: measured recall at/above the floor → keep appending;
+    // a degraded report → refit
+    val healthy = Seq((1L, 3L), (2L, 2L), (3L, 3L)).toDF("probe_id", "n_hits")
+    assert(!Similarity.refitDecision(healthy, k = 3, minRecall = 0.8),
+      "recall 8/9 must stay on the append path at floor 0.8")
+    val degraded = Seq((1L, 1L), (2L, 0L), (3L, 1L)).toDF("probe_id", "n_hits")
+    assert(Similarity.refitDecision(degraded, k = 3, minRecall = 0.8),
+      "recall 2/9 must demand a refit at floor 0.8")
+    intercept[IllegalArgumentException] {
+      Similarity.refitDecision(healthy.limit(0), k = 3, minRecall = 0.8)
+    }: Unit
+  }
+
   test("Components releases every cache it creates (job-server hygiene)") {
     import org.apache.spark.sql.graft.CacheProbe
     spark.catalog.clearCache()

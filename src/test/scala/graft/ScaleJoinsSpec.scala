@@ -71,6 +71,65 @@ class ScaleJoinsSpec extends SparkSpec {
     }
   }
 
+  test("AQE-only vs decideSalts on one hot-key fixture: AQE rescues the join, " +
+      "never the non-decomposable agg — salting still owns that half") {
+    import graft.ops.ScaleJoins
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16384",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one hot key (30k padded rows) + a 100-key tail — the same
+      // distribution feeds a join and an agg below
+      val left = spark.range(30000).select(lit(1L).as("k"),
+          concat(lit("x" * 56), col("id")).as("v"))
+        .union(spark.range(3000).select((col("id") % 100 + 2).as("k"),
+          col("id").cast("string").as("v")))
+      // the measurement says "hot" either way
+      val d = ScaleJoins.decideSalts(left, "k")
+      assert(d.salted && d.maxSkew > 4.0, s"fixture must read as skewed: $d")
+      // JOIN half: AQE splits the skewed partition AT RUNTIME — so the
+      // decision rule for joins is AQE-first (no replication cost, no
+      // salt column); decideSalts is the fallback for pre-AQE stages
+      val right = (1 to 101).map(i => (i.toLong, s"r$i")).toDF("k", "rv")
+      val joined = left.join(right.hint("merge"), Seq("k"))
+      assert(joined.collect().length == 33000)
+      assert(joined.queryExecution.executedPlan.toString.toLowerCase
+        .contains("skew"), "AQE must handle the join-side skew")
+      // AGG half: the same skew under a NON-DECOMPOSABLE aggregate —
+      // AQE's executed plan shows NO skew handling (it never splits an
+      // aggregate partition; all of key 1's state builds on one reducer)
+      val direct = left.groupBy($"k")
+        .agg(array_sort(collect_set($"v")).as("values"))
+      val directRows = direct.collect()
+      assert(!direct.queryExecution.executedPlan.toString.toLowerCase
+        .contains("skew"),
+        "AQE unexpectedly claims skew handling for an aggregate")
+      // ... which is exactly where the salted two-stage agg steps in:
+      // identical result, hot state spread over d.salts reducers
+      val salted = ScaleJoins.saltedDistinctValues(left, "k", "v", d.salts)
+      assert(salted.collect().toSet == directRows.toSet,
+        "salted two-stage agg diverged from the direct aggregate")
+      // load evidence: max rows landing on one reducer drops ~salts-fold
+      // when the exchange key is (k, salt) instead of k
+      def maxPart(cols: org.apache.spark.sql.Column*): Long =
+        left.repartition(8, cols: _*)
+          .select(spark_partition_id().as("p"))
+          .groupBy($"p").count().agg(max($"count")).head().getLong(0)
+      val saltCol = pmod(xxhash64($"v"), lit(d.salts))
+      assert(maxPart($"k", saltCol) * 2 < maxPart($"k"),
+        "salting failed to spread the hot key's reducer load")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("ANALYZE feeds the CBO: rowCount lands in plan stats and stats pick the broadcast side") {
     val big = (1 to 20000).map(i => (i.toLong, "x" * 60)).toDF("k", "pad")
     val small = (1 to 300).map(i => (i.toLong, i.toString)).toDF("k", "sv")
