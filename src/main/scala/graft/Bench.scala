@@ -85,9 +85,14 @@ object Bench {
       if (t.failed || t.median <= 0) 0L
       else math.round(100.0 * (t.runs.max - t.runs.min) / t.median)
 
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      Timing(name, timedRuns(name, fn, Warmups))
-    }
+    // Optional substring filter for fast local iteration (mirrors
+    // Verify's SPARK_GRAFT_ONLY); the driver never sets it, so its runs
+    // always cover the full surface.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").filter(_.nonEmpty)
+      .map(_.split(',').toSeq.filter(_.nonEmpty))
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
+      .map { case (name, fn) => Timing(name, timedRuns(name, fn, Warmups)) }
 
     // NOISY-WINDOW REFUSAL (BASELINE.md protocol, codified): a window
     // where many queries show ≥30% run spread is host contention, not
@@ -119,6 +124,81 @@ object Bench {
     val ok = results.filterNot(_.failed)
     val total = ok.map(_.median).sum
     val totalMin = ok.map(_.min).sum
+
+    // MEASURED FLOORS (FLOOR.json) — the fixed per-query cost this
+    // harness pays before any data is touched, measured in THE SAME
+    // SESSION as the query numbers so the 2× methodology's
+    // floor-adjustment is data, not narrative:
+    //   - batch floor: a 1-row no-scan plan through the same noop-sink
+    //     materialisation every benched query uses (job submit + stage
+    //     schedule + codegen/session overhead);
+    //   - streaming floor: a 1-row file-source AvailableNow run with a
+    //     fresh checkpoint through foreachBatch (the machinery every
+    //     streaming query re-pays per run: offset log, commit log, batch
+    //     planning), with the same warmup/median protocol.
+    // DuckDB's analogue of both is microseconds, so at sf0.1 many
+    // oracle-paired queries are floor-dominated; the marginal
+    // (floor-subtracted) ratio is what projects to 100 TB, and
+    // scripts/baseline_table.py quotes it from this artifact.
+    val floorBatch = Timing("floor_batch",
+      timedRuns("floor_batch", (s, _) => s.range(1).toDF("id"), Warmups))
+    // the minimal END-TO-END query: a real (5-row) parquet table through
+    // the same ingest + scan + materialise path every benched query
+    // takes — file listing, footer decode, scan-stage scheduling. This
+    // is the floor a data-touching query cannot go below, and the one
+    // the marginal-ratio adjustment uses.
+    val floorScan = Timing("floor_scan",
+      timedRuns("floor_scan",
+        (s, dir) => graft.core.Tables.t(s, dir, "region"), Warmups))
+    val floorStream: Timing = {
+      val src = Files.createTempDirectory("graft_floor_src")
+      spark.range(1).toDF("id").coalesce(1)
+        .write.mode("overwrite").parquet(s"$src/t")
+      def once(): Double = {
+        val ckpt = Files.createTempDirectory("graft_floor_ckpt").toString
+        val t0 = System.nanoTime()
+        val q = spark.readStream
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.LongType))))
+          .parquet(s"$src/t")
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => ())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      }
+      try {
+        (1 to Warmups).foreach(_ => once())
+        Timing("floor_stream", (1 to TimedRuns).map(_ => once()))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] floor_stream failed: ${e.getMessage}")
+        Timing("floor_stream", Seq.empty)
+      }
+    }
+    val floorPath = sys.env.getOrElse("SPARK_GRAFT_FLOOR", "FLOOR.json")
+    def floorJson(t: Timing): String = {
+      val runs = t.runs.map(r => f"$r%.6f").mkString("[", ",", "]")
+      s"""{"median_sec": ${f"${t.median}%.6f"}, "min_sec": ${f"${t.min}%.6f"}, "runs_sec": $runs}"""
+    }
+    val floorOut =
+      s"""{
+         |  "sf": "$sfDir",
+         |  "cpus": $cpus,
+         |  "warmups": $Warmups,
+         |  "timed_runs": $TimedRuns,
+         |  "stat": "median",
+         |  "floor_batch": ${floorJson(floorBatch)},
+         |  "floor_scan": ${floorJson(floorScan)},
+         |  "floor_stream": ${floorJson(floorStream)}
+         |}
+         |""".stripMargin
+    val floorTmp = Paths.get(floorPath + ".tmp")
+    Files.write(floorTmp, floorOut.getBytes(StandardCharsets.UTF_8))
+    Files.move(floorTmp, Paths.get(floorPath), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
 
     // Full-precision detail artifact (committed per round as BENCH_DETAIL_r<N>.json)
     val detail = results.map { t =>
