@@ -470,6 +470,71 @@ class StreamingSemanticsSpec extends SparkSpec {
       s"in-stream compaction changed verdicts: $survivors vs $expected")
   }
 
+  test("REAL harness: compaction + stats inside foreachBatch across three " +
+      "file-source micro-batches — corpus, rollup and verdicts all hold") {
+    import graft.queries.StreamingQueries
+    import graft.streaming.StreamOps
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta"
+    val rows = Seq(
+      (1L, dupText, "en"), (2L, dupText, "en"),
+      (10L, "completely different words about spark engines here", "de"),
+      (20L, dupText, "en"),
+      (30L, "another entirely unrelated document about parquet files", "en"),
+      (40L, "ganz anderes dokument ueber verteilte systeme hier", "de"))
+    def docsDF(rs: Seq[(Long, String, String)]) =
+      rs.map { case (id, txt, lang) => (id, txt, lang, "src", txt.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val corpus = docsDF(rows).select($"doc_id", $"text", $"lang", $"n_chars")
+    val index = StreamingQueries.neardupIndex(corpus)
+    // three files with distinct mod times → three AvailableNow micro-batches
+    val srcDir = Files.createTempDirectory("graft_harness_src").toString
+    Seq(rows.take(3), rows.slice(3, 4), rows.drop(4)).foreach { part =>
+      docsDF(part).coalesce(1).write.mode("append").parquet(s"$srcDir/data")
+      Thread.sleep(1100)
+    }
+    val root = Files.createTempDirectory("graft_harness_compact")
+    val statsRoot = root.resolve("stats")
+    val target = graft.ops.VersionedTarget.Segmented(root)
+    val mergeStats = StreamingQueries.statsMergeFn(index, root, statsRoot)
+    val stream = spark.readStream.schema(StreamOps.docsRawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$srcDir/data")
+      .select($"doc_id", $"text", $"lang", $"n_chars")
+    // the handler a production target runs: merge + stats, then the
+    // maintenance fold INSIDE the same foreachBatch invocation (the
+    // serialized-by-construction cadence), stats carried through the
+    // fold, retention + artifact GC every batch
+    StreamOps.runForeachBatch(StreamingQueries.bandedDocs(stream),
+      (batch, batchId) => {
+        mergeStats(batch, batchId)
+        StreamingQueries.statsPreservingCompact(spark, root, statsRoot): Unit
+        StreamingQueries.statsVacuum(statsRoot, target.vacuum(1))
+      })
+    // verdicts equal a one-shot batch run of the same rule
+    val refRoot = Files.createTempDirectory("graft_harness_ref")
+    StreamingQueries.dedupMergeFn(index, refRoot)(
+      StreamingQueries.bandedDocs(corpus), 0L)
+    val expected = StreamingQueries.dedupCurrent(spark, refRoot).get
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val got = StreamingQueries.dedupCurrent(spark, root).get
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected,
+      s"in-batch compaction changed verdicts: $got vs $expected")
+    // the target ends fully folded (every batch was followed by a fold +
+    // vacuum-to-1), and the metadata rollup still equals the corpus
+    val live = StreamingQueries.dedupCurrent(spark, root).get
+    val finalSegs = graft.ops.VersionedTarget.currentVersion(root)
+      .map(target.segmentsOf).get
+    assert(finalSegs.size == 1 && finalSegs.head.contains("c"),
+      s"expected one compacted live segment, got $finalSegs")
+    val rolled = StreamingQueries.statsRollup(spark, root, statsRoot).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val direct = live.groupBy($"lang")
+      .agg(count(lit(1)), sum($"n_chars")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rolled == direct, s"rollup diverged after in-batch folds: $rolled")
+  }
+
   test("q73 fixture guard: no view window end coincides with the final watermark") {
     // The q73 oracle closes windows with `view_ts + 5min <= cut`; Spark's
     // symmetric hash join evicts with strict-inequality/ms adjustments
