@@ -678,6 +678,26 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("property: saltedDistinctValues equals the direct collect_set for " +
+      "arbitrary key/value distributions and salt counts") {
+    import org.scalacheck.Gen
+    val gen = for {
+      n <- Gen.chooseNum(0, 300)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.chooseNum(1L, 5L), Gen.chooseNum(0L, 40L)))
+      salts <- Gen.chooseNum(1, 9)
+    } yield (rows, salts)
+    for (_ <- 1 to 5; (rows, salts) <- gen.sample) {
+      val df = rows.toDF("k", "v")
+      val direct = df.groupBy($"k")
+        .agg(array_sort(collect_set($"v")).as("values"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val salted = ScaleJoins.saltedDistinctValues(df, "k", "v", salts)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(salted == direct,
+        s"salts=$salts diverged on ${rows.size} rows: $salted vs $direct")
+    }
+  }
+
   test("IVF index maintenance: folding N appended cell-partitioned index " +
       "segments is byte-invisible to the probe wave; recall drives refit-or-append") {
     import java.nio.file.Files

@@ -288,6 +288,16 @@ class PlanSpec extends SparkSpec {
       s"no map-side partial aggregation (sketches must merge, not recompute):\n$p")
   }
 
+  test("q152 SQL text resolves to the NATIVE dedup expressions — no fallback") {
+    // the point of the extension registry: the parser path must plan the
+    // same codegen'd/JVM expressions as the Column API, not a slower
+    // reimplementation. analyzed plan carries the expression names.
+    val p = LlmOps.q152(spark, sfDir).queryExecution.analyzed.toString
+      .toLowerCase
+    for (fn <- Seq("charminhash", "chargramhashes", "sortedoverlapcount"))
+      assert(p.contains(fn), s"SQL text lost the native $fn expression:\n$p")
+  }
+
   test("Q23 approx distinct is within 5% of exact at sf0.001") {
     import org.apache.spark.sql.functions._
     val approx = Aggregates.q23(spark, sfDir).collect()

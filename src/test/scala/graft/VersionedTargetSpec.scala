@@ -285,6 +285,44 @@ class VersionedTargetSpec extends SparkSpec {
     assert(deleted.contains("seg7"), s"orphan segment not swept: $deleted")
   }
 
+  test("cross-PROCESS exclusion: a second JVM holding the pointer lock blocks " +
+      "a commit's manifest+swap transaction until it releases") {
+    // every same-JVM test serializes on the per-root monitor BEFORE the
+    // OS file lock is contended — this is the only test that exercises
+    // the FileLock half (two writer JVMs against one mounted store).
+    val root = Files.createTempDirectory("graft_vt_xproc")
+    val t = VersionedTarget.Segmented(root)
+    t.commit(df(1L), 0L)
+    val holdMs = 5000L
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    // Test / fork := true, so this JVM's classpath is the real test
+    // classpath (LockHold needs only graft classes + scala-library)
+    val pb = new ProcessBuilder(javaBin,
+      "-cp", System.getProperty("java.class.path"),
+      "graft.tools.LockHold", root.toString, holdMs.toString)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream))
+    val first = out.readLine() // blocks until the child holds the lock
+    assert(first == "LOCKED", s"lock-holder failed to start: $first")
+    val t0 = System.nanoTime()
+    t.commit(df(2L), 1L) // data write proceeds; the pointer txn must block
+    val commitMs = (System.nanoTime() - t0) / 1e6
+    assert(proc.waitFor(10, java.util.concurrent.TimeUnit.SECONDS),
+      "lock-holder did not exit")
+    // the commit can only have completed after the child released: its
+    // wall time covers the remaining hold (minus the child's startup
+    // and the commit's own data write, generously margined)
+    // an uncontended commit runs ~0.5-0.9 s on this box (MergeScale's
+    // steady-state line); 2 s can only be explained by lock wait
+    assert(commitMs > 2000,
+      f"commit finished in $commitMs%.0f ms — it never blocked on the " +
+        "cross-process lock")
+    assert(t.current(spark).get.select($"id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L), "commit after lock release lost data")
+  }
+
   test("vacuum refuses keepLast < 1 (would delete CURRENT's own version)") {
     val root = Files.createTempDirectory("graft_vt_guard")
     val t = VersionedTarget.Segmented(root)
