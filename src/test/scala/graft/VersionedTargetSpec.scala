@@ -285,6 +285,36 @@ class VersionedTargetSpec extends SparkSpec {
     assert(deleted.contains("seg7"), s"orphan segment not swept: $deleted")
   }
 
+  test("partitioned Segmented: a cell predicate prunes to its hive partitions " +
+      "in EVERY segment of the union read, and compaction keeps the layout") {
+    val root = Files.createTempDirectory("graft_vt_part")
+    val t = VersionedTarget.Segmented(root, partitionCols = Seq("cell"))
+    def dfc(rows: (Long, Long)*) = rows.toSeq.toDF("id", "cell")
+    t.commit(dfc(1L -> 1L, 2L -> 2L, 3L -> 3L), 0L)
+    t.commit(dfc(10L -> 1L, 30L -> 3L), 1L)
+    // the q142/q144/q151 serving claim: a probe's cell filter must reach
+    // the scan as a PARTITION filter (directory pruning) on BOTH segment
+    // roots — not a post-scan row filter
+    val q = t.current(spark).get.filter($"cell" === 3L)
+    val planStr = q.queryExecution.executedPlan.toString
+    val partFilters = "PartitionFilters: \\[[^\\]]*cell[^\\]]*3".r
+      .findAllIn(planStr).size
+    assert(partFilters == 2,
+      s"expected the cell=3 partition filter on both segment scans:\n$planStr")
+    assert(q.select($"id").collect().map(_.getLong(0)).toSet == Set(3L, 30L))
+    // compaction rewrites into ONE segment and the pruning still applies
+    val res = t.compact(spark)
+    assert(res.isDefined)
+    t.vacuum(1): Unit
+    assert(Option(root.resolve(res.get.segment).toFile.listFiles()).toSeq
+      .flatten.exists(_.getName.startsWith("cell=")),
+      "compacted segment lost its hive layout")
+    val q2 = t.current(spark).get.filter($"cell" === 3L)
+    assert(q2.queryExecution.executedPlan.toString.contains("PartitionFilters"),
+      "post-compaction read lost partition pruning")
+    assert(q2.select($"id").collect().map(_.getLong(0)).toSet == Set(3L, 30L))
+  }
+
   test("cross-PROCESS exclusion: a second JVM holding the pointer lock blocks " +
       "a commit's manifest+swap transaction until it releases") {
     // every same-JVM test serializes on the per-root monitor BEFORE the
