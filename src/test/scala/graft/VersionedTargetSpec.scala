@@ -353,6 +353,42 @@ class VersionedTargetSpec extends SparkSpec {
       == Set(1L, 2L), "commit after lock release lost data")
   }
 
+  test("two-thread stress: an ingest thread commits while a maintenance " +
+      "thread compacts on its own cadence — no committed row is ever lost") {
+    // the afterFold-injection tests pin each interleaving deterministically;
+    // this run adds schedule diversity: real threads, real lock contention,
+    // the invariant (read == union of committed batches) checked at the end.
+    val root = Files.createTempDirectory("graft_vt_threads")
+    val t = VersionedTarget.Segmented(root)
+    val batches = 8
+    val ingest = new Thread(() => {
+      (0 until batches).foreach { b =>
+        t.commit(df(b * 10L, b * 10L + 1L), b.toLong)
+      }
+    })
+    @volatile var folds = 0
+    @volatile var stop = false // flag, not interrupt: an interrupt closes
+    // an in-flight FileChannel (ClosedByInterruptException) mid-txn
+    val maintenance = new Thread(() => {
+      while (!stop) {
+        if (t.compact(spark).isDefined) folds += 1
+        Thread.sleep(30)
+      }
+    })
+    maintenance.start()
+    ingest.start()
+    ingest.join(120000)
+    stop = true
+    maintenance.join(120000)
+    val expected = (0 until batches)
+      .flatMap(b => Seq(b * 10L, b * 10L + 1L)).toSet
+    val got = t.current(spark).get.select($"id").collect().map(_.getLong(0)).toSet
+    assert(got == expected,
+      s"after $folds concurrent folds: read $got but committed $expected")
+    assert(VersionedTarget.currentEpoch(root).contains(batches - 1L),
+      "epoch must track the newest commit through every fold")
+  }
+
   test("vacuum refuses keepLast < 1 (would delete CURRENT's own version)") {
     val root = Files.createTempDirectory("graft_vt_guard")
     val t = VersionedTarget.Segmented(root)
