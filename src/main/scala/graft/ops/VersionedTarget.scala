@@ -217,12 +217,26 @@ object VersionedTarget {
       * per segment root (`basePath` = the segment, so its partition dirs
       * resolve) and unioned — each side keeps its own partition pruning,
       * the q144 index shape.
+      *
+      * SCHEMA EVOLUTION: a long-lived append-only target outlives its
+      * schema — a later batch adds a column (the q130 corpus-generation
+      * story, happening INSIDE one target). `mergeSchema` reconciles the
+      * footers across segments and surfaces the added column as NULL on
+      * pre-evolution segments (additive evolution only, parquet's rule —
+      * a type CHANGE on an existing column still fails loudly, which is
+      * correct: that is a rewrite, not an append); the partitioned path
+      * gets the same semantics from `unionByName(allowMissingColumns)`.
+      * Cost: one footer read per file at planning — bounded because
+      * [[compact]] keeps the live segment (and so file) count small.
       */
     private def readSegs(s: SparkSession, segs: Seq[String]): DataFrame = {
       val paths = segs.map(root.resolve(_).toString)
-      if (partitionCols.isEmpty) s.read.parquet(paths: _*)
-      else paths.map(p => s.read.option("basePath", p).parquet(p))
-        .reduce(_.unionByName(_))
+      if (partitionCols.isEmpty)
+        s.read.option("mergeSchema", "true").parquet(paths: _*)
+      else paths
+        .map(p => s.read.option("mergeSchema", "true")
+          .option("basePath", p).parquet(p))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
     }
 
     private def writeSegment(rows: DataFrame, seg: String): Unit = {

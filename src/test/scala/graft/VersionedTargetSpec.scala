@@ -353,6 +353,33 @@ class VersionedTargetSpec extends SparkSpec {
       == Set(1L, 2L), "commit after lock release lost data")
   }
 
+  test("schema evolution: a later segment adds a column — old segments read " +
+      "it as NULL, compaction folds to the merged schema, type changes fail") {
+    val root = Files.createTempDirectory("graft_vt_evolve")
+    val t = VersionedTarget.Segmented(root)
+    t.commit(df(1L, 2L), 0L)
+    // the corpus evolved: batch 1 ships an additional column
+    t.commit(Seq((3L, "row3", "en")).toDF("id", "payload", "lang"), 1L)
+    val merged = t.current(spark).get
+    assert(merged.columns.toSet == Set("id", "payload", "lang"),
+      s"merged schema wrong: ${merged.columns.toSeq}")
+    val byId = merged.collect().map(r => r.getLong(0) ->
+      Option(r.getAs[String]("lang"))).toMap
+    assert(byId == Map(1L -> None, 2L -> None, 3L -> Some("en")),
+      s"pre-evolution rows must surface NULL for the added column: $byId")
+    // the fold materialises the merged schema; content unchanged
+    assert(t.compact(spark).isDefined)
+    val after = t.current(spark).get
+    assert(after.columns.toSet == Set("id", "payload", "lang"))
+    assert(after.collect().map(r => r.getLong(0) ->
+      Option(r.getAs[String]("lang"))).toMap == byId,
+      "compaction changed evolved-schema content")
+    // additive only: an incompatible TYPE change on an existing column is
+    // a rewrite, not an append — the read must fail loudly, never coerce
+    t.commit(Seq((9.5, "bad")).toDF("id", "payload"), 5L)
+    intercept[Exception] { t.current(spark).get.collect() }: Unit
+  }
+
   test("two-thread stress: an ingest thread commits while a maintenance " +
       "thread compacts on its own cadence — no committed row is ever lost") {
     // the afterFold-injection tests pin each interleaving deterministically;
