@@ -151,11 +151,13 @@ object Bench {
       timedRuns("floor_scan",
         (s, dir) => graft.core.Tables.t(s, dir, "region"), Warmups))
     val floorStream: Timing = {
-      val src = Files.createTempDirectory("graft_floor_src")
+      val src = graft.core.Scratch.deleteOnExit(
+        Files.createTempDirectory("graft_floor_src").toString)
       spark.range(1).toDF("id").coalesce(1)
         .write.mode("overwrite").parquet(s"$src/t")
       def once(): Double = {
-        val ckpt = Files.createTempDirectory("graft_floor_ckpt").toString
+        val ckpt = graft.core.Scratch.deleteOnExit(
+          Files.createTempDirectory("graft_floor_ckpt").toString)
         val t0 = System.nanoTime()
         val q = spark.readStream
           .schema(org.apache.spark.sql.types.StructType(Seq(
