@@ -43,7 +43,14 @@ if heavy:
           f"ratio={hs / hd:.1f}x")
     wins = sorted((n, s / d) for n, s, d in heavy if s / d < 1.3)
     print(f"# wins/near-wins (<1.3x): {wins}")
-if heavy and floor:
+if heavy and floor and any(
+        floor[k]["median_sec"] < 0
+        for k in ("floor_batch", "floor_scan", "floor_stream")):
+    # a failed floor measurement writes median_sec -1.0; refusing beats
+    # silently inflating every query by |floor| in the adjusted ratio
+    print("# FLOOR.json contains a failed measurement (median -1.0) — "
+          "floor-adjusted ratios withheld")
+elif heavy and floor:
     # Floor-adjusted MARGINAL ratio: subtract the measured same-session
     # per-query batch floor (FLOOR.json) from every Spark median — the
     # fixed job-submit/schedule/codegen cost a 1000-executor run pays

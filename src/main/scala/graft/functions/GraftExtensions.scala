@@ -132,8 +132,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$fn: argument '$name' must be a literal array of strings")
     e.eval() match {
       case a: org.apache.spark.sql.catalyst.util.ArrayData =>
-        (0 until a.numElements()).map(i =>
-          a.get(i, org.apache.spark.sql.types.StringType).toString)
+        (0 until a.numElements()).map { i =>
+          val v = a.get(i, org.apache.spark.sql.types.StringType)
+          // explicit: a NULL slot would otherwise surface as an opaque
+          // resolution-time NPE instead of this function's own error
+          require(v != null,
+            s"$fn: argument '$name' must not contain NULL elements")
+          v.toString
+        }
       case other => throw new IllegalArgumentException(
         s"$fn: argument '$name' must be an array of strings, got $other")
     }

@@ -149,11 +149,8 @@ object ScaleJoins {
         else if (whRaw.contains(":")) "" // non-local scheme: not ours to clean
         else whRaw
       if (whPath.nonEmpty) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(): Unit
-        }
-        rm(new java.io.File(new java.io.File(whPath),
+        graft.ops.VersionedTarget.rmTree(new java.io.File(
+          new java.io.File(whPath),
           table.toLowerCase(java.util.Locale.ROOT)))
       }
     }

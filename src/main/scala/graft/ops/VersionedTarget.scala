@@ -143,6 +143,10 @@ object VersionedTarget {
     * overlapping same-JVM FileLocks throw). The DATA writes stay outside
     * the lock — only the metadata transaction (bytes-sized) serializes,
     * so a compaction's O(corpus) fold never blocks the ingest path.
+    * The map holds one bare Object per distinct target root ever touched
+    * by this JVM — bytes each; entries are deliberately never evicted
+    * (eviction would mint a second monitor for a root that is still in
+    * use, silently breaking same-JVM mutual exclusion).
     */
   private val monitors = new ConcurrentHashMap[String, Object]()
 
@@ -159,7 +163,57 @@ object VersionedTarget {
     }
   }
 
-  private def rmTree(f: java.io.File): Unit = {
+  /** IN-FLIGHT SEGMENT MARKERS — what lets [[Segmented.vacuum]] tell a
+    * segment that is mid-write (a commit between its data write and its
+    * manifest write, or a compaction fold between its reservation and
+    * its pointer transaction) from a crash orphan it may sweep. Without
+    * them, a vacuum racing a writer deletes the unreferenced-BY-DESIGN
+    * in-flight directory and the writer then commits a manifest pointing
+    * at nothing — an unreadable CURRENT (the classic external-GC race
+    * table formats solve with write-ahead intents or retention windows).
+    *
+    * Protocol: a writer creates `.inflight-<seg>` BEFORE the segment's
+    * data write and deletes it inside (or right after) its pointer
+    * transaction. vacuum, whose delete-set decision runs under the
+    * pointer lock, skips any unreferenced segment whose marker is
+    * younger than `inflightTtl` — a crashed writer's stale marker stops
+    * shielding its orphan after the TTL (default 24 h, far above any
+    * sane fold duration) and both are swept together. Markers also make
+    * a reservation durable against Spark's overwrite-deletes-the-dir
+    * window: [[Segmented.compact]]'s sequence scan counts markers, so a
+    * second compactor can never re-issue an in-flight sequence number.
+    */
+  val DefaultInflightTtlMs: Long = 24L * 3600 * 1000
+
+  private def markerOf(root: Path, seg: String): Path =
+    root.resolve(s".inflight-$seg")
+
+  private def createMarker(root: Path, seg: String): Unit = {
+    Files.write(markerOf(root, seg),
+      String.valueOf(System.currentTimeMillis()).getBytes("UTF-8")): Unit
+  }
+
+  private def dropMarker(root: Path, seg: String): Unit =
+    Files.deleteIfExists(markerOf(root, seg)): Unit
+
+  /** Age check via the marker's own mtime (robust to a garbled body). */
+  private def markerFresh(root: Path, seg: String, ttlMs: Long): Boolean = {
+    val m = markerOf(root, seg)
+    Files.exists(m) &&
+      (System.currentTimeMillis() - Files.getLastModifiedTime(m).toMillis) < ttlMs
+  }
+
+  /** Directory listing that CLOSES the stream (Files.list leaks an fd
+    * per call otherwise — real on a maintenance cadence that lists per
+    * micro-batch).
+    */
+  private def listNames(root: Path): Seq[String] = {
+    val s = Files.list(root)
+    try s.iterator().asScala.map(_.getFileName.toString).toList
+    finally s.close()
+  }
+
+  private[graft] def rmTree(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rmTree)
     f.delete(): Unit
   }
@@ -263,6 +317,10 @@ object VersionedTarget {
       // authoritative re-check runs under the pointer lock below.
       require(currentEpoch(root).forall(batchId > _),
         s"commit batch v$batchId must advance the epoch past ${currentVersion(root)}")
+      // in-flight marker BEFORE the data write: until the manifest lands,
+      // this segment is unreferenced by design, and a concurrent vacuum
+      // must not read that as "crash orphan" and sweep it mid-write
+      createMarker(root, seg)
       writeSegment(rows, seg)
       withPointerLock(root) {
         val cur = currentVersion(root)
@@ -271,21 +329,29 @@ object VersionedTarget {
         val live = cur.map(segmentsOf).getOrElse(Seq.empty) :+ seg
         writeManifest(s"v$batchId", live)
         swapPointer(root, s"v$batchId")
+        dropMarker(root, seg)
       }
     }
 
     /** Next value of the global compaction sequence: one past the
-      * largest `c<n>` suffix any manifest OR segment dir in the root
-      * carries (segment dirs count so a crashed compaction's orphan can
-      * never be overwritten by the next attempt while still on disk).
+      * largest `c<n>` suffix any manifest, segment dir OR in-flight
+      * marker in the root carries. Segment dirs count so a crashed
+      * compaction's orphan can never be overwritten by the next attempt
+      * while still on disk; MARKERS count because Spark's overwrite
+      * write deletes the reserved dir before recreating it — in that
+      * window the marker is the only durable trace of the reservation,
+      * and without it a concurrent compactor could re-issue the same
+      * sequence number (two folds writing one dir; the loser's abort
+      * would then delete the winner's live segment).
       */
     private def nextCompactionId(): Long = {
       val SegRe = "^seg\\d+c(\\d+)$".r
-      val ns = Files.list(root).iterator().asScala
-        .map(_.getFileName.toString).collect {
-          case CompactVersionRe(_, n) => n.toLong
-          case SegRe(n) => n.toLong
-        }.toSeq
+      val MarkRe = "^\\.inflight-seg\\d+c(\\d+)$".r
+      val ns = listNames(root).collect {
+        case CompactVersionRe(_, n) => n.toLong
+        case SegRe(n) => n.toLong
+        case MarkRe(n) => n.toLong
+      }
       if (ns.isEmpty) 1L else ns.max + 1L
     }
 
@@ -315,30 +381,36 @@ object VersionedTarget {
       * until [[vacuum]] drops those manifests — a reader that resolved
       * CURRENT before the compaction keeps reading its complete version.
       * A crash between the segment write and the pointer swap leaves
-      * CURRENT untouched and an orphan `seg<e>c<n>` that [[vacuum]]
-      * sweeps (same recovery story as a pre-swap commit crash).
+      * CURRENT untouched and an orphan `seg<e>c<n>` whose in-flight
+      * marker shields it from [[vacuum]] until the marker goes stale
+      * (`inflightTtl`), after which both are swept together — the same
+      * recovery story as a pre-swap commit crash.
       *
-      * `afterFold` is a test seam invoked between the fold write and the
-      * pointer transaction (where a racing commit would land).
-      * `beforeSwap(segment, folded)` runs INSIDE the pointer transaction
-      * just before CURRENT moves — the stats path uses it to commit the
-      * merged segment's metadata artifact so no live segment is ever
-      * visible without one.
+      * `afterFold(segment, folded)` runs between the fold write and the
+      * pointer transaction — OUTSIDE the lock, where a racing commit
+      * would land; the stats path derives and commits the merged
+      * segment's metadata artifact here (a Spark job — it must not hold
+      * the lock). `beforeSwap(segment, folded)` runs INSIDE the pointer
+      * transaction just before CURRENT moves — metadata-cheap checks
+      * only (the stats path validates its artifact committed, so no live
+      * segment is ever visible without one).
       *
       * No-op (returns None) when nothing has committed yet or the live
       * manifest already holds a single segment.
       */
     def compact(s: SparkSession, targetFileBytes: Long = 128L << 20,
-        afterFold: () => Unit = () => (),
+        afterFold: (String, Seq[String]) => Unit = (_, _) => (),
         beforeSwap: (String, Seq[String]) => Unit = (_, _) => ()): Option[Compacted] = {
       // reserve the fold's identity under the lock: the folded snapshot,
-      // the global sequence number, and the segment dir (created empty so
-      // a concurrent compactor's nextCompactionId sees it taken)
+      // the global sequence number, the in-flight marker (durable even
+      // while Spark's overwrite recreates the dir) and the segment dir
+      // (so a concurrent compactor's nextCompactionId sees both taken)
       val reserved = withPointerLock(root) {
         currentVersion(root) match {
           case Some(v) if segmentsOf(v).lengthCompare(1) > 0 =>
             val n = nextCompactionId()
             val seg = s"seg${epochOf(v)}c$n"
+            createMarker(root, seg)
             Files.createDirectories(root.resolve(seg))
             Some((segmentsOf(v), seg, n))
           case _ => None
@@ -362,7 +434,7 @@ object VersionedTarget {
           // fragment of every partition per task
           else merged.repartition(nFiles, partitionCols.map(col): _*)
         writeSegment(sized, seg)
-        afterFold()
+        afterFold(seg, folded)
         withPointerLock(root) {
           val vNow = currentVersion(root).get
           val liveNow = segmentsOf(vNow)
@@ -370,6 +442,7 @@ object VersionedTarget {
             // a concurrent compaction already retired part of our fold —
             // our merged segment would duplicate its rows; abort cleanly
             rmTree(root.resolve(seg).toFile)
+            dropMarker(root, seg)
             None
           } else {
             val reconciled = liveNow.filterNot(folded.toSet)
@@ -377,6 +450,7 @@ object VersionedTarget {
             beforeSwap(seg, folded)
             writeManifest(version, seg +: reconciled)
             swapPointer(root, version)
+            dropMarker(root, seg)
             Some(Compacted(version, seg, folded, reconciled))
           }
         }
@@ -396,23 +470,38 @@ object VersionedTarget {
       currentVersion(root).flatMap(read(s, _))
 
     /** Keep the newest `keepLast` committed manifests; delete manifests
-      * strictly older, then segments no retained manifest references
-      * (orphans from pre-swap crashes included). Returns deleted names.
+      * strictly older, then segments no retained manifest references.
+      * An UNREFERENCED segment with a FRESH in-flight marker is a
+      * concurrent writer mid-flight (a commit between its data write and
+      * its manifest, or a compaction fold before its pointer
+      * transaction) — never swept; one with a STALE marker (older than
+      * `inflightTtlMs`) or no marker at all is a crash orphan — swept,
+      * marker included. The delete-set DECISION runs under the pointer
+      * lock (manifest reads + bytes-sized deletes only), so it can never
+      * interleave with a writer's manifest+swap; the segment DATA
+      * deletion happens after release — safe, because a dropped segment
+      * is unreferenced by every retained manifest and compaction only
+      * ever folds segments of CURRENT (which is retained).
+      * Returns deleted names.
       */
-    def vacuum(keepLast: Int): Seq[String] = {
+    def vacuum(keepLast: Int,
+        inflightTtlMs: Long = DefaultInflightTtlMs): Seq[String] = {
       require(keepLast >= 1, "must retain at least the current version")
-      val manifests = Files.list(root).iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(n => n.matches("v\\d+(c\\d+)?")).toSeq.sortBy(sortKeyOf)
-      val retained = manifests.takeRight(keepLast)
-      val dropManifests = manifests.dropRight(keepLast)
-      val liveSegs = retained.flatMap(segmentsOf).toSet
-      // manifests first: once a manifest is gone no reader can resolve
-      // it, so deleting its now-unreferenced segments can't strand one
-      dropManifests.foreach(m => Files.deleteIfExists(root.resolve(m)): Unit)
-      val dropSegs = Files.list(root).iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(n => n.matches("seg\\d+(c\\d+)?") && !liveSegs.contains(n)).toSeq
+      val (dropManifests, dropSegs) = withPointerLock(root) {
+        val manifests = listNames(root)
+          .filter(n => n.matches("v\\d+(c\\d+)?")).sortBy(sortKeyOf)
+        val retained = manifests.takeRight(keepLast)
+        val drops = manifests.dropRight(keepLast)
+        val liveSegs = retained.flatMap(segmentsOf).toSet
+        // manifests first: once a manifest is gone no reader can resolve
+        // it, so deleting its now-unreferenced segments can't strand one
+        drops.foreach(m => Files.deleteIfExists(root.resolve(m)): Unit)
+        val segs = listNames(root)
+          .filter(n => n.matches("seg\\d+(c\\d+)?") && !liveSegs.contains(n))
+          .filterNot(sg => markerFresh(root, sg, inflightTtlMs))
+        segs.foreach(sg => dropMarker(root, sg)) // stale markers go too
+        (drops, segs)
+      }
       dropSegs.foreach(sg => rmTree(root.resolve(sg).toFile))
       dropManifests ++ dropSegs
     }
@@ -445,9 +534,8 @@ object VersionedTarget {
       */
     def vacuum(keepLast: Int): Seq[String] = {
       require(keepLast >= 1, "must retain at least the current version")
-      val versions = Files.list(root).iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(_.matches("v\\d+")).toSeq.sortBy(v => epochOf(v))
+      val versions = listNames(root)
+        .filter(_.matches("v\\d+")).sortBy(v => epochOf(v))
       val drop = versions.dropRight(keepLast)
       drop.foreach(v => rmTree(root.resolve(v).toFile))
       drop

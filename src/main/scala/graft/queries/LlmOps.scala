@@ -1166,11 +1166,7 @@ object LlmOps {
     val out = PipelineOps.layoutDir(spark, dir, "ivfmaint")
     val root = Paths.get(out, "assignments")
     if (Files.exists(root)) { // fresh target per invocation
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
-        f.delete(): Unit
-      }
-      rm(root.toFile)
+      graft.ops.VersionedTarget.rmTree(root.toFile)
     }
     Files.createDirectories(root)
     val target = graft.ops.VersionedTarget.Segmented(root,

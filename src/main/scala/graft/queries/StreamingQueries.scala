@@ -485,11 +485,7 @@ object StreamingQueries {
       Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
         "graft_cdc", s"target_${slug}_${spark.sparkContext.applicationId}").toString))
     if (Files.exists(root)) { // fresh apply per invocation
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
-      }
-      rm(root.toFile)
+      graft.ops.VersionedTarget.rmTree(root.toFile)
     }
     Files.createDirectories(root)
     val target = graft.ops.VersionedTarget.Rewrite(root)
@@ -825,11 +821,7 @@ object StreamingQueries {
       Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
         "graft_incdedup", s"${tag}_${slug}_${spark.sparkContext.applicationId}").toString))
     if (Files.exists(root)) { // fresh apply per invocation
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
-      }
-      rm(root.toFile)
+      graft.ops.VersionedTarget.rmTree(root.toFile)
     }
     Files.createDirectories(root)
     val docs = t(spark, dir, "documents")
@@ -919,11 +911,7 @@ object StreamingQueries {
       Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
         "graft_incdedup", s"stats_${slug}_${spark.sparkContext.applicationId}").toString))
     if (Files.exists(root)) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
-      }
-      rm(root.toFile)
+      graft.ops.VersionedTarget.rmTree(root.toFile)
     }
     Files.createDirectories(root)
     val statsRoot = root.resolve("stats")
@@ -976,11 +964,7 @@ object StreamingQueries {
   private[graft] def statsVacuum(statsRoot: java.nio.file.Path,
       retired: Seq[String]): Unit =
     retired.filter(_.startsWith("seg")).foreach { sg =>
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
-        f.delete(): Unit
-      }
-      rm(statsRoot.resolve(sg).toFile)
+      graft.ops.VersionedTarget.rmTree(statsRoot.resolve(sg).toFile)
     }
 
   /** STATS-PRESERVING COMPACTION — the composition of the segmented
@@ -988,19 +972,27 @@ object StreamingQueries {
     * rollup). The per-segment (lang → docs, chars) stats are ADDITIVE,
     * so the folded segment's artifact is derivable by SUMMING the folded
     * segments' artifacts — a metadata-only read; the corpus data is not
-    * rescanned a second time for stats. The sum commits INSIDE the
-    * pointer transaction (compact's `beforeSwap` hook), so no reader of
-    * CURRENT ever resolves a live segment without a committed artifact —
-    * [[statsRollup]]'s loud completeness `require` stays satisfiable
-    * across any number of compactions. Segments that committed DURING
-    * the fold are reconciled into the new manifest unfolded and keep
-    * their own artifacts.
+    * rescanned a second time for stats. The sum runs in compact's
+    * `afterFold` hook — OUTSIDE the pointer lock, because it is a Spark
+    * job and the lock's contract is metadata-only (an ingest commit must
+    * never stall behind a stats aggregation); it reads the FOLDED
+    * segments' artifacts, which are immutable once committed, so the
+    * reconcile path changes nothing it depends on. The `beforeSwap`
+    * check (inside the lock, a few Files.exists calls) then guarantees
+    * the artifact landed before CURRENT moves — no reader ever resolves
+    * a live segment without a committed artifact, so [[statsRollup]]'s
+    * loud completeness `require` stays satisfiable across any number of
+    * compactions. Segments that committed DURING the fold are reconciled
+    * into the new manifest unfolded and keep their own artifacts; on an
+    * aborted fold the orphaned artifact is deleted with the segment.
     */
   private[graft] def statsPreservingCompact(spark: SparkSession,
       root: java.nio.file.Path, statsRoot: java.nio.file.Path):
-      Option[graft.ops.VersionedTarget.Compacted] =
-    graft.ops.VersionedTarget.Segmented(root).compact(spark,
-      beforeSwap = (seg, folded) => {
+      Option[graft.ops.VersionedTarget.Compacted] = {
+    @volatile var foldSeg: String = null
+    val res = graft.ops.VersionedTarget.Segmented(root).compact(spark,
+      afterFold = (seg, folded) => {
+        foldSeg = seg
         val arts = folded.map(statsRoot.resolve)
         val missing = folded.zip(arts).collect {
           case (nm, a) if !statsComplete(a) => nm
@@ -1013,7 +1005,13 @@ object StreamingQueries {
             sum(col("n_chars")).as("n_chars"))
           .coalesce(1).write.mode("overwrite")
           .parquet(statsRoot.resolve(seg).toString)
-      })
+      },
+      beforeSwap = (seg, _) => require(statsComplete(statsRoot.resolve(seg)),
+        s"stats artifact for $seg did not commit before the pointer swap"))
+    if (res.isEmpty && foldSeg != null)
+      statsVacuum(statsRoot, Seq(foldSeg)) // aborted fold: drop its artifact
+    res
+  }
 
   /** q146's report: roll up ONLY the stats artifacts of the segments the
     * CURRENT manifest lists — a metadata-sized read; the corpus data is

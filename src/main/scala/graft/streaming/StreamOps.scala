@@ -104,11 +104,8 @@ object StreamOps {
   private def withCheckpoint[A](body: String => A): A = {
     import java.nio.file.Files
     val dir = Files.createTempDirectory(ckptBase, "q")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(): Unit
-    }
-    try body(dir.toString) finally rm(dir.toFile)
+    try body(dir.toString)
+    finally graft.ops.VersionedTarget.rmTree(dir.toFile)
   }
 
   /** ORACLE/TEST HARNESS: run a streaming frame to completion

@@ -138,7 +138,7 @@ class VersionedTargetSpec extends SparkSpec {
     (0L to 2L).foreach(b => t.commit(df(b), b))
     // the race the docstring used to forbid: batch 3 commits between the
     // fold's segment write and its pointer transaction
-    val res = t.compact(spark, afterFold = () => t.commit(df(30L, 31L), 3L))
+    val res = t.compact(spark, afterFold = (_, _) => t.commit(df(30L, 31L), 3L))
     assert(res.isDefined, "a racing commit must not abort the fold")
     assert(res.get.reconciled == Seq("seg3"),
       s"batch 3's segment must ride the reconciled manifest, got ${res.get}")
@@ -159,7 +159,7 @@ class VersionedTargetSpec extends SparkSpec {
     (0L to 2L).foreach(b => t.commit(df(b), b))
     val before = t.current(spark).get.orderBy($"id").collect().toSeq
     var inner: Option[VersionedTarget.Compacted] = None
-    val outer = t.compact(spark, afterFold = () => {
+    val outer = t.compact(spark, afterFold = (_, _) => {
       inner = t.compact(spark)
       inner.foreach(_ => t.vacuum(1): Unit) // inner fold retires seg0..seg2
     })
@@ -171,6 +171,58 @@ class VersionedTargetSpec extends SparkSpec {
     // deleted, not left behind as garbage the next reader could trip on
     assert(!Files.exists(root.resolve("seg2c1")),
       "aborted fold segment must be deleted")
+  }
+
+  test("vacuum racing a fold: the in-flight merged segment is marker-shielded, " +
+      "the fold commits, and the corpus stays readable") {
+    val root = Files.createTempDirectory("graft_vt_vacrace")
+    val t = VersionedTarget.Segmented(root)
+    (0L to 2L).foreach(b => t.commit(df(b), b))
+    val before = t.current(spark).get.orderBy($"id").collect().toSeq
+    // the production race: the ingest path vacuums after every commit,
+    // and one lands between the fold's data write and its pointer txn —
+    // the merged segment is in NO manifest yet, but must survive
+    val res = t.compact(spark, afterFold = (_, _) => {
+      t.commit(df(30L), 3L)
+      t.vacuum(VersionedTarget.DefaultRetain): Unit
+    })
+    assert(res.isDefined, "vacuum during the fold must not kill the compaction")
+    assert(Files.exists(root.resolve(res.get.segment)),
+      "in-flight merged segment was swept by the racing vacuum")
+    val ids = t.current(spark).get.select($"id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(0L, 1L, 2L, 30L),
+      s"corpus unreadable or wrong after the race: $ids")
+    // after the fold committed, its marker is gone and retention works
+    t.vacuum(1): Unit
+    assert(t.current(spark).get.select($"id").collect().map(_.getLong(0)).toSet
+      == Set(0L, 1L, 2L, 30L))
+    assert(before.map(_.getLong(0)).toSet.subsetOf(ids))
+  }
+
+  test("vacuum vs an in-flight commit: a fresh marker shields the " +
+      "mid-write segment; a stale marker is swept with its orphan") {
+    val root = Files.createTempDirectory("graft_vt_marker")
+    val t = VersionedTarget.Segmented(root)
+    t.commit(df(1L), 0L)
+    // simulate a commit between its data write and its manifest write:
+    // marker + unreferenced segment dir on disk (what a concurrent
+    // process' commit looks like from this process' vacuum)
+    Files.write(root.resolve(".inflight-seg5"), "t".getBytes("UTF-8"))
+    df(50L).write.parquet(root.resolve("seg5").toString)
+    val deleted = t.vacuum(keepLast = 1)
+    assert(!deleted.contains("seg5") && Files.exists(root.resolve("seg5")),
+      s"vacuum swept a marker-shielded in-flight segment: $deleted")
+    // the writer finishes normally afterwards
+    t.commit(df(2L), 6L)
+    assert(t.current(spark).get.count() == 2)
+    // a CRASHED writer's marker goes stale; TTL-expired orphans (and
+    // their markers) are swept together
+    Files.write(root.resolve(".inflight-seg9"), "t".getBytes("UTF-8"))
+    df(90L).write.parquet(root.resolve("seg9").toString)
+    val swept = t.vacuum(keepLast = 1, inflightTtlMs = 0L)
+    assert(swept.contains("seg9") && !Files.exists(root.resolve("seg9")) &&
+      !Files.exists(root.resolve(".inflight-seg9")),
+      s"stale-marker orphan not swept: $swept")
   }
 
   test("Segmented compact: a crash before the pointer swap leaves CURRENT " +
@@ -399,6 +451,9 @@ class VersionedTargetSpec extends SparkSpec {
     val maintenance = new Thread(() => {
       while (!stop) {
         if (t.compact(spark).isDefined) folds += 1
+        // retention runs on the SAME maintenance cadence as production —
+        // the marker protocol must keep it from sweeping in-flight work
+        t.vacuum(2): Unit
         Thread.sleep(30)
       }
     })
