@@ -216,6 +216,13 @@ class ExtensionsSpec extends SparkSpec {
       "SELECT count_in_list(tokens('the cat and the dog'), array('the', 'and')) AS c")
       .head().getInt(0)
     assert(cil == 3, s"count_in_list wrong: $cil")
+    // a NULL element in the literal word array is the function's own
+    // clean error, not an opaque resolution-time NPE
+    val nullErr = intercept[Exception](
+      spark.sql("SELECT count_in_list(tokens('a b'), array('a', NULL)) AS c")
+        .collect())
+    assert(nullErr.getMessage.contains("NULL") ||
+      nullErr.toString.contains("NULL"), s"wrong error: $nullErr")
     // bloom_might_contain takes the serialized filter as a binary literal
     val bf = spark.range(0, 50).toDF("id").stat.bloomFilter("id", 50, 0.03)
     val hex = graft.functions.BloomMightContain.serialize(bf)

@@ -432,6 +432,22 @@ class VersionedTargetSpec extends SparkSpec {
     intercept[Exception] { t.current(spark).get.collect() }: Unit
   }
 
+  test("schema evolution on the PARTITIONED path: the basePath union surfaces " +
+      "a later segment's added data column as NULL on older segments") {
+    val root = Files.createTempDirectory("graft_vt_evolve_part")
+    val t = VersionedTarget.Segmented(root, partitionCols = Seq("cell"))
+    t.commit(Seq((1L, 1L), (2L, 2L)).toDF("id", "cell"), 0L)
+    t.commit(Seq((3L, 1L, 0.5)).toDF("id", "cell", "score"), 1L)
+    val merged = t.current(spark).get
+    assert(merged.columns.toSet == Set("id", "cell", "score"))
+    val byId = merged.collect().map(r => r.getLong(0) ->
+      Option(r.getAs[Any]("score"))).toMap
+    assert(byId == Map(1L -> None, 2L -> None, 3L -> Some(0.5)),
+      s"partitioned union lost the evolved column semantics: $byId")
+    // pruning still holds on the evolved union
+    assert(merged.filter($"cell" === 1L).count() == 2)
+  }
+
   test("two-thread stress: an ingest thread commits while a maintenance " +
       "thread compacts on its own cadence — no committed row is ever lost") {
     // the afterFold-injection tests pin each interleaving deterministically;
