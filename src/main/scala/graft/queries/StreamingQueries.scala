@@ -987,7 +987,8 @@ object StreamingQueries {
     * aborted fold the orphaned artifact is deleted with the segment.
     */
   private[graft] def statsPreservingCompact(spark: SparkSession,
-      root: java.nio.file.Path, statsRoot: java.nio.file.Path):
+      root: java.nio.file.Path, statsRoot: java.nio.file.Path,
+      afterFoldExtra: () => Unit = () => ()):
       Option[graft.ops.VersionedTarget.Compacted] = {
     @volatile var foldSeg: String = null
     val res = graft.ops.VersionedTarget.Segmented(root).compact(spark,
@@ -1005,6 +1006,8 @@ object StreamingQueries {
             sum(col("n_chars")).as("n_chars"))
           .coalesce(1).write.mode("overwrite")
           .parquet(statsRoot.resolve(seg).toString)
+        afterFoldExtra() // test seam (default no-op): where a racing
+        // compactor would land and force the abort-cleanup path below
       },
       beforeSwap = (seg, _) => require(statsComplete(statsRoot.resolve(seg)),
         s"stats artifact for $seg did not commit before the pointer swap"))

@@ -420,6 +420,53 @@ class StreamingSemanticsSpec extends SparkSpec {
     assert(rollup == afterIngest, "rollup broken after vacuum + artifact GC")
   }
 
+  test("aborted stats-preserving fold: the orphaned stats artifact is " +
+      "cleaned and the surviving fold's rollup stays correct") {
+    import graft.queries.StreamingQueries
+    def docsDF(rows: Seq[(Long, String, String)]) =
+      rows.map { case (id, txt, lang) => (id, txt, lang, txt.length.toLong) }
+        .toDF("doc_id", "text", "lang", "n_chars")
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = docsDF(Seq(
+      (1L, dupText, "en"),
+      (10L, "completely different words about spark engines here", "de"),
+      (30L, "another entirely unrelated document about parquet files", "en")))
+    val index = StreamingQueries.neardupIndex(corpus)
+    val root = Files.createTempDirectory("graft_statsabort")
+    val statsRoot = root.resolve("stats")
+    val fn = StreamingQueries.statsMergeFn(index, root, statsRoot)
+    fn(StreamingQueries.bandedDocs(docsDF(Seq((1L, dupText, "en"),
+      (10L, "completely different words about spark engines here", "de")))), 0L)
+    fn(StreamingQueries.bandedDocs(docsDF(Seq(
+      (30L, "another entirely unrelated document about parquet files", "en")))), 1L)
+    // a racing stats-preserving compactor lands between the outer fold's
+    // artifact write and its pointer transaction: the inner one wins,
+    // the outer ABORTS and must delete the artifact it orphaned
+    var inner: Option[graft.ops.VersionedTarget.Compacted] = None
+    val outer = StreamingQueries.statsPreservingCompact(spark, root, statsRoot,
+      afterFoldExtra = () => {
+        inner = StreamingQueries.statsPreservingCompact(spark, root, statsRoot)
+        inner.foreach(_ => StreamingQueries.statsVacuum(statsRoot,
+          graft.ops.VersionedTarget.Segmented(root).vacuum(1)))
+      })
+    assert(inner.isDefined && outer.isEmpty,
+      s"expected inner win + outer abort, got inner=$inner outer=$outer")
+    // every stats artifact on disk belongs to a live segment — the
+    // aborted fold's orphan is gone, and the rollup still matches
+    val live = graft.ops.VersionedTarget.currentVersion(root)
+      .map(graft.ops.VersionedTarget.Segmented(root).segmentsOf).get.toSet
+    val artifacts = Option(statsRoot.toFile.listFiles()).toSeq.flatten
+      .map(_.getName).filter(_.startsWith("seg")).toSet
+    assert(artifacts == live,
+      s"orphaned stats artifacts survived the abort: $artifacts vs live $live")
+    val rolled = StreamingQueries.statsRollup(spark, root, statsRoot).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val direct = StreamingQueries.dedupCurrent(spark, root).get
+      .groupBy($"lang").agg(count(lit(1)), sum($"n_chars")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rolled == direct, s"rollup wrong after the aborted fold: $rolled")
+  }
+
   test("q132 merge with compaction interleaved between batches: a replay " +
       "arriving AFTER the fold is skipped, corpus and verdicts unchanged") {
     import graft.queries.StreamingQueries
