@@ -150,8 +150,18 @@ object VersionedTarget {
     */
   private val monitors = new ConcurrentHashMap[String, Object]()
 
+  /** Monitor key resolves SYMLINKS (`toRealPath`), not just `..`/`.`:
+    * two path aliases of one physical root must share one monitor, or
+    * two same-JVM writers contend on the OS FileLock instead and crash
+    * with OverlappingFileLockException. Falls back to the normalized
+    * absolute path when the root does not exist yet (first touch).
+    */
+  private def monitorKey(root: Path): String =
+    try root.toRealPath().toString
+    catch { case _: java.io.IOException => root.toAbsolutePath.normalize.toString }
+
   private def withPointerLock[T](root: Path)(f: => T): T = {
-    val key = root.toAbsolutePath.normalize.toString
+    val key = monitorKey(root)
     val mon = monitors.computeIfAbsent(key, _ => new Object)
     mon.synchronized {
       val ch = FileChannel.open(root.resolve(".lock"),
@@ -287,10 +297,27 @@ object VersionedTarget {
       val paths = segs.map(root.resolve(_).toString)
       if (partitionCols.isEmpty)
         s.read.option("mergeSchema", "true").parquet(paths: _*)
-      else paths
-        .map(p => s.read.option("mergeSchema", "true")
+      else {
+        val frames = paths.map(p => s.read.option("mergeSchema", "true")
           .option("basePath", p).parquet(p))
-        .reduce(_.unionByName(_, allowMissingColumns = true))
+        // enforce ADDITIVE-ONLY here too: unionByName alone would silently
+        // widen a changed column type (bigint→double) instead of failing
+        // like the unpartitioned mergeSchema path — a type change is a
+        // rewrite, not an append, and must fail loudly on both paths
+        val seen = scala.collection.mutable.Map
+          .empty[String, org.apache.spark.sql.types.DataType]
+        frames.zip(segs).foreach { case (f, sg) =>
+          f.schema.fields.foreach { fd =>
+            seen.get(fd.name).foreach { t =>
+              if (t != fd.dataType) throw new IllegalStateException(
+                s"segment $sg changes column ${fd.name}: $t -> ${fd.dataType}" +
+                  " — a type change is a rewrite, not an append")
+            }
+            seen.update(fd.name, fd.dataType)
+          }
+        }
+        frames.reduce(_.unionByName(_, allowMissingColumns = true))
+      }
     }
 
     private def writeSegment(rows: DataFrame, seg: String): Unit = {
@@ -309,24 +336,59 @@ object VersionedTarget {
       * advance the epoch — committing at-or-below the current epoch
       * would overwrite a live segment in place (the caller's redelivery
       * guard [[applied]] is what skips replayed batches before this).
+      *
+      * The data write STAGES in a unique dot-named dir
+      * (`.segtmp-<b>-<uuid>`) and the segment is published by a RENAME
+      * inside the pointer transaction — so two processes concurrently
+      * redelivering the same crashed batch can never interleave
+      * overwrite writes into one `seg<b>` dir (each stages privately;
+      * the lock winner renames, the loser fails the epoch re-check and
+      * cleans its staging dir). Crashed staging dirs are uuid-named,
+      * invisible to readers, and swept by [[vacuum]] after the
+      * in-flight TTL.
       */
-    def commit(rows: DataFrame, batchId: Long): Unit = {
+    def commit(rows: DataFrame, batchId: Long): Unit =
+      commitAs(rows, batchId, prev => prev)
+
+    /** Commit `rows` as a FRESH BASE at `batchId`: manifest v<batchId>
+      * references ONLY the new segment — every previously live segment
+      * is dropped from the manifest (retired by [[vacuum]] once out of
+      * retention; readers holding older versions stay whole). This is
+      * the index-REFIT recovery verb (q153): a re-fit quantizer's
+      * assignments REPLACE the drifted index rather than append to it,
+      * behind the same atomic pointer swap and epoch guard as a commit.
+      */
+    def rebase(rows: DataFrame, batchId: Long): Unit =
+      commitAs(rows, batchId, _ => Seq.empty)
+
+    private def commitAs(rows: DataFrame, batchId: Long,
+        keepOf: Seq[String] => Seq[String]): Unit = {
       val seg = s"seg$batchId"
-      // epoch check BEFORE the data write too (cheap, and the overwrite
-      // of a live `seg<batchId>` is exactly what must never happen); the
+      // epoch check BEFORE the data write too (cheap fail-fast); the
       // authoritative re-check runs under the pointer lock below.
       require(currentEpoch(root).forall(batchId > _),
         s"commit batch v$batchId must advance the epoch past ${currentVersion(root)}")
-      // in-flight marker BEFORE the data write: until the manifest lands,
-      // this segment is unreferenced by design, and a concurrent vacuum
-      // must not read that as "crash orphan" and sweep it mid-write
+      // in-flight marker BEFORE the staging write: it shields the final
+      // `seg<b>` name from a vacuum whose delete-set decision lands
+      // between this commit's publication and its marker drop
       createMarker(root, seg)
-      writeSegment(rows, seg)
+      val tmp = s".segtmp-$batchId-${java.util.UUID.randomUUID().toString.take(8)}"
+      writeSegment(rows, tmp)
       withPointerLock(root) {
         val cur = currentVersion(root)
-        require(cur.map(epochOf).forall(batchId > _),
-          s"commit batch v$batchId raced a newer commit ($cur)")
-        val live = cur.map(segmentsOf).getOrElse(Seq.empty) :+ seg
+        if (!cur.map(epochOf).forall(batchId > _)) {
+          // loser of a concurrent-redelivery race: the winner's commit is
+          // durable (or a newer batch landed) — clean the private staging
+          // dir and fail loudly; the caller's applied() guard skips next time
+          rmTree(root.resolve(tmp).toFile)
+          dropMarker(root, seg)
+          throw new IllegalArgumentException(
+            s"commit batch v$batchId raced a newer commit ($cur)")
+        }
+        val dst = root.resolve(seg)
+        if (Files.exists(dst)) rmTree(dst.toFile) // crashed attempt's orphan
+        Files.move(root.resolve(tmp), dst)
+        val live = keepOf(cur.map(segmentsOf).getOrElse(Seq.empty)) :+ seg
         writeManifest(s"v$batchId", live)
         swapPointer(root, s"v$batchId")
         dropMarker(root, seg)
@@ -487,39 +549,93 @@ object VersionedTarget {
     def vacuum(keepLast: Int,
         inflightTtlMs: Long = DefaultInflightTtlMs): Seq[String] = {
       require(keepLast >= 1, "must retain at least the current version")
-      val (dropManifests, dropSegs) = withPointerLock(root) {
-        val manifests = listNames(root)
+      val (dropManifests, dropSegs, dropTmps) = withPointerLock(root) {
+        val names = listNames(root)
+        val manifests = names
           .filter(n => n.matches("v\\d+(c\\d+)?")).sortBy(sortKeyOf)
-        val retained = manifests.takeRight(keepLast)
-        val drops = manifests.dropRight(keepLast)
+        // A manifest sorting NEWER than CURRENT can only be a crash
+        // orphan (commit/compact write manifest+swap inside ONE lock
+        // hold, so a live writer never exposes that intermediate state):
+        // treat it as debris to DELETE, never retain — retaining it
+        // would let vacuum(1) retire the manifest CURRENT actually
+        // names, leaving a dangling pointer that reads as an empty table.
+        val cur = currentVersion(root)
+        val (orphans, committed) = cur.map(sortKeyOf) match {
+          case Some(k) =>
+            manifests.partition(m => Ordering[(Long, Long)].gt(sortKeyOf(m), k))
+          case None => (manifests, Seq.empty[String]) // nothing ever swapped in
+        }
+        val retained = committed.takeRight(keepLast)
+        val drops = committed.dropRight(keepLast) ++ orphans
         val liveSegs = retained.flatMap(segmentsOf).toSet
         // manifests first: once a manifest is gone no reader can resolve
         // it, so deleting its now-unreferenced segments can't strand one
         drops.foreach(m => Files.deleteIfExists(root.resolve(m)): Unit)
-        val segs = listNames(root)
+        val segs = names
           .filter(n => n.matches("seg\\d+(c\\d+)?") && !liveSegs.contains(n))
           .filterNot(sg => markerFresh(root, sg, inflightTtlMs))
         segs.foreach(sg => dropMarker(root, sg)) // stale markers go too
-        (drops, segs)
+        // a stale marker whose segment dir never landed (crash inside
+        // Spark's overwrite delete-recreate window) would otherwise leak
+        // forever and permanently pin its compaction sequence number
+        names.filter(_.startsWith(".inflight-")).foreach { m =>
+          val sg = m.stripPrefix(".inflight-")
+          if (!Files.exists(root.resolve(sg)) &&
+              !markerFresh(root, sg, inflightTtlMs))
+            dropMarker(root, sg)
+        }
+        // crashed commits' staging dirs: uuid-named, referenced by
+        // nothing, safe to sweep once past the in-flight TTL
+        val tmps = names.filter(_.startsWith(".segtmp-")).filter { tn =>
+          (System.currentTimeMillis() -
+            Files.getLastModifiedTime(root.resolve(tn)).toMillis) >= inflightTtlMs
+        }
+        (drops, segs, tmps)
       }
-      dropSegs.foreach(sg => rmTree(root.resolve(sg).toFile))
+      (dropSegs ++ dropTmps).foreach(sg => rmTree(root.resolve(sg).toFile))
       dropManifests ++ dropSegs
     }
   }
 
   /** Full-rewrite target: version = parquet dir `v<b>` holding the WHOLE
     * table — inherent when the merge updates existing keys (CDC).
+    *
+    * Same hardening as [[Segmented]] (r12 parity — the q109 stream is
+    * single-writer by construction, but the machinery no longer relies
+    * on it): the table write STAGES in a dot-named uuid dir and is
+    * published by a rename + pointer swap inside the pointer lock, with
+    * the epoch guard re-checked under the lock; vacuum decides its
+    * delete-set under the same lock and treats version dirs NEWER than
+    * CURRENT as pre-swap crash orphans (healed in place by redelivery,
+    * swept only once stale — and inside the lock, so the sweep can
+    * never interleave with that redelivery's rename).
     */
   final case class Rewrite(root: Path) {
 
     def committed(batchId: Long): Boolean = VersionedTarget.committed(root, batchId)
 
-    /** Commit batch `batchId`: write the merged table into `v<batchId>/`,
-      * atomically swap CURRENT.
+    /** Commit batch `batchId`: write the merged table into `v<batchId>/`
+      * (staged, then renamed under the pointer lock), atomically swap
+      * CURRENT. `batchId` must advance the epoch — the caller's
+      * [[committed]] guard is what skips redelivered batches before this.
       */
     def commit(table: DataFrame, batchId: Long): Unit = {
-      table.write.mode("overwrite").parquet(root.resolve(s"v$batchId").toString)
-      swapPointer(root, s"v$batchId")
+      require(currentEpoch(root).forall(batchId > _),
+        s"commit batch v$batchId must advance the epoch past ${currentVersion(root)}")
+      val tmp = s".vtmp-$batchId-${java.util.UUID.randomUUID().toString.take(8)}"
+      table.write.mode("overwrite").parquet(root.resolve(tmp).toString)
+      withPointerLock(root) {
+        val cur = currentVersion(root)
+        if (!cur.map(epochOf).forall(batchId > _)) {
+          rmTree(root.resolve(tmp).toFile)
+          throw new IllegalArgumentException(
+            s"commit batch v$batchId raced a newer commit ($cur)")
+        }
+        val dst = root.resolve(s"v$batchId")
+        if (Files.exists(dst)) rmTree(dst.toFile) // crashed attempt's orphan
+        Files.move(root.resolve(tmp), dst)
+        swapPointer(root, s"v$batchId")
+      }
     }
 
     def read(s: SparkSession, version: String): DataFrame =
@@ -528,17 +644,40 @@ object VersionedTarget {
     def current(s: SparkSession): Option[DataFrame] =
       currentVersion(root).map(read(s, _))
 
-    /** Keep the newest `keepLast` version dirs; delete strictly older
-      * ones whole (a reader on any retained version is untouched).
-      * Returns deleted names.
+    /** Keep the newest `keepLast` COMMITTED version dirs (CURRENT's own
+      * always among them); delete strictly older ones whole (a reader on
+      * any retained version is untouched). Version dirs newer than
+      * CURRENT are pre-swap crash orphans: redelivery replaces them in
+      * place, so they are swept only once older than `staleTtlMs`, and
+      * INSIDE the pointer lock so the sweep cannot race that
+      * redelivery's publish rename. Returns deleted names.
       */
-    def vacuum(keepLast: Int): Seq[String] = {
+    def vacuum(keepLast: Int,
+        staleTtlMs: Long = DefaultInflightTtlMs): Seq[String] = {
       require(keepLast >= 1, "must retain at least the current version")
-      val versions = listNames(root)
-        .filter(_.matches("v\\d+")).sortBy(v => epochOf(v))
-      val drop = versions.dropRight(keepLast)
-      drop.foreach(v => rmTree(root.resolve(v).toFile))
-      drop
+      val (dropOld, dropOrphans) = withPointerLock(root) {
+        val names = listNames(root)
+        val versions = names.filter(_.matches("v\\d+")).sortBy(v => epochOf(v))
+        val cur = currentVersion(root)
+        val (newer, committed) = cur.map(epochOf) match {
+          case Some(e) => versions.partition(v => epochOf(v) > e)
+          case None => (versions, Seq.empty[String])
+        }
+        def stale(n: String): Boolean =
+          (System.currentTimeMillis() -
+            Files.getLastModifiedTime(root.resolve(n)).toMillis) >= staleTtlMs
+        val orphans = newer.filter(stale)
+        // bounded crash debris — deleted under the lock by design
+        orphans.foreach(v => rmTree(root.resolve(v).toFile))
+        names.filter(_.startsWith(".vtmp-")).filter(stale)
+          .foreach(tn => rmTree(root.resolve(tn).toFile))
+        (committed.dropRight(keepLast), orphans)
+      }
+      // old committed versions can never be re-created (the epoch guard
+      // forbids re-committing an old batch id), so their data deletion
+      // is safe outside the lock
+      dropOld.foreach(v => rmTree(root.resolve(v).toFile))
+      dropOld ++ dropOrphans
     }
   }
 }

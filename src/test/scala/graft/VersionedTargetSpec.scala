@@ -487,6 +487,172 @@ class VersionedTargetSpec extends SparkSpec {
       "epoch must track the newest commit through every fold")
   }
 
+  test("Segmented vacuum: an orphan manifest sorting NEWER than CURRENT (crash " +
+      "between manifest write and pointer swap) is debris, never retained — " +
+      "vacuum(1) must not strand the pointer") {
+    val root = Files.createTempDirectory("graft_vt_orphanman")
+    val t = VersionedTarget.Segmented(root)
+    (0L to 2L).foreach(b => t.commit(df(b), b))
+    // crash debris: manifest v9 landed (names a segment that exists),
+    // but the pointer never moved — CURRENT still says v2
+    df(90L).write.parquet(root.resolve("seg9").toString)
+    Files.write(root.resolve("v9"), "seg0\nseg1\nseg2\nseg9".getBytes("UTF-8"))
+    assert(VersionedTarget.currentVersion(root).contains("v2"))
+    val deleted = t.vacuum(keepLast = 1)
+    // the regression this pins: retain-by-name-sort would keep ONLY v9
+    // and delete v2 — CURRENT would dangle and the table read as empty
+    assert(deleted.contains("v9"), s"orphan manifest must be swept: $deleted")
+    assert(VersionedTarget.currentVersion(root).contains("v2"),
+      "vacuum must never move the pointer")
+    assert(t.current(spark).isDefined &&
+      t.current(spark).get.select($"id").collect().map(_.getLong(0)).toSet ==
+        Set(0L, 1L, 2L),
+      "CURRENT must stay fully readable after sweeping the orphan manifest")
+    // the orphan's unreferenced segment goes with it (no marker)
+    assert(deleted.contains("seg9") && !Files.exists(root.resolve("seg9")))
+  }
+
+  test("Segmented vacuum: a stale in-flight marker whose segment dir never " +
+      "landed is swept, so it cannot pin the compaction sequence forever") {
+    val root = Files.createTempDirectory("graft_vt_markerleak")
+    val t = VersionedTarget.Segmented(root)
+    (0L to 1L).foreach(b => t.commit(df(b), b))
+    // crash inside Spark's overwrite delete-recreate window: the marker
+    // survived, the reserved dir did not
+    Files.write(root.resolve(".inflight-seg1c7"), "t".getBytes("UTF-8"))
+    t.vacuum(keepLast = 2): Unit // fresh marker: must survive this pass
+    assert(Files.exists(root.resolve(".inflight-seg1c7")),
+      "a fresh dirless marker may still belong to a live reservation")
+    t.vacuum(keepLast = 2, inflightTtlMs = 0L): Unit
+    assert(!Files.exists(root.resolve(".inflight-seg1c7")),
+      "stale dirless marker must be swept")
+    // with the leak gone, the next compaction is NOT pinned past c7
+    val res = t.compact(spark)
+    assert(res.exists(_.segment == "seg1c1"),
+      s"compaction sequence must restart below the swept marker, got $res")
+  }
+
+  test("Segmented rebase: commits a FRESH BASE that drops prior segments from " +
+      "the manifest; older versions stay whole until vacuum") {
+    val root = Files.createTempDirectory("graft_vt_rebase")
+    val t = VersionedTarget.Segmented(root)
+    (0L to 2L).foreach(b => t.commit(df(b), b))
+    // the refit verb: new content REPLACES the drifted index
+    t.rebase(df(100L, 101L), 3L)
+    assert(VersionedTarget.currentVersion(root).contains("v3"))
+    assert(t.segmentsOf("v3") == Seq("seg3"), "rebase manifest = one fresh segment")
+    assert(t.current(spark).get.select($"id").collect().map(_.getLong(0)).toSet ==
+      Set(100L, 101L), "rebase must serve ONLY the fresh base")
+    // a reader that resolved CURRENT before the rebase keeps its table
+    assert(t.read(spark, "v2").get.select($"id").collect().map(_.getLong(0)).toSet ==
+      Set(0L, 1L, 2L))
+    // retirement: vacuum drops the pre-rebase manifests and their segments
+    val deleted = t.vacuum(keepLast = 1)
+    assert(Seq("v0", "v1", "v2", "seg0", "seg1", "seg2").forall(deleted.contains),
+      s"vacuum after rebase must retire the replaced index: $deleted")
+    assert(t.current(spark).get.count() == 2)
+    // the epoch guard still applies: a rebase cannot rewind the clock
+    intercept[IllegalArgumentException] { t.rebase(df(7L), 3L) }: Unit
+    // and appends continue on top of the new base
+    t.commit(df(102L), 4L)
+    assert(t.segmentsOf("v4") == Seq("seg3", "seg4"))
+  }
+
+  test("same-JVM writers through SYMLINK ALIASES of one root share a monitor " +
+      "(toRealPath) — they serialize instead of crashing on the OS file lock") {
+    val real = Files.createTempDirectory("graft_vt_alias")
+    val linkParent = Files.createTempDirectory("graft_vt_aliaslnk")
+    val alias = linkParent.resolve("store")
+    try Files.createSymbolicLink(alias, real)
+    catch { case _: UnsupportedOperationException => cancel("no symlink support") }
+    val t1 = VersionedTarget.Segmented(real)
+    val t2 = VersionedTarget.Segmented(alias)
+    t1.commit(df(1L, 2L), 0L)
+    (1L to 4L).foreach(b => t1.commit(df(b * 10L), b))
+    // writer A appends through the real path while writer B runs the
+    // maintenance verbs through the alias: every pointer transaction on
+    // both paths must hit ONE monitor, or the second same-JVM FileLock
+    // attempt throws OverlappingFileLockException
+    @volatile var failure: Option[Throwable] = None
+    val a = new Thread(() => {
+      try (5L to 10L).foreach(b => t1.commit(df(b * 10L), b))
+      catch { case e: Throwable => failure = Some(e) }
+    })
+    val b = new Thread(() => {
+      try (1 to 6).foreach { _ => t2.compact(spark): Unit; t2.vacuum(2): Unit }
+      catch { case e: Throwable => failure = Some(e) }
+    })
+    a.start(); b.start(); a.join(120000); b.join(120000)
+    assert(failure.isEmpty, s"alias writers crashed: $failure")
+    val ids = t1.current(spark).get.select($"id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L) ++ (1L to 10L).map(_ * 10L).toSet,
+      s"alias-path concurrency lost rows: $ids")
+  }
+
+  test("Rewrite hardening: epoch guard refuses a replayed batch id, and a " +
+      "pre-swap crash orphan version dir is healed in place by redelivery") {
+    val root = Files.createTempDirectory("graft_vt_rwharden")
+    val t = VersionedTarget.Rewrite(root)
+    t.commit(df(1L), 0L)
+    t.commit(df(1L, 2L), 1L)
+    val before = t.current(spark).get.orderBy($"id").collect().toSeq
+    intercept[IllegalArgumentException] { t.commit(df(99L), 1L) }: Unit
+    intercept[IllegalArgumentException] { t.commit(df(99L), 0L) }: Unit
+    assert(t.current(spark).get.orderBy($"id").collect().toSeq == before,
+      "refused Rewrite commit corrupted live data")
+    // pre-swap crash: v2's dir landed, pointer still names v1
+    df(99L).write.parquet(root.resolve("v2").toString)
+    assert(VersionedTarget.currentVersion(root).contains("v1"))
+    // redelivery heals: the crashed dir is replaced, the pointer moves
+    t.commit(df(1L, 2L, 3L), 2L)
+    assert(t.current(spark).get.select($"id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L), "redelivered Rewrite commit must replace the crashed dir")
+  }
+
+  test("Rewrite vacuum: a version dir NEWER than CURRENT is a crash orphan — " +
+      "never retained (no dangling pointer), swept only once stale") {
+    val root = Files.createTempDirectory("graft_vt_rworphan")
+    val t = VersionedTarget.Rewrite(root)
+    (0L to 2L).foreach(b => t.commit(df(0L to b: _*), b))
+    df(99L).write.parquet(root.resolve("v9").toString) // pre-swap crash debris
+    val deleted = t.vacuum(keepLast = 1)
+    // the dangling-pointer regression: retain-by-name would keep v9 and
+    // delete v2 — CURRENT would point at nothing
+    assert(!deleted.contains("v2") && Files.exists(root.resolve("v2")),
+      s"vacuum deleted the version CURRENT names: $deleted")
+    assert(t.current(spark).get.count() == 3, "CURRENT must stay readable")
+    // the fresh orphan survives this pass (a redelivery may be mid-flight)…
+    assert(Files.exists(root.resolve("v9")))
+    // …and is swept once stale
+    val swept = t.vacuum(keepLast = 1, staleTtlMs = 0L)
+    assert(swept.contains("v9") && !Files.exists(root.resolve("v9")),
+      s"stale orphan version dir not swept: $swept")
+  }
+
+  test("schema evolution: a DROPPED column is additive-symmetric — the " +
+      "dropping segment reads it as NULL; a TYPE change fails loudly on the " +
+      "PARTITIONED path too (no silent widening)") {
+    // dropped column, unpartitioned: parquet mergeSchema unions footers
+    // symmetrically, so the later segment surfaces NULL — pinned semantics
+    val root = Files.createTempDirectory("graft_vt_dropcol")
+    val t = VersionedTarget.Segmented(root)
+    t.commit(Seq((1L, "row1", "en")).toDF("id", "payload", "lang"), 0L)
+    t.commit(df(2L), 1L) // batch 1 dropped `lang`
+    val byId = t.current(spark).get.collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[String]("lang"))).toMap
+    assert(byId == Map(1L -> Some("en"), 2L -> None),
+      s"dropped column must read as NULL on the dropping segment: $byId")
+    // type change, PARTITIONED path: unionByName alone would silently
+    // widen long→double; the readSegs guard must fail loudly instead
+    val root2 = Files.createTempDirectory("graft_vt_parttype")
+    val t2 = VersionedTarget.Segmented(root2, partitionCols = Seq("cell"))
+    t2.commit(Seq((1L, 1L)).toDF("id", "cell"), 0L)
+    t2.commit(Seq((2.5, 1L)).toDF("id", "cell"), 1L)
+    val e = intercept[Exception] { t2.current(spark).get.collect() }
+    assert(e.getMessage.contains("rewrite, not an append"),
+      s"partitioned type change must fail loudly, got: ${e.getMessage}")
+  }
+
   test("vacuum refuses keepLast < 1 (would delete CURRENT's own version)") {
     val root = Files.createTempDirectory("graft_vt_guard")
     val t = VersionedTarget.Segmented(root)
