@@ -266,6 +266,54 @@ object Similarity {
     agg.getDouble(0) / (probes * k) < minRecall
   }
 
+  /** REFIT — the RECOVERY verb of the persisted-IVF lifecycle (build →
+    * append → evaluate → compact → refit), the action a true
+    * [[refitDecision]] demands: re-fit the coarse quantizer on the
+    * CURRENT corpus, then commit the new k-row centroid table
+    * (`centTarget`, atomic pointer swap) and the new assignments as a
+    * FRESH BASE (`assignTarget.rebase` — the manifest drops every
+    * drifted segment; [[graft.ops.VersionedTarget.Segmented.rebase]]) at
+    * `batchId`. Old index versions stay readable until the caller
+    * vacuums them out of retention.
+    *
+    * Two targets cannot swap in one transaction, so the commit ORDER +
+    * the ≤-epoch PAIRING rule ([[pairedCentroids]]) carry the
+    * consistency: centroids commit first; a crash between the two
+    * commits leaves the assignment epoch below `batchId`, so serving
+    * pairs the OLD centroid version with the OLD assignments (fully
+    * consistent) until the redelivered refit completes — the centroid
+    * re-commit is skipped when already durable, making the verb
+    * idempotent under crash-redelivery. O(corpus) by nature — the same
+    * cost as the original build, paid only when the recall SLO demands
+    * it; at 100 TB this is the scheduled-maintenance path, never the
+    * per-batch one.
+    */
+  def refitIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int,
+      assignTarget: graft.ops.VersionedTarget.Segmented,
+      centTarget: graft.ops.VersionedTarget.Rewrite,
+      batchId: Long): Unit = {
+    val (assign, cent) = kmeansFit(corpus, idCol, vecCol, k, iters)
+    try {
+      if (!centTarget.committed(batchId)) centTarget.commit(cent, batchId)
+      assignTarget.rebase(assign, batchId)
+    } finally assign.unpersist(): Unit
+  }
+
+  /** The centroid version PAIRED with a served assignment epoch: the
+    * newest committed centroid version at-or-below it. Builds and refits
+    * commit centroids and assignments at the SAME batch id, while
+    * O(delta) appends advance only the assignment epoch — so the pairing
+    * is exactly "the quantizer those assignments were placed into", and
+    * it stays correct across the refit's two-target commit window.
+    */
+  def pairedCentroids(s: org.apache.spark.sql.SparkSession,
+      centTarget: graft.ops.VersionedTarget.Rewrite,
+      assignEpoch: Long): Option[DataFrame] =
+    centTarget.versions
+      .filter(v => graft.ops.VersionedTarget.epochOf(v) <= assignEpoch)
+      .lastOption.map(centTarget.read(s, _))
+
   /** Materialise a centroid table (k rows — driver-size BY DESIGN, like
     * every IVF/k-means implementation) into a local relation: truncates
     * the per-round lineage so round N+1's plan doesn't re-nest and

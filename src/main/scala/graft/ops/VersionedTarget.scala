@@ -644,6 +644,17 @@ object VersionedTarget {
     def current(s: SparkSession): Option[DataFrame] =
       currentVersion(root).map(read(s, _))
 
+    /** COMMITTED version names, oldest→newest: version dirs whose epoch
+      * is at-or-below CURRENT's (a dir sorting newer is a pre-swap crash
+      * orphan, not a readable version). The ≤-epoch pairing rule for
+      * coupled targets (q153's centroids↔assignments) reads off this.
+      */
+    def versions: Seq[String] = currentEpoch(root) match {
+      case None => Seq.empty
+      case Some(e) => listNames(root).filter(_.matches("v\\d+"))
+        .filter(v => epochOf(v) <= e).sortBy(epochOf)
+    }
+
     /** Keep the newest `keepLast` COMMITTED version dirs (CURRENT's own
       * always among them); delete strictly older ones whole (a reader on
       * any retained version is untouched). Version dirs newer than

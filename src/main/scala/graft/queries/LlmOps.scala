@@ -421,7 +421,12 @@ object LlmOps {
     * assign-everyone split of an appended index (q144), and with `TRUE`
     * it degenerates to the classic fit-and-assign (q72/q82).
     */
-  private def kmeansCtes(fitWhere: String): String = {
+  /** The `vecs` CTE body shared by every IVF oracle: the corpus as
+    * (vec_id, v DOUBLE[]). q153 swaps in the drift-fixture variant. */
+  private val rawVecSql: String =
+    "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings"
+
+  private def kmeansCtes(fitWhere: String, vecSql: String = rawVecSql): String = {
     // one Lloyd's round: argmin against centN → recompute exact-decimal
     // per-dim means as centN+1 (same expression tree as kmeansAssign)
     def round_(n: Int, prevCent: String): String =
@@ -441,12 +446,11 @@ object LlmOps {
          |  FROM assign$n a JOIN expl e ON a.vec_id = e.vec_id GROUP BY a.cell, e.pos),
          |cent$n AS (SELECT cell, list(cv ORDER BY pos) AS centroid FROM centd$n GROUP BY cell)""".stripMargin
     s"""WITH vecs AS (
-       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |  $vecSql),
        |fitvecs AS (SELECT * FROM vecs WHERE $fitWhere),
        |expl AS (
-       |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
-       |         CAST(unnest(embedding) AS DOUBLE) AS ev
-       |  FROM embeddings),
+       |  SELECT vec_id, generate_subscripts(v, 1) AS pos, unnest(v) AS ev
+       |  FROM vecs),
        |cent0 AS (
        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC) AS BIGINT) AS cell, v AS centroid
        |  FROM (SELECT vec_id, v FROM fitvecs ORDER BY vec_id ASC LIMIT 8)),
@@ -1276,6 +1280,127 @@ object LlmOps {
     */
   val q152Sql: String = q86Sql
 
+  /** Q153 — IVF INDEX REFIT: the RECOVERY verb that answers q151's
+    * trigger (build q142 / append q144 / evaluate q147 / compact q151 —
+    * this is act-on-refitDecision, [[Similarity.refitIndex]]). The
+    * fixture manufactures real DRIFT: the corpus carries cluster
+    * structure (a one-hot cluster tail appended to every embedding —
+    * portable list arithmetic the oracle replays exactly), the nightly
+    * base covers clusters {0,1} only, and two O(delta) appends bring
+    * clusters {2,3,4} the fitted quantizer has never seen. Cosine
+    * neighbors are now intra-cluster, but the old centroids cannot
+    * separate the new clusters — the measured recall of the served wave
+    * (q147's report, here over brute-force truth on the same corpus)
+    * falls far below the 0.8 floor and [[Similarity.refitDecision]]
+    * trips — `require`d, so a fixture that stops drifting fails the run.
+    * The REFIT then re-fits the quantizer on the CURRENT corpus, commits
+    * the new centroid table (hardened Rewrite, atomic swap) and the new
+    * assignments as a fresh cell-partitioned base
+    * ([[graft.ops.VersionedTarget.Segmented.rebase]] — the manifest
+    * drops all three drifted segments), vacuums the old index out of
+    * retention, and re-serves: recall is restored above the floor
+    * (`require`d) because the full-corpus fit discovers every cluster.
+    * Centroids↔assignments stay consistent through the two-target
+    * commit via the ≤-epoch pairing rule ([[Similarity.pairedCentroids]]).
+    *
+    * The oracle replays fit-on-current-corpus: the same augmented
+    * vectors through the same unrolled k-means and nprobe=2 wave — a
+    * refit that fit on the wrong slice, missed a committed row, or
+    * served stale centroids flips the hash.
+    */
+  def q153(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import graft.ops.VersionedTarget
+    val e = t(spark, dir, "embeddings").coalesce(8)
+    val aug = e.select($"vec_id", concat(Similarity.toDouble($"embedding"),
+        array((0 until 5).map(c =>
+          when(pmod($"vec_id", lit(5)) === c, lit(1.0)).otherwise(lit(0.0))): _*))
+      .as("embedding"))
+    val cluster = pmod($"vec_id", lit(5))
+    val out = PipelineOps.layoutDir(spark, dir, "ivfrefit")
+    val aroot = Paths.get(out, "assignments")
+    val croot = Paths.get(out, "centroids")
+    Seq(aroot, croot).foreach { r => // fresh targets per invocation
+      if (Files.exists(r)) VersionedTarget.rmTree(r.toFile)
+      Files.createDirectories(r): Unit
+    }
+    val assignT = VersionedTarget.Segmented(aroot, partitionCols = Seq("cell"))
+    val centT = VersionedTarget.Rewrite(croot)
+    // nightly build: quantizer fitted on the base clusters only
+    val (baseAssign, cent0) =
+      Similarity.kmeansFit(aug.filter(cluster.isin(0, 1)), "vec_id", "embedding",
+        k = 8, iters = 2)
+    try {
+      centT.commit(cent0, 0L)
+      assignT.commit(baseAssign, 0L)
+    } finally baseAssign.unpersist(): Unit
+    // drift: two O(delta) appends place the UNSEEN clusters into the old
+    // quantizer (map-side broadcast placement, the q144 path)
+    val oldCent = Similarity.pairedCentroids(spark, centT, 0L)
+      .getOrElse(sys.error("no committed centroid version"))
+    assignT.commit(
+      Similarity.assignToCentroids(aug.filter(cluster === 2), oldCent,
+        "vec_id", "embedding"), 1L)
+    assignT.commit(
+      Similarity.assignToCentroids(aug.filter(cluster.isin(3, 4)), oldCent,
+        "vec_id", "embedding"), 2L)
+    def wave(): DataFrame = {
+      val epoch = VersionedTarget.currentEpoch(aroot)
+        .getOrElse(sys.error("index target committed no version"))
+      val idxAssign = assignT.current(spark)
+        .getOrElse(sys.error("index target committed no version"))
+      val c = Similarity.pairedCentroids(spark, centT, epoch)
+        .getOrElse(sys.error(s"no centroid version paired with epoch $epoch"))
+      // k-bounded result (|probes|·k rows): materialise so nothing holds
+      // the old index scan open across the refit (q151's pattern)
+      val res = Similarity.ivfTopKProbed(aug, idxAssign, c,
+          "vec_id", "embedding", probeFilter = $"vec_id" < 20, k = 3, nprobe = 2)
+        .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(res.collect().toSeq, 1), res.schema)
+    }
+    val degraded = wave()
+    // brute-force truth once — the corpus does not change across a refit
+    val truthDf = Similarity.bruteForceTopK(
+        aug.filter($"vec_id" < 20), aug, "vec_id", "embedding", k = 3)
+      .select($"probe_id", $"cand_id")
+    val truth = spark.createDataFrame(
+      spark.sparkContext.parallelize(truthDf.collect().toSeq, 1), truthDf.schema)
+    def report(served: DataFrame): DataFrame = truth.select($"probe_id").distinct()
+      .join(truth.join(served.select($"probe_id", $"cand_id"),
+            Seq("probe_id", "cand_id"))
+          .groupBy($"probe_id").agg(count(lit(1)).as("n_hits")),
+        Seq("probe_id"), "left_outer")
+      .select($"probe_id", coalesce($"n_hits", lit(0L)).as("n_hits"))
+    require(Similarity.refitDecision(report(degraded), k = 3, minRecall = 0.8),
+      "drift fixture failed to trip the recall floor — nothing to recover")
+    // THE REFIT: re-fit on the current corpus, fresh base behind the
+    // pointer, old index retired by vacuum
+    Similarity.refitIndex(aug, "vec_id", "embedding", k = 8, iters = 2,
+      assignT, centT, batchId = 3L)
+    assignT.vacuum(1): Unit
+    centT.vacuum(1): Unit
+    require(VersionedTarget.currentVersion(aroot).contains("v3") &&
+        assignT.segmentsOf("v3") == Seq("seg3"),
+      "refit must serve from ONE fresh base segment")
+    val restored = wave()
+    require(!Similarity.refitDecision(report(restored), k = 3, minRecall = 0.8),
+      "refit did not restore recall above the floor")
+    restored
+  }
+
+  /** Fit-on-current-corpus over the drift fixture's augmented vectors. */
+  val q153Sql: String = probedTopKSql(kmeansCtes("TRUE",
+    """SELECT vec_id, list_concat(
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)),
+      |    [CASE WHEN vec_id % 5 = 0 THEN 1.0 ELSE 0.0 END,
+      |     CASE WHEN vec_id % 5 = 1 THEN 1.0 ELSE 0.0 END,
+      |     CASE WHEN vec_id % 5 = 2 THEN 1.0 ELSE 0.0 END,
+      |     CASE WHEN vec_id % 5 = 3 THEN 1.0 ELSE 0.0 END,
+      |     CASE WHEN vec_id % 5 = 4 THEN 1.0 ELSE 0.0 END]) AS v
+      |  FROM embeddings""".stripMargin))
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_exact_dedup" -> (q58 _),
     "q59_minhash_lsh" -> (q59 _),
@@ -1306,7 +1431,8 @@ object LlmOps {
     "q144_ann_ivf_append" -> (q144 _),
     "q147_ann_recall_report" -> (q147 _),
     "q151_ann_index_maintain" -> (q151 _),
-    "q152_sql_text_dedup" -> (q152 _))
+    "q152_sql_text_dedup" -> (q152 _),
+    "q153_ann_index_refit" -> (q153 _))
 
   def oracles: Map[String, String] = Map(
     "q58_exact_dedup" -> q58Sql,
@@ -1338,5 +1464,6 @@ object LlmOps {
     "q144_ann_ivf_append" -> q144Sql,
     "q147_ann_recall_report" -> q147Sql,
     "q151_ann_index_maintain" -> q151Sql,
-    "q152_sql_text_dedup" -> q152Sql)
+    "q152_sql_text_dedup" -> q152Sql,
+    "q153_ann_index_refit" -> q153Sql)
 }

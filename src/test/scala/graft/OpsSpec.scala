@@ -744,6 +744,74 @@ class OpsSpec extends SparkSpec {
     }: Unit
   }
 
+  test("IVF index refit: the recovery verb restores recall above the floor, " +
+      "serves ONE fresh base, and the ≤-epoch pairing keeps the crash window " +
+      "consistent") {
+    import java.nio.file.Files
+    import graft.ops.VersionedTarget
+    val e = graft.core.Tables.t(spark, sfDir, "embeddings").coalesce(4)
+    // q153's drift fixture: clustered corpus, quantizer fit on clusters
+    // {0,1} only, appends bring the unseen clusters
+    val aug = e.select($"vec_id", concat(Similarity.toDouble($"embedding"),
+        array((0 until 5).map(c =>
+          when(pmod($"vec_id", lit(5)) === c, lit(1.0)).otherwise(lit(0.0))): _*))
+      .as("embedding"))
+    val cluster = pmod($"vec_id", lit(5))
+    val aroot = Files.createTempDirectory("graft_ivf_refit_a")
+    val croot = Files.createTempDirectory("graft_ivf_refit_c")
+    val assignT = VersionedTarget.Segmented(aroot, partitionCols = Seq("cell"))
+    val centT = VersionedTarget.Rewrite(croot)
+    val (baseAssign, cent0) = Similarity.kmeansFit(
+      aug.filter(cluster.isin(0, 1)), "vec_id", "embedding", k = 8, iters = 2)
+    try {
+      centT.commit(cent0, 0L)
+      assignT.commit(baseAssign, 0L)
+    } finally baseAssign.unpersist(): Unit
+    val oldCent = Similarity.pairedCentroids(spark, centT, 0L).get
+    assignT.commit(Similarity.assignToCentroids(
+      aug.filter(cluster.isin(2, 3, 4)), oldCent, "vec_id", "embedding"), 1L)
+    def recallOf(): Double = {
+      val epoch = VersionedTarget.currentEpoch(aroot).get
+      val c = Similarity.pairedCentroids(spark, centT, epoch).get
+      val served = Similarity.ivfTopKProbed(aug, assignT.current(spark).get, c,
+          "vec_id", "embedding", probeFilter = $"vec_id" < 20, k = 3, nprobe = 2)
+        .select($"probe_id", $"cand_id")
+      val truth = Similarity.bruteForceTopK(
+          aug.filter($"vec_id" < 20), aug, "vec_id", "embedding", k = 3)
+        .select($"probe_id", $"cand_id")
+      val probes = truth.select($"probe_id").distinct().count()
+      truth.join(served, Seq("probe_id", "cand_id")).count().toDouble /
+        (probes * 3)
+    }
+    val degraded = recallOf()
+    assert(degraded < 0.8,
+      s"drift fixture must degrade recall below the floor, got $degraded")
+    // crash-window invariant: centroids commit FIRST; until the rebase
+    // lands, the assignment epoch (1) pairs with the OLD centroid
+    // version v0 — never the new v2
+    centT.commit(Similarity.kmeansFit(aug, "vec_id", "embedding", 8, 2) match {
+      case (a, c) => try c finally a.unpersist()
+    }, 2L)
+    assert(VersionedTarget.currentVersion(croot).contains("v2"))
+    val pairedMid = Similarity.pairedCentroids(spark, centT, 1L).get
+    assert(pairedMid.collect().toSet == oldCent.collect().toSet,
+      "mid-refit pairing must still serve the OLD quantizer")
+    VersionedTarget.rmTree(croot.resolve("v2").toFile) // roll the window back
+    Files.write(croot.resolve("CURRENT"), "v0".getBytes("UTF-8")): Unit
+    // the full verb: refit on the current corpus, fresh base, retire old
+    Similarity.refitIndex(aug, "vec_id", "embedding", k = 8, iters = 2,
+      assignT, centT, batchId = 2L)
+    assignT.vacuum(1): Unit
+    centT.vacuum(1): Unit
+    assert(VersionedTarget.currentVersion(aroot).contains("v2") &&
+      assignT.segmentsOf("v2") == Seq("seg2"),
+      "refit must rebase to ONE fresh cell-partitioned segment")
+    assert(centT.versions == Seq("v2"), "old centroid versions must be retired")
+    val restored = recallOf()
+    assert(restored >= 0.8,
+      s"refit must restore recall to the floor: $degraded -> $restored")
+  }
+
   test("Components releases every cache it creates (job-server hygiene)") {
     import org.apache.spark.sql.graft.CacheProbe
     spark.catalog.clearCache()
