@@ -260,7 +260,9 @@ object ExportOps {
     * interleave shards to reconstruct a uniform shuffled order. The
     * manifest is computed FROM the exported files and carries an
     * ORDER-SENSITIVE checksum per shard (Σ rankₖ·doc_id over the
-    * within-shard key order): two engines agree on it only if they agree
+    * PHYSICAL within-shard row order, `_metadata` file/row-index — the
+    * oracle ranks by the rule, so a scrambled on-disk order fails the
+    * hash, not just a spec): two engines agree on it only if they agree
     * on every position of every shard — the property "the shuffle is
     * deterministic and portable" stated as one BIGINT per shard.
     *
@@ -284,14 +286,22 @@ object ExportOps {
     // and files carry the shuffle order physically.
     keyed.repartition($"shard").sortWithinPartitions($"shard", $"k")
       .write.mode("overwrite").partitionBy("shard").parquet(s"$out/shards")
+    // the manifest rank is the PHYSICAL row position in the exported
+    // files (parquet `_metadata` file name + row index, q150's pattern),
+    // NOT a re-sort by the shuffle key: a writer that scrambled the
+    // on-disk order would produce a different Σ rankₖ·doc_id than the
+    // oracle (which ranks by the rule) and fail the hash — the claim
+    // "files carry the shuffle order physically" is itself oracle-guarded
     val back = spark.read.parquet(s"$out/shards")
-    val w = Window.partitionBy($"shard").orderBy($"k")
+      .select(col("*"), col("_metadata.file_name").as("phys_file"),
+        col("_metadata.row_index").as("phys_row"))
+    val w = Window.partitionBy($"shard").orderBy($"phys_file".asc, $"phys_row".asc)
     back.withColumn("rn", row_number().over(w))
       .groupBy($"shard".cast(LongType).as("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum($"rn".cast(LongType) * $"doc_id").cast(LongType).as("ord_checksum"),
-        min_by($"doc_id", $"k").as("first_doc"),
-        max_by($"doc_id", $"k").as("last_doc"))
+        min_by($"doc_id", $"rn").as("first_doc"),
+        max_by($"doc_id", $"rn").as("last_doc"))
       .orderBy($"shard".asc_nulls_first)
   }
 

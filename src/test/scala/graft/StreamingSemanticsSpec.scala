@@ -582,6 +582,89 @@ class StreamingSemanticsSpec extends SparkSpec {
     assert(rolled == direct, s"rollup diverged after in-batch folds: $rolled")
   }
 
+  test("REAL RESTART: a crash between the target commit and the checkpoint " +
+      "commit heals via a FRESH-JVM resume from the same checkpoint — WAL " +
+      "redelivery + the target's epoch guard converge exactly-once") {
+    import scala.jdk.CollectionConverters._
+    import java.nio.file.Paths
+    import graft.queries.StreamingQueries
+    val dir = Files.createTempDirectory("graft_restart").toString
+    val dataDir = s"$dir/data"
+    val ckpt = s"$dir/ckpt"
+    val rootP = Paths.get(s"$dir/target")
+    Files.createDirectories(rootP): Unit
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta"
+    val uniqA = "completely different words about spark engines here"
+    val uniqB = "another entirely unrelated document about parquet files"
+    def docsDF(rows: Seq[(Long, String)]) =
+      rows.map { case (id, txt) => (id, txt, "en", txt.length.toLong) }
+        .toDF("doc_id", "text", "lang", "n_chars")
+    val corpus = docsDF(Seq(
+      1L -> dupText, 2L -> dupText, 10L -> uniqA, 20L -> dupText, 30L -> uniqB))
+    corpus.coalesce(1).write.parquet(s"$dir/corpus")
+    val index = StreamingQueries.neardupIndex(spark.read.parquet(s"$dir/corpus"))
+    val merge = StreamingQueries.dedupMergeFn(index, rootP)
+    def runCrashing(crashAt: Long): Option[Throwable] = {
+      val q = spark.readStream.schema(corpus.schema).parquet(dataDir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          merge(StreamingQueries.bandedDocs(b), id)
+          // the exactly-once window: the target is durable, the
+          // streaming commit log is not — the classic crash point
+          if (id == crashAt) throw new RuntimeException("injected post-commit crash")
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      try { q.awaitTermination(); None }
+      catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException => Some(e)
+      }
+    }
+    def survivors: Set[Long] =
+      StreamingQueries.dedupCurrent(spark, rootP).get
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+    // batch 0 lands clean
+    docsDF(Seq(1L -> dupText, 2L -> dupText, 10L -> uniqA))
+      .coalesce(1).write.mode("append").parquet(dataDir)
+    assert(runCrashing(-1L).isEmpty, "batch 0 must complete")
+    assert(survivors == Set(1L, 10L))
+    Thread.sleep(1100) // distinct source-file mtimes → a second batch
+    docsDF(Seq(20L -> dupText, 30L -> uniqB))
+      .coalesce(1).write.mode("append").parquet(dataDir)
+    val crash = runCrashing(1L)
+    assert(crash.isDefined, "batch 1 must crash after its target commit")
+    // the window is real: the target holds batch 1 (epoch 1), the
+    // streaming commit log does not
+    assert(graft.ops.VersionedTarget.currentEpoch(rootP).contains(1L),
+      "target commit must be durable before the crash")
+    assert(!Files.exists(Paths.get(ckpt, "commits", "1")),
+      "checkpoint must NOT have committed batch 1")
+    // FRESH JVM resumes from the same checkpoint dir: the offsets WAL
+    // redelivers batch 1 with the same files, the epoch guard skips the
+    // re-merge, the commit log converges
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+    val addOpens = jvmArgs.filter(_.contains("--add-opens=")) ++
+      jvmArgs.zip(jvmArgs.drop(1))
+        .collect { case ("--add-opens", v) => Seq("--add-opens", v) }.flatten
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq("-Xmx2g",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.tools.DedupResume", dataDir, ckpt, rootP.toString, s"$dir/corpus")
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val outLines = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    assert(proc.waitFor(180, java.util.concurrent.TimeUnit.SECONDS) &&
+      proc.exitValue() == 0 && outLines.contains("RESUMED_OK"),
+      s"fresh-JVM resume failed:\n$outLines")
+    assert(Files.exists(Paths.get(ckpt, "commits", "1")),
+      "resumed query must commit batch 1 in the checkpoint")
+    // exactly-once: 20 dropped (dups doc 1), 30 kept ONCE, nothing doubled
+    assert(survivors == Set(1L, 10L, 30L), s"converged survivors wrong: $survivors")
+    val all = StreamingQueries.dedupCurrent(spark, rootP).get.collect()
+    assert(all.length == 3, s"redelivered batch duplicated rows: ${all.toSeq}")
+  }
+
   test("q73 fixture guard: no view window end coincides with the final watermark") {
     // The q73 oracle closes windows with `view_ts + 5min <= cut`; Spark's
     // symmetric hash join evicts with strict-inequality/ms adjustments

@@ -653,6 +653,77 @@ class VersionedTargetSpec extends SparkSpec {
       s"partitioned type change must fail loudly, got: ${e.getMessage}")
   }
 
+  test("cross-PROCESS stress: a second JVM commits real batches while this " +
+      "JVM compacts and vacuums — the final manifest is the union of both") {
+    // LockHold proves the lock BLOCKS; this drives the subtle paths —
+    // reconcile (a fold racing the child's commits must carry them) and
+    // the marker protocol — under real two-process schedules.
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("graft_vt_storm")
+    val t = VersionedTarget.Segmented(root)
+    (0L to 2L).foreach(b => t.commit(df(b * 10L, b * 10L + 1L), b))
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    // forward this test JVM's --add-opens set (Spark 4 on JDK 17 needs it)
+    val addOpens = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.filter(_.contains("--add-opens=")).toSeq ++ {
+      val args = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.toSeq
+      args.zip(args.drop(1)).collect { case ("--add-opens", v) => Seq("--add-opens", v) }
+        .flatten
+    }
+    val childBatches = 3L to 8L
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq("-Xmx2g",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.tools.CommitStorm", root.toString,
+      childBatches.head.toString, childBatches.size.toString)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream))
+    // drain the child's output on a thread (a full pipe buffer would
+    // deadlock the child) while watching for READY / COMMITTED lines
+    @volatile var ready = false
+    @volatile var committed = 0
+    val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val drain = new Thread(() => {
+      var l = out.readLine()
+      while (l != null) {
+        if (l == "READY") ready = true
+        if (l.startsWith("COMMITTED")) committed += 1
+        lines.add(l)
+        l = out.readLine()
+      }
+    })
+    drain.setDaemon(true)
+    drain.start()
+    val t0 = System.nanoTime()
+    while (!ready && (System.nanoTime() - t0) < 120e9) Thread.sleep(100)
+    assert(ready, s"CommitStorm never came up:\n${lines.asScala.mkString("\n")}")
+    // maintenance cadence in THIS JVM while the child commits over there
+    var folds = 0
+    while (proc.isAlive) {
+      if (t.compact(spark).isDefined) folds += 1
+      t.vacuum(2): Unit
+      Thread.sleep(50)
+    }
+    assert(proc.waitFor(60, java.util.concurrent.TimeUnit.SECONDS) &&
+      proc.exitValue() == 0,
+      s"CommitStorm failed:\n${lines.asScala.mkString("\n")}")
+    assert(committed == childBatches.size,
+      s"child committed $committed of ${childBatches.size}")
+    // one more fold after the dust settles, then the invariant
+    t.compact(spark): Unit
+    t.vacuum(1): Unit
+    val expected = ((0L to 2L) ++ childBatches)
+      .flatMap(b => Seq(b * 10L, b * 10L + 1L)).toSet
+    val got = t.current(spark).get.select($"id").collect().map(_.getLong(0)).toSet
+    assert(got == expected,
+      s"after $folds cross-process folds: read $got but committed $expected")
+    assert(VersionedTarget.currentEpoch(root).contains(childBatches.last),
+      "epoch must track the child's newest commit")
+  }
+
   test("vacuum refuses keepLast < 1 (would delete CURRENT's own version)") {
     val root = Files.createTempDirectory("graft_vt_guard")
     val t = VersionedTarget.Segmented(root)
