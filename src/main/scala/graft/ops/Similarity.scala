@@ -281,23 +281,41 @@ object Similarity {
     * consistency: centroids commit first; a crash between the two
     * commits leaves the assignment epoch below `batchId`, so serving
     * pairs the OLD centroid version with the OLD assignments (fully
-    * consistent) until the redelivered refit completes — the centroid
-    * re-commit is skipped when already durable, making the verb
-    * idempotent under crash-redelivery. O(corpus) by nature — the same
-    * cost as the original build, paid only when the recall SLO demands
-    * it; at 100 TB this is the scheduled-maintenance path, never the
-    * per-batch one.
+    * consistent) until the redelivered refit completes. The verb is
+    * idempotent under crash-redelivery at every point: fully durable →
+    * no-op (no wasted fit, no epoch-guard throw); centroids durable but
+    * assignments not → the corpus is PLACED into the committed
+    * centroids (never paired with a fresh fit's different quantizer);
+    * neither durable → the full fit re-runs. O(corpus) by nature — the
+    * same cost as the original build, paid only when the recall SLO
+    * demands it; at 100 TB this is the scheduled-maintenance path,
+    * never the per-batch one.
     */
   def refitIndex(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int,
       assignTarget: graft.ops.VersionedTarget.Segmented,
       centTarget: graft.ops.VersionedTarget.Rewrite,
       batchId: Long): Unit = {
-    val (assign, cent) = kmeansFit(corpus, idCol, vecCol, k, iters)
-    try {
-      if (!centTarget.committed(batchId)) centTarget.commit(cent, batchId)
-      assignTarget.rebase(assign, batchId)
-    } finally assign.unpersist(): Unit
+    // fully-durable redelivery (crash AFTER both commits): no-op — the
+    // epoch guard would otherwise throw from the rebase after paying the
+    // whole O(corpus) fit. An epoch PAST batchId means a newer refit or
+    // append superseded this one; skipping is equally right there.
+    if (graft.ops.VersionedTarget.appliedAtOrAfter(assignTarget.root, batchId)) return
+    if (centTarget.committed(batchId)) {
+      // crash BETWEEN the two commits: the quantizer is already durable.
+      // PLACE the current corpus into the COMMITTED centroids instead of
+      // re-fitting — pairing a fresh fit's assignments with the old
+      // centroid version would silently serve a mismatched quantizer if
+      // the corpus moved between attempts.
+      val cent = centTarget.read(corpus.sparkSession, s"v$batchId")
+      assignTarget.rebase(assignToCentroids(corpus, cent, idCol, vecCol), batchId)
+    } else {
+      val (assign, cent) = kmeansFit(corpus, idCol, vecCol, k, iters)
+      try {
+        centTarget.commit(cent, batchId)
+        assignTarget.rebase(assign, batchId)
+      } finally assign.unpersist(): Unit
+    }
   }
 
   /** The centroid version PAIRED with a served assignment epoch: the

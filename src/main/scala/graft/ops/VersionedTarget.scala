@@ -303,18 +303,23 @@ object VersionedTarget {
         // enforce ADDITIVE-ONLY here too: unionByName alone would silently
         // widen a changed column type (bigint→double) instead of failing
         // like the unpartitioned mergeSchema path — a type change is a
-        // rewrite, not an append, and must fail loudly on both paths
+        // rewrite, not an append, and must fail loudly on both paths.
+        // Partition columns are exempt: their type is INFERRED per
+        // segment from directory names (a later segment whose values
+        // outgrow Int infers Long with no stored type having changed),
+        // so comparing them would fail legitimate appends.
         val seen = scala.collection.mutable.Map
           .empty[String, org.apache.spark.sql.types.DataType]
         frames.zip(segs).foreach { case (f, sg) =>
-          f.schema.fields.foreach { fd =>
-            seen.get(fd.name).foreach { t =>
-              if (t != fd.dataType) throw new IllegalStateException(
-                s"segment $sg changes column ${fd.name}: $t -> ${fd.dataType}" +
-                  " — a type change is a rewrite, not an append")
+          f.schema.fields.filterNot(fd => partitionCols.contains(fd.name))
+            .foreach { fd =>
+              seen.get(fd.name).foreach { t =>
+                if (t != fd.dataType) throw new IllegalStateException(
+                  s"segment $sg changes column ${fd.name}: $t -> ${fd.dataType}" +
+                    " — a type change is a rewrite, not an append")
+              }
+              seen.update(fd.name, fd.dataType)
             }
-            seen.update(fd.name, fd.dataType)
-          }
         }
         frames.reduce(_.unionByName(_, allowMissingColumns = true))
       }
@@ -540,16 +545,18 @@ object VersionedTarget {
       * `inflightTtlMs`) or no marker at all is a crash orphan — swept,
       * marker included. The delete-set DECISION runs under the pointer
       * lock (manifest reads + bytes-sized deletes only), so it can never
-      * interleave with a writer's manifest+swap; the segment DATA
-      * deletion happens after release — safe, because a dropped segment
-      * is unreferenced by every retained manifest and compaction only
-      * ever folds segments of CURRENT (which is retained).
-      * Returns deleted names.
+      * interleave with a writer's manifest+swap; RETIRED segment data
+      * (batch id at-or-below CURRENT's epoch — a name the commit epoch
+      * guard can never re-create) is deleted after release, while
+      * FUTURE-epoch crash orphans — the one shape a redelivery CAN
+      * re-create under the same name — are deleted inside the lock so
+      * the sweep cannot land after that redelivery's publish rename.
+      * Returns deleted names (manifests, segments, staging dirs).
       */
     def vacuum(keepLast: Int,
         inflightTtlMs: Long = DefaultInflightTtlMs): Seq[String] = {
       require(keepLast >= 1, "must retain at least the current version")
-      val (dropManifests, dropSegs, dropTmps) = withPointerLock(root) {
+      val (dropManifests, retiredSegs, dropTmps, futureSegs) = withPointerLock(root) {
         val names = listNames(root)
         val manifests = names
           .filter(n => n.matches("v\\d+(c\\d+)?")).sortBy(sortKeyOf)
@@ -590,10 +597,24 @@ object VersionedTarget {
           (System.currentTimeMillis() -
             Files.getLastModifiedTime(root.resolve(tn)).toMillis) >= inflightTtlMs
         }
-        (drops, segs, tmps)
+        // a FUTURE-epoch orphan (pre-swap crash, batch id above CURRENT's
+        // epoch) is the one segment shape a REDELIVERY can re-create
+        // under this same name — its data deletion must happen inside
+        // the lock, or a sweep decided before the redelivery's fresh
+        // marker could land after its publish rename and delete a live,
+        // manifest-referenced segment. Retired segments (at-or-below the
+        // epoch) can never be re-created (the commit epoch guard), so
+        // their O(data) deletion safely runs after release.
+        val curEpoch = cur.map(epochOf)
+        val (future, retired) = segs.partition { sg =>
+          val e = "^seg(\\d+)".r.findFirstMatchIn(sg).map(_.group(1).toLong)
+          curEpoch.isEmpty || e.exists(x => curEpoch.exists(x > _))
+        }
+        future.foreach(sg => rmTree(root.resolve(sg).toFile))
+        (drops, retired, tmps, future)
       }
-      (dropSegs ++ dropTmps).foreach(sg => rmTree(root.resolve(sg).toFile))
-      dropManifests ++ dropSegs
+      (retiredSegs ++ dropTmps).foreach(sg => rmTree(root.resolve(sg).toFile))
+      dropManifests ++ futureSegs ++ retiredSegs ++ dropTmps
     }
   }
 
@@ -680,9 +701,9 @@ object VersionedTarget {
         val orphans = newer.filter(stale)
         // bounded crash debris — deleted under the lock by design
         orphans.foreach(v => rmTree(root.resolve(v).toFile))
-        names.filter(_.startsWith(".vtmp-")).filter(stale)
-          .foreach(tn => rmTree(root.resolve(tn).toFile))
-        (committed.dropRight(keepLast), orphans)
+        val tmps = names.filter(_.startsWith(".vtmp-")).filter(stale)
+        tmps.foreach(tn => rmTree(root.resolve(tn).toFile))
+        (committed.dropRight(keepLast), orphans ++ tmps)
       }
       // old committed versions can never be re-created (the epoch guard
       // forbids re-committing an old batch id), so their data deletion

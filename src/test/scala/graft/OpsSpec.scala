@@ -767,7 +767,11 @@ class OpsSpec extends SparkSpec {
       centT.commit(cent0, 0L)
       assignT.commit(baseAssign, 0L)
     } finally baseAssign.unpersist(): Unit
-    val oldCent = Similarity.pairedCentroids(spark, centT, 0L).get
+    // materialised locally: the lazy read of v0 would break once the
+    // refit's vacuum retires that version below
+    val oldCentSrc = Similarity.pairedCentroids(spark, centT, 0L).get
+    val oldCent = spark.createDataFrame(
+      spark.sparkContext.parallelize(oldCentSrc.collect().toSeq, 1), oldCentSrc.schema)
     assignT.commit(Similarity.assignToCentroids(
       aug.filter(cluster.isin(2, 3, 4)), oldCent, "vec_id", "embedding"), 1L)
     def recallOf(): Double = {
@@ -810,6 +814,29 @@ class OpsSpec extends SparkSpec {
     val restored = recallOf()
     assert(restored >= 0.8,
       s"refit must restore recall to the floor: $degraded -> $restored")
+    // idempotency: redelivering the COMPLETED refit is a no-op — no
+    // epoch-guard throw, no wasted O(corpus) fit, pointer untouched
+    Similarity.refitIndex(aug, "vec_id", "embedding", k = 8, iters = 2,
+      assignT, centT, batchId = 2L)
+    assert(VersionedTarget.currentVersion(aroot).contains("v2") &&
+      centT.versions == Seq("v2"),
+      "fully-durable refit redelivery must be a no-op")
+    // crash-BETWEEN-commits redelivery: the DURABLE quantizer wins — the
+    // corpus is PLACED into the committed centroids, never paired with a
+    // fresh fit's different quantizer
+    centT.commit(oldCent, 3L) // a different (base-fit) quantizer is durable
+    Similarity.refitIndex(aug, "vec_id", "embedding", k = 8, iters = 2,
+      assignT, centT, batchId = 3L)
+    val placed = Similarity.assignToCentroids(aug, oldCent, "vec_id", "embedding")
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)).toSet
+    val got = assignT.current(spark).get.select($"vec_id", $"cell")
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)).toSet
+    assert(got == placed,
+      "mid-window redelivery must place into the committed centroids")
+    assert(VersionedTarget.currentVersion(aroot).contains("v3") &&
+      assignT.segmentsOf("v3") == Seq("seg3"))
   }
 
   test("Components releases every cache it creates (job-server hygiene)") {

@@ -641,15 +641,8 @@ class StreamingSemanticsSpec extends SparkSpec {
     // FRESH JVM resumes from the same checkpoint dir: the offsets WAL
     // redelivers batch 1 with the same files, the epoch guard skips the
     // re-merge, the commit log converges
-    val javaBin = System.getProperty("java.home") + "/bin/java"
-    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
-      .getInputArguments.asScala.toSeq
-    val addOpens = jvmArgs.filter(_.contains("--add-opens=")) ++
-      jvmArgs.zip(jvmArgs.drop(1))
-        .collect { case ("--add-opens", v) => Seq("--add-opens", v) }.flatten
-    val cmd = Seq(javaBin) ++ addOpens ++ Seq("-Xmx2g",
-      "-cp", System.getProperty("java.class.path"),
-      "graft.tools.DedupResume", dataDir, ckpt, rootP.toString, s"$dir/corpus")
+    val cmd = childJvmCmd("graft.tools.DedupResume",
+      Seq(dataDir, ckpt, rootP.toString, s"$dir/corpus"))
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(true)
     val proc = pb.start()

@@ -662,20 +662,9 @@ class VersionedTargetSpec extends SparkSpec {
     val root = Files.createTempDirectory("graft_vt_storm")
     val t = VersionedTarget.Segmented(root)
     (0L to 2L).foreach(b => t.commit(df(b * 10L, b * 10L + 1L), b))
-    val javaBin = System.getProperty("java.home") + "/bin/java"
-    // forward this test JVM's --add-opens set (Spark 4 on JDK 17 needs it)
-    val addOpens = java.lang.management.ManagementFactory.getRuntimeMXBean
-      .getInputArguments.asScala.filter(_.contains("--add-opens=")).toSeq ++ {
-      val args = java.lang.management.ManagementFactory.getRuntimeMXBean
-        .getInputArguments.asScala.toSeq
-      args.zip(args.drop(1)).collect { case ("--add-opens", v) => Seq("--add-opens", v) }
-        .flatten
-    }
     val childBatches = 3L to 8L
-    val cmd = Seq(javaBin) ++ addOpens ++ Seq("-Xmx2g",
-      "-cp", System.getProperty("java.class.path"),
-      "graft.tools.CommitStorm", root.toString,
-      childBatches.head.toString, childBatches.size.toString)
+    val cmd = childJvmCmd("graft.tools.CommitStorm", Seq(root.toString,
+      childBatches.head.toString, childBatches.size.toString))
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(true)
     val proc = pb.start()
@@ -710,6 +699,9 @@ class VersionedTargetSpec extends SparkSpec {
     assert(proc.waitFor(60, java.util.concurrent.TimeUnit.SECONDS) &&
       proc.exitValue() == 0,
       s"CommitStorm failed:\n${lines.asScala.mkString("\n")}")
+    // the drain thread may still be consuming the pipe's final buffered
+    // lines after child exit — join it before reading its counter
+    drain.join(10000)
     assert(committed == childBatches.size,
       s"child committed $committed of ${childBatches.size}")
     // one more fold after the dust settles, then the invariant
