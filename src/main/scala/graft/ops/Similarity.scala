@@ -277,11 +277,14 @@ object Similarity {
     * vacuums them out of retention.
     *
     * Two targets cannot swap in one transaction, so the commit ORDER +
-    * the ≤-epoch PAIRING rule ([[pairedCentroids]]) carry the
-    * consistency: centroids commit first; a crash between the two
-    * commits leaves the assignment epoch below `batchId`, so serving
-    * pairs the OLD centroid version with the OLD assignments (fully
-    * consistent) until the redelivered refit completes. The verb is
+    * the manifest TAG ([[pairedCentroids]]) carry the consistency:
+    * centroids commit first, and the rebase stamps `v<batchId>` as the
+    * assignment manifest's quantizer tag IN the same pointer swap that
+    * publishes the new base — so a crash between the two commits leaves
+    * the OLD manifest (old tag, old assignments: fully consistent)
+    * serving until the redelivered refit completes, and an extra
+    * centroid version with no manifest pointing at it is inert debris,
+    * never silently paired. The verb is
     * idempotent under crash-redelivery at every point: fully durable →
     * no-op (no wasted fit, no epoch-guard throw); centroids durable but
     * assignments not → the corpus is PLACED into the committed
@@ -301,6 +304,7 @@ object Similarity {
     // whole O(corpus) fit. An epoch PAST batchId means a newer refit or
     // append superseded this one; skipping is equally right there.
     if (graft.ops.VersionedTarget.appliedAtOrAfter(assignTarget.root, batchId)) return
+    val tag = Some(s"v$batchId") // the rebase stamps its quantizer pairing
     if (centTarget.committed(batchId)) {
       // crash BETWEEN the two commits: the quantizer is already durable.
       // PLACE the current corpus into the COMMITTED centroids instead of
@@ -308,24 +312,96 @@ object Similarity {
       // centroid version would silently serve a mismatched quantizer if
       // the corpus moved between attempts.
       val cent = centTarget.read(corpus.sparkSession, s"v$batchId")
-      assignTarget.rebase(assignToCentroids(corpus, cent, idCol, vecCol), batchId)
+      assignTarget.rebase(assignToCentroids(corpus, cent, idCol, vecCol),
+        batchId, tag)
     } else {
       val (assign, cent) = kmeansFit(corpus, idCol, vecCol, k, iters)
       try {
         centTarget.commit(cent, batchId)
-        assignTarget.rebase(assign, batchId)
+        assignTarget.rebase(assign, batchId, tag)
       } finally assign.unpersist(): Unit
     }
   }
 
-  /** The centroid version PAIRED with a served assignment epoch: the
-    * newest committed centroid version at-or-below it. Builds and refits
-    * commit centroids and assignments at the SAME batch id, while
-    * O(delta) appends advance only the assignment epoch — so the pairing
-    * is exactly "the quantizer those assignments were placed into", and
-    * it stays correct across the refit's two-target commit window.
+  /** APPEND — the O(delta) verb of the persisted-IVF lifecycle, made
+    * REFIT-SAFE: place `delta` into the quantizer the index currently
+    * serves ([[pairedCentroids]] at the live assignment epoch — a
+    * broadcast k-row map-side argmin, no refit, no shuffle) and commit
+    * the placements as a new segment at `batchId`.
+    *
+    * The race this closes: placement reads the centroid table OUTSIDE
+    * any lock, so a concurrent [[refitIndex]] can land its rebase
+    * between the placement and the commit — the committed segment would
+    * then carry OLD-quantizer cells on top of the NEW base, and every
+    * probe ranking cells by the new centroids would silently miss those
+    * vectors (the epoch guard alone only makes the REVERSE order loud:
+    * a rebase under an already-advanced epoch throws). The commit
+    * therefore re-validates INSIDE the pointer transaction that the
+    * centroid version `batchId` will pair with is still the one the
+    * placement used, aborts cleanly otherwise (nothing published), and
+    * re-places against the new quantizer — bounded retries, since each
+    * abort means a refit won the race and refits are rare by the SLO.
+    */
+  def appendToIndex(delta: DataFrame, idCol: String, vecCol: String,
+      assignTarget: graft.ops.VersionedTarget.Segmented,
+      centTarget: graft.ops.VersionedTarget.Rewrite,
+      batchId: Long, maxAttempts: Int = 3,
+      onPlaced: () => Unit = () => ()): Unit = {
+    val s = delta.sparkSession
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      val placedWith = assignTarget.currentTag
+        .getOrElse(sys.error("index target carries no quantizer tag — " +
+          "build it with commit(tag = Some(<centroid version>))"))
+      val placed = assignToCentroids(delta, centTarget.read(s, placedWith),
+        idCol, vecCol)
+      onPlaced() // test seam: the refit-race window lives right here
+      try {
+        // commit INHERITS the manifest tag; the hook re-reads it inside
+        // the pointer transaction — if a refit's rebase moved it since
+        // placement, abort (nothing published) and re-place
+        assignTarget.commit(placed, batchId, beforeSwap = () => {
+          val now = assignTarget.currentTag
+          if (!now.contains(placedWith)) throw new IllegalStateException(
+            s"append v$batchId placed against $placedWith but the index now " +
+              s"serves $now — a refit raced this append")
+        })
+        done = true
+      } catch {
+        case e: IllegalStateException if e.getMessage.contains("raced this append")
+            && attempt < maxAttempts => // re-place against the new quantizer
+      }
+    }
+  }
+
+  /** The quantizer the index CURRENTLY serves: read from the assignment
+    * target's own manifest TAG — the centroid version stamped by the
+    * build/refit that produced (and every append that inherited) the
+    * served assignments, transactional with the very pointer swap that
+    * published them. No cross-target inference: whatever interleaving of
+    * appends and refits (or crash between a refit's two commits) landed
+    * this manifest, the tag names exactly the quantizer its rows were
+    * placed with. Untagged (legacy) targets fall back to the ≤-epoch
+    * rule ([[pairedCentroidsByEpoch]]).
     */
   def pairedCentroids(s: org.apache.spark.sql.SparkSession,
+      assignTarget: graft.ops.VersionedTarget.Segmented,
+      centTarget: graft.ops.VersionedTarget.Rewrite): Option[DataFrame] =
+    assignTarget.currentTag match {
+      case Some(v) => Some(centTarget.read(s, v))
+      case None => graft.ops.VersionedTarget.currentEpoch(assignTarget.root)
+        .flatMap(pairedCentroidsByEpoch(s, centTarget, _))
+    }
+
+  /** Fallback pairing for untagged targets: the newest committed
+    * centroid version at-or-below the assignment epoch. Correct while
+    * builds/refits commit centroids and assignments at the SAME batch id
+    * and nothing races — the manifest tag ([[pairedCentroids]]) is the
+    * transactional version of this rule and what tagged targets use.
+    */
+  def pairedCentroidsByEpoch(s: org.apache.spark.sql.SparkSession,
       centTarget: graft.ops.VersionedTarget.Rewrite,
       assignEpoch: Long): Option[DataFrame] =
     centTarget.versions

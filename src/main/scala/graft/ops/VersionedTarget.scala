@@ -260,18 +260,46 @@ object VersionedTarget {
       */
     def committed(batchId: Long): Boolean = VersionedTarget.committed(root, batchId)
 
-    /** Segment dir names listed by manifest `version` (commit order). */
+    /** Segment dir names listed by manifest `version` (commit order).
+      * `#`-prefixed lines are manifest METADATA ([[tagOf]]), not segments.
+      */
     def segmentsOf(version: String): Seq[String] = {
       val m = root.resolve(version)
       if (Files.exists(m))
         new String(Files.readAllBytes(m), "UTF-8").linesIterator
-          .map(_.trim).filter(_.nonEmpty).toSeq
+          .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
       else Seq.empty
     }
 
-    private def writeManifest(version: String, segments: Seq[String]): Unit = {
+    /** The manifest TAG of `version` — an opaque caller-owned string
+      * (`#tag=…` header line) that rides every pointer transaction:
+      * [[commit]] INHERITS the previous manifest's tag by default (or
+      * replaces it), [[rebase]] sets a fresh one, [[compact]] carries it
+      * through the fold. Because the manifest+swap is the target's one
+      * atomic transaction, the tag is how a COUPLED companion target is
+      * paired transactionally — the IVF index stamps the centroid
+      * version its assignments were placed with, so serving reads the
+      * quantizer from the very manifest it resolves segments from (no
+      * cross-target inference, no epoch heuristics).
+      */
+    def tagOf(version: String): Option[String] = {
+      val m = root.resolve(version)
+      if (Files.exists(m))
+        new String(Files.readAllBytes(m), "UTF-8").linesIterator
+          .map(_.trim).collectFirst { case l if l.startsWith("#tag=") =>
+            l.stripPrefix("#tag=") }
+      else None
+    }
+
+    /** Tag of the CURRENT manifest, if any version has committed. */
+    def currentTag: Option[String] =
+      currentVersion(root).flatMap(tagOf)
+
+    private def writeManifest(version: String, segments: Seq[String],
+        tag: Option[String]): Unit = {
       val mTmp = root.resolve(s".$version.tmp")
-      Files.write(mTmp, segments.mkString("\n").getBytes("UTF-8"))
+      val body = tag.map(t => s"#tag=$t").toSeq ++ segments
+      Files.write(mTmp, body.mkString("\n").getBytes("UTF-8"))
       Files.move(mTmp, root.resolve(version),
         StandardCopyOption.REPLACE_EXISTING): Unit
     }
@@ -351,9 +379,21 @@ object VersionedTarget {
       * cleans its staging dir). Crashed staging dirs are uuid-named,
       * invisible to readers, and swept by [[vacuum]] after the
       * in-flight TTL.
+      *
+      * `beforeSwap` runs INSIDE the pointer transaction after the epoch
+      * re-check and before anything becomes visible — the same contract
+      * as [[compact]]'s hook (metadata-cheap checks only). A throw from
+      * it aborts the commit cleanly (staging dir and marker removed,
+      * nothing published): the optimistic-validation seam couplings like
+      * the IVF index use to re-check a cross-target invariant (the
+      * quantizer the batch was placed against is still the one its new
+      * epoch will pair with) atomically with publication. `tag` replaces
+      * the manifest tag ([[tagOf]]); None inherits the previous one.
       */
-    def commit(rows: DataFrame, batchId: Long): Unit =
-      commitAs(rows, batchId, prev => prev)
+    def commit(rows: DataFrame, batchId: Long,
+        beforeSwap: () => Unit = () => (),
+        tag: Option[String] = None): Unit =
+      commitAs(rows, batchId, prev => prev, beforeSwap, tag)
 
     /** Commit `rows` as a FRESH BASE at `batchId`: manifest v<batchId>
       * references ONLY the new segment — every previously live segment
@@ -363,11 +403,14 @@ object VersionedTarget {
       * assignments REPLACE the drifted index rather than append to it,
       * behind the same atomic pointer swap and epoch guard as a commit.
       */
-    def rebase(rows: DataFrame, batchId: Long): Unit =
-      commitAs(rows, batchId, _ => Seq.empty)
+    def rebase(rows: DataFrame, batchId: Long,
+        tag: Option[String] = None): Unit =
+      commitAs(rows, batchId, _ => Seq.empty, () => (), tag)
 
     private def commitAs(rows: DataFrame, batchId: Long,
-        keepOf: Seq[String] => Seq[String]): Unit = {
+        keepOf: Seq[String] => Seq[String],
+        beforeSwap: () => Unit,
+        tag: Option[String]): Unit = {
       val seg = s"seg$batchId"
       // epoch check BEFORE the data write too (cheap fail-fast); the
       // authoritative re-check runs under the pointer lock below.
@@ -380,21 +423,26 @@ object VersionedTarget {
       val tmp = s".segtmp-$batchId-${java.util.UUID.randomUUID().toString.take(8)}"
       writeSegment(rows, tmp)
       withPointerLock(root) {
-        val cur = currentVersion(root)
-        if (!cur.map(epochOf).forall(batchId > _)) {
-          // loser of a concurrent-redelivery race: the winner's commit is
-          // durable (or a newer batch landed) — clean the private staging
-          // dir and fail loudly; the caller's applied() guard skips next time
+        def abort(cause: Throwable): Nothing = {
+          // clean the private staging dir and fail loudly; nothing was
+          // published, so the caller may retry from scratch
           rmTree(root.resolve(tmp).toFile)
           dropMarker(root, seg)
-          throw new IllegalArgumentException(
-            s"commit batch v$batchId raced a newer commit ($cur)")
+          throw cause
         }
+        val cur = currentVersion(root)
+        if (!cur.map(epochOf).forall(batchId > _))
+          // loser of a concurrent-redelivery race: the winner's commit is
+          // durable (or a newer batch landed); the caller's applied()
+          // guard skips next time
+          abort(new IllegalArgumentException(
+            s"commit batch v$batchId raced a newer commit ($cur)"))
+        try beforeSwap() catch { case e: Throwable => abort(e) }
         val dst = root.resolve(seg)
         if (Files.exists(dst)) rmTree(dst.toFile) // crashed attempt's orphan
         Files.move(root.resolve(tmp), dst)
         val live = keepOf(cur.map(segmentsOf).getOrElse(Seq.empty)) :+ seg
-        writeManifest(s"v$batchId", live)
+        writeManifest(s"v$batchId", live, tag.orElse(cur.flatMap(tagOf)))
         swapPointer(root, s"v$batchId")
         dropMarker(root, seg)
       }
@@ -515,7 +563,9 @@ object VersionedTarget {
             val reconciled = liveNow.filterNot(folded.toSet)
             val version = s"v${epochOf(vNow)}c$n"
             beforeSwap(seg, folded)
-            writeManifest(version, seg +: reconciled)
+            // compaction is physical, never semantic: the fold CARRIES
+            // the manifest tag through (the quantizer-pairing stamp)
+            writeManifest(version, seg +: reconciled, tagOf(vNow))
             swapPointer(root, version)
             dropMarker(root, seg)
             Some(Compacted(version, seg, folded, reconciled))

@@ -1301,7 +1301,12 @@ object LlmOps {
     * retention, and re-serves: recall is restored above the floor
     * (`require`d) because the full-corpus fit discovers every cluster.
     * Centroids↔assignments stay consistent through the two-target
-    * commit via the ≤-epoch pairing rule ([[Similarity.pairedCentroids]]).
+    * commit via the manifest QUANTIZER TAG ([[Similarity.pairedCentroids]]):
+    * the build stamps it, appends inherit it and re-validate it inside
+    * their pointer transaction ([[Similarity.appendToIndex]] — a refit
+    * racing a placed-but-uncommitted append aborts it cleanly and
+    * re-places), and the refit's rebase replaces it atomically with the
+    * swap that publishes the new base.
     *
     * The oracle replays fit-on-current-corpus: the same augmented
     * vectors through the same unrolled k-means and nprobe=2 wave — a
@@ -1333,25 +1338,23 @@ object LlmOps {
         k = 8, iters = 2)
     try {
       centT.commit(cent0, 0L)
-      assignT.commit(baseAssign, 0L)
+      // the build stamps the quantizer tag — every append inherits it,
+      // the refit's rebase replaces it (transactional with the swap)
+      assignT.commit(baseAssign, 0L, tag = Some("v0"))
     } finally baseAssign.unpersist(): Unit
-    // drift: two O(delta) appends place the UNSEEN clusters into the old
-    // quantizer (map-side broadcast placement, the q144 path)
-    val oldCent = Similarity.pairedCentroids(spark, centT, 0L)
-      .getOrElse(sys.error("no committed centroid version"))
-    assignT.commit(
-      Similarity.assignToCentroids(aug.filter(cluster === 2), oldCent,
-        "vec_id", "embedding"), 1L)
-    assignT.commit(
-      Similarity.assignToCentroids(aug.filter(cluster.isin(3, 4)), oldCent,
-        "vec_id", "embedding"), 2L)
+    // drift: two O(delta) appends place the UNSEEN clusters into the
+    // SERVED quantizer (map-side broadcast placement, the q144 path) —
+    // through the refit-safe verb, whose in-transaction tag check would
+    // abort and re-place had a refit raced the placement
+    Similarity.appendToIndex(aug.filter(cluster === 2), "vec_id", "embedding",
+      assignT, centT, 1L)
+    Similarity.appendToIndex(aug.filter(cluster.isin(3, 4)), "vec_id", "embedding",
+      assignT, centT, 2L)
     def wave(): DataFrame = {
-      val epoch = VersionedTarget.currentEpoch(aroot)
-        .getOrElse(sys.error("index target committed no version"))
       val idxAssign = assignT.current(spark)
         .getOrElse(sys.error("index target committed no version"))
-      val c = Similarity.pairedCentroids(spark, centT, epoch)
-        .getOrElse(sys.error(s"no centroid version paired with epoch $epoch"))
+      val c = Similarity.pairedCentroids(spark, assignT, centT)
+        .getOrElse(sys.error("no centroid version paired with the served index"))
       // k-bounded result (|probes|·k rows): materialise so nothing holds
       // the old index scan open across the refit (q151's pattern)
       val res = Similarity.ivfTopKProbed(aug, idxAssign, c,

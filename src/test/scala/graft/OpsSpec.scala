@@ -745,8 +745,8 @@ class OpsSpec extends SparkSpec {
   }
 
   test("IVF index refit: the recovery verb restores recall above the floor, " +
-      "serves ONE fresh base, and the ≤-epoch pairing keeps the crash window " +
-      "consistent") {
+      "serves ONE fresh base, and the manifest quantizer TAG keeps the crash " +
+      "window and the append-vs-refit race consistent") {
     import java.nio.file.Files
     import graft.ops.VersionedTarget
     val e = graft.core.Tables.t(spark, sfDir, "embeddings").coalesce(4)
@@ -765,18 +765,19 @@ class OpsSpec extends SparkSpec {
       aug.filter(cluster.isin(0, 1)), "vec_id", "embedding", k = 8, iters = 2)
     try {
       centT.commit(cent0, 0L)
-      assignT.commit(baseAssign, 0L)
+      assignT.commit(baseAssign, 0L, tag = Some("v0"))
     } finally baseAssign.unpersist(): Unit
     // materialised locally: the lazy read of v0 would break once the
     // refit's vacuum retires that version below
-    val oldCentSrc = Similarity.pairedCentroids(spark, centT, 0L).get
+    val oldCentSrc = Similarity.pairedCentroids(spark, assignT, centT).get
     val oldCent = spark.createDataFrame(
       spark.sparkContext.parallelize(oldCentSrc.collect().toSeq, 1), oldCentSrc.schema)
-    assignT.commit(Similarity.assignToCentroids(
-      aug.filter(cluster.isin(2, 3, 4)), oldCent, "vec_id", "embedding"), 1L)
+    Similarity.appendToIndex(aug.filter(cluster.isin(2, 3, 4)),
+      "vec_id", "embedding", assignT, centT, 1L)
+    assert(assignT.currentTag.contains("v0"),
+      "appends must INHERIT the build's quantizer tag")
     def recallOf(): Double = {
-      val epoch = VersionedTarget.currentEpoch(aroot).get
-      val c = Similarity.pairedCentroids(spark, centT, epoch).get
+      val c = Similarity.pairedCentroids(spark, assignT, centT).get
       val served = Similarity.ivfTopKProbed(aug, assignT.current(spark).get, c,
           "vec_id", "embedding", probeFilter = $"vec_id" < 20, k = 3, nprobe = 2)
         .select($"probe_id", $"cand_id")
@@ -791,15 +792,16 @@ class OpsSpec extends SparkSpec {
     assert(degraded < 0.8,
       s"drift fixture must degrade recall below the floor, got $degraded")
     // crash-window invariant: centroids commit FIRST; until the rebase
-    // lands, the assignment epoch (1) pairs with the OLD centroid
-    // version v0 — never the new v2
+    // lands, the assignment manifest still carries tag v0 — the extra
+    // centroid version is inert debris, never silently paired
     centT.commit(Similarity.kmeansFit(aug, "vec_id", "embedding", 8, 2) match {
       case (a, c) => try c finally a.unpersist()
     }, 2L)
     assert(VersionedTarget.currentVersion(croot).contains("v2"))
-    val pairedMid = Similarity.pairedCentroids(spark, centT, 1L).get
-    assert(pairedMid.collect().toSet == oldCent.collect().toSet,
-      "mid-refit pairing must still serve the OLD quantizer")
+    assert(assignT.currentTag.contains("v0"),
+      "mid-refit serving must still pair the OLD quantizer (manifest tag)")
+    assert(Similarity.pairedCentroids(spark, assignT, centT).get
+      .collect().toSet == oldCent.collect().toSet)
     VersionedTarget.rmTree(croot.resolve("v2").toFile) // roll the window back
     Files.write(croot.resolve("CURRENT"), "v0".getBytes("UTF-8")): Unit
     // the full verb: refit on the current corpus, fresh base, retire old
@@ -810,6 +812,8 @@ class OpsSpec extends SparkSpec {
     assert(VersionedTarget.currentVersion(aroot).contains("v2") &&
       assignT.segmentsOf("v2") == Seq("seg2"),
       "refit must rebase to ONE fresh cell-partitioned segment")
+    assert(assignT.currentTag.contains("v2"),
+      "the rebase must stamp its own quantizer tag")
     assert(centT.versions == Seq("v2"), "old centroid versions must be retired")
     val restored = recallOf()
     assert(restored >= 0.8,
@@ -823,7 +827,7 @@ class OpsSpec extends SparkSpec {
       "fully-durable refit redelivery must be a no-op")
     // crash-BETWEEN-commits redelivery: the DURABLE quantizer wins — the
     // corpus is PLACED into the committed centroids, never paired with a
-    // fresh fit's different quantizer
+    // fresh fit\'s different quantizer
     centT.commit(oldCent, 3L) // a different (base-fit) quantizer is durable
     Similarity.refitIndex(aug, "vec_id", "embedding", k = 8, iters = 2,
       assignT, centT, batchId = 3L)
@@ -836,7 +840,29 @@ class OpsSpec extends SparkSpec {
     assert(got == placed,
       "mid-window redelivery must place into the committed centroids")
     assert(VersionedTarget.currentVersion(aroot).contains("v3") &&
-      assignT.segmentsOf("v3") == Seq("seg3"))
+      assignT.segmentsOf("v3") == Seq("seg3") &&
+      assignT.currentTag.contains("v3"))
+    // THE APPEND-vs-REFIT RACE: an append places against the served
+    // quantizer (v3), a refit lands its rebase in the placement-to-commit
+    // window (via the test seam), and the in-transaction tag check must
+    // abort the stale commit and RE-PLACE against the new quantizer —
+    // never publish old-quantizer cells onto the new base
+    var raced = false
+    Similarity.appendToIndex(aug.filter($"vec_id" < 0), // empty delta: the
+      // mechanics under test are abort-and-re-place, not placement values
+      // (those are pinned by the redelivery assertion above)
+      "vec_id", "embedding", assignT, centT, batchId = 5L,
+      onPlaced = () => if (!raced) {
+        raced = true
+        Similarity.refitIndex(aug, "vec_id", "embedding", k = 8, iters = 2,
+          assignT, centT, batchId = 4L)
+      })
+    assert(raced, "the seam must have run the racing refit")
+    assert(assignT.currentTag.contains("v4"),
+      "the landed append must pair with the RACING refit's quantizer")
+    assert(VersionedTarget.currentVersion(aroot).contains("v5") &&
+      assignT.segmentsOf("v5") == Seq("seg4", "seg5"),
+      "the re-placed append must land ON TOP of the refit's fresh base")
   }
 
   test("Components releases every cache it creates (job-server hygiene)") {

@@ -716,6 +716,45 @@ class VersionedTargetSpec extends SparkSpec {
       "epoch must track the child's newest commit")
   }
 
+  test("manifest TAG: set by a tagged commit, inherited by later commits, " +
+      "carried through compaction, replaced by rebase — and never read as a " +
+      "segment name") {
+    val root = Files.createTempDirectory("graft_vt_tag")
+    val t = VersionedTarget.Segmented(root)
+    assert(t.currentTag.isEmpty)
+    t.commit(df(1L), 0L, tag = Some("quantA"))
+    assert(t.currentTag.contains("quantA"))
+    // inheritance: an untagged commit carries the stamp forward
+    t.commit(df(2L), 1L)
+    assert(t.currentTag.contains("quantA"))
+    assert(t.segmentsOf("v1") == Seq("seg0", "seg1"),
+      "the #tag header must never surface as a segment name")
+    assert(t.current(spark).get.count() == 2)
+    // compaction is physical: the fold keeps the tag
+    assert(t.compact(spark).isDefined)
+    assert(t.currentTag.contains("quantA"),
+      "compaction must carry the manifest tag through the fold")
+    // an explicitly re-tagged commit replaces it
+    t.commit(df(3L), 2L, tag = Some("quantB"))
+    assert(t.currentTag.contains("quantB"))
+    // rebase stamps its own
+    t.rebase(df(9L), 3L, tag = Some("quantC"))
+    assert(t.currentTag.contains("quantC") && t.segmentsOf("v3") == Seq("seg3"))
+    // beforeSwap abort: nothing published, tag and pointer untouched
+    intercept[IllegalStateException] {
+      t.commit(df(7L), 4L, beforeSwap =
+        () => throw new IllegalStateException("validation failed"))
+    }: Unit
+    assert(VersionedTarget.currentVersion(root).contains("v3") &&
+      t.currentTag.contains("quantC") &&
+      !Files.exists(root.resolve("seg4")),
+      "an aborted commit must publish nothing")
+    // ...and the next attempt with the same batch id succeeds cleanly
+    t.commit(df(7L), 4L)
+    assert(t.current(spark).get.select($"id").collect().map(_.getLong(0)).toSet
+      == Set(9L, 7L))
+  }
+
   test("vacuum refuses keepLast < 1 (would delete CURRENT's own version)") {
     val root = Files.createTempDirectory("graft_vt_guard")
     val t = VersionedTarget.Segmented(root)
