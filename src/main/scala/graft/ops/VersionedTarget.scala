@@ -80,6 +80,7 @@ object VersionedTarget {
 
   private val StreamVersionRe = "^v(\\d+)$".r
   private val CompactVersionRe = "^v(\\d+)c(\\d+)$".r
+  private val DeleteVersionRe = "^v(\\d+)d(\\d+)$".r
 
   private[ops] def pointerOf(root: Path): Path = root.resolve("CURRENT")
 
@@ -91,22 +92,27 @@ object VersionedTarget {
   }
 
   /** The highest stream batch id a version contains: `v<e>` → e, and a
-    * compaction `v<e>c<n>` keeps the epoch of the manifest it folded —
-    * compaction reorganizes bytes, it never advances the stream clock.
+    * maintenance version (`v<e>c<n>` compaction, `v<e>d<n>` delete) keeps
+    * the epoch of the manifest it rewrote — maintenance reorganizes or
+    * removes bytes, it never advances the stream clock.
     */
   def epochOf(version: String): Long = version match {
     case StreamVersionRe(e) => e.toLong
     case CompactVersionRe(e, _) => e.toLong
+    case DeleteVersionRe(e, _) => e.toLong
     case other => throw new IllegalArgumentException(s"not a version name: $other")
   }
 
-  /** Total order of versions: by epoch, then stream-before-compaction
-    * (a compaction folds the same-epoch stream version, so it is newer),
-    * then by the global compaction sequence.
+  /** Total order of versions: by epoch, then stream-before-maintenance
+    * (a maintenance version rewrites the same-epoch stream version, so it
+    * is newer), then by the global maintenance sequence — compactions and
+    * deletes share ONE strictly increasing sequence, so `c<n>` / `d<n>`
+    * names never tie on (epoch, seq).
     */
   private def sortKeyOf(version: String): (Long, Long) = version match {
     case StreamVersionRe(e) => (e.toLong, 0L)
     case CompactVersionRe(e, n) => (e.toLong, n.toLong)
+    case DeleteVersionRe(e, n) => (e.toLong, n.toLong)
     case other => throw new IllegalArgumentException(s"not a version name: $other")
   }
 
@@ -239,6 +245,14 @@ object VersionedTarget {
     */
   final case class Compacted(version: String, segment: String,
       folded: Seq[String], reconciled: Seq[String])
+
+  /** What a completed [[Segmented.deleteWhere]] committed: its version
+    * name, the rewritten segment, the TOUCHED segments it replaced
+    * (those that held matching rows), and the segments that committed
+    * DURING the rewrite and were reconciled into the new manifest as-is.
+    */
+  final case class Deleted(version: String, segment: String,
+      touched: Seq[String], reconciled: Seq[String])
 
   /** Append-only target: version = manifest FILE listing live segment
     * dir names (one per line, commit order); data lives in immutable
@@ -448,22 +462,25 @@ object VersionedTarget {
       }
     }
 
-    /** Next value of the global compaction sequence: one past the
-      * largest `c<n>` suffix any manifest, segment dir OR in-flight
-      * marker in the root carries. Segment dirs count so a crashed
-      * compaction's orphan can never be overwritten by the next attempt
-      * while still on disk; MARKERS count because Spark's overwrite
-      * write deletes the reserved dir before recreating it — in that
-      * window the marker is the only durable trace of the reservation,
-      * and without it a concurrent compactor could re-issue the same
+    /** Next value of the global MAINTENANCE sequence — shared by
+      * compactions (`c<n>`) and deletes (`d<n>`), so any two maintenance
+      * versions totally order by (epoch, seq) with no c/d tie: one past
+      * the largest suffix any manifest, segment dir OR in-flight marker
+      * in the root carries. Segment dirs count so a crashed maintenance
+      * pass's orphan can never be overwritten by the next attempt while
+      * still on disk; MARKERS count because Spark's overwrite write
+      * deletes the reserved dir before recreating it — in that window
+      * the marker is the only durable trace of the reservation, and
+      * without it a concurrent compactor could re-issue the same
       * sequence number (two folds writing one dir; the loser's abort
       * would then delete the winner's live segment).
       */
-    private def nextCompactionId(): Long = {
-      val SegRe = "^seg\\d+c(\\d+)$".r
-      val MarkRe = "^\\.inflight-seg\\d+c(\\d+)$".r
+    private def nextMaintenanceId(): Long = {
+      val SegRe = "^seg\\d+[cd](\\d+)$".r
+      val MarkRe = "^\\.inflight-seg\\d+[cd](\\d+)$".r
       val ns = listNames(root).collect {
         case CompactVersionRe(_, n) => n.toLong
+        case DeleteVersionRe(_, n) => n.toLong
         case SegRe(n) => n.toLong
         case MarkRe(n) => n.toLong
       }
@@ -523,7 +540,7 @@ object VersionedTarget {
       val reserved = withPointerLock(root) {
         currentVersion(root) match {
           case Some(v) if segmentsOf(v).lengthCompare(1) > 0 =>
-            val n = nextCompactionId()
+            val n = nextMaintenanceId()
             val seg = s"seg${epochOf(v)}c$n"
             createMarker(root, seg)
             Files.createDirectories(root.resolve(seg))
@@ -574,6 +591,153 @@ object VersionedTarget {
       }
     }
 
+    /** TARGETED DELETE (takedown) — remove every row where `pred` is
+      * TRUE, rewriting ONLY the segments that contain matching rows
+      * (Delta `DELETE WHERE` / Iceberg copy-on-write delete): the
+      * right-to-be-forgotten / rights-holder-takedown verb a training
+      * corpus target needs, where at 100 TB the takedown set lives in a
+      * handful of segments and a full-corpus rewrite would be the wrong
+      * cost class. Rows where `pred` evaluates NULL are KEPT (SQL DELETE
+      * semantics: only TRUE deletes).
+      *
+      * Protocol mirrors [[compact]] — a maintenance pass, safe off the
+      * ingest path: reserve an id in the shared maintenance sequence
+      * under the pointer lock (version `v<e>d<n>`, segment `seg<e>d<n>`,
+      * in-flight marker); OUTSIDE the lock probe each live segment for
+      * matches (predicate-pushdown scans — parquet row-group stats keep
+      * the misses cheap) and rewrite the TOUCHED ones, filtered, into one
+      * bin-packed segment; then under the lock re-read CURRENT and
+      * (a) RECONCILE commits that landed during the rewrite — they enter
+      * the new manifest as-is, so a concurrently ingested row matching
+      * `pred` survives this pass (the delete is SNAPSHOT-SCOPED; a caller
+      * that must catch in-flight arrivals re-runs until None) — or
+      * (b) ABORT if another maintenance pass retired any touched segment
+      * first (the rewrite would resurrect rows the other pass removed or
+      * duplicate rows it kept). Untouched segments enter the new manifest
+      * BY REFERENCE — their files are never read or rewritten. The epoch
+      * is unchanged (a delete never advances the stream clock) and the
+      * manifest tag is carried through.
+      *
+      * `afterRewrite(segment, touched)` runs between the rewrite and the
+      * pointer transaction, outside the lock (where a sidecar derives the
+      * new segment's stats artifact — a Spark job must not hold the
+      * lock); `beforeSwap(segment, touched)` runs inside the transaction
+      * just before CURRENT moves (metadata-cheap checks only). A throw
+      * from either aborts cleanly: nothing published.
+      *
+      * Returns None — with no new version committed — when nothing has
+      * ever committed or no live segment contains a matching row (a
+      * no-match takedown must not rewrite bytes or burn a version).
+      */
+    def deleteWhere(s: SparkSession, pred: org.apache.spark.sql.Column,
+        targetFileBytes: Long = 128L << 20,
+        afterRewrite: (String, Seq[String]) => Unit = (_, _) => (),
+        beforeSwap: (String, Seq[String]) => Unit = (_, _) => ()): Option[Deleted] = {
+      val reserved = withPointerLock(root) {
+        currentVersion(root) match {
+          case Some(v) if segmentsOf(v).nonEmpty =>
+            val n = nextMaintenanceId()
+            val seg = s"seg${epochOf(v)}d$n"
+            createMarker(root, seg)
+            Files.createDirectories(root.resolve(seg))
+            Some((segmentsOf(v), seg, n))
+          case _ => None
+        }
+      }
+      reserved.flatMap { case (snapshot, seg, n) =>
+        def unreserve(): Unit = {
+          rmTree(root.resolve(seg).toFile)
+          dropMarker(root, seg)
+        }
+        // probe OUTSIDE the lock: one pushdown-pruned existence scan per
+        // live segment finds the touched set — at scale most segments
+        // answer from row-group statistics without reading data pages
+        val touched = try snapshot.filter { sg =>
+          readSegs(s, Seq(sg)).filter(pred).head(1).nonEmpty
+        } catch { case e: Throwable => unreserve(); throw e }
+        if (touched.isEmpty) { unreserve(); None }
+        else {
+          // rewrite ONLY the touched segments, keeping rows where pred is
+          // not TRUE (NULL keeps — SQL DELETE semantics), bin-packed by
+          // the touched segments' actual bytes (the q131 sizing rule)
+          try {
+            val bytes = touched.map(nm => dirBytes(root.resolve(nm).toFile)).sum
+            val nFiles =
+              math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+            val kept = readSegs(s, touched)
+              .filter(!org.apache.spark.sql.functions.coalesce(
+                pred, org.apache.spark.sql.functions.lit(false)))
+            val sized =
+              if (partitionCols.isEmpty) kept.coalesce(nFiles)
+              else kept.repartition(nFiles, partitionCols.map(col): _*)
+            writeSegment(sized, seg)
+            afterRewrite(seg, touched)
+          } catch { case e: Throwable => unreserve(); throw e }
+          withPointerLock(root) {
+            val vNow = currentVersion(root).get
+            val liveNow = segmentsOf(vNow)
+            if (!touched.forall(liveNow.contains)) {
+              // another maintenance pass retired part of the touched set —
+              // publishing would resurrect or duplicate rows; abort cleanly
+              unreserve()
+              None
+            } else {
+              val reconciled = liveNow.filterNot(snapshot.contains)
+              val version = s"v${epochOf(vNow)}d$n"
+              try beforeSwap(seg, touched)
+              catch { case e: Throwable => unreserve(); throw e }
+              // manifest keeps commit order: untouched survivors in place,
+              // the rewritten segment appended; the tag carries through
+              // (a delete changes content, never the quantizer pairing)
+              writeManifest(version, liveNow.filterNot(touched.toSet) :+ seg,
+                tagOf(vNow))
+              swapPointer(root, version)
+              dropMarker(root, seg)
+              Some(Deleted(version, seg, touched, reconciled))
+            }
+          }
+        }
+      }
+    }
+
+    /** COMMITTED version names, oldest→newest — the time-travel surface:
+      * every manifest at-or-below CURRENT in the (epoch, maintenance-seq)
+      * order, each fully readable via [[read]] until [[vacuum]] retires
+      * it (retention IS the time-travel window, exactly the Delta/Iceberg
+      * contract). A manifest sorting NEWER than CURRENT is a pre-swap
+      * crash orphan, not a readable version — excluded.
+      */
+    def versions: Seq[String] = currentVersion(root) match {
+      case None => Seq.empty
+      case Some(c) =>
+        val k = sortKeyOf(c)
+        listNames(root).filter(_.matches("v\\d+([cd]\\d+)?"))
+          .filter(v => Ordering[(Long, Long)].lteq(sortKeyOf(v), k))
+          .sortBy(sortKeyOf)
+    }
+
+    /** ROLLBACK — atomically repoint CURRENT at an earlier retained
+      * `version` (Delta RESTORE): the recovery verb for a bad ingest or
+      * over-eager delete, O(bytes) — no data moves. Versions newer than
+      * the restore point become undone: the next [[vacuum]] sweeps their
+      * manifests (they sort newer than CURRENT — crash-debris shape) and
+      * retires their now-unreferenced segments, and the epoch guard now
+      * ACCEPTS re-commits of the undone batch ids — restore rewinds the
+      * stream clock by design, so a caller replaying a stream must rewind
+      * its checkpoint with it (or the redelivery guard would re-skip).
+      * Fails loudly on an unknown version or one newer than CURRENT
+      * (restoring "forward" would publish crash debris as live).
+      */
+    def restore(version: String): Unit = withPointerLock(root) {
+      require(Files.exists(root.resolve(version)),
+        s"cannot restore to $version: no such manifest (vacuumed or never committed)")
+      val cur = currentVersion(root)
+      require(cur.exists(c =>
+          Ordering[(Long, Long)].lteq(sortKeyOf(version), sortKeyOf(c))),
+        s"cannot restore forward to $version (CURRENT is $cur)")
+      swapPointer(root, version)
+    }
+
     /** The live table at `version`: multi-path parquet scan over its
       * segments. Empty-manifest versions read as None (no schema to give).
       */
@@ -609,7 +773,7 @@ object VersionedTarget {
       val (dropManifests, retiredSegs, dropTmps, futureSegs) = withPointerLock(root) {
         val names = listNames(root)
         val manifests = names
-          .filter(n => n.matches("v\\d+(c\\d+)?")).sortBy(sortKeyOf)
+          .filter(n => n.matches("v\\d+([cd]\\d+)?")).sortBy(sortKeyOf)
         // A manifest sorting NEWER than CURRENT can only be a crash
         // orphan (commit/compact write manifest+swap inside ONE lock
         // hold, so a live writer never exposes that intermediate state):
@@ -629,7 +793,7 @@ object VersionedTarget {
         // it, so deleting its now-unreferenced segments can't strand one
         drops.foreach(m => Files.deleteIfExists(root.resolve(m)): Unit)
         val segs = names
-          .filter(n => n.matches("seg\\d+(c\\d+)?") && !liveSegs.contains(n))
+          .filter(n => n.matches("seg\\d+([cd]\\d+)?") && !liveSegs.contains(n))
           .filterNot(sg => markerFresh(root, sg, inflightTtlMs))
         segs.foreach(sg => dropMarker(root, sg)) // stale markers go too
         // a stale marker whose segment dir never landed (crash inside

@@ -1016,6 +1016,41 @@ object StreamingQueries {
     res
   }
 
+  /** STATS-PRESERVING TAKEDOWN — [[statsPreservingCompact]]'s sibling for
+    * the delete verb (q154 × q146): a `deleteWhere` replaces the touched
+    * segments with one rewritten segment, and unlike a fold the stats are
+    * NOT additive under deletion (nobody knows the removed rows' per-lang
+    * counts without looking), so the rewritten segment's artifact is
+    * RE-DERIVED from the rewritten segment itself in the `afterRewrite`
+    * hook — same cost class as the rewrite it rides on, outside the
+    * pointer lock. The `beforeSwap` check guarantees the artifact landed
+    * before CURRENT moves, so [[statsRollup]]'s completeness `require`
+    * holds across takedowns exactly as it does across compactions.
+    * Touched segments' artifacts stay until vacuum retires their
+    * segments (the sidecar GC maps names 1:1); an aborted delete drops
+    * the artifact it orphaned.
+    */
+  private[graft] def statsPreservingDelete(spark: SparkSession,
+      root: java.nio.file.Path, statsRoot: java.nio.file.Path,
+      pred: org.apache.spark.sql.Column):
+      Option[graft.ops.VersionedTarget.Deleted] = {
+    @volatile var rewSeg: String = null
+    val res = graft.ops.VersionedTarget.Segmented(root).deleteWhere(spark, pred,
+      afterRewrite = (seg, _) => {
+        rewSeg = seg
+        spark.read.parquet(root.resolve(seg).toString)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(statsRoot.resolve(seg).toString)
+      },
+      beforeSwap = (seg, _) => require(statsComplete(statsRoot.resolve(seg)),
+        s"stats artifact for $seg did not commit before the pointer swap"))
+    if (res.isEmpty && rewSeg != null)
+      statsVacuum(statsRoot, Seq(rewSeg)) // no-op/aborted: drop the orphan
+    res
+  }
+
   /** q146's report: roll up ONLY the stats artifacts of the segments the
     * CURRENT manifest lists — a metadata-sized read; the corpus data is
     * never rescanned. Retention: stats artifacts mirror segment names,
@@ -1061,6 +1096,111 @@ object StreamingQueries {
        |GROUP BY lang
        |ORDER BY lang NULLS FIRST""".stripMargin
 
+  /** Q154 — TAKEDOWN DELETE on the live corpus target: the
+    * right-to-be-forgotten / rights-holder-takedown verb every training
+    * corpus eventually owes (a builder addition beyond the declared
+    * surface, like q145's compaction — the reference has no versioned
+    * storage to delete from).
+    * Runs the q132 incremental dedup into its segmented target, then
+    * [[graft.ops.VersionedTarget.Segmented.deleteWhere]] removes every
+    * surviving doc matching the takedown predicate (a language-scoped
+    * rights claim + an id-striped takedown list) by rewriting ONLY the
+    * segments that contain matches — untouched segments enter the new
+    * manifest by reference, so at 100 TB a takedown whose matches live
+    * in a handful of segments costs those segments' rewrite, never a
+    * corpus rewrite. The delete commits `v<e>d<n>` in the shared
+    * maintenance namespace behind the atomic pointer (epoch unchanged —
+    * readers of the pre-takedown version stay whole until vacuum, which
+    * is the auditable grace window), then vacuum(1) retires the
+    * pre-delete versions — the takedown's durability point. Oracle =
+    * q132's keep rule minus the takedown set: a row the rewrite lost,
+    * kept, or duplicated flips the hash.
+    */
+  def q154(spark: SparkSession, dir: String): DataFrame = {
+    val root = runIncrementalDedup(spark, dir, "takedown")
+    val target = graft.ops.VersionedTarget.Segmented(root)
+    val takedown = col("lang") === "de" || col("doc_id") % 101 === 7
+    val res = target.deleteWhere(spark, takedown)
+    require(res.isDefined, "takedown fixture must match at least one segment")
+    target.vacuum(1): Unit // retire pre-takedown versions: durability point
+    corpusOf(spark, root)
+  }
+
+  val q154Sql: String =
+    s"""$simhashCtes,
+       |dropped AS (
+       |  SELECT DISTINCT a.doc_id AS d
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bv = b.bv AND b.doc_id < a.doc_id
+       |  WHERE bit_count(xor(a.fp, b.fp)) <= 3)
+       |SELECT doc_id, lang, n_chars FROM documents
+       |WHERE doc_id NOT IN (SELECT d FROM dropped)
+       |  AND NOT (lang = 'de' OR doc_id % 101 = 7)
+       |ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  /** Q155 — TIME TRAVEL + RESTORE on the segmented target: the
+    * reproducibility verbs of a versioned corpus (Delta `VERSION AS OF` /
+    * `RESTORE`). Three deterministic batches (doc_id mod 3 — the oracle
+    * replays the same rule) commit as three manifest versions; the query
+    * reads EVERY committed version through the manifest history
+    * ([[graft.ops.VersionedTarget.Segmented.versions]] + read-at-version
+    * — "which corpus trained run N" answered from retention, no
+    * re-ingest), emitting each version's (docs, chars) profile; then
+    * [[graft.ops.VersionedTarget.Segmented.restore]] rolls the pointer
+    * back to epoch 2 (the bad-ingest recovery verb — O(bytes), no data
+    * moves) and vacuum(1) sweeps the undone version 3 as debris; the
+    * final row re-profiles CURRENT after the rollback and must read
+    * exactly as version 2 did. Per-version profiles are single-row aggs
+    * (bounded driver materialisation — the history must outlive the
+    * vacuum that retires the segments the lazy plans would re-scan).
+    */
+  def q155(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = Paths.get(graft.core.Scratch.deleteOnExit(
+      Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        "graft_incdedup", s"travel_${slug}_${spark.sparkContext.applicationId}").toString))
+    if (Files.exists(root)) {
+      graft.ops.VersionedTarget.rmTree(root.toFile)
+    }
+    Files.createDirectories(root)
+    val docs = t(spark, dir, "documents").select($"doc_id", $"lang", $"n_chars")
+    val target = graft.ops.VersionedTarget.Segmented(root)
+    (1L to 3L).foreach { e =>
+      target.commit(docs.filter($"doc_id" % 3 === (e - 1)), e)
+    }
+    def profile(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val hist = target.versions.zipWithIndex.map { case (v, i) =>
+      val (nd, nc) = profile(target.read(spark, v).get)
+      (i + 1L, graft.ops.VersionedTarget.epochOf(v), nd, nc)
+    }
+    target.restore("v2") // undo the epoch-3 ingest
+    target.vacuum(1): Unit // sweeps the undone v3 manifest + its segment
+    val (nd, nc) = profile(target.current(spark).get)
+    (hist :+ (hist.size + 1L, 2L, nd, nc))
+      .toDF("ord", "epoch", "n_docs", "n_chars")
+      .orderBy($"ord")
+  }
+
+  /** The version history replayed from the batch rule: version at epoch e
+    * holds the docs of batches 1..e ((doc_id%3)+1 <= e); the post-restore
+    * row (ord 4) must equal epoch 2's — any pointer/content drift in
+    * restore or the undone-version sweep flips the hash.
+    */
+  val q155Sql: String =
+    """WITH v(ord, epoch) AS (
+      |  SELECT CAST(1 AS BIGINT), CAST(1 AS BIGINT) UNION ALL
+      |  SELECT 2, 2 UNION ALL SELECT 3, 3 UNION ALL SELECT 4, 2)
+      |SELECT v.ord, v.epoch, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(d.n_chars) AS BIGINT) AS n_chars
+      |FROM v JOIN documents d ON (d.doc_id % 3) + 1 <= v.epoch
+      |GROUP BY v.ord, v.epoch
+      |ORDER BY v.ord""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_tumbling_window" -> (q46 _),
     "q47_sliding_window" -> (q47 _),
@@ -1081,7 +1221,9 @@ object StreamingQueries {
     "q126_stream_neardup_gate" -> (q126 _),
     "q132_incremental_dedup" -> (q132 _),
     "q145_segment_compaction" -> (q145 _),
-    "q146_segment_stats_rollup" -> (q146 _))
+    "q146_segment_stats_rollup" -> (q146 _),
+    "q154_takedown_delete" -> (q154 _),
+    "q155_time_travel" -> (q155 _))
 
   def oracles: Map[String, String] = Map(
     "q46_tumbling_window" -> q46Sql,
@@ -1103,5 +1245,7 @@ object StreamingQueries {
     "q126_stream_neardup_gate" -> q126Sql,
     "q132_incremental_dedup" -> q132Sql,
     "q145_segment_compaction" -> q145Sql,
-    "q146_segment_stats_rollup" -> q146Sql)
+    "q146_segment_stats_rollup" -> q146Sql,
+    "q154_takedown_delete" -> q154Sql,
+    "q155_time_travel" -> q155Sql)
 }

@@ -420,6 +420,68 @@ class StreamingSemanticsSpec extends SparkSpec {
     assert(rollup == afterIngest, "rollup broken after vacuum + artifact GC")
   }
 
+  test("stats-preserving takedown: deleteWhere re-derives the rewritten " +
+      "segment's artifact (deletion is not additive), rollup stays equal to " +
+      "the corpus, untouched artifacts untouched, GC on vacuum") {
+    import graft.queries.StreamingQueries
+    def docsDF(rows: Seq[(Long, String, String)]) =
+      rows.map { case (id, txt, lang) => (id, txt, lang, txt.length.toLong) }
+        .toDF("doc_id", "text", "lang", "n_chars")
+    val corpus = docsDF(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "en"),
+      (10L, "completely different words about spark engines here", "de"),
+      (30L, "another entirely unrelated document about parquet files", "en"),
+      (40L, "ganz anderes dokument ueber verteilte systeme hier", "de")))
+    val index = StreamingQueries.neardupIndex(corpus)
+    val root = Files.createTempDirectory("graft_statsdelete")
+    val statsRoot = root.resolve("stats")
+    val fn = StreamingQueries.statsMergeFn(index, root, statsRoot)
+    def rollup: Map[String, (Long, Long)] =
+      StreamingQueries.statsRollup(spark, root, statsRoot).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def direct: Map[String, (Long, Long)] =
+      StreamingQueries.dedupCurrent(spark, root).get
+        .groupBy($"lang").agg(count(lit(1)), sum($"n_chars")).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    fn(StreamingQueries.bandedDocs(docsDF(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "en"),
+      (10L, "completely different words about spark engines here", "de")))), 0L)
+    fn(StreamingQueries.bandedDocs(docsDF(Seq(
+      (30L, "another entirely unrelated document about parquet files", "en"),
+      (40L, "ganz anderes dokument ueber verteilte systeme hier", "de")))), 1L)
+    val seg0Artifact = statsRoot.resolve("seg0").toFile.listFiles()
+      .map(f => (f.getName, f.length(), f.lastModified())).toSeq.sorted
+    // takedown hits doc 30 only → seg1 is the one touched segment
+    val res = StreamingQueries.statsPreservingDelete(spark, root, statsRoot,
+      $"doc_id" === 30L)
+    assert(res.isDefined && res.get.touched == Seq("seg1"),
+      s"expected a seg1-only takedown, got $res")
+    assert(Files.exists(statsRoot.resolve(res.get.segment).resolve("_SUCCESS")),
+      "rewritten segment's stats artifact must be committed")
+    // a bare deleteWhere would break the rollup (artifact-less live
+    // segment fails the completeness require); the preserving verb keeps
+    // rollup == corpus, and the rewritten artifact reflects the DELETION
+    assert(rollup == direct, s"rollup diverged after the takedown")
+    assert(rollup == Map("en" -> ((1L, 45L)), "de" -> ((2L, 51L + 50L))),
+      s"rollup values wrong: $rollup")
+    // the untouched segment's artifact was never rewritten
+    assert(statsRoot.resolve("seg0").toFile.listFiles()
+      .map(f => (f.getName, f.length(), f.lastModified())).toSeq.sorted
+      == seg0Artifact, "untouched segment's stats artifact was rewritten")
+    // no-match takedown: true no-op — no artifact debris either
+    val artifactsBefore = statsRoot.toFile.listFiles().map(_.getName).toSet
+    assert(StreamingQueries.statsPreservingDelete(spark, root, statsRoot,
+      $"doc_id" === 999L).isEmpty)
+    assert(statsRoot.toFile.listFiles().map(_.getName).toSet == artifactsBefore,
+      "no-match takedown left artifact debris")
+    // retention: vacuum retires the touched segment; sidecar GC follows
+    val target = graft.ops.VersionedTarget.Segmented(root)
+    StreamingQueries.statsVacuum(statsRoot, target.vacuum(1))
+    assert(!Files.exists(statsRoot.resolve("seg1")),
+      "retired touched segment's artifact must be GC'd")
+    assert(rollup == direct, "rollup broken after vacuum + artifact GC")
+  }
+
   test("aborted stats-preserving fold: the orphaned stats artifact is " +
       "cleaned and the surviving fold's rollup stays correct") {
     import graft.queries.StreamingQueries

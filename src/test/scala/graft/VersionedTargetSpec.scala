@@ -762,4 +762,150 @@ class VersionedTargetSpec extends SparkSpec {
     intercept[IllegalArgumentException](t.vacuum(0))
     intercept[IllegalArgumentException](VersionedTarget.Rewrite(root).vacuum(0))
   }
+
+  test("deleteWhere: rewrites ONLY the touched segments — untouched segments " +
+      "enter the new manifest BY REFERENCE, content drops exactly the matches, " +
+      "epoch unchanged, tag carried, pre-delete reader whole until vacuum") {
+    val root = Files.createTempDirectory("graft_vt_del")
+    val t = VersionedTarget.Segmented(root)
+    t.commit(df(1L, 2L), 0L, tag = Some("quantA"))
+    t.commit(df(10L, 11L), 1L)
+    t.commit(df(20L), 2L)
+    // the physical fingerprint of the segments the predicate misses
+    def files(seg: String) = root.resolve(seg).toFile.listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length(), f.lastModified())).toSeq.sorted
+    val (seg0Before, seg2Before) = (files("seg0"), files("seg2"))
+    val res = t.deleteWhere(spark, $"id" >= 10L && $"id" < 20L)
+    assert(res.isDefined)
+    val d = res.get
+    // own namespace off the shared maintenance sequence; epoch untouched
+    assert(d.version == "v2d1" && d.segment == "seg2d1",
+      s"delete must commit in the d-namespace, got $d")
+    assert(d.touched == Seq("seg1") && d.reconciled.isEmpty)
+    assert(VersionedTarget.currentEpoch(root).contains(2L),
+      "a delete must never advance the stream clock")
+    assert(t.currentTag.contains("quantA"), "delete must carry the manifest tag")
+    // untouched segments by reference: same files, byte-for-byte untouched
+    assert(files("seg0") == seg0Before && files("seg2") == seg2Before,
+      "an untouched segment was rewritten")
+    assert(t.segmentsOf("v2d1") == Seq("seg0", "seg2", "seg2d1"),
+      "manifest = untouched survivors in commit order + the rewritten segment")
+    assert(t.current(spark).get.select($"id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L, 20L))
+    // the pre-delete version still reads whole — the auditable grace window
+    assert(t.read(spark, "v2").get.count() == 5)
+    // vacuum to the post-delete version retires exactly the pre-delete state
+    val deleted = t.vacuum(1)
+    assert(deleted.toSet == Set("v0", "v1", "v2", "seg1"),
+      s"vacuum after delete must retire the replaced segment, got $deleted")
+    // ingest continues on top at the next epoch
+    t.commit(df(30L), 3L)
+    assert(t.segmentsOf("v3") == Seq("seg0", "seg2", "seg2d1", "seg3"))
+    assert(t.current(spark).get.count() == 4)
+  }
+
+  test("deleteWhere: NULL-predicate rows are KEPT (SQL DELETE semantics); a " +
+      "no-match delete is a true no-op — no new version, no debris") {
+    val root = Files.createTempDirectory("graft_vt_delnull")
+    val t = VersionedTarget.Segmented(root)
+    t.commit(Seq((1L, Option("a")), (2L, Option.empty[String]), (3L, Option("b")))
+      .toDF("id", "payload"), 0L)
+    // pred is NULL on id=2: only the TRUE row (id=1) deletes
+    assert(t.deleteWhere(spark, $"payload" === "a").isDefined)
+    assert(t.current(spark).get.select($"id").collect().map(_.getLong(0)).toSet
+      == Set(2L, 3L), "a NULL predicate row must be kept, not deleted")
+    val namesBefore = root.toFile.listFiles().map(_.getName).toSet
+    assert(t.deleteWhere(spark, $"id" === 999L).isEmpty,
+      "no-match delete must return None")
+    val namesAfter = root.toFile.listFiles().map(_.getName).toSet
+    assert(namesAfter == namesBefore,
+      s"no-match delete left debris: ${namesAfter -- namesBefore}")
+    assert(VersionedTarget.currentVersion(root).contains("v0d1"))
+  }
+
+  test("deleteWhere: a commit landing DURING the rewrite is RECONCILED into " +
+      "the new manifest as-is — the delete is snapshot-scoped, so a matching " +
+      "row that arrived mid-pass survives this pass") {
+    val root = Files.createTempDirectory("graft_vt_delrace")
+    val t = VersionedTarget.Segmented(root)
+    t.commit(df(1L), 0L)
+    t.commit(df(10L), 1L)
+    val res = t.deleteWhere(spark, $"id" >= 10L,
+      afterRewrite = (_, _) => t.commit(df(11L), 2L))
+    assert(res.isDefined)
+    assert(res.get.version == "v2d1",
+      "the reconciled commit's epoch names the delete version")
+    assert(res.get.touched == Seq("seg1") && res.get.reconciled == Seq("seg2"))
+    assert(t.segmentsOf("v2d1") == Seq("seg0", "seg2", "seg1d1"))
+    assert(t.current(spark).get.select($"id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 11L),
+      "the mid-pass arrival (even though it matches) must survive this pass")
+    // the caller's catch-up pass removes it — re-run until None
+    assert(t.deleteWhere(spark, $"id" >= 10L).isDefined)
+    assert(t.current(spark).get.select($"id").collect().map(_.getLong(0)).toSet
+      == Set(1L))
+    assert(t.deleteWhere(spark, $"id" >= 10L).isEmpty, "drained: no-op")
+  }
+
+  test("deleteWhere: a concurrent maintenance pass that retired a touched " +
+      "segment forces a clean ABORT — nothing published, no debris") {
+    val root = Files.createTempDirectory("graft_vt_delabort")
+    val t = VersionedTarget.Segmented(root)
+    t.commit(df(1L), 0L)
+    t.commit(df(10L), 1L)
+    val res = t.deleteWhere(spark, $"id" >= 10L,
+      afterRewrite = (_, _) => assert(t.compact(spark).isDefined))
+    assert(res.isEmpty, "publishing over the fold would duplicate rows")
+    // the compaction (which reserved AFTER the delete) won: shared sequence
+    assert(VersionedTarget.currentVersion(root).contains("v1c2"))
+    assert(!Files.exists(root.resolve("seg1d1")) &&
+      !Files.exists(root.resolve(".inflight-seg1d1")),
+      "aborted delete must clean its segment and marker")
+    assert(t.current(spark).get.select($"id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 10L), "aborted delete must not change content")
+  }
+
+  test("versions + restore: the manifest history reads oldest→newest across " +
+      "all three namespaces; restore rewinds the pointer, vacuum sweeps the " +
+      "undone versions, and the undone epoch becomes re-committable") {
+    val root = Files.createTempDirectory("graft_vt_travel")
+    val t = VersionedTarget.Segmented(root)
+    t.commit(df(1L), 0L)
+    t.commit(df(2L), 1L)
+    assert(t.compact(spark).isDefined) // v1c1
+    t.commit(df(3L), 2L)
+    assert(t.deleteWhere(spark, $"id" === 1L).isDefined) // v2d2
+    assert(t.versions == Seq("v0", "v1", "v1c1", "v2", "v2d2"),
+      s"history must totally order stream/compact/delete versions, got ${t.versions}")
+    // time travel: every retained version reads its own snapshot
+    assert(t.read(spark, "v1c1").get.select($"id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(t.read(spark, "v2d2").get.select($"id").collect()
+      .map(_.getLong(0)).toSet == Set(2L, 3L))
+    // a crash orphan sorting newer than CURRENT never appears in history
+    Files.write(root.resolve("v9"), "seg9".getBytes("UTF-8"))
+    assert(!t.versions.contains("v9"))
+    Files.delete(root.resolve("v9"))
+    // restore: rewind to before the delete and the epoch-2 ingest
+    t.restore("v1c1")
+    assert(VersionedTarget.currentVersion(root).contains("v1c1"))
+    assert(t.current(spark).get.select($"id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L), "restore must republish the old snapshot as-is")
+    assert(t.versions == Seq("v0", "v1", "v1c1"),
+      "undone versions must drop out of the history")
+    // restoring FORWARD is refused (would publish crash-debris shapes)
+    intercept[IllegalArgumentException](t.restore("v2d2")): Unit
+    intercept[IllegalArgumentException](t.restore("v99")): Unit
+    // vacuum sweeps the undone manifests and retires their segments
+    val swept = t.vacuum(1)
+    assert(swept.toSet == Set("v0", "v1", "v2", "v2d2", "seg0", "seg1", "seg2", "seg2d2"),
+      s"vacuum after restore must sweep the undone versions, got $swept")
+    assert(t.current(spark).get.count() == 2, "the restored snapshot stays whole")
+    // the stream clock rewound with the pointer: epoch 2 re-commits
+    assert(!t.applied(2L))
+    t.commit(df(30L), 2L)
+    assert(t.current(spark).get.select($"id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L, 30L))
+  }
 }
