@@ -254,13 +254,18 @@ object Bench {
     }.mkString("{", ",", "}")
     val noisy = results.filterNot(_.failed)
       .map(t => t.name.takeWhile(_ != '_') -> spreadPct(t))
-      .filter(_._2 >= NoisySpreadPct).sortBy(-_._2).take(6)
+      .filter(_._2 >= NoisySpreadPct).sortBy(-_._2).take(4)
       .map { case (n, p) => s""""$n":$p""" }.mkString("{", ",", "}")
     // min_total/stat/detail-path live ONLY in the detail artifact now:
     // at 136 queries the line hit 1978 B of the driver's ~2 KB tail
     // capture, and those keys are the only droppable bytes — removing
-    // them buys ~6 queries of surface headroom under the width guard.
-    println(s"""{"metric":"total_warm_sec","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"noisy":$noisy,"retried":$retried,"contended":$contended,"n_queries":${results.size},"n_failed":${results.size - ok.size},"sf":"$sfDir"}""")
+    // them bought ~6 queries of surface headroom under the width guard;
+    // at 156 queries the builder-added aux keys shrank again
+    // (retried→rtry, contended→cont, n_queries→nq, n_failed→nf; noisy
+    // capped at 4) — the driver contract keys (metric/value/unit/
+    // queries/sf) stay verbatim, full noise detail lives in
+    // BENCH_DETAIL.json's runs_sec
+    println(s"""{"metric":"total_warm_sec","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"noisy":$noisy,"rtry":$retried,"cont":$contended,"nq":${results.size},"nf":${results.size - ok.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -546,10 +546,12 @@ object LlmOps {
   }
 
   /** The nprobe=2 / k=3 probe-wave SELECT over a [[kmeansCtes]] prefix —
-    * shared by q82/q142 (fit on everything) and q144 (fit on base,
-    * serve over base + appended delta).
+    * shared by q82/q142 (fit on everything), q144 (fit on base, serve
+    * over base + appended delta) and q156 (`candWhere` removes taken-down
+    * vectors from CANDIDACY only — probes and the quantizer fit are
+    * untouched, exactly the index-delete semantics).
     */
-  private def probedTopKSql(ctes: String): String =
+  private def probedTopKSql(ctes: String, candWhere: String = "TRUE"): String =
     s"""$ctes,
        |pcell AS (
        |  SELECT vec_id AS probe_id, cell FROM (
@@ -565,7 +567,7 @@ object LlmOps {
        |  FROM pcell p
        |  JOIN avx c ON c.cell = p.cell
        |  JOIN avx pv ON pv.vec_id = p.probe_id
-       |  WHERE c.vec_id <> p.probe_id),
+       |  WHERE c.vec_id <> p.probe_id AND ($candWhere)),
        |ranked AS (
        |  SELECT probe_id, cand_id, cos6,
        |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos6 DESC, cand_id ASC) AS rn
@@ -1404,6 +1406,77 @@ object LlmOps {
       |     CASE WHEN vec_id % 5 = 4 THEN 1.0 ELSE 0.0 END]) AS v
       |  FROM embeddings""".stripMargin))
 
+  /** Q156 — ANN INDEX TAKEDOWN (vector unlearning): the serving-side
+    * half of q154's corpus takedown — revoked vectors must stop being
+    * RETRIEVABLE, which means leaving the index, not just the corpus.
+    * The persisted IVF index is the q151 shape (cell-partitioned
+    * [[graft.ops.VersionedTarget.Segmented]]: base fit + one O(delta)
+    * append); the takedown is
+    * [[graft.ops.VersionedTarget.Segmented.deleteWhere]] on the
+    * ASSIGNMENTS — rewriting only the segments that hold revoked ids,
+    * preserving the `cell=` hive layout (the rewrite repartitions by the
+    * partition key), behind the same atomic pointer, with the QUANTIZER
+    * UNTOUCHED: deletion changes candidacy, never the geometry, so no
+    * refit and no rebuild — at 100 TB the takedown costs the touched
+    * segments, while the centroids and every untouched segment serve on.
+    * The probe wave re-served from the post-takedown index must rank the
+    * REMAINING candidates exactly as a never-ingested index would —
+    * revoked ids stay legal as QUERIES (an external query vector is not
+    * index membership) but can never be returned.
+    *
+    * The oracle fits on the base (q144's rule), assigns everyone, and
+    * excludes the takedown set from CANDIDACY only — a revoked id
+    * surviving in any cell of any segment, or an innocent neighbor lost
+    * by the rewrite, flips the hash.
+    */
+  def q156(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val e = t(spark, dir, "embeddings").coalesce(8)
+    val base = e.filter($"vec_id" % 10 =!= 0)
+    val delta = e.filter($"vec_id" % 10 === 0)
+    val out = PipelineOps.layoutDir(spark, dir, "ivftakedown")
+    val root = Paths.get(out, "assignments")
+    if (Files.exists(root)) { // fresh target per invocation
+      graft.ops.VersionedTarget.rmTree(root.toFile)
+    }
+    Files.createDirectories(root)
+    val target = graft.ops.VersionedTarget.Segmented(root,
+      partitionCols = Seq("cell"))
+    // nightly build + one O(delta) append (the q144/q151 lifecycle)
+    val (baseAssign, cent) =
+      Similarity.kmeansFit(base, "vec_id", "embedding", k = 8, iters = 2)
+    try {
+      target.commit(baseAssign, 0L)
+      cent.write.mode("overwrite").parquet(s"$out/centroids")
+    } finally baseAssign.unpersist(): Unit
+    val idxCent = spark.read.parquet(s"$out/centroids")
+    target.commit(
+      Similarity.assignToCentroids(delta, idxCent, "vec_id", "embedding"), 1L)
+    // TAKEDOWN: revoke vec_id % 7 = 3 from the index — touched segments
+    // rewritten (layout preserved), quantizer and corpus untouched
+    require(target.deleteWhere(spark, $"vec_id" % 7 === 3).isDefined,
+      "takedown fixture must revoke at least one indexed vector")
+    target.vacuum(1): Unit // retire the pre-takedown index versions
+    val idxAssign = target.current(spark)
+      .getOrElse(sys.error("index target committed no version"))
+    val res = Similarity.ivfTopKProbed(e, idxAssign, idxCent,
+        "vec_id", "embedding", probeFilter = $"vec_id" < 20, k = 3, nprobe = 2)
+      .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
+    // k-bounded result (|probes|·k rows); materialise so nothing holds
+    // the index read open (the q72 lifecycle pattern)
+    val rows = res.collect().toSeq
+    require(rows.forall(_.getLong(1) % 7 != 3),
+      "a revoked vector was served after the takedown")
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), res.schema)
+  }
+
+  /** q144's fit-on-base oracle with the takedown set removed from
+    * candidacy only (probes and fit untouched).
+    */
+  val q156Sql: String =
+    probedTopKSql(kmeansCtes("vec_id % 10 <> 0"), "NOT (c.vec_id % 7 = 3)")
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_exact_dedup" -> (q58 _),
     "q59_minhash_lsh" -> (q59 _),
@@ -1435,7 +1508,8 @@ object LlmOps {
     "q147_ann_recall_report" -> (q147 _),
     "q151_ann_index_maintain" -> (q151 _),
     "q152_sql_text_dedup" -> (q152 _),
-    "q153_ann_index_refit" -> (q153 _))
+    "q153_ann_index_refit" -> (q153 _),
+    "q156_ann_index_takedown" -> (q156 _))
 
   def oracles: Map[String, String] = Map(
     "q58_exact_dedup" -> q58Sql,
@@ -1468,5 +1542,6 @@ object LlmOps {
     "q147_ann_recall_report" -> q147Sql,
     "q151_ann_index_maintain" -> q151Sql,
     "q152_sql_text_dedup" -> q152Sql,
-    "q153_ann_index_refit" -> q153Sql)
+    "q153_ann_index_refit" -> q153Sql,
+    "q156_ann_index_takedown" -> q156Sql)
 }

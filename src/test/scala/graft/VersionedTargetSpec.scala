@@ -367,6 +367,31 @@ class VersionedTargetSpec extends SparkSpec {
     assert(q2.select($"id").collect().map(_.getLong(0)).toSet == Set(3L, 30L))
   }
 
+  test("partitioned deleteWhere: the rewritten segment keeps the hive layout " +
+      "and partition pruning; an untouched partitioned segment stays by " +
+      "reference (the q156 index-takedown shape)") {
+    val root = Files.createTempDirectory("graft_vt_partdel")
+    val t = VersionedTarget.Segmented(root, partitionCols = Seq("cell"))
+    def dfc(rows: (Long, Long)*) = rows.toSeq.toDF("id", "cell")
+    t.commit(dfc(1L -> 1L, 2L -> 2L, 3L -> 3L), 0L)
+    t.commit(dfc(10L -> 1L, 30L -> 3L), 1L)
+    val seg1Before = root.resolve("seg1").toFile.listFiles().map(_.getName).sorted.toSeq
+    // revoke id 2 — it lives in seg0 only, so seg1 must stay untouched
+    val res = t.deleteWhere(spark, $"id" === 2L)
+    assert(res.isDefined && res.get.touched == Seq("seg0"), s"got $res")
+    assert(root.resolve("seg1").toFile.listFiles().map(_.getName).sorted.toSeq
+      == seg1Before, "untouched partitioned segment was rewritten")
+    assert(Option(root.resolve(res.get.segment).toFile.listFiles()).toSeq
+      .flatten.exists(_.getName.startsWith("cell=")),
+      "rewritten segment lost its hive layout")
+    val q = t.current(spark).get.filter($"cell" === 1L)
+    assert(q.queryExecution.executedPlan.toString.contains("PartitionFilters"),
+      "post-takedown read lost partition pruning")
+    assert(q.select($"id").collect().map(_.getLong(0)).toSet == Set(1L, 10L))
+    assert(t.current(spark).get.select($"id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 3L, 10L, 30L))
+  }
+
   test("cross-PROCESS exclusion: a second JVM holding the pointer lock blocks " +
       "a commit's manifest+swap transaction until it releases") {
     // every same-JVM test serializes on the per-root monitor BEFORE the
