@@ -890,6 +890,23 @@ object VersionedTarget {
         .filter(v => epochOf(v) <= e).sortBy(epochOf)
     }
 
+    /** ROLLBACK — [[Segmented.restore]]'s sibling for the rewrite shape
+      * (the q153 centroid target rolls back WITH its paired assignments):
+      * atomically repoint CURRENT at an earlier retained version. Undone
+      * versions sort newer than CURRENT afterwards — the crash-orphan
+      * shape — so [[vacuum]] sweeps them once stale, and redelivery of
+      * their batch ids is ACCEPTED again (the epoch rewound by design).
+      * Fails loudly on an unknown version or one newer than CURRENT.
+      */
+    def restore(version: String): Unit = withPointerLock(root) {
+      require(version.matches("v\\d+") && Files.exists(root.resolve(version)),
+        s"cannot restore to $version: no such committed version")
+      val cur = currentEpoch(root)
+      require(cur.exists(epochOf(version) <= _),
+        s"cannot restore forward to $version (CURRENT is ${currentVersion(root)})")
+      swapPointer(root, version)
+    }
+
     /** Keep the newest `keepLast` COMMITTED version dirs (CURRENT's own
       * always among them); delete strictly older ones whole (a reader on
       * any retained version is untouched). Version dirs newer than

@@ -714,10 +714,17 @@ class VersionedTargetSpec extends SparkSpec {
     val t0 = System.nanoTime()
     while (!ready && (System.nanoTime() - t0) < 120e9) Thread.sleep(100)
     assert(ready, s"CommitStorm never came up:\n${lines.asScala.mkString("\n")}")
-    // maintenance cadence in THIS JVM while the child commits over there
+    // maintenance cadence in THIS JVM while the child commits over there —
+    // folds AND takedowns (the delete verb shares the fold's optimistic
+    // protocol; racing the child's commits drives its reconcile path, and
+    // racing the fold drives its abort path; a delete landing before the
+    // child commits id 41 is legitimately a no-op — the final drain below
+    // makes the invariant deterministic)
     var folds = 0
+    var takedowns = 0
     while (proc.isAlive) {
       if (t.compact(spark).isDefined) folds += 1
+      if (t.deleteWhere(spark, $"id" === 41L).isDefined) takedowns += 1
       t.vacuum(2): Unit
       Thread.sleep(50)
     }
@@ -729,14 +736,19 @@ class VersionedTargetSpec extends SparkSpec {
     drain.join(10000)
     assert(committed == childBatches.size,
       s"child committed $committed of ${childBatches.size}")
-    // one more fold after the dust settles, then the invariant
+    // drain the takedown (id 41 surely committed by now — snapshot-scoped
+    // deletes re-run until None), one more fold, then the invariant
+    if (t.deleteWhere(spark, $"id" === 41L).isDefined) takedowns += 1
+    assert(t.deleteWhere(spark, $"id" === 41L).isEmpty, "takedown must drain")
     t.compact(spark): Unit
     t.vacuum(1): Unit
+    assert(takedowns >= 1, "id 41 was committed and must have been taken down")
     val expected = ((0L to 2L) ++ childBatches)
-      .flatMap(b => Seq(b * 10L, b * 10L + 1L)).toSet
+      .flatMap(b => Seq(b * 10L, b * 10L + 1L)).toSet - 41L
     val got = t.current(spark).get.select($"id").collect().map(_.getLong(0)).toSet
     assert(got == expected,
-      s"after $folds cross-process folds: read $got but committed $expected")
+      s"after $folds cross-process folds + $takedowns takedowns: " +
+        s"read $got but committed $expected")
     assert(VersionedTarget.currentEpoch(root).contains(childBatches.last),
       "epoch must track the child's newest commit")
   }
@@ -889,6 +901,30 @@ class VersionedTargetSpec extends SparkSpec {
       "aborted delete must clean its segment and marker")
     assert(t.current(spark).get.select($"id").collect().map(_.getLong(0)).toSet
       == Set(1L, 10L), "aborted delete must not change content")
+  }
+
+  test("Rewrite restore: rewinds the pointer to a retained version; undone " +
+      "versions become stale-sweepable orphans and their epochs re-committable") {
+    val root = Files.createTempDirectory("graft_vt_rwrestore")
+    val t = VersionedTarget.Rewrite(root)
+    t.commit(df(1L), 0L)
+    t.commit(df(1L, 2L), 1L)
+    t.commit(df(1L, 2L, 3L), 2L)
+    t.restore("v1")
+    assert(VersionedTarget.currentVersion(root).contains("v1"))
+    assert(t.current(spark).get.select($"id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L), "restore must republish the old table as-is")
+    assert(t.versions == Seq("v0", "v1"), "undone versions drop out of history")
+    intercept[IllegalArgumentException](t.restore("v2")): Unit // forward
+    intercept[IllegalArgumentException](t.restore("v99")): Unit // unknown
+    // the undone v2 is now orphan-shaped: swept only once stale (TTL 0 here)
+    val swept = t.vacuum(1, staleTtlMs = 0L)
+    assert(swept.toSet == Set("v0", "v2"), s"got $swept")
+    assert(t.current(spark).get.count() == 2)
+    // the rewound epoch re-commits
+    t.commit(df(9L, 10L), 2L)
+    assert(t.current(spark).get.select($"id").collect().map(_.getLong(0)).toSet
+      == Set(9L, 10L))
   }
 
   test("versions + restore: the manifest history reads oldest→newest across " +
