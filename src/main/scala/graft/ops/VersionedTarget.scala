@@ -604,9 +604,12 @@ object VersionedTarget {
       * ingest path: reserve an id in the shared maintenance sequence
       * under the pointer lock (version `v<e>d<n>`, segment `seg<e>d<n>`,
       * in-flight marker); OUTSIDE the lock probe each live segment for
-      * matches (predicate-pushdown scans — parquet row-group stats keep
-      * the misses cheap) and rewrite the TOUCHED ones, filtered, into one
-      * bin-packed segment; then under the lock re-read CURRENT and
+      * matches (a limit-1 scan per segment, early-exited on the first
+      * hit; when the predicate is parquet-PUSHABLE — an id list, a
+      * range — row-group statistics keep the misses nearly free, so
+      * takedown lists should arrive as `isin`/range predicates, not
+      * arbitrary expressions) and rewrite the TOUCHED ones, filtered,
+      * into one bin-packed segment; then under the lock re-read CURRENT and
       * (a) RECONCILE commits that landed during the rewrite — they enter
       * the new manifest as-is, so a concurrently ingested row matching
       * `pred` survives this pass (the delete is SNAPSHOT-SCOPED; a caller

@@ -85,12 +85,36 @@ object MergeScale {
       val rewriteBytes = dirBytes(java.nio.file.Paths.get(rewriteDir))
       f"""{"batch":$i,"commit_sec":$commitSec%.2f,"seg_bytes":$segBytes,"corpus_rows":$corpusRows,"rewrite_sec":$rewriteSec%.2f,"rewrite_bytes":$rewriteBytes}"""
     }
+    // The takedown verb (q154): revoke 3 ids that live in batch b-1's
+    // segment ONLY (batches split by doc_id mod b, so the id classes are
+    // segment-disjoint) via a parquet-pushable isin list — the claim
+    // under measurement is that deleteWhere REWRITES the one touched
+    // segment while the corpus-rewrite counterfactual (timed right
+    // after, same corpus) pays the whole table. Runs BEFORE compaction,
+    // while the target still holds b segments.
+    val target = graft.ops.VersionedTarget.Segmented(root)
+    val victims = docs.filter(pmod($"doc_id", lit(b.toLong)) === (b - 1).toLong)
+      .orderBy($"doc_id".asc).limit(3)
+      .select($"doc_id").collect().map(_.getLong(0)).toSeq
+    var t0 = System.nanoTime()
+    val del = target.deleteWhere(spark, $"doc_id".isin(victims: _*))
+    val takedownSec = (System.nanoTime() - t0) / 1e9
+    require(del.exists(_.touched == Seq(s"seg${b - 1}")),
+      s"takedown must touch exactly seg${b - 1}, got $del")
+    val delBytes = dirBytes(root.resolve(del.get.segment))
+    t0 = System.nanoTime()
+    target.current(spark).get.write.mode("overwrite").parquet(rewriteDir)
+    val corpusRewriteSec = (System.nanoTime() - t0) / 1e9
+    val corpusBytes = dirBytes(java.nio.file.Paths.get(rewriteDir))
+    target.vacuum(1): Unit // retire the pre-takedown versions
+    val takedownLine =
+      f""""takedown":{"victims":${victims.size},"segments":$b,"touched":${del.get.touched.size},"takedown_sec":$takedownSec%.2f,"rewritten_bytes":$delBytes,"corpus_rewrite_sec":$corpusRewriteSec%.2f,"corpus_bytes":$corpusBytes}"""
+
     // The compaction counter-move (q145): after b O(batch) commits the
     // scan pays b file listings/footers; fold once and measure what a
     // post-compaction reader pays. files_before/after counts the parquet
     // part files a manifest scan touches — the per-task scheduling unit
     // the 100 TB projection cares about.
-    val target = graft.ops.VersionedTarget.Segmented(root)
     def manifestFiles(): Int = {
       val v = graft.ops.VersionedTarget.currentVersion(root).get
       target.segmentsOf(v).map { seg =>
@@ -99,7 +123,7 @@ object MergeScale {
       }.sum
     }
     val filesBefore = manifestFiles()
-    var t0 = System.nanoTime()
+    t0 = System.nanoTime()
     val preScan = target.current(spark).get.count()
     val scanBeforeSec = (System.nanoTime() - t0) / 1e9
     t0 = System.nanoTime()
@@ -113,7 +137,7 @@ object MergeScale {
     require(postScan == preScan, s"compaction changed rows: $preScan -> $postScan")
     val compactLine =
       f""""compact":{"files_before":$filesBefore,"files_after":$filesAfter,"compact_sec":$compactSec%.2f,"scan_before_sec":$scanBeforeSec%.2f,"scan_after_sec":$scanAfterSec%.2f,"rows":$postScan}"""
-    println(s"""{"k":$k,"batches":$b,"n_docs":$nDocs,"per_batch":[${rows.mkString(",")}],$compactLine,"sf":"$sfDir"}""")
+    println(s"""{"k":$k,"batches":$b,"n_docs":$nDocs,"per_batch":[${rows.mkString(",")}],$takedownLine,$compactLine,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
