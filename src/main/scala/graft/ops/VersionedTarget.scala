@@ -652,9 +652,9 @@ object VersionedTarget {
           rmTree(root.resolve(seg).toFile)
           dropMarker(root, seg)
         }
-        // probe OUTSIDE the lock: one pushdown-pruned existence scan per
-        // live segment finds the touched set — at scale most segments
-        // answer from row-group statistics without reading data pages
+        // probe OUTSIDE the lock: one limit-1 existence scan per live
+        // segment finds the touched set (row-group statistics skip the
+        // misses when the predicate is pushable — see the doc above)
         val touched = try snapshot.filter { sg =>
           readSegs(s, Seq(sg)).filter(pred).head(1).nonEmpty
         } catch { case e: Throwable => unreserve(); throw e }
@@ -682,6 +682,18 @@ object VersionedTarget {
             if (!touched.forall(liveNow.contains)) {
               // another maintenance pass retired part of the touched set —
               // publishing would resurrect or duplicate rows; abort cleanly
+              unreserve()
+              None
+            } else if (sortKeyOf(vNow)._2 > n) {
+              // a CONCURRENT maintenance pass with a NEWER sequence
+              // published mid-rewrite without retiring our touched set (a
+              // disjoint concurrent delete): publishing v<e>d<n> now would
+              // leave CURRENT sorting OLDER than that live manifest, which
+              // the next vacuum would sweep as crash debris under any
+              // reader holding it. Refuse rather than reorder — the caller
+              // re-runs against the new snapshot (compact never hits this:
+              // it folds EVERY live segment, so any interleaving
+              // maintenance publish already forces its touched-set abort).
               unreserve()
               None
             } else {

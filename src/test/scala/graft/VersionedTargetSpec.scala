@@ -927,6 +927,37 @@ class VersionedTargetSpec extends SparkSpec {
       == Set(9L, 10L))
   }
 
+  test("deleteWhere: a DISJOINT concurrent delete that published a newer " +
+      "sequence mid-rewrite forces a refusal — CURRENT must never sort older " +
+      "than a live manifest (vacuum would sweep it under a reader)") {
+    val root = Files.createTempDirectory("graft_vt_deldel")
+    val t = VersionedTarget.Segmented(root)
+    t.commit(df(1L), 0L)
+    t.commit(df(10L), 1L)
+    // outer delete touches seg0 only; inside its rewrite window an inner
+    // delete touches seg1 only and publishes v1d2 — disjoint touched sets,
+    // so the outer's touched check alone would have let v1d1 publish OVER
+    // a manifest that sorts newer
+    var inner: Option[VersionedTarget.Deleted] = None
+    val outer = t.deleteWhere(spark, $"id" === 1L,
+      afterRewrite = (_, _) => {
+        inner = t.deleteWhere(spark, $"id" === 10L)
+      })
+    assert(inner.isDefined && inner.get.version == "v1d2", s"got $inner")
+    assert(outer.isEmpty, "out-of-order publish must be refused")
+    assert(VersionedTarget.currentVersion(root).contains("v1d2"),
+      "the inner delete's manifest stays CURRENT")
+    assert(!Files.exists(root.resolve("seg1d1")) &&
+      !Files.exists(root.resolve(".inflight-seg1d1")),
+      "refused delete must clean its segment and marker")
+    assert(t.current(spark).get.select($"id").collect().map(_.getLong(0)).toSet
+      == Set(1L), "refusal must not lose the inner delete's effect")
+    // the caller's retry against the fresh snapshot succeeds at seq 3
+    val retry = t.deleteWhere(spark, $"id" === 1L)
+    assert(retry.isDefined && retry.get.version == "v1d3", s"got $retry")
+    assert(t.current(spark).get.count() == 0)
+  }
+
   test("versions + restore: the manifest history reads oldest→newest across " +
       "all three namespaces; restore rewinds the pointer, vacuum sweeps the " +
       "undone versions, and the undone epoch becomes re-committable") {
