@@ -753,6 +753,46 @@ object VersionedTarget {
       swapPointer(root, version)
     }
 
+    /** INCREMENTAL READ — the rows appended by stream batches AFTER
+      * `sinceEpoch`, straight off the CURRENT manifest (the downstream
+      * incremental-consumer primitive: a nightly training-data delivery
+      * reads only the new segments, never the corpus). Sound because the
+      * target is append-only: a stream segment `seg<b>` holds exactly
+      * batch b's rows, so the delta is a multi-path scan of the live
+      * stream segments with b > sinceEpoch — O(delta) I/O by
+      * construction.
+      *
+      * Fails loudly (None is "no new data"; IllegalStateException is
+      * "unanswerable") when a MAINTENANCE segment with epoch > sinceEpoch
+      * is live: a compaction folded post-cursor batches in with older
+      * rows (no longer separable — the consumer must resync from a full
+      * read; scheduling folds no more often than consumers advance their
+      * cursor is the retention contract, same as reading Delta/Iceberg
+      * incrementally without a change feed). A DELETE's rewritten segment
+      * is the same shape: it holds pre-cursor survivors, and the removal
+      * itself is invisible to an append-feed consumer anyway — takedowns
+      * propagate downstream by re-sync (or the consumer applies the same
+      * predicate), which the thrown error makes explicit rather than
+      * silent.
+      */
+    def appendedSince(s: SparkSession, sinceEpoch: Long): Option[DataFrame] =
+      currentVersion(root).flatMap { v =>
+        val live = segmentsOf(v)
+        val StreamSegRe = "^seg(\\d+)$".r
+        val MaintSegRe = "^seg(\\d+)[cd]\\d+$".r
+        val mixed = live.collect {
+          case sg @ MaintSegRe(e) if e.toLong > sinceEpoch => sg
+        }
+        if (mixed.nonEmpty) throw new IllegalStateException(
+          s"cannot read appends since epoch $sinceEpoch: maintenance " +
+            s"segments $mixed fold post-cursor batches in with older rows " +
+            "— the consumer must resync from a full read")
+        val delta = live.collect {
+          case sg @ StreamSegRe(b) if b.toLong > sinceEpoch => sg
+        }
+        if (delta.isEmpty) None else Some(readSegs(s, delta))
+      }
+
     /** The live table at `version`: multi-path parquet scan over its
       * segments. Empty-manifest versions read as None (no schema to give).
       */

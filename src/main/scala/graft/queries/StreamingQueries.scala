@@ -1201,6 +1201,48 @@ object StreamingQueries {
       |GROUP BY v.ord, v.epoch
       |ORDER BY v.ord""".stripMargin
 
+  /** Q157 — INCREMENTAL FEED from the versioned corpus: the downstream
+    * delivery verb ([[graft.ops.VersionedTarget.Segmented.appendedSince]])
+    * — a consumer that already ingested the corpus up to epoch 1 reads
+    * ONLY the rows later batches appended, straight off the CURRENT
+    * manifest's stream segments (b > cursor): O(delta) I/O regardless of
+    * corpus size, because append-only segments ARE the change feed. The
+    * verb fails loudly — spec-pinned, not silently wrong — when a
+    * compaction or takedown has folded post-cursor batches in with older
+    * rows (the consumer's resync signal; scheduling maintenance no more
+    * often than consumers advance their cursors is the retention
+    * contract). Three deterministic mod-3 batches commit; the feed at
+    * cursor 1 must be exactly batches 2 and 3.
+    */
+  def q157(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = Paths.get(graft.core.Scratch.deleteOnExit(
+      Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        "graft_incdedup", s"feed_${slug}_${spark.sparkContext.applicationId}").toString))
+    if (Files.exists(root)) {
+      graft.ops.VersionedTarget.rmTree(root.toFile)
+    }
+    Files.createDirectories(root)
+    val docs = t(spark, dir, "documents").select($"doc_id", $"lang", $"n_chars")
+    val target = graft.ops.VersionedTarget.Segmented(root)
+    (1L to 3L).foreach { e =>
+      target.commit(docs.filter($"doc_id" % 3 === (e - 1)), e)
+    }
+    target.appendedSince(spark, 1L)
+      .getOrElse(sys.error("batches 2 and 3 must feed the consumer"))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  /** The feed at cursor 1 = the rows of batches 2 and 3 (the same mod-3
+    * batch rule as q155's history oracle).
+    */
+  val q157Sql: String =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE (doc_id % 3) + 1 IN (2, 3)
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_tumbling_window" -> (q46 _),
     "q47_sliding_window" -> (q47 _),
@@ -1223,7 +1265,8 @@ object StreamingQueries {
     "q145_segment_compaction" -> (q145 _),
     "q146_segment_stats_rollup" -> (q146 _),
     "q154_takedown_delete" -> (q154 _),
-    "q155_time_travel" -> (q155 _))
+    "q155_time_travel" -> (q155 _),
+    "q157_incremental_feed" -> (q157 _))
 
   def oracles: Map[String, String] = Map(
     "q46_tumbling_window" -> q46Sql,
@@ -1247,5 +1290,6 @@ object StreamingQueries {
     "q145_segment_compaction" -> q145Sql,
     "q146_segment_stats_rollup" -> q146Sql,
     "q154_takedown_delete" -> q154Sql,
-    "q155_time_travel" -> q155Sql)
+    "q155_time_travel" -> q155Sql,
+    "q157_incremental_feed" -> q157Sql)
 }

@@ -958,6 +958,36 @@ class VersionedTargetSpec extends SparkSpec {
     assert(t.current(spark).get.count() == 0)
   }
 
+  test("appendedSince: feeds exactly the post-cursor stream batches; a fold " +
+      "or takedown covering post-cursor epochs fails LOUDLY (resync signal), " +
+      "one at-or-below the cursor keeps feeding") {
+    val root = Files.createTempDirectory("graft_vt_feed")
+    val t = VersionedTarget.Segmented(root)
+    t.commit(df(1L), 0L)
+    t.commit(df(2L), 1L)
+    t.commit(df(3L), 2L)
+    def feed(since: Long): Set[Long] =
+      t.appendedSince(spark, since).map(_.select($"id").collect()
+        .map(_.getLong(0)).toSet).getOrElse(Set.empty)
+    assert(feed(0L) == Set(2L, 3L) && feed(1L) == Set(3L))
+    assert(t.appendedSince(spark, 2L).isEmpty, "cursor at head: no new data")
+    assert(feed(-1L) == Set(1L, 2L, 3L), "a fresh consumer reads everything")
+    // fold batches 0..2 into seg2c1: any cursor BELOW 2 is now unanswerable
+    // (the fold mixed its batches with older rows) — loud, never silent
+    assert(t.compact(spark).isDefined)
+    val e = intercept[IllegalStateException] { t.appendedSince(spark, 1L) }
+    assert(e.getMessage.contains("resync"), s"got: ${e.getMessage}")
+    // ...but a cursor at-or-past the fold's epoch keeps feeding
+    t.commit(df(4L), 3L)
+    assert(feed(2L) == Set(4L))
+    // a takedown's rewritten segment is the same shape: epoch 3 covers the
+    // cursor-2 window, so that cursor now signals resync too
+    assert(t.deleteWhere(spark, $"id" === 4L).isDefined)
+    intercept[IllegalStateException] { t.appendedSince(spark, 2L) }: Unit
+    assert(t.appendedSince(spark, 3L).isEmpty,
+      "cursor past the takedown epoch: no new stream batches")
+  }
+
   test("versions + restore: the manifest history reads oldest→newest across " +
       "all three namespaces; restore rewinds the pointer, vacuum sweeps the " +
       "undone versions, and the undone epoch becomes re-committable") {
