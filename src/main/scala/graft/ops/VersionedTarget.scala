@@ -603,12 +603,13 @@ object VersionedTarget {
       * Protocol mirrors [[compact]] — a maintenance pass, safe off the
       * ingest path: reserve an id in the shared maintenance sequence
       * under the pointer lock (version `v<e>d<n>`, segment `seg<e>d<n>`,
-      * in-flight marker); OUTSIDE the lock probe each live segment for
-      * matches (a limit-1 scan per segment, early-exited on the first
-      * hit; when the predicate is parquet-PUSHABLE — an id list, a
-      * range — row-group statistics keep the misses nearly free, so
+      * in-flight marker); OUTSIDE the lock derive the TOUCHED set in ONE
+      * pushdown scan over the live segments (matching rows' file
+      * provenance → segment dirs — a single job regardless of segment
+      * count; when the predicate is parquet-PUSHABLE — an id list, a
+      * range — row-group statistics skip the non-matching files, so
       * takedown lists should arrive as `isin`/range predicates, not
-      * arbitrary expressions) and rewrite the TOUCHED ones, filtered,
+      * arbitrary expressions) and rewrite the touched segments, filtered,
       * into one bin-packed segment; then under the lock re-read CURRENT and
       * (a) RECONCILE commits that landed during the rewrite — they enter
       * the new manifest as-is, so a concurrently ingested row matching
@@ -652,11 +653,25 @@ object VersionedTarget {
           rmTree(root.resolve(seg).toFile)
           dropMarker(root, seg)
         }
-        // probe OUTSIDE the lock: one limit-1 existence scan per live
-        // segment finds the touched set (row-group statistics skip the
-        // misses when the predicate is pushable — see the doc above)
-        val touched = try snapshot.filter { sg =>
-          readSegs(s, Seq(sg)).filter(pred).head(1).nonEmpty
+        // probe OUTSIDE the lock: ONE pushdown scan over the live
+        // segments derives the touched set from file provenance
+        // (input_file_name → segment dir) — a single job regardless of
+        // segment count, where a per-segment existence probe would pay
+        // one driver-scheduled job per segment (thousands at real batch
+        // cadence). Reading through the merged schema also keeps an
+        // evolved-column predicate answerable on pre-evolution segments
+        // (their rows read NULL → not TRUE → untouched). The distinct
+        // collapses map-side to at most |segments| rows — k-bounded.
+        val touched = try {
+          val segRe = "/(seg\\d+(?:[cd]\\d+)?)/"
+          val hit = readSegs(s, snapshot).filter(pred)
+            .select(org.apache.spark.sql.functions.element_at(
+              org.apache.spark.sql.functions.regexp_extract_all(
+                org.apache.spark.sql.functions.input_file_name(),
+                org.apache.spark.sql.functions.lit(segRe),
+                org.apache.spark.sql.functions.lit(1)), -1).as("__seg"))
+            .distinct().collect().map(_.getString(0)).toSet
+          snapshot.filter(hit.contains) // manifest order preserved
         } catch { case e: Throwable => unreserve(); throw e }
         if (touched.isEmpty) { unreserve(); None }
         else {

@@ -927,6 +927,23 @@ class VersionedTargetSpec extends SparkSpec {
       == Set(9L, 10L))
   }
 
+  test("deleteWhere: a predicate on an EVOLVED column is answerable across " +
+      "pre-evolution segments — their rows read NULL → kept, untouched by " +
+      "reference") {
+    val root = Files.createTempDirectory("graft_vt_delevo")
+    val t = VersionedTarget.Segmented(root)
+    t.commit(df(1L, 2L), 0L) // (id, payload) — no `flagged` column yet
+    t.commit(Seq((10L, "row10", true), (11L, "row11", false))
+      .toDF("id", "payload", "flagged"), 1L)
+    val res = t.deleteWhere(spark, $"flagged" === true)
+    assert(res.isDefined && res.get.touched == Seq("seg1"),
+      s"only the evolved segment holds TRUE rows, got $res")
+    assert(Files.exists(root.resolve("seg0")), "pre-evolution segment stays")
+    assert(t.current(spark).get.select($"id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L, 11L),
+      "NULL-flag rows (pre-evolution) and false-flag rows must survive")
+  }
+
   test("deleteWhere: a DISJOINT concurrent delete that published a newer " +
       "sequence mid-rewrite forces a refusal — CURRENT must never sort older " +
       "than a live manifest (vacuum would sweep it under a reader)") {
