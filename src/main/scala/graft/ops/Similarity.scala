@@ -139,8 +139,9 @@ object Similarity {
     * `cellCol` group — swap in k-means assignments for unlabelled data;
     * the join/partition plumbing is identical), then assign every vector
     * to its nearest centroid by L2. Returns (idCol, cell) assignments.
-    * The centroid table is tiny → broadcast; assignment is a map-side
-    * cross with |cells| rows — the IVF build shape at 100 TB.
+    * The centroid table is k rows → driver-localised and embedded as
+    * plan literals; assignment is a map-only argmin over k structs per
+    * row — the IVF build shape at 100 TB.
     */
   def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
                 cellCol: String): DataFrame = {
@@ -154,24 +155,22 @@ object Similarity {
       .groupBy(col("__cell"))
       .agg(transform(sort_array(collect_list(struct(col("__pos"), col("__cv")))),
         s => s.getField("__cv")).as("__centroid"))
-    val vecs = corpus.select(col(idCol), col(vecCol).as("__vec"))
-    val scored = vecs.join(broadcast(cent))
-      .withColumn("__d2",
-        round(dot(col("__vec"), col("__vec"))
-          - lit(2.0) * dot(col("__vec"), col("__centroid"))
-          + dot(col("__centroid"), col("__centroid")), 6))
-    TopK.perGroup(scored, 1,
-        partition = Seq(col(idCol)),
-        order = Seq(col("__d2").asc, col("__cell").asc))
-      .select(col(idCol), col("__cell").as("cell"))
+    // collect the k centroids (cell type follows the data column) and
+    // assign map-only — the former broadcast join + per-id window was an
+    // O(n·k) shuffle for the same argmin
+    val centSeq: Seq[(Any, Seq[Double])] =
+      cent.collect().toSeq.map(r => (r.get(0), r.getSeq[Double](1)))
+    corpus.select(col(idCol),
+      nearestCellExpr(col(vecCol), centSeq).as("cell"))
   }
 
   /** Deterministic Lloyd's k-means cell assignments: init = the `k`
     * lowest-`idCol` vectors (cells 1..k in id order), then `iters` rounds
     * of nearest-centroid assignment + exact-decimal centroid recompute.
-    * Per round: centroids are a k-row broadcast, assignment is a map-side
-    * broadcast join, recompute is one explode + hash-agg — nothing scales
-    * with more than one pass over the corpus, the 100 TB k-means shape.
+    * Per round: centroids are k plan literals, assignment is a map-only
+    * argmin expression, recompute is one explode + hash-agg — one job per
+    * round, nothing scales with more than one pass over the corpus: the
+    * 100 TB k-means shape.
     * Distances are rounded to 6dp with cell-ascending tie-break so the
     * DuckDB oracle (same unrolled iterations) argmins identically.
     */
@@ -203,15 +202,21 @@ object Similarity {
     val vecs =
       if (cached.rdd.getNumPartitions > target) cached.coalesce(target) else cached
     try {
-      var cent = localize(vecs.orderBy(col("__id").asc).limit(k)
+      var cent = localizeSeq(vecs.orderBy(col("__id").asc).limit(k)
         .withColumn("__cell",
           row_number().over(Window.orderBy(col("__id").asc)).cast(LongType))
         .select(col("__cell"), col("__vec").as("__centroid")))
       for (_ <- 1 to iters) {
-        val assigned = nearestCell(vecs, cent)
-        val expl = vecs.join(assigned, "__id")
-          .select(col("__cell"), posexplode(col("__vec")).as(Seq("__pos", "__v")))
-        cent = localize(expl.groupBy(col("__cell"), col("__pos"))
+        // assignment is a literal-quantizer expression, so each round is
+        // ONE map+agg job: no broadcast build, no assignment shuffle, no
+        // re-join of the assignment back onto the vectors. The argmin is
+        // projected BELOW the explode — in the same select Catalyst would
+        // evaluate it once per exploded element, not once per vector
+        val assigned = vecs.select(
+          nearestCellExpr(col("__vec"), cent).as("__cell"), col("__vec"))
+        val expl = assigned.select(col("__cell"),
+          posexplode(col("__vec")).as(Seq("__pos", "__v")))
+        cent = localizeSeq(expl.groupBy(col("__cell"), col("__pos"))
           .agg((sum(col("__v").cast(DecimalType(28, 10))).cast(DoubleType)
             / count(lit(1))).as("__cv"))
           .groupBy(col("__cell"))
@@ -223,11 +228,12 @@ object Similarity {
       // be dropped). The CALLER owns the cache lifecycle: unpersist the
       // returned frame once the search is done, or the entry lingers for
       // the session (see q72 for the pattern)
-      val assignments = nearestCell(vecs, cent)
-        .select(col("__id").as(idCol), col("__cell").as("cell"))
+      val assignments = vecs
+        .select(col("__id").as(idCol),
+          nearestCellExpr(col("__vec"), cent).as("cell"))
         .persist()
       assignments.count(): Unit
-      (assignments, cent)
+      (assignments, centDF(corpus.sparkSession, cent))
     } finally cached.unpersist(): Unit
   }
 
@@ -235,15 +241,14 @@ object Similarity {
     * `cent` (a [[kmeansFit]]-shaped `(__cell, __centroid)` frame) per
     * vector, with the same rounded-L2 / lowest-cell tie rule as the
     * fit's own final assignment. This is the index-APPEND path: new
-    * arrivals join a broadcast k-row centroid table map-side — no refit,
-    * no shuffle, and the existing index's assignments are never touched.
+    * arrivals run a map-only argmin against the k centroids as plan
+    * literals — no refit, no shuffle, and the existing index's
+    * assignments are never touched.
     */
   def assignToCentroids(vecs: DataFrame, cent: DataFrame,
                         idCol: String, vecCol: String): DataFrame =
-    nearestCell(
-        vecs.select(col(idCol).as("__id"), toDouble(col(vecCol)).as("__vec")),
-        cent)
-      .select(col("__id").as(idCol), col("__cell").as("cell"))
+    vecs.select(col(idCol),
+      nearestCellExpr(toDouble(col(vecCol)), localizeSeq(cent)).as("cell"))
 
   /** The maintenance decision for a persisted IVF index, driven by the
     * measured recall report (q147's shape: one `n_hits` ∈ 0..k row per
@@ -326,7 +331,8 @@ object Similarity {
   /** APPEND — the O(delta) verb of the persisted-IVF lifecycle, made
     * REFIT-SAFE: place `delta` into the quantizer the index currently
     * serves ([[pairedCentroids]] at the live assignment epoch — a
-    * broadcast k-row map-side argmin, no refit, no shuffle) and commit
+    * map-only argmin against the k centroids as plan literals, no
+    * refit, no shuffle) and commit
     * the placements as a new segment at `batchId`.
     *
     * The race this closes: placement reads the centroid table OUTSIDE
@@ -409,34 +415,62 @@ object Similarity {
       .lastOption.map(centTarget.read(s, _))
 
   /** Materialise a centroid table (k rows — driver-size BY DESIGN, like
-    * every IVF/k-means implementation) into a local relation: truncates
-    * the per-round lineage so round N+1's plan doesn't re-nest and
-    * re-execute rounds 1..N, and makes the subsequent join a plain
-    * broadcast of literals. The values are exact-decimal means, so the
-    * driver round-trip changes no bits.
+    * every IVF/k-means implementation) onto the driver: truncates the
+    * per-round lineage so round N+1's plan doesn't re-nest and
+    * re-execute rounds 1..N, and lets every nearest-cell / cell-ranking
+    * step embed the quantizer as PLAN LITERALS — a map-only expression
+    * with no broadcast exchange, no join and no per-group shuffle, so
+    * each Lloyd's round (and each probe wave) is one stage instead of
+    * three jobs. The values are exact-decimal means, so the driver
+    * round-trip changes no bits. `__cell` is Long for every
+    * [[kmeansFit]]-shaped frame (the fit casts its seed numbering).
     */
-  private def localize(cent: DataFrame): DataFrame = {
-    val spark = cent.sparkSession
-    import spark.implicits._
-    cent.collect().toSeq
+  private def localizeSeq(cent: DataFrame): Seq[(Long, Seq[Double])] =
+    cent.select(col("__cell"), col("__centroid")).collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
-      .toDF("__cell", "__centroid")
+
+  /** The k-row `(__cell, __centroid)` local relation of a driver-side
+    * quantizer — [[kmeansFit]]'s public centroid shape.
+    */
+  private def centDF(spark: org.apache.spark.sql.SparkSession,
+                     cent: Seq[(Long, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    cent.toDF("__cell", "__centroid")
   }
 
-  /** Nearest centroid per vector by rounded squared L2 (tie → lowest
-    * cell). argmin as a `min_by` over a (d2, cell) struct — one
-    * partial+final hash-agg, no sort/window stage; struct ordering is
-    * lexicographic so the tie-break matches the oracle's
-    * `ORDER BY d2, cell`.
+  /** One `(d2, cell)` struct per centroid: the SAME rounded-L2 term tree
+    * as the former broadcast-join formulation, with the centroid as an
+    * array literal (`dot(c,c)` constant-folds; the repeated `dot(v,v)`
+    * is shared by codegen subexpression elimination). Struct ordering is
+    * lexicographic, so min/sort over these reproduce the oracle's
+    * `ORDER BY d2, cell` argmin/ranking exactly.
     */
-  private def nearestCell(vecs: DataFrame, cent: DataFrame): DataFrame =
-    vecs.join(broadcast(cent))
-      .withColumn("__d2",
-        round(dot(col("__vec"), col("__vec"))
-          - lit(2.0) * dot(col("__vec"), col("__centroid"))
-          + dot(col("__centroid"), col("__centroid")), 6))
-      .groupBy(col("__id"))
-      .agg(min_by(col("__cell"), struct(col("__d2"), col("__cell"))).as("__cell"))
+  private def cellDistStructs(vec: Column,
+                              cent: Seq[(Any, Seq[Double])]): Seq[Column] =
+    cent.map { case (cell, cv) =>
+      val c = typedlit(cv)
+      struct(
+        round(dot(vec, vec) - lit(2.0) * dot(vec, c) + dot(c, c), 6)
+          .as("__d2"),
+        lit(cell).as("__cell"))
+    }
+
+  /** Nearest centroid of a literal quantizer, map-only (tie → lowest
+    * cell): `array_min` over the k (d2, cell) structs.
+    */
+  private def nearestCellExpr(vec: Column,
+                              cent: Seq[(Any, Seq[Double])]): Column =
+    array_min(array(cellDistStructs(vec, cent): _*)).getField("__cell")
+
+  /** The `nprobe` nearest cells of a literal quantizer, ascending
+    * (d2, cell) — the multi-probe ranking as one map-side sort of k
+    * structs instead of a broadcast join + per-probe window.
+    */
+  private def rankedCellsExpr(vec: Column, cent: Seq[(Any, Seq[Double])],
+                              nprobe: Int): Column =
+    transform(
+      slice(array_sort(array(cellDistStructs(vec, cent): _*)), 1, nprobe),
+      s => s.getField("__cell"))
 
   /** IVF search (nprobe=1) over an explicit (idCol, cell) assignment
     * table: probes scan only the vectors assigned to their own cell.
@@ -465,8 +499,8 @@ object Similarity {
     * standard IVF recall knob (nprobe=1 is [[ivfTopKAssigned]]; larger
     * nprobe trades candidate-scan cost for recall; nprobe=k is exact).
     * `centroids` is the k-row frame from [[kmeansFit]] → the cell ranking
-    * is a broadcast map-side cross of k rows per probe, and the candidate
-    * scan stays an equi-join on `cell`.
+    * is a map-only sort of k literal-centroid structs per probe, and the
+    * candidate scan stays an equi-join on `cell`.
     */
   def ivfTopKProbed(corpus: DataFrame, assignments: DataFrame,
                     centroids: DataFrame, idCol: String, vecCol: String,
@@ -474,15 +508,11 @@ object Similarity {
     val probes = corpus.filter(probeFilter)
       .select(col(idCol).as("probe_id"), toDouble(col(vecCol)).as("__pv"),
         norm(col(vecCol)).as("__pn"))
-    val scoredCells = probes.join(broadcast(centroids))
-      .withColumn("__d2",
-        round(dot(col("__pv"), col("__pv"))
-          - lit(2.0) * dot(col("__pv"), col("__centroid"))
-          + dot(col("__centroid"), col("__centroid")), 6))
-    val probeCells = TopK.perGroup(scoredCells, nprobe,
-        partition = Seq(col("probe_id")),
-        order = Seq(col("__d2").asc, col("__cell").asc))
-      .select(col("probe_id"), col("__pv"), col("__pn"), col("__cell").as("cell"))
+    // cell ranking with the quantizer as plan literals: map-only per
+    // probe (sort k structs, keep nprobe), no broadcast, no window
+    val probeCells = probes.select(col("probe_id"), col("__pv"), col("__pn"),
+      explode(rankedCellsExpr(col("__pv"), localizeSeq(centroids), nprobe))
+        .as("cell"))
     val cands = corpus.join(assignments, Seq(idCol))
       .select(col(idCol).as("cand_id"), col(vecCol).as("__cv"),
         norm(col(vecCol)).as("__cn"), col("cell"))

@@ -1320,10 +1320,15 @@ object LlmOps {
     import java.nio.file.{Files, Paths}
     import graft.ops.VersionedTarget
     val e = t(spark, dir, "embeddings").coalesce(8)
+    // the augmented corpus feeds every phase (two fits, the append
+    // placement, both probe waves and the brute-force truth): cache it
+    // once — at scale the probe corpus is exactly what a serving node
+    // pins in memory across waves
     val aug = e.select($"vec_id", concat(Similarity.toDouble($"embedding"),
         array((0 until 5).map(c =>
           when(pmod($"vec_id", lit(5)) === c, lit(1.0)).otherwise(lit(0.0))): _*))
       .as("embedding"))
+      .persist()
     val cluster = pmod($"vec_id", lit(5))
     val out = PipelineOps.layoutDir(spark, dir, "ivfrefit")
     val aroot = Paths.get(out, "assignments")
@@ -1344,14 +1349,15 @@ object LlmOps {
       // the refit's rebase replaces it (transactional with the swap)
       assignT.commit(baseAssign, 0L, tag = Some("v0"))
     } finally baseAssign.unpersist(): Unit
-    // drift: two O(delta) appends place the UNSEEN clusters into the
-    // SERVED quantizer (map-side broadcast placement, the q144 path) —
+    // drift: one O(delta) append places the UNSEEN clusters {2,3,4} into
+    // the SERVED quantizer (map-side literal placement, the q144 path) —
     // through the refit-safe verb, whose in-transaction tag check would
-    // abort and re-place had a refit raced the placement
-    Similarity.appendToIndex(aug.filter(cluster === 2), "vec_id", "embedding",
-      assignT, centT, 1L)
-    Similarity.appendToIndex(aug.filter(cluster.isin(3, 4)), "vec_id", "embedding",
-      assignT, centT, 2L)
+    // abort and re-place had a refit raced the placement. One append
+    // carries the same drift as a sequence (q144/q151/q157 drive the
+    // multi-append shapes); the refit's batch id 3 leaves the gap a
+    // skipped epoch would.
+    Similarity.appendToIndex(aug.filter(cluster.isin(2, 3, 4)), "vec_id",
+      "embedding", assignT, centT, 1L)
     def wave(): DataFrame = {
       val idxAssign = assignT.current(spark)
         .getOrElse(sys.error("index target committed no version"))
@@ -1378,21 +1384,23 @@ object LlmOps {
           .groupBy($"probe_id").agg(count(lit(1)).as("n_hits")),
         Seq("probe_id"), "left_outer")
       .select($"probe_id", coalesce($"n_hits", lit(0L)).as("n_hits"))
-    require(Similarity.refitDecision(report(degraded), k = 3, minRecall = 0.8),
-      "drift fixture failed to trip the recall floor — nothing to recover")
-    // THE REFIT: re-fit on the current corpus, fresh base behind the
-    // pointer, old index retired by vacuum
-    Similarity.refitIndex(aug, "vec_id", "embedding", k = 8, iters = 2,
-      assignT, centT, batchId = 3L)
-    assignT.vacuum(1): Unit
-    centT.vacuum(1): Unit
-    require(VersionedTarget.currentVersion(aroot).contains("v3") &&
-        assignT.segmentsOf("v3") == Seq("seg3"),
-      "refit must serve from ONE fresh base segment")
-    val restored = wave()
-    require(!Similarity.refitDecision(report(restored), k = 3, minRecall = 0.8),
-      "refit did not restore recall above the floor")
-    restored
+    try {
+      require(Similarity.refitDecision(report(degraded), k = 3, minRecall = 0.8),
+        "drift fixture failed to trip the recall floor — nothing to recover")
+      // THE REFIT: re-fit on the current corpus, fresh base behind the
+      // pointer, old index retired by vacuum
+      Similarity.refitIndex(aug, "vec_id", "embedding", k = 8, iters = 2,
+        assignT, centT, batchId = 3L)
+      assignT.vacuum(1): Unit
+      centT.vacuum(1): Unit
+      require(VersionedTarget.currentVersion(aroot).contains("v3") &&
+          assignT.segmentsOf("v3") == Seq("seg3"),
+        "refit must serve from ONE fresh base segment")
+      val restored = wave()
+      require(!Similarity.refitDecision(report(restored), k = 3, minRecall = 0.8),
+        "refit did not restore recall above the floor")
+      restored
+    } finally aug.unpersist(): Unit
   }
 
   /** Fit-on-current-corpus over the drift fixture's augmented vectors. */
