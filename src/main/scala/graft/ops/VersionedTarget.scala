@@ -435,7 +435,18 @@ object VersionedTarget {
       // between this commit's publication and its marker drop
       createMarker(root, seg)
       val tmp = s".segtmp-$batchId-${java.util.UUID.randomUUID().toString.take(8)}"
-      writeSegment(rows, tmp)
+      // partitioned commits cluster by the partition key before the write:
+      // without it every upstream task fragments every hive partition, so
+      // a commit writes (upstream partitions × key values) small files —
+      // the file-count explosion compaction exists to undo, paid on the
+      // INGEST path where it never amortises. One O(batch) shuffle keys
+      // each partition's rows onto one task → one file per key value per
+      // commit (compact/deleteWhere pre-shape with an explicit byte-sized
+      // nFiles instead — they call writeSegment directly).
+      val shaped =
+        if (partitionCols.isEmpty) rows
+        else rows.repartition(partitionCols.map(col): _*)
+      writeSegment(shaped, tmp)
       withPointerLock(root) {
         def abort(cause: Throwable): Nothing = {
           // clean the private staging dir and fail loudly; nothing was
