@@ -264,7 +264,8 @@ object VersionedTarget {
     * probe's cell filter prunes to its nprobe partitions in every
     * segment of the multi-path scan.
     */
-  final case class Segmented(root: Path, partitionCols: Seq[String] = Seq.empty) {
+  final case class Segmented(root: Path, partitionCols: Seq[String] = Seq.empty,
+      clusterCommits: Boolean = false) {
 
     /** Epoch-based redelivery guard (see [[VersionedTarget.appliedAtOrAfter]]). */
     def applied(batchId: Long): Boolean = appliedAtOrAfter(root, batchId)
@@ -435,17 +436,22 @@ object VersionedTarget {
       // between this commit's publication and its marker drop
       createMarker(root, seg)
       val tmp = s".segtmp-$batchId-${java.util.UUID.randomUUID().toString.take(8)}"
-      // partitioned commits cluster by the partition key before the write:
-      // without it every upstream task fragments every hive partition, so
-      // a commit writes (upstream partitions × key values) small files —
-      // the file-count explosion compaction exists to undo, paid on the
-      // INGEST path where it never amortises. One O(batch) shuffle keys
-      // each partition's rows onto one task → one file per key value per
-      // commit (compact/deleteWhere pre-shape with an explicit byte-sized
-      // nFiles instead — they call writeSegment directly).
+      // OPT-IN commit clustering (the Delta optimized-writes trade, off by
+      // default like theirs): a partitioned commit written as-is fragments
+      // every hive partition across every upstream task — (partitions ×
+      // key values) small files per commit, the explosion compaction
+      // exists to undo. clusterCommits=true keys each partition's rows
+      // onto one task first → one file per key value per commit, at the
+      // price of one O(batch) shuffle ON THE INGEST PATH — worth it when
+      // commits are large or compaction is rare, wrong as a default (a
+      // keyed upstream would pay a no-op shuffle per micro-batch; measured
+      // ~0.2-0.3 s per lifecycle query at sf0.1). compact/deleteWhere
+      // always shape — with an explicit byte-sized nFiles — since their
+      // whole purpose is layout (they call writeSegment directly).
       val shaped =
-        if (partitionCols.isEmpty) rows
-        else rows.repartition(partitionCols.map(col): _*)
+        if (clusterCommits && partitionCols.nonEmpty)
+          rows.repartition(partitionCols.map(col): _*)
+        else rows
       writeSegment(shaped, tmp)
       withPointerLock(root) {
         def abort(cause: Throwable): Nothing = {

@@ -392,6 +392,33 @@ class VersionedTargetSpec extends SparkSpec {
       == Set(1L, 3L, 10L, 30L))
   }
 
+  test("clusterCommits: an opted-in partitioned commit writes ONE file per " +
+      "key value regardless of upstream partitioning; the default keeps the " +
+      "caller's layout (no ingest-path shuffle)") {
+    def files(root: java.nio.file.Path, seg: String): Map[String, Int] =
+      Option(root.resolve(seg).toFile.listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith("cell="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    // 8 upstream partitions × 2 cells, every partition holds both cells
+    val wide = spark.range(0, 64, 1, 8).selectExpr("id", "id % 2 AS cell")
+    val r1 = Files.createTempDirectory("graft_vt_cluster_on")
+    val on = VersionedTarget.Segmented(r1, partitionCols = Seq("cell"),
+      clusterCommits = true)
+    on.commit(wide, 0L)
+    assert(files(r1, "seg0") == Map("cell=0" -> 1, "cell=1" -> 1),
+      s"clustered commit must write one file per key: ${files(r1, "seg0")}")
+    val r2 = Files.createTempDirectory("graft_vt_cluster_off")
+    val off = VersionedTarget.Segmented(r2, partitionCols = Seq("cell"))
+    off.commit(wide, 0L)
+    assert(files(r2, "seg0").values.forall(_ == 8),
+      s"default commit must keep the caller's layout: ${files(r2, "seg0")}")
+    // same rows either way — clustering is layout-only
+    assert(on.current(spark).get.select($"id").collect().map(_.getLong(0)).sorted
+      .toSeq == off.current(spark).get.select($"id").collect()
+      .map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("cross-PROCESS exclusion: a second JVM holding the pointer lock blocks " +
       "a commit's manifest+swap transaction until it releases") {
     // every same-JVM test serializes on the per-root monitor BEFORE the
