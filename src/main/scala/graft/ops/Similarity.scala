@@ -196,11 +196,21 @@ object Similarity {
     // cluster parallelism — at real scale this leaves parallelism intact.
     val cached = corpus.select(col(idCol).as("__id"), toDouble(col(vecCol)).as("__vec"))
       .persist() // read the corpus once, not once per Lloyd's round
-    val n = cached.count() // materialises the cache and sizes the loop frame
     val sc = corpus.sparkSession.sparkContext
-    val target = math.max(1L, math.min(sc.defaultParallelism.toLong, n / 1024L)).toInt
+    // the sizing count only matters when the upstream is split WIDER than
+    // the cluster parallelism (the over-fragmented ingest shape); a frame
+    // already at-or-under it can't coalesce tighter, so skip the count —
+    // the init collect below materialises the cache either way, one fewer
+    // action per fit
+    val parts = cached.rdd.getNumPartitions
     val vecs =
-      if (cached.rdd.getNumPartitions > target) cached.coalesce(target) else cached
+      if (parts <= sc.defaultParallelism) cached
+      else {
+        val n = cached.count() // materialises the cache and sizes the loop frame
+        val target =
+          math.max(1L, math.min(sc.defaultParallelism.toLong, n / 1024L)).toInt
+        if (parts > target) cached.coalesce(target) else cached
+      }
     try {
       var cent = localizeSeq(vecs.orderBy(col("__id").asc).limit(k)
         .withColumn("__cell",
