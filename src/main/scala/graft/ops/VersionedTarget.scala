@@ -310,10 +310,68 @@ object VersionedTarget {
     def currentTag: Option[String] =
       currentVersion(root).flatMap(tagOf)
 
+    /** The TABLE SCHEMA manifest `version` serves (`#schema=` header —
+      * the Delta-style schema-in-the-log): recorded at commit time from
+      * the DataFrame the writer already holds, so [[read]] passes it to
+      * the scan instead of re-inferring from parquet footers. At 100 TB
+      * that inference is a distributed footer-merge job over every file
+      * of every live segment ON EVERY READ PLAN — the stored schema
+      * makes read planning O(manifest bytes). Per-version by design:
+      * time travel ([[versions]]/[[restore]]) serves each manifest with
+      * the schema it committed under. Manifests from before this header
+      * existed return None and readers fall back to footer inference.
+      */
+    def schemaOf(version: String): Option[org.apache.spark.sql.types.StructType] = {
+      val m = root.resolve(version)
+      if (Files.exists(m))
+        new String(Files.readAllBytes(m), "UTF-8").linesIterator
+          .map(_.trim).collectFirst { case l if l.startsWith("#schema=") =>
+            org.apache.spark.sql.types.DataType.fromJson(
+              l.stripPrefix("#schema=")).asInstanceOf[org.apache.spark.sql.types.StructType] }
+      else None
+    }
+
+    /** File sources surface every column nullable on read (and an
+      * evolved column IS null on pre-evolution segments), so the stored
+      * schema normalizes nullability up front.
+      */
+    private def asNullable(s: org.apache.spark.sql.types.StructType)
+        : org.apache.spark.sql.types.StructType =
+      org.apache.spark.sql.types.StructType(s.fields.map(_.copy(nullable = true)))
+
+    /** ADDITIVE schema merge — the commit-time evolution rule: a new
+      * batch may add columns (older segments read them as NULL) or drop
+      * columns (its own rows read NULL), but a TYPE change on an
+      * existing column fails loudly — that is a rewrite ([[rebase]] /
+      * [[Rewrite]]), not an append. Partition columns are exempt from
+      * the type check (their read type is fixed by the stored schema;
+      * dir names render identically), mirroring the inference path's
+      * exemption.
+      */
+    private def mergeAdditive(prev: org.apache.spark.sql.types.StructType,
+        add: org.apache.spark.sql.types.StructType)
+        : org.apache.spark.sql.types.StructType = {
+      val out = scala.collection.mutable.LinkedHashMap(
+        prev.fields.map(f => f.name -> f.copy(nullable = true)): _*)
+      add.fields.foreach { f =>
+        out.get(f.name) match {
+          case Some(existing) =>
+            if (existing.dataType != f.dataType && !partitionCols.contains(f.name))
+              throw new IllegalStateException(
+                s"commit changes column ${f.name}: ${existing.dataType} -> " +
+                  s"${f.dataType} — a type change is a rewrite, not an append")
+          case None => out.update(f.name, f.copy(nullable = true))
+        }
+      }
+      org.apache.spark.sql.types.StructType(out.values.toSeq)
+    }
+
     private def writeManifest(version: String, segments: Seq[String],
-        tag: Option[String]): Unit = {
+        tag: Option[String],
+        schema: Option[org.apache.spark.sql.types.StructType]): Unit = {
       val mTmp = root.resolve(s".$version.tmp")
-      val body = tag.map(t => s"#tag=$t").toSeq ++ segments
+      val body = tag.map(t => s"#tag=$t").toSeq ++
+        schema.map(s => s"#schema=${s.json}").toSeq ++ segments
       Files.write(mTmp, body.mkString("\n").getBytes("UTF-8"))
       Files.move(mTmp, root.resolve(version),
         StandardCopyOption.REPLACE_EXISTING): Unit
@@ -335,9 +393,29 @@ object VersionedTarget {
       * gets the same semantics from `unionByName(allowMissingColumns)`.
       * Cost: one footer read per file at planning — bounded because
       * [[compact]] keeps the live segment (and so file) count small.
+      *
+      * When the manifest STORED its schema ([[schemaOf]]), the scan gets
+      * it explicitly — no footer inference at all (columns a segment
+      * lacks read as NULL straight from the parquet reader), and the
+      * commit-time [[mergeAdditive]] check has already enforced the
+      * additive-only rule, so the read-time type guard below only runs
+      * on the legacy inference path.
       */
-    private def readSegs(s: SparkSession, segs: Seq[String]): DataFrame = {
+    private def readSegs(s: SparkSession, segs: Seq[String],
+        schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
       val paths = segs.map(root.resolve(_).toString)
+      schema match {
+        case Some(sch) if partitionCols.isEmpty =>
+          s.read.schema(sch).parquet(paths: _*)
+        case Some(sch) =>
+          paths.map(p => s.read.schema(sch).option("basePath", p).parquet(p))
+            .reduce(_.unionByName(_))
+        case None => readSegsInferred(s, paths, segs)
+      }
+    }
+
+    private def readSegsInferred(s: SparkSession, paths: Seq[String],
+        segs: Seq[String]): DataFrame = {
       if (partitionCols.isEmpty)
         s.read.option("mergeSchema", "true").parquet(paths: _*)
       else {
@@ -431,6 +509,22 @@ object VersionedTarget {
       // authoritative re-check runs under the pointer lock below.
       require(currentEpoch(root).forall(batchId > _),
         s"commit batch v$batchId must advance the epoch past ${currentVersion(root)}")
+      // the stored schema for the new manifest: a fresh base (or first
+      // commit) records the batch's own schema; an append merges
+      // additively into the serving schema — a TYPE change throws HERE
+      // (cheap fail-fast before the data write; re-derived under the
+      // lock against the manifest that actually swaps). A legacy target
+      // (live manifest without a stored schema) stays on the inference
+      // path rather than guessing a schema that might hide columns.
+      def schemaFor(cur: Option[String]): Option[org.apache.spark.sql.types.StructType] = {
+        val kept = keepOf(cur.map(segmentsOf).getOrElse(Seq.empty))
+        if (kept.isEmpty) Some(asNullable(rows.schema))
+        else cur.flatMap(schemaOf) match {
+          case Some(prev) => Some(mergeAdditive(prev, rows.schema))
+          case None => None
+        }
+      }
+      schemaFor(currentVersion(root)): Unit
       // in-flight marker BEFORE the staging write: it shields the final
       // `seg<b>` name from a vacuum whose delete-set decision lands
       // between this commit's publication and its marker drop
@@ -469,11 +563,12 @@ object VersionedTarget {
           abort(new IllegalArgumentException(
             s"commit batch v$batchId raced a newer commit ($cur)"))
         try beforeSwap() catch { case e: Throwable => abort(e) }
+        val sch = try schemaFor(cur) catch { case e: Throwable => abort(e) }
         val dst = root.resolve(seg)
         if (Files.exists(dst)) rmTree(dst.toFile) // crashed attempt's orphan
         Files.move(root.resolve(tmp), dst)
         val live = keepOf(cur.map(segmentsOf).getOrElse(Seq.empty)) :+ seg
-        writeManifest(s"v$batchId", live, tag.orElse(cur.flatMap(tagOf)))
+        writeManifest(s"v$batchId", live, tag.orElse(cur.flatMap(tagOf)), sch)
         swapPointer(root, s"v$batchId")
         dropMarker(root, seg)
       }
@@ -561,11 +656,11 @@ object VersionedTarget {
             val seg = s"seg${epochOf(v)}c$n"
             createMarker(root, seg)
             Files.createDirectories(root.resolve(seg))
-            Some((segmentsOf(v), seg, n))
+            Some((segmentsOf(v), seg, n, schemaOf(v)))
           case _ => None
         }
       }
-      reserved.flatMap { case (folded, seg, n) =>
+      reserved.flatMap { case (folded, seg, n, foldSchema) =>
         // the O(corpus) fold — deliberately OUTSIDE the pointer lock.
         // Bin-pack the rewrite: without it the merged write inherits one
         // task (= one output file) per input split, and a target fed by
@@ -575,7 +670,7 @@ object VersionedTarget {
         val bytes = folded.map(nm => dirBytes(root.resolve(nm).toFile)).sum
         val nFiles =
           math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-        val merged = readSegs(s, folded)
+        val merged = readSegs(s, folded, foldSchema)
         val sized =
           if (partitionCols.isEmpty) merged.coalesce(nFiles)
           // partitioned layout: cluster by the partition key so each of
@@ -598,8 +693,9 @@ object VersionedTarget {
             val version = s"v${epochOf(vNow)}c$n"
             beforeSwap(seg, folded)
             // compaction is physical, never semantic: the fold CARRIES
-            // the manifest tag through (the quantizer-pairing stamp)
-            writeManifest(version, seg +: reconciled, tagOf(vNow))
+            // the manifest tag AND stored schema through (reconciled
+            // commits already merged theirs into vNow's)
+            writeManifest(version, seg +: reconciled, tagOf(vNow), schemaOf(vNow))
             swapPointer(root, version)
             dropMarker(root, seg)
             Some(Compacted(version, seg, folded, reconciled))
@@ -661,11 +757,11 @@ object VersionedTarget {
             val seg = s"seg${epochOf(v)}d$n"
             createMarker(root, seg)
             Files.createDirectories(root.resolve(seg))
-            Some((segmentsOf(v), seg, n))
+            Some((segmentsOf(v), seg, n, schemaOf(v)))
           case _ => None
         }
       }
-      reserved.flatMap { case (snapshot, seg, n) =>
+      reserved.flatMap { case (snapshot, seg, n, snapSchema) =>
         def unreserve(): Unit = {
           rmTree(root.resolve(seg).toFile)
           dropMarker(root, seg)
@@ -681,7 +777,7 @@ object VersionedTarget {
         // collapses map-side to at most |segments| rows — k-bounded.
         val touched = try {
           val segRe = "/(seg\\d+(?:[cd]\\d+)?)/"
-          val hit = readSegs(s, snapshot).filter(pred)
+          val hit = readSegs(s, snapshot, snapSchema).filter(pred)
             .select(org.apache.spark.sql.functions.element_at(
               org.apache.spark.sql.functions.regexp_extract_all(
                 org.apache.spark.sql.functions.input_file_name(),
@@ -699,7 +795,7 @@ object VersionedTarget {
             val bytes = touched.map(nm => dirBytes(root.resolve(nm).toFile)).sum
             val nFiles =
               math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-            val kept = readSegs(s, touched)
+            val kept = readSegs(s, touched, snapSchema)
               .filter(!org.apache.spark.sql.functions.coalesce(
                 pred, org.apache.spark.sql.functions.lit(false)))
             val sized =
@@ -737,7 +833,7 @@ object VersionedTarget {
               // the rewritten segment appended; the tag carries through
               // (a delete changes content, never the quantizer pairing)
               writeManifest(version, liveNow.filterNot(touched.toSet) :+ seg,
-                tagOf(vNow))
+                tagOf(vNow), schemaOf(vNow))
               swapPointer(root, version)
               dropMarker(root, seg)
               Some(Deleted(version, seg, touched, reconciled))
@@ -822,7 +918,8 @@ object VersionedTarget {
         val delta = live.collect {
           case sg @ StreamSegRe(b) if b.toLong > sinceEpoch => sg
         }
-        if (delta.isEmpty) None else Some(readSegs(s, delta))
+        if (delta.isEmpty) None
+        else Some(readSegs(s, delta, currentVersion(root).flatMap(schemaOf)))
       }
 
     /** The live table at `version`: multi-path parquet scan over its
@@ -830,7 +927,8 @@ object VersionedTarget {
       */
     def read(s: SparkSession, version: String): Option[DataFrame] = {
       val segs = segmentsOf(version)
-      if (segs.isEmpty) None else Some(readSegs(s, segs))
+      if (segs.isEmpty) None
+      else Some(readSegs(s, segs, schemaOf(version)))
     }
 
     /** The live table behind CURRENT, if any version has committed. */

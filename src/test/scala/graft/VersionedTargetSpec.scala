@@ -479,9 +479,13 @@ class VersionedTargetSpec extends SparkSpec {
       Option(r.getAs[String]("lang"))).toMap == byId,
       "compaction changed evolved-schema content")
     // additive only: an incompatible TYPE change on an existing column is
-    // a rewrite, not an append — the read must fail loudly, never coerce
-    t.commit(Seq((9.5, "bad")).toDF("id", "payload"), 5L)
-    intercept[Exception] { t.current(spark).get.collect() }: Unit
+    // a rewrite, not an append — the stored-schema merge fails the COMMIT
+    // loudly (fail-fast, before any data write), never coerces
+    val te = intercept[Exception] {
+      t.commit(Seq((9.5, "bad")).toDF("id", "payload"), 5L)
+    }
+    assert(te.getMessage.contains("rewrite, not an append"),
+      s"type change must fail the commit: ${te.getMessage}")
   }
 
   test("schema evolution on the PARTITIONED path: the basePath union surfaces " +
@@ -695,12 +699,13 @@ class VersionedTargetSpec extends SparkSpec {
     assert(byId == Map(1L -> Some("en"), 2L -> None),
       s"dropped column must read as NULL on the dropping segment: $byId")
     // type change, PARTITIONED path: unionByName alone would silently
-    // widen long→double; the readSegs guard must fail loudly instead
+    // widen long→double; the commit-time schema merge must fail loudly
     val root2 = Files.createTempDirectory("graft_vt_parttype")
     val t2 = VersionedTarget.Segmented(root2, partitionCols = Seq("cell"))
     t2.commit(Seq((1L, 1L)).toDF("id", "cell"), 0L)
-    t2.commit(Seq((2.5, 1L)).toDF("id", "cell"), 1L)
-    val e = intercept[Exception] { t2.current(spark).get.collect() }
+    val e = intercept[Exception] {
+      t2.commit(Seq((2.5, 1L)).toDF("id", "cell"), 1L)
+    }
     assert(e.getMessage.contains("rewrite, not an append"),
       s"partitioned type change must fail loudly, got: ${e.getMessage}")
   }
