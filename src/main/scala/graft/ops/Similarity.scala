@@ -185,7 +185,27 @@ object Similarity {
     * the centroid frame is a k-row local relation.
     */
   def kmeansFit(corpus: DataFrame, idCol: String, vecCol: String,
-                k: Int, iters: Int): (DataFrame, DataFrame) = {
+                k: Int, iters: Int): (DataFrame, DataFrame) =
+    kmeansFit(corpus, idCol, vecCol, k, iters, materialize = true,
+      withVec = false)
+
+  /** [[kmeansFit]] with the index-build knobs:
+    *
+    *   - `materialize = false` skips the persist+count of the assignment
+    *     frame — for WRITE-THROUGH callers (fit → commit to a persisted
+    *     index) the very next write materialises it anyway, so the extra
+    *     action is pure driver+job overhead; keep `true` when the
+    *     returned frame is served repeatedly in-memory (q72/q82/q147).
+    *   - `withVec = true` includes the (double) vector in the assignment
+    *     rows — the SELF-CONTAINED index shape ([[ivfTopKServed]]): a
+    *     probe wave then reads candidates straight off the index's cell
+    *     layout instead of paying a corpus⋈assignments shuffle join per
+    *     wave. Costs index bytes (the standard IVF trade: the index
+    *     stores the vectors it serves).
+    */
+  def kmeansFit(corpus: DataFrame, idCol: String, vecCol: String,
+                k: Int, iters: Int, materialize: Boolean,
+                withVec: Boolean): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.{DecimalType, LongType}
     // Right-size the cached corpus for the iterative loop: Lloyd's runs
@@ -233,16 +253,21 @@ object Similarity {
           .agg(transform(sort_array(collect_list(struct(col("__pos"), col("__cv")))),
             s => s.getField("__cv")).as("__centroid")))
       }
-      // the assignment table IS the IVF index: cache + materialize it so
-      // every search over it reuses the one build (and the vec cache can
-      // be dropped). The CALLER owns the cache lifecycle: unpersist the
-      // returned frame once the search is done, or the entry lingers for
-      // the session (see q72 for the pattern)
-      val assignments = vecs
-        .select(col("__id").as(idCol),
-          nearestCellExpr(col("__vec"), cent).as("cell"))
-        .persist()
-      assignments.count(): Unit
+      // the assignment table IS the IVF index: when served in-memory,
+      // cache + materialize it so every search reuses the one build (and
+      // the vec cache can be dropped) — the CALLER owns the cache
+      // lifecycle (unpersist when done, see q72); a write-through caller
+      // passes materialize=false and lets its own commit materialise.
+      val assignCols =
+        if (withVec)
+          Seq(col("__id").as(idCol), col("__vec").as(vecCol),
+            nearestCellExpr(col("__vec"), cent).as("cell"))
+        else
+          Seq(col("__id").as(idCol), nearestCellExpr(col("__vec"), cent).as("cell"))
+      val lazyAssign = vecs.select(assignCols: _*)
+      val assignments =
+        if (!materialize) lazyAssign
+        else { val a = lazyAssign.persist(); a.count(): Unit; a }
       (assignments, centDF(corpus.sparkSession, cent))
     } finally cached.unpersist(): Unit
   }
@@ -256,9 +281,16 @@ object Similarity {
     * assignments are never touched.
     */
   def assignToCentroids(vecs: DataFrame, cent: DataFrame,
-                        idCol: String, vecCol: String): DataFrame =
-    vecs.select(col(idCol),
-      nearestCellExpr(toDouble(col(vecCol)), localizeSeq(cent)).as("cell"))
+                        idCol: String, vecCol: String,
+                        withVec: Boolean = false): DataFrame = {
+    val c = localizeSeq(cent)
+    if (withVec)
+      vecs.select(col(idCol), toDouble(col(vecCol)).as(vecCol),
+        nearestCellExpr(toDouble(col(vecCol)), c).as("cell"))
+    else
+      vecs.select(col(idCol),
+        nearestCellExpr(toDouble(col(vecCol)), c).as("cell"))
+  }
 
   /** The maintenance decision for a persisted IVF index, driven by the
     * measured recall report (q147's shape: one `n_hits` ∈ 0..k row per
@@ -313,7 +345,7 @@ object Similarity {
       k: Int, iters: Int,
       assignTarget: graft.ops.VersionedTarget.Segmented,
       centTarget: graft.ops.VersionedTarget.Rewrite,
-      batchId: Long): Unit = {
+      batchId: Long, withVec: Boolean = false): Unit = {
     // fully-durable redelivery (crash AFTER both commits): no-op — the
     // epoch guard would otherwise throw from the rebase after paying the
     // whole O(corpus) fit. An epoch PAST batchId means a newer refit or
@@ -327,14 +359,15 @@ object Similarity {
       // centroid version would silently serve a mismatched quantizer if
       // the corpus moved between attempts.
       val cent = centTarget.read(corpus.sparkSession, s"v$batchId")
-      assignTarget.rebase(assignToCentroids(corpus, cent, idCol, vecCol),
-        batchId, tag)
+      assignTarget.rebase(
+        assignToCentroids(corpus, cent, idCol, vecCol, withVec), batchId, tag)
     } else {
-      val (assign, cent) = kmeansFit(corpus, idCol, vecCol, k, iters)
-      try {
-        centTarget.commit(cent, batchId)
-        assignTarget.rebase(assign, batchId, tag)
-      } finally assign.unpersist(): Unit
+      // write-through: the rebase's commit materialises the assignment
+      // frame, so the fit skips its own persist+count action
+      val (assign, cent) = kmeansFit(corpus, idCol, vecCol, k, iters,
+        materialize = false, withVec = withVec)
+      centTarget.commit(cent, batchId)
+      assignTarget.rebase(assign, batchId, tag)
     }
   }
 
@@ -362,7 +395,7 @@ object Similarity {
       assignTarget: graft.ops.VersionedTarget.Segmented,
       centTarget: graft.ops.VersionedTarget.Rewrite,
       batchId: Long, maxAttempts: Int = 3,
-      onPlaced: () => Unit = () => ()): Unit = {
+      onPlaced: () => Unit = () => (), withVec: Boolean = false): Unit = {
     val s = delta.sparkSession
     var attempt = 0
     var done = false
@@ -372,7 +405,7 @@ object Similarity {
         .getOrElse(sys.error("index target carries no quantizer tag — " +
           "build it with commit(tag = Some(<centroid version>))"))
       val placed = assignToCentroids(delta, centTarget.read(s, placedWith),
-        idCol, vecCol)
+        idCol, vecCol, withVec)
       onPlaced() // test seam: the refit-race window lives right here
       try {
         // commit INHERITS the manifest tag; the hook re-reads it inside
@@ -466,21 +499,36 @@ object Similarity {
     }
 
   /** Nearest centroid of a literal quantizer, map-only (tie → lowest
-    * cell): `array_min` over the k (d2, cell) structs.
+    * cell). Long-keyed quantizers (every [[kmeansFit]] shape) go through
+    * the native [[graft.functions.NearestCell]] — the matrix is ONE
+    * reference object, so the generated code is identical across Lloyd's
+    * rounds/waves (codegen-cache hit, no per-action recompile) and
+    * analysis sees one node instead of k×dims literals. Non-Long cell
+    * keys (labelled [[ivfAssign]]) keep the equivalent `array_min` over
+    * k (d2, cell) structs — both argmin the same rounded-L2 term tree.
     */
   private def nearestCellExpr(vec: Column,
                               cent: Seq[(Any, Seq[Double])]): Column =
-    array_min(array(cellDistStructs(vec, cent): _*)).getField("__cell")
+    if (cent.nonEmpty && cent.forall(_._1.isInstanceOf[Long]))
+      graft.functions.NearestCell.nearest(vec,
+        cent.map { case (c, v) => (c.asInstanceOf[Long], v) })
+    else
+      array_min(array(cellDistStructs(vec, cent): _*)).getField("__cell")
 
   /** The `nprobe` nearest cells of a literal quantizer, ascending
-    * (d2, cell) — the multi-probe ranking as one map-side sort of k
-    * structs instead of a broadcast join + per-probe window.
+    * (d2, cell) — the multi-probe ranking as one map-side native sort of
+    * k rows per probe ([[graft.functions.RankedCells]], same stable
+    * codegen as [[nearestCellExpr]]).
     */
   private def rankedCellsExpr(vec: Column, cent: Seq[(Any, Seq[Double])],
                               nprobe: Int): Column =
-    transform(
-      slice(array_sort(array(cellDistStructs(vec, cent): _*)), 1, nprobe),
-      s => s.getField("__cell"))
+    if (cent.nonEmpty && cent.forall(_._1.isInstanceOf[Long]))
+      graft.functions.NearestCell.ranked(vec,
+        cent.map { case (c, v) => (c.asInstanceOf[Long], v) }, nprobe)
+    else
+      transform(
+        slice(array_sort(array(cellDistStructs(vec, cent): _*)), 1, nprobe),
+        s => s.getField("__cell"))
 
   /** IVF search (nprobe=1) over an explicit (idCol, cell) assignment
     * table: probes scan only the vectors assigned to their own cell.
@@ -526,6 +574,50 @@ object Similarity {
     val cands = corpus.join(assignments, Seq(idCol))
       .select(col(idCol).as("cand_id"), col(vecCol).as("__cv"),
         norm(col(vecCol)).as("__cn"), col("cell"))
+    val scored = probeCells.join(cands, Seq("cell"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("cos6",
+        round(dot(col("__pv"), col("__cv")) / (col("__pn") * col("__cn")), 6))
+    TopK.perGroup(scored, k,
+        partition = Seq(col("probe_id")),
+        order = Seq(col("cos6").desc, col("cand_id").asc))
+      .select(col("probe_id"), col("cand_id"), col("cos6"), col("rn"))
+  }
+
+  /** Serve a probe wave from a SELF-CONTAINED index `(idCol, vecCol,
+    * cell)` — built with `withVec = true` ([[kmeansFit]] /
+    * [[assignToCentroids]]), the 100 TB IVF serving shape: the index
+    * stores each vector WITH its assignment, so candidates read straight
+    * off the index's `cell=` layout and the wave never joins back to the
+    * corpus (the probed-over-(id,cell) shape pays a full
+    * corpus⋈assignments shuffle join per wave). Probes resolve from the
+    * index too — an indexed id is queryable by construction; an external
+    * query set would enter as its own frame. Results are identical to
+    * [[ivfTopKProbed]] over the same quantizer (exact double widening,
+    * same 6dp/tie rules).
+    */
+  def ivfTopKServed(index: DataFrame, centroids: DataFrame, idCol: String,
+                    vecCol: String, probeFilter: Column, k: Int,
+                    nprobe: Int): DataFrame =
+    ivfTopKServedFrom(index.filter(probeFilter), index, centroids,
+      idCol, vecCol, k, nprobe)
+
+  /** [[ivfTopKServed]] with an EXTERNAL probe set `(idCol, vecCol)` —
+    * query vectors that need not be index members (the takedown shape:
+    * a revoked id stays legal as a QUERY but can never be returned,
+    * because candidacy reads only the index).
+    */
+  def ivfTopKServedFrom(probeRows: DataFrame, index: DataFrame,
+                        centroids: DataFrame, idCol: String,
+                        vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val probes = probeRows
+      .select(col(idCol).as("probe_id"), toDouble(col(vecCol)).as("__pv"),
+        norm(col(vecCol)).as("__pn"))
+    val probeCells = probes.select(col("probe_id"), col("__pv"), col("__pn"),
+      explode(rankedCellsExpr(col("__pv"), localizeSeq(centroids), nprobe))
+        .as("cell"))
+    val cands = index.select(col(idCol).as("cand_id"), col(vecCol).as("__cv"),
+      norm(col(vecCol)).as("__cn"), col("cell"))
     val scored = probeCells.join(cands, Seq("cell"))
       .filter(col("probe_id") =!= col("cand_id"))
       .withColumn("cos6",

@@ -497,9 +497,10 @@ object LlmOps {
     // same multi-pass right-sizing as q72
     val e = t(spark, dir, "embeddings").coalesce(8)
     val (assignments, centroids) =
-      Similarity.kmeansFit(e, "vec_id", "embedding", k = 8, iters = 2)
+      Similarity.kmeansFit(e, "vec_id", "embedding", k = 8, iters = 2,
+        materialize = true, withVec = true)
     try {
-      val out = Similarity.ivfTopKProbed(e, assignments, centroids,
+      val out = Similarity.ivfTopKServed(assignments, centroids,
           "vec_id", "embedding", probeFilter = $"vec_id" < 20, k = 3, nprobe = 2)
         .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
       // k-bounded result; materialise so the cached index can be released
@@ -526,18 +527,20 @@ object LlmOps {
     import spark.implicits._
     val e = t(spark, dir, "embeddings").coalesce(8)
     val out = PipelineOps.layoutDir(spark, dir, "ivfindex")
-    // stage 1: fit once, persist the index (daily-build artifact)
+    // stage 1: fit once, persist the SELF-CONTAINED index (vectors live
+    // WITH their assignments — the write materialises the fit, so the
+    // fit itself skips its persist+count action)
     val (assignments, centroids) =
-      Similarity.kmeansFit(e, "vec_id", "embedding", k = 8, iters = 2)
-    try {
-      assignments.write.mode("overwrite")
-        .partitionBy("cell").parquet(s"$out/assignments")
-      centroids.write.mode("overwrite").parquet(s"$out/centroids")
-    } finally assignments.unpersist(): Unit
-    // stage 2: serve the probe wave FROM the persisted index — no refit
+      Similarity.kmeansFit(e, "vec_id", "embedding", k = 8, iters = 2,
+        materialize = false, withVec = true)
+    assignments.write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$out/assignments")
+    centroids.write.mode("overwrite").parquet(s"$out/centroids")
+    // stage 2: serve the probe wave FROM the persisted index — no refit,
+    // and no corpus join: candidates read straight off the cell layout
     val idxAssign = spark.read.parquet(s"$out/assignments")
     val idxCent = spark.read.parquet(s"$out/centroids")
-    val res = Similarity.ivfTopKProbed(e, idxAssign, idxCent,
+    val res = Similarity.ivfTopKServed(idxAssign, idxCent,
         "vec_id", "embedding", probeFilter = $"vec_id" < 20, k = 3, nprobe = 2)
       .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
     // k-bounded result; materialise so nothing holds the index read open
@@ -1025,17 +1028,19 @@ object LlmOps {
     val delta = e.filter($"vec_id" % 10 === 0)
     val out = PipelineOps.layoutDir(spark, dir, "ivfappend")
     // nightly build: fit on the base, persist index segment 0 + centroids
+    // (self-contained: vectors live WITH their assignments, so serving
+    // never rejoins the corpus; the write materialises the fit)
     val (baseAssign, cent) =
-      Similarity.kmeansFit(base, "vec_id", "embedding", k = 8, iters = 2)
-    try {
-      baseAssign.write.mode("overwrite")
-        .partitionBy("cell").parquet(s"$out/assignments/seg0")
-      cent.write.mode("overwrite").parquet(s"$out/centroids")
-    } finally baseAssign.unpersist(): Unit
+      Similarity.kmeansFit(base, "vec_id", "embedding", k = 8, iters = 2,
+        materialize = false, withVec = true)
+    baseAssign.write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$out/assignments/seg0")
+    cent.write.mode("overwrite").parquet(s"$out/centroids")
     // index APPEND: place the delta into the existing quantizer (no refit),
     // commit as segment 1 — existing segment untouched
     val idxCent = spark.read.parquet(s"$out/centroids")
-    Similarity.assignToCentroids(delta, idxCent, "vec_id", "embedding")
+    Similarity.assignToCentroids(delta, idxCent, "vec_id", "embedding",
+        withVec = true)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$out/assignments/seg1")
     // serve the probe wave over base + delta from the two index segments
@@ -1043,7 +1048,7 @@ object LlmOps {
     // sides' partition pruning intact)
     val idxAssign = spark.read.parquet(s"$out/assignments/seg0")
       .unionByName(spark.read.parquet(s"$out/assignments/seg1"))
-    val res = Similarity.ivfTopKProbed(e, idxAssign, idxCent,
+    val res = Similarity.ivfTopKServed(idxAssign, idxCent,
         "vec_id", "embedding", probeFilter = $"vec_id" < 20, k = 3, nprobe = 2)
       .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
     // k-bounded result; materialise so nothing holds the index read open
@@ -1075,9 +1080,10 @@ object LlmOps {
     import spark.implicits._
     val e = t(spark, dir, "embeddings").coalesce(8)
     val (assign, cent) =
-      Similarity.kmeansFit(e, "vec_id", "embedding", k = 8, iters = 2)
+      Similarity.kmeansFit(e, "vec_id", "embedding", k = 8, iters = 2,
+        materialize = true, withVec = true)
     try {
-      val ivf = Similarity.ivfTopKProbed(e, assign, cent,
+      val ivf = Similarity.ivfTopKServed(assign, cent,
           "vec_id", "embedding", probeFilter = $"vec_id" < 20, k = 3, nprobe = 2)
         .select($"probe_id", $"cand_id")
       val truth = Similarity.bruteForceTopK(
@@ -1178,25 +1184,25 @@ object LlmOps {
     val target = graft.ops.VersionedTarget.Segmented(root,
       partitionCols = Seq("cell"))
     // nightly build: fit on the base, segment 0 + persisted centroids
+    // (self-contained index: the commit materialises the fit)
     val (baseAssign, cent) =
-      Similarity.kmeansFit(base, "vec_id", "embedding", k = 8, iters = 2)
-    try {
-      target.commit(baseAssign, 0L)
-      cent.write.mode("overwrite").parquet(s"$out/centroids")
-    } finally baseAssign.unpersist(): Unit
+      Similarity.kmeansFit(base, "vec_id", "embedding", k = 8, iters = 2,
+        materialize = false, withVec = true)
+    target.commit(baseAssign, 0L)
+    cent.write.mode("overwrite").parquet(s"$out/centroids")
     val idxCent = spark.read.parquet(s"$out/centroids")
     // two O(delta) appends into the existing quantizer
-    target.commit(
-      Similarity.assignToCentroids(deltaA, idxCent, "vec_id", "embedding"), 1L)
-    target.commit(
-      Similarity.assignToCentroids(deltaB, idxCent, "vec_id", "embedding"), 2L)
+    target.commit(Similarity.assignToCentroids(deltaA, idxCent,
+      "vec_id", "embedding", withVec = true), 1L)
+    target.commit(Similarity.assignToCentroids(deltaB, idxCent,
+      "vec_id", "embedding", withVec = true), 2L)
     def probeWave(): DataFrame = {
       val idxAssign = target.current(spark)
         .getOrElse(sys.error("index target committed no version"))
       // k-bounded result (|probes|·k rows — driver-size BY DESIGN, the
       // q72 lifecycle pattern): materialise so nothing holds the old
       // segment scan open across the fold
-      val res = Similarity.ivfTopKProbed(e, idxAssign, idxCent,
+      val res = Similarity.ivfTopKServed(idxAssign, idxCent,
           "vec_id", "embedding", probeFilter = $"vec_id" < 20, k = 3,
           nprobe = 2)
         .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
@@ -1340,15 +1346,14 @@ object LlmOps {
     val assignT = VersionedTarget.Segmented(aroot, partitionCols = Seq("cell"))
     val centT = VersionedTarget.Rewrite(croot)
     // nightly build: quantizer fitted on the base clusters only
+    // (self-contained index: the commit materialises the fit)
     val (baseAssign, cent0) =
       Similarity.kmeansFit(aug.filter(cluster.isin(0, 1)), "vec_id", "embedding",
-        k = 8, iters = 2)
-    try {
-      centT.commit(cent0, 0L)
-      // the build stamps the quantizer tag — every append inherits it,
-      // the refit's rebase replaces it (transactional with the swap)
-      assignT.commit(baseAssign, 0L, tag = Some("v0"))
-    } finally baseAssign.unpersist(): Unit
+        k = 8, iters = 2, materialize = false, withVec = true)
+    centT.commit(cent0, 0L)
+    // the build stamps the quantizer tag — every append inherits it,
+    // the refit's rebase replaces it (transactional with the swap)
+    assignT.commit(baseAssign, 0L, tag = Some("v0"))
     // drift: one O(delta) append places the UNSEEN clusters {2,3,4} into
     // the SERVED quantizer (map-side literal placement, the q144 path) —
     // through the refit-safe verb, whose in-transaction tag check would
@@ -1357,7 +1362,7 @@ object LlmOps {
     // multi-append shapes); the refit's batch id 3 leaves the gap a
     // skipped epoch would.
     Similarity.appendToIndex(aug.filter(cluster.isin(2, 3, 4)), "vec_id",
-      "embedding", assignT, centT, 1L)
+      "embedding", assignT, centT, 1L, withVec = true)
     def wave(): DataFrame = {
       val idxAssign = assignT.current(spark)
         .getOrElse(sys.error("index target committed no version"))
@@ -1365,7 +1370,7 @@ object LlmOps {
         .getOrElse(sys.error("no centroid version paired with the served index"))
       // k-bounded result (|probes|·k rows): materialise so nothing holds
       // the old index scan open across the refit (q151's pattern)
-      val res = Similarity.ivfTopKProbed(aug, idxAssign, c,
+      val res = Similarity.ivfTopKServed(idxAssign, c,
           "vec_id", "embedding", probeFilter = $"vec_id" < 20, k = 3, nprobe = 2)
         .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
       spark.createDataFrame(
@@ -1390,7 +1395,7 @@ object LlmOps {
       // THE REFIT: re-fit on the current corpus, fresh base behind the
       // pointer, old index retired by vacuum
       Similarity.refitIndex(aug, "vec_id", "embedding", k = 8, iters = 2,
-        assignT, centT, batchId = 3L)
+        assignT, centT, batchId = 3L, withVec = true)
       assignT.vacuum(1): Unit
       centT.vacuum(1): Unit
       require(VersionedTarget.currentVersion(aroot).contains("v3") &&
@@ -1451,16 +1456,16 @@ object LlmOps {
     Files.createDirectories(root)
     val target = graft.ops.VersionedTarget.Segmented(root,
       partitionCols = Seq("cell"))
-    // nightly build + one O(delta) append (the q144/q151 lifecycle)
+    // nightly build + one O(delta) append (the q144/q151 lifecycle;
+    // self-contained index — the commit materialises the fit)
     val (baseAssign, cent) =
-      Similarity.kmeansFit(base, "vec_id", "embedding", k = 8, iters = 2)
-    try {
-      target.commit(baseAssign, 0L)
-      cent.write.mode("overwrite").parquet(s"$out/centroids")
-    } finally baseAssign.unpersist(): Unit
+      Similarity.kmeansFit(base, "vec_id", "embedding", k = 8, iters = 2,
+        materialize = false, withVec = true)
+    target.commit(baseAssign, 0L)
+    cent.write.mode("overwrite").parquet(s"$out/centroids")
     val idxCent = spark.read.parquet(s"$out/centroids")
-    target.commit(
-      Similarity.assignToCentroids(delta, idxCent, "vec_id", "embedding"), 1L)
+    target.commit(Similarity.assignToCentroids(delta, idxCent,
+      "vec_id", "embedding", withVec = true), 1L)
     // TAKEDOWN: revoke vec_id % 7 = 3 from the index — touched segments
     // rewritten (layout preserved), quantizer and corpus untouched
     require(target.deleteWhere(spark, $"vec_id" % 7 === 3).isDefined,
@@ -1468,8 +1473,11 @@ object LlmOps {
     target.vacuum(1): Unit // retire the pre-takedown index versions
     val idxAssign = target.current(spark)
       .getOrElse(sys.error("index target committed no version"))
-    val res = Similarity.ivfTopKProbed(e, idxAssign, idxCent,
-        "vec_id", "embedding", probeFilter = $"vec_id" < 20, k = 3, nprobe = 2)
+    // probes come from the CORPUS — a revoked id stays legal as a QUERY
+    // (an external query vector is not index membership) but can never
+    // be returned, because candidacy reads only the index
+    val res = Similarity.ivfTopKServedFrom(e.filter($"vec_id" < 20),
+        idxAssign, idxCent, "vec_id", "embedding", k = 3, nprobe = 2)
       .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
     // k-bounded result (|probes|·k rows); materialise so nothing holds
     // the index read open (the q72 lifecycle pattern)
