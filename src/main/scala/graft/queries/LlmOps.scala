@@ -533,7 +533,7 @@ object LlmOps {
     val (assignments, centroids) =
       Similarity.kmeansFit(e, "vec_id", "embedding", k = 8, iters = 2,
         materialize = false, withVec = true)
-    assignments.write.mode("overwrite")
+    assignments.repartition(col("cell")).write.mode("overwrite")
       .partitionBy("cell").parquet(s"$out/assignments")
     centroids.write.mode("overwrite").parquet(s"$out/centroids")
     // stage 2: serve the probe wave FROM the persisted index — no refit,
@@ -1033,7 +1033,7 @@ object LlmOps {
     val (baseAssign, cent) =
       Similarity.kmeansFit(base, "vec_id", "embedding", k = 8, iters = 2,
         materialize = false, withVec = true)
-    baseAssign.write.mode("overwrite")
+    baseAssign.repartition(col("cell")).write.mode("overwrite")
       .partitionBy("cell").parquet(s"$out/assignments/seg0")
     cent.write.mode("overwrite").parquet(s"$out/centroids")
     // index APPEND: place the delta into the existing quantizer (no refit),
@@ -1041,7 +1041,7 @@ object LlmOps {
     val idxCent = spark.read.parquet(s"$out/centroids")
     Similarity.assignToCentroids(delta, idxCent, "vec_id", "embedding",
         withVec = true)
-      .write.mode("overwrite").partitionBy("cell")
+      .repartition(col("cell")).write.mode("overwrite").partitionBy("cell")
       .parquet(s"$out/assignments/seg1")
     // serve the probe wave over base + delta from the two index segments
     // (each carries its own cell= partition layout; the union keeps both
@@ -1181,8 +1181,11 @@ object LlmOps {
       graft.ops.VersionedTarget.rmTree(root.toFile)
     }
     Files.createDirectories(root)
+    // clusterCommits: the index is the read-heavy side — one file per
+    // cell per commit (vs upstream-partitions x cells small files), so
+    // every probe wave's multi-path scan stays at segments x cells splits
     val target = graft.ops.VersionedTarget.Segmented(root,
-      partitionCols = Seq("cell"))
+      partitionCols = Seq("cell"), clusterCommits = true)
     // nightly build: fit on the base, segment 0 + persisted centroids
     // (self-contained index: the commit materialises the fit)
     val (baseAssign, cent) =
@@ -1343,7 +1346,8 @@ object LlmOps {
       if (Files.exists(r)) VersionedTarget.rmTree(r.toFile)
       Files.createDirectories(r): Unit
     }
-    val assignT = VersionedTarget.Segmented(aroot, partitionCols = Seq("cell"))
+    val assignT = VersionedTarget.Segmented(aroot,
+      partitionCols = Seq("cell"), clusterCommits = true)
     val centT = VersionedTarget.Rewrite(croot)
     // nightly build: quantizer fitted on the base clusters only
     // (self-contained index: the commit materialises the fit)
@@ -1455,7 +1459,7 @@ object LlmOps {
     }
     Files.createDirectories(root)
     val target = graft.ops.VersionedTarget.Segmented(root,
-      partitionCols = Seq("cell"))
+      partitionCols = Seq("cell"), clusterCommits = true)
     // nightly build + one O(delta) append (the q144/q151 lifecycle;
     // self-contained index — the commit materialises the fit)
     val (baseAssign, cent) =
