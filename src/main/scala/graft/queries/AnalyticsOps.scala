@@ -198,7 +198,7 @@ object AnalyticsOps {
     import spark.implicits._
     val base = t(spark, dir, "orders")
       .select($"o_orderkey".as("bk"), $"o_totalprice".cast(DoubleType).as("bt"))
-    val next = PipelineOps.q103(spark, dir)
+    val next = PipelineOps.q103Merged(spark, dir)
       .select($"o_orderkey".as("nk"), $"total".as("nt"))
     base.join(next, $"bk" === $"nk", "full_outer")
       .select(

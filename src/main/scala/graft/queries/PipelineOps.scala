@@ -224,25 +224,39 @@ object PipelineOps {
     */
   def q103(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    q103Merged(spark, dir).orderBy($"o_orderkey".asc_nulls_first)
+  }
+
+  /** The q103 merge WITHOUT its presentation sort — what downstream
+    * composition (q114's snapshot diff) consumes: the audit's own join
+    * would destroy the order anyway, so sorting first is a wasted full
+    * range-exchange.
+    */
+  private[queries] def q103Merged(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val o = t(spark, dir, "orders")
-    val upd = o.filter($"o_orderkey" % 10 === 0)
-      .select($"o_orderkey".as("k"), lit("U").as("op"),
-        round(dec2($"o_totalprice") * lit(new java.math.BigDecimal("1.1")), 2)
-          .cast(DoubleType).as("nt"))
-    val del = o.filter($"o_orderkey" % 10 === 1)
-      .select($"o_orderkey".as("k"), lit("D").as("op"),
-        lit(null).cast(DoubleType).as("nt"))
-    val ins = o.filter($"o_orderkey" % 100 === 2)
-      .select((-$"o_orderkey").as("k"), lit("I").as("op"),
-        $"o_totalprice".cast(DoubleType).as("nt"))
-    val ch = upd.unionByName(del).unionByName(ins)
+    // the CDC batch in ONE scan: the three change kinds are disjoint
+    // key classes (%10=0 / %10=1 / %100=2), so each row emits at most
+    // one change row — a single conditional projection replaces the
+    // former three-scan union
+    val ch = o.select(
+        when($"o_orderkey" % 100 === 2, -$"o_orderkey")
+          .otherwise($"o_orderkey").as("k"),
+        when($"o_orderkey" % 10 === 0, "U")
+          .when($"o_orderkey" % 10 === 1, "D")
+          .when($"o_orderkey" % 100 === 2, "I").as("op"),
+        when($"o_orderkey" % 10 === 0,
+          round(dec2($"o_totalprice") * lit(new java.math.BigDecimal("1.1")), 2)
+            .cast(DoubleType))
+          .when($"o_orderkey" % 100 === 2, $"o_totalprice".cast(DoubleType))
+          .as("nt"))
+      .filter($"op".isNotNull)
     o.join(ch, $"o_orderkey" === $"k", "full_outer")
       .filter($"op".isNull || $"op" =!= "D")
       .select(coalesce($"o_orderkey", $"k").as("o_orderkey"),
         when($"op" === "I", lit("NEW")).otherwise($"o_orderstatus").as("status"),
         when($"op".isin("U", "I"), $"nt")
           .otherwise($"o_totalprice".cast(DoubleType)).as("total"))
-      .orderBy($"o_orderkey".asc_nulls_first)
   }
 
   val q103Sql: String =
@@ -633,22 +647,22 @@ object PipelineOps {
     */
   def q149(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // DISTINCT referenced keys with a hit marker. distinct() keeps the
-    // outer join from multiplying fact rows when the referenced key
-    // repeats (lineitem in the completeness direction); broadcast hints
-    // go only on truly dimension-sized key sets — the orders/lineitem
-    // key sets are left to the planner, which broadcasts them at test
-    // scale and correctly shuffles them at 100 TB.
-    def keys(df: DataFrame, k: String, as: String, marker: String,
-        dim: Boolean): DataFrame = {
-      val d = df.select(col(k).as(as)).distinct().withColumn(marker, lit(1))
-      if (dim) broadcast(d) else d
-    }
-    // ALL checks of one fact share ONE pass: chained left joins each add
-    // a hit marker, then a single aggregate counts rows and every miss
-    // kind together — one lineitem scan probes all three FK sets instead
-    // of one scan per check, and n_checked/n_orphans of every relation
-    // come from the same snapshot.
+    // A REFERENCED key column that is the referenced table's PRIMARY KEY
+    // (every FK target here — the uniqueness Deequ asserts as its own
+    // check) joins DIRECTLY: no defensive distinct(), which cost a full
+    // dedup shuffle per key set for keys that were already unique. The
+    // probe detects a miss by the referenced key's own null-ness after
+    // the left join. Only the COMPLETENESS direction (orders with no
+    // lineitems) probes a REPEATING key set, so only it dedups — and
+    // that distinct map-side-combines 4:1 before its shuffle. Broadcast
+    // hints go on truly dimension-sized sides; the orders/lineitem key
+    // sets are left to the planner (broadcast at test scale via AQE,
+    // correctly shuffled at 100 TB).
+    // ALL checks of one fact share ONE pass: chained left joins, then a
+    // single aggregate counts rows and every miss kind together — one
+    // lineitem scan probes all three FK sets instead of one scan per
+    // check, and n_checked/n_orphans of every relation come from the
+    // same snapshot.
     def report(wide: DataFrame, rels: Seq[String]): DataFrame = {
       val stackArgs = rels.map(r => s"'$r', $r").mkString(", ")
       wide.select(
@@ -660,24 +674,24 @@ object PipelineOps {
     val lineitem = t(spark, dir, "lineitem")
     def miss(m: String) = sum(when(col(m).isNull, 1L).otherwise(0L))
     val liWide = lineitem.select($"l_orderkey", $"l_partkey", $"l_suppkey")
-      .join(keys(orders, "o_orderkey", "l_orderkey", "__o", dim = false),
-        Seq("l_orderkey"), "left_outer")
-      .join(keys(t(spark, dir, "part"), "p_partkey", "l_partkey", "__p",
-        dim = true), Seq("l_partkey"), "left_outer")
-      .join(keys(t(spark, dir, "supplier"), "s_suppkey", "l_suppkey", "__s",
-        dim = true), Seq("l_suppkey"), "left_outer")
+      .join(orders.select($"o_orderkey"),
+        $"l_orderkey" === $"o_orderkey", "left_outer")
+      .join(broadcast(t(spark, dir, "part").select($"p_partkey")),
+        $"l_partkey" === $"p_partkey", "left_outer")
+      .join(broadcast(t(spark, dir, "supplier").select($"s_suppkey")),
+        $"l_suppkey" === $"s_suppkey", "left_outer")
       .agg(count(lit(1)).as("n_checked"),
-        miss("__o").as("lineitem_orders_fk"),
-        miss("__p").as("lineitem_part_fk"),
-        miss("__s").as("lineitem_supplier_fk"))
+        miss("o_orderkey").as("lineitem_orders_fk"),
+        miss("p_partkey").as("lineitem_part_fk"),
+        miss("s_suppkey").as("lineitem_supplier_fk"))
     val ordWide = orders.select($"o_orderkey", $"o_custkey")
-      .join(keys(t(spark, dir, "customer"), "c_custkey", "o_custkey", "__c",
-        dim = true), Seq("o_custkey"), "left_outer")
-      .join(keys(lineitem, "l_orderkey", "o_orderkey", "__l", dim = false),
-        Seq("o_orderkey"), "left_outer")
+      .join(broadcast(t(spark, dir, "customer").select($"c_custkey")),
+        $"o_custkey" === $"c_custkey", "left_outer")
+      .join(lineitem.select($"l_orderkey").distinct().withColumnRenamed(
+        "l_orderkey", "__l_key"), $"o_orderkey" === $"__l_key", "left_outer")
       .agg(count(lit(1)).as("n_checked"),
-        miss("__c").as("orders_customer_fk"),
-        miss("__l").as("orders_lineitem_complete"))
+        miss("c_custkey").as("orders_customer_fk"),
+        miss("__l_key").as("orders_lineitem_complete"))
     report(liWide, Seq("lineitem_orders_fk", "lineitem_part_fk",
         "lineitem_supplier_fk"))
       .unionByName(report(ordWide,
