@@ -609,7 +609,8 @@ object Similarity {
     */
   def ivfTopKServedFrom(probeRows: DataFrame, index: DataFrame,
                         centroids: DataFrame, idCol: String,
-                        vecCol: String, k: Int, nprobe: Int): DataFrame = {
+                        vecCol: String, k: Int, nprobe: Int,
+                        includeProbeCell: Boolean = false): DataFrame = {
     val probes = probeRows
       .select(col(idCol).as("probe_id"), toDouble(col(vecCol)).as("__pv"),
         norm(col(vecCol)).as("__pn"))
@@ -622,10 +623,16 @@ object Similarity {
       .filter(col("probe_id") =!= col("cand_id"))
       .withColumn("cos6",
         round(dot(col("__pv"), col("__cv")) / (col("__pn") * col("__cn")), 6))
-    TopK.perGroup(scored, k,
+    val ranked = TopK.perGroup(scored, k,
         partition = Seq(col("probe_id")),
         order = Seq(col("cos6").desc, col("cand_id").asc))
-      .select(col("probe_id"), col("cand_id"), col("cos6"), col("rn"))
+    // includeProbeCell: q72's nprobe=1 shape reports the probe's OWN
+    // cell (its argmin = its assignment) alongside each hit
+    if (includeProbeCell)
+      ranked.select(col("probe_id"), col("cell"), col("cand_id"),
+        col("cos6"), col("rn"))
+    else
+      ranked.select(col("probe_id"), col("cand_id"), col("cos6"), col("rn"))
   }
 
   /** IVF search (nprobe=1) with per-`cellCol`-mean centroids (labelled

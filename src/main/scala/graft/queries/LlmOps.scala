@@ -397,10 +397,15 @@ object LlmOps {
     // the IVF build+search makes several passes over this 2k-row corpus;
     // a handful of partitions beats one-task-per-ingest-split per pass
     val e = t(spark, dir, "embeddings").coalesce(8)
-    val index = Similarity.kmeansAssign(e, "vec_id", "embedding", k = 8, iters = 2)
+    val (index, cent) = Similarity.kmeansFit(e, "vec_id", "embedding",
+      k = 8, iters = 2, materialize = true, withVec = true)
     try {
-      val out = Similarity.ivfTopKAssigned(e, index, "vec_id", "embedding",
-          probeFilter = $"vec_id" < 20, k = 3)
+      // nprobe=1 served from the self-contained index (a probe's ranked
+      // cell IS its own assignment, so this equals the assigned search
+      // exactly, without the corpus⋈assignments join per wave)
+      val out = Similarity.ivfTopKServedFrom(index.filter($"vec_id" < 20),
+          index, cent, "vec_id", "embedding", k = 3, nprobe = 1,
+          includeProbeCell = true)
         .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
       // k-bounded result (|probes|·k = 60 rows — driver-size BY DESIGN,
       // like the centroid localize): materialise it so the cached IVF
