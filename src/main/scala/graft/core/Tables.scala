@@ -106,12 +106,18 @@ object Tables {
       val n = spark.sparkContext.defaultParallelism
       val digest = java.security.MessageDigest.getInstance("MD5")
         .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      // the eviction scope is (table, raw path), not just table: two JVMs
+      // reading the same table name from DIFFERENT source dirs (sf0.01 vs
+      // sf0.001) must not evict each other's live compacted copy
+      val pathHash = java.security.MessageDigest.getInstance("MD5")
+        .digest(raw.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
       val out = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), "graft-compact", s"$name-$digest")
-      // evict stale digests for the same table before writing a fresh one
+        sys.props("java.io.tmpdir"), "graft-compact", s"$name-$pathHash-$digest")
+      // evict stale digests for the same (table, path) before writing afresh
       val parent = out.getParent.toFile
       Option(parent.listFiles).getOrElse(Array.empty)
-        .filter(d => d.getName.startsWith(s"$name-") && d.getName != out.getFileName.toString)
+        .filter(d => d.getName.startsWith(s"$name-$pathHash-") &&
+          d.getName != out.getFileName.toString)
         .foreach(deleteRecursively)
       if (!java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
         // raw column values preserved: events.ts is rewritten at its
