@@ -282,15 +282,21 @@ object Similarity {
     */
   def assignToCentroids(vecs: DataFrame, cent: DataFrame,
                         idCol: String, vecCol: String,
-                        withVec: Boolean = false): DataFrame = {
-    val c = localizeSeq(cent)
+                        withVec: Boolean = false): DataFrame =
+    assignToCentroids(vecs, localizeSeq(cent), idCol, vecCol, withVec)
+
+  /** [[assignToCentroids]] against an already-[[localize]]d quantizer —
+    * zero extra driver actions per placement.
+    */
+  def assignToCentroids(vecs: DataFrame, cent: Seq[(Long, Seq[Double])],
+                        idCol: String, vecCol: String,
+                        withVec: Boolean): DataFrame =
     if (withVec)
       vecs.select(col(idCol), toDouble(col(vecCol)).as(vecCol),
-        nearestCellExpr(toDouble(col(vecCol)), c).as("cell"))
+        nearestCellExpr(toDouble(col(vecCol)), cent).as("cell"))
     else
       vecs.select(col(idCol),
-        nearestCellExpr(toDouble(col(vecCol)), c).as("cell"))
-  }
+        nearestCellExpr(toDouble(col(vecCol)), cent).as("cell"))
 
   /** The maintenance decision for a persisted IVF index, driven by the
     * measured recall report (q147's shape: one `n_hits` ∈ 0..k row per
@@ -311,6 +317,33 @@ object Similarity {
     val probes = agg.getDouble(1)
     require(probes > 0, "empty recall report cannot drive a refit decision")
     agg.getDouble(0) / (probes * k) < minRecall
+  }
+
+  /** [[refitDecision]] over an already-collected report (one n_hits per
+    * probe) — the report is k-bounded by construction, so callers that
+    * already hold the served/truth waves on the driver decide with zero
+    * extra jobs. Same formula, same empty-report guard.
+    */
+  def refitDecision(nHits: Iterable[Long], k: Int,
+                    minRecall: Double): Boolean = {
+    require(k > 0 && minRecall >= 0.0 && minRecall <= 1.0)
+    val probes = nHits.size
+    require(probes > 0, "empty recall report cannot drive a refit decision")
+    nHits.sum.toDouble / (probes.toDouble * k) < minRecall
+  }
+
+  /** The per-probe hit counts of a recall report, computed driver-side
+    * from already-collected (probe_id, cand_id) pair sets: one row per
+    * DISTINCT truth probe, n_hits = |truth ∩ served| for that probe —
+    * exactly the q147 report shape ([[refitDecision]]'s input), for the
+    * k-bounded waves a lifecycle query already holds locally.
+    */
+  def recallHits(truth: Seq[(Long, Long)],
+                 served: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    val servedSet = served.toSet
+    truth.groupBy(_._1).toSeq.sortBy(_._1).map { case (probe, pairs) =>
+      (probe, pairs.count(servedSet.contains).toLong)
+    }
   }
 
   /** REFIT — the RECOVERY verb of the persisted-IVF lifecycle (build →
@@ -358,7 +391,7 @@ object Similarity {
       // re-fitting — pairing a fresh fit's assignments with the old
       // centroid version would silently serve a mismatched quantizer if
       // the corpus moved between attempts.
-      val cent = centTarget.read(corpus.sparkSession, s"v$batchId")
+      val cent = localizedQuantizer(corpus.sparkSession, centTarget, s"v$batchId")
       assignTarget.rebase(
         assignToCentroids(corpus, cent, idCol, vecCol, withVec), batchId, tag)
     } else {
@@ -404,8 +437,8 @@ object Similarity {
       val placedWith = assignTarget.currentTag
         .getOrElse(sys.error("index target carries no quantizer tag — " +
           "build it with commit(tag = Some(<centroid version>))"))
-      val placed = assignToCentroids(delta, centTarget.read(s, placedWith),
-        idCol, vecCol, withVec)
+      val placed = assignToCentroids(delta,
+        localizedQuantizer(s, centTarget, placedWith), idCol, vecCol, withVec)
       onPlaced() // test seam: the refit-race window lives right here
       try {
         // commit INHERITS the manifest tag; the hook re-reads it inside
@@ -471,6 +504,60 @@ object Similarity {
   private def localizeSeq(cent: DataFrame): Seq[(Long, Seq[Double])] =
     cent.select(col("__cell"), col("__centroid")).collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
+
+  /** PUBLIC localize: pin a quantizer frame onto the driver ONCE and
+    * thread the k-row Seq through every placement/wave that consults it
+    * ([[assignToCentroids]]/[[ivfTopKServed]] overloads) — one collect
+    * job per index lifetime instead of one per action. This is the
+    * serving-node shape at 100 TB: the quantizer is pinned in memory,
+    * only the candidate scan is distributed.
+    */
+  def localize(cent: DataFrame): Seq[(Long, Seq[Double])] = localizeSeq(cent)
+
+  /** Driver-side memo of localized PERSISTED quantizers. A committed
+    * centroid version is immutable, but the same (root, version) path
+    * can be torn down and rebuilt across invocations (fixtures,
+    * redelivered builds), so the key carries the version dir's physical
+    * fingerprint — part-file names and sizes (parquet writes salt file
+    * names with a per-job UUID, so any rewrite changes the key): stale
+    * entries miss, never mis-serve. Entries are k×dims doubles; the memo
+    * is cleared past a small cap rather than LRU-tracked.
+    */
+  private val quantizerMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Double])]]()
+
+  /** The localized quantizer of a committed centroid VERSION — memoized,
+    * so repeat waves/appends against one served quantizer pay zero read
+    * jobs and zero extra plan compiles after the first.
+    */
+  def localizedQuantizer(s: org.apache.spark.sql.SparkSession,
+      centTarget: graft.ops.VersionedTarget.Rewrite,
+      version: String): Seq[(Long, Seq[Double])] = {
+    val dir = centTarget.root.resolve(version)
+    val fp = Option(dir.toFile.listFiles).getOrElse(Array.empty)
+      .filter(_.isFile).map(f => s"${f.getName}:${f.length}")
+      .sorted.mkString(",")
+    val key = s"${dir.toAbsolutePath.normalize}@$fp"
+    if (quantizerMemo.size > 64) quantizerMemo.clear()
+    quantizerMemo.computeIfAbsent(key,
+      _ => localizeSeq(centTarget.read(s, version)))
+  }
+
+  /** [[pairedCentroids]] localized through the memo: the quantizer the
+    * index currently serves, as the driver-pinned Seq.
+    */
+  def pairedQuantizer(s: org.apache.spark.sql.SparkSession,
+      assignTarget: graft.ops.VersionedTarget.Segmented,
+      centTarget: graft.ops.VersionedTarget.Rewrite): Option[Seq[(Long, Seq[Double])]] =
+    assignTarget.currentTag match {
+      case Some(v) => Some(localizedQuantizer(s, centTarget, v))
+      case None => graft.ops.VersionedTarget.currentEpoch(assignTarget.root)
+        .flatMap { e =>
+          centTarget.versions
+            .filter(v => graft.ops.VersionedTarget.epochOf(v) <= e)
+            .lastOption.map(localizedQuantizer(s, centTarget, _))
+        }
+    }
 
   /** The k-row `(__cell, __centroid)` local relation of a driver-side
     * quantizer — [[kmeansFit]]'s public centroid shape.
@@ -602,6 +689,13 @@ object Similarity {
     ivfTopKServedFrom(index.filter(probeFilter), index, centroids,
       idCol, vecCol, k, nprobe)
 
+  /** [[ivfTopKServed]] against an already-[[localize]]d quantizer. */
+  def ivfTopKServed(index: DataFrame, cent: Seq[(Long, Seq[Double])],
+                    idCol: String, vecCol: String, probeFilter: Column,
+                    k: Int, nprobe: Int): DataFrame =
+    ivfTopKServedFrom(index.filter(probeFilter), index, cent,
+      idCol, vecCol, k, nprobe, includeProbeCell = false)
+
   /** [[ivfTopKServed]] with an EXTERNAL probe set `(idCol, vecCol)` —
     * query vectors that need not be index members (the takedown shape:
     * a revoked id stays legal as a QUERY but can never be returned,
@@ -610,12 +704,20 @@ object Similarity {
   def ivfTopKServedFrom(probeRows: DataFrame, index: DataFrame,
                         centroids: DataFrame, idCol: String,
                         vecCol: String, k: Int, nprobe: Int,
-                        includeProbeCell: Boolean = false): DataFrame = {
+                        includeProbeCell: Boolean = false): DataFrame =
+    ivfTopKServedFrom(probeRows, index, localizeSeq(centroids),
+      idCol, vecCol, k, nprobe, includeProbeCell)
+
+  /** [[ivfTopKServedFrom]] against an already-[[localize]]d quantizer. */
+  def ivfTopKServedFrom(probeRows: DataFrame, index: DataFrame,
+                        cent: Seq[(Long, Seq[Double])], idCol: String,
+                        vecCol: String, k: Int, nprobe: Int,
+                        includeProbeCell: Boolean): DataFrame = {
     val probes = probeRows
       .select(col(idCol).as("probe_id"), toDouble(col(vecCol)).as("__pv"),
         norm(col(vecCol)).as("__pn"))
     val probeCells = probes.select(col("probe_id"), col("__pv"), col("__pn"),
-      explode(rankedCellsExpr(col("__pv"), localizeSeq(centroids), nprobe))
+      explode(rankedCellsExpr(col("__pv"), cent, nprobe))
         .as("cell"))
     val cands = index.select(col(idCol).as("cand_id"), col(vecCol).as("__cv"),
       norm(col(vecCol)).as("__cn"), col("cell"))

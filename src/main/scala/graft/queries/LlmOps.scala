@@ -1042,9 +1042,11 @@ object LlmOps {
       .partitionBy("cell").parquet(s"$out/assignments/seg0")
     cent.write.mode("overwrite").parquet(s"$out/centroids")
     // index APPEND: place the delta into the existing quantizer (no refit),
-    // commit as segment 1 — existing segment untouched
-    val idxCent = spark.read.parquet(s"$out/centroids")
-    Similarity.assignToCentroids(delta, idxCent, "vec_id", "embedding",
+    // commit as segment 1 — existing segment untouched. The persisted
+    // quantizer is pinned onto the driver ONCE (k rows) and threaded
+    // through the placement and the wave — one read job, not one per use
+    val centLocal = Similarity.localize(spark.read.parquet(s"$out/centroids"))
+    Similarity.assignToCentroids(delta, centLocal, "vec_id", "embedding",
         withVec = true)
       .repartition(col("cell")).write.mode("overwrite").partitionBy("cell")
       .parquet(s"$out/assignments/seg1")
@@ -1053,7 +1055,7 @@ object LlmOps {
     // sides' partition pruning intact)
     val idxAssign = spark.read.parquet(s"$out/assignments/seg0")
       .unionByName(spark.read.parquet(s"$out/assignments/seg1"))
-    val res = Similarity.ivfTopKServed(idxAssign, idxCent,
+    val res = Similarity.ivfTopKServed(idxAssign, centLocal,
         "vec_id", "embedding", probeFilter = $"vec_id" < 20, k = 3, nprobe = 2)
       .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
     // k-bounded result; materialise so nothing holds the index read open
@@ -1198,45 +1200,47 @@ object LlmOps {
         materialize = false, withVec = true)
     target.commit(baseAssign, 0L)
     cent.write.mode("overwrite").parquet(s"$out/centroids")
-    val idxCent = spark.read.parquet(s"$out/centroids")
+    // pin the persisted quantizer onto the driver ONCE (k rows): every
+    // placement and probe wave below consults the same Seq — one read
+    // job per index lifetime, the serving-node shape
+    val centLocal = Similarity.localize(spark.read.parquet(s"$out/centroids"))
     // two O(delta) appends into the existing quantizer
-    target.commit(Similarity.assignToCentroids(deltaA, idxCent,
+    target.commit(Similarity.assignToCentroids(deltaA, centLocal,
       "vec_id", "embedding", withVec = true), 1L)
-    target.commit(Similarity.assignToCentroids(deltaB, idxCent,
+    target.commit(Similarity.assignToCentroids(deltaB, centLocal,
       "vec_id", "embedding", withVec = true), 2L)
-    def probeWave(): DataFrame = {
+    def probeWave(): (Seq[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType) = {
       val idxAssign = target.current(spark)
         .getOrElse(sys.error("index target committed no version"))
       // k-bounded result (|probes|·k rows — driver-size BY DESIGN, the
       // q72 lifecycle pattern): materialise so nothing holds the old
       // segment scan open across the fold
-      val res = Similarity.ivfTopKServed(idxAssign, idxCent,
+      val res = Similarity.ivfTopKServed(idxAssign, centLocal,
           "vec_id", "embedding", probeFilter = $"vec_id" < 20, k = 3,
           nprobe = 2)
         .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(res.collect().toSeq, 1), res.schema)
+      (res.collect().toSeq, res.schema)
     }
-    val served = probeWave()
+    val (served, servedSchema) = probeWave()
     // maintenance: fold base + deltas into ONE cell-partitioned segment
     require(target.compact(spark).isDefined,
       "index compaction must fold the appended segments")
     target.vacuum(1): Unit
-    require(probeWave().collect().toSeq == served.collect().toSeq,
+    require(probeWave()._1 == served,
       "index compaction changed probe results — the fold must be physical only")
-    // refit trigger on measured recall (q147's report over this index)
+    // refit trigger on measured recall (q147's report over this index):
+    // both waves are k-bounded and already on the driver, so the report
+    // and the decision run as local arithmetic — zero extra jobs
     val truth = Similarity.bruteForceTopK(
         e.filter($"vec_id" < 20), e, "vec_id", "embedding", k = 3)
       .select($"probe_id", $"cand_id")
-    val report = truth.select($"probe_id").distinct()
-      .join(truth.join(served.select($"probe_id", $"cand_id"),
-            Seq("probe_id", "cand_id"))
-          .groupBy($"probe_id").agg(count(lit(1)).as("n_hits")),
-        Seq("probe_id"), "left_outer")
-      .select($"probe_id", coalesce($"n_hits", lit(0L)).as("n_hits"))
-    require(!Similarity.refitDecision(report, k = 3, minRecall = 0.5),
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    val hits = Similarity.recallHits(truth,
+      served.map(r => (r.getLong(0), r.getLong(1))))
+    require(!Similarity.refitDecision(hits.map(_._2), k = 3, minRecall = 0.5),
       "self-serving index fell below the recall floor — refit demanded")
-    served
+    spark.createDataFrame(spark.sparkContext.parallelize(served, 1), servedSchema)
   }
 
   /** Same index content as q144 (base fit + placed deltas), so the same
@@ -1372,34 +1376,34 @@ object LlmOps {
     // skipped epoch would.
     Similarity.appendToIndex(aug.filter(cluster.isin(2, 3, 4)), "vec_id",
       "embedding", assignT, centT, 1L, withVec = true)
-    def wave(): DataFrame = {
+    def wave(): (Seq[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType) = {
       val idxAssign = assignT.current(spark)
         .getOrElse(sys.error("index target committed no version"))
-      val c = Similarity.pairedCentroids(spark, assignT, centT)
+      // the served quantizer, pinned via the version memo: the second
+      // consultation of any one centroid version pays zero read jobs
+      val c = Similarity.pairedQuantizer(spark, assignT, centT)
         .getOrElse(sys.error("no centroid version paired with the served index"))
       // k-bounded result (|probes|·k rows): materialise so nothing holds
       // the old index scan open across the refit (q151's pattern)
       val res = Similarity.ivfTopKServed(idxAssign, c,
           "vec_id", "embedding", probeFilter = $"vec_id" < 20, k = 3, nprobe = 2)
         .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(res.collect().toSeq, 1), res.schema)
+      (res.collect().toSeq, res.schema)
     }
-    val degraded = wave()
-    // brute-force truth once — the corpus does not change across a refit
-    val truthDf = Similarity.bruteForceTopK(
+    val (degraded, _) = wave()
+    // brute-force truth once — the corpus does not change across a refit;
+    // truth and every served wave are k-bounded and live on the driver,
+    // so the recall reports and both decisions are local arithmetic
+    val truth = Similarity.bruteForceTopK(
         aug.filter($"vec_id" < 20), aug, "vec_id", "embedding", k = 3)
       .select($"probe_id", $"cand_id")
-    val truth = spark.createDataFrame(
-      spark.sparkContext.parallelize(truthDf.collect().toSeq, 1), truthDf.schema)
-    def report(served: DataFrame): DataFrame = truth.select($"probe_id").distinct()
-      .join(truth.join(served.select($"probe_id", $"cand_id"),
-            Seq("probe_id", "cand_id"))
-          .groupBy($"probe_id").agg(count(lit(1)).as("n_hits")),
-        Seq("probe_id"), "left_outer")
-      .select($"probe_id", coalesce($"n_hits", lit(0L)).as("n_hits"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    def hitsOf(served: Seq[org.apache.spark.sql.Row]): Seq[Long] =
+      Similarity.recallHits(truth,
+        served.map(r => (r.getLong(0), r.getLong(1)))).map(_._2)
     try {
-      require(Similarity.refitDecision(report(degraded), k = 3, minRecall = 0.8),
+      require(Similarity.refitDecision(hitsOf(degraded), k = 3, minRecall = 0.8),
         "drift fixture failed to trip the recall floor — nothing to recover")
       // THE REFIT: re-fit on the current corpus, fresh base behind the
       // pointer, old index retired by vacuum
@@ -1410,10 +1414,11 @@ object LlmOps {
       require(VersionedTarget.currentVersion(aroot).contains("v3") &&
           assignT.segmentsOf("v3") == Seq("seg3"),
         "refit must serve from ONE fresh base segment")
-      val restored = wave()
-      require(!Similarity.refitDecision(report(restored), k = 3, minRecall = 0.8),
+      val (restored, restoredSchema) = wave()
+      require(!Similarity.refitDecision(hitsOf(restored), k = 3, minRecall = 0.8),
         "refit did not restore recall above the floor")
-      restored
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(restored, 1), restoredSchema)
     } finally aug.unpersist(): Unit
   }
 
@@ -1472,8 +1477,9 @@ object LlmOps {
         materialize = false, withVec = true)
     target.commit(baseAssign, 0L)
     cent.write.mode("overwrite").parquet(s"$out/centroids")
-    val idxCent = spark.read.parquet(s"$out/centroids")
-    target.commit(Similarity.assignToCentroids(delta, idxCent,
+    // quantizer pinned once (k rows), threaded through placement + wave
+    val centLocal = Similarity.localize(spark.read.parquet(s"$out/centroids"))
+    target.commit(Similarity.assignToCentroids(delta, centLocal,
       "vec_id", "embedding", withVec = true), 1L)
     // TAKEDOWN: revoke vec_id % 7 = 3 from the index — touched segments
     // rewritten (layout preserved), quantizer and corpus untouched
@@ -1486,7 +1492,8 @@ object LlmOps {
     // (an external query vector is not index membership) but can never
     // be returned, because candidacy reads only the index
     val res = Similarity.ivfTopKServedFrom(e.filter($"vec_id" < 20),
-        idxAssign, idxCent, "vec_id", "embedding", k = 3, nprobe = 2)
+        idxAssign, centLocal, "vec_id", "embedding", k = 3, nprobe = 2,
+        includeProbeCell = false)
       .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
     // k-bounded result (|probes|·k rows); materialise so nothing holds
     // the index read open (the q72 lifecycle pattern)
