@@ -131,6 +131,21 @@ object Tables {
     })
   }
 
+  /** The compacted multi-file DIRECTORY for a table, when ingest
+    * compaction applies (triggering the one-time rewrite if needed) —
+    * the STREAMING file source consumes this layout so a micro-batch's
+    * scan and the map work fused into it split across the cluster
+    * exactly like the batch path; a raw single-row-group fixture file
+    * is one unsplittable task no matter the core count. None when
+    * compaction is off or inapplicable — the stream stages the raw
+    * file instead.
+    */
+  private[graft] def streamSourceDir(spark: SparkSession, dir: String,
+      name: String): Option[String] = {
+    val p = sourcePath(spark, dir, name)
+    if (p == s"$dir/$name.parquet") None else Some(p)
+  }
+
   /** md5 of the first and last 64 KiB — a cheap content fingerprint that
     * catches regenerated-but-timestamp-preserved files without a full read.
     */

@@ -37,12 +37,12 @@ object StreamOps {
       case LongType =>
         spark.readStream
           .schema(inferred)
-          .parquet(stageDir(dir, "events"))
+          .parquet(stageDir(spark, dir, "events"))
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ =>
         spark.readStream
           .schema(graft.core.Tables.tsAsTimestamp(inferred))
-          .parquet(stageDir(dir, "events"))
+          .parquet(stageDir(spark, dir, "events"))
     }
   }
 
@@ -61,24 +61,31 @@ object StreamOps {
   def docsStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
       .schema(docsRawSchema)
-      .parquet(stageDir(dir, "documents"))
+      .parquet(stageDir(spark, dir, "documents"))
 
   /** The file source wants a directory of files (the unbounded-ingest
-    * shape); the fixture is a single parquet file. Stage a scratch dir
-    * with a symlink to it (per source dir + table, created once).
+    * shape). With ingest compaction on, that directory is the table's
+    * compacted MULTI-FILE layout — the micro-batch's scan and every
+    * map operator fused into it (fingerprints, band explodes, window
+    * keys) then split across the cluster exactly like the batch path,
+    * instead of running the whole batch on the raw fixture's one
+    * unsplittable row group. Otherwise stage a scratch dir with a
+    * symlink to the raw file (per source dir + table, created once).
     */
-  private def stageDir(dir: String, table: String): String = {
-    import java.nio.file.{Files, Paths}
-    val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val base = Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      "graft_stream", s"${table}_$slug")
-    val link = base.resolve(s"$table.parquet")
-    if (!Files.exists(link)) {
-      Files.createDirectories(base)
-      Files.createSymbolicLink(link, Paths.get(dir, s"$table.parquet"))
+  private def stageDir(spark: SparkSession, dir: String,
+                       table: String): String =
+    graft.core.Tables.streamSourceDir(spark, dir, table).getOrElse {
+      import java.nio.file.{Files, Paths}
+      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        "graft_stream", s"${table}_$slug")
+      val link = base.resolve(s"$table.parquet")
+      if (!Files.exists(link)) {
+        Files.createDirectories(base)
+        Files.createSymbolicLink(link, Paths.get(dir, s"$table.parquet"))
+      }
+      base.toString
     }
-    base.toString
-  }
 
   /** Checkpoint base for run-to-completion queries. Every micro-batch
     * fsyncs offsets/commits WAL entries plus one state-store delta per
