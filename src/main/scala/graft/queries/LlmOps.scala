@@ -1509,6 +1509,101 @@ object LlmOps {
   val q156Sql: String =
     probedTopKSql(kmeansCtes("vec_id % 10 <> 0"), "NOT (c.vec_id % 7 = 3)")
 
+  /** Q158 — STREAMING VECTOR-STORE INGESTION: the composition that makes
+    * the IVF lifecycle CONTINUOUS — q132 proved streaming merge into the
+    * versioned CORPUS; this proves streaming appends into the versioned
+    * SERVING INDEX. The nightly build fits the quantizer on the base and
+    * commits segment 0 + centroids (the q144/q151 shape); tonight's
+    * arrivals then flow in as Structured Streaming micro-batches
+    * (file-source backlog sliced by maxFilesPerTrigger — REAL multi-batch
+    * ingestion, not one batch swallowing the backlog), and each batch is
+    * placed and committed through the REFIT-SAFE append verb
+    * ([[Similarity.appendToIndex]]): placement reads the served quantizer
+    * tag, the commit re-validates it inside the pointer transaction, and
+    * the batch lands as one immutable O(batch) segment. Redelivered
+    * micro-batches are detected by the target's epoch
+    * ([[graft.ops.VersionedTarget.Segmented.applied]]) and skipped —
+    * end-to-end exactly-once into the index, the same contract as the
+    * corpus merge. Every committed vector is immediately searchable: the
+    * closing probe wave serves from the live pointer across ALL segments.
+    *
+    * Scale shape: per micro-batch the work is one map-only argmin against
+    * k plan-literal centroids plus one O(batch) clustered segment write —
+    * nothing rescans or rewrites the existing index; searchable freshness
+    * is one micro-batch behind arrival. Batch boundaries cannot change
+    * any placement (the quantizer is pinned by the tag), so the result
+    * equals q144's one-shot append — that oracle, replayed through the
+    * streaming door. Reference analogue: the always-on consume loops
+    * feeding model state (rabbit_mq/message_exchange.py:49-141).
+    */
+  def q158(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import graft.ops.VersionedTarget
+    val e = t(spark, dir, "embeddings").coalesce(8)
+    val base = e.filter($"vec_id" % 10 =!= 0)
+    val out = PipelineOps.layoutDir(spark, dir, "ivfstream")
+    val aroot = Paths.get(out, "assignments")
+    val croot = Paths.get(out, "centroids")
+    Seq(aroot, croot).foreach { r => // fresh targets per invocation
+      if (Files.exists(r)) VersionedTarget.rmTree(r.toFile)
+      Files.createDirectories(r): Unit
+    }
+    val assignT = VersionedTarget.Segmented(aroot,
+      partitionCols = Seq("cell"), clusterCommits = true)
+    val centT = VersionedTarget.Rewrite(croot)
+    // nightly build: quantizer fitted on the base, stamped as the served
+    // tag (centroids first — q153's two-target commit order)
+    val (baseAssign, cent0) =
+      Similarity.kmeansFit(base, "vec_id", "embedding", k = 8, iters = 2,
+        materialize = false, withVec = true)
+    centT.commit(cent0, 0L)
+    assignT.commit(baseAssign, 0L, tag = Some("v0"))
+    // the continuous half: the delta arrives as micro-batches; each one
+    // appends through the refit-safe verb, skipping redeliveries
+    val arrivals = graft.streaming.StreamOps
+      .embeddingsStream(spark, dir, maxFilesPerTrigger = 8)
+      .filter($"vec_id" % 10 === 0)
+    graft.streaming.StreamOps.runForeachBatch(arrivals,
+      ingestIndexBatch(assignT, centT), outputMode = "append")
+    val idxAssign = assignT.current(spark)
+      .getOrElse(sys.error("index target committed no version"))
+    val curVer = VersionedTarget.currentVersion(aroot)
+      .getOrElse(sys.error("index target has no CURRENT pointer"))
+    require(assignT.segmentsOf(curVer).size >= 2,
+      "streaming ingestion must have appended at least one index segment")
+    val c = Similarity.pairedQuantizer(spark, assignT, centT)
+      .getOrElse(sys.error("no centroid version paired with the served index"))
+    val res = Similarity.ivfTopKServed(idxAssign, c,
+        "vec_id", "embedding", probeFilter = $"vec_id" < 20, k = 3, nprobe = 2)
+      .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
+    // k-bounded result; materialise so nothing holds the index scan open
+    val rows = res.collect().toSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), res.schema)
+  }
+
+  /** Batch boundaries cannot change a tag-pinned placement, so the
+    * streamed index equals q144's one-shot append — that oracle.
+    */
+  val q158Sql: String = q144Sql
+
+  /** The q158 per-micro-batch ingest verb, factored so OpsSpec can drive
+    * arrival/redelivery schedules without the streaming harness (the
+    * q132 pattern): skip batches the index epoch already covers
+    * (redelivery → exactly-once) and empty slices, append the rest
+    * through the refit-safe verb. Batch ids start at 0; epoch 0 is the
+    * base build's, so batch b commits as epoch b+1.
+    */
+  private[graft] def ingestIndexBatch(
+      assignT: graft.ops.VersionedTarget.Segmented,
+      centT: graft.ops.VersionedTarget.Rewrite)(
+      batch: DataFrame, id: Long): Unit = {
+    val bid = id + 1L
+    if (!assignT.applied(bid) && !batch.isEmpty)
+      Similarity.appendToIndex(batch, "vec_id", "embedding",
+        assignT, centT, bid, withVec = true)
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_exact_dedup" -> (q58 _),
     "q59_minhash_lsh" -> (q59 _),
@@ -1541,7 +1636,8 @@ object LlmOps {
     "q151_ann_index_maintain" -> (q151 _),
     "q152_sql_text_dedup" -> (q152 _),
     "q153_ann_index_refit" -> (q153 _),
-    "q156_ann_index_takedown" -> (q156 _))
+    "q156_ann_index_takedown" -> (q156 _),
+    "q158_stream_index_ingest" -> (q158 _))
 
   def oracles: Map[String, String] = Map(
     "q58_exact_dedup" -> q58Sql,
@@ -1575,5 +1671,6 @@ object LlmOps {
     "q151_ann_index_maintain" -> q151Sql,
     "q152_sql_text_dedup" -> q152Sql,
     "q153_ann_index_refit" -> q153Sql,
-    "q156_ann_index_takedown" -> q156Sql)
+    "q156_ann_index_takedown" -> q156Sql,
+    "q158_stream_index_ingest" -> q158Sql)
 }

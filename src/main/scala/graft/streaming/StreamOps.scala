@@ -63,6 +63,25 @@ object StreamOps {
       .schema(docsRawSchema)
       .parquet(stageDir(spark, dir, "documents"))
 
+  /** Parquet schema of `embeddings` (file-source streams need it explicit). */
+  val embeddingsRawSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Unbounded `embeddings` stream — tonight's arriving vectors (q158's
+    * continuous index ingestion). `maxFilesPerTrigger` bounds each
+    * micro-batch, so an AvailableNow run over the staged multi-file
+    * layout exercises REAL multi-batch ingestion (one commit per batch),
+    * not one batch swallowing the backlog.
+    */
+  def embeddingsStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int): DataFrame =
+    spark.readStream
+      .schema(embeddingsRawSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(stageDir(spark, dir, "embeddings"))
+
   /** The file source wants a directory of files (the unbounded-ingest
     * shape). With ingest compaction on, that directory is the table's
     * compacted MULTI-FILE layout — the micro-batch's scan and every

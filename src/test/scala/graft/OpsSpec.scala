@@ -865,6 +865,49 @@ class OpsSpec extends SparkSpec {
       "the re-placed append must land ON TOP of the refit's fresh base")
   }
 
+  test("streaming index ingest verb (q158): per-batch appends land as " +
+      "segments, redelivered and empty micro-batches are skipped, and the " +
+      "streamed index equals the one-shot placement") {
+    import java.nio.file.Files
+    import graft.ops.VersionedTarget
+    val e = graft.core.Tables.t(spark, sfDir, "embeddings").coalesce(4)
+    val base = e.filter($"vec_id" % 10 =!= 0)
+    val delta = e.filter($"vec_id" % 10 === 0)
+    val aroot = Files.createTempDirectory("graft_ivf_stream_a")
+    val croot = Files.createTempDirectory("graft_ivf_stream_c")
+    val assignT = VersionedTarget.Segmented(aroot, partitionCols = Seq("cell"))
+    val centT = VersionedTarget.Rewrite(croot)
+    val (baseAssign, cent) = Similarity.kmeansFit(base, "vec_id", "embedding",
+      k = 8, iters = 2, materialize = false, withVec = true)
+    centT.commit(cent, 0L)
+    assignT.commit(baseAssign, 0L, tag = Some("v0"))
+    val ingest = graft.queries.LlmOps.ingestIndexBatch(assignT, centT) _
+    val b0 = delta.filter($"vec_id" % 20 === 0)
+    val b1 = delta.filter($"vec_id" % 20 === 10)
+    ingest(b0, 0L)
+    val afterB0 = VersionedTarget.currentVersion(aroot).get
+    ingest(b0, 0L) // redelivered micro-batch: exactly-once skip
+    assert(VersionedTarget.currentVersion(aroot).contains(afterB0),
+      "a redelivered micro-batch must not advance the index")
+    ingest(b1, 1L)
+    ingest(delta.limit(0), 2L) // an empty slice commits nothing
+    val ver = VersionedTarget.currentVersion(aroot).get
+    assert(assignT.segmentsOf(ver) == Seq("seg0", "seg1", "seg2"),
+      s"expected base + one segment per non-empty batch, got ${assignT.segmentsOf(ver)}")
+    assert(assignT.currentTag.contains("v0"),
+      "streamed appends must inherit the build's quantizer tag")
+    // batch boundaries cannot change a tag-pinned placement: the streamed
+    // index equals placing the WHOLE corpus into the quantizer at once
+    val oneShot = Similarity.assignToCentroids(e, cent, "vec_id", "embedding")
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)).toSet
+    val streamed = assignT.current(spark).get.select($"vec_id", $"cell")
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)).toSet
+    assert(streamed == oneShot,
+      "the streamed index diverged from the one-shot placement")
+  }
+
   test("Components releases every cache it creates (job-server hygiene)") {
     import org.apache.spark.sql.graft.CacheProbe
     spark.catalog.clearCache()
