@@ -176,16 +176,24 @@ object StreamOps {
     }
 
   /** Stateful streaming ops allocate one state store per shuffle
-    * partition per operator; a batch-oriented partition count (32+) buys
-    * nothing at micro-batch sizes and multiplies store init/commit cost.
-    * Pin a small count for the duration of a streaming run. (The sink
-    * partitioning is fixed at query START — restoring the conf afterwards
-    * does not affect the running query.)
+    * partition per operator, and the default HDFS-backed store re-clones
+    * its version map per micro-batch COMMIT — so the per-batch state
+    * machinery scales with the partition count while the scan/map
+    * parallelism doesn't (that's governed by file splits, untouched
+    * here). A batch-oriented count (32+) buys nothing at micro-batch
+    * sizes and multiplies store init/commit cost; a measured A/B across
+    * the streaming family (q46/q70/q73/q126/q132/q141, r13) reads
+    * flat-to-better at 4 vs 8 everywhere, with the stream-stream joins
+    * (whose join state is the largest per batch) gaining the most. Pin a
+    * small count for the duration of a streaming run; a deployment whose
+    * per-batch state outgrows 4 stores overrides `graft.stream.partitions`.
+    * (The sink partitioning is fixed at query START — restoring the conf
+    * afterwards does not affect the running query.)
     */
   private def withStreamingPartitions[A](spark: SparkSession)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, sys.props.getOrElse("graft.stream.partitions", "8"))
+    spark.conf.set(key, sys.props.getOrElse("graft.stream.partitions", "4"))
     try body finally spark.conf.set(key, prev)
   }
 
