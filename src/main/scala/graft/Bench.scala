@@ -252,20 +252,21 @@ object Bench {
         else if (t.median >= 10) f"${t.median}%.1f" else f"${t.median}%.2f"
       "\"" + short + "\":" + v
     }.mkString("{", ",", "}")
-    val noisy = results.filterNot(_.failed)
-      .map(t => t.name.takeWhile(_ != '_') -> spreadPct(t))
-      .filter(_._2 >= NoisySpreadPct).sortBy(-_._2).take(4)
-      .map { case (n, p) => s""""$n":$p""" }.mkString("{", ",", "}")
+    val noisyCount = results.filterNot(_.failed).count(spreadPct(_) >= NoisySpreadPct)
     // min_total/stat/detail-path live ONLY in the detail artifact now:
     // at 136 queries the line hit 1978 B of the driver's ~2 KB tail
     // capture, and those keys are the only droppable bytes — removing
     // them bought ~6 queries of surface headroom under the width guard;
-    // at 156 queries the builder-added aux keys shrank again
-    // (retried→rtry, contended→cont, n_queries→nq, n_failed→nf; noisy
-    // capped at 4) — the driver contract keys (metric/value/unit/
-    // queries/sf) stay verbatim, full noise detail lives in
-    // BENCH_DETAIL.json's runs_sec
-    println(s"""{"metric":"total_warm_sec","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"noisy":$noisy,"rtry":$retried,"cont":$contended,"nq":${results.size},"nf":${results.size - ok.size},"sf":"$sfDir"}""")
+    // at 156 queries the builder-added aux keys shrank
+    // (retried→rtry, contended→cont, n_queries→nq, n_failed→nf), and at
+    // 159 the per-query NOISY MAP collapsed to a COUNT and `sf` to its
+    // basename — the per-query spreads it carried are fully derivable
+    // from BENCH_DETAIL.json's runs_sec (committed every round), so the
+    // r7-style host-drift adjudication still has its data; the line
+    // keeps only the flag that says "go look" ("noisy">0 or "cont").
+    // The driver contract keys (metric/value/unit/queries/sf) stay.
+    val sfShort = sfDir.split('/').last
+    println(s"""{"metric":"total_warm_sec","value":${f"$total%.2f"},"unit":"sec","queries":$qs,"noisy":$noisyCount,"rtry":$retried,"cont":$contended,"nq":${results.size},"nf":${results.size - ok.size},"sf":"$sfShort"}""")
     spark.stop()
   }
 }

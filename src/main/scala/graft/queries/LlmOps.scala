@@ -1587,6 +1587,112 @@ object LlmOps {
     */
   val q158Sql: String = q144Sql
 
+  /** Q159 — HYBRID RETRIEVAL (RRF fusion): the candidate stage a modern
+    * RAG / retrieval pipeline actually ships — DENSE nearest neighbors
+    * (embedding cosine, the q61 ranking) fused with LEXICAL neighbors
+    * (banded char-5-gram Jaccard, the q86 candidate generator ranked
+    * instead of thresholded) by Reciprocal Rank Fusion
+    * (`1/(60+rank)`, the standard k=60 constant) — each modality
+    * surfaces neighbors the other is blind to (paraphrases land dense,
+    * rare-token exact matches land lexical), and RRF combines rankings
+    * without comparable scores. Probes are the items carrying BOTH
+    * modalities (doc/vec id < 10 — the fixture's embeddings share the
+    * documents' id space); candidates come from EITHER modality, absent
+    * ranks contribute 0.
+    *
+    * Scale shape: both sides generate BOUNDED per-probe lists (dense:
+    * top-k of the ANN path — brute force is the declared ground-truth
+    * baseline here, q142/q151's persisted IVF is the serving path;
+    * lexical: banded candidates, never all-pairs) and the fusion is a
+    * full-outer join of two |probes|·k row frames on (probe, cand) —
+    * at 100 TB the fusion cost is |probes|·k, independent of corpus
+    * size. Determinism: both rankings tie-break on candidate id, the
+    * RRF sum is two IEEE doubles added in fixed order and rounded to
+    * 6dp, and the final rank tie-breaks on candidate id again — the
+    * oracle replays every step.
+    */
+  def q159(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(spark, dir, "documents")
+    val e = t(spark, dir, "embeddings").coalesce(8)
+    val dense = Similarity.bruteForceTopK(
+        e.filter($"vec_id" < 10), e, "vec_id", "embedding", k = 10)
+      .select($"probe_id", $"cand_id", $"rn".as("rn_d"))
+    // lexical candidates: probes against the WHOLE corpus (probes
+    // included — a probe may be another probe's neighbor), so the
+    // self-collision rows crossNgramPairs documents are filtered here;
+    // minJaccard=0 keeps every banded candidate (ranking, not gating) —
+    // band collision implies >=1 shared gram, so jaccard>0 on both sides
+    val lexPairs = MinHashDedup.crossNgramPairs(
+        docs.filter($"doc_id" < 10), docs, "doc_id", "text",
+        gramN = 5, rowsPerBand = 2, minJaccard = 0.0)
+      .filter($"in_id" =!= $"ex_id")
+    val lw = Window.partitionBy($"in_id")
+      .orderBy($"jaccard".desc, $"ex_id".asc)
+    val lex = lexPairs.withColumn("rn_l", row_number().over(lw))
+      .filter($"rn_l" <= 10)
+      .select($"in_id".as("probe_id"), $"ex_id".as("cand_id"), $"rn_l")
+    val fused = dense.join(lex, Seq("probe_id", "cand_id"), "full_outer")
+      .select($"probe_id", $"cand_id",
+        round(coalesce(lit(1.0) / (lit(60) + $"rn_d"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + $"rn_l"), lit(0.0)), 6).as("rrf6"))
+    val fw = Window.partitionBy($"probe_id")
+      .orderBy($"rrf6".desc, $"cand_id".asc)
+    fused.withColumn("rn", row_number().over(fw))
+      .filter($"rn" <= 5)
+      .select($"probe_id", $"cand_id", $"rrf6", $"rn")
+      .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
+  }
+
+  /** Replays both rankings off the SAME CTE prefixes as their parent
+    * oracles (q61's dense scoring, q86's minhash bands + distinct gram
+    * hashes) and fuses with the identical fixed-order RRF arithmetic.
+    */
+  val q159Sql: String =
+    s"""$ngramPairCtes,
+       |lexcand AS (
+       |  SELECT DISTINCT a.doc_id AS p, b.doc_id AS c
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+       |  WHERE a.doc_id < 10 AND a.doc_id <> b.doc_id),
+       |lexinter AS (
+       |  SELECT lc.p, lc.c, COUNT(*) AS ni
+       |  FROM lexcand lc JOIN hx ga ON ga.doc_id = lc.p
+       |              JOIN hx gb ON gb.doc_id = lc.c AND gb.x = ga.x
+       |  GROUP BY lc.p, lc.c),
+       |lexj AS (
+       |  SELECT i.p, i.c, CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) AS jaccard
+       |  FROM lexinter i JOIN gsz sa ON sa.doc_id = i.p
+       |               JOIN gsz sb ON sb.doc_id = i.c),
+       |lex AS (
+       |  SELECT p AS probe_id, c AS cand_id, rn_l FROM (
+       |    SELECT p, c,
+       |      ROW_NUMBER() OVER (PARTITION BY p ORDER BY jaccard DESC, c ASC) AS rn_l
+       |    FROM lexj) WHERE rn_l <= 10),
+       |ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |dsc AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+       |    ROUND(list_dot_product(p.v, c.v) / (SQRT(list_dot_product(p.v, p.v)) * SQRT(list_dot_product(c.v, c.v))), 6) AS cos6
+       |  FROM ev p JOIN ev c ON p.vec_id < 10 AND p.vec_id <> c.vec_id),
+       |dense AS (
+       |  SELECT probe_id, cand_id, rn_d FROM (
+       |    SELECT probe_id, cand_id,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos6 DESC, cand_id ASC) AS rn_d
+       |    FROM dsc) WHERE rn_d <= 10),
+       |fused AS (
+       |  SELECT COALESCE(d.probe_id, l.probe_id) AS probe_id,
+       |         COALESCE(d.cand_id, l.cand_id) AS cand_id,
+       |         ROUND(COALESCE(CAST(1.0 AS DOUBLE) / (60 + d.rn_d), 0.0)
+       |             + COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.rn_l), 0.0), 6) AS rrf6
+       |  FROM dense d FULL JOIN lex l
+       |    ON l.probe_id = d.probe_id AND l.cand_id = d.cand_id),
+       |rrfranked AS (
+       |  SELECT probe_id, cand_id, rrf6,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY rrf6 DESC, cand_id ASC) AS rn
+       |  FROM fused)
+       |SELECT probe_id, cand_id, rrf6, rn FROM rrfranked WHERE rn <= 5
+       |ORDER BY probe_id NULLS FIRST, rn NULLS FIRST""".stripMargin
+
   /** The q158 per-micro-batch ingest verb, factored so OpsSpec can drive
     * arrival/redelivery schedules without the streaming harness (the
     * q132 pattern): skip batches the index epoch already covers
@@ -1637,7 +1743,8 @@ object LlmOps {
     "q152_sql_text_dedup" -> (q152 _),
     "q153_ann_index_refit" -> (q153 _),
     "q156_ann_index_takedown" -> (q156 _),
-    "q158_stream_index_ingest" -> (q158 _))
+    "q158_stream_index_ingest" -> (q158 _),
+    "q159_hybrid_retrieval" -> (q159 _))
 
   def oracles: Map[String, String] = Map(
     "q58_exact_dedup" -> q58Sql,
@@ -1672,5 +1779,6 @@ object LlmOps {
     "q152_sql_text_dedup" -> q152Sql,
     "q153_ann_index_refit" -> q153Sql,
     "q156_ann_index_takedown" -> q156Sql,
-    "q158_stream_index_ingest" -> q158Sql)
+    "q158_stream_index_ingest" -> q158Sql,
+    "q159_hybrid_retrieval" -> q159Sql)
 }
