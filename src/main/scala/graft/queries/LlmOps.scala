@@ -1693,6 +1693,79 @@ object LlmOps {
        |SELECT probe_id, cand_id, rrf6, rn FROM rrfranked WHERE rn <= 5
        |ORDER BY probe_id NULLS FIRST, rn NULLS FIRST""".stripMargin
 
+  /** Q160 — DEDUP BANDING RECALL REPORT: the evaluation loop for the
+    * MinHash band generator, the dedup family's analogue of q147's ANN
+    * recall report — how many of the TRUE near-dup pairs (exact
+    * char-5-gram Jaccard ≥ 0.5, brute force over a probe slice — the
+    * declared ground-truth baseline, like q61/q147's truth sides) does
+    * the banded candidate generator (q86's, 4 bands × 2 rows) actually
+    * surface? Banding trades recall for never going all-pairs; this
+    * report MEASURES the trade so the band/row knobs are tuned on data,
+    * not folklore. Both sides are fully deterministic, so the report is
+    * hash-exact: one row (n_true, n_caught, recall6). Caught pairs are a
+    * mathematical subset of true pairs (same Jaccard rule post-filters
+    * the candidates), so recall6 ≤ 1 by construction.
+    *
+    * Scale shape: the truth side is the expensive one (|probes| × corpus
+    * exact Jaccard — at 100 TB the probe slice is a SAMPLE, the knob is
+    * the probe filter); the caught side is the production generator
+    * itself (banded candidates, output sized by the band-collision rate).
+    */
+  def q160(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents")
+    val probes = docs.filter($"doc_id" < 100)
+    // truth: brute-force exact Jaccard of the probe slice vs the corpus
+    val gP = probes.select($"doc_id".as("p"),
+        graft.functions.CharGramHashes.hashes($"text", 5).as("gp"))
+      .filter($"gp".isNotNull)
+    val gC = docs.select($"doc_id".as("c"),
+        graft.functions.CharGramHashes.hashes($"text", 5).as("gc"))
+      .filter($"gc".isNotNull)
+    val ov = graft.functions.SortedOverlapCount.overlap($"gp", $"gc")
+    val truth = gC.crossJoin(broadcast(gP))
+      .filter($"p" =!= $"c")
+      .select($"p", $"c",
+        (ov.cast(DoubleType) / (size($"gp") + size($"gc") - ov)).as("j"))
+      .filter($"j" >= 0.5)
+      .select($"p", $"c")
+    // caught: the production banded generator + the same exact post-filter
+    val caught = MinHashDedup.crossNgramPairs(probes, docs, "doc_id", "text",
+        gramN = 5, rowsPerBand = 2, minJaccard = 0.5)
+      .filter($"in_id" =!= $"ex_id")
+      .select($"in_id".as("p"), $"ex_id".as("c"))
+    val hits = truth.join(caught, Seq("p", "c"))
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_caught")))
+      .select($"n_true", $"n_caught",
+        round($"n_caught".cast(DoubleType) / $"n_true", 6).as("recall6"))
+  }
+
+  /** Truth via the inverted-index intersection over the SAME distinct
+    * gram-hash space as q86's oracle; caught = banded ∩ true.
+    */
+  val q160Sql: String =
+    s"""$ngramPairCtes,
+       |tin AS (
+       |  SELECT ga.doc_id AS p, gb.doc_id AS c, COUNT(*) AS ni
+       |  FROM hx ga JOIN hx gb ON gb.x = ga.x
+       |   AND ga.doc_id < 100 AND gb.doc_id <> ga.doc_id
+       |  GROUP BY 1, 2),
+       |tj AS (
+       |  SELECT t.p, t.c
+       |  FROM tin t JOIN gsz sa ON sa.doc_id = t.p
+       |             JOIN gsz sb ON sb.doc_id = t.c
+       |  WHERE CAST(t.ni AS DOUBLE) / (sa.n + sb.n - t.ni) >= 0.5),
+       |bcand AS (
+       |  SELECT DISTINCT a.doc_id AS p, b.doc_id AS c
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+       |  WHERE a.doc_id < 100 AND b.doc_id <> a.doc_id),
+       |hit AS (SELECT t.p, t.c FROM tj t JOIN bcand g ON g.p = t.p AND g.c = t.c)
+       |SELECT (SELECT COUNT(*) FROM tj) AS n_true,
+       |       (SELECT COUNT(*) FROM hit) AS n_caught,
+       |       ROUND(CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+       |             / (SELECT COUNT(*) FROM tj), 6) AS recall6""".stripMargin
+
   /** The q158 per-micro-batch ingest verb, factored so OpsSpec can drive
     * arrival/redelivery schedules without the streaming harness (the
     * q132 pattern): skip batches the index epoch already covers
@@ -1744,7 +1817,8 @@ object LlmOps {
     "q153_ann_index_refit" -> (q153 _),
     "q156_ann_index_takedown" -> (q156 _),
     "q158_stream_index_ingest" -> (q158 _),
-    "q159_hybrid_retrieval" -> (q159 _))
+    "q159_hybrid_retrieval" -> (q159 _),
+    "q160_dedup_recall_report" -> (q160 _))
 
   def oracles: Map[String, String] = Map(
     "q58_exact_dedup" -> q58Sql,
@@ -1780,5 +1854,6 @@ object LlmOps {
     "q153_ann_index_refit" -> q153Sql,
     "q156_ann_index_takedown" -> q156Sql,
     "q158_stream_index_ingest" -> q158Sql,
-    "q159_hybrid_retrieval" -> q159Sql)
+    "q159_hybrid_retrieval" -> q159Sql,
+    "q160_dedup_recall_report" -> q160Sql)
 }
