@@ -258,15 +258,17 @@ object Bench {
     // capture, and those keys are the only droppable bytes — removing
     // them bought ~6 queries of surface headroom under the width guard;
     // at 156 queries the builder-added aux keys shrank
-    // (retried→rtry, contended→cont, n_queries→nq, n_failed→nf), and at
+    // (retried→rtry, contended→cont, n_queries→nq, n_failed→nf), at
     // 159 the per-query NOISY MAP collapsed to a COUNT and `sf` to its
-    // basename — the per-query spreads it carried are fully derivable
-    // from BENCH_DETAIL.json's runs_sec (committed every round), so the
+    // basename, and at 161 the fully-DERIVABLE aux keys dropped
+    // entirely (rtry = detail's noisy_retried; nq = |queries|; nf = the
+    // count of -1 values in `queries`) — the per-query spreads are in
+    // BENCH_DETAIL.json's runs_sec (committed every round), so the
     // r7-style host-drift adjudication still has its data; the line
-    // keeps only the flag that says "go look" ("noisy">0 or "cont").
+    // keeps only the flags that say "go look" ("noisy">0 or "cont").
     // The driver contract keys (metric/value/unit/queries/sf) stay.
     val sfShort = sfDir.split('/').last
-    println(s"""{"metric":"total_warm_sec","value":${f"$total%.2f"},"unit":"sec","queries":$qs,"noisy":$noisyCount,"rtry":$retried,"cont":$contended,"nq":${results.size},"nf":${results.size - ok.size},"sf":"$sfShort"}""")
+    println(s"""{"metric":"total_warm_sec","value":${f"$total%.2f"},"unit":"sec","queries":$qs,"noisy":$noisyCount,"cont":$contended,"sf":"$sfShort"}""")
     spark.stop()
   }
 }

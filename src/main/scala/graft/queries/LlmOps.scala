@@ -1613,37 +1613,99 @@ object LlmOps {
     */
   def q159(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val docs = t(spark, dir, "documents")
     val e = t(spark, dir, "embeddings").coalesce(8)
     val dense = Similarity.bruteForceTopK(
         e.filter($"vec_id" < 10), e, "vec_id", "embedding", k = 10)
       .select($"probe_id", $"cand_id", $"rn".as("rn_d"))
-    // lexical candidates: probes against the WHOLE corpus (probes
-    // included — a probe may be another probe's neighbor), so the
-    // self-collision rows crossNgramPairs documents are filtered here;
-    // minJaccard=0 keeps every banded candidate (ranking, not gating) —
-    // band collision implies >=1 shared gram, so jaccard>0 on both sides
+    rrfFuse(dense, lexicalTopK(spark, dir))
+      .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
+  }
+
+  /** The lexical half of hybrid retrieval, shared by q159/q161: banded
+    * char-5-gram candidates of probes doc_id < 10 against the WHOLE
+    * corpus (probes included — a probe may be another probe's neighbor,
+    * so the self-collision rows crossNgramPairs documents are filtered
+    * here), ranked by exact Jaccard into per-probe top-10 lists.
+    * minJaccard=0 keeps every banded candidate (ranking, not gating) —
+    * band collision implies >=1 shared gram, so jaccard>0 on both sides.
+    */
+  private[graft] def lexicalTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(spark, dir, "documents")
     val lexPairs = MinHashDedup.crossNgramPairs(
         docs.filter($"doc_id" < 10), docs, "doc_id", "text",
         gramN = 5, rowsPerBand = 2, minJaccard = 0.0)
       .filter($"in_id" =!= $"ex_id")
     val lw = Window.partitionBy($"in_id")
       .orderBy($"jaccard".desc, $"ex_id".asc)
-    val lex = lexPairs.withColumn("rn_l", row_number().over(lw))
+    lexPairs.withColumn("rn_l", row_number().over(lw))
       .filter($"rn_l" <= 10)
       .select($"in_id".as("probe_id"), $"ex_id".as("cand_id"), $"rn_l")
-    val fused = dense.join(lex, Seq("probe_id", "cand_id"), "full_outer")
-      .select($"probe_id", $"cand_id",
-        round(coalesce(lit(1.0) / (lit(60) + $"rn_d"), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(60) + $"rn_l"), lit(0.0)), 6).as("rrf6"))
-    val fw = Window.partitionBy($"probe_id")
-      .orderBy($"rrf6".desc, $"cand_id".asc)
-    fused.withColumn("rn", row_number().over(fw))
-      .filter($"rn" <= 5)
-      .select($"probe_id", $"cand_id", $"rrf6", $"rn")
-      .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
   }
+
+  /** Reciprocal Rank Fusion of a dense ranking `(probe_id, cand_id,
+    * rn_d)` and a lexical ranking `(probe_id, cand_id, rn_l)`: full-outer
+    * on (probe, cand), absent ranks contribute 0, `1/(60+rank)` with the
+    * standard k=60 constant, 6dp round, per-probe top-5 with cand-id tie
+    * break. Both inputs are bounded per-probe lists, so the fusion cost
+    * is |probes|·k regardless of corpus size.
+    */
+  private[graft] def rrfFuse(dense: DataFrame, lex: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fused = dense.join(lex, Seq("probe_id", "cand_id"), "full_outer")
+      .select(col("probe_id"), col("cand_id"),
+        round(coalesce(lit(1.0) / (lit(60) + col("rn_d")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rn_l")), lit(0.0)), 6).as("rrf6"))
+    val fw = Window.partitionBy(col("probe_id"))
+      .orderBy(col("rrf6").desc, col("cand_id").asc)
+    fused.withColumn("rn", row_number().over(fw))
+      .filter(col("rn") <= 5)
+      .select(col("probe_id"), col("cand_id"), col("rrf6"), col("rn"))
+  }
+
+  /** The lexical top-10 CTE chain (probes doc_id < 10 vs the corpus'
+    * `bands`/`hx`/`gsz` CTEs from [[ngramPairCtesOver]]), ending in
+    * `lex(probe_id, cand_id, rn_l)` — shared by q159/q161.
+    */
+  private val lexTopKCtes: String =
+    """lexcand AS (
+      |  SELECT DISTINCT a.doc_id AS p, b.doc_id AS c
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+      |  WHERE a.doc_id < 10 AND a.doc_id <> b.doc_id),
+      |lexinter AS (
+      |  SELECT lc.p, lc.c, COUNT(*) AS ni
+      |  FROM lexcand lc JOIN hx ga ON ga.doc_id = lc.p
+      |              JOIN hx gb ON gb.doc_id = lc.c AND gb.x = ga.x
+      |  GROUP BY lc.p, lc.c),
+      |lexj AS (
+      |  SELECT i.p, i.c, CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) AS jaccard
+      |  FROM lexinter i JOIN gsz sa ON sa.doc_id = i.p
+      |               JOIN gsz sb ON sb.doc_id = i.c),
+      |lex AS (
+      |  SELECT p AS probe_id, c AS cand_id, rn_l FROM (
+      |    SELECT p, c,
+      |      ROW_NUMBER() OVER (PARTITION BY p ORDER BY jaccard DESC, c ASC) AS rn_l
+      |    FROM lexj) WHERE rn_l <= 10)""".stripMargin
+
+  /** The RRF fusion tail over `dense(probe_id, cand_id, rn_d)` +
+    * `lex(probe_id, cand_id, rn_l)` — the identical fixed-order
+    * arithmetic [[rrfFuse]] runs, shared by q159/q161.
+    */
+  private val rrfFusionSql: String =
+    """fused AS (
+      |  SELECT COALESCE(d.probe_id, l.probe_id) AS probe_id,
+      |         COALESCE(d.cand_id, l.cand_id) AS cand_id,
+      |         ROUND(COALESCE(CAST(1.0 AS DOUBLE) / (60 + d.rn_d), 0.0)
+      |             + COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.rn_l), 0.0), 6) AS rrf6
+      |  FROM dense d FULL JOIN lex l
+      |    ON l.probe_id = d.probe_id AND l.cand_id = d.cand_id),
+      |rrfranked AS (
+      |  SELECT probe_id, cand_id, rrf6,
+      |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY rrf6 DESC, cand_id ASC) AS rn
+      |  FROM fused)
+      |SELECT probe_id, cand_id, rrf6, rn FROM rrfranked WHERE rn <= 5
+      |ORDER BY probe_id NULLS FIRST, rn NULLS FIRST""".stripMargin
 
   /** Replays both rankings off the SAME CTE prefixes as their parent
     * oracles (q61's dense scoring, q86's minhash bands + distinct gram
@@ -1651,24 +1713,7 @@ object LlmOps {
     */
   val q159Sql: String =
     s"""$ngramPairCtes,
-       |lexcand AS (
-       |  SELECT DISTINCT a.doc_id AS p, b.doc_id AS c
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
-       |  WHERE a.doc_id < 10 AND a.doc_id <> b.doc_id),
-       |lexinter AS (
-       |  SELECT lc.p, lc.c, COUNT(*) AS ni
-       |  FROM lexcand lc JOIN hx ga ON ga.doc_id = lc.p
-       |              JOIN hx gb ON gb.doc_id = lc.c AND gb.x = ga.x
-       |  GROUP BY lc.p, lc.c),
-       |lexj AS (
-       |  SELECT i.p, i.c, CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) AS jaccard
-       |  FROM lexinter i JOIN gsz sa ON sa.doc_id = i.p
-       |               JOIN gsz sb ON sb.doc_id = i.c),
-       |lex AS (
-       |  SELECT p AS probe_id, c AS cand_id, rn_l FROM (
-       |    SELECT p, c,
-       |      ROW_NUMBER() OVER (PARTITION BY p ORDER BY jaccard DESC, c ASC) AS rn_l
-       |    FROM lexj) WHERE rn_l <= 10),
+       |$lexTopKCtes,
        |ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |dsc AS (
        |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
@@ -1679,19 +1724,7 @@ object LlmOps {
        |    SELECT probe_id, cand_id,
        |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos6 DESC, cand_id ASC) AS rn_d
        |    FROM dsc) WHERE rn_d <= 10),
-       |fused AS (
-       |  SELECT COALESCE(d.probe_id, l.probe_id) AS probe_id,
-       |         COALESCE(d.cand_id, l.cand_id) AS cand_id,
-       |         ROUND(COALESCE(CAST(1.0 AS DOUBLE) / (60 + d.rn_d), 0.0)
-       |             + COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.rn_l), 0.0), 6) AS rrf6
-       |  FROM dense d FULL JOIN lex l
-       |    ON l.probe_id = d.probe_id AND l.cand_id = d.cand_id),
-       |rrfranked AS (
-       |  SELECT probe_id, cand_id, rrf6,
-       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY rrf6 DESC, cand_id ASC) AS rn
-       |  FROM fused)
-       |SELECT probe_id, cand_id, rrf6, rn FROM rrfranked WHERE rn <= 5
-       |ORDER BY probe_id NULLS FIRST, rn NULLS FIRST""".stripMargin
+       |$rrfFusionSql""".stripMargin
 
   /** Q160 — DEDUP BANDING RECALL REPORT: the evaluation loop for the
     * MinHash band generator, the dedup family's analogue of q147's ANN
@@ -1766,6 +1799,78 @@ object LlmOps {
        |       ROUND(CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
        |             / (SELECT COUNT(*) FROM tj), 6) AS recall6""".stripMargin
 
+  /** Q161 — HYBRID RETRIEVAL SERVED FROM THE PERSISTED IVF INDEX: q159
+    * proves RRF fusion with a brute-force dense side (the declared
+    * ground-truth baseline, O(|probes|·corpus)); THIS is the production
+    * serving shape — the dense ranking comes from the q142-shape
+    * persisted index ([[Similarity.ivfTopKServed]], nprobe=2 multi-probe
+    * over the cell-partitioned self-contained index, quantizer pinned
+    * driver-side as plan literals), the lexical side and the fusion are
+    * unchanged. At 100 TB the dense candidate scan touches only each
+    * probe's nprobe cells (not the corpus), the lexical side stays
+    * banded, and the fusion stays |probes|·k — every stage is sublinear
+    * in the corpus except the one-off index build, which amortises over
+    * all query waves. The dense lists are the INDEX's answer (IVF recall
+    * vs q159's exact lists is the q147-measured trade; nprobe=k recovers
+    * brute force exactly — asserted in OpsSpec).
+    *
+    * The oracle replays the unrolled deterministic k-means + the nprobe=2
+    * probe wave (q82/q144's parameterisation at k=10, probes vec_id<10)
+    * and fuses with the identical RRF SQL as q159's.
+    */
+  def q161(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = t(spark, dir, "embeddings").coalesce(8)
+    val out = PipelineOps.layoutDir(spark, dir, "hybridindex")
+    // stage 1: fit once, persist the self-contained index (q142's shape;
+    // the write materialises the fit)
+    val (assignments, centroids) =
+      Similarity.kmeansFit(e, "vec_id", "embedding", k = 8, iters = 2,
+        materialize = false, withVec = true)
+    assignments.repartition(col("cell")).write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$out/assignments")
+    centroids.write.mode("overwrite").parquet(s"$out/centroids")
+    // stage 2: the dense ranking is SERVED from the index — quantizer
+    // pinned once, candidates read straight off the cell layout
+    val idxAssign = spark.read.parquet(s"$out/assignments")
+    val cent = Similarity.localize(spark.read.parquet(s"$out/centroids"))
+    val dense = Similarity.ivfTopKServed(idxAssign, cent,
+        "vec_id", "embedding", probeFilter = $"vec_id" < 10, k = 10, nprobe = 2)
+      .select($"probe_id", $"cand_id", $"rn".as("rn_d"))
+    rrfFuse(dense, lexicalTopK(spark, dir))
+      .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
+  }
+
+  /** q82's unrolled k-means + a k=10/nprobe=2 probe wave for probes
+    * vec_id < 10, fused with q159's lexical lists by the identical RRF
+    * arithmetic.
+    */
+  val q161Sql: String =
+    s"""${kmeansCtes("TRUE")},
+       |${ngramPairCtesOver("documents")},
+       |$lexTopKCtes,
+       |pcell AS (
+       |  SELECT vec_id AS probe_id, cell FROM (
+       |    SELECT v.vec_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+       |        ROUND(list_dot_product(v.v, v.v) - 2.0 * list_dot_product(v.v, c.centroid)
+       |              + list_dot_product(c.centroid, c.centroid), 6) ASC, c.cell ASC) AS crn
+       |    FROM vecs v CROSS JOIN cent2 c WHERE v.vec_id < 10)
+       |  WHERE crn <= 2),
+       |dpairs AS (
+       |  SELECT p.probe_id, c.vec_id AS cand_id,
+       |    ROUND(list_dot_product(pv.v, c.v) / (pv.nrm * c.nrm), 6) AS cos6
+       |  FROM pcell p
+       |  JOIN avx c ON c.cell = p.cell
+       |  JOIN avx pv ON pv.vec_id = p.probe_id
+       |  WHERE c.vec_id <> p.probe_id),
+       |dense AS (
+       |  SELECT probe_id, cand_id, rn_d FROM (
+       |    SELECT probe_id, cand_id,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos6 DESC, cand_id ASC) AS rn_d
+       |    FROM dpairs) WHERE rn_d <= 10),
+       |$rrfFusionSql""".stripMargin
+
   /** The q158 per-micro-batch ingest verb, factored so OpsSpec can drive
     * arrival/redelivery schedules without the streaming harness (the
     * q132 pattern): skip batches the index epoch already covers
@@ -1818,7 +1923,8 @@ object LlmOps {
     "q156_ann_index_takedown" -> (q156 _),
     "q158_stream_index_ingest" -> (q158 _),
     "q159_hybrid_retrieval" -> (q159 _),
-    "q160_dedup_recall_report" -> (q160 _))
+    "q160_dedup_recall_report" -> (q160 _),
+    "q161_hybrid_served" -> (q161 _))
 
   def oracles: Map[String, String] = Map(
     "q58_exact_dedup" -> q58Sql,
@@ -1855,5 +1961,6 @@ object LlmOps {
     "q156_ann_index_takedown" -> q156Sql,
     "q158_stream_index_ingest" -> q158Sql,
     "q159_hybrid_retrieval" -> q159Sql,
-    "q160_dedup_recall_report" -> q160Sql)
+    "q160_dedup_recall_report" -> q160Sql,
+    "q161_hybrid_served" -> q161Sql)
 }

@@ -519,6 +519,35 @@ class OpsSpec extends SparkSpec {
     } finally assign.unpersist(): Unit
   }
 
+  test("hybrid fusion: IVF-served dense side at nprobe=k equals the " +
+      "brute-force dense side (q159/q161 agreement)") {
+    import spark.implicits._
+    import graft.queries.LlmOps
+    val e = graft.core.Tables.t(spark, sfDir, "embeddings").coalesce(8)
+    val (index, cent) = Similarity.kmeansFit(e, "vec_id", "embedding",
+      k = 8, iters = 2, materialize = true, withVec = true)
+    try {
+      val lex = LlmOps.lexicalTopK(spark, sfDir)
+      def fusedRows(dense: org.apache.spark.sql.DataFrame) =
+        LlmOps.rrfFuse(dense.select($"probe_id", $"cand_id", $"rn".as("rn_d")),
+            lex)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+          .toSet
+      val viaBrute = fusedRows(Similarity.bruteForceTopK(
+        e.filter($"vec_id" < 10), e, "vec_id", "embedding", k = 10))
+      // nprobe = k scans every cell, so the served dense ranking equals
+      // brute force exactly and the fusion must be identical row-for-row
+      val viaServed = fusedRows(Similarity.ivfTopKServed(index, cent,
+        "vec_id", "embedding", probeFilter = $"vec_id" < 10, k = 10,
+        nprobe = 8))
+      assert(viaBrute == viaServed,
+        s"fusion diverged: only-brute=${(viaBrute -- viaServed).take(5)} " +
+          s"only-served=${(viaServed -- viaBrute).take(5)}")
+      assert(viaBrute.nonEmpty, "fusion produced no rows")
+    } finally index.unpersist(): Unit
+  }
+
   test("q69 banded-LSH pairs: bucket keys spread the corpus, candidates prune, recall holds") {
     import graft.queries.LlmOps
     val e = graft.core.Tables.t(spark, sfDir, "embeddings")

@@ -31,9 +31,9 @@ class RegistrySpec extends SparkSpec {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
-  test("the full surface covers the SURVEY ids Q01..Q72 + r2..r13 additions") {
+  test("the full surface covers the SURVEY ids Q01..Q72 + r2..r14 additions") {
     val ids = Registry.all.keySet.map(_.takeWhile(_ != '_'))
-    val expected = (1 to 160).map(i => f"q$i%02d").toSet
+    val expected = (1 to 161).map(i => f"q$i%02d").toSet
     assert(ids == expected, s"missing: ${expected -- ids}, extra: ${ids -- expected}")
   }
 
@@ -53,7 +53,7 @@ class RegistrySpec extends SparkSpec {
     val worst = SparkEntry.queries.keys.toSeq.sorted
       .map(k => "\"" + k.takeWhile(_ != '_') + "\":9999")
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total_warm_sec","value":99999.99,"unit":"sec","queries":$worst,"noisy":999,"rtry":999,"cont":false,"nq":999,"nf":999,"sf":"sf0.001"}"""
+    val line = s"""{"metric":"total_warm_sec","value":99999.99,"unit":"sec","queries":$worst,"noisy":999,"cont":false,"sf":"sf0.001"}"""
     assert(line.length < 2000, s"bench line would be ${line.length}B — shrink keys or precision")
   }
 }
