@@ -737,6 +737,77 @@ object Similarity {
       ranked.select(col("probe_id"), col("cand_id"), col("cos6"), col("rn"))
   }
 
+  /** SQ8 — symmetric int8 quantization of a self-contained index frame
+    * `(idCol, vecCol, cell)`: per-vector scale = max|v|/127 and
+    * q_i = floor(v_i/scale + 0.5) stored as a BYTE array (the q98
+    * reconstruction rule applied to the index payload). At 100 TB of
+    * embeddings the index's bytes are dominated by the vector payload;
+    * storing int8 + one double scale cuts it ~8× (the difference between
+    * a memory-resident and a disk-bound serving node — the FAISS SQ8
+    * staple). Zero vectors (scale = 0) cannot be represented and drop
+    * out of the index (they rank last under cosine anyway and a zero
+    * vector has no meaningful cosine neighbors). Map-only; the floor
+    * rule is well-defined in both engines, so the stored integers are
+    * oracle-replayable.
+    */
+  def quantizeInt8(index: DataFrame, idCol: String,
+                   vecCol: String): DataFrame = {
+    import org.apache.spark.sql.types.ByteType
+    val v = toDouble(col(vecCol))
+    index
+      .withColumn("scale", array_max(transform(v, x => abs(x))) / lit(127.0))
+      .filter(col("scale") > 0.0)
+      .select(col(idCol),
+        transform(v, x => floor(x / col("scale") + lit(0.5)).cast(ByteType))
+          .as("qvec"),
+        col("scale"), col("cell"))
+  }
+
+  /** Serve a probe wave from an INT8-STORED index `(idCol, qvec, scale,
+    * cell)` ([[quantizeInt8]]'s shape) with EXACT re-rank — the two-stage
+    * SQ8 serving path: (1) candidates are ranked on the DEQUANTIZED
+    * vectors (q·scale — reading 1 byte/dim off the index instead of 8),
+    * keeping the top `prefetch` per probe; (2) only those |probes|·prefetch
+    * winners fetch their full-precision vectors from `corpus` (a
+    * point-lookup join — the prefetch side is k-bounded, so AQE
+    * broadcasts it) and are re-scored exactly, keeping the top `k`.
+    * `prefetch` is the recall knob of the quantization stage (prefetch =
+    * |cell| is exact); the returned cos6 is the EXACT score, so
+    * downstream consumers never see quantization error. Probes are
+    * full-precision by construction (query vectors arrive fresh at
+    * serving time).
+    */
+  def ivfTopKServedInt8(index8: DataFrame, corpus: DataFrame,
+      cent: Seq[(Long, Seq[Double])], idCol: String, vecCol: String,
+      probeRows: DataFrame, k: Int, prefetch: Int, nprobe: Int): DataFrame = {
+    require(prefetch >= k, s"prefetch ($prefetch) must be >= k ($k)")
+    val probes = probeRows.select(col(idCol).as("probe_id"),
+      toDouble(col(vecCol)).as("__pv"), norm(col(vecCol)).as("__pn"))
+    val probeCells = probes.select(col("probe_id"), col("__pv"), col("__pn"),
+      explode(rankedCellsExpr(col("__pv"), cent, nprobe)).as("cell"))
+    val dq = transform(col("qvec"), q => q.cast(DoubleType) * col("scale"))
+    val cands = index8
+      .select(col(idCol).as("cand_id"), dq.as("__dq"), col("cell"))
+      .withColumn("__dn", norm(col("__dq")))
+    val approx = probeCells.join(cands, Seq("cell"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("approx6",
+        round(dot(col("__pv"), col("__dq")) / (col("__pn") * col("__dn")), 6))
+    val pref = TopK.perGroup(approx, prefetch,
+        partition = Seq(col("probe_id")),
+        order = Seq(col("approx6").desc, col("cand_id").asc))
+      .select(col("probe_id"), col("__pv"), col("__pn"), col("cand_id"))
+    val full = corpus.select(col(idCol).as("cand_id"),
+      toDouble(col(vecCol)).as("__cv"), norm(col(vecCol)).as("__cn"))
+    val exact = pref.join(full, Seq("cand_id"))
+      .withColumn("cos6",
+        round(dot(col("__pv"), col("__cv")) / (col("__pn") * col("__cn")), 6))
+    TopK.perGroup(exact, k,
+        partition = Seq(col("probe_id")),
+        order = Seq(col("cos6").desc, col("cand_id").asc))
+      .select(col("probe_id"), col("cand_id"), col("cos6"), col("rn"))
+  }
+
   /** IVF search (nprobe=1) with per-`cellCol`-mean centroids (labelled
     * data); for unlabelled corpora pair [[ivfTopKAssigned]] with
     * [[kmeansAssign]].

@@ -1871,6 +1871,107 @@ object LlmOps {
        |    FROM dpairs) WHERE rn_d <= 10),
        |$rrfFusionSql""".stripMargin
 
+  /** Q162 — INT8-STORED SERVING INDEX (SQ8 + exact re-rank): q98 proved
+    * the symmetric int8 reconstruction rule; THIS applies it to the index
+    * PAYLOAD — the persisted cell-partitioned index stores one byte per
+    * dimension plus a per-vector scale ([[Similarity.quantizeInt8]]),
+    * ~8× fewer vector bytes than the float64 q142 index, which at 100 TB
+    * of embeddings is the difference between a memory-resident and a
+    * disk-bound serving node. The wave is the standard two-stage SQ8
+    * search ([[Similarity.ivfTopKServedInt8]]): candidates ranked on
+    * DEQUANTIZED vectors (prefetch = 2k per probe), then only the
+    * winners fetch full-precision vectors for the EXACT re-rank — the
+    * returned scores carry no quantization error, and the recall cost of
+    * the int8 stage is measured in-query against the full-precision wave
+    * (q147's report arithmetic) and gated at ≥ 0.9.
+    *
+    * The oracle replays the unrolled k-means, the integer quantization
+    * (floor(x/scale + 0.5) — exactly representable, engine-portable) and
+    * both ranking stages.
+    */
+  def q162(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = t(spark, dir, "embeddings").coalesce(8)
+    val out = PipelineOps.layoutDir(spark, dir, "ivfint8")
+    val (assignments, centroids) =
+      Similarity.kmeansFit(e, "vec_id", "embedding", k = 8, iters = 2,
+        materialize = false, withVec = true)
+    // the int8 index IS the persisted artifact (1 byte/dim + scale);
+    // its write materialises the fit
+    Similarity.quantizeInt8(assignments, "vec_id", "embedding")
+      .repartition(col("cell")).write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$out/assignments8")
+    centroids.write.mode("overwrite").parquet(s"$out/centroids")
+    val idx8 = spark.read.parquet(s"$out/assignments8")
+    val cent = Similarity.localize(spark.read.parquet(s"$out/centroids"))
+    val probes = e.filter($"vec_id" < 20)
+    val res = Similarity.ivfTopKServedInt8(idx8, e, cent,
+        "vec_id", "embedding", probes, k = 3, prefetch = 6, nprobe = 2)
+      .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
+    val rows = res.collect().toSeq
+    // recall of the int8-prefetch stage vs the full-precision wave over
+    // the SAME quantizer/nprobe — both k-bounded, so the report is
+    // driver-side arithmetic (the q153 pattern)
+    val fullIdx = Similarity.assignToCentroids(e, cent,
+      "vec_id", "embedding", withVec = true)
+    val fullWave = Similarity.ivfTopKServed(fullIdx, cent,
+        "vec_id", "embedding", probeFilter = $"vec_id" < 20, k = 3, nprobe = 2)
+      .select($"probe_id", $"cand_id")
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    val hits = Similarity.recallHits(fullWave,
+      rows.map(r => (r.getLong(0), r.getLong(1))))
+    require(!Similarity.refitDecision(hits.map(_._2), k = 3, minRecall = 0.9),
+      "int8 serving recall fell below 0.9 of the full-precision wave")
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), res.schema)
+  }
+
+  /** Unrolled k-means + int8 quantization (q98's rule on the assigned
+    * vectors) + dequantized prefetch-6 ranking + exact re-rank to k=3.
+    */
+  val q162Sql: String =
+    s"""${kmeansCtes("TRUE")},
+       |qz AS (
+       |  SELECT vec_id, cell, v,
+       |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+       |  FROM avx),
+       |dqx AS (
+       |  SELECT vec_id, cell,
+       |    list_transform(v, x -> floor(x / scale + 0.5) * scale) AS dq
+       |  FROM qz WHERE scale > 0),
+       |pcell AS (
+       |  SELECT vec_id AS probe_id, cell FROM (
+       |    SELECT v.vec_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+       |        ROUND(list_dot_product(v.v, v.v) - 2.0 * list_dot_product(v.v, c.centroid)
+       |              + list_dot_product(c.centroid, c.centroid), 6) ASC, c.cell ASC) AS crn
+       |    FROM vecs v CROSS JOIN cent2 c WHERE v.vec_id < 20)
+       |  WHERE crn <= 2),
+       |apairs AS (
+       |  SELECT p.probe_id, c.vec_id AS cand_id,
+       |    ROUND(list_dot_product(pv.v, c.dq)
+       |          / (pv.nrm * SQRT(list_dot_product(c.dq, c.dq))), 6) AS approx6
+       |  FROM pcell p
+       |  JOIN dqx c ON c.cell = p.cell
+       |  JOIN avx pv ON pv.vec_id = p.probe_id
+       |  WHERE c.vec_id <> p.probe_id),
+       |pref AS (
+       |  SELECT probe_id, cand_id FROM (
+       |    SELECT probe_id, cand_id,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY approx6 DESC, cand_id ASC) AS arn
+       |    FROM apairs) WHERE arn <= 6),
+       |epairs AS (
+       |  SELECT f.probe_id, f.cand_id,
+       |    ROUND(list_dot_product(pv.v, c.v) / (pv.nrm * c.nrm), 6) AS cos6
+       |  FROM pref f
+       |  JOIN avx c ON c.vec_id = f.cand_id
+       |  JOIN avx pv ON pv.vec_id = f.probe_id),
+       |ranked AS (
+       |  SELECT probe_id, cand_id, cos6,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos6 DESC, cand_id ASC) AS rn
+       |  FROM epairs)
+       |SELECT probe_id, cand_id, cos6, rn FROM ranked WHERE rn <= 3
+       |ORDER BY probe_id NULLS FIRST, rn NULLS FIRST""".stripMargin
+
   /** The q158 per-micro-batch ingest verb, factored so OpsSpec can drive
     * arrival/redelivery schedules without the streaming harness (the
     * q132 pattern): skip batches the index epoch already covers
@@ -1924,7 +2025,8 @@ object LlmOps {
     "q158_stream_index_ingest" -> (q158 _),
     "q159_hybrid_retrieval" -> (q159 _),
     "q160_dedup_recall_report" -> (q160 _),
-    "q161_hybrid_served" -> (q161 _))
+    "q161_hybrid_served" -> (q161 _),
+    "q162_int8_index" -> (q162 _))
 
   def oracles: Map[String, String] = Map(
     "q58_exact_dedup" -> q58Sql,
@@ -1962,5 +2064,6 @@ object LlmOps {
     "q158_stream_index_ingest" -> q158Sql,
     "q159_hybrid_retrieval" -> q159Sql,
     "q160_dedup_recall_report" -> q160Sql,
-    "q161_hybrid_served" -> q161Sql)
+    "q161_hybrid_served" -> q161Sql,
+    "q162_int8_index" -> q162Sql)
 }

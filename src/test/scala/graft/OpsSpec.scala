@@ -548,6 +548,56 @@ class OpsSpec extends SparkSpec {
     } finally index.unpersist(): Unit
   }
 
+  test("int8 index: reconstruction error <= scale/2, payload materially " +
+      "smaller, prefetch=all recovers the exact wave") {
+    import spark.implicits._
+    val e = graft.core.Tables.t(spark, sfDir, "embeddings").coalesce(8)
+    val (index, cent) = Similarity.kmeansFit(e, "vec_id", "embedding",
+      k = 8, iters = 2, materialize = true, withVec = true)
+    try {
+      val idx8 = Similarity.quantizeInt8(index, "vec_id", "embedding")
+      // (a) the floor(x/scale + 0.5) rule bounds per-element error by
+      // scale/2 — the q98 reconstruction law, now on the index payload
+      val worst = idx8.join(e.select($"vec_id", $"embedding"), "vec_id")
+        .select(max(array_max(zip_with(
+          Similarity.toDouble($"embedding"), $"qvec",
+          (a, q) => abs(a - q.cast(org.apache.spark.sql.types.DoubleType)
+            * $"scale") / $"scale"))).as("m"))
+        .head().getDouble(0)
+      assert(worst <= 0.5 + 1e-9, f"reconstruction error $worst%.6f > scale/2")
+      // (b) the stored payload is materially smaller than the float index
+      // (1 byte/dim + one scale vs 8 bytes/dim; parquet encodings blur
+      // the exact 8x, so assert a conservative 50%)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sq8").toString
+      index.write.mode("overwrite").parquet(s"$tmp/f64")
+      idx8.write.mode("overwrite").parquet(s"$tmp/i8")
+      def bytes(p: String): Long =
+        new java.io.File(p).listFiles.filter(_.getName.endsWith(".parquet"))
+          .map(_.length).sum
+      val (f64, i8) = (bytes(s"$tmp/f64"), bytes(s"$tmp/i8"))
+      assert(i8 < f64 / 2, s"int8 index $i8 B not < half of float $f64 B")
+      graft.ops.VersionedTarget.rmTree(new java.io.File(tmp))
+      // (c) the exactness law the re-rank rides on: prefetch covering
+      // every candidate + nprobe=k equals brute force exactly
+      val probes = e.filter($"vec_id" < 20)
+      val viaInt8 = Similarity.ivfTopKServedInt8(idx8, e,
+          Similarity.localize(cent), "vec_id", "embedding", probes,
+          k = 3, prefetch = 100000, nprobe = 8)
+        .select($"probe_id", $"cand_id", $"cos6", $"rn")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+      val exact = Similarity.bruteForceTopK(probes, e, "vec_id", "embedding",
+          k = 3)
+        .select($"probe_id", $"cand_id", $"cos6", $"rn")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+      assert(viaInt8 == exact,
+        s"SQ8 exact re-rank diverged from brute force: " +
+          s"only-int8=${(viaInt8 -- exact).take(5)} " +
+          s"only-brute=${(exact -- viaInt8).take(5)}")
+    } finally index.unpersist(): Unit
+  }
+
   test("q69 banded-LSH pairs: bucket keys spread the corpus, candidates prune, recall holds") {
     import graft.queries.LlmOps
     val e = graft.core.Tables.t(spark, sfDir, "embeddings")
