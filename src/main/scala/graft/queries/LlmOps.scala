@@ -1972,6 +1972,78 @@ object LlmOps {
        |SELECT probe_id, cand_id, cos6, rn FROM ranked WHERE rn <= 3
        |ORDER BY probe_id NULLS FIRST, rn NULLS FIRST""".stripMargin
 
+  /** Q163 — PERCEPTUAL IMAGE NEAR-DUP: multimodal corpora dedup on image
+    * CONTENT, not bytes (a re-encoded or one-block-edited copy has a
+    * different md5 but the same perceptual hash) — the image analogue of
+    * the q59/q81 text near-dup family. Decode is q63's partition-wise
+    * JDK path; the hashes are integer-exact 8×8 block aHash/dHash
+    * ([[Multimodal.perceptualHashes]]); candidate pairs come from q81's
+    * pigeonhole band machinery on the 64-bit aHash (8 byte-bands,
+    * recall-complete for Hamming ≤ 7) with the exact bit_count
+    * post-filter ([[Multimodal.imageNearDupPairs]]) — at 100 TB of
+    * images the band join shuffles (band, byte, id) triples, never
+    * pixels, never all-pairs.
+    *
+    * Fixture corpus: [[Multimodal.ensurePhashFixtures]] — 12 base images
+    * × 2 one-block-inverted variants (the Q63 pattern: the oracle
+    * recomputes both hashes from the shared generation RULE, checking
+    * decode → block sums → hash end-to-end against what the generator
+    * wrote; its bit math runs in HUGEINT because DuckDB's BIGINT `<<`
+    * traps at bit 63, and only the Hamming distances reach the output).
+    */
+  def q163(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fix = Multimodal.ensurePhashFixtures()
+    val bin = Multimodal.readBinary(spark, s"$fix/*.png")
+    val hashes = Multimodal.perceptualHashes(bin)
+      .select(regexp_extract($"path", "([^/]+)$", 1).as("fname"),
+        $"ahash", $"dhash")
+    Multimodal.imageNearDupPairs(hashes, "fname", maxHamming = 6)
+      .select($"d1".as("f1"), $"d2".as("f2"), $"ham_a", $"ham_d")
+      .orderBy($"f1".asc_nulls_first, $"f2".asc_nulls_first)
+  }
+
+  /** Recomputes the block sums + both hashes from the fixture rule
+    * (every pixel of every image via range-unnest), then all-pairs
+    * Hamming ≤ 6 — the banded join's recall-complete reference.
+    */
+  val q163Sql: String =
+    """WITH imgs AS (
+      |  SELECT i.i, j.j FROM UNNEST(range(0, 12)) i(i), UNNEST(range(0, 3)) j(j)),
+      |px AS (
+      |  SELECT i, j, (idx // 32) // 4 AS by, (idx % 32) // 4 AS bx,
+      |    CASE WHEN j >= 1 AND (idx // 32) // 4 = j - 1 AND (idx % 32) // 4 = j
+      |         THEN 255 - base - (idx * 7) % 64
+      |         ELSE base + (idx * 7) % 64 END AS v
+      |  FROM (
+      |    SELECT i, j, idx,
+      |      CASE WHEN substr(md5(CAST(((idx // 32) // 4) * 8 + (idx % 32) // 4 AS VARCHAR)
+      |                 || '_' || CAST(i AS VARCHAR)), 1, 1) >= '8'
+      |           THEN 160 ELSE 0 END AS base
+      |    FROM imgs, UNNEST(range(0, 1024)) t(idx))),
+      |blk AS (SELECT i, j, by, bx, SUM(v) AS bs FROM px GROUP BY i, j, by, bx),
+      |tot AS (SELECT i, j, SUM(bs) AS ts FROM blk GROUP BY i, j),
+      |hsh AS (
+      |  SELECT b.i, b.j,
+      |    BIT_OR(CASE WHEN b.bs * 64 > t.ts
+      |                THEN CAST(1 AS HUGEINT) << (b.by * 8 + b.bx)
+      |                ELSE CAST(0 AS HUGEINT) END) AS ahash,
+      |    BIT_OR(CASE WHEN b.bs > n.bs
+      |                THEN CAST(1 AS HUGEINT) << (b.by * 8 + b.bx)
+      |                ELSE CAST(0 AS HUGEINT) END) AS dhash
+      |  FROM blk b
+      |  JOIN tot t ON t.i = b.i AND t.j = b.j
+      |  JOIN blk n ON n.i = b.i AND n.j = b.j AND n.by = b.by
+      |            AND n.bx = (b.bx + 1) % 8
+      |  GROUP BY b.i, b.j),
+      |named AS (SELECT printf('img_%02d_%d.png', i, j) AS f, ahash, dhash FROM hsh)
+      |SELECT a.f AS f1, b.f AS f2,
+      |  bit_count(xor(a.ahash, b.ahash)) AS ham_a,
+      |  bit_count(xor(a.dhash, b.dhash)) AS ham_d
+      |FROM named a JOIN named b ON a.f < b.f
+      |WHERE bit_count(xor(a.ahash, b.ahash)) <= 6
+      |ORDER BY f1 NULLS FIRST, f2 NULLS FIRST""".stripMargin
+
   /** The q158 per-micro-batch ingest verb, factored so OpsSpec can drive
     * arrival/redelivery schedules without the streaming harness (the
     * q132 pattern): skip batches the index epoch already covers
@@ -2026,7 +2098,8 @@ object LlmOps {
     "q159_hybrid_retrieval" -> (q159 _),
     "q160_dedup_recall_report" -> (q160 _),
     "q161_hybrid_served" -> (q161 _),
-    "q162_int8_index" -> (q162 _))
+    "q162_int8_index" -> (q162 _),
+    "q163_image_neardup" -> (q163 _))
 
   def oracles: Map[String, String] = Map(
     "q58_exact_dedup" -> q58Sql,
@@ -2065,5 +2138,6 @@ object LlmOps {
     "q159_hybrid_retrieval" -> q159Sql,
     "q160_dedup_recall_report" -> q160Sql,
     "q161_hybrid_served" -> q161Sql,
-    "q162_int8_index" -> q162Sql)
+    "q162_int8_index" -> q162Sql,
+    "q163_image_neardup" -> q163Sql)
 }

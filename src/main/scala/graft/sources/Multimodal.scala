@@ -153,6 +153,179 @@ object Multimodal {
     fixturesPath
   }
 
+  /** Fixed machine-local location of the perceptual-hash fixture corpus
+    * (q163): 12 base images × 3 variants of deterministic 32×32 gray
+    * PNGs, where variants invert ONE 4×4 pixel block — an edit that
+    * moves exactly one aHash grid cell, the image-near-dup analogue of
+    * the q59/q86 "docs differing in a few grams" fixtures.
+    */
+  val phashFixturesPath: String =
+    new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_phash_fixtures_v2").getPath
+
+  /** The q163 fixture RULE, shared by the generator and the DuckDB
+    * oracle (which recomputes the hashes from this formula): 32×32 gray,
+    * 8×8 grid of 4×4 blocks; a block is BRIGHT (base 160) or DARK
+    * (base 0) by the first md5 hex digit of "`<blockIndex>_<i>`" (md5
+    * avalanches, so base patterns are pairwise ~32 bits apart — simple
+    * modular rules measured degenerate: `(bi*37+i*11)%2` collapses to a
+    * 2-pattern checkerboard), plus a `(idx*7)%64` intra-block texture —
+    * block means ~191 vs ~31 against a global mean ~111, so every aHash
+    * bit has a decisive margin. Variant j ≥ 1 INVERTS (255−v) the block
+    * at grid cell (row j−1, col j), flipping exactly that cell's
+    * brightness class (v2; v1 was the degenerate modular rule).
+    */
+  def phashPixel(i: Int, j: Int, x: Int, y: Int): Int = {
+    val bi = (y / 4) * 8 + (x / 4)
+    val base = if (brightBlock(bi, i)) 160 else 0
+    val v = base + ((y * 32 + x) * 7) % 64
+    if (j >= 1 && y / 4 == j - 1 && x / 4 == j) 255 - v else v
+  }
+
+  /** First md5 hex digit of "bi_i" ≥ '8' — the avalanche brightness
+    * classing (DuckDB: `substr(md5(bi || '_' || i), 1, 1) >= '8'`).
+    */
+  private def brightBlock(bi: Int, i: Int): Boolean = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${bi}_$i".getBytes("US-ASCII"))
+    (d(0) & 0x80) != 0
+  }
+
+  /** Generate the q163 corpus: `img_<i>_<j>.png` for i < 12, j < 3
+    * (j = 0 base, j = 1,2 one-block-inverted variants). Write-if-missing
+    * with atomic rename, like [[ensureFixtures]].
+    */
+  def ensurePhashFixtures(): String = {
+    import java.awt.image.BufferedImage
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    sys.props.getOrElseUpdate("java.awt.headless", "true")
+    val dir = Paths.get(phashFixturesPath)
+    Files.createDirectories(dir)
+    for (i <- 0 until 12; j <- 0 until 3) {
+      val target = dir.resolve(f"img_$i%02d_$j.png")
+      if (!Files.exists(target)) {
+        val img = new BufferedImage(32, 32, BufferedImage.TYPE_BYTE_GRAY)
+        for (y <- 0 until 32; x <- 0 until 32)
+          img.getRaster.setSample(x, y, 0, phashPixel(i, j, x, y))
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        val tmp = Files.createTempFile(dir, ".img", ".tmp")
+        Files.write(tmp, out.toByteArray)
+        try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            Files.deleteIfExists(tmp): Unit
+        }
+      }
+    }
+    phashFixturesPath
+  }
+
+  /** 64-bit perceptual hashes per image, computed in the SAME
+    * partition-wise decode pass as [[extractFeatures]] (codec state
+    * amortised per partition; undecodable payloads drop out):
+    *
+    *   - `ahash` (average hash): 8×8 grid of block mean intensities,
+    *     bit(by,bx) = blockMean > globalMean — the classic aHash, with
+    *     the resize step expressed as exact integer block sums
+    *     (floor-boundary grid, cross-multiplied comparison: no floating
+    *     point, so the hash is bit-identical in any engine);
+    *   - `dhash` (gradient hash): bit(by,bx) = blockMean(by,bx) >
+    *     blockMean(by,(bx+1) mod 8) — the row-wise gradient variant on
+    *     the same grid.
+    *
+    * Gray images hash their exact raster samples; color images hash the
+    * integer luminance (r+g+b)/3. Integer cross-multiplication is exact
+    * through ~190 MP (255·(w·h)² < 2^63). Bit p = by*8+bx, LSB-first.
+    */
+  def perceptualHashes(binary: DataFrame): DataFrame = {
+    val spark = binary.sparkSession
+    import spark.implicits._
+    binary.select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { rows =>
+        sys.props.getOrElseUpdate("java.awt.headless", "true")
+        rows.flatMap { case (path, content) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(content))
+          if (img == null) None
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val gray = img.getColorModel.getNumComponents == 1
+            val raster = img.getRaster
+            val bs = Array.ofDim[Long](8, 8) // block intensity sums
+            val bp = Array.ofDim[Long](8, 8) // block pixel counts
+            var y = 0
+            while (y < h) {
+              val by = y * 8 / h
+              var x = 0
+              while (x < w) {
+                val bx = x * 8 / w
+                val v: Long =
+                  if (gray) raster.getSample(x, y, 0).toLong
+                  else {
+                    val rgb = img.getRGB(x, y)
+                    ((((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                      (rgb & 0xff)) / 3).toLong
+                  }
+                bs(by)(bx) += v; bp(by)(bx) += 1
+                x += 1
+              }
+              y += 1
+            }
+            val total = bs.map(_.sum).sum
+            val totalPx = w.toLong * h
+            var ah = 0L; var dh = 0L
+            var by = 0
+            while (by < 8) {
+              var bx = 0
+              while (bx < 8) {
+                val p = by * 8 + bx
+                // blockMean > globalMean ⟺ bs·totalPx > total·bp (exact)
+                if (bs(by)(bx) * totalPx > total * bp(by)(bx)) ah |= 1L << p
+                val nb = (bx + 1) % 8
+                if (bs(by)(bx) * bp(by)(nb) > bs(by)(nb) * bp(by)(bx))
+                  dh |= 1L << p
+                bx += 1
+              }
+              by += 1
+            }
+            Some((path, w, h, ah, dh))
+          }
+        }
+      }.toDF("path", "width", "height", "ahash", "dhash")
+  }
+
+  /** Image near-duplicate PAIRS from [[perceptualHashes]] rows: the
+    * q81 pigeonhole band machinery on the 64-bit aHash — 8 byte-wide
+    * bands (recall-complete for Hamming ≤ 7: ≤ 7 differing bits dirty at
+    * most 7 of the 8 bands), equi-join on (band, band-value), exact
+    * `bit_count(xor)` post-filter at `maxHamming`. The dHash Hamming
+    * rides along as a second signal (free once the pair is a candidate).
+    * At 100 TB of images the band join shuffles only (band, byte, id)
+    * triples — never pixels, never all-pairs.
+    */
+  def imageNearDupPairs(hashes: DataFrame, idCol: String,
+                        maxHamming: Int): DataFrame = {
+    require(maxHamming < 8, "8 byte-bands guarantee recall only for hamming <= 7")
+    val banded = hashes
+      .select(col(idCol).as("__id"), col("ahash"), col("dhash"),
+        explode(sequence(lit(0), lit(7))).as("band"))
+      .withColumn("bv", expr("shiftright(ahash, band * 8) & 255"))
+    val a = banded.select(col("__id").as("d1"), col("ahash").as("a1"),
+      col("dhash").as("dh1"), col("band"), col("bv"))
+    val b = banded.select(col("__id").as("d2"), col("ahash").as("a2"),
+      col("dhash").as("dh2"), col("band"), col("bv"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("a1"), col("a2"),
+        col("dh1"), col("dh2")).distinct()
+      .withColumn("ham_a", expr("bit_count(a1 ^ a2)"))
+      .filter(col("ham_a") <= maxHamming)
+      .withColumn("ham_d", expr("bit_count(dh1 ^ dh2)"))
+      .select(col("d1"), col("d2"), col("ham_a"), col("ham_d"))
+  }
+
   private def kindOf(path: String): String = {
     val p = path.toLowerCase
     if (p.endsWith(".png") || p.endsWith(".jpg") || p.endsWith(".jpeg")) "image"

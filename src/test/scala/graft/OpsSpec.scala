@@ -598,6 +598,64 @@ class OpsSpec extends SparkSpec {
     } finally index.unpersist(): Unit
   }
 
+  test("perceptual hashes: PNG decode roundtrips the fixture rule exactly; " +
+      "banded Hamming join is recall-complete; variants are near, bases far") {
+    import spark.implicits._
+    import graft.sources.Multimodal
+    val fix = Multimodal.ensurePhashFixtures()
+    val hashed = Multimodal.perceptualHashes(
+        Multimodal.readBinary(spark, s"$fix/*.png"))
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+        col("ahash"), col("dhash"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(hashed.size == 36, s"expected 36 fixtures, decoded ${hashed.size}")
+    // (a) the decoded hashes equal the generation rule's — the PNG write →
+    // ImageIO read → raster-sample path changes no pixel
+    def ruleHash(i: Int, j: Int): (Long, Long) = {
+      val bs = Array.ofDim[Long](8, 8)
+      for (y <- 0 until 32; x <- 0 until 32)
+        bs(y / 4)(x / 4) += Multimodal.phashPixel(i, j, x, y)
+      val total = bs.map(_.sum).sum
+      var ah = 0L; var dh = 0L
+      for (by <- 0 until 8; bx <- 0 until 8) {
+        val p = by * 8 + bx
+        if (bs(by)(bx) * 64 > total) ah |= 1L << p
+        if (bs(by)(bx) > bs(by)((bx + 1) % 8)) dh |= 1L << p
+      }
+      (ah, dh)
+    }
+    for (i <- 0 until 12; j <- 0 until 3)
+      assert(hashed(f"img_$i%02d_$j.png") == ruleHash(i, j),
+        s"decoded hash diverged from the rule for img_${i}_$j")
+    // (b) fixture separation: a one-block edit moves few aHash bits, a
+    // different base moves many — the margin the band join rides on
+    def hamA(a: String, b: String) =
+      java.lang.Long.bitCount(hashed(a)._1 ^ hashed(b)._1)
+    for (i <- 0 until 12) {
+      assert(hamA(f"img_$i%02d_0.png", f"img_$i%02d_1.png") <= 2)
+      assert(hamA(f"img_$i%02d_0.png", f"img_$i%02d_2.png") <= 2)
+    }
+    assert(hamA("img_00_0.png", "img_01_0.png") > 6,
+      "different bases must not look like near-dups")
+    // (c) the 8-byte-band join finds EXACTLY the all-pairs reference at
+    // hamming <= 6 (pigeonhole-complete for <= 7)
+    val hashDf = hashed.toSeq.map { case (f, (a, d)) => (f, a, d) }
+      .toDF("fname", "ahash", "dhash")
+    val banded = Multimodal.imageNearDupPairs(hashDf, "fname", maxHamming = 6)
+      .select($"d1", $"d2").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val names = hashed.keys.toSeq.sorted
+    val reference = (for {
+      a <- names; b <- names if a < b
+      if java.lang.Long.bitCount(hashed(a)._1 ^ hashed(b)._1) <= 6
+    } yield (a, b)).toSet
+    assert(banded == reference,
+      s"banded join missed ${(reference -- banded).take(5)} " +
+        s"or fabricated ${(banded -- reference).take(5)}")
+    assert(reference.size == 36, // 3 within-base pairs × 12 bases
+      s"fixture should yield 36 near-dup pairs, got ${reference.size}")
+  }
+
   test("q69 banded-LSH pairs: bucket keys spread the corpus, candidates prune, recall holds") {
     import graft.queries.LlmOps
     val e = graft.core.Tables.t(spark, sfDir, "embeddings")
