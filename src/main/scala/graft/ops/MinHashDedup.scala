@@ -206,6 +206,32 @@ object MinHashDedup {
                       idCol: String, textCol: String,
                       gramN: Int = 5, rowsPerBand: Int = 2,
                       minJaccard: Double = 0.5): DataFrame = {
+    val cand = crossNgramCandidates(incoming, existing, idCol, textCol,
+      gramN, rowsPerBand)
+    val gIn = incoming.select(col(idCol).as("in_id"),
+        graft.functions.CharGramHashes.hashes(col(textCol), gramN).as("g1"))
+      .filter(col("g1").isNotNull)
+    val gEx = existing.select(col(idCol).as("ex_id"),
+        graft.functions.CharGramHashes.hashes(col(textCol), gramN).as("g2"))
+      .filter(col("g2").isNotNull)
+    val overlap = graft.functions.SortedOverlapCount.overlap(col("g1"), col("g2"))
+    cand
+      .join(gIn, Seq("in_id"))
+      .join(gEx, Seq("ex_id"))
+      .select(col("in_id"), col("ex_id"), (overlap.cast("double") /
+        (size(col("g1")) + size(col("g2")) - overlap)).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** The CANDIDATE stage of [[crossNgramPairs]] alone: the asymmetric
+    * banded join's (in_id, ex_id) output before the exact Jaccard
+    * post-filter — each pair emitted once, from its smallest matching
+    * band. Exposed so [[bandingMeasure]] can count candidate VOLUME (the
+    * cost side of the banding trade) without paying the post-filter.
+    */
+  def crossNgramCandidates(incoming: DataFrame, existing: DataFrame,
+                           idCol: String, textCol: String,
+                           gramN: Int, rowsPerBand: Int): DataFrame = {
     val nBands = coeffs.size / rowsPerBand
     val joinKeys = "band" +: (0 until rowsPerBand).map(r => s"k$r")
     val left = ngramBands(incoming, idCol, textCol, gramN, rowsPerBand)
@@ -223,22 +249,76 @@ object MinHashDedup {
           element_at(col("__s2"), bp * rowsPerBand + r + 1))
         .reduce(_ && _)
     }.reduceOption(_ || _).getOrElse(lit(false))
-    val cand = left.join(right, joinKeys)
+    left.join(right, joinKeys)
       .filter(!earlierBandAlsoMatches)
       .select(col("in_id"), col("ex_id"))
-    val gIn = incoming.select(col(idCol).as("in_id"),
-        graft.functions.CharGramHashes.hashes(col(textCol), gramN).as("g1"))
-      .filter(col("g1").isNotNull)
-    val gEx = existing.select(col(idCol).as("ex_id"),
-        graft.functions.CharGramHashes.hashes(col(textCol), gramN).as("g2"))
-      .filter(col("g2").isNotNull)
-    val overlap = graft.functions.SortedOverlapCount.overlap(col("g1"), col("g2"))
-    cand
-      .join(gIn, Seq("in_id"))
-      .join(gEx, Seq("ex_id"))
-      .select(col("in_id"), col("ex_id"), (overlap.cast("double") /
-        (size(col("g1")) + size(col("g2")) - overlap)).as("jaccard"))
-      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** One measured operating point of the banded candidate generator —
+    * the banding trade quantified on DATA (q160's report, kept for the
+    * decision): `recall` is what the knob buys, `nCandidates` is what it
+    * costs (the exact-Jaccard post-filter scans every candidate).
+    */
+  final case class BandingMeasurement(rowsPerBand: Int, nTrue: Long,
+                                      nCaught: Long, nCandidates: Long) {
+    def recall: Double = if (nTrue == 0) 1.0 else nCaught.toDouble / nTrue
+    def bands: Int = coeffs.size / rowsPerBand
+  }
+
+  /** Measure ONE (bands, rowsPerBand) operating point against
+    * brute-force truth (exact char-`gramN`-gram Jaccard ≥ `minJaccard`
+    * of `probes` × `corpus` — q160's ground-truth shape; at 100 TB the
+    * probe slice is a SAMPLE and this verb is the scheduled evaluation
+    * pass, never the production path). Three counts in two jobs:
+    * candidate volume from the banded join alone, truth and
+    * caught-by-banding from one crossed scan.
+    */
+  def bandingMeasure(probes: DataFrame, corpus: DataFrame,
+                     idCol: String, textCol: String, gramN: Int,
+                     rowsPerBand: Int, minJaccard: Double): BandingMeasurement = {
+    require(coeffs.size % rowsPerBand == 0,
+      s"rowsPerBand $rowsPerBand must divide the ${coeffs.size}-hash signature")
+    val gP = probes.select(col(idCol).as("__p"),
+        graft.functions.CharGramHashes.hashes(col(textCol), gramN).as("__gp"))
+      .filter(col("__gp").isNotNull)
+    val gC = corpus.select(col(idCol).as("__c"),
+        graft.functions.CharGramHashes.hashes(col(textCol), gramN).as("__gc"))
+      .filter(col("__gc").isNotNull)
+    val ov = graft.functions.SortedOverlapCount.overlap(col("__gp"), col("__gc"))
+    val truth = gC.crossJoin(broadcast(gP))
+      .filter(col("__p") =!= col("__c"))
+      .select(col("__p"), col("__c"), (ov.cast("double") /
+        (size(col("__gp")) + size(col("__gc")) - ov)).as("__j"))
+      .filter(col("__j") >= minJaccard)
+      .select(col("__p"), col("__c"))
+    val cand = crossNgramCandidates(probes, corpus, idCol, textCol,
+        gramN, rowsPerBand)
+      .filter(col("in_id") =!= col("ex_id"))
+    val nCand = cand.count()
+    val counts = truth
+      .join(cand.select(col("in_id").as("__p"), col("ex_id").as("__c"),
+        lit(1).as("__hit")), Seq("__p", "__c"), "left")
+      .agg(count(lit(1)).as("n_true"), count(col("__hit")).as("n_caught"))
+      .head()
+    BandingMeasurement(rowsPerBand, counts.getLong(0), counts.getLong(1), nCand)
+  }
+
+  /** The KNOB-SELECTION verb the q160 report exists for (the
+    * [[graft.ops.Similarity.refitDecision]] pattern applied to banding):
+    * among measured operating points, pick the CHEAPEST one meeting the
+    * recall floor — fewest candidates, then fewest band rows; if none
+    * meets it, the best-recall point (then cheapest). The floor is the
+    * dedup pipeline's SLO: candidates the generator never surfaces are
+    * near-dups that survive dedup.
+    */
+  def bandingDecision(measurements: Seq[BandingMeasurement],
+                      minRecall: Double): BandingMeasurement = {
+    require(measurements.nonEmpty, "no operating points measured")
+    require(minRecall >= 0.0 && minRecall <= 1.0)
+    val passing = measurements.filter(_.recall >= minRecall)
+    if (passing.nonEmpty)
+      passing.minBy(m => (m.nCandidates, m.bands))
+    else measurements.maxBy(m => (m.recall, -m.nCandidates))
   }
 
   /** Exact duplicate groups on normalised text: md5(lower(trim(text))). */

@@ -256,6 +256,47 @@ class CurationSpec extends SparkSpec {
     } finally out.unpersist(): Unit
   }
 
+  test("bandingDecision: the q160 measurement drives the knob — a " +
+      "recall-degraded corpus flips rowsPerBand, a lax floor keeps it") {
+    import spark.implicits._
+    import graft.ops.MinHashDedup
+    def h(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("US-ASCII"))
+      .map("%02x".format(_)).mkString
+    // 30 near-dup pairs at gram-Jaccard ~0.66 — right where wide bands
+    // (rowsPerBand=4 → 2 bands) collapse: P(candidate) = 1-(1-j^4)^2 ≈
+    // 0.34 vs 1-(1-j^2)^4 ≈ 0.9 for rowsPerBand=2. Shared prefix 128
+    // chars, unique suffix 32 chars per side, all md5-hex (deterministic,
+    // lowercase alnum so the gram normalizer keeps every char).
+    val rows = (0 until 30).flatMap { p =>
+      val shared = (0 until 4).map(k => h(s"shared_${p}_$k")).mkString
+      Seq((p.toLong * 2, shared + h(s"uniq_a_$p")),
+        (p.toLong * 2 + 1, shared + h(s"uniq_b_$p")))
+    }
+    val corpus = rows.toDF("doc_id", "text").coalesce(4)
+    val probes = corpus.filter($"doc_id" % 2 === 0)
+    val ms = Seq(1, 2, 4).map(r => MinHashDedup.bandingMeasure(
+      probes, corpus, "doc_id", "text", gramN = 5, rowsPerBand = r,
+      minJaccard = 0.5))
+    val byR = ms.map(m => m.rowsPerBand -> m).toMap
+    assert(byR(4).nTrue == 30, s"fixture truth should be the 30 built " +
+      s"pairs, got ${byR(4).nTrue}")
+    assert(byR.values.forall(_.nCaught <= 30))
+    // the degradation the decision must catch, and the recovery knob
+    assert(byR(4).recall < 0.6,
+      f"wide bands should miss ~0.5-jaccard pairs: ${byR(4).recall}%.3f")
+    assert(byR(2).recall >= 0.6 && byR(1).recall >= 0.6)
+    // candidate volume orders the passing configs: narrower bands cost more
+    assert(byR(1).nCandidates >= byR(2).nCandidates)
+    // floored at 0.6 the decision FLIPS off the degraded default to the
+    // cheapest passing config (r=2, not the more candidate-heavy r=1)
+    assert(MinHashDedup.bandingDecision(ms, minRecall = 0.6).rowsPerBand == 2)
+    // a lax floor keeps the cheapest config of all
+    assert(MinHashDedup.bandingDecision(ms, minRecall = 0.1).rowsPerBand == 4)
+    // nothing passes an impossible floor → best recall wins
+    assert(MinHashDedup.bandingDecision(ms, minRecall = 1.0).rowsPerBand == 1)
+  }
+
   test("crossNgramPairs == symmetric pairs restricted to cross-corpus") {
     // The asymmetric band join's whole claim: same candidate recall and
     // exact post-filter as the symmetric generator, minus within-side
