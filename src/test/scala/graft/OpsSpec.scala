@@ -656,6 +656,103 @@ class OpsSpec extends SparkSpec {
       s"fixture should yield 36 near-dup pairs, got ${reference.size}")
   }
 
+  test("cross-JVM append-vs-refit stress: every row the final manifest " +
+      "serves sits in the cell its TAGGED quantizer assigns") {
+    // the in-process onPlaced seam proves the retry logic; THIS makes the
+    // race real across processes — a second JVM streams appendToIndex
+    // batches (placement window widened to 25 ms) while this JVM lands
+    // refitIndex rebases fitted on DIFFERENT corpus slices, so a
+    // mis-paired placement would land in visibly wrong cells
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    import graft.ops.VersionedTarget
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_storm")
+    val aroot = dir.resolve("assignments")
+    val croot = dir.resolve("centroids")
+    java.nio.file.Files.createDirectories(aroot)
+    java.nio.file.Files.createDirectories(croot)
+    val assignT = VersionedTarget.Segmented(aroot,
+      partitionCols = Seq("cell"), clusterCommits = true)
+    val centT = VersionedTarget.Rewrite(croot)
+    def corpusDf(n: Int) = (0 until n)
+      .map(i => (i.toLong, graft.tools.AppendStorm.vec(i.toLong)))
+      .toDF("vec_id", "embedding").coalesce(2)
+    // base build: centroids first, tag stamped with the pointer swap
+    val (a0, c0) = Similarity.kmeansFit(corpusDf(20), "vec_id", "embedding",
+      k = 3, iters = 1, materialize = false, withVec = true)
+    centT.commit(c0, 0L)
+    assignT.commit(a0, 0L, tag = Some("v0"))
+    val cmd = childJvmCmd("graft.tools.AppendStorm",
+      Seq(aroot.toString, croot.toString, "8"))
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream))
+    @volatile var ready = false
+    @volatile var appended = 0
+    val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val drain = new Thread(() => {
+      var l = out.readLine()
+      while (l != null) {
+        if (l == "READY") ready = true
+        if (l.startsWith("APPENDED")) appended += 1
+        lines.add(l)
+        l = out.readLine()
+      }
+    })
+    drain.setDaemon(true)
+    drain.start()
+    val t0 = System.nanoTime()
+    while (!ready && (System.nanoTime() - t0) < 120e9) Thread.sleep(100)
+    assert(ready, s"AppendStorm never came up:\n${lines.asScala.mkString("\n")}")
+    // refit cadence against the child's appends: each refit fits a
+    // DIFFERENT slice so the quantizer actually moves between epochs
+    var refits = 0
+    var r = 0
+    while (proc.isAlive) {
+      r += 1
+      val bid = VersionedTarget.currentEpoch(aroot).getOrElse(0L) + 1L
+      try {
+        Similarity.refitIndex(corpusDf(20 + (r % 3) * 10),
+          "vec_id", "embedding", k = 3, iters = 1, assignT, centT, bid,
+          withVec = true)
+        if (assignT.currentTag.contains(s"v$bid")) refits += 1
+      } catch {
+        case e: Exception if {
+          val m = Option(e.getMessage).getOrElse("")
+          m.contains("advance the epoch") || m.contains("raced a newer commit")
+        } => // the child's append won this epoch — next loop re-reads it
+      }
+      Thread.sleep(40)
+    }
+    assert(proc.waitFor(60, java.util.concurrent.TimeUnit.SECONDS) &&
+      proc.exitValue() == 0,
+      s"AppendStorm failed:\n${lines.asScala.mkString("\n")}")
+    drain.join(10000)
+    assert(appended == 8, s"child landed $appended of 8 appends")
+    assert(refits >= 1, "no refit ever landed — the race was never exercised")
+    // THE INVARIANT: re-place every served row with the quantizer the
+    // final manifest TAG names — whatever interleaving of appends,
+    // aborted placements and rebases produced this manifest, each row's
+    // stored cell must equal the tagged quantizer's argmin (a segment
+    // committed against a stale quantizer would diverge here)
+    val tag = assignT.currentTag.getOrElse(fail("final manifest carries no tag"))
+    val idx = assignT.current(spark)
+      .getOrElse(fail("index target serves no version"))
+    val q = Similarity.localizedQuantizer(spark, centT, tag)
+    val got = idx.select($"vec_id", $"cell").collect()
+      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+    val want = Similarity.assignToCentroids(
+        idx.select($"vec_id", $"embedding"), q, "vec_id", "embedding",
+        withVec = false)
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(got.nonEmpty && got == want,
+      s"rows placed with a quantizer other than $tag: " +
+        s"${(got.toSet -- want.toSet).take(5)}")
+    VersionedTarget.rmTree(dir.toFile)
+  }
+
   test("q69 banded-LSH pairs: bucket keys spread the corpus, candidates prune, recall holds") {
     import graft.queries.LlmOps
     val e = graft.core.Tables.t(spark, sfDir, "embeddings")
