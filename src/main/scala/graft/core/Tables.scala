@@ -113,11 +113,22 @@ object Tables {
         .digest(raw.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
       val out = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"), "graft-compact", s"$name-$pathHash-$digest")
-      // evict stale digests for the same (table, path) before writing afresh
+      // evict stale digests for the same (table, path) before writing
+      // afresh, plus any LEGACY `$name-$digest` dirs (the pre-pathHash
+      // layout: no eviction rule ever matches them again, so they would
+      // accumulate in java.io.tmpdir forever); a new-layout dir for the
+      // same table under a DIFFERENT pathHash is another live source dir
+      // and stays
       val parent = out.getParent.toFile
+      val newLayout =
+        s"^${java.util.regex.Pattern.quote(name)}-[0-9a-f]{8}-[0-9a-f]{32}$$".r
       Option(parent.listFiles).getOrElse(Array.empty)
-        .filter(d => d.getName.startsWith(s"$name-$pathHash-") &&
-          d.getName != out.getFileName.toString)
+        .filter(_.getName != out.getFileName.toString)
+        .filter { d =>
+          val n = d.getName
+          n.startsWith(s"$name-$pathHash-") ||
+            (n.startsWith(s"$name-") && newLayout.findFirstIn(n).isEmpty)
+        }
         .foreach(deleteRecursively)
       if (!java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
         // raw column values preserved: events.ts is rewritten at its

@@ -269,7 +269,17 @@ object Similarity {
         if (!materialize) lazyAssign
         else { val a = lazyAssign.persist(); a.count(): Unit; a }
       (assignments, centDF(corpus.sparkSession, cent))
-    } finally cached.unpersist(): Unit
+    } finally {
+      // materialize=true: the assignment frame is its own cache now — the
+      // corpus cache has no further reader, drop it here. materialize=
+      // false (write-through): the returned frame is LAZY over the cached
+      // corpus and the caller's commit evaluates it AFTER this returns —
+      // unpersisting here would make that final placement pass rescan the
+      // source uncached; hand the cache to the consumer's CacheScope
+      // instead (released by Verify/Bench/JobRunner at query end).
+      if (materialize) cached.unpersist(): Unit
+      else graft.core.CacheScope.adopt(cached): Unit
+    }
   }
 
   /** Place vectors into an EXISTING quantizer: nearest centroid of
@@ -520,15 +530,22 @@ object Similarity {
     * redelivered builds), so the key carries the version dir's physical
     * fingerprint — part-file names and sizes (parquet writes salt file
     * names with a per-job UUID, so any rewrite changes the key): stale
-    * entries miss, never mis-serve. Entries are k×dims doubles; the memo
-    * is cleared past a small cap rather than LRU-tracked.
+    * entries miss, never mis-serve. Entries are k×dims doubles; a small
+    * access-ordered LRU (a clear-all cap would let two hot quantizers
+    * under many live indexes repeatedly wipe each other).
     */
   private val quantizerMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Double])]]()
+    new java.util.LinkedHashMap[String, Seq[(Long, Seq[Double])]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Seq[(Long, Seq[Double])]]): Boolean =
+        size() > 64
+    }
 
   /** The localized quantizer of a committed centroid VERSION — memoized,
     * so repeat waves/appends against one served quantizer pay zero read
-    * jobs and zero extra plan compiles after the first.
+    * jobs and zero extra plan compiles after the first. The read job runs
+    * OUTSIDE the memo lock (two racing misses both localize — harmless,
+    * identical values; holding a lock across a Spark action is not).
     */
   def localizedQuantizer(s: org.apache.spark.sql.SparkSession,
       centTarget: graft.ops.VersionedTarget.Rewrite,
@@ -538,9 +555,12 @@ object Similarity {
       .filter(_.isFile).map(f => s"${f.getName}:${f.length}")
       .sorted.mkString(",")
     val key = s"${dir.toAbsolutePath.normalize}@$fp"
-    if (quantizerMemo.size > 64) quantizerMemo.clear()
-    quantizerMemo.computeIfAbsent(key,
-      _ => localizeSeq(centTarget.read(s, version)))
+    val hit = quantizerMemo.synchronized(Option(quantizerMemo.get(key)))
+    hit.getOrElse {
+      val v = localizeSeq(centTarget.read(s, version))
+      quantizerMemo.synchronized(quantizerMemo.put(key, v)): Unit
+      v
+    }
   }
 
   /** [[pairedCentroids]] localized through the memo: the quantizer the

@@ -672,6 +672,27 @@ object PipelineOps {
     }
     val orders = t(spark, dir, "orders")
     val lineitem = t(spark, dir, "lineitem")
+    // The no-distinct join above rests on the referenced keys BEING
+    // primary keys — and a duplicated one is exactly the data-quality
+    // failure this gate audits, so VERIFY it rather than assume it: one
+    // unioned pass of 1-row (count − count-distinct) aggs over the four
+    // referenced key sets (pruned scans, partial-agg'd map-side). A dup
+    // would have silently multiplied fact rows through the left joins
+    // and corrupted every count below; now it fails loudly instead.
+    val dupKeys = Seq(
+        ("orders", "o_orderkey"), ("part", "p_partkey"),
+        ("supplier", "s_suppkey"), ("customer", "c_custkey"))
+      .map { case (tbl, k) =>
+        t(spark, dir, tbl)
+          .agg((count(lit(1)) - countDistinct(col(k))).as("dups"))
+          .select(lit(s"$tbl.$k").as("key"), col("dups"))
+      }
+      .reduce(_ unionByName _)
+      .filter($"dups" > 0)
+      .collect()
+    require(dupKeys.isEmpty,
+      s"referenced keys are not unique — the FK probe's left joins would " +
+        s"multiply fact rows: ${dupKeys.mkString(", ")}")
     def miss(m: String) = sum(when(col(m).isNull, 1L).otherwise(0L))
     val liWide = lineitem.select($"l_orderkey", $"l_partkey", $"l_suppkey")
       .join(orders.select($"o_orderkey"),
