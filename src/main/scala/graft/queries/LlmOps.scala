@@ -2047,16 +2047,21 @@ object LlmOps {
   /** The q158 per-micro-batch ingest verb, factored so OpsSpec can drive
     * arrival/redelivery schedules without the streaming harness (the
     * q132 pattern): skip batches the index epoch already covers
-    * (redelivery → exactly-once) and empty slices, append the rest
-    * through the refit-safe verb. Batch ids start at 0; epoch 0 is the
-    * base build's, so batch b commits as epoch b+1.
+    * (redelivery → exactly-once, an FS check), append the rest through
+    * the refit-safe verb. No `batch.isEmpty` pre-probe: it cost one
+    * limit-1 job on EVERY batch to save a commit only on empty ones —
+    * and an empty commit is the documented pointer-advancing contract
+    * (the empty segment folds away at the next compaction), so the
+    * common-case batch now pays exactly one placement-write job.
+    * Batch ids start at 0; epoch 0 is the base build's, so batch b
+    * commits as epoch b+1.
     */
   private[graft] def ingestIndexBatch(
       assignT: graft.ops.VersionedTarget.Segmented,
       centT: graft.ops.VersionedTarget.Rewrite)(
       batch: DataFrame, id: Long): Unit = {
     val bid = id + 1L
-    if (!assignT.applied(bid) && !batch.isEmpty)
+    if (!assignT.applied(bid))
       Similarity.appendToIndex(batch, "vec_id", "embedding",
         assignT, centT, bid, withVec = true)
   }

@@ -1100,8 +1100,8 @@ class OpsSpec extends SparkSpec {
   }
 
   test("streaming index ingest verb (q158): per-batch appends land as " +
-      "segments, redelivered and empty micro-batches are skipped, and the " +
-      "streamed index equals the one-shot placement") {
+      "segments, redelivered micro-batches are skipped, empty ones commit " +
+      "empty segments, and the streamed index equals the one-shot placement") {
     import java.nio.file.Files
     import graft.ops.VersionedTarget
     val e = graft.core.Tables.t(spark, sfDir, "embeddings").coalesce(4)
@@ -1124,10 +1124,16 @@ class OpsSpec extends SparkSpec {
     assert(VersionedTarget.currentVersion(aroot).contains(afterB0),
       "a redelivered micro-batch must not advance the index")
     ingest(b1, 1L)
-    ingest(delta.limit(0), 2L) // an empty slice commits nothing
+    // an empty slice commits an EMPTY segment: the epoch stays precise
+    // (applied() tracks every processed batch) and the common-case batch
+    // skips the limit-1 emptiness probe it used to pay; the empty
+    // segment adds no rows and folds away at the next compaction
+    ingest(delta.limit(0), 2L)
     val ver = VersionedTarget.currentVersion(aroot).get
-    assert(assignT.segmentsOf(ver) == Seq("seg0", "seg1", "seg2"),
-      s"expected base + one segment per non-empty batch, got ${assignT.segmentsOf(ver)}")
+    assert(assignT.segmentsOf(ver) == Seq("seg0", "seg1", "seg2", "seg3"),
+      s"expected base + one segment per batch (incl. the empty one), " +
+        s"got ${assignT.segmentsOf(ver)}")
+    assert(assignT.applied(3L), "the empty batch must advance the epoch")
     assert(assignT.currentTag.contains("v0"),
       "streamed appends must inherit the build's quantizer tag")
     // batch boundaries cannot change a tag-pinned placement: the streamed
