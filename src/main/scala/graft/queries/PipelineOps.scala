@@ -647,6 +647,42 @@ object PipelineOps {
     */
   def q149(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val (liWide, ordWide) = q149Probes(spark, dir)
+    val orders = t(spark, dir, "orders")
+    val lineitem = t(spark, dir, "lineitem")
+    // The no-distinct FK joins rest on the referenced keys BEING primary
+    // keys — and a duplicated one is exactly the data-quality failure
+    // this gate audits, so VERIFY it rather than assume it. The cheap
+    // detector: a duplicated key that any fact row references MULTIPLIES
+    // that row through its left join, so the probe's own n_checked
+    // diverges from the pre-join fact count (a count-only parquet scan,
+    // answered from footer metadata — no per-key distinct pass; a dup
+    // key NO fact row references can't corrupt any count and is q148's
+    // single-table uniqueness check's business, not this gate's).
+    val (liCount, ordCount) = (lineitem.count(), orders.count())
+    val (liRow, ordRow) = (liWide.head(), ordWide.head())
+    require(liRow.getLong(0) == liCount && ordRow.getLong(0) == ordCount,
+      s"referenced keys are not unique — the FK probes multiplied fact " +
+        s"rows: lineitem ${liRow.getLong(0)} vs $liCount, " +
+        s"orders ${ordRow.getLong(0)} vs $ordCount")
+    Seq(
+        ("lineitem_orders_fk", liRow.getLong(1), liRow.getLong(0)),
+        ("lineitem_part_fk", liRow.getLong(2), liRow.getLong(0)),
+        ("lineitem_supplier_fk", liRow.getLong(3), liRow.getLong(0)),
+        ("orders_customer_fk", ordRow.getLong(1), ordRow.getLong(0)),
+        ("orders_lineitem_complete", ordRow.getLong(2), ordRow.getLong(0)))
+      .toDF("relation", "n_orphans", "n_checked")
+      .orderBy($"relation".asc_nulls_first)
+  }
+
+  /** q149's two one-row probe aggregates `(liWide, ordWide)` — factored
+    * so PipelineOpsSpec can pin their PLANS (broadcast FK probes, one
+    * shared fact scan) now that q149 assembles its 5-row report
+    * driver-side from the collected rows.
+    */
+  private[graft] def q149Probes(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
     // A REFERENCED key column that is the referenced table's PRIMARY KEY
     // (every FK target here — the uniqueness Deequ asserts as its own
     // check) joins DIRECTLY: no defensive distinct(), which cost a full
@@ -662,37 +698,10 @@ object PipelineOps {
     // single aggregate counts rows and every miss kind together — one
     // lineitem scan probes all three FK sets instead of one scan per
     // check, and n_checked/n_orphans of every relation come from the
-    // same snapshot.
-    def report(wide: DataFrame, rels: Seq[String]): DataFrame = {
-      val stackArgs = rels.map(r => s"'$r', $r").mkString(", ")
-      wide.select(
-          expr(s"stack(${rels.size}, $stackArgs) as (relation, n_orphans)"),
-          col("n_checked"))
-        .select(col("relation"), col("n_orphans"), col("n_checked"))
-    }
+    // same snapshot; the 5-row report is assembled driver-side from the
+    // two collected aggregate rows.
     val orders = t(spark, dir, "orders")
     val lineitem = t(spark, dir, "lineitem")
-    // The no-distinct join above rests on the referenced keys BEING
-    // primary keys — and a duplicated one is exactly the data-quality
-    // failure this gate audits, so VERIFY it rather than assume it: one
-    // unioned pass of 1-row (count − count-distinct) aggs over the four
-    // referenced key sets (pruned scans, partial-agg'd map-side). A dup
-    // would have silently multiplied fact rows through the left joins
-    // and corrupted every count below; now it fails loudly instead.
-    val dupKeys = Seq(
-        ("orders", "o_orderkey"), ("part", "p_partkey"),
-        ("supplier", "s_suppkey"), ("customer", "c_custkey"))
-      .map { case (tbl, k) =>
-        t(spark, dir, tbl)
-          .agg((count(lit(1)) - countDistinct(col(k))).as("dups"))
-          .select(lit(s"$tbl.$k").as("key"), col("dups"))
-      }
-      .reduce(_ unionByName _)
-      .filter($"dups" > 0)
-      .collect()
-    require(dupKeys.isEmpty,
-      s"referenced keys are not unique — the FK probe's left joins would " +
-        s"multiply fact rows: ${dupKeys.mkString(", ")}")
     def miss(m: String) = sum(when(col(m).isNull, 1L).otherwise(0L))
     val liWide = lineitem.select($"l_orderkey", $"l_partkey", $"l_suppkey")
       .join(orders.select($"o_orderkey"),
@@ -713,11 +722,7 @@ object PipelineOps {
       .agg(count(lit(1)).as("n_checked"),
         miss("c_custkey").as("orders_customer_fk"),
         miss("__l_key").as("orders_lineitem_complete"))
-    report(liWide, Seq("lineitem_orders_fk", "lineitem_part_fk",
-        "lineitem_supplier_fk"))
-      .unionByName(report(ordWide,
-        Seq("orders_customer_fk", "orders_lineitem_complete")))
-      .orderBy($"relation".asc_nulls_first)
+    (liWide, ordWide)
   }
 
   val q149Sql: String = {

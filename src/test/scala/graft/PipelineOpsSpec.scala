@@ -293,16 +293,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(tripped == Set("orders_lineitem_complete"),
       s"unexpected orphan pattern: $tripped")
     // every dimension-sized key set probes via broadcast, and ALL checks
-    // of one fact share one scan: lineitem appears exactly twice in the
-    // whole plan — once as the fact of its three FK checks, once as the
-    // completeness key set
-    val plan = PipelineOps.q149(spark, sfDir).queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"),
-      s"FK checks must broadcast the referenced keys:\n$plan")
-    val lineitemScans = plan.linesIterator
+    // of one fact share one scan — pinned on the PROBE frames (q149 now
+    // assembles its 5-row report driver-side, so the returned frame is a
+    // LocalTableScan): the lineitem probe scans lineitem exactly once
+    // (one fact pass for all three FK checks), the orders probe scans it
+    // exactly once (the completeness key set)
+    val (liWide, ordWide) = PipelineOps.q149Probes(spark, sfDir)
+    def lineitemScans(plan: String): Int = plan.linesIterator
       .count(l => l.contains("Scan parquet") && l.contains("lineitem.parquet"))
-    assert(lineitemScans == 2,
-      s"expected 2 lineitem scans (shared fact pass + key set), got $lineitemScans")
+    val liPlan = liWide.queryExecution.executedPlan.toString
+    assert(liPlan.contains("BroadcastHashJoin"),
+      s"FK checks must broadcast the referenced keys:\n$liPlan")
+    assert(lineitemScans(liPlan) == 1,
+      s"all three FK checks must share ONE lineitem scan:\n$liPlan")
+    val ordPlan = ordWide.queryExecution.executedPlan.toString
+    assert(ordPlan.contains("BroadcastHashJoin"),
+      s"the customer FK check must broadcast its key set:\n$ordPlan")
+    assert(lineitemScans(ordPlan) == 1,
+      s"the completeness key set must scan lineitem once:\n$ordPlan")
   }
 
   test("query-owned caches are freed by CacheScope.releaseAll (Verify/Bench hygiene)") {
