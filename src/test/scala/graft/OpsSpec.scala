@@ -656,6 +656,38 @@ class OpsSpec extends SparkSpec {
       s"fixture should yield 36 near-dup pairs, got ${reference.size}")
   }
 
+  test("int8-served hybrid: RRF fusion over the SQ8 dense side equals the " +
+      "brute-force fusion when the re-rank is exhaustive (q161+q162 compose)") {
+    // the composition a production RAG stack runs — the 8x-smaller int8
+    // index serving the dense side of hybrid retrieval: the SQ8 wave's
+    // exact re-rank returns EXACT scores, so with prefetch covering every
+    // candidate and nprobe=k the fused ranking must equal q159's
+    // brute-force-dense fusion row-for-row
+    import spark.implicits._
+    import graft.queries.LlmOps
+    val e = graft.core.Tables.t(spark, sfDir, "embeddings").coalesce(8)
+    val (index, cent) = Similarity.kmeansFit(e, "vec_id", "embedding",
+      k = 8, iters = 2, materialize = true, withVec = true)
+    try {
+      val idx8 = Similarity.quantizeInt8(index, "vec_id", "embedding")
+      val lex = LlmOps.lexicalTopK(spark, sfDir)
+      def fusedRows(dense: org.apache.spark.sql.DataFrame) =
+        LlmOps.rrfFuse(dense.select($"probe_id", $"cand_id", $"rn".as("rn_d")),
+            lex)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+          .toSet
+      val viaInt8 = fusedRows(Similarity.ivfTopKServedInt8(idx8, e,
+        Similarity.localize(cent), "vec_id", "embedding",
+        e.filter($"vec_id" < 10), k = 10, prefetch = 100000, nprobe = 8))
+      val viaBrute = fusedRows(Similarity.bruteForceTopK(
+        e.filter($"vec_id" < 10), e, "vec_id", "embedding", k = 10))
+      assert(viaInt8.nonEmpty && viaInt8 == viaBrute,
+        s"int8-dense fusion diverged: only-int8=${(viaInt8 -- viaBrute).take(5)} " +
+          s"only-brute=${(viaBrute -- viaInt8).take(5)}")
+    } finally index.unpersist(): Unit
+  }
+
   test("cross-JVM append-vs-refit stress: every row the final manifest " +
       "serves sits in the cell its TAGGED quantizer assigns") {
     // the in-process onPlaced seam proves the retry logic; THIS makes the
