@@ -656,6 +656,66 @@ class OpsSpec extends SparkSpec {
       s"fixture should yield 36 near-dup pairs, got ${reference.size}")
   }
 
+  test("perceptual hashes: general floor-boundary grid (dims not divisible " +
+      "by 8) and the color-luminance path match an independent recompute") {
+    import spark.implicits._
+    import graft.sources.Multimodal
+    import java.awt.image.BufferedImage
+    // 20x12 gray: blocks are 2-3 px wide / 1-2 px tall — unequal pixel
+    // counts, so the cross-multiplied (bs*totalPx > total*bp) comparison
+    // is actually exercised; plus a 20x12 RGB twin through the
+    // (r+g+b)/3 luminance path
+    def pix(x: Int, y: Int): Int = (x * 41 + y * 97 + 13) % 256
+    def png(color: Boolean): Array[Byte] = {
+      val img = new BufferedImage(20, 12,
+        if (color) BufferedImage.TYPE_INT_RGB else BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 12; x <- 0 until 20) {
+        val v = pix(x, y)
+        if (color) img.setRGB(x, y, (v << 16) | (((v * 3) % 256) << 8) | ((v * 7) % 256))
+        else img.getRaster.setSample(x, y, 0, v)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_phash_grid")
+    java.nio.file.Files.write(dir.resolve("gray.png"), png(color = false))
+    java.nio.file.Files.write(dir.resolve("rgb.png"), png(color = true))
+    val got = Multimodal.perceptualHashes(
+        Multimodal.readBinary(spark, s"$dir/*.png"))
+      .collect().map(r => r.getString(0).split('/').last ->
+        (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4))).toMap
+    // independent recompute of the documented rule (floor-boundary grid,
+    // integer cross-multiplication) for both intensity functions
+    def expect(lum: (Int, Int) => Long): (Long, Long) = {
+      val bs = Array.ofDim[Long](8, 8); val bp = Array.ofDim[Long](8, 8)
+      for (y <- 0 until 12; x <- 0 until 20) {
+        bs(y * 8 / 12)(x * 8 / 20) += lum(x, y)
+        bp(y * 8 / 12)(x * 8 / 20) += 1
+      }
+      val total = bs.map(_.sum).sum
+      var ah = 0L; var dh = 0L
+      for (by <- 0 until 8; bx <- 0 until 8) {
+        val p = by * 8 + bx
+        if (bs(by)(bx) * 240L > total * bp(by)(bx)) ah |= 1L << p
+        val nb = (bx + 1) % 8
+        if (bs(by)(bx) * bp(by)(nb) > bs(by)(nb) * bp(by)(bx)) dh |= 1L << p
+      }
+      (ah, dh)
+    }
+    val (gw, gh2, gah, gdh) = got("gray.png")
+    assert((gw, gh2) == (20, 12))
+    assert((gah, gdh) == expect((x, y) => pix(x, y).toLong),
+      "gray floor-boundary grid hash diverged from the rule")
+    val (_, _, cah, cdh) = got("rgb.png")
+    val expColor = expect { (x, y) =>
+      val v = pix(x, y); ((v + (v * 3) % 256 + (v * 7) % 256) / 3).toLong
+    }
+    assert((cah, cdh) == expColor,
+      "color luminance hash diverged from the (r+g+b)/3 rule")
+    graft.ops.VersionedTarget.rmTree(dir.toFile)
+  }
+
   test("int8-served hybrid: RRF fusion over the SQ8 dense side equals the " +
       "brute-force fusion when the re-rank is exhaustive (q161+q162 compose)") {
     // the composition a production RAG stack runs — the 8x-smaller int8
