@@ -298,6 +298,43 @@ class PlanSpec extends SparkSpec {
       assert(p.contains(fn), s"SQL text lost the native $fn expression:\n$p")
   }
 
+  test("q161 IVF-served hybrid: dense candidates equi-join on cell, no " +
+      "cartesian anywhere in the fused plan") {
+    val p = plan(LlmOps.q161(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"hybrid fusion exploded to all pairs:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"no equi-join in the served hybrid plan:\n$p")
+  }
+
+  test("q162 int8 serve: cell-pruned candidate join and point-lookup " +
+      "re-rank are equi-joins, never cartesian") {
+    import spark.implicits._
+    val e = graft.core.Tables.t(spark, sfDir, "embeddings").coalesce(8)
+    val (index, cent) = graft.ops.Similarity.kmeansFit(e, "vec_id",
+      "embedding", k = 8, iters = 2, materialize = true, withVec = true)
+    try {
+      val idx8 = graft.ops.Similarity.quantizeInt8(index, "vec_id", "embedding")
+      val p = plan(graft.ops.Similarity.ivfTopKServedInt8(idx8, e,
+        graft.ops.Similarity.localize(cent), "vec_id", "embedding",
+        e.filter($"vec_id" < 20), k = 3, prefetch = 6, nprobe = 2))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"SQ8 serve exploded to all pairs:\n$p")
+      assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+        s"no equi-join in the SQ8 serve plan:\n$p")
+    } finally index.unpersist(): Unit
+  }
+
+  test("q163 image near-dup: the aHash band join is an equi-join with the " +
+      "exact bit_count post-filter, never cartesian") {
+    val p = plan(LlmOps.q163(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"image band join exploded to all pairs:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"no equi-join on (band, byte) in:\n$p")
+    assert(p.contains("bit_count"), s"exact Hamming post-filter missing:\n$p")
+  }
+
   test("Q23 approx distinct is within 5% of exact at sf0.001") {
     import org.apache.spark.sql.functions._
     val approx = Aggregates.q23(spark, sfDir).collect()
