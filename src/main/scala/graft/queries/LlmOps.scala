@@ -2044,6 +2044,88 @@ object LlmOps {
       |WHERE bit_count(xor(a.ahash, b.ahash)) <= 6
       |ORDER BY f1 NULLS FIRST, f2 NULLS FIRST""".stripMargin
 
+  /** Q164 — HYBRID RETRIEVAL SERVED FROM THE INT8 INDEX: the q161
+    * composition with the q162 index — the full production stack of a
+    * RAG serving node at 100 TB: the dense side reads the ~8×-smaller
+    * SQ8 index (dequantized prefetch over each probe's nprobe cells,
+    * exact float re-rank of the winners — returned dense ranks carry no
+    * quantization error), the lexical side stays banded, RRF fuses at
+    * |probes|·k. q161 proves the fusion over the float index; THIS
+    * proves the memory-resident variant end-to-end against an oracle
+    * that replays the integer math through both ranking stages into the
+    * same fusion arithmetic.
+    */
+  def q164(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = t(spark, dir, "embeddings").coalesce(8)
+    val out = PipelineOps.layoutDir(spark, dir, "hybridint8")
+    val (assignments, centroids) =
+      Similarity.kmeansFit(e, "vec_id", "embedding", k = 8, iters = 2,
+        materialize = false, withVec = true)
+    Similarity.quantizeInt8(assignments, "vec_id", "embedding")
+      .repartition(col("cell")).write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$out/assignments8")
+    centroids.write.mode("overwrite").parquet(s"$out/centroids")
+    val idx8 = spark.read.parquet(s"$out/assignments8")
+    val cent = Similarity.localize(spark.read.parquet(s"$out/centroids"))
+    val dense = Similarity.ivfTopKServedInt8(idx8, e, cent,
+        "vec_id", "embedding", e.filter($"vec_id" < 10),
+        k = 10, prefetch = 20, nprobe = 2)
+      .select($"probe_id", $"cand_id", $"rn".as("rn_d"))
+    rrfFuse(dense, lexicalTopK(spark, dir))
+      .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
+  }
+
+  /** q162's quantized two-stage wave at k=10/prefetch=20 for probes
+    * vec_id < 10, fused with q159's lexical lists by the identical RRF
+    * arithmetic.
+    */
+  val q164Sql: String =
+    s"""${kmeansCtes("TRUE")},
+       |${ngramPairCtesOver("documents")},
+       |$lexTopKCtes,
+       |qz AS (
+       |  SELECT vec_id, cell, v,
+       |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+       |  FROM avx),
+       |dqx AS (
+       |  SELECT vec_id, cell,
+       |    list_transform(v, x -> floor(x / scale + 0.5) * scale) AS dq
+       |  FROM qz WHERE scale > 0),
+       |pcell AS (
+       |  SELECT vec_id AS probe_id, cell FROM (
+       |    SELECT v.vec_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+       |        ROUND(list_dot_product(v.v, v.v) - 2.0 * list_dot_product(v.v, c.centroid)
+       |              + list_dot_product(c.centroid, c.centroid), 6) ASC, c.cell ASC) AS crn
+       |    FROM vecs v CROSS JOIN cent2 c WHERE v.vec_id < 10)
+       |  WHERE crn <= 2),
+       |apairs AS (
+       |  SELECT p.probe_id, c.vec_id AS cand_id,
+       |    ROUND(list_dot_product(pv.v, c.dq)
+       |          / (pv.nrm * SQRT(list_dot_product(c.dq, c.dq))), 6) AS approx6
+       |  FROM pcell p
+       |  JOIN dqx c ON c.cell = p.cell
+       |  JOIN avx pv ON pv.vec_id = p.probe_id
+       |  WHERE c.vec_id <> p.probe_id),
+       |pref AS (
+       |  SELECT probe_id, cand_id FROM (
+       |    SELECT probe_id, cand_id,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY approx6 DESC, cand_id ASC) AS arn
+       |    FROM apairs) WHERE arn <= 20),
+       |epairs AS (
+       |  SELECT f.probe_id, f.cand_id,
+       |    ROUND(list_dot_product(pv.v, c.v) / (pv.nrm * c.nrm), 6) AS cos6
+       |  FROM pref f
+       |  JOIN avx c ON c.vec_id = f.cand_id
+       |  JOIN avx pv ON pv.vec_id = f.probe_id),
+       |dense AS (
+       |  SELECT probe_id, cand_id, rn_d FROM (
+       |    SELECT probe_id, cand_id,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos6 DESC, cand_id ASC) AS rn_d
+       |    FROM epairs) WHERE rn_d <= 10),
+       |$rrfFusionSql""".stripMargin
+
   /** The q158 per-micro-batch ingest verb, factored so OpsSpec can drive
     * arrival/redelivery schedules without the streaming harness (the
     * q132 pattern): skip batches the index epoch already covers
@@ -2104,7 +2186,8 @@ object LlmOps {
     "q160_dedup_recall_report" -> (q160 _),
     "q161_hybrid_served" -> (q161 _),
     "q162_int8_index" -> (q162 _),
-    "q163_image_neardup" -> (q163 _))
+    "q163_image_neardup" -> (q163 _),
+    "q164_hybrid_int8" -> (q164 _))
 
   def oracles: Map[String, String] = Map(
     "q58_exact_dedup" -> q58Sql,
@@ -2144,5 +2227,6 @@ object LlmOps {
     "q160_dedup_recall_report" -> q160Sql,
     "q161_hybrid_served" -> q161Sql,
     "q162_int8_index" -> q162Sql,
-    "q163_image_neardup" -> q163Sql)
+    "q163_image_neardup" -> q163Sql,
+    "q164_hybrid_int8" -> q164Sql)
 }
