@@ -245,9 +245,14 @@ object Bench {
     // under the tail budget (a 1dp "100.0" would be the first 5-char
     // value and silently break the width guard's model); micro-queries
     // keep their 10 ms resolution where it matters
+    // since r15 the line value CLAMPS at 999 s (3-char worst case — a
+    // query past 16 minutes is a stall, and its true median is in the
+    // detail file): the 4-char "9999" model was the per-query byte that
+    // priced the 165th query out of the tail budget
     val qs = results.map { t =>
       val short = t.name.takeWhile(_ != '_')
       val v = if (t.failed) "-1"
+        else if (t.median >= 999) "999"
         else if (t.median >= 100) f"${t.median}%.0f"
         else if (t.median >= 10) f"${t.median}%.1f" else f"${t.median}%.2f"
       "\"" + short + "\":" + v

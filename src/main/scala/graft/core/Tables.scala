@@ -118,16 +118,23 @@ object Tables {
       // layout: no eviction rule ever matches them again, so they would
       // accumulate in java.io.tmpdir forever); a new-layout dir for the
       // same table under a DIFFERENT pathHash is another live source dir
-      // and stays
+      // and stays. Legacy dirs are swept only past a 1 h mtime TTL: a
+      // concurrently running OLDER-build JVM still reading its legacy
+      // copy must not be raced mid-read (the same cross-JVM eviction
+      // hazard the pathHash scoping closed) — after the upgrade window
+      // the dir is cold and the sweep reclaims it.
       val parent = out.getParent.toFile
       val newLayout =
         s"^${java.util.regex.Pattern.quote(name)}-[0-9a-f]{8}-[0-9a-f]{32}$$".r
+      val legacyTtlMs = 60L * 60 * 1000
+      val now = System.currentTimeMillis
       Option(parent.listFiles).getOrElse(Array.empty)
         .filter(_.getName != out.getFileName.toString)
         .filter { d =>
           val n = d.getName
           n.startsWith(s"$name-$pathHash-") ||
-            (n.startsWith(s"$name-") && newLayout.findFirstIn(n).isEmpty)
+            (n.startsWith(s"$name-") && newLayout.findFirstIn(n).isEmpty &&
+              now - d.lastModified > legacyTtlMs)
         }
         .foreach(deleteRecursively)
       if (!java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {

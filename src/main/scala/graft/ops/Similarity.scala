@@ -196,6 +196,13 @@ object Similarity {
     *     index) the very next write materialises it anyway, so the extra
     *     action is pure driver+job overhead; keep `true` when the
     *     returned frame is served repeatedly in-memory (q72/q82/q147).
+    *     CONTRACT: the corpus cache backing the lazy frame is adopted
+    *     into the ambient [[graft.core.CacheScope]] (not unpersisted —
+    *     the caller's commit still has to read it), so a long-lived
+    *     session issuing repeated fits outside the Verify/Bench/
+    *     JobRunner harnesses MUST call `CacheScope.releaseAll()` after
+    *     its action, or the persisted corpora accumulate for the JVM
+    *     lifetime.
     *   - `withVec = true` includes the (double) vector in the assignment
     *     rows — the SELF-CONTAINED index shape ([[ivfTopKServed]]): a
     *     probe wave then reads candidates straight off the index's cell
@@ -388,13 +395,18 @@ object Similarity {
       k: Int, iters: Int,
       assignTarget: graft.ops.VersionedTarget.Segmented,
       centTarget: graft.ops.VersionedTarget.Rewrite,
-      batchId: Long, withVec: Boolean = false): Unit = {
+      batchId: Long, withVec: Boolean = false,
+      int8: Boolean = false): Unit = {
     // fully-durable redelivery (crash AFTER both commits): no-op — the
     // epoch guard would otherwise throw from the rebase after paying the
     // whole O(corpus) fit. An epoch PAST batchId means a newer refit or
     // append superseded this one; skipping is equally right there.
     if (graft.ops.VersionedTarget.appliedAtOrAfter(assignTarget.root, batchId)) return
     val tag = Some(s"v$batchId") // the rebase stamps its quantizer pairing
+    // int8: the rebase payload is SQ8 (the q165 lifecycle) — quantized
+    // map-side on top of the placement, same pass, no float copy written
+    def payload(assign: DataFrame): DataFrame =
+      if (int8) quantizeInt8(assign, idCol, vecCol) else assign
     if (centTarget.committed(batchId)) {
       // crash BETWEEN the two commits: the quantizer is already durable.
       // PLACE the current corpus into the COMMITTED centroids instead of
@@ -402,15 +414,16 @@ object Similarity {
       // centroid version would silently serve a mismatched quantizer if
       // the corpus moved between attempts.
       val cent = localizedQuantizer(corpus.sparkSession, centTarget, s"v$batchId")
-      assignTarget.rebase(
-        assignToCentroids(corpus, cent, idCol, vecCol, withVec), batchId, tag)
+      assignTarget.rebase(payload(
+        assignToCentroids(corpus, cent, idCol, vecCol, withVec || int8)),
+        batchId, tag)
     } else {
       // write-through: the rebase's commit materialises the assignment
       // frame, so the fit skips its own persist+count action
       val (assign, cent) = kmeansFit(corpus, idCol, vecCol, k, iters,
-        materialize = false, withVec = withVec)
+        materialize = false, withVec = withVec || int8)
       centTarget.commit(cent, batchId)
-      assignTarget.rebase(assign, batchId, tag)
+      assignTarget.rebase(payload(assign), batchId, tag)
     }
   }
 
@@ -438,7 +451,8 @@ object Similarity {
       assignTarget: graft.ops.VersionedTarget.Segmented,
       centTarget: graft.ops.VersionedTarget.Rewrite,
       batchId: Long, maxAttempts: Int = 3,
-      onPlaced: () => Unit = () => (), withVec: Boolean = false): Unit = {
+      onPlaced: () => Unit = () => (), withVec: Boolean = false,
+      int8: Boolean = false): Unit = {
     val s = delta.sparkSession
     var attempt = 0
     var done = false
@@ -447,8 +461,17 @@ object Similarity {
       val placedWith = assignTarget.currentTag
         .getOrElse(sys.error("index target carries no quantizer tag — " +
           "build it with commit(tag = Some(<centroid version>))"))
-      val placed = assignToCentroids(delta,
-        localizedQuantizer(s, centTarget, placedWith), idCol, vecCol, withVec)
+      // int8: the SQ8 placement path — the argmin places into the served
+      // quantizer exactly as the float path does, then the committed
+      // payload is quantized MAP-SIDE in the same pass ([[quantizeInt8]]:
+      // per-vector scale + 1 byte/dim), so the segment lands in the
+      // serving shape with no second job and no float copy ever written.
+      val placedFloat = assignToCentroids(delta,
+        localizedQuantizer(s, centTarget, placedWith), idCol, vecCol,
+        withVec = withVec || int8)
+      val placed =
+        if (int8) quantizeInt8(placedFloat, idCol, vecCol)
+        else placedFloat
       onPlaced() // test seam: the refit-race window lives right here
       try {
         // commit INHERITS the manifest tag; the hook re-reads it inside
@@ -764,15 +787,29 @@ object Similarity {
     * embeddings the index's bytes are dominated by the vector payload;
     * storing int8 + one double scale cuts it ~8× (the difference between
     * a memory-resident and a disk-bound serving node — the FAISS SQ8
-    * staple). Zero vectors (scale = 0) cannot be represented and drop
-    * out of the index (they rank last under cosine anyway and a zero
-    * vector has no meaningful cosine neighbors). Map-only; the floor
-    * rule is well-defined in both engines, so the stored integers are
-    * oracle-replayable.
+    * staple). Zero vectors (scale = 0) cannot be represented and DROP
+    * OUT of the index — the candidacy consequence is that a dropped id
+    * can never be returned by [[ivfTopKServedInt8]] (a zero vector has
+    * no cosine direction, so it ranks nowhere meaningful anyway), and
+    * any recall gate comparing the int8 wave against a full-precision
+    * wave must exclude zero vectors from the truth side too (q162
+    * does). A corrupt corpus (many zeroed embeddings) would otherwise
+    * shrink the index INVISIBLY — `warnOnDrops = true` pays one slim
+    * count job at build time and logs the drop count loudly when
+    * nonzero ([[countZeroVectors]] is the standalone probe). Map-only;
+    * the floor rule is well-defined in both engines, so the stored
+    * integers are oracle-replayable.
     */
-  def quantizeInt8(index: DataFrame, idCol: String,
-                   vecCol: String): DataFrame = {
+  def quantizeInt8(index: DataFrame, idCol: String, vecCol: String,
+                   warnOnDrops: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types.ByteType
+    if (warnOnDrops) {
+      val dropped = countZeroVectors(index, vecCol)
+      if (dropped > 0) System.err.println(
+        s"[graft] quantizeInt8: DROPPED $dropped zero vector(s) from the " +
+          "int8 index — they are unservable under cosine and will never " +
+          "be returned; a large count means a corrupt embedding corpus")
+    }
     val v = toDouble(col(vecCol))
     index
       .withColumn("scale", array_max(transform(v, x => abs(x))) / lit(127.0))
@@ -782,6 +819,14 @@ object Similarity {
           .as("qvec"),
         col("scale"), col("cell"))
   }
+
+  /** Count the all-zero vectors of a frame — the rows [[quantizeInt8]]
+    * cannot represent and silently excludes from index candidacy. One
+    * slim aggregate; build-time callers gate or alert on it.
+    */
+  def countZeroVectors(df: DataFrame, vecCol: String): Long =
+    df.filter(array_max(transform(toDouble(col(vecCol)), x => abs(x))) <= 0.0)
+      .count()
 
   /** Serve a probe wave from an INT8-STORED index `(idCol, qvec, scale,
     * cell)` ([[quantizeInt8]]'s shape) with EXACT re-rank — the two-stage

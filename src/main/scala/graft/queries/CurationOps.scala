@@ -55,7 +55,7 @@ object CurationOps {
     * and `lab{n-1}` — shared by the q94 and q125 oracles so the
     * unrolling can never diverge between the two cluster queries.
     */
-  private def labRound(n: Int, edges: String = "e"): String =
+  private[queries] def labRound(n: Int, edges: String = "e"): String =
     s"""lab$n AS (
        |  SELECT l.id, least(l.cluster, coalesce(MIN(nb.cluster), l.cluster)) AS cluster
        |  FROM lab${n - 1} l

@@ -1911,8 +1911,13 @@ object LlmOps {
     val rows = res.collect().toSeq
     // recall of the int8-prefetch stage vs the full-precision wave over
     // the SAME quantizer/nprobe — both k-bounded, so the report is
-    // driver-side arithmetic (the q153 pattern)
-    val fullIdx = Similarity.assignToCentroids(e, cent,
+    // driver-side arithmetic (the q153 pattern). The truth side excludes
+    // zero vectors: quantizeInt8 cannot represent them (documented drop),
+    // so a corpus containing them would fail the >= 0.9 gate spuriously
+    // for ids that are unservable at ANY prefetch — mirror the index's
+    // candidacy rule, don't grade against the unservable.
+    val fullIdx = Similarity.assignToCentroids(
+      e.filter(array_max(transform($"embedding", x => abs(x))) > 0), cent,
       "vec_id", "embedding", withVec = true)
     val fullWave = Similarity.ivfTopKServed(fullIdx, cent,
         "vec_id", "embedding", probeFilter = $"vec_id" < 20, k = 3, nprobe = 2)
@@ -1925,11 +1930,16 @@ object LlmOps {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), res.schema)
   }
 
-  /** Unrolled k-means + int8 quantization (q98's rule on the assigned
-    * vectors) + dequantized prefetch-6 ranking + exact re-rank to k=3.
+  /** Unrolled k-means (fitted on `fitWhere`, assignment covering the
+    * whole table) + int8 quantization (q98's rule on the assigned
+    * vectors) + dequantized prefetch-6 ranking + exact re-rank to k=3 —
+    * the SQ8 two-stage wave shared by q162 (one-shot build) and q165
+    * (streamed lifecycle): batch boundaries cannot change a tag-pinned
+    * placement or the per-vector scale rule, so both paths replay to
+    * the same integers.
     */
-  val q162Sql: String =
-    s"""${kmeansCtes("TRUE")},
+  private def sq8WaveSql(fitWhere: String): String =
+    s"""${kmeansCtes(fitWhere)},
        |qz AS (
        |  SELECT vec_id, cell, v,
        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
@@ -1971,6 +1981,8 @@ object LlmOps {
        |  FROM epairs)
        |SELECT probe_id, cand_id, cos6, rn FROM ranked WHERE rn <= 3
        |ORDER BY probe_id NULLS FIRST, rn NULLS FIRST""".stripMargin
+
+  val q162Sql: String = sq8WaveSql("TRUE")
 
   /** Q163 — PERCEPTUAL IMAGE NEAR-DUP: multimodal corpora dedup on image
     * CONTENT, not bytes (a re-encoded or one-block-edited copy has a
@@ -2126,6 +2138,101 @@ object LlmOps {
        |    FROM epairs) WHERE rn_d <= 10),
        |$rrfFusionSql""".stripMargin
 
+  /** Q165 — INT8 INDEX LIFECYCLE (streaming SQ8 ingest + serve): q162
+    * proved the int8-stored serving SHAPE; THIS gives it the versioned
+    * lifecycle the float index has had since q142–q158 — because at
+    * 100 TB the memory-resident SQ8 index is the one actually served,
+    * so IT is the artifact that needs atomic pointers, O(delta)
+    * appends, redelivery skip, and refit-safe placement, not the float
+    * copy. The nightly build fits the quantizer on the base and commits
+    * segment 0 ALREADY QUANTIZED (1 byte/dim + per-vector scale — no
+    * float copy of the payload ever lands on disk; `warnOnDrops` makes
+    * a zero-vector corpus shrink loudly); tonight's arrivals flow in as
+    * Structured Streaming micro-batches through the refit-safe append
+    * verb with the int8 placement path ([[Similarity.appendToIndex]]
+    * `int8 = true`: argmin against the served quantizer tag, then SQ8
+    * MAP-SIDE in the same pass), each landing as one immutable O(batch)
+    * int8 segment behind the pointer transaction's tag re-validation.
+    * Redelivered micro-batches are detected by the target's epoch and
+    * skipped. The closing wave is q162's two-stage SQ8 search
+    * (dequantized prefetch, exact float re-rank) served from the live
+    * pointer across ALL segments.
+    *
+    * Scale shape: per micro-batch the work is one map-only
+    * argmin+quantize against k plan-literal centroids plus one O(batch)
+    * clustered segment write — nothing rescans or rewrites the existing
+    * index, and the segment lands ~8× smaller than the float
+    * equivalent. Batch boundaries cannot change a tag-pinned placement
+    * or the per-vector scale rule, so the streamed index equals q162's
+    * one-shot quantization over the same fit — that oracle with the
+    * fit-on-base split, replayed through the streaming door (the q158
+    * pattern).
+    */
+  def q165(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import graft.ops.VersionedTarget
+    val e = t(spark, dir, "embeddings").coalesce(8)
+    val base = e.filter($"vec_id" % 10 =!= 0)
+    val out = PipelineOps.layoutDir(spark, dir, "ivfint8stream")
+    val aroot = Paths.get(out, "assignments8")
+    val croot = Paths.get(out, "centroids")
+    Seq(aroot, croot).foreach { r => // fresh targets per invocation
+      if (Files.exists(r)) VersionedTarget.rmTree(r.toFile)
+      Files.createDirectories(r): Unit
+    }
+    val assignT = VersionedTarget.Segmented(aroot,
+      partitionCols = Seq("cell"), clusterCommits = true)
+    val centT = VersionedTarget.Rewrite(croot)
+    val (baseAssign, cent0) =
+      Similarity.kmeansFit(base, "vec_id", "embedding", k = 8, iters = 2,
+        materialize = false, withVec = true)
+    centT.commit(cent0, 0L)
+    assignT.commit(Similarity.quantizeInt8(baseAssign, "vec_id", "embedding",
+      warnOnDrops = true), 0L, tag = Some("v0"))
+    val arrivals = graft.streaming.StreamOps
+      .embeddingsStream(spark, dir, maxFilesPerTrigger = 8)
+      .filter($"vec_id" % 10 === 0)
+    graft.streaming.StreamOps.runForeachBatch(arrivals,
+      ingestIndexBatchInt8(assignT, centT), outputMode = "append")
+    val idx8 = assignT.current(spark)
+      .getOrElse(sys.error("int8 index target committed no version"))
+    val curVer = VersionedTarget.currentVersion(aroot)
+      .getOrElse(sys.error("int8 index target has no CURRENT pointer"))
+    require(assignT.segmentsOf(curVer).size >= 2,
+      "streaming ingestion must have appended at least one int8 segment")
+    val c = Similarity.pairedQuantizer(spark, assignT, centT)
+      .getOrElse(sys.error("no centroid version paired with the served index"))
+    val res = Similarity.ivfTopKServedInt8(idx8, e, c, "vec_id", "embedding",
+        e.filter($"vec_id" < 20), k = 3, prefetch = 6, nprobe = 2)
+      .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
+    // k-bounded result; materialise so nothing holds the index scan open
+    val rows = res.collect().toSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), res.schema)
+  }
+
+  /** q162's SQ8 two-stage oracle with the fit-on-base / assign-everyone
+    * split (the q144 rule) — the streamed int8 index equals the one-shot
+    * quantized placement.
+    */
+  val q165Sql: String = sq8WaveSql("vec_id % 10 <> 0")
+
+  /** The q165 per-micro-batch ingest verb: the q158 contract (epoch
+    * redelivery skip, empty-batch pointer advance, refit-safe
+    * placement) with the SQ8 payload — [[Similarity.appendToIndex]]
+    * `int8 = true` quantizes map-side at placement, so each batch lands
+    * as one immutable O(batch) int8 segment.
+    */
+  private[graft] def ingestIndexBatchInt8(
+      assignT: graft.ops.VersionedTarget.Segmented,
+      centT: graft.ops.VersionedTarget.Rewrite)(
+      batch: DataFrame, id: Long): Unit = {
+    val bid = id + 1L
+    if (!assignT.applied(bid))
+      Similarity.appendToIndex(batch, "vec_id", "embedding",
+        assignT, centT, bid, int8 = true)
+  }
+
   /** The q158 per-micro-batch ingest verb, factored so OpsSpec can drive
     * arrival/redelivery schedules without the streaming harness (the
     * q132 pattern): skip batches the index epoch already covers
@@ -2187,7 +2294,8 @@ object LlmOps {
     "q161_hybrid_served" -> (q161 _),
     "q162_int8_index" -> (q162 _),
     "q163_image_neardup" -> (q163 _),
-    "q164_hybrid_int8" -> (q164 _))
+    "q164_hybrid_int8" -> (q164 _),
+    "q165_int8_lifecycle" -> (q165 _))
 
   def oracles: Map[String, String] = Map(
     "q58_exact_dedup" -> q58Sql,
@@ -2228,5 +2336,6 @@ object LlmOps {
     "q161_hybrid_served" -> q161Sql,
     "q162_int8_index" -> q162Sql,
     "q163_image_neardup" -> q163Sql,
-    "q164_hybrid_int8" -> q164Sql)
+    "q164_hybrid_int8" -> q164Sql,
+    "q165_int8_lifecycle" -> q165Sql)
 }

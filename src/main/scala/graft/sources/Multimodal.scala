@@ -221,6 +221,153 @@ object Multimodal {
     phashFixturesPath
   }
 
+  /** Fixed machine-local location of the audio-fingerprint fixture
+    * corpus (q167): 12 base clips × 3 variants of deterministic 16-bit
+    * PCM mono WAVs, where variants invert ONE 16-sample frame — the
+    * audio analogue of [[phashFixturesPath]]'s one-block image edits.
+    */
+  val audioFpFixturesPath: String =
+    new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_audiofp_fixtures_v1").getPath
+
+  /** The q167 fixture RULE, shared by the generator and the DuckDB
+    * oracle: 1024 samples mono 16-bit PCM @ 8 kHz = 64 frames × 16
+    * samples; frame `f` of clip `i` is LOUD (base 15000) or QUIET
+    * (base 0) by the first md5 hex digit of "`f`_`i`" (the q163
+    * avalanche classing — loud/quiet frame energies straddle the global
+    * mean decisively for any plausible loud-frame count), plus a
+    * `(idx*7)%64` intra-frame texture. Variant j ≥ 1 INVERTS
+    * (16383 − v) the samples of frame `(j−1)*8 + j` (the q163 grid-cell
+    * rule transposed to frame index), flipping that frame's energy
+    * class. All values stay in [0, 16383] ⊂ int16.
+    */
+  def audioFpSample(i: Int, j: Int, idx: Int): Int = {
+    val f = idx / 16
+    val base = if (brightBlock(f, i)) 15000 else 0
+    val v = base + (idx * 7) % 64
+    if (j >= 1 && f == (j - 1) * 8 + j) 16383 - v else v
+  }
+
+  /** Minimal RIFF writer for a mono 16-bit PCM clip. */
+  private def monoWav(rate: Int, samples: Seq[Int]): Array[Byte] = {
+    val data = new java.io.ByteArrayOutputStream()
+    samples.foreach(s => data.write(le16(s & 0xffff)))
+    val d = data.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII")); out.write(le32(36 + d.length))
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); out.write(le32(16))
+    out.write(le16(1)); out.write(le16(1)) // PCM, mono
+    out.write(le32(rate)); out.write(le32(rate * 2))
+    out.write(le16(2)); out.write(le16(16)) // block align, bits
+    out.write("data".getBytes("US-ASCII")); out.write(le32(d.length))
+    out.write(d)
+    out.toByteArray
+  }
+
+  /** Generate the q167 corpus: `wav_<i>_<j>.wav` for i < 12, j < 3
+    * (j = 0 base, j = 1,2 one-frame-inverted variants). Write-if-missing
+    * with atomic rename, like [[ensureFixtures]].
+    */
+  def ensureAudioFpFixtures(): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Paths.get(audioFpFixturesPath)
+    Files.createDirectories(dir)
+    for (i <- 0 until 12; j <- 0 until 3) {
+      val target = dir.resolve(f"wav_$i%02d_$j.wav")
+      if (!Files.exists(target)) {
+        val bytes = monoWav(8000,
+          (0 until 1024).map(idx => audioFpSample(i, j, idx)))
+        val tmp = Files.createTempFile(dir, ".wav", ".tmp")
+        Files.write(tmp, bytes)
+        try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            Files.deleteIfExists(tmp): Unit
+        }
+      }
+    }
+    audioFpFixturesPath
+  }
+
+  /** The decoded interleaved signed 16-bit samples of a WAV payload —
+    * the same RIFF chunk walk (and the same malformed-length
+    * degradation) as [[decodeWav]], returning the raw samples instead
+    * of a histogram. None when the payload is not decodable 16-bit PCM.
+    */
+  private def pcm16Samples(content: Array[Byte]): Option[Array[Int]] = {
+    def tag(o: Int) = new String(content, o, 4, "US-ASCII")
+    if (content.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var bits = 0
+    var data: Option[(Int, Int)] = None
+    var o = 12
+    while (o + 8 <= content.length) {
+      val id = tag(o)
+      val len = u32le(content, o + 4).toInt
+      if (len < 0 || (id != "data" && o.toLong + 8 + len > content.length))
+        return None // malformed length: degrade, never walk backwards
+      if (id == "fmt " && len >= 16 && o + 8 + 16 <= content.length)
+        bits = u16le(content, o + 22)
+      else if (id == "data")
+        data = Some((o + 8, math.min(len, content.length - o - 8)))
+      val next = o.toLong + 8 + len + (len & 1)
+      o = if (next > content.length) content.length else next.toInt
+    }
+    data.collect { case (off, len) if bits == 16 =>
+      Array.tabulate(len / 2)(k => u16le(content, off + 2 * k).toShort.toInt)
+    }
+  }
+
+  /** 64-bit audio fingerprints per clip — the frame-ENERGY analogue of
+    * [[perceptualHashes]], same partition-wise decode shape:
+    *
+    *   - `afp` (average fingerprint): 64 frames on the floor-boundary
+    *     grid over the decoded samples, frame energy = Σ|sample|,
+    *     bit(f) = frameEnergy > globalMean — integer-exact via
+    *     cross-multiplication (no floats, engine-portable: exact
+    *     through 32768·n² < 2^63, ~500 M samples ≈ 18 h @ 8 kHz);
+    *   - `dfp` (gradient fingerprint): bit(f) = energy(f) >
+    *     energy((f+1) mod 64) on the same grid.
+    *
+    * A re-encoded or locally-edited copy keeps its energy envelope, so
+    * near-dups land within a few Hamming bits — candidate pairs come
+    * from the same byte-band machinery as images
+    * ([[bandedHammingPairs]]). Undecodable payloads drop out. Bit f is
+    * LSB-first.
+    */
+  def audioFingerprints(binary: DataFrame): DataFrame = {
+    val spark = binary.sparkSession
+    import spark.implicits._
+    binary.select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (path, content) =>
+          pcm16Samples(content).filter(_.nonEmpty).map { samples =>
+            val n = samples.length
+            val fs = new Array[Long](64) // frame |sample| sums
+            val fn = new Array[Long](64) // frame sample counts
+            var k = 0
+            while (k < n) {
+              val f = (k.toLong * 64 / n).toInt
+              fs(f) += math.abs(samples(k)); fn(f) += 1
+              k += 1
+            }
+            val total = fs.sum
+            var afp = 0L; var dfp = 0L
+            var f = 0
+            while (f < 64) {
+              // frameMean > globalMean ⟺ fs·n > total·fn (exact)
+              if (fs(f) * n > total * fn(f)) afp |= 1L << f
+              val nb = (f + 1) % 64
+              if (fs(f) * fn(nb) > fs(nb) * fn(f)) dfp |= 1L << f
+              f += 1
+            }
+            (path, n.toLong, afp, dfp)
+          }
+        }
+      }.toDF("path", "n_samples", "afp", "dfp")
+  }
+
   /** 64-bit perceptual hashes per image, computed in the SAME
     * partition-wise decode pass as [[extractFeatures]] (codec state
     * amortised per partition; undecodable payloads drop out):
@@ -255,16 +402,24 @@ object Multimodal {
             val raster = img.getRaster
             val bs = Array.ofDim[Long](8, 8) // block intensity sums
             val bp = Array.ofDim[Long](8, 8) // block pixel counts
+            // row-batched reads: one bulk call per row instead of one
+            // color-model conversion per PIXEL (per-pixel getRGB was the
+            // dominant decode constant once image volume grows); the
+            // per-sample arithmetic is unchanged, so the hashes are
+            // bit-identical to the per-pixel path
+            val rowBuf = new Array[Int](w)
             var y = 0
             while (y < h) {
               val by = y * 8 / h
+              if (gray) raster.getSamples(0, y, w, 1, 0, rowBuf)
+              else img.getRGB(0, y, w, 1, rowBuf, 0, w): Unit
               var x = 0
               while (x < w) {
                 val bx = x * 8 / w
                 val v: Long =
-                  if (gray) raster.getSample(x, y, 0).toLong
+                  if (gray) rowBuf(x).toLong
                   else {
-                    val rgb = img.getRGB(x, y)
+                    val rgb = rowBuf(x)
                     ((((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
                       (rgb & 0xff)) / 3).toLong
                   }
@@ -296,35 +451,45 @@ object Multimodal {
       }.toDF("path", "width", "height", "ahash", "dhash")
   }
 
-  /** Image near-duplicate PAIRS from [[perceptualHashes]] rows: the
-    * q81 pigeonhole band machinery on the 64-bit aHash — 8 byte-wide
-    * bands (recall-complete for Hamming ≤ 7: ≤ 7 differing bits dirty at
-    * most 7 of the 8 bands), equi-join on (band, band-value), exact
-    * `bit_count(xor)` post-filter at `maxHamming`. The dHash Hamming
-    * rides along as a second signal (free once the pair is a candidate).
-    * At 100 TB of images the band join shuffles only (band, byte, id)
-    * triples — never pixels, never all-pairs.
+  /** Near-duplicate PAIRS over ANY 64-bit perceptual fingerprint: the
+    * q81 pigeonhole band machinery — 8 byte-wide bands on `hashCol`
+    * (recall-complete for Hamming ≤ 7: ≤ 7 differing bits dirty at most
+    * 7 of the 8 bands), equi-join on (band, band-value), exact
+    * `bit_count(xor)` post-filter at `maxHamming`. The `rideCol`
+    * Hamming rides along as a second signal (free once the pair is a
+    * candidate). Modality-agnostic by construction — the image aHash
+    * (q163) and the audio frame-energy fingerprint (q167) share it. At
+    * 100 TB of media the band join shuffles only (band, byte, id)
+    * triples — never pixels or samples, never all-pairs.
     */
-  def imageNearDupPairs(hashes: DataFrame, idCol: String,
-                        maxHamming: Int): DataFrame = {
+  def bandedHammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
+                         rideCol: String, maxHamming: Int): DataFrame = {
     require(maxHamming < 8, "8 byte-bands guarantee recall only for hamming <= 7")
     val banded = hashes
-      .select(col(idCol).as("__id"), col("ahash"), col("dhash"),
-        explode(sequence(lit(0), lit(7))).as("band"))
-      .withColumn("bv", expr("shiftright(ahash, band * 8) & 255"))
-    val a = banded.select(col("__id").as("d1"), col("ahash").as("a1"),
-      col("dhash").as("dh1"), col("band"), col("bv"))
-    val b = banded.select(col("__id").as("d2"), col("ahash").as("a2"),
-      col("dhash").as("dh2"), col("band"), col("bv"))
+      .select(col(idCol).as("__id"), col(hashCol).as("__h"),
+        col(rideCol).as("__r"), explode(sequence(lit(0), lit(7))).as("band"))
+      .withColumn("bv", expr("shiftright(__h, band * 8) & 255"))
+    val a = banded.select(col("__id").as("d1"), col("__h").as("h1"),
+      col("__r").as("r1"), col("band"), col("bv"))
+    val b = banded.select(col("__id").as("d2"), col("__h").as("h2"),
+      col("__r").as("r2"), col("band"), col("bv"))
     a.join(b, Seq("band", "bv"))
       .filter(col("d1") < col("d2"))
-      .select(col("d1"), col("d2"), col("a1"), col("a2"),
-        col("dh1"), col("dh2")).distinct()
-      .withColumn("ham_a", expr("bit_count(a1 ^ a2)"))
+      .select(col("d1"), col("d2"), col("h1"), col("h2"),
+        col("r1"), col("r2")).distinct()
+      .withColumn("ham_a", expr("bit_count(h1 ^ h2)"))
       .filter(col("ham_a") <= maxHamming)
-      .withColumn("ham_d", expr("bit_count(dh1 ^ dh2)"))
+      .withColumn("ham_d", expr("bit_count(r1 ^ r2)"))
       .select(col("d1"), col("d2"), col("ham_a"), col("ham_d"))
   }
+
+  /** Image near-duplicate PAIRS from [[perceptualHashes]] rows:
+    * [[bandedHammingPairs]] banded on the 64-bit aHash with the dHash
+    * riding along.
+    */
+  def imageNearDupPairs(hashes: DataFrame, idCol: String,
+                        maxHamming: Int): DataFrame =
+    bandedHammingPairs(hashes, idCol, "ahash", "dhash", maxHamming)
 
   private def kindOf(path: String): String = {
     val p = path.toLowerCase

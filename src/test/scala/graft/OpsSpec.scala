@@ -1240,6 +1240,120 @@ class OpsSpec extends SparkSpec {
       "the streamed index diverged from the one-shot placement")
   }
 
+  test("int8 streaming ingest verb (q165): batches land as quantized " +
+      "segments, redeliveries are skipped, the streamed int8 index equals " +
+      "the one-shot quantization, and a racing refit re-places the " +
+      "quantized payload") {
+    import java.nio.file.Files
+    import graft.ops.VersionedTarget
+    val e = graft.core.Tables.t(spark, sfDir, "embeddings").coalesce(4)
+    val base = e.filter($"vec_id" % 10 =!= 0)
+    val delta = e.filter($"vec_id" % 10 === 0)
+    val aroot = Files.createTempDirectory("graft_ivf8_stream_a")
+    val croot = Files.createTempDirectory("graft_ivf8_stream_c")
+    val assignT = VersionedTarget.Segmented(aroot, partitionCols = Seq("cell"))
+    val centT = VersionedTarget.Rewrite(croot)
+    val (baseAssign, cent) = Similarity.kmeansFit(base, "vec_id", "embedding",
+      k = 8, iters = 2, materialize = false, withVec = true)
+    centT.commit(cent, 0L)
+    assignT.commit(Similarity.quantizeInt8(baseAssign, "vec_id", "embedding"),
+      0L, tag = Some("v0"))
+    val ingest = graft.queries.LlmOps.ingestIndexBatchInt8(assignT, centT) _
+    val b0 = delta.filter($"vec_id" % 20 === 0)
+    val b1 = delta.filter($"vec_id" % 20 === 10)
+    ingest(b0, 0L)
+    val afterB0 = VersionedTarget.currentVersion(aroot).get
+    ingest(b0, 0L) // redelivered micro-batch: exactly-once skip
+    assert(VersionedTarget.currentVersion(aroot).contains(afterB0),
+      "a redelivered micro-batch must not advance the int8 index")
+    ingest(b1, 1L)
+    val ver = VersionedTarget.currentVersion(aroot).get
+    assert(assignT.segmentsOf(ver) == Seq("seg0", "seg1", "seg2"),
+      s"expected base + one int8 segment per batch, got ${assignT.segmentsOf(ver)}")
+    assert(assignT.currentTag.contains("v0"),
+      "int8 appends must inherit the build's quantizer tag")
+    // batch boundaries cannot change a tag-pinned placement OR the
+    // per-vector scale rule: the streamed int8 index equals quantizing
+    // the one-shot placement of the WHOLE corpus
+    def key(r: Row): (Long, Long, Double, Seq[Byte]) =
+      (r.getAs[Number]("vec_id").longValue, r.getAs[Number]("cell").longValue,
+        r.getAs[Double]("scale"), r.getAs[Seq[Byte]]("qvec").toVector)
+    val oneShot = Similarity.quantizeInt8(
+        Similarity.assignToCentroids(e, cent, "vec_id", "embedding",
+          withVec = true), "vec_id", "embedding")
+      .collect().map(key).toSet
+    val streamed = assignT.current(spark).get
+      .select($"vec_id", $"cell", $"scale", $"qvec")
+      .collect().map(key).toSet
+    assert(streamed == oneShot,
+      "the streamed int8 index diverged from the one-shot quantization")
+    // THE REFIT RACE ON THE QUANTIZED PAYLOAD: an int8 append places
+    // against the served tag; a racing int8 refit lands its rebase in
+    // the placement-to-commit window; the in-transaction tag check must
+    // abort and re-place — and the re-placed segment must carry the SQ8
+    // shape placed under the NEW quantizer
+    var raced = false
+    Similarity.appendToIndex(b0, "vec_id", "embedding", assignT, centT,
+      batchId = 9L, int8 = true,
+      onPlaced = () => if (!raced) {
+        raced = true
+        Similarity.refitIndex(e, "vec_id", "embedding", k = 8, iters = 2,
+          assignT, centT, batchId = 8L, int8 = true)
+      })
+    assert(raced, "the seam must have run the racing int8 refit")
+    assert(assignT.currentTag.contains("v8"),
+      "the landed int8 append must pair with the racing refit's quantizer")
+    assert(VersionedTarget.currentVersion(aroot).contains("v9") &&
+      assignT.segmentsOf("v9") == Seq("seg8", "seg9"),
+      "the re-placed int8 append must land ON TOP of the refit's fresh base")
+    val newCent = Similarity.pairedQuantizer(spark, assignT, centT).get
+    val expectSeg9 = Similarity.quantizeInt8(
+        Similarity.assignToCentroids(b0, newCent, "vec_id", "embedding",
+          withVec = true), "vec_id", "embedding")
+      .collect().map(key).toSet
+    // b0's ids live in BOTH v9 segments (the refit base covers the whole
+    // corpus); a set compare still pins the payload — it only holds when
+    // seg9's re-placed rows agree with the new-quantizer placement
+    val gotSeg9 = assignT.current(spark).get
+      .filter($"vec_id" % 20 === 0)
+      .select($"vec_id", $"cell", $"scale", $"qvec")
+      .collect().map(key).toSet
+    assert(gotSeg9 == expectSeg9,
+      "the re-placed segment must be quantized under the NEW quantizer")
+  }
+
+  test("quantizeInt8 drops zero vectors LOUDLY: the counter reports them, " +
+      "the index excludes them, and the served wave never returns them") {
+    val dim = 4
+    val df = Seq(
+      (1L, Array(0.5f, -0.25f, 0.125f, 1.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // unrepresentable: scale = 0
+      (3L, Array(-1.0f, 0.5f, 0.25f, -0.125f)),
+      (4L, Array(0.25f, 1.0f, -0.5f, 0.125f))
+    ).toDF("vec_id", "embedding").withColumn("cell", lit(0L))
+    assert(Similarity.countZeroVectors(df, "embedding") == 1L)
+    val buf = new java.io.ByteArrayOutputStream()
+    val old = System.err
+    val q8 = try {
+      System.setErr(new java.io.PrintStream(buf, true))
+      Similarity.quantizeInt8(df, "vec_id", "embedding", warnOnDrops = true)
+    } finally System.setErr(old)
+    assert(new String(buf.toByteArray).contains("DROPPED 1 zero vector"),
+      "warnOnDrops must log the drop count loudly")
+    assert(q8.select("vec_id").as[Long].collect().toSet == Set(1L, 3L, 4L),
+      "the zero vector must drop out of the int8 index")
+    // candidacy consequence: even at prefetch = |corpus| the dropped id
+    // can never be returned — the wave reads only the index
+    val cent = Seq((0L, Seq.fill(dim)(0.1)))
+    val served = Similarity.ivfTopKServedInt8(q8, df, cent,
+        "vec_id", "embedding", df.filter($"vec_id" === 1L),
+        k = 3, prefetch = 4, nprobe = 1)
+      .select("cand_id").as[Long].collect().toSet
+    assert(!served.contains(2L), "a dropped zero vector was served")
+    assert(served == Set(3L, 4L),
+      s"the remaining candidates must all serve, got $served")
+  }
+
   test("Components releases every cache it creates (job-server hygiene)") {
     import org.apache.spark.sql.graft.CacheProbe
     spark.catalog.clearCache()

@@ -47,11 +47,12 @@ class RegistrySpec extends SparkSpec {
     // seconds (2dp < 10 s, 1dp to 100 s, integer seconds above — 4 chars
     // at their widest through 9999 s) and caps the noise map at 6
     // entries, and this guard fails the build before a future query
-    // addition regrows the line. Worst-case modelled value is the 4-char
-    // "9999" (a query running 2.7 HOURS — the round itself would be dead
-    // long before the artifact width matters).
+    // addition regrows the line. Worst-case modelled value is the 3-char
+    // "999": since r15 Bench CLAMPS the line value there (a query past
+    // 16 minutes is a stall; its true median lives in the detail file) —
+    // the clamp bought ~14 queries of surface headroom at 164.
     val worst = SparkEntry.queries.keys.toSeq.sorted
-      .map(k => "\"" + k.takeWhile(_ != '_') + "\":9999")
+      .map(k => "\"" + k.takeWhile(_ != '_') + "\":999")
       .mkString("{", ",", "}")
     val line = s"""{"metric":"total_warm_sec","value":99999.99,"unit":"sec","queries":$worst,"noisy":999,"cont":false,"sf":"sf0.001"}"""
     assert(line.length < 2000, s"bench line would be ${line.length}B — shrink keys or precision")
