@@ -2015,11 +2015,12 @@ object LlmOps {
       .orderBy($"f1".asc_nulls_first, $"f2".asc_nulls_first)
   }
 
-  /** Recomputes the block sums + both hashes from the fixture rule
-    * (every pixel of every image via range-unnest), then all-pairs
-    * Hamming ≤ 6 — the banded join's recall-complete reference.
+  /** The q163 oracle prefix: recomputes the block sums + both hashes
+    * from the fixture rule (every pixel of every image via
+    * range-unnest), ending in `named(f, ahash, dhash)` — shared by the
+    * pair query (q163) and the cluster/apply composition (q166).
     */
-  val q163Sql: String =
+  private val phashOracleCtes: String =
     """WITH imgs AS (
       |  SELECT i.i, j.j FROM UNNEST(range(0, 12)) i(i), UNNEST(range(0, 3)) j(j)),
       |px AS (
@@ -2048,8 +2049,13 @@ object LlmOps {
       |  JOIN blk n ON n.i = b.i AND n.j = b.j AND n.by = b.by
       |            AND n.bx = (b.bx + 1) % 8
       |  GROUP BY b.i, b.j),
-      |named AS (SELECT printf('img_%02d_%d.png', i, j) AS f, ahash, dhash FROM hsh)
-      |SELECT a.f AS f1, b.f AS f2,
+      |named AS (SELECT printf('img_%02d_%d.png', i, j) AS f, ahash, dhash FROM hsh)""".stripMargin
+
+  // NOTE: the prefix is already margin-stripped — concatenate, never
+  // re-stripMargin over it (its `|| '_' ||` concat lines would lose
+  // their leading pipes)
+  val q163Sql: String = phashOracleCtes + "\n" +
+    """SELECT a.f AS f1, b.f AS f2,
       |  bit_count(xor(a.ahash, b.ahash)) AS ham_a,
       |  bit_count(xor(a.dhash, b.dhash)) AS ham_d
       |FROM named a JOIN named b ON a.f < b.f
@@ -2255,6 +2261,148 @@ object LlmOps {
         assignT, centT, bid, withVec = true)
   }
 
+  /** Q166 — IMAGE DEDUP END-TO-END (pairs → clusters → apply): the
+    * composition that makes q163 a DEDUP PIPELINE rather than a pair
+    * report — exactly the text family's q86→q94→q87→q127 chain run on
+    * the image modality: banded perceptual-hash pairs, TRUE duplicate
+    * clusters via the modality-agnostic quotient-graph contraction
+    * ([[graft.ops.Components.clustersWithSize]] — string ids work
+    * unchanged: min-label is any total order), keeper = each cluster's
+    * lexicographic-minimum file, and the APPLY materialises the
+    * surviving corpus (keeper payloads included) to parquet before the
+    * report reads the kept flags BACK from the artifact — layout must
+    * never change decisions, the q127 gate.
+    *
+    * Scale shape inherited stage-by-stage: band join shuffles (band,
+    * byte, id) triples, contraction is O(log diameter) rounds over an
+    * Ω(Σ cluster²)-free edge list, the apply writes keeper payloads
+    * once. The oracle recomputes hashes from the fixture rule, takes
+    * ALL-PAIRS Hamming ≤ 6 (the banded join's recall-complete
+    * reference), and unrolls 3 min-label rounds (clusters here are
+    * base+variant triangles, diameter 1).
+    */
+  def q166(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fix = Multimodal.ensurePhashFixtures()
+    val bin = Multimodal.readBinary(spark, s"$fix/*.png")
+    val hashes = Multimodal.perceptualHashes(bin)
+      .select(regexp_extract($"path", "([^/]+)$", 1).as("fname"),
+        $"ahash", $"dhash")
+    val pairs = Multimodal.imageNearDupPairs(hashes, "fname", maxHamming = 6)
+    val cs = graft.core.CacheScope.adopt(
+      graft.ops.Components.clustersWithSize(
+        pairs.select($"d1".as("a"), $"d2".as("b")),
+        hashes.select($"fname".as("id"))))
+    val out = graft.core.Scratch.deleteOnExit(
+      java.nio.file.Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        "graft-dedup",
+        s"imgs_${spark.sparkContext.applicationId}").toString)
+    // APPLY: the surviving corpus (keeper payloads, not just names) —
+    // what an image dedup pipeline actually ships
+    bin.select(regexp_extract($"path", "([^/]+)$", 1).as("fname"), $"content")
+      .join(cs.filter($"id" === $"cluster").select($"id".as("fname")),
+        Seq("fname"))
+      .write.mode("overwrite").parquet(out)
+    val kept = spark.read.parquet(out)
+      .select($"fname", lit(true).as("kept"))
+    cs.select($"id".as("fname"), $"cluster", $"cluster_size")
+      .join(kept, Seq("fname"), "left")
+      .select($"fname", $"cluster", $"cluster_size",
+        coalesce($"kept", lit(false)).as("kept"))
+      .orderBy($"fname".asc_nulls_first)
+  }
+
+  /** The q163 hash recomputation + all-pairs Hamming ≤ 6 + the q94
+    * 3-round min-label unrolling + the cluster-min keep rule, with no
+    * layout write (layout independence is what the gate checks).
+    */
+  val q166Sql: String = phashOracleCtes + ",\n" +
+    s"""ipairs AS (
+       |  SELECT a.f AS d1, b.f AS d2
+       |  FROM named a JOIN named b ON a.f < b.f
+       |  WHERE bit_count(xor(a.ahash, b.ahash)) <= 6),
+       |e AS (SELECT d1 AS a, d2 AS b FROM ipairs
+       |      UNION ALL SELECT d2 AS a, d1 AS b FROM ipairs),
+       |lab0 AS (SELECT f AS id, f AS cluster FROM named),
+       |${CurationOps.labRound(1)},
+       |${CurationOps.labRound(2)},
+       |${CurationOps.labRound(3)},
+       |sz AS (SELECT cluster, COUNT(*) AS n FROM lab3 GROUP BY cluster)
+       |SELECT l.id AS fname, l.cluster, CAST(s.n AS BIGINT) AS cluster_size,
+       |  (l.id = l.cluster) AS kept
+       |FROM lab3 l JOIN sz s ON s.cluster = l.cluster
+       |ORDER BY fname NULLS FIRST""".stripMargin
+
+  /** Q167 — AUDIO FINGERPRINT NEAR-DUP: completes the multimodal dedup
+    * matrix (text q59/q86, embedding q69, image q163, audio HERE) with
+    * machinery that already exists — q63's RIFF/PCM decode yields the
+    * samples, the fingerprint is the frame-ENERGY analogue of the
+    * image aHash ([[Multimodal.audioFingerprints]]: 64 frames on the
+    * floor-boundary grid, bit = frame |sample| sum above the global
+    * mean by exact integer cross-multiplication), and candidates come
+    * from the SAME byte-band Hamming machinery as images
+    * ([[Multimodal.bandedHammingPairs]] — recall-complete for
+    * Hamming ≤ 7). At 100 TB of audio the band join shuffles (band,
+    * byte, id) triples, never samples, never all-pairs.
+    *
+    * Fixture corpus: [[Multimodal.ensureAudioFpFixtures]] — 12 base
+    * clips × 2 one-frame-inverted variants; the oracle recomputes both
+    * fingerprints from the generation RULE (decode → frame energies →
+    * bits checked end-to-end; HUGEINT bit math for the bit-63 shift),
+    * and only Hamming distances reach the output.
+    */
+  def q167(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fix = Multimodal.ensureAudioFpFixtures()
+    val bin = Multimodal.readBinary(spark, s"$fix/*.wav")
+    val fps = Multimodal.audioFingerprints(bin)
+      .select(regexp_extract($"path", "([^/]+)$", 1).as("fname"),
+        $"afp", $"dfp")
+    Multimodal.bandedHammingPairs(fps, "fname", "afp", "dfp", maxHamming = 6)
+      .select($"d1".as("f1"), $"d2".as("f2"), $"ham_a", $"ham_d")
+      .orderBy($"f1".asc_nulls_first, $"f2".asc_nulls_first)
+  }
+
+  /** Recomputes frame energies + both fingerprints from the fixture
+    * rule (every sample of every clip via range-unnest), then all-pairs
+    * Hamming ≤ 6 — the banded join's recall-complete reference.
+    */
+  val q167Sql: String =
+    """WITH recs AS (
+      |  SELECT i.i, j.j FROM UNNEST(range(0, 12)) i(i), UNNEST(range(0, 3)) j(j)),
+      |sm AS (
+      |  SELECT i, j, idx // 16 AS f,
+      |    CASE WHEN j >= 1 AND idx // 16 = (j - 1) * 8 + j
+      |         THEN 16383 - base - (idx * 7) % 64
+      |         ELSE base + (idx * 7) % 64 END AS v
+      |  FROM (
+      |    SELECT i, j, idx,
+      |      CASE WHEN substr(md5(CAST(idx // 16 AS VARCHAR)
+      |                 || '_' || CAST(i AS VARCHAR)), 1, 1) >= '8'
+      |           THEN 15000 ELSE 0 END AS base
+      |    FROM recs, UNNEST(range(0, 1024)) t(idx))),
+      |frm AS (SELECT i, j, f, SUM(v) AS fs FROM sm GROUP BY i, j, f),
+      |tot AS (SELECT i, j, SUM(fs) AS ts FROM frm GROUP BY i, j),
+      |hsh AS (
+      |  SELECT fm.i, fm.j,
+      |    BIT_OR(CASE WHEN fm.fs * 64 > t.ts
+      |                THEN CAST(1 AS HUGEINT) << fm.f
+      |                ELSE CAST(0 AS HUGEINT) END) AS afp,
+      |    BIT_OR(CASE WHEN fm.fs > nx.fs
+      |                THEN CAST(1 AS HUGEINT) << fm.f
+      |                ELSE CAST(0 AS HUGEINT) END) AS dfp
+      |  FROM frm fm
+      |  JOIN tot t ON t.i = fm.i AND t.j = fm.j
+      |  JOIN frm nx ON nx.i = fm.i AND nx.j = fm.j AND nx.f = (fm.f + 1) % 64
+      |  GROUP BY fm.i, fm.j),
+      |named AS (SELECT printf('wav_%02d_%d.wav', i, j) AS f, afp, dfp FROM hsh)
+      |SELECT a.f AS f1, b.f AS f2,
+      |  bit_count(xor(a.afp, b.afp)) AS ham_a,
+      |  bit_count(xor(a.dfp, b.dfp)) AS ham_d
+      |FROM named a JOIN named b ON a.f < b.f
+      |WHERE bit_count(xor(a.afp, b.afp)) <= 6
+      |ORDER BY f1 NULLS FIRST, f2 NULLS FIRST""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_exact_dedup" -> (q58 _),
     "q59_minhash_lsh" -> (q59 _),
@@ -2295,7 +2443,9 @@ object LlmOps {
     "q162_int8_index" -> (q162 _),
     "q163_image_neardup" -> (q163 _),
     "q164_hybrid_int8" -> (q164 _),
-    "q165_int8_lifecycle" -> (q165 _))
+    "q165_int8_lifecycle" -> (q165 _),
+    "q166_image_dedup_apply" -> (q166 _),
+    "q167_audio_neardup" -> (q167 _))
 
   def oracles: Map[String, String] = Map(
     "q58_exact_dedup" -> q58Sql,
@@ -2337,5 +2487,7 @@ object LlmOps {
     "q162_int8_index" -> q162Sql,
     "q163_image_neardup" -> q163Sql,
     "q164_hybrid_int8" -> q164Sql,
-    "q165_int8_lifecycle" -> q165Sql)
+    "q165_int8_lifecycle" -> q165Sql,
+    "q166_image_dedup_apply" -> q166Sql,
+    "q167_audio_neardup" -> q167Sql)
 }

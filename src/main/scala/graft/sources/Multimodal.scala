@@ -248,8 +248,10 @@ object Multimodal {
     if (j >= 1 && f == (j - 1) * 8 + j) 16383 - v else v
   }
 
-  /** Minimal RIFF writer for a mono 16-bit PCM clip. */
-  private def monoWav(rate: Int, samples: Seq[Int]): Array[Byte] = {
+  /** Minimal RIFF writer for a mono 16-bit PCM clip (package-visible so
+    * specs can synthesize decode inputs).
+    */
+  private[graft] def monoWav(rate: Int, samples: Seq[Int]): Array[Byte] = {
     val data = new java.io.ByteArrayOutputStream()
     samples.foreach(s => data.write(le16(s & 0xffff)))
     val d = data.toByteArray

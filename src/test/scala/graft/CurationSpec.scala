@@ -297,6 +297,47 @@ class CurationSpec extends SparkSpec {
     assert(MinHashDedup.bandingDecision(ms, minRecall = 1.0).rowsPerBand == 1)
   }
 
+  test("q166 image dedup: banded clusters equal all-pairs clusters on the " +
+      "fixture, and the keep rule is the cluster minimum") {
+    import spark.implicits._
+    import graft.sources.Multimodal
+    val fix = Multimodal.ensurePhashFixtures()
+    val hashes = Multimodal.perceptualHashes(
+        Multimodal.readBinary(spark, s"$fix/*.png"))
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+        col("ahash"), col("dhash"))
+      .persist()
+    try {
+      val nodes = hashes.select($"fname".as("id"))
+      def clustersOf(pairs: org.apache.spark.sql.DataFrame): Map[String, (String, Long)] = {
+        val cs = Components.clustersWithSize(
+          pairs.select($"d1".as("a"), $"d2".as("b")), nodes)
+        try cs.collect()
+          .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+        finally Components.release(cs)
+      }
+      // production path: banded candidates; reference: all-pairs
+      val banded = clustersOf(
+        Multimodal.imageNearDupPairs(hashes, "fname", maxHamming = 6))
+      val h2 = hashes.select($"fname".as("f2"), $"ahash".as("a2"))
+      val allPairs = hashes.select($"fname".as("d1"), $"ahash".as("a1"))
+        .crossJoin(h2).filter($"d1" < $"f2")
+        .withColumn("ham", expr("bit_count(a1 ^ a2)"))
+        .filter($"ham" <= 6)
+        .select($"d1", $"f2".as("d2"))
+      val exact = clustersOf(allPairs)
+      assert(banded == exact,
+        "banded image clusters diverged from the all-pairs reference")
+      // the keep rule: each cluster's lexicographic minimum keeps; on
+      // this fixture every base keeps and every variant drops
+      val keepers = banded.collect { case (id, (cl, _)) if id == cl => id }.toSet
+      assert(keepers == (0 until 12).map(i => f"img_$i%02d_0.png").toSet,
+        s"keepers must be the 12 base images, got $keepers")
+      assert(banded.values.forall(_._2 == 3L),
+        "every fixture cluster is a base+2-variant triangle")
+    } finally hashes.unpersist(): Unit
+  }
+
   test("crossNgramPairs == symmetric pairs restricted to cross-corpus") {
     // The asymmetric band join's whole claim: same candidate recall and
     // exact post-filter as the symmetric generator, minus within-side

@@ -656,6 +656,97 @@ class OpsSpec extends SparkSpec {
       s"fixture should yield 36 near-dup pairs, got ${reference.size}")
   }
 
+  test("audio fingerprints: WAV decode roundtrips the fixture rule exactly; " +
+      "banded Hamming join is recall-complete; variants near, bases far") {
+    import spark.implicits._
+    import graft.sources.Multimodal
+    val fix = Multimodal.ensureAudioFpFixtures()
+    val fps = Multimodal.audioFingerprints(
+        Multimodal.readBinary(spark, s"$fix/*.wav"))
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+        col("afp"), col("dfp"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fps.size == 36, s"expected 36 fixtures, decoded ${fps.size}")
+    // (a) the decoded fingerprints equal the generation rule's — the WAV
+    // write → RIFF walk → sample path changes no sample
+    def ruleFp(i: Int, j: Int): (Long, Long) = {
+      val fs = new Array[Long](64)
+      for (idx <- 0 until 1024)
+        fs(idx / 16) += Multimodal.audioFpSample(i, j, idx) // all >= 0
+      val total = fs.sum
+      var a = 0L; var d = 0L
+      for (f <- 0 until 64) {
+        if (fs(f) * 64 > total) a |= 1L << f
+        if (fs(f) > fs((f + 1) % 64)) d |= 1L << f
+      }
+      (a, d)
+    }
+    for (i <- 0 until 12; j <- 0 until 3)
+      assert(fps(f"wav_$i%02d_$j.wav") == ruleFp(i, j),
+        s"decoded fingerprint diverged from the rule for wav_${i}_$j")
+    // (b) fixture separation: a one-frame inversion moves few afp bits,
+    // a different base moves many — the margin the band join rides on
+    def hamA(a: String, b: String) =
+      java.lang.Long.bitCount(fps(a)._1 ^ fps(b)._1)
+    for (i <- 0 until 12) {
+      assert(hamA(f"wav_$i%02d_0.wav", f"wav_$i%02d_1.wav") <= 2)
+      assert(hamA(f"wav_$i%02d_0.wav", f"wav_$i%02d_2.wav") <= 2)
+    }
+    assert(hamA("wav_00_0.wav", "wav_01_0.wav") > 6,
+      "different bases must not look like near-dups")
+    // (c) the 8-byte-band join finds EXACTLY the all-pairs reference at
+    // hamming <= 6 (pigeonhole-complete for <= 7)
+    val fpDf = fps.toSeq.map { case (f, (a, d)) => (f, a, d) }
+      .toDF("fname", "afp", "dfp")
+    val banded = Multimodal.bandedHammingPairs(fpDf, "fname", "afp", "dfp",
+        maxHamming = 6)
+      .select($"d1", $"d2").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val names = fps.keys.toSeq.sorted
+    val reference = (for {
+      a <- names; b <- names if a < b
+      if java.lang.Long.bitCount(fps(a)._1 ^ fps(b)._1) <= 6
+    } yield (a, b)).toSet
+    assert(banded == reference,
+      s"banded join missed ${(reference -- banded).take(5)} " +
+        s"or fabricated ${(banded -- reference).take(5)}")
+    assert(reference.size == 36, // 3 within-base pairs × 12 bases
+      s"fixture should yield 36 near-dup pairs, got ${reference.size}")
+  }
+
+  test("audio fingerprints: general floor-boundary grid (sample count not " +
+      "divisible by 64) and negative samples match an independent recompute") {
+    import graft.sources.Multimodal
+    import java.nio.file.Files
+    // 1000 samples (frames of 15/16 samples) with negative values: the
+    // fingerprint reads |sample| on the floor-boundary grid with
+    // count-aware cross-multiplication — recompute it independently
+    val samples = Array.tabulate(1000)(k =>
+      (if (k % 3 == 0) -1 else 1) * ((k * 131) % 20000 - 7000))
+    val dir = Files.createTempDirectory("graft_audio_grid")
+    Files.write(dir.resolve("odd.wav"), Multimodal.monoWav(8000, samples.toSeq))
+    val row = Multimodal.audioFingerprints(
+        Multimodal.readBinary(spark, s"$dir/*.wav"))
+      .select(col("n_samples"), col("afp"), col("dfp"))
+      .collect().head
+    assert(row.getLong(0) == 1000L)
+    val n = samples.length
+    val fs = new Array[Long](64); val fn = new Array[Long](64)
+    for (k <- 0 until n) {
+      val f = (k.toLong * 64 / n).toInt
+      fs(f) += math.abs(samples(k)); fn(f) += 1
+    }
+    val total = fs.sum
+    var a = 0L; var d = 0L
+    for (f <- 0 until 64) {
+      if (fs(f) * n > total * fn(f)) a |= 1L << f
+      val nb = (f + 1) % 64
+      if (fs(f) * fn(nb) > fs(nb) * fn(f)) d |= 1L << f
+    }
+    assert(row.getLong(1) == a && row.getLong(2) == d,
+      "floor-boundary audio fingerprint diverged from the independent recompute")
+  }
+
   test("perceptual hashes: general floor-boundary grid (dims not divisible " +
       "by 8) and the color-luminance path match an independent recompute") {
     import spark.implicits._
