@@ -149,20 +149,27 @@ object ExportOps {
   val ChunkChars = 200
   val ChunkStride = 150
 
+  /** The q134 chunking rule over an explicit document frame — the RAG
+    * lifecycle model (q168) runs it over the DEDUPED corpus.
+    */
+  private[queries] def chunkDocs(docs: DataFrame): DataFrame =
+    docs
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), (col("n_chars") - 1).cast(IntegerType),
+          lit(ChunkStride))).as("chunk_start"))
+      .select(col("doc_id"),
+        (col("chunk_start") / ChunkStride).cast(LongType).as("chunk_id"),
+        col("chunk_start").cast(LongType).as("chunk_start"),
+        substring(col("text"), col("chunk_start") + 1, lit(ChunkChars))
+          .as("chunk"))
+      .select(col("doc_id"), col("chunk_id"), col("chunk_start"),
+        length(col("chunk")).cast(LongType).as("n_chunk_chars"),
+        md5(col("chunk")).as("chunk_md5"))
+
   def q134(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    t(spark, dir, "documents")
-      .filter($"n_chars" > 0)
-      .select($"doc_id", $"text",
-        explode(sequence(lit(0), ($"n_chars" - 1).cast(IntegerType),
-          lit(ChunkStride))).as("chunk_start"))
-      .select($"doc_id",
-        ($"chunk_start" / ChunkStride).cast(LongType).as("chunk_id"),
-        $"chunk_start".cast(LongType).as("chunk_start"),
-        substring($"text", $"chunk_start" + 1, lit(ChunkChars)).as("chunk"))
-      .select($"doc_id", $"chunk_id", $"chunk_start",
-        length($"chunk").cast(LongType).as("n_chunk_chars"),
-        md5($"chunk").as("chunk_md5"))
+    chunkDocs(t(spark, dir, "documents"))
       .orderBy($"doc_id".asc_nulls_first, $"chunk_id".asc_nulls_first)
   }
 

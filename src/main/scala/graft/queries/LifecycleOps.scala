@@ -212,9 +212,199 @@ object LifecycleOps {
        |  arg_min(doc_id, k) AS first_doc, arg_max(doc_id, k) AS last_doc
        |FROM r GROUP BY 1 ORDER BY shard NULLS FIRST""".stripMargin
 
+  /** The banding-recall SLO the RAG model's dedup stage enforces
+    * ([[graft.ops.MinHashDedup.bandingDecision]]'s floor): candidates
+    * the generator never surfaces are near-dups that survive dedup.
+    */
+  val RagBandingFloor = 0.95
+
+  /** Q168 — the RAG INGEST-TO-SERVE LIFECYCLE: the serving-stack
+    * composition (dedup → chunk → int8 vector index → hybrid serve)
+    * registered as ONE [[EtlModel]] through the A5–A13 task lifecycle —
+    * the q141 pattern for the retrieval pipeline the r13–r15 rounds
+    * built piecewise (q86/q94 → q134 → q142/q162/q165 → q164):
+    *
+    *  1. DEDUP at a MEASURED operating point: the q160 measurement
+    *     ([[MinHashDedup.bandingMeasure]] over rowsPerBand ∈ {1,2,4} on
+    *     a deterministic probe slice) feeds
+    *     [[MinHashDedup.bandingDecision]] — the pipeline CONSULTS the
+    *     actuator (the q151-refitDecision pattern) instead of shipping
+    *     the static 4×2 default; the decided generator's pairs collapse
+    *     into TRUE clusters, keeper = cluster-minimum doc. The oracle
+    *     replays the knob-INDEPENDENT pair semantics (exact Jaccard ≥
+    *     0.5), so the hash gate also proves the decided point loses no
+    *     pair on this corpus.
+    *  2. CHUNK the kept corpus (q134's rule) and MATERIALISE the chunk
+    *     table — the retrieval serving payload; the final result reads
+    *     each served doc's chunk summary BACK from the artifact.
+    *  3. INT8 INDEX the kept embeddings through the VERSIONED target
+    *     (q165's build shape: SQ8 payload behind the atomic pointer,
+    *     quantizer tag-paired, zero-vector drops loud).
+    *  4. HYBRID SERVE off the live pointer: dequantized prefetch +
+    *     exact re-rank dense lists (q162) fused with banded lexical
+    *     lists by RRF (q159), each hit joined to its chunk summary.
+    *
+    * Scale shape inherited stage-by-stage: banded candidates (never
+    * all-pairs), O(log d) contraction, map-only chunking, one O(corpus)
+    * index build behind a pointer, |probes|·k serving. The oracle
+    * chains every stage's shipped CTEs in one WITH.
+    */
+  /** The RAG model's stage-1 knob selection — q160's measurement over
+    * rowsPerBand ∈ {1, 2, 4} fed to the decision verb at the model's
+    * recall SLO. Factored so LifecycleSpec can drive the SHIPPED
+    * selection path with a degraded corpus and watch the operating
+    * point flip off the wide-band default.
+    */
+  def ragBandingOperatingPoint(docs: DataFrame,
+      probes: DataFrame): MinHashDedup.BandingMeasurement = {
+    val points = Seq(1, 2, 4).map(r => MinHashDedup.bandingMeasure(
+      probes, docs, "doc_id", "text", gramN = 5, rowsPerBand = r,
+      minJaccard = 0.5))
+    MinHashDedup.bandingDecision(points, RagBandingFloor)
+  }
+
+  final class RagLifecycleModel extends EtlModel {
+    override def name: String = "RagLifecycle"
+
+    override def build(ctx: EngineContext): DataFrame = {
+      val spark = ctx.spark
+      import spark.implicits._
+      import java.nio.file.{Files, Paths}
+      import graft.ops.{Components, Similarity, VersionedTarget}
+      val dir = ctx.resolve("{data_dir}")
+      val out = graft.core.Scratch.deleteOnExit(ctx.resolve("{output}"))
+      val docs = t(spark, dir, "documents")
+      val emb = t(spark, dir, "embeddings").coalesce(8)
+
+      // stage 1 — dedup, operating point CHOSEN BY MEASUREMENT: the
+      // probe slice is a deterministic sample (at 100 TB this is the
+      // scheduled evaluation pass, never the production path)
+      val op = ragBandingOperatingPoint(docs,
+        docs.filter($"doc_id" % 10 === 3))
+      require(op.recall >= RagBandingFloor, // loud: no point meets the SLO
+        s"no banding operating point meets recall >= $RagBandingFloor " +
+          s"(best: rowsPerBand=${op.rowsPerBand} at ${op.recall})")
+      val pairs = MinHashDedup.ngramJaccardPairs(docs, "doc_id", "text",
+        gramN = 5, rowsPerBand = op.rowsPerBand, minJaccard = 0.5)
+      val cs = graft.core.CacheScope.adopt(Components.clustersWithSize(
+        pairs.select($"d1".as("a"), $"d2".as("b")),
+        docs.select($"doc_id".as("id"))))
+      val keepIds = cs.filter($"id" === $"cluster").select($"id".as("doc_id"))
+      val kept = docs.join(keepIds, Seq("doc_id"), "left_semi")
+
+      // stage 2 — chunk the kept corpus (q134 rule) into the serving
+      // payload artifact
+      ExportOps.chunkDocs(kept)
+        .write.mode("overwrite").parquet(s"$out/chunks")
+      val csum = spark.read.parquet(s"$out/chunks")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          min_by($"chunk_md5", $"chunk_id").as("head_md5"))
+
+      // stage 3 — int8 index of the kept embeddings through the
+      // versioned target (q165's build shape)
+      val keptEmb = emb.join(keepIds.select($"doc_id".as("vec_id")),
+        Seq("vec_id"), "left_semi")
+      val aroot = Paths.get(out, "assignments8")
+      val croot = Paths.get(out, "centroids")
+      Seq(aroot, croot).foreach(Files.createDirectories(_))
+      val assignT = VersionedTarget.Segmented(aroot,
+        partitionCols = Seq("cell"), clusterCommits = true)
+      val centT = VersionedTarget.Rewrite(croot)
+      val (assign, cent0) = Similarity.kmeansFit(keptEmb, "vec_id",
+        "embedding", k = 8, iters = 2, materialize = false, withVec = true)
+      centT.commit(cent0, 0L)
+      assignT.commit(Similarity.quantizeInt8(assign, "vec_id", "embedding",
+        warnOnDrops = true), 0L, tag = Some("v0"))
+
+      // stage 4 — hybrid serve off the live pointer; every hit carries
+      // its chunk summary read back from the stage-2 artifact
+      val idx8 = assignT.current(spark)
+        .getOrElse(sys.error("int8 index target committed no version"))
+      val c = Similarity.pairedQuantizer(spark, assignT, centT)
+        .getOrElse(sys.error("no centroid version paired with the index"))
+      val dense = Similarity.ivfTopKServedInt8(idx8, keptEmb, c,
+          "vec_id", "embedding", keptEmb.filter($"vec_id" < 10),
+          k = 10, prefetch = 20, nprobe = 2)
+        .select($"probe_id", $"cand_id", $"rn".as("rn_d"))
+      val served = LlmOps.rrfFuse(dense, LlmOps.lexicalTopKOf(kept))
+        .join(csum.select($"doc_id".as("cand_id"), $"n_chunks", $"head_md5"),
+          Seq("cand_id"), "left")
+        .select($"probe_id", $"cand_id", $"rrf6", $"rn",
+          coalesce($"n_chunks", lit(0L)).as("n_chunks"), $"head_md5")
+      served.write.mode("overwrite").parquet(s"$out/served")
+      spark.read.parquet(s"$out/served")
+    }
+  }
+
+  /** Q168 — run [[RagLifecycleModel]] through the full task lifecycle
+    * (registry gate → runSync under a job group → status `complete`)
+    * and return the served fusion table.
+    */
+  def q168(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val registry = new TaskRegistry
+    val status = new StatusRegistry
+    val runner = new JobRunner(spark, registry, status, maxConcurrentTasks = 2)
+    registry.register(new RagLifecycleModel)
+    val spec = TaskSpec(modelClass = "RagLifecycle")
+    val outBase = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}" +
+      s"/graft_scratch/q168_${spec.taskId}"
+    val specWithCtx = spec.copy(
+      resolverContext = Map("data_dir" -> dir, "output" -> outBase))
+    try {
+      runner.runSync(specWithCtx)
+      require(status.status(spec.taskId) == "complete",
+        s"RAG lifecycle task ended ${status.status(spec.taskId)}")
+    } finally runner.close()
+    spark.read.parquet(s"$outBase/served")
+      .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
+  }
+
+  /** Every stage's shipped oracle chained in ONE WITH: exact-Jaccard
+    * dedup pairs (knob-independent — the measured operating point must
+    * lose no pair for the hash to hold) → 3-round min-label clusters →
+    * cluster-min keepers → kept-corpus lexical lists + kept-embedding
+    * SQ8 dense lists → RRF fusion → per-hit chunk summary (q134's rule).
+    */
+  val q168Sql: String = {
+    val dedup =
+      s"""${LlmOps.ngramPairCtesOver("documents", "dd")},
+         |e AS (SELECT d1 AS a, d2 AS b FROM ddpairs
+         |      UNION ALL SELECT d2 AS a, d1 AS b FROM ddpairs),
+         |lab0 AS (SELECT doc_id AS id, doc_id AS cluster FROM documents),
+         |${CurationOps.labRound(1)},
+         |${CurationOps.labRound(2)},
+         |${CurationOps.labRound(3)},
+         |keep AS MATERIALIZED (SELECT id FROM lab3 WHERE id = cluster),
+         |kdocs AS MATERIALIZED (
+         |  SELECT * FROM documents WHERE doc_id IN (SELECT id FROM keep))""".stripMargin
+    val keptVecs = "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
+      "FROM embeddings WHERE vec_id IN (SELECT id FROM keep)"
+    val tail =
+      s"""csum AS (
+         |  SELECT doc_id, COUNT(*) AS n_chunks,
+         |    md5(substr(text, 1, ${ExportOps.ChunkChars})) AS head_md5
+         |  FROM kdocs, UNNEST(range(0, CAST(n_chars AS BIGINT), ${ExportOps.ChunkStride})) g(s)
+         |  WHERE n_chars > 0 GROUP BY doc_id, text)
+         |SELECT r.probe_id, r.cand_id, r.rrf6, r.rn,
+         |  COALESCE(c.n_chunks, 0) AS n_chunks, c.head_md5
+         |FROM rrfranked r LEFT JOIN csum c ON c.doc_id = r.cand_id
+         |WHERE r.rn <= 5
+         |ORDER BY probe_id NULLS FIRST, rn NULLS FIRST""".stripMargin
+    "WITH " + dedup + ",\n" +
+      LlmOps.kmeansCtes("TRUE", keptVecs).stripPrefix("WITH ") + ",\n" +
+      LlmOps.ngramPairCtesOver("kdocs") + ",\n" +
+      LlmOps.lexTopKCtes + ",\n" +
+      LlmOps.sq8DenseTopKCtes + ",\n" +
+      LlmOps.rrfCoreCtes + ",\n" + tail
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q141_corpus_lifecycle" -> (q141 _))
+    "q141_corpus_lifecycle" -> (q141 _),
+    "q168_rag_lifecycle" -> (q168 _))
 
   def oracles: Map[String, String] = Map(
-    "q141_corpus_lifecycle" -> q141Sql)
+    "q141_corpus_lifecycle" -> q141Sql,
+    "q168_rag_lifecycle" -> q168Sql)
 }

@@ -431,7 +431,7 @@ object LlmOps {
   private val rawVecSql: String =
     "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings"
 
-  private def kmeansCtes(fitWhere: String, vecSql: String = rawVecSql): String = {
+  private[queries] def kmeansCtes(fitWhere: String, vecSql: String = rawVecSql): String = {
     // one Lloyd's round: argmin against centN → recompute exact-decimal
     // per-dim means as centN+1 (same expression tree as kmeansAssign)
     def round_(n: Int, prevCent: String): String =
@@ -1629,19 +1629,24 @@ object LlmOps {
     * minJaccard=0 keeps every banded candidate (ranking, not gating) —
     * band collision implies >=1 shared gram, so jaccard>0 on both sides.
     */
-  private[graft] def lexicalTopK(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  private[graft] def lexicalTopK(spark: SparkSession, dir: String): DataFrame =
+    lexicalTopKOf(t(spark, dir, "documents"))
+
+  /** [[lexicalTopK]] over an explicit document frame — the RAG lifecycle
+    * model (q168) runs it over the DEDUPED corpus.
+    */
+  private[graft] def lexicalTopKOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = t(spark, dir, "documents")
     val lexPairs = MinHashDedup.crossNgramPairs(
-        docs.filter($"doc_id" < 10), docs, "doc_id", "text",
+        docs.filter(col("doc_id") < 10), docs, "doc_id", "text",
         gramN = 5, rowsPerBand = 2, minJaccard = 0.0)
-      .filter($"in_id" =!= $"ex_id")
-    val lw = Window.partitionBy($"in_id")
-      .orderBy($"jaccard".desc, $"ex_id".asc)
+      .filter(col("in_id") =!= col("ex_id"))
+    val lw = Window.partitionBy(col("in_id"))
+      .orderBy(col("jaccard").desc, col("ex_id").asc)
     lexPairs.withColumn("rn_l", row_number().over(lw))
-      .filter($"rn_l" <= 10)
-      .select($"in_id".as("probe_id"), $"ex_id".as("cand_id"), $"rn_l")
+      .filter(col("rn_l") <= 10)
+      .select(col("in_id").as("probe_id"), col("ex_id").as("cand_id"),
+        col("rn_l"))
   }
 
   /** Reciprocal Rank Fusion of a dense ranking `(probe_id, cand_id,
@@ -1668,7 +1673,7 @@ object LlmOps {
     * `bands`/`hx`/`gsz` CTEs from [[ngramPairCtesOver]]), ending in
     * `lex(probe_id, cand_id, rn_l)` — shared by q159/q161.
     */
-  private val lexTopKCtes: String =
+  private[queries] val lexTopKCtes: String =
     """lexcand AS (
       |  SELECT DISTINCT a.doc_id AS p, b.doc_id AS c
       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
@@ -1692,7 +1697,10 @@ object LlmOps {
     * `lex(probe_id, cand_id, rn_l)` — the identical fixed-order
     * arithmetic [[rrfFuse]] runs, shared by q159/q161.
     */
-  private val rrfFusionSql: String =
+  /** The fusion CTE pair alone (`fused` + `rrfranked` over `dense` and
+    * `lex`) — q168 reuses it under a different result tail.
+    */
+  private[queries] val rrfCoreCtes: String =
     """fused AS (
       |  SELECT COALESCE(d.probe_id, l.probe_id) AS probe_id,
       |         COALESCE(d.cand_id, l.cand_id) AS cand_id,
@@ -1703,8 +1711,10 @@ object LlmOps {
       |rrfranked AS (
       |  SELECT probe_id, cand_id, rrf6,
       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY rrf6 DESC, cand_id ASC) AS rn
-      |  FROM fused)
-      |SELECT probe_id, cand_id, rrf6, rn FROM rrfranked WHERE rn <= 5
+      |  FROM fused)""".stripMargin
+
+  private val rrfFusionSql: String = rrfCoreCtes + "\n" +
+    """SELECT probe_id, cand_id, rrf6, rn FROM rrfranked WHERE rn <= 5
       |ORDER BY probe_id NULLS FIRST, rn NULLS FIRST""".stripMargin
 
   /** Replays both rankings off the SAME CTE prefixes as their parent
@@ -2098,50 +2108,60 @@ object LlmOps {
     * vec_id < 10, fused with q159's lexical lists by the identical RRF
     * arithmetic.
     */
+  /** The SQ8 dense-ranking CTE chain for hybrid serving (probes
+    * vec_id < 10, prefetch 20, top-10): quantize the assigned vectors,
+    * rank candidates on the dequantized values, exact re-rank the
+    * prefetch winners — ending in `dense(probe_id, cand_id, rn_d)`.
+    * Shared by q164 (full corpus) and q168 (deduped corpus: `vecs` is
+    * kept-filtered upstream, the chain is unchanged).
+    */
+  private[queries] val sq8DenseTopKCtes: String =
+    """qz AS (
+      |  SELECT vec_id, cell, v,
+      |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      |  FROM avx),
+      |dqx AS (
+      |  SELECT vec_id, cell,
+      |    list_transform(v, x -> floor(x / scale + 0.5) * scale) AS dq
+      |  FROM qz WHERE scale > 0),
+      |pcell AS (
+      |  SELECT vec_id AS probe_id, cell FROM (
+      |    SELECT v.vec_id, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+      |        ROUND(list_dot_product(v.v, v.v) - 2.0 * list_dot_product(v.v, c.centroid)
+      |              + list_dot_product(c.centroid, c.centroid), 6) ASC, c.cell ASC) AS crn
+      |    FROM vecs v CROSS JOIN cent2 c WHERE v.vec_id < 10)
+      |  WHERE crn <= 2),
+      |apairs AS (
+      |  SELECT p.probe_id, c.vec_id AS cand_id,
+      |    ROUND(list_dot_product(pv.v, c.dq)
+      |          / (pv.nrm * SQRT(list_dot_product(c.dq, c.dq))), 6) AS approx6
+      |  FROM pcell p
+      |  JOIN dqx c ON c.cell = p.cell
+      |  JOIN avx pv ON pv.vec_id = p.probe_id
+      |  WHERE c.vec_id <> p.probe_id),
+      |pref AS (
+      |  SELECT probe_id, cand_id FROM (
+      |    SELECT probe_id, cand_id,
+      |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY approx6 DESC, cand_id ASC) AS arn
+      |    FROM apairs) WHERE arn <= 20),
+      |epairs AS (
+      |  SELECT f.probe_id, f.cand_id,
+      |    ROUND(list_dot_product(pv.v, c.v) / (pv.nrm * c.nrm), 6) AS cos6
+      |  FROM pref f
+      |  JOIN avx c ON c.vec_id = f.cand_id
+      |  JOIN avx pv ON pv.vec_id = f.probe_id),
+      |dense AS (
+      |  SELECT probe_id, cand_id, rn_d FROM (
+      |    SELECT probe_id, cand_id,
+      |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos6 DESC, cand_id ASC) AS rn_d
+      |    FROM epairs) WHERE rn_d <= 10)""".stripMargin
+
   val q164Sql: String =
     s"""${kmeansCtes("TRUE")},
        |${ngramPairCtesOver("documents")},
        |$lexTopKCtes,
-       |qz AS (
-       |  SELECT vec_id, cell, v,
-       |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
-       |  FROM avx),
-       |dqx AS (
-       |  SELECT vec_id, cell,
-       |    list_transform(v, x -> floor(x / scale + 0.5) * scale) AS dq
-       |  FROM qz WHERE scale > 0),
-       |pcell AS (
-       |  SELECT vec_id AS probe_id, cell FROM (
-       |    SELECT v.vec_id, c.cell,
-       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
-       |        ROUND(list_dot_product(v.v, v.v) - 2.0 * list_dot_product(v.v, c.centroid)
-       |              + list_dot_product(c.centroid, c.centroid), 6) ASC, c.cell ASC) AS crn
-       |    FROM vecs v CROSS JOIN cent2 c WHERE v.vec_id < 10)
-       |  WHERE crn <= 2),
-       |apairs AS (
-       |  SELECT p.probe_id, c.vec_id AS cand_id,
-       |    ROUND(list_dot_product(pv.v, c.dq)
-       |          / (pv.nrm * SQRT(list_dot_product(c.dq, c.dq))), 6) AS approx6
-       |  FROM pcell p
-       |  JOIN dqx c ON c.cell = p.cell
-       |  JOIN avx pv ON pv.vec_id = p.probe_id
-       |  WHERE c.vec_id <> p.probe_id),
-       |pref AS (
-       |  SELECT probe_id, cand_id FROM (
-       |    SELECT probe_id, cand_id,
-       |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY approx6 DESC, cand_id ASC) AS arn
-       |    FROM apairs) WHERE arn <= 20),
-       |epairs AS (
-       |  SELECT f.probe_id, f.cand_id,
-       |    ROUND(list_dot_product(pv.v, c.v) / (pv.nrm * c.nrm), 6) AS cos6
-       |  FROM pref f
-       |  JOIN avx c ON c.vec_id = f.cand_id
-       |  JOIN avx pv ON pv.vec_id = f.probe_id),
-       |dense AS (
-       |  SELECT probe_id, cand_id, rn_d FROM (
-       |    SELECT probe_id, cand_id,
-       |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos6 DESC, cand_id ASC) AS rn_d
-       |    FROM epairs) WHERE rn_d <= 10),
+       |$sq8DenseTopKCtes,
        |$rrfFusionSql""".stripMargin
 
   /** Q165 — INT8 INDEX LIFECYCLE (streaming SQ8 ingest + serve): q162
