@@ -335,6 +335,53 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("bit_count"), s"exact Hamming post-filter missing:\n$p")
   }
 
+  test("q165 streamed int8 serve: the wave off the versioned pointer is " +
+      "equi-join + point-lookup re-rank, never cartesian") {
+    val p = plan(LlmOps.q165(spark, sfDir))
+    // the returned frame is the materialised k-bounded wave; pin the
+    // SERVING plan itself instead: rebuild the served wave off the live
+    // target the query just committed (same verbs, same shapes)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"streamed SQ8 result plan exploded:\n$p")
+    import spark.implicits._
+    import java.nio.file.Paths
+    val out = PipelineOps.layoutDir(spark, sfDir, "ivfint8stream")
+    val assignT = graft.ops.VersionedTarget.Segmented(
+      Paths.get(out, "assignments8"), partitionCols = Seq("cell"),
+      clusterCommits = true)
+    val centT = graft.ops.VersionedTarget.Rewrite(Paths.get(out, "centroids"))
+    val idx8 = assignT.current(spark).get
+    val c = graft.ops.Similarity.pairedQuantizer(spark, assignT, centT).get
+    val e = graft.core.Tables.t(spark, sfDir, "embeddings")
+    val wave = plan(graft.ops.Similarity.ivfTopKServedInt8(idx8, e, c,
+      "vec_id", "embedding", e.filter($"vec_id" < 20),
+      k = 3, prefetch = 6, nprobe = 2))
+    assert(!wave.contains("CartesianProduct") && !wave.contains("BroadcastNestedLoopJoin"),
+      s"SQ8 wave over the versioned index exploded to all pairs:\n$wave")
+    assert(wave.contains("HashJoin") || wave.contains("SortMergeJoin"),
+      s"no equi-join in the versioned SQ8 wave:\n$wave")
+  }
+
+  test("q166/q167 media dedup: band joins and the cluster contraction " +
+      "stay equi-joins, never cartesian") {
+    val p166 = plan(LlmOps.q166(spark, sfDir))
+    assert(!p166.contains("CartesianProduct") && !p166.contains("BroadcastNestedLoopJoin"),
+      s"image cluster/apply plan exploded:\n$p166")
+    val p167 = plan(LlmOps.q167(spark, sfDir))
+    assert(!p167.contains("CartesianProduct") && !p167.contains("BroadcastNestedLoopJoin"),
+      s"audio band join exploded to all pairs:\n$p167")
+    assert(p167.contains("HashJoin") || p167.contains("SortMergeJoin"),
+      s"no equi-join on (band, byte) in:\n$p167")
+    assert(p167.contains("bit_count"), s"exact Hamming post-filter missing:\n$p167")
+  }
+
+  test("q168 RAG lifecycle: the served fusion table's plan carries no " +
+      "cartesian product") {
+    val p = plan(LifecycleOps.q168(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"RAG serve plan exploded:\n$p")
+  }
+
   test("Q23 approx distinct is within 5% of exact at sf0.001") {
     import org.apache.spark.sql.functions._
     val approx = Aggregates.q23(spark, sfDir).collect()
