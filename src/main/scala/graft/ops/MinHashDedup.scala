@@ -166,11 +166,24 @@ object MinHashDedup {
     * [[ngramJaccardPairs]] self-join and the asymmetric
     * [[crossNgramPairs]] two-corpus join.
     */
-  private def ngramBands(docs: DataFrame, idCol: String, textCol: String,
-                         gramN: Int, rowsPerBand: Int): DataFrame = {
-    val sig = graft.functions.CharMinHash.sig(col(textCol), gramN, coeffs, prime)
-    val sigs = docs.select(col(idCol), sig.as("__sig"))
+  /** The per-doc MinHash signature frame `(idCol, __sig)` — the
+    * banding-INDEPENDENT half of band-row generation, factored so a
+    * knob sweep ([[bandingMeasureAll]]) computes the corpus signatures
+    * once and derives every operating point's bands from the cached
+    * frame instead of re-hashing the corpus per point.
+    */
+  private def ngramSigs(docs: DataFrame, idCol: String, textCol: String,
+                        gramN: Int): DataFrame =
+    docs.select(col(idCol),
+        graft.functions.CharMinHash.sig(col(textCol), gramN, coeffs, prime)
+          .as("__sig"))
       .filter(col("__sig").isNotNull)
+
+  /** Band rows `(id, __sig, band, k0..k{r-1})` from a signature frame —
+    * map-only (one explode of nBands structs).
+    */
+  private def bandsFromSigs(sigs: DataFrame, idCol: String,
+                            rowsPerBand: Int): DataFrame = {
     val nBands = coeffs.size / rowsPerBand
     val bandStructs = (0 until nBands).map { b =>
       struct(lit(b).as("band") +: (0 until rowsPerBand).map(r =>
@@ -182,6 +195,10 @@ object MinHashDedup {
         (col("__b.band").as("band") +:
           (0 until rowsPerBand).map(r => col(s"__b.k$r"))): _*)
   }
+
+  private def ngramBands(docs: DataFrame, idCol: String, textCol: String,
+                         gramN: Int, rowsPerBand: Int): DataFrame =
+    bandsFromSigs(ngramSigs(docs, idCol, textCol, gramN), idCol, rowsPerBand)
 
   /** CROSS-CORPUS near-dup pairs: each `incoming` doc against the
     * `existing` corpus only — the dedup shape a production ingest
@@ -231,13 +248,23 @@ object MinHashDedup {
     */
   def crossNgramCandidates(incoming: DataFrame, existing: DataFrame,
                            idCol: String, textCol: String,
-                           gramN: Int, rowsPerBand: Int): DataFrame = {
+                           gramN: Int, rowsPerBand: Int): DataFrame =
+    crossCandidatesFromSigs(ngramSigs(incoming, idCol, textCol, gramN),
+      ngramSigs(existing, idCol, textCol, gramN), idCol, rowsPerBand)
+
+  /** [[crossNgramCandidates]] from precomputed signature frames — the
+    * knob-sweep path: signatures are hashed once, each operating point
+    * pays only its map-only banding + the band join.
+    */
+  private def crossCandidatesFromSigs(inSigs: DataFrame, exSigs: DataFrame,
+                                      idCol: String,
+                                      rowsPerBand: Int): DataFrame = {
     val nBands = coeffs.size / rowsPerBand
     val joinKeys = "band" +: (0 until rowsPerBand).map(r => s"k$r")
-    val left = ngramBands(incoming, idCol, textCol, gramN, rowsPerBand)
+    val left = bandsFromSigs(inSigs, idCol, rowsPerBand)
       .select(col("band") +: (0 until rowsPerBand).map(r => col(s"k$r")) :+
         col(idCol).as("in_id") :+ col("__sig").as("__s1"): _*)
-    val right = ngramBands(existing, idCol, textCol, gramN, rowsPerBand)
+    val right = bandsFromSigs(exSigs, idCol, rowsPerBand)
       .select(col("band") +: (0 until rowsPerBand).map(r => col(s"k$r")) :+
         col(idCol).as("ex_id") :+ col("__sig").as("__s2"): _*)
     // A pair colliding in several bands must come out once: emit it only
@@ -275,9 +302,25 @@ object MinHashDedup {
     */
   def bandingMeasure(probes: DataFrame, corpus: DataFrame,
                      idCol: String, textCol: String, gramN: Int,
-                     rowsPerBand: Int, minJaccard: Double): BandingMeasurement = {
-    require(coeffs.size % rowsPerBand == 0,
-      s"rowsPerBand $rowsPerBand must divide the ${coeffs.size}-hash signature")
+                     rowsPerBand: Int, minJaccard: Double): BandingMeasurement =
+    bandingMeasureAll(probes, corpus, idCol, textCol, gramN,
+      Seq(rowsPerBand), minJaccard).head
+
+  /** [[bandingMeasure]] over SEVERAL operating points with the truth
+    * pass paid ONCE: the brute-force probe×corpus exact-Jaccard side is
+    * banding-INDEPENDENT (it is the expensive half — the candidate
+    * counts are banded-join-sized), so a knob sweep (the
+    * [[bandingDecision]] input, q168's stage 1) computes and persists
+    * it once and scores every candidate set against the cached pairs,
+    * instead of paying |points| cross scans.
+    */
+  def bandingMeasureAll(probes: DataFrame, corpus: DataFrame,
+                        idCol: String, textCol: String, gramN: Int,
+                        rowsPerBands: Seq[Int],
+                        minJaccard: Double): Seq[BandingMeasurement] = {
+    require(rowsPerBands.nonEmpty)
+    rowsPerBands.foreach(r => require(coeffs.size % r == 0,
+      s"rowsPerBand $r must divide the ${coeffs.size}-hash signature"))
     val gP = probes.select(col(idCol).as("__p"),
         graft.functions.CharGramHashes.hashes(col(textCol), gramN).as("__gp"))
       .filter(col("__gp").isNotNull)
@@ -291,16 +334,29 @@ object MinHashDedup {
         (size(col("__gp")) + size(col("__gc")) - ov)).as("__j"))
       .filter(col("__j") >= minJaccard)
       .select(col("__p"), col("__c"))
-    val cand = crossNgramCandidates(probes, corpus, idCol, textCol,
-        gramN, rowsPerBand)
-      .filter(col("in_id") =!= col("ex_id"))
-    val nCand = cand.count()
-    val counts = truth
-      .join(cand.select(col("in_id").as("__p"), col("ex_id").as("__c"),
-        lit(1).as("__hit")), Seq("__p", "__c"), "left")
-      .agg(count(lit(1)).as("n_true"), count(col("__hit")).as("n_caught"))
-      .head()
-    BandingMeasurement(rowsPerBand, counts.getLong(0), counts.getLong(1), nCand)
+      .persist()
+    // the MinHash signatures are banding-independent too — hash each
+    // side once, derive every point's bands map-side off the cache
+    val pSigs = ngramSigs(probes, idCol, textCol, gramN).persist()
+    val cSigs = ngramSigs(corpus, idCol, textCol, gramN).persist()
+    try {
+      val nTrue = truth.count() // materialises the one shared truth pass
+      rowsPerBands.map { r =>
+        // one job per point: candidate volume and caught-truth count off
+        // the same candidate scan (truth is cached and pair-set sized)
+        val counts = crossCandidatesFromSigs(pSigs, cSigs, idCol, r)
+          .filter(col("in_id") =!= col("ex_id"))
+          .join(truth.select(col("__p").as("in_id"), col("__c").as("ex_id"),
+            lit(1).as("__hit")), Seq("in_id", "ex_id"), "left")
+          .agg(count(lit(1)).as("n_cand"), count(col("__hit")).as("n_caught"))
+          .head()
+        BandingMeasurement(r, nTrue, counts.getLong(1), counts.getLong(0))
+      }
+    } finally {
+      truth.unpersist(): Unit
+      pSigs.unpersist(): Unit
+      cSigs.unpersist(): Unit
+    }
   }
 
   /** The KNOB-SELECTION verb the q160 report exists for (the

@@ -257,9 +257,8 @@ object LifecycleOps {
     */
   def ragBandingOperatingPoint(docs: DataFrame,
       probes: DataFrame): MinHashDedup.BandingMeasurement = {
-    val points = Seq(1, 2, 4).map(r => MinHashDedup.bandingMeasure(
-      probes, docs, "doc_id", "text", gramN = 5, rowsPerBand = r,
-      minJaccard = 0.5))
+    val points = MinHashDedup.bandingMeasureAll(probes, docs, "doc_id",
+      "text", gramN = 5, rowsPerBands = Seq(1, 2, 4), minJaccard = 0.5)
     MinHashDedup.bandingDecision(points, RagBandingFloor)
   }
 
@@ -277,10 +276,12 @@ object LifecycleOps {
       val emb = t(spark, dir, "embeddings").coalesce(8)
 
       // stage 1 — dedup, operating point CHOSEN BY MEASUREMENT: the
-      // probe slice is a deterministic sample (at 100 TB this is the
-      // scheduled evaluation pass, never the production path)
+      // probe slice is a ~1% deterministic sample — the truth side of
+      // the measurement is probe×corpus exact Jaccard, so the sample
+      // size IS the evaluation budget (at 100 TB this is the scheduled
+      // evaluation pass, never the production path; q160's shape)
       val op = ragBandingOperatingPoint(docs,
-        docs.filter($"doc_id" % 10 === 3))
+        docs.filter($"doc_id" % 100 === 3))
       require(op.recall >= RagBandingFloor, // loud: no point meets the SLO
         s"no banding operating point meets recall >= $RagBandingFloor " +
           s"(best: rowsPerBand=${op.rowsPerBand} at ${op.recall})")

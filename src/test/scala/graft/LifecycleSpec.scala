@@ -87,7 +87,7 @@ class LifecycleSpec extends SparkSpec {
     // SLO is met at minimum candidate volume
     val docs = graft.core.Tables.t(spark, sfDir, "documents")
     val real = LifecycleOps.ragBandingOperatingPoint(docs,
-      docs.filter($"doc_id" % 10 === 3))
+      docs.filter($"doc_id" % 100 === 3))
     assert(real.recall >= LifecycleOps.RagBandingFloor,
       s"real-corpus operating point misses the SLO: ${real.recall}")
     assert(real.rowsPerBand == 4,
