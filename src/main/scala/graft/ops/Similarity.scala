@@ -780,6 +780,179 @@ object Similarity {
       ranked.select(col("probe_id"), col("cand_id"), col("cos6"), col("rn"))
   }
 
+  /** SemDeDup — SEMANTIC dedup of an embedding corpus, cell-scoped
+    * (Abbas et al. 2023, arXiv:2303.09540 — the public method): k-means
+    * clusters the corpus ([[kmeansFit]]'s deterministic quantizer), exact
+    * cosine pairs are generated WITHIN each cell only, pairs ≥ `minCos6`
+    * collapse into duplicate groups (true components — within-cell edges
+    * only, so groups never cross cells), and each group keeps the member
+    * with the LOWEST cosine to its cell centroid (the paper's rule: the
+    * least-redundant, most "extreme" example survives; ties break on id).
+    * Returns the per-vector verdict `(idCol, cell, grp, grp_size, c2c6,
+    * action)` — singleton groups are trivially `keep`.
+    *
+    * Scale shape: this is exactly how SemDeDup bounds the quadratic at
+    * corpus scale — the all-pairs work is Σ|cell|², and `k` is the knob
+    * that holds |cell| ~ n/k constant as the corpus grows (k-means cost
+    * is one map+agg job per round, never pairwise). The pair generator is
+    * an equi-join on `cell` (plan-pinned: no cartesian anywhere); each
+    * vector travels into the pair join once per side, and the verdict is
+    * one components pass + one window over the labels. Cache contract:
+    * the fitted assignment frame and the labels frame are adopted into
+    * the ambient [[graft.core.CacheScope]] (the returned frame is lazy
+    * over both); harness callers release via `releaseAll()`.
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    k: Int, iters: Int, minCos6: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (assign, centroids) = kmeansFit(corpus, idCol, vecCol, k, iters,
+      materialize = true, withVec = true)
+    graft.core.CacheScope.adopt(assign): Unit
+    val withN = assign.withColumn("__nrm", norm(col(vecCol)))
+    val a = withN.select(col("cell"), col(idCol).as("d1"),
+      col(vecCol).as("__v1"), col("__nrm").as("__n1"))
+    val b = withN.select(col("cell"), col(idCol).as("d2"),
+      col(vecCol).as("__v2"), col("__nrm").as("__n2"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("d1") < col("d2"))
+      .withColumn("cos6",
+        round(dot(col("__v1"), col("__v2")) / (col("__n1") * col("__n2")), 6))
+      .filter(col("cos6") >= minCos6)
+    val labels = graft.core.CacheScope.adopt(Components.clustersWithSize(
+      pairs.select(col("d1").as("a"), col("d2").as("b")),
+      assign.select(col(idCol).as("id"))))
+    // cosine of every vector to its OWN cell centroid — the keeper
+    // criterion; the k-row centroid table broadcasts
+    val c2c = withN.join(
+        broadcast(centroids.withColumnRenamed("__cell", "cell")), Seq("cell"))
+      .withColumn("c2c6", round(dot(col(vecCol), col("__centroid"))
+        / (col("__nrm") * norm(col("__centroid"))), 6))
+      .select(col(idCol), col("cell"), col("c2c6"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("c2c6").asc, col(idCol).asc)
+    labels.join(c2c, labels("id") === c2c(idCol))
+      .select(col(idCol), col("cell"), col("cluster").as("grp"),
+        col("cluster_size").as("grp_size"), col("c2c6"))
+      .withColumn("__krn", row_number().over(w))
+      .withColumn("action",
+        when(col("__krn") === 1, lit("keep")).otherwise(lit("drop")))
+      .drop("__krn")
+  }
+
+  /** PRODUCT-QUANTIZATION codebooks (Jégou et al. 2011, the FAISS IVF-PQ
+    * staple): the vector space splits into `m` contiguous subspaces of
+    * dim/m dimensions and each subspace gets its own `codes`-entry
+    * codebook — a deterministic per-subspace [[kmeansFit]] (lowest-id
+    * init, rounded-L2 argmin, exact-decimal means), so the oracle can
+    * unroll each fit with the same CTEs as the coarse quantizer. Returns
+    * the m localized codebooks in subspace order (each `codes` rows —
+    * driver-size BY DESIGN, like the coarse quantizer localize).
+    *
+    * Scale shape: each fit is the k-means one-job-per-round loop over a
+    * dim/m-wide projection — m fits cost ~one corpus pass each, paid once
+    * per index build and amortised over every query wave.
+    */
+  def pqFit(corpus: DataFrame, idCol: String, vecCol: String,
+            dim: Int, m: Int, codes: Int, iters: Int): Seq[Seq[(Long, Seq[Double])]] = {
+    require(m > 0 && dim % m == 0, s"dim ($dim) must split evenly into $m subspaces")
+    val sub = dim / m
+    (0 until m).map { s =>
+      val slc = corpus.select(col(idCol).as("__sid"),
+        slice(toDouble(col(vecCol)), s * sub + 1, sub).as("__sub"))
+      // only the codebook is needed — the lazy assignment frame is never
+      // evaluated ([[pqEncode]] re-derives codes map-side in ONE pass
+      // over the full corpus instead of m assignment joins)
+      val (_, centS) = kmeansFit(slc, "__sid", "__sub", codes, iters,
+        materialize = false, withVec = false)
+      localizeSeq(centS)
+    }
+  }
+
+  /** PQ-ENCODE a corpus into the serving payload: ONE map-only pass
+    * computes the coarse IVF cell plus the m sub-codes (each the same
+    * rounded-L2 / lowest-cell argmin as the quantizer itself, against
+    * its subspace's codebook literals) — `(idCol, codes array<byte>,
+    * cell)`. The index payload is m BYTES per vector (vs 1 byte/dim for
+    * SQ8 and 8/dim for float64): with dim=64, m=4 that is 16× below SQ8
+    * and 128× below the float index — the shape that keeps a 100 TB
+    * corpus' index memory-resident on a serving fleet.
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               books: Seq[Seq[(Long, Seq[Double])]],
+               coarse: Seq[(Long, Seq[Double])], dim: Int): DataFrame = {
+    import org.apache.spark.sql.types.ByteType
+    val sub = dim / books.size
+    val v = toDouble(col(vecCol))
+    val codeCols = books.zipWithIndex.map { case (book, s) =>
+      nearestCellExpr(slice(v, s * sub + 1, sub), book).cast(ByteType)
+    }
+    corpus.select(col(idCol), array(codeCols: _*).as("codes"),
+      nearestCellExpr(v, coarse).as("cell"))
+  }
+
+  /** Serve a probe wave from a PQ-CODED index `(idCol, codes, cell)`
+    * ([[pqEncode]]'s shape) by ASYMMETRIC DISTANCE COMPUTATION with exact
+    * re-rank — the two-stage IVF-PQ serving path: (1) each probe
+    * precomputes its ADC lookup tables ONCE (lut[s][c] = ⟨probe subvector
+    * s, codebook_s[c]⟩ — m·codes dots per probe, BEFORE the cell join),
+    * so ranking a candidate costs m array lookups + adds instead of a
+    * dim-wide dot; candidates keep the top `prefetch` per probe on the
+    * 6dp-rounded reconstructed cosine (reconstructed norms are plain
+    * per-code constants). (2) only those winners fetch full-precision
+    * vectors from `corpus` (k-bounded point-lookup join) and re-score
+    * exactly — returned cos6 carries no quantization error. `prefetch`
+    * is the recall knob of the PQ stage; the coarse cells prune exactly
+    * as in [[ivfTopKServed]].
+    */
+  def ivfTopKServedPQ(indexPq: DataFrame, corpus: DataFrame,
+      books: Seq[Seq[(Long, Seq[Double])]], coarse: Seq[(Long, Seq[Double])],
+      idCol: String, vecCol: String, probeRows: DataFrame,
+      k: Int, prefetch: Int, nprobe: Int, dim: Int): DataFrame = {
+    import org.apache.spark.sql.types.IntegerType
+    require(prefetch >= k, s"prefetch ($prefetch) must be >= k ($k)")
+    val m = books.size
+    val sub = dim / m
+    val probes = probeRows.select(col(idCol).as("probe_id"),
+      toDouble(col(vecCol)).as("__pv"), norm(col(vecCol)).as("__pn"))
+    // ADC tables as one array<array<double>> column, computed in the
+    // probe projection (once per probe row, not once per candidate pair)
+    val lutCol = array(books.zipWithIndex.map { case (book, s) =>
+      val ps = slice(col("__pv"), s * sub + 1, sub)
+      array(book.sortBy(_._1).map { case (_, cv) => dot(ps, typedlit(cv)) }: _*)
+    }: _*)
+    // reconstructed norm² per (subspace, code): driver-side constants,
+    // the same left-to-right fold as list_dot_product(centroid, centroid)
+    val normSq: Seq[Seq[Double]] = books.map(_.sortBy(_._1).map { case (_, cv) =>
+      var acc = 0.0; cv.foreach(x => acc += x * x); acc
+    })
+    val probeCells = probes
+      .withColumn("__lut", lutCol)
+      .select(col("probe_id"), col("__pv"), col("__pn"), col("__lut"),
+        explode(rankedCellsExpr(col("__pv"), coarse, nprobe)).as("cell"))
+    val cands = indexPq.select(col(idCol).as("cand_id"), col("codes"), col("cell"))
+    def codeAt(s: Int): Column = element_at(col("codes"), s + 1).cast(IntegerType)
+    val adot = (0 until m).map(s =>
+      element_at(element_at(col("__lut"), s + 1), codeAt(s))).reduce(_ + _)
+    val anormSq = (0 until m).map(s =>
+      element_at(typedlit(normSq(s)), codeAt(s))).reduce(_ + _)
+    val approx = probeCells.join(cands, Seq("cell"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("approx6", round(adot / (col("__pn") * sqrt(anormSq)), 6))
+    val pref = TopK.perGroup(approx, prefetch,
+        partition = Seq(col("probe_id")),
+        order = Seq(col("approx6").desc, col("cand_id").asc))
+      .select(col("probe_id"), col("__pv"), col("__pn"), col("cand_id"))
+    val full = corpus.select(col(idCol).as("cand_id"),
+      toDouble(col(vecCol)).as("__cv"), norm(col(vecCol)).as("__cn"))
+    val exact = pref.join(full, Seq("cand_id"))
+      .withColumn("cos6",
+        round(dot(col("__pv"), col("__cv")) / (col("__pn") * col("__cn")), 6))
+    TopK.perGroup(exact, k,
+        partition = Seq(col("probe_id")),
+        order = Seq(col("cos6").desc, col("cand_id").asc))
+      .select(col("probe_id"), col("cand_id"), col("cos6"), col("rn"))
+  }
+
   /** SQ8 — symmetric int8 quantization of a self-contained index frame
     * `(idCol, vecCol, cell)`: per-vector scale = max|v|/127 and
     * q_i = floor(v_i/scale + 0.5) stored as a BYTE array (the q98

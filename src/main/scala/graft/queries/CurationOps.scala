@@ -121,6 +121,60 @@ object CurationOps {
        |ORDER BY vec_id NULLS FIRST""".stripMargin
       .replaceFirst("WITH ", "WITH RECURSIVE ")
 
+  /** Q169 — SemDeDup: SEMANTIC dedup of the embedding corpus
+    * ([[graft.ops.Similarity.semanticDedup]], Abbas et al. 2023):
+    * k-means cells (the q72 deterministic quantizer) scope the exact
+    * cosine pair generation — the all-pairs work is Σ|cell|² with `k`
+    * the scale knob, never corpus-quadratic — pairs ≥ 0.4 collapse into
+    * duplicate groups (true components; within-cell edges only), and
+    * each group keeps the member with the LOWEST cosine to its cell
+    * centroid (the paper's least-redundant-survives rule, id
+    * tie-break). q69/q125 found and clustered embedding near-dups by
+    * LSH bands; this is the named cluster-scoped alternative a
+    * curation pipeline ships when it already maintains a quantizer —
+    * and the verdict (keep/drop per vector) is the APPLY input. The
+    * oracle unrolls the identical k-means (q72's CTEs), replays the
+    * within-cell pairs, closes them recursively (any diameter), and
+    * re-ranks with the same 6dp/id rule.
+    */
+  def q169(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // same multi-pass right-sizing as q72: the fit + pair join make
+    // several passes over this corpus
+    val e = t(spark, dir, "embeddings").coalesce(8)
+    Similarity.semanticDedup(e, "vec_id", "embedding", k = 8, iters = 2,
+        minCos6 = 0.4)
+      .orderBy($"vec_id".asc_nulls_first)
+  }
+
+  val q169Sql: String =
+    s"""${LlmOps.kmeansCtes("TRUE")},
+       |c2c AS (
+       |  SELECT a.vec_id, a.cell,
+       |    ROUND(list_dot_product(a.v, c.centroid) / (a.nrm * SQRT(list_dot_product(c.centroid, c.centroid))), 6) AS c2c6
+       |  FROM avx a JOIN cent2 c ON c.cell = a.cell),
+       |spairs AS (
+       |  SELECT x.vec_id AS d1, y.vec_id AS d2
+       |  FROM avx x JOIN avx y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |  WHERE ROUND(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) >= 0.4),
+       |adj AS (SELECT d1 AS a, d2 AS b FROM spairs
+       |        UNION ALL SELECT d2 AS a, d1 AS b FROM spairs),
+       |reach(a, b) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT r.a, e2.b FROM reach r JOIN adj e2 ON e2.a = r.b),
+       |lab AS (SELECT a AS id, MIN(b) AS grp FROM reach GROUP BY a),
+       |sz AS (SELECT grp, COUNT(*) AS n FROM lab GROUP BY grp),
+       |rankd AS (
+       |  SELECT l.id, l.grp, c.cell, c.c2c6,
+       |    ROW_NUMBER() OVER (PARTITION BY l.grp ORDER BY c.c2c6 ASC, l.id ASC) AS krn
+       |  FROM lab l JOIN c2c c ON c.vec_id = l.id)
+       |SELECT r.id AS vec_id, r.cell, r.grp, CAST(s.n AS BIGINT) AS grp_size, r.c2c6,
+       |  CASE WHEN r.krn = 1 THEN 'keep' ELSE 'drop' END AS action
+       |FROM rankd r JOIN sz s ON s.grp = r.grp
+       |ORDER BY vec_id NULLS FIRST""".stripMargin
+      .replaceFirst("WITH ", "WITH RECURSIVE ")
+
   /** Q95 — TF-IDF top-5 terms per document: tf from the token explode,
     * df from the distinct (doc, term) set, idf = ln(N/df), ranked on the
     * 6dp-rounded score with the term as tie-break. The inverted-index
@@ -628,7 +682,8 @@ object CurationOps {
     "q129_pagerank" -> (q129 _),
     "q137_cross_corpus_dedup" -> (q137 _),
     "q138_split_leakage" -> (q138 _),
-    "q140_decontaminate" -> (q140 _))
+    "q140_decontaminate" -> (q140 _),
+    "q169_semantic_dedup" -> (q169 _))
 
   def oracles: Map[String, String] = Map(
     "q94_neardup_clusters" -> q94Sql,
@@ -642,5 +697,6 @@ object CurationOps {
     "q129_pagerank" -> q129Sql,
     "q137_cross_corpus_dedup" -> q137Sql,
     "q138_split_leakage" -> q138Sql,
-    "q140_decontaminate" -> q140Sql)
+    "q140_decontaminate" -> q140Sql,
+    "q169_semantic_dedup" -> q169Sql)
 }

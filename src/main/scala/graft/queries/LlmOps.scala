@@ -431,49 +431,57 @@ object LlmOps {
   private val rawVecSql: String =
     "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings"
 
-  private[queries] def kmeansCtes(fitWhere: String, vecSql: String = rawVecSql): String = {
+  /** `prefix` namespaces every CTE so SEVERAL independent k-means unrolls
+    * can share one WITH (q170 runs m per-subspace codebook fits beside
+    * the coarse quantizer — callers `.stripPrefix("WITH ")` the non-first
+    * blocks); `k` is the codebook size (init = the k lowest-id vectors,
+    * the same LIMIT rule as [[graft.ops.Similarity.kmeansFit]]).
+    */
+  private[queries] def kmeansCtes(fitWhere: String, vecSql: String = rawVecSql,
+                                  prefix: String = "", k: Int = 8): String = {
+    val p = prefix
     // one Lloyd's round: argmin against centN → recompute exact-decimal
     // per-dim means as centN+1 (same expression tree as kmeansAssign)
     def round_(n: Int, prevCent: String): String =
-      s"""scored$n AS (
+      s"""${p}scored$n AS (
          |  SELECT vec_id, cell,
          |    ROUND(list_dot_product(v, v) - 2.0 * list_dot_product(v, centroid)
          |          + list_dot_product(centroid, centroid), 6) AS d2
-         |  FROM fitvecs CROSS JOIN $prevCent),
-         |assign$n AS (
+         |  FROM ${p}fitvecs CROSS JOIN $prevCent),
+         |${p}assign$n AS (
          |  SELECT vec_id, cell FROM (
          |    SELECT vec_id, cell,
          |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS arn
-         |    FROM scored$n) WHERE arn = 1),
-         |centd$n AS (
+         |    FROM ${p}scored$n) WHERE arn = 1),
+         |${p}centd$n AS (
          |  SELECT a.cell, e.pos,
          |    CAST(SUM(CAST(e.ev AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS cv
-         |  FROM assign$n a JOIN expl e ON a.vec_id = e.vec_id GROUP BY a.cell, e.pos),
-         |cent$n AS (SELECT cell, list(cv ORDER BY pos) AS centroid FROM centd$n GROUP BY cell)""".stripMargin
-    s"""WITH vecs AS (
+         |  FROM ${p}assign$n a JOIN ${p}expl e ON a.vec_id = e.vec_id GROUP BY a.cell, e.pos),
+         |${p}cent$n AS (SELECT cell, list(cv ORDER BY pos) AS centroid FROM ${p}centd$n GROUP BY cell)""".stripMargin
+    s"""WITH ${p}vecs AS (
        |  $vecSql),
-       |fitvecs AS (SELECT * FROM vecs WHERE $fitWhere),
-       |expl AS (
+       |${p}fitvecs AS (SELECT * FROM ${p}vecs WHERE $fitWhere),
+       |${p}expl AS (
        |  SELECT vec_id, generate_subscripts(v, 1) AS pos, unnest(v) AS ev
-       |  FROM vecs),
-       |cent0 AS (
+       |  FROM ${p}vecs),
+       |${p}cent0 AS (
        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC) AS BIGINT) AS cell, v AS centroid
-       |  FROM (SELECT vec_id, v FROM fitvecs ORDER BY vec_id ASC LIMIT 8)),
-       |${round_(1, "cent0")},
-       |${round_(2, "cent1")},
-       |scored3 AS (
+       |  FROM (SELECT vec_id, v FROM ${p}fitvecs ORDER BY vec_id ASC LIMIT $k)),
+       |${round_(1, s"${p}cent0")},
+       |${round_(2, s"${p}cent1")},
+       |${p}scored3 AS (
        |  SELECT vec_id, cell,
        |    ROUND(list_dot_product(v, v) - 2.0 * list_dot_product(v, centroid)
        |          + list_dot_product(centroid, centroid), 6) AS d2
-       |  FROM vecs CROSS JOIN cent2),
-       |assign3 AS (
+       |  FROM ${p}vecs CROSS JOIN ${p}cent2),
+       |${p}assign3 AS (
        |  SELECT vec_id, cell FROM (
        |    SELECT vec_id, cell,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS arn
-       |    FROM scored3) WHERE arn = 1),
-       |avx AS (
+       |    FROM ${p}scored3) WHERE arn = 1),
+       |${p}avx AS (
        |  SELECT a.vec_id, a.cell, v.v, SQRT(list_dot_product(v.v, v.v)) AS nrm
-       |  FROM assign3 a JOIN vecs v ON a.vec_id = v.vec_id)""".stripMargin
+       |  FROM ${p}assign3 a JOIN ${p}vecs v ON a.vec_id = v.vec_id)""".stripMargin
   }
 
   private val kmeansOracleCtes: String = kmeansCtes("TRUE")
@@ -2243,6 +2251,124 @@ object LlmOps {
     */
   val q165Sql: String = sq8WaveSql("vec_id % 10 <> 0")
 
+  /** Q170 — IVF-PQ SERVING INDEX (product quantization + ADC + exact
+    * re-rank): the payload step BEYOND q162's SQ8 — instead of 1 byte
+    * per dimension, each vector stores m=4 one-byte CODES into
+    * per-subspace 16-entry codebooks ([[Similarity.pqFit]]/[[Similarity.pqEncode]],
+    * Jégou et al. 2011): 4 bytes/vector vs 64 for SQ8 (16×) vs 512 for
+    * float64 (128×) — at 100 TB the difference between an index that
+    * fits one serving node's RAM and one that doesn't. The wave is
+    * [[Similarity.ivfTopKServedPQ]]: per-probe ADC lookup tables
+    * (m·codes dots computed ONCE per probe, so each candidate costs m
+    * array lookups + adds), prefetch on the reconstructed cosine, exact
+    * float re-rank of the winners (returned scores carry no
+    * quantization error). Coarse cells prune exactly as q142/q162.
+    * PQ is the LOSSIEST stage of the family by design — the in-query
+    * recall gate vs the full-precision wave is set at the measured
+    * operating floor (see OpsSpec for prefetch=all exactness: the knob
+    * recovers brute force, so recall is purely a prefetch trade).
+    *
+    * The oracle unrolls the coarse k-means AND all four per-subspace
+    * codebook fits (the same CTEs, prefixed), re-derives every
+    * candidate's codes, and replays both ranking stages with identical
+    * left-fold float arithmetic.
+    */
+  def q170(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = t(spark, dir, "embeddings").coalesce(8)
+    val out = PipelineOps.layoutDir(spark, dir, "ivfpq")
+    // build: coarse quantizer + m per-subspace codebooks, then ONE
+    // map-only encode pass writes the PQ index in the probe-pruning
+    // cell layout; codebooks + centroids persist beside it
+    val (_, coarseDF) = Similarity.kmeansFit(e, "vec_id", "embedding",
+      k = 8, iters = 2, materialize = false, withVec = false)
+    val coarse = Similarity.localize(coarseDF)
+    val books = Similarity.pqFit(e, "vec_id", "embedding",
+      dim = 64, m = 4, codes = 16, iters = 2)
+    Similarity.pqEncode(e, "vec_id", "embedding", books, coarse, dim = 64)
+      .repartition(col("cell")).write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$out/codes")
+    coarseDF.write.mode("overwrite").parquet(s"$out/centroids")
+    books.zipWithIndex.flatMap { case (book, s) =>
+      book.map { case (c, cv) => (s, c, cv) }
+    }.toDF("subspace", "code", "centroid")
+      .write.mode("overwrite").parquet(s"$out/books")
+    // serve: everything read back from the artifacts (codebooks are
+    // m·codes rows — driver-size BY DESIGN, like the coarse localize)
+    val idx = spark.read.parquet(s"$out/codes")
+    val servedCoarse = Similarity.localize(spark.read.parquet(s"$out/centroids"))
+    val servedBooks = spark.read.parquet(s"$out/books").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.toSeq.map(t => (t._2, t._3)).sortBy(_._1))
+    val probes = e.filter($"vec_id" < 20)
+    val res = Similarity.ivfTopKServedPQ(idx, e, servedBooks, servedCoarse,
+        "vec_id", "embedding", probes, k = 3, prefetch = 6, nprobe = 2, dim = 64)
+      .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
+    val rows = res.collect().toSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), res.schema)
+  }
+
+  /** The per-subspace `vecs` CTE body: the corpus projected onto one
+    * contiguous dim/m slice (DuckDB list slicing is 1-based inclusive,
+    * matching Spark's `slice(v, lo, len)`).
+    */
+  private def subVecSql(s: Int, sub: Int): String = {
+    val lo = s * sub + 1; val hi = (s + 1) * sub
+    s"SELECT vec_id, (list_transform(embedding, x -> CAST(x AS DOUBLE)))[$lo:$hi] AS v FROM embeddings"
+  }
+
+  val q170Sql: String = {
+    val m = 4; val sub = 16
+    val bookCtes = (0 until m).map(s =>
+      kmeansCtes("TRUE", subVecSql(s, sub), s"p${s}_", 16)
+        .stripPrefix("WITH ")).mkString(",\n")
+    val adc = (0 until m)
+      .map(s => s"list_dot_product(pv.v[${s * sub + 1}:${(s + 1) * sub}], cb$s.centroid)")
+      .mkString("\n      + ")
+    val anormSq = (0 until m)
+      .map(s => s"list_dot_product(cb$s.centroid, cb$s.centroid)").mkString(" + ")
+    val codeJoins = (0 until m).map(s =>
+      s"JOIN p${s}_assign3 pa$s ON pa$s.vec_id = c.vec_id\n  " +
+        s"JOIN p${s}_cent2 cb$s ON cb$s.cell = pa$s.cell").mkString("\n  ")
+    s"""${kmeansCtes("TRUE")},
+       |$bookCtes,
+       |pcell AS (
+       |  SELECT vec_id AS probe_id, cell FROM (
+       |    SELECT v.vec_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+       |        ROUND(list_dot_product(v.v, v.v) - 2.0 * list_dot_product(v.v, c.centroid)
+       |              + list_dot_product(c.centroid, c.centroid), 6) ASC, c.cell ASC) AS crn
+       |    FROM vecs v CROSS JOIN cent2 c WHERE v.vec_id < 20)
+       |  WHERE crn <= 2),
+       |apairs AS (
+       |  SELECT p.probe_id, c.vec_id AS cand_id,
+       |    ROUND(($adc)
+       |          / (pv.nrm * SQRT($anormSq)), 6) AS approx6
+       |  FROM pcell p
+       |  JOIN avx c ON c.cell = p.cell
+       |  $codeJoins
+       |  JOIN avx pv ON pv.vec_id = p.probe_id
+       |  WHERE c.vec_id <> p.probe_id),
+       |pref AS (
+       |  SELECT probe_id, cand_id FROM (
+       |    SELECT probe_id, cand_id,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY approx6 DESC, cand_id ASC) AS arn
+       |    FROM apairs) WHERE arn <= 6),
+       |epairs AS (
+       |  SELECT f.probe_id, f.cand_id,
+       |    ROUND(list_dot_product(pv.v, c.v) / (pv.nrm * c.nrm), 6) AS cos6
+       |  FROM pref f
+       |  JOIN avx c ON c.vec_id = f.cand_id
+       |  JOIN avx pv ON pv.vec_id = f.probe_id),
+       |ranked AS (
+       |  SELECT probe_id, cand_id, cos6,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos6 DESC, cand_id ASC) AS rn
+       |  FROM epairs)
+       |SELECT probe_id, cand_id, cos6, rn FROM ranked WHERE rn <= 3
+       |ORDER BY probe_id NULLS FIRST, rn NULLS FIRST""".stripMargin
+  }
+
   /** The q165 per-micro-batch ingest verb: the q158 contract (epoch
     * redelivery skip, empty-batch pointer advance, refit-safe
     * placement) with the SQ8 payload — [[Similarity.appendToIndex]]
@@ -2465,7 +2591,8 @@ object LlmOps {
     "q164_hybrid_int8" -> (q164 _),
     "q165_int8_lifecycle" -> (q165 _),
     "q166_image_dedup_apply" -> (q166 _),
-    "q167_audio_neardup" -> (q167 _))
+    "q167_audio_neardup" -> (q167 _),
+    "q170_ivfpq_adc" -> (q170 _))
 
   def oracles: Map[String, String] = Map(
     "q58_exact_dedup" -> q58Sql,
@@ -2509,5 +2636,6 @@ object LlmOps {
     "q164_hybrid_int8" -> q164Sql,
     "q165_int8_lifecycle" -> q165Sql,
     "q166_image_dedup_apply" -> q166Sql,
-    "q167_audio_neardup" -> q167Sql)
+    "q167_audio_neardup" -> q167Sql,
+    "q170_ivfpq_adc" -> q170Sql)
 }

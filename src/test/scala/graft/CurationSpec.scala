@@ -396,4 +396,52 @@ class CurationSpec extends SparkSpec {
       assert(witnessInTrain.isEmpty, "a drop witness must be an eval doc")
     } finally out.unpersist(): Unit
   }
+
+  test("q169 SemDeDup: groups are the union-find closure of within-cell " +
+      "pairs; each group keeps exactly the (c2c6, id) argmin") {
+    import spark.implicits._
+    val verdict = CurationOps.q169(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getString(5)))
+    graft.core.CacheScope.releaseAll()
+    // independent in-memory ground truth over the verdict's own cell
+    // scoping: exact cosines as a left-to-right double fold
+    // (FloatVecDot's documented contract) + HALF_UP 6dp rounding
+    val vecs = graft.core.Tables.t(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dotd(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pairs = verdict.groupBy(_._2).values.flatMap { members =>
+      val ids = members.map(_._1).sorted
+      for {
+        i <- ids.indices.iterator; j <- (i + 1) until ids.size
+        a = vecs(ids(i)); b = vecs(ids(j))
+        if r6(dotd(a, b) /
+          (math.sqrt(dotd(a, a)) * math.sqrt(dotd(b, b)))) >= 0.4
+      } yield (ids(i), ids(j))
+    }.toSeq
+    assert(pairs.nonEmpty, "fixture must produce within-cell semantic dups")
+    val truth = unionFindTruth(pairs, verdict.map(_._1).toSeq)
+    verdict.foreach { case (id, _, grp, _, _, _) =>
+      assert(grp == truth(id), s"grp of $id: $grp != union-find ${truth(id)}")
+    }
+    // keeper rule: exactly one keep per group, and it is the member with
+    // the LOWEST cosine to its cell centroid (id tie-break) — SemDeDup's
+    // least-redundant-survives; grp_size is the group cardinality
+    verdict.groupBy(_._3).foreach { case (grp, members) =>
+      val keeps = members.filter(_._6 == "keep")
+      assert(keeps.length == 1, s"group $grp has ${keeps.length} keepers")
+      val expected = members.minBy(m => (m._5, m._1))
+      assert(keeps.head._1 == expected._1,
+        s"group $grp keeper ${keeps.head._1} != (c2c6, id) argmin ${expected._1}")
+      assert(members.forall(_._4 == members.length),
+        s"grp_size mismatch in group $grp")
+    }
+  }
 }

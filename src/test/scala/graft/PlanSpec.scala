@@ -375,6 +375,15 @@ class PlanSpec extends SparkSpec {
     assert(p167.contains("bit_count"), s"exact Hamming post-filter missing:\n$p167")
   }
 
+  test("q169 SemDeDup: the within-cell pair generation is an equi-join " +
+      "on cell, never cartesian") {
+    val p = plan(CurationOps.q169(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"SemDeDup pair generation exploded to all pairs:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"no equi-join on cell in:\n$p")
+  }
+
   test("q168 RAG lifecycle: the served fusion table's plan carries no " +
       "cartesian product") {
     val p = plan(LifecycleOps.q168(spark, sfDir))
