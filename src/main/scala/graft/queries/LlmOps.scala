@@ -2302,10 +2302,31 @@ object LlmOps {
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map(_._2.toSeq.map(t => (t._2, t._3)).sortBy(_._1))
     val probes = e.filter($"vec_id" < 20)
+    // prefetch=48: the PQ recall knob, set at the measured operating
+    // point of THIS fixture (near-uniform random vectors are PQ's worst
+    // case — 4 bytes of code carry little signal, so the ADC stage needs
+    // a generous prefetch; real text embeddings cluster far better and
+    // the same bytes go further). Still k-bounded per probe: the exact
+    // re-rank touches |probes|·48 point lookups regardless of corpus
+    // size.
     val res = Similarity.ivfTopKServedPQ(idx, e, servedBooks, servedCoarse,
-        "vec_id", "embedding", probes, k = 3, prefetch = 6, nprobe = 2, dim = 64)
+        "vec_id", "embedding", probes, k = 3, prefetch = 48, nprobe = 2, dim = 64)
       .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
     val rows = res.collect().toSeq
+    // in-query recall gate vs the full-precision wave over the same
+    // quantizer/nprobe (q162's pattern; measured 0.87 at sf0.001, 0.97
+    // at sf0.01 — the floor is the declared PQ-vs-SQ8 trade for 16×
+    // fewer payload bytes)
+    val fullIdx = Similarity.assignToCentroids(e, servedCoarse,
+      "vec_id", "embedding", withVec = true)
+    val fullWave = Similarity.ivfTopKServed(fullIdx, servedCoarse,
+        "vec_id", "embedding", probeFilter = $"vec_id" < 20, k = 3, nprobe = 2)
+      .select($"probe_id", $"cand_id")
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    val hits = Similarity.recallHits(fullWave,
+      rows.map(r => (r.getLong(0), r.getLong(1))))
+    require(!Similarity.refitDecision(hits.map(_._2), k = 3, minRecall = 0.8),
+      "IVF-PQ serving recall fell below 0.8 of the full-precision wave")
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), res.schema)
   }
 
@@ -2354,7 +2375,7 @@ object LlmOps {
        |  SELECT probe_id, cand_id FROM (
        |    SELECT probe_id, cand_id,
        |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY approx6 DESC, cand_id ASC) AS arn
-       |    FROM apairs) WHERE arn <= 6),
+       |    FROM apairs) WHERE arn <= 48),
        |epairs AS (
        |  SELECT f.probe_id, f.cand_id,
        |    ROUND(list_dot_product(pv.v, c.v) / (pv.nrm * c.nrm), 6) AS cos6

@@ -598,6 +598,72 @@ class OpsSpec extends SparkSpec {
     } finally index.unpersist(): Unit
   }
 
+  test("IVF-PQ index: stored codes equal each subspace fit's own rule, " +
+      "payload materially below SQ8, prefetch=all + nprobe=k is brute force") {
+    import spark.implicits._
+    val e = graft.core.Tables.t(spark, sfDir, "embeddings").coalesce(8)
+    val (index, cent) = Similarity.kmeansFit(e, "vec_id", "embedding",
+      k = 8, iters = 2, materialize = true, withVec = true)
+    try {
+      val coarse = Similarity.localize(cent)
+      val books = Similarity.pqFit(e, "vec_id", "embedding",
+        dim = 64, m = 4, codes = 16, iters = 2)
+      val pq = Similarity.pqEncode(e, "vec_id", "embedding", books, coarse,
+        dim = 64).cache()
+      try {
+        // (a) the one-pass encode equals each per-subspace fit's own final
+        // assignment — the PQ analogue of the q144 placement ≡ fit rule
+        for (s <- 0 until 4) {
+          val slc = e.select($"vec_id",
+            slice(Similarity.toDouble($"embedding"), s * 16 + 1, 16).as("sub"))
+          val own = Similarity.kmeansAssign(slc, "vec_id", "sub",
+            k = 16, iters = 2)
+          try {
+            val viaFit = own.select($"vec_id", $"cell").collect()
+              .map(r => r.getLong(0) -> r.getLong(1)).toMap
+            val viaEncode = pq.select($"vec_id",
+                element_at($"codes", s + 1).cast("long").as("c")).collect()
+              .map(r => r.getLong(0) -> r.getLong(1)).toMap
+            assert(viaEncode == viaFit,
+              s"subspace $s: encode diverges from the fit's own assignment " +
+                s"on ${viaEncode.count(kv => viaFit(kv._1) != kv._2)} vectors")
+          } finally own.unpersist(): Unit
+        }
+        // (b) payload: m=4 code bytes + cell vs SQ8's 64 bytes + scale —
+        // parquet encodings blur the exact 16x, assert a conservative 2x
+        val idx8 = Similarity.quantizeInt8(index, "vec_id", "embedding")
+        val tmp = java.nio.file.Files.createTempDirectory("graft_pq").toString
+        idx8.write.mode("overwrite").parquet(s"$tmp/i8")
+        pq.write.mode("overwrite").parquet(s"$tmp/pq")
+        def bytes(p: String): Long =
+          new java.io.File(p).listFiles.filter(_.getName.endsWith(".parquet"))
+            .map(_.length).sum
+        val (i8, pqb) = (bytes(s"$tmp/i8"), bytes(s"$tmp/pq"))
+        assert(pqb < i8 / 2, s"PQ index $pqb B not < half of SQ8 $i8 B")
+        graft.ops.VersionedTarget.rmTree(new java.io.File(tmp))
+        // (c) the exactness law: prefetch covering every candidate +
+        // nprobe=k equals brute force exactly (recall is purely the
+        // prefetch/nprobe trade, never a correctness loss)
+        val probes = e.filter($"vec_id" < 20)
+        val viaPQ = Similarity.ivfTopKServedPQ(pq, e, books, coarse,
+            "vec_id", "embedding", probes, k = 3, prefetch = 100000,
+            nprobe = 8, dim = 64)
+          .select($"probe_id", $"cand_id", $"cos6", $"rn")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+            r.getInt(3))).toSet
+        val exact = Similarity.bruteForceTopK(probes, e, "vec_id",
+            "embedding", k = 3)
+          .select($"probe_id", $"cand_id", $"cos6", $"rn")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+            r.getInt(3))).toSet
+        assert(viaPQ == exact,
+          s"PQ exact re-rank diverged from brute force: " +
+            s"only-pq=${(viaPQ -- exact).take(5)} " +
+            s"only-brute=${(exact -- viaPQ).take(5)}")
+      } finally pq.unpersist(): Unit
+    } finally index.unpersist(): Unit
+  }
+
   test("perceptual hashes: PNG decode roundtrips the fixture rule exactly; " +
       "banded Hamming join is recall-complete; variants are near, bases far") {
     import spark.implicits._

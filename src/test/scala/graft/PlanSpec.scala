@@ -384,6 +384,13 @@ class PlanSpec extends SparkSpec {
       s"no equi-join on cell in:\n$p")
   }
 
+  test("q170 IVF-PQ: the ADC wave is equi-join + point-lookup re-rank, " +
+      "never cartesian") {
+    val p = plan(LlmOps.q170(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"PQ wave plan exploded to all pairs:\n$p")
+  }
+
   test("q168 RAG lifecycle: the served fusion table's plan carries no " +
       "cartesian product") {
     val p = plan(LifecycleOps.q168(spark, sfDir))
