@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.Tables._
-import graft.ops.{MinHashDedup, Similarity, TextOps, TopK}
+import graft.ops.{Components, MinHashDedup, Similarity, TextOps, TopK}
 import graft.sources.Multimodal
 
 /** SURVEY.md §2B.11 + the training-data-pipeline additions (Q58–Q69):
@@ -1664,7 +1664,8 @@ object LlmOps {
     * break. Both inputs are bounded per-probe lists, so the fusion cost
     * is |probes|·k regardless of corpus size.
     */
-  private[graft] def rrfFuse(dense: DataFrame, lex: DataFrame): DataFrame = {
+  private[graft] def rrfFuse(dense: DataFrame, lex: DataFrame,
+                             topN: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val fused = dense.join(lex, Seq("probe_id", "cand_id"), "full_outer")
       .select(col("probe_id"), col("cand_id"),
@@ -1673,7 +1674,7 @@ object LlmOps {
     val fw = Window.partitionBy(col("probe_id"))
       .orderBy(col("rrf6").desc, col("cand_id").asc)
     fused.withColumn("rn", row_number().over(fw))
-      .filter(col("rn") <= 5)
+      .filter(col("rn") <= topN)
       .select(col("probe_id"), col("cand_id"), col("rrf6"), col("rn"))
   }
 
@@ -1743,6 +1744,121 @@ object LlmOps {
        |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos6 DESC, cand_id ASC) AS rn_d
        |    FROM dsc) WHERE rn_d <= 10),
        |$rrfFusionSql""".stripMargin
+
+  /** Q171 — DIVERSIFIED RETRIEVAL (near-dup collapse inside the fused
+    * top-k): the serving-hygiene step a RAG stack runs between retrieval
+    * and the prompt — near-identical chunks in the context window waste
+    * the token budget, so duplicate RETRIEVED results must collapse to
+    * one representative. q159's RRF fusion is widened to a top-20
+    * candidate list per probe, near-dup pairs WITHIN each probe's list
+    * are verified by exact char-5-gram Jaccard ≥ 0.5 (the q86 rule —
+    * but over a k-bounded list: ≤ 20·19/2 gram comparisons per probe,
+    * corpus-independent), duplicate groups close into components
+    * (composite probe#cand ids — groups never cross probes), each group
+    * keeps its best-fused-ranked member, and the keepers re-rank into
+    * the diversified top-5. Deterministic end to end: fused ranks are
+    * unique per probe, so the keeper rule needs no further tie-break.
+    *
+    * Scale shape: everything after fusion is |probes|·k — the pair join
+    * is keyed on probe_id over bounded lists, never a corpus join; the
+    * gram arrays ride in from ONE slim join per side of the pair self-
+    * join; the components pass runs on a ≤ |probes|·k node graph.
+    */
+  def q171(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(spark, dir, "documents")
+    val e = t(spark, dir, "embeddings").coalesce(8)
+    val dense = Similarity.bruteForceTopK(
+        e.filter($"vec_id" < 10), e, "vec_id", "embedding", k = 10)
+      .select($"probe_id", $"cand_id", $"rn".as("rn_d"))
+    val fused = rrfFuse(dense, lexicalTopK(spark, dir), topN = 20)
+    val grams = docs.select($"doc_id",
+      graft.functions.CharGramHashes.hashes($"text", 5).as("__g"))
+    val a = fused.select($"probe_id", $"cand_id".as("c1"))
+      .join(grams.select($"doc_id".as("c1"), $"__g".as("g1")), Seq("c1"))
+    val b = fused.select($"probe_id", $"cand_id".as("c2"))
+      .join(grams.select($"doc_id".as("c2"), $"__g".as("g2")), Seq("c2"))
+    val ov = graft.functions.SortedOverlapCount.overlap(col("g1"), col("g2"))
+    val pairs = a.join(b, Seq("probe_id")).filter($"c1" < $"c2")
+      .withColumn("jaccard",
+        ov.cast("double") / (size($"g1") + size($"g2") - ov))
+      .filter($"jaccard" >= 0.5)
+    val nodes = fused.select(concat($"probe_id", lit("#"), $"cand_id").as("id"))
+    val edges = pairs.select(
+      concat($"probe_id", lit("#"), $"c1").as("a"),
+      concat($"probe_id", lit("#"), $"c2").as("b"))
+    val labels = graft.core.CacheScope.adopt(
+      Components.clustersWithSize(edges, nodes))
+    val lab = fused.join(labels,
+      concat($"probe_id", lit("#"), $"cand_id") === labels("id"))
+    val kw = Window.partitionBy($"cluster").orderBy($"rn".asc)
+    val dw = Window.partitionBy($"probe_id")
+      .orderBy($"rrf6".desc, $"cand_id".asc)
+    lab.withColumn("krn", row_number().over(kw)).filter($"krn" === 1)
+      .withColumn("drn", row_number().over(dw)).filter($"drn" <= 5)
+      .select($"probe_id", $"cand_id", $"rrf6", $"drn".as("rn"))
+      .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
+  }
+
+  /** Replays q159's fusion at the top-20 cut, the within-list pair rule
+    * off the SAME hx/gsz gram CTEs as q86's oracle, a recursive closure
+    * over composite probe#cand ids (any diameter), the best-rank keeper
+    * and the diversified re-rank.
+    */
+  val q171Sql: String =
+    s"""$ngramPairCtes,
+       |$lexTopKCtes,
+       |ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |dsc AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+       |    ROUND(list_dot_product(p.v, c.v) / (SQRT(list_dot_product(p.v, p.v)) * SQRT(list_dot_product(c.v, c.v))), 6) AS cos6
+       |  FROM ev p JOIN ev c ON p.vec_id < 10 AND p.vec_id <> c.vec_id),
+       |dense AS (
+       |  SELECT probe_id, cand_id, rn_d FROM (
+       |    SELECT probe_id, cand_id,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos6 DESC, cand_id ASC) AS rn_d
+       |    FROM dsc) WHERE rn_d <= 10),
+       |$rrfCoreCtes,
+       |flist AS (SELECT probe_id, cand_id, rrf6, rn FROM rrfranked WHERE rn <= 20),
+       |wpairs AS (
+       |  SELECT f1.probe_id, f1.cand_id AS c1, f2.cand_id AS c2
+       |  FROM flist f1 JOIN flist f2
+       |    ON f1.probe_id = f2.probe_id AND f1.cand_id < f2.cand_id
+       |  JOIN (SELECT ga.doc_id AS a, gb.doc_id AS b, COUNT(*) AS ni
+       |        FROM hx ga JOIN hx gb ON gb.x = ga.x AND ga.doc_id < gb.doc_id
+       |        GROUP BY 1, 2) i ON i.a = f1.cand_id AND i.b = f2.cand_id
+       |  JOIN gsz sa ON sa.doc_id = f1.cand_id
+       |  JOIN gsz sb ON sb.doc_id = f2.cand_id
+       |  WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.5),
+       |dnodes AS (
+       |  SELECT CAST(probe_id AS VARCHAR) || '#' || CAST(cand_id AS VARCHAR) AS id
+       |  FROM flist),
+       |dadj AS (
+       |  SELECT CAST(probe_id AS VARCHAR) || '#' || CAST(c1 AS VARCHAR) AS a,
+       |         CAST(probe_id AS VARCHAR) || '#' || CAST(c2 AS VARCHAR) AS b
+       |  FROM wpairs
+       |  UNION ALL
+       |  SELECT CAST(probe_id AS VARCHAR) || '#' || CAST(c2 AS VARCHAR),
+       |         CAST(probe_id AS VARCHAR) || '#' || CAST(c1 AS VARCHAR)
+       |  FROM wpairs),
+       |dreach(a, b) AS (
+       |  SELECT id, id FROM dnodes
+       |  UNION
+       |  SELECT r.a, e2.b FROM dreach r JOIN dadj e2 ON e2.a = r.b),
+       |dlab AS (SELECT a AS id, MIN(b) AS cluster FROM dreach GROUP BY a),
+       |keep AS (
+       |  SELECT f.probe_id, f.cand_id, f.rrf6,
+       |    ROW_NUMBER() OVER (PARTITION BY l.cluster ORDER BY f.rn ASC) AS krn
+       |  FROM flist f JOIN dlab l
+       |    ON l.id = CAST(f.probe_id AS VARCHAR) || '#' || CAST(f.cand_id AS VARCHAR)),
+       |diml AS (
+       |  SELECT probe_id, cand_id, rrf6,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY rrf6 DESC, cand_id ASC) AS rn
+       |  FROM keep WHERE krn = 1)
+       |SELECT probe_id, cand_id, rrf6, rn FROM diml WHERE rn <= 5
+       |ORDER BY probe_id NULLS FIRST, rn NULLS FIRST""".stripMargin
+      .replaceFirst("WITH ", "WITH RECURSIVE ")
 
   /** Q160 — DEDUP BANDING RECALL REPORT: the evaluation loop for the
     * MinHash band generator, the dedup family's analogue of q147's ANN
@@ -2613,7 +2729,8 @@ object LlmOps {
     "q165_int8_lifecycle" -> (q165 _),
     "q166_image_dedup_apply" -> (q166 _),
     "q167_audio_neardup" -> (q167 _),
-    "q170_ivfpq_adc" -> (q170 _))
+    "q170_ivfpq_adc" -> (q170 _),
+    "q171_diversified_retrieval" -> (q171 _))
 
   def oracles: Map[String, String] = Map(
     "q58_exact_dedup" -> q58Sql,
@@ -2658,5 +2775,6 @@ object LlmOps {
     "q165_int8_lifecycle" -> q165Sql,
     "q166_image_dedup_apply" -> q166Sql,
     "q167_audio_neardup" -> q167Sql,
-    "q170_ivfpq_adc" -> q170Sql)
+    "q170_ivfpq_adc" -> q170Sql,
+    "q171_diversified_retrieval" -> q171Sql)
 }

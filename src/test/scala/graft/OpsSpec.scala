@@ -664,6 +664,64 @@ class OpsSpec extends SparkSpec {
     } finally index.unpersist(): Unit
   }
 
+  test("q171 diversification: closure/keeper/re-rank match an in-memory " +
+      "replay; the fixture exercises a real collapse") {
+    import spark.implicits._
+    import graft.queries.LlmOps
+    val out = LlmOps.q171(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    graft.core.CacheScope.releaseAll()
+    val e = graft.core.Tables.t(spark, sfDir, "embeddings").coalesce(8)
+    val dense = Similarity.bruteForceTopK(
+        e.filter($"vec_id" < 10), e, "vec_id", "embedding", k = 10)
+      .select($"probe_id", $"cand_id", $"rn".as("rn_d"))
+    val fused = LlmOps.rrfFuse(dense, LlmOps.lexicalTopK(spark, sfDir),
+        topN = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3)))
+    val listIds = fused.map(_._2).distinct.toSeq
+    val grams = graft.core.Tables.t(spark, sfDir, "documents")
+      .filter($"doc_id".isin(listIds: _*))
+      .select($"doc_id",
+        graft.functions.CharGramHashes.hashes($"text", 5).as("g"))
+      .filter($"g".isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    def jac(a: Long, b: Long): Double = {
+      val (x, y) = (grams(a), grams(b))
+      val i = x.intersect(y).size
+      i.toDouble / (x.size + y.size - i)
+    }
+    // in-memory replay: per probe, union-find over >=0.5 within-list
+    // pairs, keep each group's best fused rank, re-rank the keepers
+    val expected = fused.groupBy(_._1).toSeq.flatMap { case (p, lst) =>
+      val ids = lst.map(_._2).toSeq
+      val parent = scala.collection.mutable.Map(ids.map(x => x -> x): _*)
+      def find(x: Long): Long = {
+        var r = x; while (parent(r) != r) r = parent(r); r
+      }
+      for {
+        i <- ids.indices; j <- (i + 1) until ids.size
+        if grams.contains(ids(i)) && grams.contains(ids(j)) &&
+          jac(ids(i), ids(j)) >= 0.5
+      } {
+        val (ra, rb) = (find(ids(i)), find(ids(j)))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      lst.groupBy(m => find(m._2)).values.map(_.minBy(_._4)).toSeq
+        .sortBy(m => (-m._3, m._2)).take(5).zipWithIndex
+        .map { case (m, i) => (p, m._2, m._3, i + 1) }
+    }.toSet
+    assert(out.toSet == expected,
+      s"diversified lists diverge from the in-memory replay: " +
+        s"only-spark=${(out.toSet -- expected).take(5)} " +
+        s"only-replay=${(expected -- out.toSet).take(5)}")
+    // non-vacuity: at least one probe's list must actually change
+    val plain = fused.filter(_._4 <= 5).map(t => (t._1, t._2)).toSet
+    assert(out.map(t => (t._1, t._2)).toSet != plain,
+      "fixture exercises no collapse — the diversified top-5 equals the " +
+        "plain fused top-5 everywhere")
+  }
+
   test("perceptual hashes: PNG decode roundtrips the fixture rule exactly; " +
       "banded Hamming join is recall-complete; variants are near, bases far") {
     import spark.implicits._

@@ -391,6 +391,20 @@ class PlanSpec extends SparkSpec {
       s"PQ wave plan exploded to all pairs:\n$p")
   }
 
+  test("q171 diversified retrieval: the within-list pair join is keyed " +
+      "on probe_id, never cartesian") {
+    val p = plan(LlmOps.q171(spark, sfDir))
+    assert(!p.contains("CartesianProduct"),
+      s"within-list pair generation exploded:\n$p")
+    // exactly ONE non-equi join is allowed: the dense side's declared
+    // brute-force baseline (q61's all-pairs scoring — the serving path
+    // is the q161/q164 IVF shape); the diversification machinery itself
+    // (pair join, components, keeper windows) must stay equi-keyed
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"$bnlj BNLJs — diversification exploded beyond " +
+      s"the declared dense brute-force baseline:\n$p")
+  }
+
   test("q168 RAG lifecycle: the served fusion table's plan carries no " +
       "cartesian product") {
     val p = plan(LifecycleOps.q168(spark, sfDir))
