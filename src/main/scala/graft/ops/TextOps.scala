@@ -132,6 +132,48 @@ object TextOps {
         col("__r.fp").as("fp"))
   }
 
+  /** WINNOWED SUBSTRING near-dup PAIRS — exact-substring duplication
+    * evidence (the phenomenon Lee et al. 2022 dedup on) via the MOSS
+    * winnowing scheme ([[graft.functions.WinnowedFps]]): every doc emits
+    * its winnowed fingerprint postings in ONE map-only pass (the O(n)
+    * deque lives inside the expression — no per-doc window shuffle),
+    * fingerprints present in more than `maxDf` docs are dropped as
+    * STOP-FINGERPRINTS (boilerplate is not duplication evidence — and
+    * the cap bounds the postings join at maxDf² pairs per fingerprint,
+    * the skew guard that keeps a common template line from going
+    * quadratic at 100 TB), the surviving postings equi-join on the
+    * fingerprint, and pairs sharing ≥ `minShared` fingerprints ship with
+    * a containment score (shared / smaller capped set, 6dp). Guarantee:
+    * a shared verbatim normalised substring of length ≥ k + w - 1 yields
+    * a shared fingerprint, so long-enough verbatim overlap ALWAYS
+    * produces candidate evidence — the property bag-of-grams Jaccard
+    * dilutes on long documents.
+    */
+  def winnowedPairs(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, k: Int = 20, w: Int = 8,
+                    minShared: Long = 3,
+                    maxDf: Long = 10): org.apache.spark.sql.DataFrame = {
+    val post = docs.select(col(idCol),
+      explode(graft.functions.WinnowedFps.fps(col(textCol), k, w)).as("fp"))
+    val live = post.groupBy(col("fp"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select(col("fp"))
+    val kept = post.join(live, Seq("fp"))
+    val sz = kept.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    val pairs = kept.select(col(idCol).as("d1"), col("fp"))
+      .join(kept.select(col(idCol).as("d2"), col("fp")), Seq("fp"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    pairs
+      .join(sz.select(col(idCol).as("d1"), col("__n").as("__n1")), Seq("d1"))
+      .join(sz.select(col(idCol).as("d2"), col("__n").as("__n2")), Seq("d2"))
+      .select(col("d1"), col("d2"), col("n_shared"),
+        round(col("n_shared").cast(DoubleType)
+          / least(col("__n1"), col("__n2")), 6).as("cont6"))
+  }
+
   /** SimHash near-duplicate PAIRS — the banded-fingerprint join that
     * completes the SimHash dedup pipeline: split a `bits`-wide
     * fingerprint into 4 bands; two fingerprints within Hamming distance

@@ -620,6 +620,62 @@ object LlmOps {
        |FROM roll WHERE lasth IS NOT NULL
        |GROUP BY doc_id ORDER BY doc_id NULLS FIRST""".stripMargin
 
+  /** Q172 — WINNOWED SUBSTRING DEDUP ([[TextOps.winnowedPairs]]): the
+    * missing dedup modality — exact-SUBSTRING duplication (one document
+    * quoting another verbatim, partial mirrors, template stamping),
+    * which bag-of-grams Jaccard dilutes on long documents and MinHash
+    * misses below its global-similarity threshold. The MOSS winnowing
+    * scheme (Schleimer et al. 2003): k=20-char window hashes, w=8
+    * window minima, map-only per doc ([[graft.functions.WinnowedFps]]);
+    * fingerprints in > 10 docs dropped as stop-fingerprints (boilerplate
+    * ≠ duplication, and the df cap is the skew guard); postings
+    * equi-join; pairs sharing ≥ 3 fingerprints ship with containment.
+    * Guarantee: shared normalised substrings of ≥ k+w-1 = 27 chars
+    * ALWAYS yield shared fingerprints.
+    */
+  def q172(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    TextOps.winnowedPairs(t(spark, dir, "documents"), "doc_id", "text",
+        k = 20, w = 8, minShared = 3, maxDf = 10)
+      .orderBy($"d1".asc_nulls_first, $"d2".asc_nulls_first)
+  }
+
+  /** Replays the normalise (the q86 regexp), positional window hashes,
+    * SQL window minima (value-identical to the expression's deque),
+    * distinct fingerprint sets, the df cap, and the postings join.
+    */
+  val q172Sql: String =
+    s"""WITH wd AS (
+       |  SELECT doc_id,
+       |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+       |  FROM documents),
+       |wh AS (
+       |  SELECT doc_id, i,
+       |    CAST(('0x' || substr(md5(substr(norm, CAST(i AS INT), 20)), 1, 8)) AS BIGINT) AS h
+       |  FROM wd, UNNEST(range(1, length(norm) - 18)) AS t(i)
+       |  WHERE length(norm) >= 27),
+       |wm AS (
+       |  SELECT doc_id, i,
+       |    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+       |                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS fp
+       |  FROM wh),
+       |wf AS (SELECT DISTINCT doc_id, fp FROM wm WHERE i >= 8),
+       |live AS (
+       |  SELECT fp FROM (SELECT fp, COUNT(*) AS df FROM wf GROUP BY fp)
+       |  WHERE df <= 10),
+       |wfk AS (SELECT doc_id, fp FROM wf JOIN live USING (fp)),
+       |wsz AS (SELECT doc_id, COUNT(*) AS n FROM wfk GROUP BY doc_id),
+       |wp AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared
+       |  FROM wfk a JOIN wfk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT p.d1, p.d2, p.n_shared,
+       |  ROUND(CAST(p.n_shared AS DOUBLE) / LEAST(sa.n, sb.n), 6) AS cont6
+       |FROM wp p JOIN wsz sa ON sa.doc_id = p.d1
+       |          JOIN wsz sb ON sb.doc_id = p.d2
+       |WHERE p.n_shared >= 3
+       |ORDER BY d1 NULLS FIRST, d2 NULLS FIRST""".stripMargin
+
   /** Q81 — SimHash near-dup PAIRS ([[TextOps.simhashNearDupPairs]]):
     * 32-bit fingerprint, 4 byte-wide bands (pigeonhole-complete for
     * Hamming ≤ 3) + exact bit_count post-filter — the candidate-pairing
@@ -2730,7 +2786,8 @@ object LlmOps {
     "q166_image_dedup_apply" -> (q166 _),
     "q167_audio_neardup" -> (q167 _),
     "q170_ivfpq_adc" -> (q170 _),
-    "q171_diversified_retrieval" -> (q171 _))
+    "q171_diversified_retrieval" -> (q171 _),
+    "q172_winnowed_substring_dedup" -> (q172 _))
 
   def oracles: Map[String, String] = Map(
     "q58_exact_dedup" -> q58Sql,
@@ -2776,5 +2833,6 @@ object LlmOps {
     "q166_image_dedup_apply" -> q166Sql,
     "q167_audio_neardup" -> q167Sql,
     "q170_ivfpq_adc" -> q170Sql,
-    "q171_diversified_retrieval" -> q171Sql)
+    "q171_diversified_retrieval" -> q171Sql,
+    "q172_winnowed_substring_dedup" -> q172Sql)
 }

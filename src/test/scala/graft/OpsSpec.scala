@@ -664,6 +664,66 @@ class OpsSpec extends SparkSpec {
     } finally index.unpersist(): Unit
   }
 
+  test("winnowed fingerprints: deque == naive window minima, the k+w-1 " +
+      "guarantee holds, stop-fingerprints drop boilerplate, short → null") {
+    import spark.implicits._
+    import graft.functions.WinnowedFps
+    // (a) expression == naive in-memory recompute (independent md5 +
+    // normalize + window minima, no deque)
+    def normT(s: String): String =
+      s.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    val sample = "The quick brown fox; JUMPS over 13 lazy dogs!! and " +
+      "then runs far away into the quiet evening woods."
+    val (k, w) = (20, 8)
+    val n = normT(sample)
+    val hs = (0 to n.length - k).map(i => h32(n.substring(i, i + k)))
+    val naive = (w - 1 until hs.length)
+      .map(j => hs.slice(j - w + 1, j + 1).min).distinct.sorted
+    val got = Seq(sample).toDF("text")
+      .select(WinnowedFps.fps($"text", k, w).as("f"))
+      .head().getSeq[Long](0)
+    assert(got == naive, s"expression fps $got != naive $naive")
+    // (b) short texts have no full window → null
+    val nulls = Seq("x" * 26, "y" * 27).toDF("text")
+      .select(WinnowedFps.fps($"text", k, w).as("f")).collect()
+    assert(nulls(0).isNullAt(0), "len k+w-2 must fingerprint to null")
+    assert(!nulls(1).isNullAt(0), "len k+w-1 must yield one fingerprint")
+    // (c) the guarantee + the cap: two docs planted with a shared long
+    // substring MUST pair; 12 docs sharing only a boilerplate line must
+    // NOT (its fingerprints exceed maxDf=10 and drop)
+    val shared = "the quick brown fox jumps over the lazy dog repeatedly tonight"
+    val boiler = "standard corporate disclaimer line applies globally"
+    // noise is a repeated single-letter word unique to its slot, so no
+    // 20-char window (including seam windows) is shared across docs —
+    // the planted substring and the boilerplate line are the ONLY
+    // cross-doc overlaps
+    def noise(c: Char): String = s"$c$c$c " * 10
+    val docs = (Seq((1L, noise('0') + shared + " " + noise('1')),
+      (2L, noise('2') + shared + " " + noise('3'))) ++
+      (10L to 21L).map { i =>
+        val (c1, c2) = (('b' + (i - 10)).toChar, ('n' + (i - 10)).toChar)
+        (i, noise(c1) + boiler + " " + noise(c2))
+      }).toDF("doc_id", "text")
+    // at the shipped minShared=3: the df cap kills every INTERIOR
+    // boilerplate fingerprint (selected in all 12 docs), and winnowing's
+    // boundary-dependent selection leaks at most a couple of boiler
+    // grams per pair (a window minimum near a region edge is chosen in
+    // only SOME docs, putting its df under the cap) — the threshold is
+    // what finishes them off; the planted pair shares 12 fingerprints
+    val pairs = graft.ops.TextOps.winnowedPairs(docs, "doc_id", "text",
+        k = 20, w = 8, minShared = 3, maxDf = 10)
+      .select($"d1", $"d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)),
+      s"expected exactly the planted pair to survive cap+threshold: $pairs")
+  }
+
   test("q171 diversification: closure/keeper/re-rank match an in-memory " +
       "replay; the fixture exercises a real collapse") {
     import spark.implicits._

@@ -405,6 +405,15 @@ class PlanSpec extends SparkSpec {
       s"the declared dense brute-force baseline:\n$p")
   }
 
+  test("q172 winnowed substring dedup: postings join on fingerprint, " +
+      "never cartesian") {
+    val p = plan(LlmOps.q172(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"winnowed postings join exploded to all pairs:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"no equi-join on fingerprint in:\n$p")
+  }
+
   test("q168 RAG lifecycle: the served fusion table's plan carries no " +
       "cartesian product") {
     val p = plan(LifecycleOps.q168(spark, sfDir))
