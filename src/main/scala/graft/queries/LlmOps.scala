@@ -2742,6 +2742,80 @@ object LlmOps {
       |WHERE bit_count(xor(a.afp, b.afp)) <= 6
       |ORDER BY f1 NULLS FIRST, f2 NULLS FIRST""".stripMargin
 
+  /** Q173 — VIDEO near-dup via frame sampling + temporal fingerprint:
+    * completes the multimodal dedup matrix (text / embedding / image /
+    * audio / VIDEO) with machinery the other modalities already proved.
+    * Decode is a partition-wise header walk over a raw-frame container
+    * ([[Multimodal.videoFingerprints]] — no codec exists in this
+    * environment, so the container is trivial by design and the honest
+    * work is frame geometry + SAMPLING + integer fingerprint math);
+    * every 2nd frame is sampled (the scale lever of video pipelines —
+    * unsampled content provably cannot change a bit), sampled frame
+    * intensity sums land in 64 positions, and the afp/dfp pair is the
+    * q167 frame-energy sign fingerprint on temporal positions.
+    * Candidates ride the SAME byte-band Hamming join as images/audio
+    * (recall-complete for Hamming ≤ 7); the exact `bit_count`
+    * post-filter keeps ≤ 6. Fixture: 12 md5-classed bright/dark-frame
+    * clips × 2 one-frame-inverted variants (within-base Hamming ≤ 2,
+    * cross-base ≫ 6).
+    */
+  def q173(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fix = Multimodal.ensureVideoFixtures()
+    val bin = Multimodal.readBinary(spark, s"$fix/*.gvid")
+    val fps = Multimodal.videoFingerprints(bin, stride = 2)
+      .select(regexp_extract($"path", "([^/]+)$", 1).as("fname"),
+        $"afp", $"dfp")
+    Multimodal.bandedHammingPairs(fps, "fname", "afp", "dfp", maxHamming = 6)
+      .select($"d1".as("f1"), $"d2".as("f2"), $"ham_a", $"ham_d")
+      .orderBy($"f1".asc_nulls_first, $"f2".asc_nulls_first)
+  }
+
+  /** Recomputes the sampled-frame pixel sums + both fingerprints from
+    * the fixture rule (every pixel of every SAMPLED frame via
+    * range-unnest; unsampled frames never enter, mirroring the stride),
+    * then all-pairs Hamming ≤ 6 — the banded join's recall-complete
+    * reference. With 64 equal-size sampled frames the cross-multiplied
+    * mean comparisons reduce to `fs·64 > total` and `fs > next fs`
+    * (identical truth values to the engine's general fn-weighted form).
+    */
+  val q173Sql: String =
+    """WITH recs AS (
+      |  SELECT i.i, j.j FROM UNNEST(range(0, 12)) i(i), UNNEST(range(0, 3)) j(j)),
+      |pxl AS (
+      |  SELECT i, j, f,
+      |    CASE WHEN j >= 1 AND f = (j - 1) * 8 + j
+      |         THEN 255 - base - (x + 31 * y) % 16
+      |         ELSE base + (x + 31 * y) % 16 END AS v
+      |  FROM (
+      |    SELECT i, j, f, x.x, y.y,
+      |      CASE WHEN substr(md5(CAST(f AS VARCHAR)
+      |                 || '_' || CAST(i AS VARCHAR)), 1, 1) >= '8'
+      |           THEN 200 ELSE 10 END AS base
+      |    FROM recs, UNNEST(range(0, 64)) t(f),
+      |         UNNEST(range(0, 32)) x(x), UNNEST(range(0, 32)) y(y))),
+      |frm AS (SELECT i, j, f, SUM(v) AS fs FROM pxl GROUP BY i, j, f),
+      |tot AS (SELECT i, j, SUM(fs) AS ts FROM frm GROUP BY i, j),
+      |hsh AS (
+      |  SELECT fm.i, fm.j,
+      |    BIT_OR(CASE WHEN fm.fs * 64 > t.ts
+      |                THEN CAST(1 AS HUGEINT) << fm.f
+      |                ELSE CAST(0 AS HUGEINT) END) AS afp,
+      |    BIT_OR(CASE WHEN fm.fs > nx.fs
+      |                THEN CAST(1 AS HUGEINT) << fm.f
+      |                ELSE CAST(0 AS HUGEINT) END) AS dfp
+      |  FROM frm fm
+      |  JOIN tot t ON t.i = fm.i AND t.j = fm.j
+      |  JOIN frm nx ON nx.i = fm.i AND nx.j = fm.j AND nx.f = (fm.f + 1) % 64
+      |  GROUP BY fm.i, fm.j),
+      |named AS (SELECT printf('vid_%02d_%d.gvid', i, j) AS f, afp, dfp FROM hsh)
+      |SELECT a.f AS f1, b.f AS f2,
+      |  bit_count(xor(a.afp, b.afp)) AS ham_a,
+      |  bit_count(xor(a.dfp, b.dfp)) AS ham_d
+      |FROM named a JOIN named b ON a.f < b.f
+      |WHERE bit_count(xor(a.afp, b.afp)) <= 6
+      |ORDER BY f1 NULLS FIRST, f2 NULLS FIRST""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_exact_dedup" -> (q58 _),
     "q59_minhash_lsh" -> (q59 _),
@@ -2787,7 +2861,8 @@ object LlmOps {
     "q167_audio_neardup" -> (q167 _),
     "q170_ivfpq_adc" -> (q170 _),
     "q171_diversified_retrieval" -> (q171 _),
-    "q172_winnowed_substring_dedup" -> (q172 _))
+    "q172_winnowed_substring_dedup" -> (q172 _),
+    "q173_video_neardup" -> (q173 _))
 
   def oracles: Map[String, String] = Map(
     "q58_exact_dedup" -> q58Sql,
@@ -2834,5 +2909,6 @@ object LlmOps {
     "q167_audio_neardup" -> q167Sql,
     "q170_ivfpq_adc" -> q170Sql,
     "q171_diversified_retrieval" -> q171Sql,
-    "q172_winnowed_substring_dedup" -> q172Sql)
+    "q172_winnowed_substring_dedup" -> q172Sql,
+    "q173_video_neardup" -> q173Sql)
 }

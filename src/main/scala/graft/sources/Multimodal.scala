@@ -292,6 +292,156 @@ object Multimodal {
     audioFpFixturesPath
   }
 
+  /** Fixed machine-local location of the video fingerprint fixture
+    * corpus (q173): 12 base clips × 3 variants of deterministic GVID
+    * containers (raw 8-bit gray frames behind a 10-byte header — the
+    * container is trivial BY DESIGN: no codec exists in this
+    * environment, so the honest Spark-side work is the header walk,
+    * frame geometry, SAMPLING and fingerprint arithmetic; a real
+    * deployment swaps the frame decode for a codec call inside the same
+    * `mapPartitions`).
+    */
+  val videoFixturesPath: String =
+    new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_video_fixtures_v1").getPath
+
+  /** The q173 fixture RULE, shared by the generator and the DuckDB
+    * oracle: 128 frames of 32×32 gray. SAMPLED frames (even t; the
+    * stride-2 sampling is part of the operator under test) carry the
+    * signal: sampled position f = t/2 of clip `i` is BRIGHT (base 200)
+    * or DARK (base 10) by the md5 avalanche classing ([[brightBlock]]),
+    * plus an `(x + 31y) % 16` texture that makes the fingerprint depend
+    * on real per-pixel reads. UNSAMPLED frames (odd t) are constant 128
+    * — any leak of their content into the fingerprint breaks the
+    * OpsSpec sampling-independence pin. Variant j ≥ 1 INVERTS
+    * (255 − v) sampled position `(j−1)*8 + j` (the q167 frame rule).
+    */
+  def videoPixel(i: Int, j: Int, t: Int, x: Int, y: Int): Int = {
+    if (t % 2 == 1) 128
+    else {
+      val f = t / 2
+      val base = if (brightBlock(f, i)) 200 else 10
+      val v = base + (x + 31 * y) % 16
+      if (j >= 1 && f == (j - 1) * 8 + j) 255 - v else v
+    }
+  }
+
+  /** Minimal GVID writer: "GVID" + le16(w) + le16(h) + le16(frames) +
+    * frames·w·h raw gray bytes (package-visible so specs can synthesize
+    * decode inputs).
+    */
+  private[graft] def gvidBytes(w: Int, h: Int, frames: Int,
+                               px: (Int, Int, Int) => Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(10 + frames * w * h)
+    out.write("GVID".getBytes("US-ASCII"))
+    out.write(le16(w)); out.write(le16(h)); out.write(le16(frames))
+    var t = 0
+    while (t < frames) {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { out.write(px(t, x, y) & 0xff); x += 1 }
+        y += 1
+      }
+      t += 1
+    }
+    out.toByteArray
+  }
+
+  /** Generate the q173 corpus: `vid_<i>_<j>.gvid` for i < 12, j < 3.
+    * Write-if-missing with atomic rename, like [[ensureFixtures]].
+    */
+  def ensureVideoFixtures(): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Paths.get(videoFixturesPath)
+    Files.createDirectories(dir)
+    for (i <- 0 until 12; j <- 0 until 3) {
+      val target = dir.resolve(f"vid_$i%02d_$j.gvid")
+      if (!Files.exists(target)) {
+        val bytes = gvidBytes(32, 32, 128, (t, x, y) => videoPixel(i, j, t, x, y))
+        val tmp = Files.createTempFile(dir, ".vid", ".tmp")
+        Files.write(tmp, bytes)
+        try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            Files.deleteIfExists(tmp): Unit
+        }
+      }
+    }
+    videoFixturesPath
+  }
+
+  /** Parse a GVID payload → (w, h, frames, raw gray bytes). None when
+    * the magic, header or payload length is wrong — undecodable videos
+    * drop out of the fingerprint frame, like [[pcm16Samples]].
+    */
+  private def gvidFrames(content: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+    if (content.length < 10 ||
+      new String(content, 0, 4, "US-ASCII") != "GVID") return None
+    val w = u16le(content, 4); val h = u16le(content, 6)
+    val frames = u16le(content, 8)
+    if (w <= 0 || h <= 0 || frames <= 0 ||
+      content.length.toLong < 10L + frames.toLong * w * h) return None
+    Some((w, h, frames, java.util.Arrays.copyOfRange(content, 10,
+      10 + frames * w * h)))
+  }
+
+  /** 64-bit temporal fingerprints per video, the [[audioFingerprints]]
+    * shape on SAMPLED FRAMES: every `stride`-th frame's pixel-intensity
+    * sum lands in one of 64 fingerprint positions (position = sampled
+    * index · 64 / #sampled — the audio sample→frame mapping), then
+    *
+    *   - `afp` bit f: position mean > global mean over sampled pixels
+    *     (cross-multiplied — exact integers, no floats);
+    *   - `dfp` bit f: position mean > next position's (wrap), the
+    *     temporal-gradient variant.
+    *
+    * Frame SAMPLING is the scale lever a video pipeline actually pulls:
+    * the decode touches every byte once per partition, but only sampled
+    * frames reach the fingerprint, and unsampled content cannot change
+    * a bit (OpsSpec-pinned). Candidates then ride the SAME byte-band
+    * Hamming join as images/audio ([[bandedHammingPairs]]) — the
+    * shuffle carries (band, byte, id) triples, never frames.
+    */
+  def videoFingerprints(binary: DataFrame, stride: Int): DataFrame = {
+    require(stride >= 1)
+    val spark = binary.sparkSession
+    import spark.implicits._
+    binary.select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (path, content) =>
+          gvidFrames(content).map { case (w, h, frames, px) =>
+            val sampled = (frames + stride - 1) / stride
+            val fs = new Array[Long](64) // position intensity sums
+            val fn = new Array[Long](64) // position pixel counts
+            var s = 0
+            while (s < sampled) {
+              val t = s * stride
+              val pos = (s.toLong * 64 / sampled).toInt
+              val off = t * w * h
+              var k = 0
+              var sum = 0L
+              while (k < w * h) { sum += px(off + k) & 0xff; k += 1 }
+              fs(pos) += sum; fn(pos) += w.toLong * h
+              s += 1
+            }
+            val total = fs.sum
+            val n = fn.sum
+            var afp = 0L; var dfp = 0L
+            var f = 0
+            while (f < 64) {
+              if (fs(f) * n > total * fn(f)) afp |= 1L << f
+              val nb = (f + 1) % 64
+              if (fs(f) * fn(nb) > fs(nb) * fn(f)) dfp |= 1L << f
+              f += 1
+            }
+            (path, frames.toLong, sampled.toLong, afp, dfp)
+          }
+        }
+      }.toDF("path", "n_frames", "n_sampled", "afp", "dfp")
+  }
+
   /** The decoded interleaved signed 16-bit samples of a WAV payload —
     * the same RIFF chunk walk (and the same malformed-length
     * degradation) as [[decodeWav]], returning the raw samples instead

@@ -840,6 +840,82 @@ class OpsSpec extends SparkSpec {
       s"fixture should yield 36 near-dup pairs, got ${reference.size}")
   }
 
+  test("video fingerprints: GVID decode roundtrips the fixture rule; " +
+      "unsampled frames cannot change a bit; banded == all-pairs") {
+    import spark.implicits._
+    import graft.sources.Multimodal
+    val fix = Multimodal.ensureVideoFixtures()
+    val fps = Multimodal.videoFingerprints(
+        Multimodal.readBinary(spark, s"$fix/*.gvid"), stride = 2)
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+        col("n_frames"), col("n_sampled"), col("afp"), col("dfp"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(fps.size == 36, s"expected 36 fixtures, decoded ${fps.size}")
+    assert(fps.values.forall(v => v._1 == 128L && v._2 == 64L),
+      "128 frames, 64 sampled — the stride-2 geometry")
+    // (a) decoded fingerprints equal the generation rule's (container
+    // write → header walk → sampled-frame sums changes no pixel)
+    def ruleFp(i: Int, j: Int): (Long, Long) = {
+      val fs = new Array[Long](64)
+      for (f <- 0 until 64; y <- 0 until 32; x <- 0 until 32)
+        fs(f) += Multimodal.videoPixel(i, j, 2 * f, x, y)
+      val total = fs.sum
+      var a = 0L; var d = 0L
+      for (f <- 0 until 64) {
+        if (fs(f) * 64 > total) a |= 1L << f
+        if (fs(f) > fs((f + 1) % 64)) d |= 1L << f
+      }
+      (a, d)
+    }
+    for (i <- 0 until 12; j <- 0 until 3)
+      assert((fps(f"vid_$i%02d_$j.gvid")._3, fps(f"vid_$i%02d_$j.gvid")._4)
+          == ruleFp(i, j),
+        s"decoded fingerprint diverged from the rule for vid_${i}_$j")
+    // (b) SAMPLING INDEPENDENCE: rewrite every unsampled (odd) frame of
+    // one clip with arbitrary content — the fingerprint must not move
+    val dir = java.nio.file.Files.createTempDirectory("graft_video_alt")
+    java.nio.file.Files.write(dir.resolve("alt.gvid"),
+      Multimodal.gvidBytes(32, 32, 128, (t, x, y) =>
+        if (t % 2 == 1) (t * 31 + x * 7 + y) % 256
+        else Multimodal.videoPixel(3, 0, t, x, y)))
+    // a truncated payload must drop out, not crash or fingerprint
+    java.nio.file.Files.write(dir.resolve("bad.gvid"),
+      "GVIDxxxxxx".getBytes("US-ASCII"))
+    val altRows = Multimodal.videoFingerprints(
+        Multimodal.readBinary(spark, s"$dir/*.gvid"), stride = 2)
+      .select(col("afp"), col("dfp")).collect()
+    assert(altRows.length == 1, "undecodable payload must drop out")
+    assert((altRows.head.getLong(0), altRows.head.getLong(1)) == ruleFp(3, 0),
+      "unsampled frame content leaked into the fingerprint")
+    // (c) fixture separation + banded join == all-pairs reference
+    def hamA(a: String, b: String) =
+      java.lang.Long.bitCount(fps(a)._3 ^ fps(b)._3)
+    for (i <- 0 until 12) {
+      assert(hamA(f"vid_$i%02d_0.gvid", f"vid_$i%02d_1.gvid") <= 2)
+      assert(hamA(f"vid_$i%02d_0.gvid", f"vid_$i%02d_2.gvid") <= 2)
+    }
+    assert(hamA("vid_00_0.gvid", "vid_01_0.gvid") > 6,
+      "different bases must not look like near-dups")
+    val fpDf = fps.toSeq.map { case (f, (_, _, a, d)) => (f, a, d) }
+      .toDF("fname", "afp", "dfp")
+    val banded = Multimodal.bandedHammingPairs(fpDf, "fname", "afp", "dfp",
+        maxHamming = 6)
+      .select($"d1", $"d2").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val names = fps.keys.toSeq.sorted
+    val reference = (for {
+      a <- names; b <- names if a < b
+      if java.lang.Long.bitCount(fps(a)._3 ^ fps(b)._3) <= 6
+    } yield (a, b)).toSet
+    assert(banded == reference,
+      s"banded join missed ${(reference -- banded).take(5)} " +
+        s"or fabricated ${(banded -- reference).take(5)}")
+    assert(reference.size == 36,
+      s"fixture should yield 36 near-dup pairs, got ${reference.size}")
+  }
+
   test("audio fingerprints: WAV decode roundtrips the fixture rule exactly; " +
       "banded Hamming join is recall-complete; variants near, bases far") {
     import spark.implicits._

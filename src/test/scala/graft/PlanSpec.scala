@@ -414,6 +414,16 @@ class PlanSpec extends SparkSpec {
       s"no equi-join on fingerprint in:\n$p")
   }
 
+  test("q173 video near-dup: the temporal-fingerprint band join is an " +
+      "equi-join with the exact bit_count post-filter, never cartesian") {
+    val p = plan(LlmOps.q173(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"video band join exploded to all pairs:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"no equi-join on (band, byte) in:\n$p")
+    assert(p.contains("bit_count"), s"exact Hamming post-filter missing:\n$p")
+  }
+
   test("q168 RAG lifecycle: the served fusion table's plan carries no " +
       "cartesian product") {
     val p = plan(LifecycleOps.q168(spark, sfDir))
