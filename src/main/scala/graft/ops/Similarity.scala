@@ -454,13 +454,7 @@ object Similarity {
       onPlaced: () => Unit = () => (), withVec: Boolean = false,
       int8: Boolean = false): Unit = {
     val s = delta.sparkSession
-    var attempt = 0
-    var done = false
-    while (!done) {
-      attempt += 1
-      val placedWith = assignTarget.currentTag
-        .getOrElse(sys.error("index target carries no quantizer tag — " +
-          "build it with commit(tag = Some(<centroid version>))"))
+    appendWith(assignTarget, batchId, maxAttempts, onPlaced) { placedWith =>
       // int8: the SQ8 placement path — the argmin places into the served
       // quantizer exactly as the float path does, then the committed
       // payload is quantized MAP-SIDE in the same pass ([[quantizeInt8]]:
@@ -469,9 +463,50 @@ object Similarity {
       val placedFloat = assignToCentroids(delta,
         localizedQuantizer(s, centTarget, placedWith), idCol, vecCol,
         withVec = withVec || int8)
-      val placed =
-        if (int8) quantizeInt8(placedFloat, idCol, vecCol)
-        else placedFloat
+      if (int8) quantizeInt8(placedFloat, idCol, vecCol)
+      else placedFloat
+    }
+  }
+
+  /** The PQ placement path of the append verb: place `delta` with the
+    * quantizer BUNDLE the index currently serves (coarse centroids + the
+    * m per-subspace codebooks, one [[pqBundleDF]] version in
+    * `bundleTarget` named by the manifest tag) — the coarse argmin and
+    * all m code argmins run in the SAME map-only pass ([[pqEncode]]), so
+    * each micro-batch lands as one immutable O(batch) m-bytes-per-vector
+    * segment. Same refit-race contract as [[appendToIndex]]: the commit
+    * re-validates the tag inside the pointer transaction and re-places
+    * on a lost race.
+    */
+  def appendToIndexPq(delta: DataFrame, idCol: String, vecCol: String,
+      assignTarget: graft.ops.VersionedTarget.Segmented,
+      bundleTarget: graft.ops.VersionedTarget.Rewrite,
+      batchId: Long, dim: Int, maxAttempts: Int = 3,
+      onPlaced: () => Unit = () => ()): Unit = {
+    val s = delta.sparkSession
+    appendWith(assignTarget, batchId, maxAttempts, onPlaced) { placedWith =>
+      val (coarse, books) = localizedPqBundle(s, bundleTarget, placedWith)
+      pqEncode(delta, idCol, vecCol, books, coarse, dim)
+    }
+  }
+
+  /** REFIT-SAFE append skeleton shared by the float/SQ8/PQ placement
+    * paths: read the served tag OUTSIDE any lock, place via `place`,
+    * commit with an in-transaction tag re-validation, and re-place on a
+    * lost refit race (bounded retries — each abort means a refit won,
+    * and refits are rare by the SLO).
+    */
+  private def appendWith(assignTarget: graft.ops.VersionedTarget.Segmented,
+      batchId: Long, maxAttempts: Int, onPlaced: () => Unit)(
+      place: String => DataFrame): Unit = {
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      val placedWith = assignTarget.currentTag
+        .getOrElse(sys.error("index target carries no quantizer tag — " +
+          "build it with commit(tag = Some(<centroid version>))"))
+      val placed = place(placedWith)
       onPlaced() // test seam: the refit-race window lives right here
       try {
         // commit INHERITS the manifest tag; the hook re-reads it inside
@@ -490,6 +525,52 @@ object Similarity {
       }
     }
   }
+
+  /** The PQ quantizer BUNDLE as one committable frame: coarse centroids
+    * as `__subspace = -1` rows and codebook `s` entries as
+    * `__subspace = s` rows (`__cell` = code id) — ONE Rewrite version
+    * carries everything a PQ placement needs, so the tag-pairing
+    * invariant (one version name pairs the whole quantizer with the
+    * assignments) holds for PQ exactly as it does for the float/SQ8
+    * paths.
+    */
+  def pqBundleDF(spark: org.apache.spark.sql.SparkSession,
+      coarse: Seq[(Long, Seq[Double])],
+      books: Seq[Seq[(Long, Seq[Double])]]): DataFrame = {
+    import spark.implicits._
+    (coarse.map { case (c, v) => (c, v, -1) } ++
+      books.zipWithIndex.flatMap { case (book, s) =>
+        book.map { case (c, v) => (c, v, s) }
+      }).toDF("__cell", "__centroid", "__subspace")
+  }
+
+  /** Localize a committed [[pqBundleDF]] version back into
+    * `(coarse, books)` — m·codes + k rows, driver-size BY DESIGN (the
+    * PQ analogue of [[localizedQuantizer]]; the bundle is metadata-scale,
+    * so the per-placement read is one slim job).
+    */
+  def localizedPqBundle(s: org.apache.spark.sql.SparkSession,
+      bundleTarget: graft.ops.VersionedTarget.Rewrite,
+      version: String): (Seq[(Long, Seq[Double])], Seq[Seq[(Long, Seq[Double])]]) = {
+    val rows = bundleTarget.read(s, version)
+      .select(col("__cell"), col("__centroid"), col("__subspace"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getInt(2)))
+    val coarse = rows.filter(_._3 == -1).map(t => (t._1, t._2)).sortBy(_._1).toSeq
+    val books = rows.filter(_._3 >= 0).groupBy(_._3).toSeq.sortBy(_._1)
+      .map(_._2.map(t => (t._1, t._2)).sortBy(_._1).toSeq)
+    (coarse, books)
+  }
+
+  /** The (coarse, books) bundle the PQ index CURRENTLY serves — the
+    * manifest-tag pairing of [[pairedCentroids]] applied to the bundle
+    * target.
+    */
+  def pairedPqBundle(s: org.apache.spark.sql.SparkSession,
+      assignTarget: graft.ops.VersionedTarget.Segmented,
+      bundleTarget: graft.ops.VersionedTarget.Rewrite)
+      : Option[(Seq[(Long, Seq[Double])], Seq[Seq[(Long, Seq[Double])]])] =
+    assignTarget.currentTag.map(localizedPqBundle(s, bundleTarget, _))
 
   /** The quantizer the index CURRENTLY serves: read from the assignment
     * target's own manifest TAG — the centroid version stamped by the

@@ -2511,10 +2511,17 @@ object LlmOps {
     s"SELECT vec_id, (list_transform(embedding, x -> CAST(x AS DOUBLE)))[$lo:$hi] AS v FROM embeddings"
   }
 
-  val q170Sql: String = {
+  /** The IVF-PQ two-stage oracle (coarse k-means + m prefixed codebook
+    * fits + code re-derivation + ADC prefetch + exact re-rank), fitted
+    * on `fitWhere` and assigning/serving everyone — shared by q170
+    * (one-shot build, TRUE) and q174 (streamed lifecycle, fit-on-base):
+    * batch boundaries cannot change a tag-pinned placement, the coarse
+    * argmin or the code argmins, so both paths replay identically.
+    */
+  private def pqWaveSql(fitWhere: String): String = {
     val m = 4; val sub = 16
     val bookCtes = (0 until m).map(s =>
-      kmeansCtes("TRUE", subVecSql(s, sub), s"p${s}_", 16)
+      kmeansCtes(fitWhere, subVecSql(s, sub), s"p${s}_", 16)
         .stripPrefix("WITH ")).mkString(",\n")
     val adc = (0 until m)
       .map(s => s"list_dot_product(pv.v[${s * sub + 1}:${(s + 1) * sub}], cb$s.centroid)")
@@ -2524,7 +2531,7 @@ object LlmOps {
     val codeJoins = (0 until m).map(s =>
       s"JOIN p${s}_assign3 pa$s ON pa$s.vec_id = c.vec_id\n  " +
         s"JOIN p${s}_cent2 cb$s ON cb$s.cell = pa$s.cell").mkString("\n  ")
-    s"""${kmeansCtes("TRUE")},
+    s"""${kmeansCtes(fitWhere)},
        |$bookCtes,
        |pcell AS (
        |  SELECT vec_id AS probe_id, cell FROM (
@@ -2560,6 +2567,90 @@ object LlmOps {
        |  FROM epairs)
        |SELECT probe_id, cand_id, cos6, rn FROM ranked WHERE rn <= 3
        |ORDER BY probe_id NULLS FIRST, rn NULLS FIRST""".stripMargin
+  }
+
+  val q170Sql: String = pqWaveSql("TRUE")
+
+  /** Q174 — PQ INDEX LIFECYCLE (streaming PQ ingest + serve): q170
+    * proved the PQ-coded serving SHAPE; THIS gives it the q165
+    * treatment — at 100 TB the m-bytes-per-vector PQ index is the most
+    * memory-lean serving artifact of the family, so IT needs the atomic
+    * pointer, O(delta) appends, redelivery skip and refit-safe
+    * placement. The nightly build fits the coarse quantizer AND all m
+    * codebooks on the base and commits them as ONE versioned bundle
+    * ([[Similarity.pqBundleDF]] — one version name pairs the whole
+    * quantizer with the assignments, the same tag invariant as the
+    * float/SQ8 paths), with segment 0 already PQ-coded. Micro-batches
+    * append through [[Similarity.appendToIndexPq]]: coarse argmin + m
+    * code argmins in ONE map-only pass against the SERVED bundle,
+    * in-transaction tag re-validation, epoch redelivery skip. The
+    * closing wave is q170's ADC + exact re-rank off the live pointer
+    * across all segments.
+    */
+  def q174(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import graft.ops.VersionedTarget
+    val e = t(spark, dir, "embeddings").coalesce(8)
+    val base = e.filter($"vec_id" % 10 =!= 0)
+    val out = PipelineOps.layoutDir(spark, dir, "ivfpqstream")
+    val aroot = Paths.get(out, "codes")
+    val broot = Paths.get(out, "bundle")
+    Seq(aroot, broot).foreach { r => // fresh targets per invocation
+      if (Files.exists(r)) VersionedTarget.rmTree(r.toFile)
+      Files.createDirectories(r): Unit
+    }
+    val assignT = VersionedTarget.Segmented(aroot,
+      partitionCols = Seq("cell"), clusterCommits = true)
+    val bundleT = VersionedTarget.Rewrite(broot)
+    val (_, coarseDF) = Similarity.kmeansFit(base, "vec_id", "embedding",
+      k = 8, iters = 2, materialize = false, withVec = false)
+    val coarse = Similarity.localize(coarseDF)
+    val books = Similarity.pqFit(base, "vec_id", "embedding",
+      dim = 64, m = 4, codes = 16, iters = 2)
+    bundleT.commit(Similarity.pqBundleDF(spark, coarse, books), 0L)
+    assignT.commit(
+      Similarity.pqEncode(base, "vec_id", "embedding", books, coarse, dim = 64),
+      0L, tag = Some("v0"))
+    val arrivals = graft.streaming.StreamOps
+      .embeddingsStream(spark, dir, maxFilesPerTrigger = 8)
+      .filter($"vec_id" % 10 === 0)
+    graft.streaming.StreamOps.runForeachBatch(arrivals,
+      ingestIndexBatchPq(assignT, bundleT), outputMode = "append")
+    val idx = assignT.current(spark)
+      .getOrElse(sys.error("PQ index target committed no version"))
+    val curVer = VersionedTarget.currentVersion(aroot)
+      .getOrElse(sys.error("PQ index target has no CURRENT pointer"))
+    require(assignT.segmentsOf(curVer).size >= 2,
+      "streaming ingestion must have appended at least one PQ segment")
+    val (sc, sb) = Similarity.pairedPqBundle(spark, assignT, bundleT)
+      .getOrElse(sys.error("no bundle version paired with the served index"))
+    val res = Similarity.ivfTopKServedPQ(idx, e, sb, sc, "vec_id", "embedding",
+        e.filter($"vec_id" < 20), k = 3, prefetch = 48, nprobe = 2, dim = 64)
+      .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
+    // k-bounded result; materialise so nothing holds the index scan open
+    val rows = res.collect().toSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), res.schema)
+  }
+
+  /** q170's PQ two-stage oracle with the fit-on-base / assign-everyone
+    * split — the streamed PQ index equals the one-shot encode.
+    */
+  val q174Sql: String = pqWaveSql("vec_id % 10 <> 0")
+
+  /** The q174 per-micro-batch ingest verb: the q158/q165 contract with
+    * the PQ payload — [[Similarity.appendToIndexPq]] encodes map-side at
+    * placement against the served bundle, so each batch lands as one
+    * immutable O(batch) m-bytes-per-vector segment.
+    */
+  private[graft] def ingestIndexBatchPq(
+      assignT: graft.ops.VersionedTarget.Segmented,
+      bundleT: graft.ops.VersionedTarget.Rewrite)(
+      batch: DataFrame, id: Long): Unit = {
+    val bid = id + 1L
+    if (!assignT.applied(bid))
+      Similarity.appendToIndexPq(batch, "vec_id", "embedding",
+        assignT, bundleT, bid, dim = 64)
   }
 
   /** The q165 per-micro-batch ingest verb: the q158 contract (epoch
@@ -2862,7 +2953,8 @@ object LlmOps {
     "q170_ivfpq_adc" -> (q170 _),
     "q171_diversified_retrieval" -> (q171 _),
     "q172_winnowed_substring_dedup" -> (q172 _),
-    "q173_video_neardup" -> (q173 _))
+    "q173_video_neardup" -> (q173 _),
+    "q174_pq_lifecycle" -> (q174 _))
 
   def oracles: Map[String, String] = Map(
     "q58_exact_dedup" -> q58Sql,
@@ -2910,5 +3002,6 @@ object LlmOps {
     "q170_ivfpq_adc" -> q170Sql,
     "q171_diversified_retrieval" -> q171Sql,
     "q172_winnowed_substring_dedup" -> q172Sql,
-    "q173_video_neardup" -> q173Sql)
+    "q173_video_neardup" -> q173Sql,
+    "q174_pq_lifecycle" -> q174Sql)
 }

@@ -1673,6 +1673,71 @@ class OpsSpec extends SparkSpec {
       "the re-placed segment must be quantized under the NEW quantizer")
   }
 
+  test("PQ streaming ingest verb (q174): batches land as coded segments, " +
+      "redeliveries are skipped, the streamed PQ index equals the " +
+      "one-shot encode, and the bundle roundtrips") {
+    import java.nio.file.Files
+    import graft.ops.VersionedTarget
+    val e = graft.core.Tables.t(spark, sfDir, "embeddings").coalesce(4)
+    val base = e.filter($"vec_id" % 10 =!= 0)
+    val delta = e.filter($"vec_id" % 10 === 0)
+    val aroot = Files.createTempDirectory("graft_pq_stream_a")
+    val broot = Files.createTempDirectory("graft_pq_stream_b")
+    val assignT = VersionedTarget.Segmented(aroot, partitionCols = Seq("cell"))
+    val bundleT = VersionedTarget.Rewrite(broot)
+    val (_, coarseDF) = Similarity.kmeansFit(base, "vec_id", "embedding",
+      k = 8, iters = 2, materialize = false, withVec = false)
+    val coarse = Similarity.localize(coarseDF)
+    val books = Similarity.pqFit(base, "vec_id", "embedding",
+      dim = 64, m = 4, codes = 16, iters = 2)
+    bundleT.commit(Similarity.pqBundleDF(spark, coarse, books), 0L)
+    assignT.commit(
+      Similarity.pqEncode(base, "vec_id", "embedding", books, coarse, dim = 64),
+      0L, tag = Some("v0"))
+    // ONE committed version carries the whole quantizer: coarse + all m
+    // codebooks must roundtrip through the bundle frame exactly
+    // localizedPqBundle returns cell-sorted rows; localize/pqFit return
+    // frame order — every consumer is order-insensitive (explicit
+    // sortBy in the ADC tables, lowest-cell argmin ties), so the pin is
+    // on sorted content
+    val (rc, rb) = Similarity.localizedPqBundle(spark, bundleT, "v0")
+    assert(rc == coarse.sortBy(_._1),
+      "coarse centroids did not roundtrip the bundle")
+    assert(rb == books.map(_.sortBy(_._1)),
+      "codebooks did not roundtrip the bundle")
+    val ingest = graft.queries.LlmOps.ingestIndexBatchPq(assignT, bundleT) _
+    val b0 = delta.filter($"vec_id" % 20 === 0)
+    val b1 = delta.filter($"vec_id" % 20 === 10)
+    ingest(b0, 0L)
+    val afterB0 = VersionedTarget.currentVersion(aroot).get
+    ingest(b0, 0L) // redelivered micro-batch: exactly-once skip
+    assert(VersionedTarget.currentVersion(aroot).contains(afterB0),
+      "a redelivered micro-batch must not advance the PQ index")
+    ingest(b1, 1L)
+    val ver = VersionedTarget.currentVersion(aroot).get
+    assert(assignT.segmentsOf(ver) == Seq("seg0", "seg1", "seg2"),
+      s"expected base + one PQ segment per batch, got ${assignT.segmentsOf(ver)}")
+    assert(assignT.currentTag.contains("v0"),
+      "PQ appends must inherit the build's bundle tag")
+    // batch boundaries cannot change a tag-pinned placement: the coarse
+    // argmin AND every code argmin of the streamed index equal the
+    // one-shot encode of the whole corpus. (The refit-race window is the
+    // SAME factored appendWith skeleton the int8/float race rows already
+    // pin — no PQ-specific race logic exists to re-test.)
+    def key(r: Row): (Long, Seq[Byte], Long) =
+      (r.getAs[Number]("vec_id").longValue,
+        r.getAs[Seq[Byte]]("codes").toVector,
+        r.getAs[Number]("cell").longValue)
+    val oneShot = Similarity.pqEncode(e, "vec_id", "embedding", books,
+        coarse, dim = 64)
+      .collect().map(key).toSet
+    val streamed = assignT.current(spark).get
+      .select($"vec_id", $"codes", $"cell")
+      .collect().map(key).toSet
+    assert(streamed == oneShot,
+      "the streamed PQ index diverged from the one-shot encode")
+  }
+
   test("quantizeInt8 drops zero vectors LOUDLY: the counter reports them, " +
       "the index excludes them, and the served wave never returns them") {
     val dim = 4

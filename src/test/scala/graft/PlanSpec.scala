@@ -424,6 +424,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("bit_count"), s"exact Hamming post-filter missing:\n$p")
   }
 
+  test("q174 streamed PQ serve: the ADC wave off the versioned pointer " +
+      "is equi-join + point-lookup re-rank, never cartesian") {
+    val p = plan(LlmOps.q174(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"streamed PQ result plan exploded:\n$p")
+    // pin the SERVING plan itself off the live target the query committed
+    import spark.implicits._
+    import java.nio.file.Paths
+    val out = PipelineOps.layoutDir(spark, sfDir, "ivfpqstream")
+    val assignT = graft.ops.VersionedTarget.Segmented(
+      Paths.get(out, "codes"), partitionCols = Seq("cell"),
+      clusterCommits = true)
+    val bundleT = graft.ops.VersionedTarget.Rewrite(Paths.get(out, "bundle"))
+    val idx = assignT.current(spark).get
+    val (sc, sb) = graft.ops.Similarity.pairedPqBundle(spark, assignT, bundleT).get
+    val e = graft.core.Tables.t(spark, sfDir, "embeddings")
+    val wave = plan(graft.ops.Similarity.ivfTopKServedPQ(idx, e, sb, sc,
+      "vec_id", "embedding", e.filter($"vec_id" < 20),
+      k = 3, prefetch = 48, nprobe = 2, dim = 64))
+    assert(!wave.contains("CartesianProduct") && !wave.contains("BroadcastNestedLoopJoin"),
+      s"ADC wave over the versioned index exploded to all pairs:\n$wave")
+    assert(wave.contains("HashJoin") || wave.contains("SortMergeJoin"),
+      s"no equi-join in the versioned ADC wave:\n$wave")
+  }
+
   test("q168 RAG lifecycle: the served fusion table's plan carries no " +
       "cartesian product") {
     val p = plan(LifecycleOps.q168(spark, sfDir))
