@@ -147,7 +147,13 @@ object CurationOps {
       .orderBy($"vec_id".asc_nulls_first)
   }
 
-  val q169Sql: String =
+  /** The SemDeDup CTE prefix (dedup kmeans → within-cell pairs →
+    * recursive closure → keeper ranking, ending in `rankd`/`sz`) —
+    * shared by q169's verdict listing and q175's pruned-index build so
+    * the keep rule can never drift between them. Callers must
+    * `replaceFirst("WITH ", "WITH RECURSIVE ")` on the composed string.
+    */
+  private[queries] val semanticDedupCtes: String =
     s"""${LlmOps.kmeansCtes("TRUE")},
        |c2c AS (
        |  SELECT a.vec_id, a.cell,
@@ -168,11 +174,62 @@ object CurationOps {
        |rankd AS (
        |  SELECT l.id, l.grp, c.cell, c.c2c6,
        |    ROW_NUMBER() OVER (PARTITION BY l.grp ORDER BY c.c2c6 ASC, l.id ASC) AS krn
-       |  FROM lab l JOIN c2c c ON c.vec_id = l.id)
+       |  FROM lab l JOIN c2c c ON c.vec_id = l.id)""".stripMargin
+
+  val q169Sql: String =
+    s"""$semanticDedupCtes
        |SELECT r.id AS vec_id, r.cell, r.grp, CAST(s.n AS BIGINT) AS grp_size, r.c2c6,
        |  CASE WHEN r.krn = 1 THEN 'keep' ELSE 'drop' END AS action
        |FROM rankd r JOIN sz s ON s.grp = r.grp
        |ORDER BY vec_id NULLS FIRST""".stripMargin
+      .replaceFirst("WITH ", "WITH RECURSIVE ")
+
+  /** Q175 — SEMDEDUP-PRUNED INDEX BUILD (the APPLY of q169's verdicts,
+    * composed into serving): a curation pipeline doesn't stop at
+    * keep/drop rows — the kept corpus feeds the serving index, so the
+    * composition that matters is dedup → prune → build → serve. The
+    * q169 verdict gates index CANDIDACY (drops never enter), the index
+    * is the q142 persisted shape fitted ON THE KEPT CORPUS (its own
+    * quantizer — pruning changes geometry, so refitting on survivors is
+    * the correct build, unlike q156's delete-only semantics where the
+    * quantizer must NOT move), and the probe wave serves nprobe=2 from
+    * the pruned artifacts. Dropped ids can never be probes or
+    * candidates. The oracle chains q169's keep rule into a SECOND
+    * prefixed k-means unroll over exactly the kept vectors.
+    */
+  def q175(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = t(spark, dir, "embeddings").coalesce(8)
+    val verdict = Similarity.semanticDedup(e, "vec_id", "embedding",
+      k = 8, iters = 2, minCos6 = 0.4)
+    val kept = e.join(
+      verdict.filter($"action" === "keep").select($"vec_id"), Seq("vec_id"))
+    val out = PipelineOps.layoutDir(spark, dir, "semdedupindex")
+    // q142's persisted shape, built from the PRUNED corpus
+    val (assignments, centroids) =
+      Similarity.kmeansFit(kept, "vec_id", "embedding", k = 8, iters = 2,
+        materialize = false, withVec = true)
+    assignments.repartition(col("cell")).write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$out/assignments")
+    centroids.write.mode("overwrite").parquet(s"$out/centroids")
+    val idxAssign = spark.read.parquet(s"$out/assignments")
+    val idxCent = spark.read.parquet(s"$out/centroids")
+    val res = Similarity.ivfTopKServed(idxAssign, idxCent,
+        "vec_id", "embedding", probeFilter = $"vec_id" < 20, k = 3, nprobe = 2)
+      .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
+    // k-bounded result; materialise so nothing holds the index read open
+    val rows = res.collect().toSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), res.schema)
+  }
+
+  val q175Sql: String =
+    LlmOps.probedTopKSql(
+      s"""$semanticDedupCtes,
+         |keeps AS (SELECT id AS vec_id FROM rankd WHERE krn = 1),
+         |${LlmOps.kmeansCtes("TRUE",
+             "SELECT k.vec_id, k.v FROM vecs k JOIN keeps USING (vec_id)",
+             "ix_").stripPrefix("WITH ")}""".stripMargin,
+      p = "ix_")
       .replaceFirst("WITH ", "WITH RECURSIVE ")
 
   /** Q95 — TF-IDF top-5 terms per document: tf from the token explode,
@@ -683,7 +740,8 @@ object CurationOps {
     "q137_cross_corpus_dedup" -> (q137 _),
     "q138_split_leakage" -> (q138 _),
     "q140_decontaminate" -> (q140 _),
-    "q169_semantic_dedup" -> (q169 _))
+    "q169_semantic_dedup" -> (q169 _),
+    "q175_semdedup_pruned_index" -> (q175 _))
 
   def oracles: Map[String, String] = Map(
     "q94_neardup_clusters" -> q94Sql,
@@ -698,5 +756,6 @@ object CurationOps {
     "q137_cross_corpus_dedup" -> q137Sql,
     "q138_split_leakage" -> q138Sql,
     "q140_decontaminate" -> q140Sql,
-    "q169_semantic_dedup" -> q169Sql)
+    "q169_semantic_dedup" -> q169Sql,
+    "q175_semdedup_pruned_index" -> q175Sql)
 }

@@ -567,7 +567,8 @@ object LlmOps {
     * vectors from CANDIDACY only — probes and the quantizer fit are
     * untouched, exactly the index-delete semantics).
     */
-  private def probedTopKSql(ctes: String, candWhere: String = "TRUE"): String =
+  private[queries] def probedTopKSql(ctes: String, candWhere: String = "TRUE",
+                                     p: String = ""): String =
     s"""$ctes,
        |pcell AS (
        |  SELECT vec_id AS probe_id, cell FROM (
@@ -575,14 +576,14 @@ object LlmOps {
        |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
        |        ROUND(list_dot_product(v.v, v.v) - 2.0 * list_dot_product(v.v, c.centroid)
        |              + list_dot_product(c.centroid, c.centroid), 6) ASC, c.cell ASC) AS crn
-       |    FROM vecs v CROSS JOIN cent2 c WHERE v.vec_id < 20)
+       |    FROM ${p}vecs v CROSS JOIN ${p}cent2 c WHERE v.vec_id < 20)
        |  WHERE crn <= 2),
        |pairs AS (
        |  SELECT p.probe_id, c.vec_id AS cand_id,
        |    ROUND(list_dot_product(pv.v, c.v) / (pv.nrm * c.nrm), 6) AS cos6
        |  FROM pcell p
-       |  JOIN avx c ON c.cell = p.cell
-       |  JOIN avx pv ON pv.vec_id = p.probe_id
+       |  JOIN ${p}avx c ON c.cell = p.cell
+       |  JOIN ${p}avx pv ON pv.vec_id = p.probe_id
        |  WHERE c.vec_id <> p.probe_id AND ($candWhere)),
        |ranked AS (
        |  SELECT probe_id, cand_id, cos6,

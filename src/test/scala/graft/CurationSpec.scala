@@ -397,6 +397,29 @@ class CurationSpec extends SparkSpec {
     } finally out.unpersist(): Unit
   }
 
+  test("q175 pruned index: drops gate candidacy — the index holds exactly " +
+      "the keepers and the served wave never returns or probes a drop") {
+    import spark.implicits._
+    val verdict = CurationOps.q169(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(5)))
+    graft.core.CacheScope.releaseAll()
+    val keeps = verdict.filter(_._2 == "keep").map(_._1).toSet
+    val drops = verdict.filter(_._2 == "drop").map(_._1).toSet
+    assert(drops.nonEmpty, "fixture must produce drops")
+    val wave = CurationOps.q175(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    graft.core.CacheScope.releaseAll()
+    assert(wave.forall { case (p, c) => keeps(p) && keeps(c) },
+      "a dropped id reached the served wave as probe or candidate")
+    // the persisted index holds exactly the kept corpus
+    val out = graft.queries.PipelineOps.layoutDir(spark, sfDir, "semdedupindex")
+    val idxIds = spark.read.parquet(s"$out/assignments")
+      .select($"vec_id").as[Long].collect().toSet
+    assert(idxIds == keeps,
+      s"index content diverges from the keep set: " +
+        s"extra=${(idxIds -- keeps).take(5)} missing=${(keeps -- idxIds).take(5)}")
+  }
+
   test("q169 SemDeDup: groups are the union-find closure of within-cell " +
       "pairs; each group keeps exactly the (c2c6, id) argmin") {
     import spark.implicits._

@@ -449,6 +449,13 @@ class PlanSpec extends SparkSpec {
       s"no equi-join in the versioned ADC wave:\n$wave")
   }
 
+  test("q175 pruned index: dedup, prune, build and serve stay equi-joins, " +
+      "never cartesian") {
+    val p = plan(CurationOps.q175(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pruned-index pipeline exploded to all pairs:\n$p")
+  }
+
   test("q168 RAG lifecycle: the served fusion table's plan carries no " +
       "cartesian product") {
     val p = plan(LifecycleOps.q168(spark, sfDir))
