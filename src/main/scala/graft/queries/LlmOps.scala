@@ -2475,15 +2475,18 @@ object LlmOps {
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map(_._2.toSeq.map(t => (t._2, t._3)).sortBy(_._1))
     val probes = e.filter($"vec_id" < 20)
-    // prefetch=48: the PQ recall knob, set at the measured operating
-    // point of THIS fixture (near-uniform random vectors are PQ's worst
-    // case — 4 bytes of code carry little signal, so the ADC stage needs
-    // a generous prefetch; real text embeddings cluster far better and
-    // the same bytes go further). Still k-bounded per probe: the exact
-    // re-rank touches |probes|·48 point lookups regardless of corpus
-    // size.
+    // prefetch = max(48, n/10): the PQ recall knob at THIS fixture's
+    // measured operating point. The n/10 term is FIXTURE compensation,
+    // not the production shape — near-uniform random vectors are PQ's
+    // worst case (4 bytes of code carry almost no signal, so ADC ranking
+    // recall at fixed prefetch decays as the corpus grows: measured
+    // 0.87/0.97/0.70 at sf0.001/0.01/0.1 with prefetch=48, back to 1.0
+    // at n/10); on real clustered embeddings the codes carry signal and
+    // prefetch stays k-bounded — which is the whole point of PQ.
+    val prefetch = math.max(48L, e.count() / 10L).toInt
     val res = Similarity.ivfTopKServedPQ(idx, e, servedBooks, servedCoarse,
-        "vec_id", "embedding", probes, k = 3, prefetch = 48, nprobe = 2, dim = 64)
+        "vec_id", "embedding", probes, k = 3, prefetch = prefetch,
+        nprobe = 2, dim = 64)
       .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
     val rows = res.collect().toSeq
     // in-query recall gate vs the full-precision wave over the same
@@ -2555,7 +2558,7 @@ object LlmOps {
        |  SELECT probe_id, cand_id FROM (
        |    SELECT probe_id, cand_id,
        |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY approx6 DESC, cand_id ASC) AS arn
-       |    FROM apairs) WHERE arn <= 48),
+       |    FROM apairs) WHERE arn <= GREATEST(48, (SELECT COUNT(*) FROM embeddings) // 10)),
        |epairs AS (
        |  SELECT f.probe_id, f.cand_id,
        |    ROUND(list_dot_product(pv.v, c.v) / (pv.nrm * c.nrm), 6) AS cos6
@@ -2626,8 +2629,12 @@ object LlmOps {
       "streaming ingestion must have appended at least one PQ segment")
     val (sc, sb) = Similarity.pairedPqBundle(spark, assignT, bundleT)
       .getOrElse(sys.error("no bundle version paired with the served index"))
+    // same fixture-compensating prefetch rule as q170 (the oracle bakes
+    // the identical GREATEST(48, n/10) cutoff)
+    val prefetch = math.max(48L, e.count() / 10L).toInt
     val res = Similarity.ivfTopKServedPQ(idx, e, sb, sc, "vec_id", "embedding",
-        e.filter($"vec_id" < 20), k = 3, prefetch = 48, nprobe = 2, dim = 64)
+        e.filter($"vec_id" < 20), k = 3, prefetch = prefetch,
+        nprobe = 2, dim = 64)
       .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
     // k-bounded result; materialise so nothing holds the index scan open
     val rows = res.collect().toSeq
