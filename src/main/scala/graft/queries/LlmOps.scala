@@ -1879,15 +1879,17 @@ object LlmOps {
        |$rrfCoreCtes,
        |flist AS (SELECT probe_id, cand_id, rrf6, rn FROM rrfranked WHERE rn <= 20),
        |wpairs AS (
-       |  SELECT f1.probe_id, f1.cand_id AS c1, f2.cand_id AS c2
-       |  FROM flist f1 JOIN flist f2
-       |    ON f1.probe_id = f2.probe_id AND f1.cand_id < f2.cand_id
-       |  JOIN (SELECT ga.doc_id AS a, gb.doc_id AS b, COUNT(*) AS ni
-       |        FROM hx ga JOIN hx gb ON gb.x = ga.x AND ga.doc_id < gb.doc_id
-       |        GROUP BY 1, 2) i ON i.a = f1.cand_id AND i.b = f2.cand_id
-       |  JOIN gsz sa ON sa.doc_id = f1.cand_id
-       |  JOIN gsz sb ON sb.doc_id = f2.cand_id
-       |  WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.5),
+       |  SELECT p.probe_id, p.c1, p.c2
+       |  FROM (
+       |    SELECT f1.probe_id, f1.cand_id AS c1, f2.cand_id AS c2
+       |    FROM flist f1 JOIN flist f2
+       |      ON f1.probe_id = f2.probe_id AND f1.cand_id < f2.cand_id) p
+       |  JOIN hx ga ON ga.doc_id = p.c1
+       |  JOIN hx gb ON gb.doc_id = p.c2 AND gb.x = ga.x
+       |  JOIN gsz sa ON sa.doc_id = p.c1
+       |  JOIN gsz sb ON sb.doc_id = p.c2
+       |  GROUP BY p.probe_id, p.c1, p.c2, sa.n, sb.n
+       |  HAVING CAST(COUNT(*) AS DOUBLE) / (sa.n + sb.n - COUNT(*)) >= 0.5),
        |dnodes AS (
        |  SELECT CAST(probe_id AS VARCHAR) || '#' || CAST(cand_id AS VARCHAR) AS id
        |  FROM flist),
