@@ -55,8 +55,15 @@ object CurationOps {
     * and `lab{n-1}` — shared by the q94 and q125 oracles so the
     * unrolling can never diverge between the two cluster queries.
     */
+  /** MATERIALIZED: each round consumes the previous one TWICE (the node
+    * side and the neighbor side) — inlined, round n re-evaluates round
+    * n−1 twice, so lab0 and the pair pipeline under it re-run 2^n times
+    * (measured: DuckDB OOM/80 GB spills on the q94/q168 oracles at
+    * sf0.1); materializing keeps every round a one-shot over its
+    * predecessor. Result-identical.
+    */
   private[queries] def labRound(n: Int, edges: String = "e"): String =
-    s"""lab$n AS (
+    s"""lab$n AS MATERIALIZED (
        |  SELECT l.id, least(l.cluster, coalesce(MIN(nb.cluster), l.cluster)) AS cluster
        |  FROM lab${n - 1} l
        |  LEFT JOIN $edges ON $edges.a = l.id
@@ -65,7 +72,7 @@ object CurationOps {
 
   val q94Sql: String =
     s"""${LlmOps.ngramPairCtes},
-       |e AS (SELECT d1 AS a, d2 AS b FROM pairs
+       |e AS MATERIALIZED (SELECT d1 AS a, d2 AS b FROM pairs
        |      UNION ALL SELECT d2 AS a, d1 AS b FROM pairs),
        |lab0 AS (SELECT doc_id AS id, doc_id AS cluster FROM documents),
        |${labRound(1)},
@@ -489,7 +496,7 @@ object CurationOps {
     */
   val q127Sql: String =
     s"""${LlmOps.ngramPairCtes},
-       |e AS (SELECT d1 AS a, d2 AS b FROM pairs
+       |e AS MATERIALIZED (SELECT d1 AS a, d2 AS b FROM pairs
        |      UNION ALL SELECT d2 AS a, d1 AS b FROM pairs),
        |lab0 AS (SELECT doc_id AS id, doc_id AS cluster FROM documents),
        |${labRound(1)},
@@ -556,7 +563,7 @@ object CurationOps {
 
   val q129Sql: String =
     s"""${LlmOps.ngramPairCtes},
-       |e AS (SELECT d1 AS a, d2 AS b FROM pairs
+       |e AS MATERIALIZED (SELECT d1 AS a, d2 AS b FROM pairs
        |      UNION ALL SELECT d2 AS a, d1 AS b FROM pairs),
        |deg AS (SELECT a AS id, COUNT(*) AS deg FROM e GROUP BY a),
        |r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS rank FROM deg),

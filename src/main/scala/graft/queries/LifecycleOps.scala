@@ -371,7 +371,7 @@ object LifecycleOps {
   val q168Sql: String = {
     val dedup =
       s"""${LlmOps.ngramPairCtesOver("documents", "dd")},
-         |e AS (SELECT d1 AS a, d2 AS b FROM ddpairs
+         |e AS MATERIALIZED (SELECT d1 AS a, d2 AS b FROM ddpairs
          |      UNION ALL SELECT d2 AS a, d1 AS b FROM ddpairs),
          |lab0 AS (SELECT doc_id AS id, doc_id AS cluster FROM documents),
          |${CurationOps.labRound(1)},

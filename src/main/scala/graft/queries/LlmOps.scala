@@ -2761,7 +2761,7 @@ object LlmOps {
        |  SELECT a.f AS d1, b.f AS d2
        |  FROM named a JOIN named b ON a.f < b.f
        |  WHERE bit_count(xor(a.ahash, b.ahash)) <= 6),
-       |e AS (SELECT d1 AS a, d2 AS b FROM ipairs
+       |e AS MATERIALIZED (SELECT d1 AS a, d2 AS b FROM ipairs
        |      UNION ALL SELECT d2 AS a, d1 AS b FROM ipairs),
        |lab0 AS (SELECT f AS id, f AS cluster FROM named),
        |${CurationOps.labRound(1)},
