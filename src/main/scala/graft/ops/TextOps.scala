@@ -153,6 +153,16 @@ object TextOps {
                     textCol: String, k: Int = 20, w: Int = 8,
                     minShared: Long = 3,
                     maxDf: Long = 10): org.apache.spark.sql.DataFrame = {
+    // the postings feed several consumer branches (df cap, both pair
+    // sides, both set sizes) and are DELIBERATELY recomputed per branch
+    // rather than cached (the q86-family convention for map-only
+    // passes): the fingerprint pass is column-pruned streaming compute
+    // with no materialisation, while caching 100 TB of postings trades
+    // CPU for cluster memory/disk pressure — measured at fixture scale
+    // the cache is a net LOSS (2.14 s vs 1.38 s). A deployment that
+    // re-fingerprints the same corpus across many queries persists the
+    // postings once as a table instead (the q135 persisted-partial
+    // pattern).
     val post = docs.select(col(idCol),
       explode(graft.functions.WinnowedFps.fps(col(textCol), k, w)).as("fp"))
     val live = post.groupBy(col("fp"))
