@@ -183,6 +183,55 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("property: winnowed fingerprints == naive window minima on random " +
+      "strings; planted substrings always share a fingerprint") {
+    import spark.implicits._
+    import graft.functions.WinnowedFps
+    def normT(s: String): String =
+      s.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    def naive(t: String, k: Int, w: Int): Option[Seq[Long]] = {
+      val n = normT(t)
+      if (n.length < k + w - 1) None
+      else {
+        val hs = (0 to n.length - k).map(i => h32(n.substring(i, i + k)))
+        Some((w - 1 until hs.length)
+          .map(j => hs.slice(j - w + 1, j + 1).min).distinct.sorted)
+      }
+    }
+    // mixed-alphabet strings incl. punctuation runs and repeats (the
+    // normalize edge cases), several (k, w) shapes
+    val genText = Gen.listOfN(120,
+      Gen.oneOf(Gen.alphaLowerChar, Gen.numChar, Gen.oneOf(' ', '!', ';',
+        'A', 'z', '0'))).map(_.mkString)
+    for (kw <- Seq((5, 4), (20, 8), (8, 1)); t <- samples(genText, n = 6)) {
+      val (k, w) = kw
+      val got = Seq(t).toDF("text")
+        .select(WinnowedFps.fps($"text", k, w).as("f")).head()
+      val want = naive(t, k, w)
+      assert(want.isEmpty == got.isNullAt(0),
+        s"null disagreement for (k=$k, w=$w) on ${t.take(40)}…")
+      if (want.nonEmpty)
+        assert(got.getSeq[Long](0) == want.get,
+          s"deque != naive for (k=$k, w=$w) on ${t.take(40)}…")
+    }
+    // the guarantee on random hosts: a planted shared substring of
+    // length k + w - 1 always yields a shared fingerprint
+    val genHost = Gen.listOfN(60, Gen.alphaLowerChar).map(_.mkString)
+    val planted = "sharedverbatimsubstring0123456789" // 33 >= 20 + 8 - 1
+    for ((h1, h2) <- samples(genHost, n = 6).zip(samples(genHost, n = 6))) {
+      val f1 = naive(h1 + " " + planted + " " + h1, 20, 8).get.toSet
+      val f2 = naive(h2 + " " + planted + " " + h2, 20, 8).get.toSet
+      assert(f1.intersect(f2).nonEmpty,
+        s"planted ${planted.length}-char substring produced no shared fp")
+    }
+  }
+
   test("property: contracted components == union-find on random graphs") {
     val genEdges = Gen.listOfN(25,
       Gen.zip(Gen.chooseNum(0L, 29L), Gen.chooseNum(0L, 29L)))
