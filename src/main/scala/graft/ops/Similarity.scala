@@ -958,17 +958,37 @@ object Similarity {
     * and 128× below the float index — the shape that keeps a 100 TB
     * corpus' index memory-resident on a serving fleet.
     */
+  /** Zero vectors DROP OUT of the PQ index exactly as they do from the
+    * SQ8 one ([[quantizeInt8]]'s rule, same rationale): a zero vector
+    * has no cosine direction, and — worse than mere meaninglessness —
+    * its exact re-rank score is 0/0 = NaN, which Spark's descending
+    * sort ranks FIRST, so a corrupt corpus would TOP every PQ wave with
+    * NaN rows. `warnOnDrops = true` pays one slim count job at build
+    * time and logs the drop count loudly when nonzero
+    * ([[countZeroVectors]] is the standalone probe).
+    */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
                books: Seq[Seq[(Long, Seq[Double])]],
-               coarse: Seq[(Long, Seq[Double])], dim: Int): DataFrame = {
+               coarse: Seq[(Long, Seq[Double])], dim: Int,
+               warnOnDrops: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types.ByteType
+    if (warnOnDrops) {
+      val dropped = countZeroVectors(corpus, vecCol)
+      if (dropped > 0) System.err.println(
+        s"[graft] pqEncode: DROPPED $dropped zero vector(s) from the PQ " +
+          "index — they are unservable under cosine (exact re-rank score " +
+          "0/0 = NaN) and will never be returned; a large count means a " +
+          "corrupt embedding corpus")
+    }
     val sub = dim / books.size
     val v = toDouble(col(vecCol))
     val codeCols = books.zipWithIndex.map { case (book, s) =>
       nearestCellExpr(slice(v, s * sub + 1, sub), book).cast(ByteType)
     }
-    corpus.select(col(idCol), array(codeCols: _*).as("codes"),
-      nearestCellExpr(v, coarse).as("cell"))
+    corpus
+      .filter(array_max(transform(v, x => abs(x))) > 0.0)
+      .select(col(idCol), array(codeCols: _*).as("codes"),
+        nearestCellExpr(v, coarse).as("cell"))
   }
 
   /** Serve a probe wave from a PQ-CODED index `(idCol, codes, cell)`

@@ -2460,7 +2460,8 @@ object LlmOps {
     val coarse = Similarity.localize(coarseDF)
     val books = Similarity.pqFit(e, "vec_id", "embedding",
       dim = 64, m = 4, codes = 16, iters = 2)
-    Similarity.pqEncode(e, "vec_id", "embedding", books, coarse, dim = 64)
+    Similarity.pqEncode(e, "vec_id", "embedding", books, coarse, dim = 64,
+        warnOnDrops = true)
       .repartition(col("cell")).write.mode("overwrite")
       .partitionBy("cell").parquet(s"$out/codes")
     coarseDF.write.mode("overwrite").parquet(s"$out/centroids")
@@ -2616,7 +2617,8 @@ object LlmOps {
       dim = 64, m = 4, codes = 16, iters = 2)
     bundleT.commit(Similarity.pqBundleDF(spark, coarse, books), 0L)
     assignT.commit(
-      Similarity.pqEncode(base, "vec_id", "embedding", books, coarse, dim = 64),
+      Similarity.pqEncode(base, "vec_id", "embedding", books, coarse,
+        dim = 64, warnOnDrops = true),
       0L, tag = Some("v0"))
     val arrivals = graft.streaming.StreamOps
       .embeddingsStream(spark, dir, maxFilesPerTrigger = 8)

@@ -1819,6 +1819,41 @@ class OpsSpec extends SparkSpec {
       s"the remaining candidates must all serve, got $served")
   }
 
+  test("pqEncode drops zero vectors LOUDLY (the quantizeInt8 rule): the " +
+      "index excludes them and the ADC wave never returns a NaN-score row") {
+    val dim = 4
+    val df = Seq(
+      (1L, Array(0.5f, -0.25f, 0.125f, 1.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // unservable: cos = 0/0 = NaN
+      (3L, Array(-1.0f, 0.5f, 0.25f, -0.125f)),
+      (4L, Array(0.25f, 1.0f, -0.5f, 0.125f))
+    ).toDF("vec_id", "embedding")
+    val coarse = Seq((0L, Seq.fill(dim)(0.1)))
+    val books = Seq(Seq((1L, Seq(0.1, 0.1)), (2L, Seq(-0.1, -0.1))),
+      Seq((1L, Seq(0.1, 0.1)), (2L, Seq(-0.1, -0.1))))
+    val buf = new java.io.ByteArrayOutputStream()
+    val old = System.err
+    val pq = try {
+      System.setErr(new java.io.PrintStream(buf, true))
+      Similarity.pqEncode(df, "vec_id", "embedding", books, coarse,
+        dim = dim, warnOnDrops = true)
+    } finally System.setErr(old)
+    assert(new String(buf.toByteArray).contains("DROPPED 1 zero vector"),
+      "warnOnDrops must log the drop count loudly")
+    assert(pq.select("vec_id").as[Long].collect().toSet == Set(1L, 3L, 4L),
+      "the zero vector must drop out of the PQ index")
+    // without the drop, the zero vector's exact re-rank score would be
+    // NaN, which a descending sort ranks FIRST — the wave must return
+    // only real candidates even at prefetch = |corpus|
+    val served = Similarity.ivfTopKServedPQ(pq, df, books, coarse,
+        "vec_id", "embedding", df.filter($"vec_id" === 1L),
+        k = 3, prefetch = 100, nprobe = 1, dim = dim)
+      .select("cand_id").as[Long].collect().toSet
+    assert(!served.contains(2L), "a dropped zero vector was served")
+    assert(served == Set(3L, 4L),
+      s"the remaining candidates must all serve, got $served")
+  }
+
   test("Components releases every cache it creates (job-server hygiene)") {
     import org.apache.spark.sql.graft.CacheProbe
     spark.catalog.clearCache()
