@@ -936,6 +936,11 @@ object Similarity {
   def pqFit(corpus: DataFrame, idCol: String, vecCol: String,
             dim: Int, m: Int, codes: Int, iters: Int): Seq[Seq[(Long, Seq[Double])]] = {
     require(m > 0 && dim % m == 0, s"dim ($dim) must split evenly into $m subspaces")
+    // codes land in a ByteType array ([[pqEncode]]); a codebook larger
+    // than 127 would wrap the stored code negative and element_at would
+    // silently read from the END of the ADC LUT — refuse at fit time
+    require(codes <= 127,
+      s"codes ($codes) must be <= 127: PQ codes are stored as bytes")
     val sub = dim / m
     (0 until m).map { s =>
       val slc = corpus.select(col(idCol).as("__sid"),
@@ -972,6 +977,8 @@ object Similarity {
                coarse: Seq[(Long, Seq[Double])], dim: Int,
                warnOnDrops: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types.ByteType
+    require(books.forall(_.size <= 127),
+      "PQ codebooks must hold <= 127 entries: codes are stored as bytes")
     if (warnOnDrops) {
       val dropped = countZeroVectors(corpus, vecCol)
       if (dropped > 0) System.err.println(
@@ -982,8 +989,19 @@ object Similarity {
     }
     val sub = dim / books.size
     val v = toDouble(col(vecCol))
+    // Stored code = 1-based POSITION in the cell-id-sorted codebook, not
+    // the raw k-means cell id: [[kmeansFit]] numbers cells 1..codes but a
+    // Lloyd's round can EMPTY a cell without renumbering (likely on
+    // dedup-shaped corpora with collapsed init vectors), leaving a sparse
+    // id set — and [[ivfTopKServedPQ]] indexes its ADC LUT/normSq tables
+    // positionally in exactly this sorted order, so a raw id past a gap
+    // would silently read the WRONG codebook entry. Renumbering is
+    // order-preserving, so the argmin tie-break (lowest position = lowest
+    // cell id) and every contiguous-codebook result are unchanged.
     val codeCols = books.zipWithIndex.map { case (book, s) =>
-      nearestCellExpr(slice(v, s * sub + 1, sub), book).cast(ByteType)
+      val positioned = book.sortBy(_._1).zipWithIndex
+        .map { case ((_, cv), i) => ((i + 1).toLong, cv) }
+      nearestCellExpr(slice(v, s * sub + 1, sub), positioned).cast(ByteType)
     }
     corpus
       .filter(array_max(transform(v, x => abs(x))) > 0.0)
@@ -1004,6 +1022,12 @@ object Similarity {
     * exactly — returned cos6 carries no quantization error. `prefetch`
     * is the recall knob of the PQ stage; the coarse cells prune exactly
     * as in [[ivfTopKServed]].
+    *
+    * Code/LUT pairing contract: stored codes are 1-based POSITIONS in
+    * the cell-id-sorted codebook ([[pqEncode]]'s rule), and the LUT and
+    * normSq arrays here are built in that same `sortBy(_._1)` order —
+    * so a SPARSE codebook (a Lloyd's round emptied a cell without
+    * renumbering) still pairs every code with its own entry.
     */
   def ivfTopKServedPQ(indexPq: DataFrame, corpus: DataFrame,
       books: Seq[Seq[(Long, Seq[Double])]], coarse: Seq[(Long, Seq[Double])],

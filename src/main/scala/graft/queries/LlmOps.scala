@@ -2131,7 +2131,7 @@ object LlmOps {
     * placement or the per-vector scale rule, so both paths replay to
     * the same integers.
     */
-  private def sq8WaveSql(fitWhere: String): String =
+  private def sq8WaveSql(fitWhere: String, candWhere: String = "TRUE"): String =
     s"""${kmeansCtes(fitWhere)},
        |qz AS (
        |  SELECT vec_id, cell, v,
@@ -2156,7 +2156,7 @@ object LlmOps {
        |  FROM pcell p
        |  JOIN dqx c ON c.cell = p.cell
        |  JOIN avx pv ON pv.vec_id = p.probe_id
-       |  WHERE c.vec_id <> p.probe_id),
+       |  WHERE c.vec_id <> p.probe_id AND ($candWhere)),
        |pref AS (
        |  SELECT probe_id, cand_id FROM (
        |    SELECT probe_id, cand_id,
@@ -2525,7 +2525,7 @@ object LlmOps {
     * batch boundaries cannot change a tag-pinned placement, the coarse
     * argmin or the code argmins, so both paths replay identically.
     */
-  private def pqWaveSql(fitWhere: String): String = {
+  private def pqWaveSql(fitWhere: String, candWhere: String = "TRUE"): String = {
     val m = 4; val sub = 16
     val bookCtes = (0 until m).map(s =>
       kmeansCtes(fitWhere, subVecSql(s, sub), s"p${s}_", 16)
@@ -2556,7 +2556,7 @@ object LlmOps {
        |  JOIN avx c ON c.cell = p.cell
        |  $codeJoins
        |  JOIN avx pv ON pv.vec_id = p.probe_id
-       |  WHERE c.vec_id <> p.probe_id),
+       |  WHERE c.vec_id <> p.probe_id AND ($candWhere)),
        |pref AS (
        |  SELECT probe_id, cand_id FROM (
        |    SELECT probe_id, cand_id,
@@ -2649,6 +2649,178 @@ object LlmOps {
     * split — the streamed PQ index equals the one-shot encode.
     */
   val q174Sql: String = pqWaveSql("vec_id % 10 <> 0")
+
+  /** Q176 — INT8 INDEX TAKEDOWN + COMPACTION (unlearning on the QUANTIZED
+    * serving payload): q156 proved `deleteWhere` and q151 proved `compact`
+    * on the FLOAT index — but at 100 TB the artifact actually served is
+    * the memory-resident SQ8 one (q165), so the maintenance verbs must be
+    * proven against ITS segment shape (byte arrays + per-vector scales
+    * under the `cell=` hive layout). Build = q165's lifecycle (base
+    * quantized at commit, one O(delta) int8 append through the refit-safe
+    * verb), then: (1) TAKEDOWN — [[graft.ops.VersionedTarget.Segmented.deleteWhere]]
+    * rewrites only the touched int8 segments copy-on-write, quantizer
+    * UNTOUCHED (deletion changes candidacy, never geometry — q156's
+    * contract), layout preserved, tag carried through; a revoked id stays
+    * legal as a QUERY but can never be returned. (2) COMPACTION — the
+    * post-takedown segments fold into one bin-packed segment behind the
+    * same pointer, and the verb is proven PROBE-IDENTICAL in-query: the
+    * wave re-served from the folded index must equal the pre-fold wave
+    * row-for-row (compaction is physical, never semantic). The closing
+    * wave is q162's two-stage SQ8 search off the live pointer.
+    *
+    * The oracle is q165's fit-on-base SQ8 wave with the takedown set
+    * removed from CANDIDACY only — a revoked vector surviving any
+    * segment, an innocent neighbor lost by either rewrite, or a fold
+    * that changed one approx6 rank flips the hash.
+    */
+  def q176(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import graft.ops.VersionedTarget
+    val e = t(spark, dir, "embeddings").coalesce(8)
+    val base = e.filter($"vec_id" % 10 =!= 0)
+    val out = PipelineOps.layoutDir(spark, dir, "ivfint8takedown")
+    val aroot = Paths.get(out, "assignments8")
+    val croot = Paths.get(out, "centroids")
+    Seq(aroot, croot).foreach { r => // fresh targets per invocation
+      if (Files.exists(r)) VersionedTarget.rmTree(r.toFile)
+      Files.createDirectories(r): Unit
+    }
+    val assignT = VersionedTarget.Segmented(aroot,
+      partitionCols = Seq("cell"), clusterCommits = true)
+    val centT = VersionedTarget.Rewrite(croot)
+    val (baseAssign, cent0) =
+      Similarity.kmeansFit(base, "vec_id", "embedding", k = 8, iters = 2,
+        materialize = false, withVec = true)
+    centT.commit(cent0, 0L)
+    assignT.commit(Similarity.quantizeInt8(baseAssign, "vec_id", "embedding"),
+      0L, tag = Some("v0"))
+    // one O(delta) int8 append → a second segment, so the takedown has a
+    // multi-segment manifest to rewrite selectively and the compaction a
+    // real fold to perform
+    Similarity.appendToIndex(e.filter($"vec_id" % 10 === 0), "vec_id",
+      "embedding", assignT, centT, 1L, int8 = true)
+    def wave(): (Seq[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType) = {
+      val idx8 = assignT.current(spark)
+        .getOrElse(sys.error("int8 index target committed no version"))
+      val c = Similarity.pairedQuantizer(spark, assignT, centT)
+        .getOrElse(sys.error("no centroid version paired with the served index"))
+      val res = Similarity.ivfTopKServedInt8(idx8, e, c, "vec_id", "embedding",
+          e.filter($"vec_id" < 20), k = 3, prefetch = 6, nprobe = 2)
+        .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
+      (res.collect().toSeq, res.schema)
+    }
+    // TAKEDOWN on the quantized payload: touched int8 segments rewritten
+    // copy-on-write, quantizer and `cell=` layout untouched
+    // the takedown list lives in the BASE segment only: the rewrite must
+    // touch seg0 alone while the appended delta segment survives BY
+    // REFERENCE (never read, never rewritten) — and the 2-segment
+    // post-takedown manifest gives the compaction a real fold
+    require(assignT.deleteWhere(spark,
+        $"vec_id" % 7 === 3 && $"vec_id" % 10 =!= 0).isDefined,
+      "takedown fixture must revoke at least one indexed vector")
+    val (afterDelete, schema) = wave()
+    require(afterDelete.forall(r => r.getLong(1) % 7 != 3 || r.getLong(1) % 10 == 0),
+      "a revoked vector was served from the int8 index after the takedown")
+    // COMPACTION on the quantized payload: fold the post-takedown
+    // segments and prove the fold probe-identical (physical, not semantic)
+    require(assignT.compact(spark).isDefined,
+      "post-takedown int8 index must have segments to fold")
+    assignT.vacuum(1): Unit // retire the pre-fold versions
+    val (afterFold, _) = wave()
+    require(afterFold == afterDelete,
+      "compacting the int8 index changed a probe wave — folds must be " +
+        "probe-identical")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(afterFold, 1), schema)
+  }
+
+  /** q165's fit-on-base SQ8 oracle with the takedown set removed from
+    * candidacy only (probes, fit and quantization rule untouched).
+    */
+  val q176Sql: String =
+    sq8WaveSql("vec_id % 10 <> 0",
+      candWhere = "NOT (c.vec_id % 7 = 3 AND c.vec_id % 10 <> 0)")
+
+  /** Q177 — PQ INDEX TAKEDOWN + COMPACTION: q176's verbs proven against
+    * the m-bytes-per-vector PQ payload (q174's lifecycle) — the leanest
+    * serving artifact of the family, and the one whose code arrays +
+    * tagged quantizer BUNDLE have to survive the copy-on-write rewrite
+    * path intact. Same contract: `deleteWhere` changes candidacy only
+    * (bundle untouched, tag carried through the rewrite), `compact`
+    * folds the post-takedown code segments and must be PROBE-IDENTICAL
+    * (required in-query against the pre-fold wave). The closing wave is
+    * q170's ADC + exact re-rank off the live pointer.
+    */
+  def q177(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import graft.ops.VersionedTarget
+    val e = t(spark, dir, "embeddings").coalesce(8)
+    val base = e.filter($"vec_id" % 10 =!= 0)
+    val out = PipelineOps.layoutDir(spark, dir, "ivfpqtakedown")
+    val aroot = Paths.get(out, "codes")
+    val broot = Paths.get(out, "bundle")
+    Seq(aroot, broot).foreach { r => // fresh targets per invocation
+      if (Files.exists(r)) VersionedTarget.rmTree(r.toFile)
+      Files.createDirectories(r): Unit
+    }
+    val assignT = VersionedTarget.Segmented(aroot,
+      partitionCols = Seq("cell"), clusterCommits = true)
+    val bundleT = VersionedTarget.Rewrite(broot)
+    val (_, coarseDF) = Similarity.kmeansFit(base, "vec_id", "embedding",
+      k = 8, iters = 2, materialize = false, withVec = false)
+    val coarse = Similarity.localize(coarseDF)
+    val books = Similarity.pqFit(base, "vec_id", "embedding",
+      dim = 64, m = 4, codes = 16, iters = 2)
+    bundleT.commit(Similarity.pqBundleDF(spark, coarse, books), 0L)
+    assignT.commit(
+      Similarity.pqEncode(base, "vec_id", "embedding", books, coarse, dim = 64),
+      0L, tag = Some("v0"))
+    Similarity.appendToIndexPq(e.filter($"vec_id" % 10 === 0), "vec_id",
+      "embedding", assignT, bundleT, 1L, dim = 64)
+    // same fixture-compensating prefetch rule as q170/q174 (the oracle
+    // bakes the identical GREATEST(48, n/10) cutoff)
+    val prefetch = math.max(48L, e.count() / 10L).toInt
+    def wave(): (Seq[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType) = {
+      val idx = assignT.current(spark)
+        .getOrElse(sys.error("PQ index target committed no version"))
+      val (sc, sb) = Similarity.pairedPqBundle(spark, assignT, bundleT)
+        .getOrElse(sys.error("no bundle version paired with the served index"))
+      val res = Similarity.ivfTopKServedPQ(idx, e, sb, sc, "vec_id",
+          "embedding", e.filter($"vec_id" < 20), k = 3, prefetch = prefetch,
+          nprobe = 2, dim = 64)
+        .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
+      (res.collect().toSeq, res.schema)
+    }
+    // takedown list confined to the base segment (q176's rule): the code
+    // segment from the append survives by reference, and compaction gets
+    // a real 2-segment fold
+    require(assignT.deleteWhere(spark,
+        $"vec_id" % 7 === 3 && $"vec_id" % 10 =!= 0).isDefined,
+      "takedown fixture must revoke at least one indexed vector")
+    val (afterDelete, schema) = wave()
+    require(afterDelete.forall(r => r.getLong(1) % 7 != 3 || r.getLong(1) % 10 == 0),
+      "a revoked vector was served from the PQ index after the takedown")
+    require(assignT.compact(spark).isDefined,
+      "post-takedown PQ index must have segments to fold")
+    assignT.vacuum(1): Unit
+    val (afterFold, _) = wave()
+    require(afterFold == afterDelete,
+      "compacting the PQ index changed a probe wave — folds must be " +
+        "probe-identical")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(afterFold, 1), schema)
+  }
+
+  /** q174's fit-on-base PQ oracle with the takedown set removed from
+    * candidacy only.
+    */
+  val q177Sql: String =
+    pqWaveSql("vec_id % 10 <> 0",
+      candWhere = "NOT (c.vec_id % 7 = 3 AND c.vec_id % 10 <> 0)")
 
   /** The q174 per-micro-batch ingest verb: the q158/q165 contract with
     * the PQ payload — [[Similarity.appendToIndexPq]] encodes map-side at
@@ -2966,7 +3138,9 @@ object LlmOps {
     "q171_diversified_retrieval" -> (q171 _),
     "q172_winnowed_substring_dedup" -> (q172 _),
     "q173_video_neardup" -> (q173 _),
-    "q174_pq_lifecycle" -> (q174 _))
+    "q174_pq_lifecycle" -> (q174 _),
+    "q176_int8_takedown" -> (q176 _),
+    "q177_pq_takedown" -> (q177 _))
 
   def oracles: Map[String, String] = Map(
     "q58_exact_dedup" -> q58Sql,
@@ -3015,5 +3189,7 @@ object LlmOps {
     "q171_diversified_retrieval" -> q171Sql,
     "q172_winnowed_substring_dedup" -> q172Sql,
     "q173_video_neardup" -> q173Sql,
-    "q174_pq_lifecycle" -> q174Sql)
+    "q174_pq_lifecycle" -> q174Sql,
+    "q176_int8_takedown" -> q176Sql,
+    "q177_pq_takedown" -> q177Sql)
 }

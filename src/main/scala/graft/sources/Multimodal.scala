@@ -402,6 +402,15 @@ object Multimodal {
     * a bit (OpsSpec-pinned). Candidates then ride the SAME byte-band
     * Hamming join as images/audio ([[bandedHammingPairs]]) — the
     * shuffle carries (band, byte, id) triples, never frames.
+    *
+    * Exactness bound (the [[audioFingerprints]]/[[perceptualHashes]]
+    * convention): the cross-multiplied comparisons `fs(f)·n` and
+    * `fs(f)·fn(nb)` stay within Long while 255·n² < 2^63, i.e. up to
+    * ~190M SAMPLED pixels per video (~190 MB of sampled frames at one
+    * gray byte each — e.g. 32×32 frames: ~185k sampled frames). Beyond
+    * that the products can overflow and silently flip fingerprint bits;
+    * videos that large should lower the sampling rate (raise `stride`),
+    * which is the production shape anyway.
     */
   def videoFingerprints(binary: DataFrame, stride: Int): DataFrame = {
     require(stride >= 1)

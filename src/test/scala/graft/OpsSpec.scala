@@ -1787,6 +1787,82 @@ class OpsSpec extends SparkSpec {
       "the streamed PQ index diverged from the one-shot encode")
   }
 
+  test("quantized takedown + compaction (q176/q177): deleteWhere rewrites " +
+      "only the touched segment on BOTH quantized payloads, folds are " +
+      "content-identical, and layout + quantizer tag survive") {
+    import java.nio.file.Files
+    import graft.ops.VersionedTarget
+    val e = graft.core.Tables.t(spark, sfDir, "embeddings").coalesce(4)
+    val base = e.filter($"vec_id" % 10 =!= 0)
+    val delta = e.filter($"vec_id" % 10 === 0)
+    // revoked set confined to the BASE segment — the delta segment must
+    // survive the rewrite BY REFERENCE
+    val revoked = ($"vec_id" % 7 === 3) && ($"vec_id" % 10 =!= 0)
+
+    def drive(assignT: VersionedTarget.Segmented,
+              payloadCols: Seq[String]): Unit = {
+      def content(): Set[Seq[Any]] = assignT.current(spark).get
+        .select(($"vec_id" +: payloadCols.map(col)) :+ $"cell": _*)
+        .collect().map(_.toSeq.map {
+          case b: scala.collection.Seq[_] => b.toVector
+          case x => x
+        }).toSet
+      val before = content()
+      val del = assignT.deleteWhere(spark, revoked)
+        .getOrElse(fail("takedown must touch at least one segment"))
+      assert(del.touched == Seq("seg0"),
+        s"only the base segment holds revoked ids, got ${del.touched}")
+      val afterDelete = content()
+      assert(afterDelete == before.filterNot(r =>
+          r.head.asInstanceOf[Long] % 7 == 3 && r.head.asInstanceOf[Long] % 10 != 0),
+        "takedown must remove exactly the revoked rows, payload bytes intact")
+      assert(assignT.currentTag.contains("v0"),
+        "the quantizer tag must survive the takedown rewrite")
+      // compaction: physical fold, content- and layout-identical
+      val folded = assignT.compact(spark)
+        .getOrElse(fail("2-segment post-takedown manifest must fold"))
+      assert(content() == afterDelete,
+        "compaction changed quantized payload content")
+      assert(assignT.currentTag.contains("v0"),
+        "the quantizer tag must survive the fold")
+      val segDir = assignT.root.resolve(folded.segment).toFile
+      assert(Option(segDir.listFiles).getOrElse(Array.empty)
+          .exists(f => f.isDirectory && f.getName.startsWith("cell=")),
+        "the folded segment must preserve the cell= hive layout")
+    }
+
+    // SQ8 payload (q176's artifact)
+    val aroot8 = Files.createTempDirectory("graft_td8_a")
+    val croot8 = Files.createTempDirectory("graft_td8_c")
+    val assignT8 = VersionedTarget.Segmented(aroot8, partitionCols = Seq("cell"))
+    val centT8 = VersionedTarget.Rewrite(croot8)
+    val (ba8, cent8) = Similarity.kmeansFit(base, "vec_id", "embedding",
+      k = 8, iters = 2, materialize = false, withVec = true)
+    centT8.commit(cent8, 0L)
+    assignT8.commit(Similarity.quantizeInt8(ba8, "vec_id", "embedding"),
+      0L, tag = Some("v0"))
+    Similarity.appendToIndex(delta, "vec_id", "embedding", assignT8, centT8,
+      1L, int8 = true)
+    drive(assignT8, Seq("qvec", "scale"))
+
+    // PQ payload (q177's artifact)
+    val arootP = Files.createTempDirectory("graft_tdpq_a")
+    val brootP = Files.createTempDirectory("graft_tdpq_b")
+    val assignTP = VersionedTarget.Segmented(arootP, partitionCols = Seq("cell"))
+    val bundleTP = VersionedTarget.Rewrite(brootP)
+    val (_, coarseDF) = Similarity.kmeansFit(base, "vec_id", "embedding",
+      k = 8, iters = 2, materialize = false, withVec = false)
+    val coarseP = Similarity.localize(coarseDF)
+    val booksP = Similarity.pqFit(base, "vec_id", "embedding",
+      dim = 64, m = 4, codes = 16, iters = 2)
+    bundleTP.commit(Similarity.pqBundleDF(spark, coarseP, booksP), 0L)
+    assignTP.commit(Similarity.pqEncode(base, "vec_id", "embedding",
+      booksP, coarseP, dim = 64), 0L, tag = Some("v0"))
+    Similarity.appendToIndexPq(delta, "vec_id", "embedding", assignTP,
+      bundleTP, 1L, dim = 64)
+    drive(assignTP, Seq("codes"))
+  }
+
   test("quantizeInt8 drops zero vectors LOUDLY: the counter reports them, " +
       "the index excludes them, and the served wave never returns them") {
     val dim = 4
