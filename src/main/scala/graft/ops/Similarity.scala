@@ -427,6 +427,45 @@ object Similarity {
     }
   }
 
+  /** [[refitIndex]] for the PQ lifecycle — re-fit the WHOLE quantizer
+    * BUNDLE (coarse centroids + all m per-subspace codebooks) on the
+    * current corpus, commit it as one [[pqBundleDF]] version, and rebase
+    * the re-encoded corpus as a fresh base whose manifest tag pairs it
+    * with exactly that bundle. Same two-commit consistency story as the
+    * float/SQ8 refit (bundle first; the rebase stamps the pairing inside
+    * the pointer swap) and the same crash-redelivery idempotence: fully
+    * durable → no-op; bundle durable but codes not → the corpus is
+    * RE-ENCODED with the committed bundle (never paired with a fresh
+    * fit's different codebooks); neither durable → the full fit re-runs.
+    * O(corpus) by nature (m+1 k-means fits + one encode pass) — the
+    * scheduled-maintenance path a failed recall SLO demands, never the
+    * per-batch one.
+    */
+  def refitIndexPq(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, dim: Int, m: Int, codes: Int,
+      assignTarget: graft.ops.VersionedTarget.Segmented,
+      bundleTarget: graft.ops.VersionedTarget.Rewrite,
+      batchId: Long): Unit = {
+    if (graft.ops.VersionedTarget.appliedAtOrAfter(assignTarget.root, batchId)) return
+    val s = corpus.sparkSession
+    val tag = Some(s"v$batchId")
+    if (bundleTarget.committed(batchId)) {
+      // crash between the two commits: the bundle is durable — encode
+      // with IT, never with a fresh fit's different quantizer
+      val (coarse, books) = localizedPqBundle(s, bundleTarget, s"v$batchId")
+      assignTarget.rebase(
+        pqEncode(corpus, idCol, vecCol, books, coarse, dim), batchId, tag)
+    } else {
+      val (_, coarseDF) = kmeansFit(corpus, idCol, vecCol, k, iters,
+        materialize = false, withVec = false)
+      val coarse = localizeSeq(coarseDF)
+      val books = pqFit(corpus, idCol, vecCol, dim, m, codes, iters)
+      bundleTarget.commit(pqBundleDF(s, coarse, books), batchId)
+      assignTarget.rebase(
+        pqEncode(corpus, idCol, vecCol, books, coarse, dim), batchId, tag)
+    }
+  }
+
   /** APPEND — the O(delta) verb of the persisted-IVF lifecycle, made
     * REFIT-SAFE: place `delta` into the quantizer the index currently
     * serves ([[pairedCentroids]] at the live assignment epoch — a

@@ -1487,16 +1487,23 @@ object LlmOps {
     } finally aug.unpersist(): Unit
   }
 
+  /** The q153 drift fixture's vector SQL: embeddings augmented with
+    * `nClusters` one-hot dims keyed by `vec_id % nClusters` — shared by
+    * every refit oracle (q153 float, q178 SQ8, q179 PQ) so the fixture
+    * rule can never drift between them.
+    */
+  private[queries] def augVecSql(nClusters: Int): String = {
+    val cases = (0 until nClusters).map(c =>
+      s"CASE WHEN vec_id % $nClusters = $c THEN 1.0 ELSE 0.0 END")
+      .mkString(",\n     ")
+    s"""SELECT vec_id, list_concat(
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)),
+       |    [$cases]) AS v
+       |  FROM embeddings""".stripMargin
+  }
+
   /** Fit-on-current-corpus over the drift fixture's augmented vectors. */
-  val q153Sql: String = probedTopKSql(kmeansCtes("TRUE",
-    """SELECT vec_id, list_concat(
-      |    list_transform(embedding, x -> CAST(x AS DOUBLE)),
-      |    [CASE WHEN vec_id % 5 = 0 THEN 1.0 ELSE 0.0 END,
-      |     CASE WHEN vec_id % 5 = 1 THEN 1.0 ELSE 0.0 END,
-      |     CASE WHEN vec_id % 5 = 2 THEN 1.0 ELSE 0.0 END,
-      |     CASE WHEN vec_id % 5 = 3 THEN 1.0 ELSE 0.0 END,
-      |     CASE WHEN vec_id % 5 = 4 THEN 1.0 ELSE 0.0 END]) AS v
-      |  FROM embeddings""".stripMargin))
+  val q153Sql: String = probedTopKSql(kmeansCtes("TRUE", augVecSql(5)))
 
   /** Q156 — ANN INDEX TAKEDOWN (vector unlearning): the serving-side
     * half of q154's corpus takedown — revoked vectors must stop being
@@ -2131,8 +2138,9 @@ object LlmOps {
     * placement or the per-vector scale rule, so both paths replay to
     * the same integers.
     */
-  private def sq8WaveSql(fitWhere: String, candWhere: String = "TRUE"): String =
-    s"""${kmeansCtes(fitWhere)},
+  private def sq8WaveSql(fitWhere: String, candWhere: String = "TRUE",
+                         vecSql: String = rawVecSql): String =
+    s"""${kmeansCtes(fitWhere, vecSql)},
        |qz AS (
        |  SELECT vec_id, cell, v,
        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
@@ -2509,15 +2517,6 @@ object LlmOps {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), res.schema)
   }
 
-  /** The per-subspace `vecs` CTE body: the corpus projected onto one
-    * contiguous dim/m slice (DuckDB list slicing is 1-based inclusive,
-    * matching Spark's `slice(v, lo, len)`).
-    */
-  private def subVecSql(s: Int, sub: Int): String = {
-    val lo = s * sub + 1; val hi = (s + 1) * sub
-    s"SELECT vec_id, (list_transform(embedding, x -> CAST(x AS DOUBLE)))[$lo:$hi] AS v FROM embeddings"
-  }
-
   /** The IVF-PQ two-stage oracle (coarse k-means + m prefixed codebook
     * fits + code re-derivation + ADC prefetch + exact re-rank), fitted
     * on `fitWhere` and assigning/serving everyone — shared by q170
@@ -2525,10 +2524,25 @@ object LlmOps {
     * batch boundaries cannot change a tag-pinned placement, the coarse
     * argmin or the code argmins, so both paths replay identically.
     */
-  private def pqWaveSql(fitWhere: String, candWhere: String = "TRUE"): String = {
-    val m = 4; val sub = 16
+  private def pqWaveSql(fitWhere: String, candWhere: String = "TRUE"): String =
+    pqWaveSqlOver(fitWhere, rawVecSql, dim = 64, m = 4, candWhere)
+
+  /** The fully parameterized IVF-PQ two-stage oracle: main corpus CTE
+    * from `vecSql`, each per-subspace codebook fit over a slice of the
+    * main `vecs` CTE (identical values to slicing the raw embedding —
+    * the transform distributes over the slice), probes vec_id < 20,
+    * nprobe 2, the GREATEST(48, n/10) fixture prefetch, exact re-rank
+    * to k=3. q178/q179's drift fixtures feed augmented vectors through
+    * `vecSql` with a dim that still splits into `m` subspaces.
+    */
+  private def pqWaveSqlOver(fitWhere: String, vecSql: String, dim: Int,
+                            m: Int, candWhere: String = "TRUE"): String = {
+    require(dim % m == 0, s"dim ($dim) must split evenly into $m subspaces")
+    val sub = dim / m
     val bookCtes = (0 until m).map(s =>
-      kmeansCtes(fitWhere, subVecSql(s, sub), s"p${s}_", 16)
+      kmeansCtes(fitWhere,
+        s"SELECT vec_id, v[${s * sub + 1}:${(s + 1) * sub}] AS v FROM vecs",
+        s"p${s}_", 16)
         .stripPrefix("WITH ")).mkString(",\n")
     val adc = (0 until m)
       .map(s => s"list_dot_product(pv.v[${s * sub + 1}:${(s + 1) * sub}], cb$s.centroid)")
@@ -2538,7 +2552,7 @@ object LlmOps {
     val codeJoins = (0 until m).map(s =>
       s"JOIN p${s}_assign3 pa$s ON pa$s.vec_id = c.vec_id\n  " +
         s"JOIN p${s}_cent2 cb$s ON cb$s.cell = pa$s.cell").mkString("\n  ")
-    s"""${kmeansCtes(fitWhere)},
+    s"""${kmeansCtes(fitWhere, vecSql)},
        |$bookCtes,
        |pcell AS (
        |  SELECT vec_id AS probe_id, cell FROM (
@@ -2821,6 +2835,191 @@ object LlmOps {
   val q177Sql: String =
     pqWaveSql("vec_id % 10 <> 0",
       candWhere = "NOT (c.vec_id % 7 = 3 AND c.vec_id % 10 <> 0)")
+
+  /** The q153 drift fixture, Spark side: embeddings augmented with
+    * `nClusters` one-hot dims keyed by `vec_id % nClusters` (the oracle
+    * twin is [[augVecSql]]). Gives the near-uniform random fixture real
+    * cluster structure, so a quantizer fitted on a SUBSET of clusters is
+    * measurably stale for the rest — the drift a refit recovers from.
+    */
+  private def augmentedEmbeddings(e: DataFrame, nClusters: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{array, concat, lit, pmod, when}
+    e.select(col("vec_id"), concat(Similarity.toDouble(col("embedding")),
+      array((0 until nClusters).map(c =>
+        when(pmod(col("vec_id"), lit(nClusters)) === c, lit(1.0))
+          .otherwise(lit(0.0))): _*))
+      .as("embedding"))
+  }
+
+  /** Q178 — SQ8 INDEX REFIT (trigger → recover on the quantized
+    * lifecycle): q153 proved the full recall-floor → refit recovery on
+    * the FLOAT index; q165 gave the SQ8 index builds, appends and the
+    * refit RACE — but nothing yet MEASURED a served int8 wave against
+    * the floor and actually re-fit the quantizer + re-quantized the base
+    * on a drifted corpus. This is that verb, on q153's drift fixture:
+    * nightly build fits on 2 of 5 clusters (base committed ALREADY
+    * QUANTIZED), the unseen clusters arrive via the O(delta) int8 append,
+    * the served SQ8 wave's recall vs the brute-force truth trips
+    * [[Similarity.refitDecision]]'s 0.8 floor, and the recovery is
+    * [[Similarity.refitIndex]] `int8 = true`: re-fit on the current
+    * corpus, commit the new quantizer, rebase ONE fresh SQ8-coded base
+    * whose manifest tag pairs it with the new centroids — old versions
+    * retired by vacuum, recall re-measured above the floor before the
+    * restored wave ships.
+    */
+  def q178(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import graft.ops.VersionedTarget
+    val e = t(spark, dir, "embeddings").coalesce(8)
+    // the augmented corpus feeds two fits, the append placement, both
+    // probe waves and the brute-force truth — cache it once (q153's rule)
+    val aug = augmentedEmbeddings(e, 5).persist()
+    val cluster = pmod($"vec_id", lit(5))
+    val out = PipelineOps.layoutDir(spark, dir, "ivf8refit")
+    val aroot = Paths.get(out, "assignments8")
+    val croot = Paths.get(out, "centroids")
+    Seq(aroot, croot).foreach { r => // fresh targets per invocation
+      if (Files.exists(r)) VersionedTarget.rmTree(r.toFile)
+      Files.createDirectories(r): Unit
+    }
+    val assignT = VersionedTarget.Segmented(aroot,
+      partitionCols = Seq("cell"), clusterCommits = true)
+    val centT = VersionedTarget.Rewrite(croot)
+    val (baseAssign, cent0) =
+      Similarity.kmeansFit(aug.filter(cluster.isin(0, 1)), "vec_id",
+        "embedding", k = 8, iters = 2, materialize = false, withVec = true)
+    centT.commit(cent0, 0L)
+    assignT.commit(Similarity.quantizeInt8(baseAssign, "vec_id", "embedding"),
+      0L, tag = Some("v0"))
+    // drift: the unseen clusters enter through the refit-safe int8 append
+    Similarity.appendToIndex(aug.filter(cluster.isin(2, 3, 4)), "vec_id",
+      "embedding", assignT, centT, 1L, int8 = true)
+    def wave(): (Seq[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType) = {
+      val idx8 = assignT.current(spark)
+        .getOrElse(sys.error("int8 index target committed no version"))
+      val c = Similarity.pairedQuantizer(spark, assignT, centT)
+        .getOrElse(sys.error("no centroid version paired with the served index"))
+      val res = Similarity.ivfTopKServedInt8(idx8, aug, c, "vec_id",
+          "embedding", aug.filter($"vec_id" < 20), k = 3, prefetch = 6,
+          nprobe = 2)
+        .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
+      (res.collect().toSeq, res.schema)
+    }
+    val (degraded, _) = wave()
+    val truth = Similarity.bruteForceTopK(
+        aug.filter($"vec_id" < 20), aug, "vec_id", "embedding", k = 3)
+      .select($"probe_id", $"cand_id")
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    def hitsOf(served: Seq[org.apache.spark.sql.Row]): Seq[Long] =
+      Similarity.recallHits(truth,
+        served.map(r => (r.getLong(0), r.getLong(1)))).map(_._2)
+    try {
+      require(Similarity.refitDecision(hitsOf(degraded), k = 3, minRecall = 0.8),
+        "drift fixture failed to trip the SQ8 recall floor — nothing to recover")
+      Similarity.refitIndex(aug, "vec_id", "embedding", k = 8, iters = 2,
+        assignT, centT, batchId = 3L, int8 = true)
+      assignT.vacuum(1): Unit
+      centT.vacuum(1): Unit
+      require(VersionedTarget.currentVersion(aroot).contains("v3") &&
+          assignT.segmentsOf("v3") == Seq("seg3"),
+        "refit must serve from ONE fresh SQ8-coded base segment")
+      val (restored, restoredSchema) = wave()
+      require(!Similarity.refitDecision(hitsOf(restored), k = 3, minRecall = 0.8),
+        "SQ8 refit did not restore recall above the floor")
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(restored, 1), restoredSchema)
+    } finally aug.unpersist(): Unit
+  }
+
+  /** Fit-on-current-corpus SQ8 wave over the drift fixture's augmented
+    * vectors (q153's oracle rule applied to q165's quantized wave).
+    */
+  val q178Sql: String = sq8WaveSql("TRUE", vecSql = augVecSql(5))
+
+  /** Q179 — PQ INDEX REFIT: q178's trigger → recover verb on the PQ
+    * lifecycle, where the re-fit artifact is the whole quantizer BUNDLE
+    * (coarse centroids + all m codebooks re-fitted together,
+    * [[Similarity.refitIndexPq]]) and the rebase is one fresh
+    * m-bytes-per-vector coded base tag-paired with the new bundle. The
+    * drift fixture uses 4 one-hot cluster dims (dim 68 still splits into
+    * m = 4 subspaces); the nightly bundle fits on 2 of 4 clusters, the
+    * rest arrive via the O(delta) PQ append, the served ADC wave trips
+    * the 0.8 recall floor vs brute force, and the refit restores it.
+    */
+  def q179(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import graft.ops.VersionedTarget
+    val e = t(spark, dir, "embeddings").coalesce(8)
+    val aug = augmentedEmbeddings(e, 4).persist()
+    val cluster = pmod($"vec_id", lit(4))
+    val out = PipelineOps.layoutDir(spark, dir, "ivfpqrefit")
+    val aroot = Paths.get(out, "codes")
+    val broot = Paths.get(out, "bundle")
+    Seq(aroot, broot).foreach { r => // fresh targets per invocation
+      if (Files.exists(r)) VersionedTarget.rmTree(r.toFile)
+      Files.createDirectories(r): Unit
+    }
+    val assignT = VersionedTarget.Segmented(aroot,
+      partitionCols = Seq("cell"), clusterCommits = true)
+    val bundleT = VersionedTarget.Rewrite(broot)
+    val base = aug.filter(cluster.isin(0, 1))
+    val (_, coarseDF) = Similarity.kmeansFit(base, "vec_id", "embedding",
+      k = 8, iters = 2, materialize = false, withVec = false)
+    val coarse = Similarity.localize(coarseDF)
+    val books = Similarity.pqFit(base, "vec_id", "embedding",
+      dim = 68, m = 4, codes = 16, iters = 2)
+    bundleT.commit(Similarity.pqBundleDF(spark, coarse, books), 0L)
+    assignT.commit(
+      Similarity.pqEncode(base, "vec_id", "embedding", books, coarse, dim = 68),
+      0L, tag = Some("v0"))
+    Similarity.appendToIndexPq(aug.filter(cluster.isin(2, 3)), "vec_id",
+      "embedding", assignT, bundleT, 1L, dim = 68)
+    val prefetch = math.max(48L, e.count() / 10L).toInt
+    def wave(): (Seq[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType) = {
+      val idx = assignT.current(spark)
+        .getOrElse(sys.error("PQ index target committed no version"))
+      val (sc, sb) = Similarity.pairedPqBundle(spark, assignT, bundleT)
+        .getOrElse(sys.error("no bundle version paired with the served index"))
+      val res = Similarity.ivfTopKServedPQ(idx, aug, sb, sc, "vec_id",
+          "embedding", aug.filter($"vec_id" < 20), k = 3, prefetch = prefetch,
+          nprobe = 2, dim = 68)
+        .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
+      (res.collect().toSeq, res.schema)
+    }
+    val (degraded, _) = wave()
+    val truth = Similarity.bruteForceTopK(
+        aug.filter($"vec_id" < 20), aug, "vec_id", "embedding", k = 3)
+      .select($"probe_id", $"cand_id")
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    def hitsOf(served: Seq[org.apache.spark.sql.Row]): Seq[Long] =
+      Similarity.recallHits(truth,
+        served.map(r => (r.getLong(0), r.getLong(1)))).map(_._2)
+    try {
+      require(Similarity.refitDecision(hitsOf(degraded), k = 3, minRecall = 0.8),
+        "drift fixture failed to trip the PQ recall floor — nothing to recover")
+      Similarity.refitIndexPq(aug, "vec_id", "embedding", k = 8, iters = 2,
+        dim = 68, m = 4, codes = 16, assignT, bundleT, batchId = 3L)
+      assignT.vacuum(1): Unit
+      bundleT.vacuum(1): Unit
+      require(VersionedTarget.currentVersion(aroot).contains("v3") &&
+          assignT.segmentsOf("v3") == Seq("seg3"),
+        "refit must serve from ONE fresh PQ-coded base segment")
+      val (restored, restoredSchema) = wave()
+      require(!Similarity.refitDecision(hitsOf(restored), k = 3, minRecall = 0.8),
+        "PQ refit did not restore recall above the floor")
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(restored, 1), restoredSchema)
+    } finally aug.unpersist(): Unit
+  }
+
+  /** Fit-on-current-corpus PQ wave over the 4-cluster drift fixture
+    * (dim 68, m = 4 — the bundle refit's oracle twin).
+    */
+  val q179Sql: String = pqWaveSqlOver("TRUE", augVecSql(4), dim = 68, m = 4)
 
   /** The q174 per-micro-batch ingest verb: the q158/q165 contract with
     * the PQ payload — [[Similarity.appendToIndexPq]] encodes map-side at
@@ -3140,7 +3339,9 @@ object LlmOps {
     "q173_video_neardup" -> (q173 _),
     "q174_pq_lifecycle" -> (q174 _),
     "q176_int8_takedown" -> (q176 _),
-    "q177_pq_takedown" -> (q177 _))
+    "q177_pq_takedown" -> (q177 _),
+    "q178_sq8_refit" -> (q178 _),
+    "q179_pq_refit" -> (q179 _))
 
   def oracles: Map[String, String] = Map(
     "q58_exact_dedup" -> q58Sql,
@@ -3191,5 +3392,7 @@ object LlmOps {
     "q173_video_neardup" -> q173Sql,
     "q174_pq_lifecycle" -> q174Sql,
     "q176_int8_takedown" -> q176Sql,
-    "q177_pq_takedown" -> q177Sql)
+    "q177_pq_takedown" -> q177Sql,
+    "q178_sq8_refit" -> q178Sql,
+    "q179_pq_refit" -> q179Sql)
 }

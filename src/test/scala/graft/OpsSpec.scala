@@ -1863,6 +1863,66 @@ class OpsSpec extends SparkSpec {
     drive(assignTP, Seq("codes"))
   }
 
+  test("PQ refit verb (q179): the rebase serves ONE fresh tag-paired coded " +
+      "base, fully-durable redelivery is a no-op, and a bundle-durable " +
+      "crash redelivery re-encodes with the COMMITTED bundle") {
+    import java.nio.file.Files
+    import graft.ops.VersionedTarget
+    val e = graft.core.Tables.t(spark, sfDir, "embeddings").coalesce(4)
+    val base = e.filter($"vec_id" % 10 =!= 0)
+    val aroot = Files.createTempDirectory("graft_pq_refit_a")
+    val broot = Files.createTempDirectory("graft_pq_refit_b")
+    val assignT = VersionedTarget.Segmented(aroot, partitionCols = Seq("cell"))
+    val bundleT = VersionedTarget.Rewrite(broot)
+    val (_, coarseDF) = Similarity.kmeansFit(base, "vec_id", "embedding",
+      k = 8, iters = 2, materialize = false, withVec = false)
+    val coarse0 = Similarity.localize(coarseDF)
+    val books0 = Similarity.pqFit(base, "vec_id", "embedding",
+      dim = 64, m = 4, codes = 16, iters = 2)
+    bundleT.commit(Similarity.pqBundleDF(spark, coarse0, books0), 0L)
+    assignT.commit(Similarity.pqEncode(base, "vec_id", "embedding",
+      books0, coarse0, dim = 64), 0L, tag = Some("v0"))
+    // the verb: re-fit the whole bundle on the CURRENT corpus, fresh base
+    Similarity.refitIndexPq(e, "vec_id", "embedding", k = 8, iters = 2,
+      dim = 64, m = 4, codes = 16, assignT, bundleT, batchId = 2L)
+    assert(VersionedTarget.currentVersion(aroot).contains("v2") &&
+      assignT.segmentsOf("v2") == Seq("seg2"),
+      "PQ refit must rebase to ONE fresh coded segment")
+    assert(assignT.currentTag.contains("v2"),
+      "the rebase must stamp the new bundle's tag")
+    // the rebased codes equal the one-shot encode with the new bundle
+    val (c2, b2) = Similarity.localizedPqBundle(spark, bundleT, "v2")
+    def key(r: Row): (Long, Seq[Byte], Long) =
+      (r.getAs[Number]("vec_id").longValue,
+        r.getAs[Seq[Byte]]("codes").toVector,
+        r.getAs[Number]("cell").longValue)
+    val expect = Similarity.pqEncode(e, "vec_id", "embedding", b2, c2,
+      dim = 64).collect().map(key).toSet
+    assert(assignT.current(spark).get.select($"vec_id", $"codes", $"cell")
+        .collect().map(key).toSet == expect,
+      "the rebased base must be the one-shot encode under the new bundle")
+    // fully-durable redelivery: no-op (no wasted fit, pointer untouched)
+    Similarity.refitIndexPq(e, "vec_id", "embedding", k = 8, iters = 2,
+      dim = 64, m = 4, codes = 16, assignT, bundleT, batchId = 2L)
+    assert(VersionedTarget.currentVersion(aroot).contains("v2"),
+      "fully-durable PQ refit redelivery must be a no-op")
+    // crash-BETWEEN-commits redelivery: the DURABLE bundle wins — the
+    // corpus is re-encoded with it, never paired with a fresh fit's
+    // different codebooks. Make the durable bundle distinguishable: the
+    // BASE fit's bundle (differs from a whole-corpus fit's)
+    bundleT.commit(Similarity.pqBundleDF(spark, coarse0, books0), 3L)
+    Similarity.refitIndexPq(e, "vec_id", "embedding", k = 8, iters = 2,
+      dim = 64, m = 4, codes = 16, assignT, bundleT, batchId = 3L)
+    val expect3 = Similarity.pqEncode(e, "vec_id", "embedding",
+      books0.map(_.sortBy(_._1)), coarse0.sortBy(_._1), dim = 64)
+      .collect().map(key).toSet
+    assert(assignT.current(spark).get.select($"vec_id", $"codes", $"cell")
+        .collect().map(key).toSet == expect3,
+      "mid-window redelivery must encode with the COMMITTED bundle")
+    assert(VersionedTarget.currentVersion(aroot).contains("v3") &&
+      assignT.currentTag.contains("v3"))
+  }
+
   test("quantizeInt8 drops zero vectors LOUDLY: the counter reports them, " +
       "the index excludes them, and the served wave never returns them") {
     val dim = 4
