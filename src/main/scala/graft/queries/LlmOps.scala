@@ -3180,7 +3180,12 @@ object LlmOps {
     * rule (every sample of every clip via range-unnest), then all-pairs
     * Hamming ≤ 6 — the banded join's recall-complete reference.
     */
-  val q167Sql: String =
+  /** The q167 oracle prefix: recomputes frame energies + both audio
+    * fingerprints from the fixture rule, ending in `named(f, afp, dfp)`
+    * — shared by the pair query (q167) and the cluster/apply
+    * composition (q180).
+    */
+  private val audioFpOracleCtes: String =
     """WITH recs AS (
       |  SELECT i.i, j.j FROM UNNEST(range(0, 12)) i(i), UNNEST(range(0, 3)) j(j)),
       |sm AS (
@@ -3208,8 +3213,11 @@ object LlmOps {
       |  JOIN tot t ON t.i = fm.i AND t.j = fm.j
       |  JOIN frm nx ON nx.i = fm.i AND nx.j = fm.j AND nx.f = (fm.f + 1) % 64
       |  GROUP BY fm.i, fm.j),
-      |named AS (SELECT printf('wav_%02d_%d.wav', i, j) AS f, afp, dfp FROM hsh)
-      |SELECT a.f AS f1, b.f AS f2,
+      |named AS (SELECT printf('wav_%02d_%d.wav', i, j) AS f, afp, dfp FROM hsh)""".stripMargin
+
+  // NOTE: margin already stripped — concatenate, never re-stripMargin
+  val q167Sql: String = audioFpOracleCtes + "\n" +
+    """SELECT a.f AS f1, b.f AS f2,
       |  bit_count(xor(a.afp, b.afp)) AS ham_a,
       |  bit_count(xor(a.dfp, b.dfp)) AS ham_d
       |FROM named a JOIN named b ON a.f < b.f
@@ -3253,7 +3261,11 @@ object LlmOps {
     * mean comparisons reduce to `fs·64 > total` and `fs > next fs`
     * (identical truth values to the engine's general fn-weighted form).
     */
-  val q173Sql: String =
+  /** The q173 oracle prefix (sampled-frame fingerprint recompute),
+    * ending in `named(f, afp, dfp)` — shared by q173 and the
+    * cluster/apply composition (q181).
+    */
+  private val videoFpOracleCtes: String =
     """WITH recs AS (
       |  SELECT i.i, j.j FROM UNNEST(range(0, 12)) i(i), UNNEST(range(0, 3)) j(j)),
       |pxl AS (
@@ -3282,13 +3294,208 @@ object LlmOps {
       |  JOIN tot t ON t.i = fm.i AND t.j = fm.j
       |  JOIN frm nx ON nx.i = fm.i AND nx.j = fm.j AND nx.f = (fm.f + 1) % 64
       |  GROUP BY fm.i, fm.j),
-      |named AS (SELECT printf('vid_%02d_%d.gvid', i, j) AS f, afp, dfp FROM hsh)
-      |SELECT a.f AS f1, b.f AS f2,
+      |named AS (SELECT printf('vid_%02d_%d.gvid', i, j) AS f, afp, dfp FROM hsh)""".stripMargin
+
+  // NOTE: margin already stripped — concatenate, never re-stripMargin
+  val q173Sql: String = videoFpOracleCtes + "\n" +
+    """SELECT a.f AS f1, b.f AS f2,
       |  bit_count(xor(a.afp, b.afp)) AS ham_a,
       |  bit_count(xor(a.dfp, b.dfp)) AS ham_d
       |FROM named a JOIN named b ON a.f < b.f
       |WHERE bit_count(xor(a.afp, b.afp)) <= 6
       |ORDER BY f1 NULLS FIRST, f2 NULLS FIRST""".stripMargin
+
+  /** Q180 — AUDIO DEDUP END-TO-END (pairs → clusters → apply): q166's
+    * composition run on the audio modality — q167 stopped at the pair
+    * report; this closes the pipeline the way every other dedup modality
+    * already does: banded frame-energy fingerprint pairs, TRUE duplicate
+    * clusters via the modality-agnostic quotient-graph contraction
+    * (string ids — min-label is any total order), keeper = each
+    * cluster's lexicographic-minimum clip, and the APPLY materialises
+    * the surviving corpus (keeper PAYLOADS, not just names) to parquet
+    * before the kept flags are read BACK from the artifact — layout must
+    * never change decisions (the q127/q166 gate). Scale shape inherited
+    * stage-by-stage: the band join shuffles (band, byte, id) triples —
+    * never samples — and the apply writes keeper payloads once.
+    */
+  def q180(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fix = Multimodal.ensureAudioFpFixtures()
+    val bin = Multimodal.readBinary(spark, s"$fix/*.wav")
+    val fps = Multimodal.audioFingerprints(bin)
+      .select(regexp_extract($"path", "([^/]+)$", 1).as("fname"),
+        $"afp", $"dfp")
+    val pairs = Multimodal.bandedHammingPairs(fps, "fname", "afp", "dfp",
+      maxHamming = 6)
+    val cs = graft.core.CacheScope.adopt(
+      graft.ops.Components.clustersWithSize(
+        pairs.select($"d1".as("a"), $"d2".as("b")),
+        fps.select($"fname".as("id"))))
+    val out = graft.core.Scratch.deleteOnExit(
+      java.nio.file.Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        "graft-dedup",
+        s"wavs_${spark.sparkContext.applicationId}").toString)
+    bin.select(regexp_extract($"path", "([^/]+)$", 1).as("fname"), $"content")
+      .join(cs.filter($"id" === $"cluster").select($"id".as("fname")),
+        Seq("fname"))
+      .write.mode("overwrite").parquet(out)
+    val kept = spark.read.parquet(out)
+      .select($"fname", lit(true).as("kept"))
+    cs.select($"id".as("fname"), $"cluster", $"cluster_size")
+      .join(kept, Seq("fname"), "left")
+      .select($"fname", $"cluster", $"cluster_size",
+        coalesce($"kept", lit(false)).as("kept"))
+      .orderBy($"fname".asc_nulls_first)
+  }
+
+  /** The q167 fingerprint recompute + all-pairs Hamming ≤ 6 + the q166
+    * 3-round min-label unrolling + the cluster-min keep rule.
+    */
+  val q180Sql: String = audioFpOracleCtes + ",\n" +
+    s"""ipairs AS (
+       |  SELECT a.f AS d1, b.f AS d2
+       |  FROM named a JOIN named b ON a.f < b.f
+       |  WHERE bit_count(xor(a.afp, b.afp)) <= 6),
+       |e AS MATERIALIZED (SELECT d1 AS a, d2 AS b FROM ipairs
+       |      UNION ALL SELECT d2 AS a, d1 AS b FROM ipairs),
+       |lab0 AS (SELECT f AS id, f AS cluster FROM named),
+       |${CurationOps.labRound(1)},
+       |${CurationOps.labRound(2)},
+       |${CurationOps.labRound(3)},
+       |sz AS (SELECT cluster, COUNT(*) AS n FROM lab3 GROUP BY cluster)
+       |SELECT l.id AS fname, l.cluster, CAST(s.n AS BIGINT) AS cluster_size,
+       |  (l.id = l.cluster) AS kept
+       |FROM lab3 l JOIN sz s ON s.cluster = l.cluster
+       |ORDER BY fname NULLS FIRST""".stripMargin
+
+  /** Q181 — VIDEO DEDUP END-TO-END: q180's composition on the video
+    * modality (q173's stride-sampled temporal fingerprints). The dedup
+    * matrix's apply column is now full: text (q87/q127), embedding
+    * (q169/q175), image (q166), audio (q180), video (HERE) — all through
+    * the same contraction/keeper/apply machinery, which is the point:
+    * modality only changes the fingerprint, never the pipeline.
+    */
+  def q181(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fix = Multimodal.ensureVideoFixtures()
+    val bin = Multimodal.readBinary(spark, s"$fix/*.gvid")
+    val fps = Multimodal.videoFingerprints(bin, stride = 2)
+      .select(regexp_extract($"path", "([^/]+)$", 1).as("fname"),
+        $"afp", $"dfp")
+    val pairs = Multimodal.bandedHammingPairs(fps, "fname", "afp", "dfp",
+      maxHamming = 6)
+    val cs = graft.core.CacheScope.adopt(
+      graft.ops.Components.clustersWithSize(
+        pairs.select($"d1".as("a"), $"d2".as("b")),
+        fps.select($"fname".as("id"))))
+    val out = graft.core.Scratch.deleteOnExit(
+      java.nio.file.Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        "graft-dedup",
+        s"vids_${spark.sparkContext.applicationId}").toString)
+    bin.select(regexp_extract($"path", "([^/]+)$", 1).as("fname"), $"content")
+      .join(cs.filter($"id" === $"cluster").select($"id".as("fname")),
+        Seq("fname"))
+      .write.mode("overwrite").parquet(out)
+    val kept = spark.read.parquet(out)
+      .select($"fname", lit(true).as("kept"))
+    cs.select($"id".as("fname"), $"cluster", $"cluster_size")
+      .join(kept, Seq("fname"), "left")
+      .select($"fname", $"cluster", $"cluster_size",
+        coalesce($"kept", lit(false)).as("kept"))
+      .orderBy($"fname".asc_nulls_first)
+  }
+
+  val q181Sql: String = videoFpOracleCtes + ",\n" +
+    s"""ipairs AS (
+       |  SELECT a.f AS d1, b.f AS d2
+       |  FROM named a JOIN named b ON a.f < b.f
+       |  WHERE bit_count(xor(a.afp, b.afp)) <= 6),
+       |e AS MATERIALIZED (SELECT d1 AS a, d2 AS b FROM ipairs
+       |      UNION ALL SELECT d2 AS a, d1 AS b FROM ipairs),
+       |lab0 AS (SELECT f AS id, f AS cluster FROM named),
+       |${CurationOps.labRound(1)},
+       |${CurationOps.labRound(2)},
+       |${CurationOps.labRound(3)},
+       |sz AS (SELECT cluster, COUNT(*) AS n FROM lab3 GROUP BY cluster)
+       |SELECT l.id AS fname, l.cluster, CAST(s.n AS BIGINT) AS cluster_size,
+       |  (l.id = l.cluster) AS kept
+       |FROM lab3 l JOIN sz s ON s.cluster = l.cluster
+       |ORDER BY fname NULLS FIRST""".stripMargin
+
+  /** Q182 — STREAMING MULTIMODAL NEAR-DUP GATE: q126's continuous-
+    * ingestion gate shape on the IMAGE modality — each arriving image
+    * file (a `binaryFile`-source micro-batch row) is DECODED AND
+    * FINGERPRINTED MAP-SIDE (the q163 perceptual hash inside the
+    * stream's own `mapPartitions`), exploded into the 8 byte-bands, and
+    * stream-static joined against the corpus' banded fingerprint index;
+    * candidates within Hamming ≤ 6 aggregate into a per-image verdict
+    * (distinct dup count + nearest dup) in UPDATE mode under an
+    * ingest-time watermark, so per-image state EVICTS as the clock
+    * advances. Images with no candidates are restored by a batch right
+    * join so every arrival gets a verdict row.
+    *
+    * Scale shape: pixels never leave the map side — the only shuffled
+    * rows are (band, byte, id) triples and the k-bounded verdicts; the
+    * static index lives bucketed on (band, bv) at 100 TB exactly like
+    * q126's text index. An image's 8 band rows derive from ONE input
+    * row, so they land in the same micro-batch and the verdict is
+    * complete when it first emits.
+    */
+  def q182(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fix = Multimodal.ensurePhashFixtures()
+    val names = Multimodal.readBinary(spark, s"$fix/*.png")
+      .select(regexp_extract($"path", "([^/]+)$", 1).as("fname"))
+    // the static corpus index: banded 64-bit aHashes (8 byte-bands)
+    val index = Multimodal.perceptualHashes(
+        Multimodal.readBinary(spark, s"$fix/*.png"))
+      .select(regexp_extract($"path", "([^/]+)$", 1).as("idx_id"),
+        $"ahash".as("idx_fp"),
+        explode(sequence(lit(0), lit(7))).as("band"))
+      .withColumn("bv", expr("shiftright(idx_fp, band * 8) & 255"))
+    val arrivals = graft.streaming.StreamOps.binaryStream(spark, fix,
+      pathGlob = "*.png", maxFilesPerTrigger = 16)
+    // ingest-time clock for the oracle harness: derived from the fixture
+    // ordinal so the run is deterministic (q126's rule, incl. the +1 day
+    // shift past the initial watermark); a deployment passes arrival time
+    val ord = regexp_extract($"fname", "img_(\\d+)_", 1).cast("long") * 3 +
+      regexp_extract($"fname", "_(\\d)\\.png$", 1).cast("long")
+    val verdicts = Multimodal.perceptualHashes(arrivals)
+      .select(regexp_extract($"path", "([^/]+)$", 1).as("fname"), $"ahash")
+      .withColumn("ing_ts", (ord + lit(86400L)).cast("timestamp"))
+      .withWatermark("ing_ts", "10 seconds")
+      .withColumn("band", explode(sequence(lit(0), lit(7))))
+      .withColumn("bv", expr("shiftright(ahash, band * 8) & 255"))
+      .join(index, Seq("band", "bv"))
+      .filter($"idx_id" =!= $"fname" &&
+        expr("bit_count(ahash ^ idx_fp)") <= 6)
+      .groupBy($"fname", $"ing_ts")
+      .agg(size(collect_set($"idx_id")).cast("long").as("n_dups"),
+        min($"idx_id").as("nearest_dup"))
+      .select($"fname", $"n_dups", $"nearest_dup")
+    graft.streaming.StreamOps
+      .runToMemory(verdicts, "q182_sink", "update", finalWatermarkBatch = false)
+      .join(names, Seq("fname"), "right")
+      .select($"fname", coalesce($"n_dups", lit(0L)).as("n_dups"),
+        $"nearest_dup")
+      .orderBy($"fname".asc_nulls_first)
+  }
+
+  /** The q163 hash recompute + the identical batch verdict (all ordered
+    * pairs within Hamming ≤ 6, per-image count + min) — batch boundaries
+    * cannot change a verdict because it compares against the WHOLE
+    * corpus index (q126's oracle argument).
+    */
+  val q182Sql: String = phashOracleCtes + ",\n" +
+    """m AS (
+      |  SELECT a.f AS d, COUNT(DISTINCT b.f) AS n_dups, MIN(b.f) AS nearest
+      |  FROM named a JOIN named b
+      |    ON a.f <> b.f AND bit_count(xor(a.ahash, b.ahash)) <= 6
+      |  GROUP BY a.f)
+      |SELECT n.f AS fname, CAST(COALESCE(m.n_dups, 0) AS BIGINT) AS n_dups,
+      |  m.nearest AS nearest_dup
+      |FROM named n LEFT JOIN m ON m.d = n.f
+      |ORDER BY fname NULLS FIRST""".stripMargin
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_exact_dedup" -> (q58 _),
@@ -3341,7 +3548,10 @@ object LlmOps {
     "q176_int8_takedown" -> (q176 _),
     "q177_pq_takedown" -> (q177 _),
     "q178_sq8_refit" -> (q178 _),
-    "q179_pq_refit" -> (q179 _))
+    "q179_pq_refit" -> (q179 _),
+    "q180_audio_dedup_apply" -> (q180 _),
+    "q181_video_dedup_apply" -> (q181 _),
+    "q182_stream_image_gate" -> (q182 _))
 
   def oracles: Map[String, String] = Map(
     "q58_exact_dedup" -> q58Sql,
@@ -3394,5 +3604,8 @@ object LlmOps {
     "q176_int8_takedown" -> q176Sql,
     "q177_pq_takedown" -> q177Sql,
     "q178_sq8_refit" -> q178Sql,
-    "q179_pq_refit" -> q179Sql)
+    "q179_pq_refit" -> q179Sql,
+    "q180_audio_dedup_apply" -> q180Sql,
+    "q181_video_dedup_apply" -> q181Sql,
+    "q182_stream_image_gate" -> q182Sql)
 }

@@ -82,6 +82,33 @@ object StreamOps {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(stageDir(spark, dir, "embeddings"))
 
+  /** The `binaryFile` source's fixed schema (file-source streams need it
+    * explicit even when the format defines it).
+    */
+  val binaryRawSchema: StructType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("modificationTime", TimestampType),
+    StructField("length", LongType),
+    StructField("content", BinaryType)))
+
+  /** Unbounded BINARY-FILE stream over a media directory — the
+    * continuous-ingestion shape of a multimodal corpus (q182's incoming
+    * images): each arriving file is one opaque-payload row, decoded
+    * map-side by the modality's `mapPartitions` decoder exactly as in
+    * the batch path ([[graft.sources.Multimodal.readBinary]]'s streaming
+    * twin). `pathGlob` filters to the modality's extension;
+    * `maxFilesPerTrigger` bounds each micro-batch so an AvailableNow run
+    * exercises real multi-batch ingestion.
+    */
+  def binaryStream(spark: SparkSession, dir: String, pathGlob: String,
+      maxFilesPerTrigger: Int): DataFrame =
+    spark.readStream
+      .format("binaryFile")
+      .schema(binaryRawSchema)
+      .option("pathGlobFilter", pathGlob)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(dir)
+
   /** The file source wants a directory of files (the unbounded-ingest
     * shape). With ingest compaction on, that directory is the table's
     * compacted MULTI-FILE layout — the micro-batch's scan and every

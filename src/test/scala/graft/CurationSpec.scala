@@ -338,6 +338,53 @@ class CurationSpec extends SparkSpec {
     } finally hashes.unpersist(): Unit
   }
 
+  test("q180/q181 audio+video dedup: banded clusters equal all-pairs " +
+      "clusters on each fixture, and the keep rule is the cluster minimum") {
+    import spark.implicits._
+    import graft.sources.Multimodal
+    def drive(fps: org.apache.spark.sql.DataFrame, baseName: Int => String): Unit = {
+      val hashes = fps.persist()
+      try {
+        val nodes = hashes.select($"fname".as("id"))
+        def clustersOf(pairs: org.apache.spark.sql.DataFrame): Map[String, (String, Long)] = {
+          val cs = Components.clustersWithSize(
+            pairs.select($"d1".as("a"), $"d2".as("b")), nodes)
+          try cs.collect()
+            .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+          finally Components.release(cs)
+        }
+        val banded = clustersOf(
+          Multimodal.bandedHammingPairs(hashes, "fname", "afp", "dfp",
+            maxHamming = 6))
+        val h2 = hashes.select($"fname".as("f2"), $"afp".as("a2"))
+        val allPairs = hashes.select($"fname".as("d1"), $"afp".as("a1"))
+          .crossJoin(h2).filter($"d1" < $"f2")
+          .withColumn("ham", expr("bit_count(a1 ^ a2)"))
+          .filter($"ham" <= 6)
+          .select($"d1", $"f2".as("d2"))
+        assert(banded == clustersOf(allPairs),
+          "banded clusters diverged from the all-pairs reference")
+        val keepers = banded.collect { case (id, (cl, _)) if id == cl => id }.toSet
+        assert(keepers == (0 until 12).map(baseName).toSet,
+          s"keepers must be the 12 base files, got $keepers")
+        assert(banded.values.forall(_._2 == 3L),
+          "every fixture cluster is a base+2-variant triangle")
+      } finally hashes.unpersist(): Unit
+    }
+    val afix = Multimodal.ensureAudioFpFixtures()
+    drive(Multimodal.audioFingerprints(
+        Multimodal.readBinary(spark, s"$afix/*.wav"))
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+        col("afp"), col("dfp")),
+      i => f"wav_$i%02d_0.wav")
+    val vfix = Multimodal.ensureVideoFixtures()
+    drive(Multimodal.videoFingerprints(
+        Multimodal.readBinary(spark, s"$vfix/*.gvid"), stride = 2)
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+        col("afp"), col("dfp")),
+      i => f"vid_$i%02d_0.gvid")
+  }
+
   test("crossNgramPairs == symmetric pairs restricted to cross-corpus") {
     // The asymmetric band join's whole claim: same candidate recall and
     // exact post-filter as the symmetric generator, minus within-side
