@@ -1830,39 +1830,53 @@ object LlmOps {
     */
   def q171(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val docs = t(spark, dir, "documents")
     val e = t(spark, dir, "embeddings").coalesce(8)
     val dense = Similarity.bruteForceTopK(
         e.filter($"vec_id" < 10), e, "vec_id", "embedding", k = 10)
       .select($"probe_id", $"cand_id", $"rn".as("rn_d"))
     val fused = rrfFuse(dense, lexicalTopK(spark, dir), topN = 20)
-    val grams = docs.select($"doc_id",
-      graft.functions.CharGramHashes.hashes($"text", 5).as("__g"))
-    val a = fused.select($"probe_id", $"cand_id".as("c1"))
-      .join(grams.select($"doc_id".as("c1"), $"__g".as("g1")), Seq("c1"))
-    val b = fused.select($"probe_id", $"cand_id".as("c2"))
-      .join(grams.select($"doc_id".as("c2"), $"__g".as("g2")), Seq("c2"))
+    diversifyFused(docs, fused)
+      .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
+  }
+
+  /** The q171 diversification over a fused candidate list `(probe_id,
+    * cand_id, rrf6, rn)`: within-list exact char-5-gram Jaccard >= 0.5
+    * pairs, duplicate groups closed on composite probe#cand ids, best-
+    * fused-rank keeper, keepers re-ranked into the diversified top-5.
+    * Shared by q171 (brute-force dense baseline) and q183 (the SERVED
+    * int8 fusion) — everything here is |probes|·k, corpus-independent.
+    */
+  private[graft] def diversifyFused(docs: DataFrame,
+                                    fused: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs.select(col("doc_id"),
+      graft.functions.CharGramHashes.hashes(col("text"), 5).as("__g"))
+    val a = fused.select(col("probe_id"), col("cand_id").as("c1"))
+      .join(grams.select(col("doc_id").as("c1"), col("__g").as("g1")), Seq("c1"))
+    val b = fused.select(col("probe_id"), col("cand_id").as("c2"))
+      .join(grams.select(col("doc_id").as("c2"), col("__g").as("g2")), Seq("c2"))
     val ov = graft.functions.SortedOverlapCount.overlap(col("g1"), col("g2"))
-    val pairs = a.join(b, Seq("probe_id")).filter($"c1" < $"c2")
+    val pairs = a.join(b, Seq("probe_id")).filter(col("c1") < col("c2"))
       .withColumn("jaccard",
-        ov.cast("double") / (size($"g1") + size($"g2") - ov))
-      .filter($"jaccard" >= 0.5)
-    val nodes = fused.select(concat($"probe_id", lit("#"), $"cand_id").as("id"))
+        ov.cast("double") / (size(col("g1")) + size(col("g2")) - ov))
+      .filter(col("jaccard") >= 0.5)
+    val nodes = fused.select(
+      concat(col("probe_id"), lit("#"), col("cand_id")).as("id"))
     val edges = pairs.select(
-      concat($"probe_id", lit("#"), $"c1").as("a"),
-      concat($"probe_id", lit("#"), $"c2").as("b"))
+      concat(col("probe_id"), lit("#"), col("c1")).as("a"),
+      concat(col("probe_id"), lit("#"), col("c2")).as("b"))
     val labels = graft.core.CacheScope.adopt(
       Components.clustersWithSize(edges, nodes))
     val lab = fused.join(labels,
-      concat($"probe_id", lit("#"), $"cand_id") === labels("id"))
-    val kw = Window.partitionBy($"cluster").orderBy($"rn".asc)
-    val dw = Window.partitionBy($"probe_id")
-      .orderBy($"rrf6".desc, $"cand_id".asc)
-    lab.withColumn("krn", row_number().over(kw)).filter($"krn" === 1)
-      .withColumn("drn", row_number().over(dw)).filter($"drn" <= 5)
-      .select($"probe_id", $"cand_id", $"rrf6", $"drn".as("rn"))
-      .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
+      concat(col("probe_id"), lit("#"), col("cand_id")) === labels("id"))
+    val kw = Window.partitionBy(col("cluster")).orderBy(col("rn").asc)
+    val dw = Window.partitionBy(col("probe_id"))
+      .orderBy(col("rrf6").desc, col("cand_id").asc)
+    lab.withColumn("krn", row_number().over(kw)).filter(col("krn") === 1)
+      .withColumn("drn", row_number().over(dw)).filter(col("drn") <= 5)
+      .select(col("probe_id"), col("cand_id"), col("rrf6"),
+        col("drn").as("rn"))
   }
 
   /** Replays q159's fusion at the top-20 cut, the within-list pair rule
@@ -1870,21 +1884,15 @@ object LlmOps {
     * over composite probe#cand ids (any diameter), the best-rank keeper
     * and the diversified re-rank.
     */
-  val q171Sql: String =
-    s"""$ngramPairCtes,
-       |$lexTopKCtes,
-       |ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       |dsc AS (
-       |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
-       |    ROUND(list_dot_product(p.v, c.v) / (SQRT(list_dot_product(p.v, p.v)) * SQRT(list_dot_product(c.v, c.v))), 6) AS cos6
-       |  FROM ev p JOIN ev c ON p.vec_id < 10 AND p.vec_id <> c.vec_id),
-       |dense AS (
-       |  SELECT probe_id, cand_id, rn_d FROM (
-       |    SELECT probe_id, cand_id,
-       |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos6 DESC, cand_id ASC) AS rn_d
-       |    FROM dsc) WHERE rn_d <= 10),
-       |$rrfCoreCtes,
-       |flist AS (SELECT probe_id, cand_id, rrf6, rn FROM rrfranked WHERE rn <= 20),
+  /** The diversification CTE tail over `rrfranked` + the `hx`/`gsz`
+    * gram CTEs: top-20 fused list, within-list exact-Jaccard pairs,
+    * recursive closure on composite probe#cand ids, best-rank keeper,
+    * diversified re-rank — [[diversifyFused]]'s oracle twin, shared by
+    * q171 and q183. Compose under a prefix that ends in `rrfranked`,
+    * then `replaceFirst("WITH ", "WITH RECURSIVE ")`.
+    */
+  private val diversifyTailSql: String =
+    """flist AS (SELECT probe_id, cand_id, rrf6, rn FROM rrfranked WHERE rn <= 20),
        |wpairs AS (
        |  SELECT p.probe_id, p.c1, p.c2
        |  FROM (
@@ -1924,6 +1932,22 @@ object LlmOps {
        |  FROM keep WHERE krn = 1)
        |SELECT probe_id, cand_id, rrf6, rn FROM diml WHERE rn <= 5
        |ORDER BY probe_id NULLS FIRST, rn NULLS FIRST""".stripMargin
+
+  val q171Sql: String =
+    s"""$ngramPairCtes,
+       |$lexTopKCtes,
+       |ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |dsc AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+       |    ROUND(list_dot_product(p.v, c.v) / (SQRT(list_dot_product(p.v, p.v)) * SQRT(list_dot_product(c.v, c.v))), 6) AS cos6
+       |  FROM ev p JOIN ev c ON p.vec_id < 10 AND p.vec_id <> c.vec_id),
+       |dense AS (
+       |  SELECT probe_id, cand_id, rn_d FROM (
+       |    SELECT probe_id, cand_id,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos6 DESC, cand_id ASC) AS rn_d
+       |    FROM dsc) WHERE rn_d <= 10),
+       |$rrfCoreCtes,
+       |$diversifyTailSql""".stripMargin
       .replaceFirst("WITH ", "WITH RECURSIVE ")
 
   /** Q160 — DEDUP BANDING RECALL REPORT: the evaluation loop for the
@@ -3497,6 +3521,51 @@ object LlmOps {
       |FROM named n LEFT JOIN m ON m.d = n.f
       |ORDER BY fname NULLS FIRST""".stripMargin
 
+  /** Q183 — DIVERSIFIED retrieval over the SERVED int8 fusion: the
+    * production composition — q171 proved diversification on the
+    * brute-force dense baseline; a serving node diversifies what it
+    * actually retrieves, which is q164's stack (SQ8 dense side off the
+    * quantized index + banded lexical side, RRF-fused). Same |probes|·k
+    * post-fusion machinery ([[diversifyFused]]); only the dense
+    * candidate generator changes — which is the whole point of the
+    * factoring, in code AND in the oracle (q164's CTE stack chained into
+    * q171's closure/keeper/re-rank tail).
+    */
+  def q183(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents")
+    val e = t(spark, dir, "embeddings").coalesce(8)
+    val out = PipelineOps.layoutDir(spark, dir, "hybridint8div")
+    val (assignments, centroids) =
+      Similarity.kmeansFit(e, "vec_id", "embedding", k = 8, iters = 2,
+        materialize = false, withVec = true)
+    Similarity.quantizeInt8(assignments, "vec_id", "embedding")
+      .repartition(col("cell")).write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$out/assignments8")
+    centroids.write.mode("overwrite").parquet(s"$out/centroids")
+    val idx8 = spark.read.parquet(s"$out/assignments8")
+    val cent = Similarity.localize(spark.read.parquet(s"$out/centroids"))
+    val dense = Similarity.ivfTopKServedInt8(idx8, e, cent,
+        "vec_id", "embedding", e.filter($"vec_id" < 10),
+        k = 10, prefetch = 20, nprobe = 2)
+      .select($"probe_id", $"cand_id", $"rn".as("rn_d"))
+    val fused = rrfFuse(dense, lexicalTopK(spark, dir), topN = 20)
+    diversifyFused(docs, fused)
+      .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
+  }
+
+  /** q164's served-fusion CTE stack (SQ8 dense + banded lexical + RRF)
+    * chained into q171's diversification tail.
+    */
+  val q183Sql: String =
+    s"""${kmeansCtes("TRUE")},
+       |${ngramPairCtesOver("documents")},
+       |$lexTopKCtes,
+       |$sq8DenseTopKCtes,
+       |$rrfCoreCtes,
+       |$diversifyTailSql""".stripMargin
+      .replaceFirst("WITH ", "WITH RECURSIVE ")
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_exact_dedup" -> (q58 _),
     "q59_minhash_lsh" -> (q59 _),
@@ -3551,7 +3620,8 @@ object LlmOps {
     "q179_pq_refit" -> (q179 _),
     "q180_audio_dedup_apply" -> (q180 _),
     "q181_video_dedup_apply" -> (q181 _),
-    "q182_stream_image_gate" -> (q182 _))
+    "q182_stream_image_gate" -> (q182 _),
+    "q183_diversified_served" -> (q183 _))
 
   def oracles: Map[String, String] = Map(
     "q58_exact_dedup" -> q58Sql,
@@ -3607,5 +3677,6 @@ object LlmOps {
     "q179_pq_refit" -> q179Sql,
     "q180_audio_dedup_apply" -> q180Sql,
     "q181_video_dedup_apply" -> q181Sql,
-    "q182_stream_image_gate" -> q182Sql)
+    "q182_stream_image_gate" -> q182Sql,
+    "q183_diversified_served" -> q183Sql)
 }

@@ -1148,6 +1148,41 @@ class OpsSpec extends SparkSpec {
     } finally index.unpersist(): Unit
   }
 
+  test("q183 served diversification: with exhaustive prefetch and nprobe=k " +
+      "the int8-served diversified lists equal the brute-force-dense ones " +
+      "(q171+q164 compose)") {
+    // diversification is pure post-fusion machinery: if the served dense
+    // side degenerates to brute force (exact re-rank + exhaustive knobs —
+    // the invariant the int8-served hybrid row already pins), then the
+    // whole diversified output must too, row-for-row
+    import spark.implicits._
+    import graft.queries.LlmOps
+    val docs = graft.core.Tables.t(spark, sfDir, "documents")
+    val e = graft.core.Tables.t(spark, sfDir, "embeddings").coalesce(8)
+    val (index, cent) = Similarity.kmeansFit(e, "vec_id", "embedding",
+      k = 8, iters = 2, materialize = true, withVec = true)
+    try {
+      val idx8 = Similarity.quantizeInt8(index, "vec_id", "embedding")
+      val lex = LlmOps.lexicalTopK(spark, sfDir)
+      def diversified(dense: org.apache.spark.sql.DataFrame) =
+        LlmOps.diversifyFused(docs,
+            LlmOps.rrfFuse(dense.select($"probe_id", $"cand_id",
+              $"rn".as("rn_d")), lex, topN = 20))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+          .toSet
+      val viaServed = diversified(Similarity.ivfTopKServedInt8(idx8, e,
+        Similarity.localize(cent), "vec_id", "embedding",
+        e.filter($"vec_id" < 10), k = 10, prefetch = 100000, nprobe = 8))
+      val viaBrute = diversified(Similarity.bruteForceTopK(
+        e.filter($"vec_id" < 10), e, "vec_id", "embedding", k = 10))
+      assert(viaServed.nonEmpty && viaServed == viaBrute,
+        s"served diversification diverged: " +
+          s"only-served=${(viaServed -- viaBrute).take(5)} " +
+          s"only-brute=${(viaBrute -- viaServed).take(5)}")
+    } finally index.unpersist(): Unit
+  }
+
   test("cross-JVM append-vs-refit stress: every row the final manifest " +
       "serves sits in the cell its TAGGED quantizer assigns") {
     // the in-process onPlaced seam proves the retry logic; THIS makes the
