@@ -959,6 +959,36 @@ object Similarity {
       .drop("__krn")
   }
 
+  /** INCREMENTAL SemDeDup pair generator — the q137 asymmetric shape on
+    * CELLS: exact cosine pairs between an INCOMING slice and the
+    * EXISTING corpus only, both already assigned `(idCol, vecCol, cell)`
+    * under the SAME quantizer (the incoming side typically placed via
+    * [[assignToCentroids]] against the maintained centroids — no refit).
+    * No within-side pair is ever generated, so per batch the work is
+    * O(slice · cell occupancy) and the output is sized by the incoming
+    * slice's semantic-dup rate — the property that makes semantic dedup
+    * O(slice) per micro-batch like every other dedup modality, instead
+    * of [[semanticDedup]]'s whole-corpus Σ|cell|² re-pairing. Returns
+    * `(in_id, ex_id, cell, cos6)` at `minCos6` (6dp, oracle-portable).
+    * Equivalence contract (CurationSpec): these pairs equal the
+    * symmetric within-cell pair set over (incoming ∪ existing)
+    * restricted to cross-side pairs.
+    */
+  def semanticCrossPairs(incomingAssigned: DataFrame,
+                         existingAssigned: DataFrame,
+                         idCol: String, vecCol: String,
+                         minCos6: Double): DataFrame = {
+    val inc = incomingAssigned.select(col("cell"), col(idCol).as("in_id"),
+      toDouble(col(vecCol)).as("__vi"), norm(col(vecCol)).as("__ni"))
+    val ex = existingAssigned.select(col("cell"), col(idCol).as("ex_id"),
+      toDouble(col(vecCol)).as("__ve"), norm(col(vecCol)).as("__ne"))
+    inc.join(ex, Seq("cell"))
+      .withColumn("cos6",
+        round(dot(col("__vi"), col("__ve")) / (col("__ni") * col("__ne")), 6))
+      .filter(col("cos6") >= minCos6)
+      .select(col("in_id"), col("ex_id"), col("cell"), col("cos6"))
+  }
+
   /** PRODUCT-QUANTIZATION codebooks (Jégou et al. 2011, the FAISS IVF-PQ
     * staple): the vector space splits into `m` contiguous subspaces of
     * dim/m dimensions and each subspace gets its own `codes`-entry

@@ -239,6 +239,71 @@ object CurationOps {
       p = "ix_")
       .replaceFirst("WITH ", "WITH RECURSIVE ")
 
+  /** Q184 — INCREMENTAL SemDeDup: the continuous-ingestion variant of
+    * q169 — q169 re-fits and re-pairs the WHOLE corpus per run, which is
+    * the nightly-build shape; a pipeline ingesting a new slice needs the
+    * q137 asymmetric shape on CELLS: place the incoming docs into the
+    * EXISTING maintained quantizer ([[Similarity.assignToCentroids]] —
+    * map-only, no refit), generate exact cosine pairs ONLY between the
+    * incoming slice and the existing corpus within each cell
+    * ([[Similarity.semanticCrossPairs]]), and verdict per incoming doc
+    * (semantic-dup count, nearest existing id, keep/drop). Per batch the
+    * work is O(slice · cell occupancy) and the pair output is sized by
+    * the slice's dup rate — never the corpus' internal near-dup mass,
+    * never a whole-corpus re-pair. The oracle fits on the existing side
+    * (q144's fit-on-base rule), assigns everyone, and keeps exactly the
+    * cross-parity within-cell pairs.
+    */
+  def q184(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = t(spark, dir, "embeddings").coalesce(8)
+    val existing = e.filter($"vec_id" % 10 =!= 0)
+    val incoming = e.filter($"vec_id" % 10 === 0)
+    // the maintained quantizer: fitted on the EXISTING corpus (the q142
+    // nightly build); its assignment frame doubles as the existing side
+    val (exAssign, cent) = Similarity.kmeansFit(existing, "vec_id",
+      "embedding", k = 8, iters = 2, materialize = true, withVec = true)
+    try {
+      val incAssign = Similarity.assignToCentroids(incoming,
+        Similarity.localize(cent), "vec_id", "embedding", withVec = true)
+      val pairs = Similarity.semanticCrossPairs(incAssign, exAssign,
+        "vec_id", "embedding", minCos6 = 0.4)
+      val agg = pairs.groupBy($"in_id".as("vec_id"))
+        .agg(count(lit(1)).as("n_dup_existing"),
+          min($"ex_id").as("nearest_existing"))
+      incoming.select($"vec_id")
+        .join(agg, Seq("vec_id"), "left")
+        .select($"vec_id",
+          coalesce($"n_dup_existing", lit(0L)).as("n_dup_existing"),
+          $"nearest_existing",
+          when($"n_dup_existing".isNotNull, lit("drop"))
+            .otherwise(lit("keep")).as("action"))
+        .orderBy($"vec_id".asc_nulls_first)
+    } finally exAssign.unpersist(): Unit
+  }
+
+  /** Fit-on-existing k-means (q144's rule), assignment covering
+    * everyone, cross-parity within-cell cosine pairs at 0.4, verdict per
+    * incoming vector.
+    */
+  val q184Sql: String =
+    s"""${LlmOps.kmeansCtes("vec_id % 10 <> 0")},
+       |xp AS (
+       |  SELECT x.vec_id AS in_id, y.vec_id AS ex_id
+       |  FROM avx x JOIN avx y
+       |    ON x.cell = y.cell AND x.vec_id % 10 = 0 AND y.vec_id % 10 <> 0
+       |  WHERE ROUND(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) >= 0.4),
+       |ag AS (SELECT in_id, COUNT(*) AS n_dup_existing,
+       |              MIN(ex_id) AS nearest_existing
+       |       FROM xp GROUP BY in_id)
+       |SELECT e.vec_id,
+       |  COALESCE(ag.n_dup_existing, 0) AS n_dup_existing,
+       |  ag.nearest_existing,
+       |  CASE WHEN ag.n_dup_existing IS NOT NULL THEN 'drop' ELSE 'keep' END AS action
+       |FROM embeddings e LEFT JOIN ag ON ag.in_id = e.vec_id
+       |WHERE e.vec_id % 10 = 0
+       |ORDER BY vec_id NULLS FIRST""".stripMargin
+
   /** Q95 — TF-IDF top-5 terms per document: tf from the token explode,
     * df from the distinct (doc, term) set, idf = ln(N/df), ranked on the
     * 6dp-rounded score with the term as tie-break. The inverted-index
@@ -748,7 +813,8 @@ object CurationOps {
     "q138_split_leakage" -> (q138 _),
     "q140_decontaminate" -> (q140 _),
     "q169_semantic_dedup" -> (q169 _),
-    "q175_semdedup_pruned_index" -> (q175 _))
+    "q175_semdedup_pruned_index" -> (q175 _),
+    "q184_incremental_semdedup" -> (q184 _))
 
   def oracles: Map[String, String] = Map(
     "q94_neardup_clusters" -> q94Sql,
@@ -764,5 +830,6 @@ object CurationOps {
     "q138_split_leakage" -> q138Sql,
     "q140_decontaminate" -> q140Sql,
     "q169_semantic_dedup" -> q169Sql,
-    "q175_semdedup_pruned_index" -> q175Sql)
+    "q175_semdedup_pruned_index" -> q175Sql,
+    "q184_incremental_semdedup" -> q184Sql)
 }

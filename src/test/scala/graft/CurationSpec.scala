@@ -385,6 +385,43 @@ class CurationSpec extends SparkSpec {
       i => f"vid_$i%02d_0.gvid")
   }
 
+  test("semanticCrossPairs == symmetric within-cell pairs restricted to " +
+      "cross-side (q184's generator, q137's proof shape)") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    val e = graft.core.Tables.t(spark, sfDir, "embeddings").coalesce(4)
+    val existing = e.filter($"vec_id" % 10 =!= 0)
+    val incoming = e.filter($"vec_id" % 10 === 0)
+    val (exAssign, cent) = Similarity.kmeansFit(existing, "vec_id",
+      "embedding", k = 8, iters = 2, materialize = true, withVec = true)
+    try {
+      val centL = Similarity.localize(cent)
+      val incAssign = Similarity.assignToCentroids(incoming, centL,
+        "vec_id", "embedding", withVec = true)
+      val cross = Similarity.semanticCrossPairs(incAssign, exAssign,
+          "vec_id", "embedding", minCos6 = 0.4)
+        .select($"in_id", $"ex_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // symmetric reference: EVERYONE placed into the same quantizer,
+      // all within-cell pairs, then restricted to cross-side
+      val all = Similarity.assignToCentroids(e, centL, "vec_id",
+        "embedding", withVec = true)
+      val x = all.select($"cell", $"vec_id".as("d1"), $"embedding".as("v1"))
+      val y = all.select($"cell", $"vec_id".as("d2"), $"embedding".as("v2"))
+      val sym = x.join(y, Seq("cell")).filter($"d1" < $"d2")
+        .withColumn("cos6", round(Similarity.dot($"v1", $"v2")
+          / (Similarity.norm($"v1") * Similarity.norm($"v2")), 6))
+        .filter($"cos6" >= 0.4)
+        .select($"d1", $"d2")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .filter { case (a, b) => (a % 10 == 0) != (b % 10 == 0) }
+        .map { case (a, b) => if (a % 10 == 0) (a, b) else (b, a) }.toSet
+      assert(cross.nonEmpty && cross == sym,
+        s"cross pair set diverged: only-cross=${(cross -- sym).take(5)} " +
+          s"only-sym=${(sym -- cross).take(5)}")
+    } finally exAssign.unpersist(): Unit
+  }
+
   test("crossNgramPairs == symmetric pairs restricted to cross-corpus") {
     // The asymmetric band join's whole claim: same candidate recall and
     // exact post-filter as the symmetric generator, minus within-side
