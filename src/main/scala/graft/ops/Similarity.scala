@@ -591,14 +591,34 @@ object Similarity {
   def localizedPqBundle(s: org.apache.spark.sql.SparkSession,
       bundleTarget: graft.ops.VersionedTarget.Rewrite,
       version: String): (Seq[(Long, Seq[Double])], Seq[Seq[(Long, Seq[Double])]]) = {
-    val rows = bundleTarget.read(s, version)
-      .select(col("__cell"), col("__centroid"), col("__subspace"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getInt(2)))
-    val coarse = rows.filter(_._3 == -1).map(t => (t._1, t._2)).sortBy(_._1).toSeq
-    val books = rows.filter(_._3 >= 0).groupBy(_._3).toSeq.sortBy(_._1)
-      .map(_._2.map(t => (t._1, t._2)).sortBy(_._1).toSeq)
-    (coarse, books)
+    val key = memoKeyOf(bundleTarget.root, version)
+    val hit = bundleMemo.synchronized(Option(bundleMemo.get(key)))
+    hit.getOrElse {
+      val rows = bundleTarget.read(s, version)
+        .select(col("__cell"), col("__centroid"), col("__subspace"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getInt(2)))
+      val coarse = rows.filter(_._3 == -1).map(t => (t._1, t._2)).sortBy(_._1).toSeq
+      val books = rows.filter(_._3 >= 0).groupBy(_._3).toSeq.sortBy(_._1)
+        .map(_._2.map(t => (t._1, t._2)).sortBy(_._1).toSeq)
+      val v = (coarse, books)
+      bundleMemo.synchronized(bundleMemo.put(key, v)): Unit
+      v
+    }
+  }
+
+  /** Driver-side memo of localized PQ bundles — the [[quantizerMemo]]
+    * treatment for the PQ lifecycle: repeat waves/appends against one
+    * served bundle pay zero read jobs after the first (the serving-node
+    * shape: the quantizer bundle is pinned in memory). Same physical
+    * fingerprint key, so a torn-down-and-rebuilt version misses, never
+    * mis-serves.
+    */
+  private val bundleMemo = new java.util.LinkedHashMap[String,
+      (Seq[(Long, Seq[Double])], Seq[Seq[(Long, Seq[Double])]])](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[String,
+        (Seq[(Long, Seq[Double])], Seq[Seq[(Long, Seq[Double])]])]): Boolean =
+      size() > 64
   }
 
   /** The (coarse, books) bundle the PQ index CURRENTLY serves — the
@@ -690,14 +710,22 @@ object Similarity {
     * OUTSIDE the memo lock (two racing misses both localize — harmless,
     * identical values; holding a lock across a Spark action is not).
     */
-  def localizedQuantizer(s: org.apache.spark.sql.SparkSession,
-      centTarget: graft.ops.VersionedTarget.Rewrite,
-      version: String): Seq[(Long, Seq[Double])] = {
-    val dir = centTarget.root.resolve(version)
+  /** The memo key of a committed version: its dir's physical fingerprint
+    * (part-file names + sizes — parquet salts file names per job, so any
+    * rewrite changes the key; stale entries miss, never mis-serve).
+    */
+  private def memoKeyOf(root: java.nio.file.Path, version: String): String = {
+    val dir = root.resolve(version)
     val fp = Option(dir.toFile.listFiles).getOrElse(Array.empty)
       .filter(_.isFile).map(f => s"${f.getName}:${f.length}")
       .sorted.mkString(",")
-    val key = s"${dir.toAbsolutePath.normalize}@$fp"
+    s"${dir.toAbsolutePath.normalize}@$fp"
+  }
+
+  def localizedQuantizer(s: org.apache.spark.sql.SparkSession,
+      centTarget: graft.ops.VersionedTarget.Rewrite,
+      version: String): Seq[(Long, Seq[Double])] = {
+    val key = memoKeyOf(centTarget.root, version)
     val hit = quantizerMemo.synchronized(Option(quantizerMemo.get(key)))
     hit.getOrElse {
       val v = localizeSeq(centTarget.read(s, version))
@@ -1110,10 +1138,12 @@ object Similarity {
       toDouble(col(vecCol)).as("__pv"), norm(col(vecCol)).as("__pn"))
     // ADC tables as one array<array<double>> column, computed in the
     // probe projection (once per probe row, not once per candidate pair)
-    val lutCol = array(books.zipWithIndex.map { case (book, s) =>
-      val ps = slice(col("__pv"), s * sub + 1, sub)
-      array(book.sortBy(_._1).map { case (_, cv) => dot(ps, typedlit(cv)) }: _*)
-    }: _*)
+    // — via the native [[graft.functions.AdcLut]]: the codebooks are ONE
+    // reference object, so the plan carries one node instead of m·codes
+    // literal dot trees and codegen caches across waves/bundle versions
+    // (bit-identical to the Column formulation it replaced)
+    val lutCol = graft.functions.AdcLut.lut(col("__pv"),
+      books.map(_.sortBy(_._1).map(_._2)), sub)
     // reconstructed norm² per (subspace, code): driver-side constants,
     // the same left-to-right fold as list_dot_product(centroid, centroid)
     val normSq: Seq[Seq[Double]] = books.map(_.sortBy(_._1).map { case (_, cv) =>
