@@ -2163,9 +2163,11 @@ object LlmOps {
     * the same integers.
     */
   private def sq8WaveSql(fitWhere: String, candWhere: String = "TRUE",
-                         vecSql: String = rawVecSql): String =
+                         vecSql: String = rawVecSql,
+                         extraCtes: String = ""): String = {
+    val extra = if (extraCtes.isEmpty) "" else s"$extraCtes,\n"
     s"""${kmeansCtes(fitWhere, vecSql)},
-       |qz AS (
+       |${extra}qz AS (
        |  SELECT vec_id, cell, v,
        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
        |  FROM avx),
@@ -2206,6 +2208,7 @@ object LlmOps {
        |  FROM epairs)
        |SELECT probe_id, cand_id, cos6, rn FROM ranked WHERE rn <= 3
        |ORDER BY probe_id NULLS FIRST, rn NULLS FIRST""".stripMargin
+  }
 
   val q162Sql: String = sq8WaveSql("TRUE")
 
@@ -3566,6 +3569,144 @@ object LlmOps {
        |$diversifyTailSql""".stripMargin
       .replaceFirst("WITH ", "WITH RECURSIVE ")
 
+  /** Q185 — STREAMING AUDIO NEAR-DUP GATE: q182's gate on the audio
+    * modality — arriving WAV files decode + frame-energy-fingerprint
+    * map-side inside the stream ([[Multimodal.audioFingerprints]] over
+    * the `binaryFile` source), band-join the corpus' banded fingerprint
+    * index, and emit per-clip verdicts under the ingest-time watermark.
+    * Same scale contract: samples never leave the map side; the modality
+    * only changes the fingerprint function, never the gate.
+    */
+  def q185(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fix = Multimodal.ensureAudioFpFixtures()
+    val names = Multimodal.readBinary(spark, s"$fix/*.wav")
+      .select(regexp_extract($"path", "([^/]+)$", 1).as("fname"))
+    val index = Multimodal.audioFingerprints(
+        Multimodal.readBinary(spark, s"$fix/*.wav"))
+      .select(regexp_extract($"path", "([^/]+)$", 1).as("idx_id"),
+        $"afp".as("idx_fp"),
+        explode(sequence(lit(0), lit(7))).as("band"))
+      .withColumn("bv", expr("shiftright(idx_fp, band * 8) & 255"))
+    val arrivals = graft.streaming.StreamOps.binaryStream(spark, fix,
+      pathGlob = "*.wav", maxFilesPerTrigger = 16)
+    val ord = regexp_extract($"fname", "wav_(\\d+)_", 1).cast("long") * 3 +
+      regexp_extract($"fname", "_(\\d)\\.wav$", 1).cast("long")
+    val verdicts = Multimodal.audioFingerprints(arrivals)
+      .select(regexp_extract($"path", "([^/]+)$", 1).as("fname"), $"afp")
+      .withColumn("ing_ts", (ord + lit(86400L)).cast("timestamp"))
+      .withWatermark("ing_ts", "10 seconds")
+      .withColumn("band", explode(sequence(lit(0), lit(7))))
+      .withColumn("bv", expr("shiftright(afp, band * 8) & 255"))
+      .join(index, Seq("band", "bv"))
+      .filter($"idx_id" =!= $"fname" &&
+        expr("bit_count(afp ^ idx_fp)") <= 6)
+      .groupBy($"fname", $"ing_ts")
+      .agg(size(collect_set($"idx_id")).cast("long").as("n_dups"),
+        min($"idx_id").as("nearest_dup"))
+      .select($"fname", $"n_dups", $"nearest_dup")
+    graft.streaming.StreamOps
+      .runToMemory(verdicts, "q185_sink", "update", finalWatermarkBatch = false)
+      .join(names, Seq("fname"), "right")
+      .select($"fname", coalesce($"n_dups", lit(0L)).as("n_dups"),
+        $"nearest_dup")
+      .orderBy($"fname".asc_nulls_first)
+  }
+
+  /** q167's fingerprint recompute + the batch verdict (q182's oracle
+    * argument on the audio modality).
+    */
+  val q185Sql: String = audioFpOracleCtes + ",\n" +
+    """m AS (
+      |  SELECT a.f AS d, COUNT(DISTINCT b.f) AS n_dups, MIN(b.f) AS nearest
+      |  FROM named a JOIN named b
+      |    ON a.f <> b.f AND bit_count(xor(a.afp, b.afp)) <= 6
+      |  GROUP BY a.f)
+      |SELECT n.f AS fname, CAST(COALESCE(m.n_dups, 0) AS BIGINT) AS n_dups,
+      |  m.nearest AS nearest_dup
+      |FROM named n LEFT JOIN m ON m.d = n.f
+      |ORDER BY fname NULLS FIRST""".stripMargin
+
+  /** Q186 — CURATED INDEX APPEND (incremental dedup gating the serving
+    * index): the composition q184 exists FOR — per ingest batch, place
+    * the incoming vectors into the maintained quantizer, verdict them
+    * against the EXISTING corpus only ([[Similarity.semanticCrossPairs]]
+    * — O(slice), never a corpus re-pair), and append ONLY the keepers
+    * into the served SQ8 index through the refit-safe O(delta) verb
+    * (`appendToIndex(int8 = true)`). Semantic dups never become
+    * retrievable: candidacy reads only the index, so a dropped arrival
+    * is absent from every wave by construction (counted in-query). This
+    * is q175's dedup-gates-candidacy contract made INCREMENTAL — the
+    * quantizer does NOT move (q156's delete-side rule: per-batch
+    * curation changes membership, never geometry; drift recovery is
+    * q178's refit verb, a different cadence).
+    */
+  def q186(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import graft.ops.VersionedTarget
+    val e = t(spark, dir, "embeddings").coalesce(8)
+    val existing = e.filter($"vec_id" % 10 =!= 0)
+    val incoming = e.filter($"vec_id" % 10 === 0)
+    val out = PipelineOps.layoutDir(spark, dir, "ivfint8curated")
+    val aroot = Paths.get(out, "assignments8")
+    val croot = Paths.get(out, "centroids")
+    Seq(aroot, croot).foreach { r => // fresh targets per invocation
+      if (Files.exists(r)) VersionedTarget.rmTree(r.toFile)
+      Files.createDirectories(r): Unit
+    }
+    val assignT = VersionedTarget.Segmented(aroot,
+      partitionCols = Seq("cell"), clusterCommits = true)
+    val centT = VersionedTarget.Rewrite(croot)
+    // nightly build on the existing corpus; the assignment frame doubles
+    // as the verdict's existing side, so materialize it
+    val (exAssign, cent0) = Similarity.kmeansFit(existing, "vec_id",
+      "embedding", k = 8, iters = 2, materialize = true, withVec = true)
+    try {
+      centT.commit(cent0, 0L)
+      assignT.commit(Similarity.quantizeInt8(exAssign, "vec_id", "embedding"),
+        0L, tag = Some("v0"))
+      // the batch: place, verdict against existing only, keep the fresh
+      val incAssign = Similarity.assignToCentroids(incoming,
+        Similarity.localize(cent0), "vec_id", "embedding", withVec = true)
+      val dupIds = Similarity.semanticCrossPairs(incAssign, exAssign,
+          "vec_id", "embedding", minCos6 = 0.4)
+        .select($"in_id".as("vec_id")).distinct()
+      val keepers = incoming.join(dupIds, Seq("vec_id"), "left_anti")
+      Similarity.appendToIndex(keepers, "vec_id", "embedding",
+        assignT, centT, 1L, int8 = true)
+      val idx8 = assignT.current(spark)
+        .getOrElse(sys.error("int8 index target committed no version"))
+      val c = Similarity.pairedQuantizer(spark, assignT, centT)
+        .getOrElse(sys.error("no centroid version paired with the served index"))
+      val res = Similarity.ivfTopKServedInt8(idx8, e, c, "vec_id",
+          "embedding", e.filter($"vec_id" < 20), k = 3, prefetch = 6,
+          nprobe = 2)
+        .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
+      val rows = res.collect().toSeq
+      // a dropped arrival must be absent from the wave BY CONSTRUCTION —
+      // one slim k-bounded×dups join proves it distributed
+      val served = rows.map(_.getLong(1)).distinct
+      require(served.isEmpty || dupIds
+          .filter($"vec_id".isin(served: _*)).count() == 0,
+        "a semantically duplicate arrival was served from the curated index")
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), res.schema)
+    } finally exAssign.unpersist(): Unit
+  }
+
+  /** q165's fit-on-existing SQ8 wave with candidacy = existing ∪ the
+    * incoming keepers (q184's cross-pair CTE deciding who enters).
+    */
+  val q186Sql: String = sq8WaveSql("vec_id % 10 <> 0",
+    candWhere =
+      "(c.vec_id % 10 <> 0 OR c.vec_id NOT IN (SELECT in_id FROM xp))",
+    extraCtes =
+      """xp AS (
+        |  SELECT DISTINCT x.vec_id AS in_id
+        |  FROM avx x JOIN avx y
+        |    ON x.cell = y.cell AND x.vec_id % 10 = 0 AND y.vec_id % 10 <> 0
+        |  WHERE ROUND(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) >= 0.4)""".stripMargin)
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_exact_dedup" -> (q58 _),
     "q59_minhash_lsh" -> (q59 _),
@@ -3621,7 +3762,9 @@ object LlmOps {
     "q180_audio_dedup_apply" -> (q180 _),
     "q181_video_dedup_apply" -> (q181 _),
     "q182_stream_image_gate" -> (q182 _),
-    "q183_diversified_served" -> (q183 _))
+    "q183_diversified_served" -> (q183 _),
+    "q185_stream_audio_gate" -> (q185 _),
+    "q186_curated_index_append" -> (q186 _))
 
   def oracles: Map[String, String] = Map(
     "q58_exact_dedup" -> q58Sql,
@@ -3678,5 +3821,7 @@ object LlmOps {
     "q180_audio_dedup_apply" -> q180Sql,
     "q181_video_dedup_apply" -> q181Sql,
     "q182_stream_image_gate" -> q182Sql,
-    "q183_diversified_served" -> q183Sql)
+    "q183_diversified_served" -> q183Sql,
+    "q185_stream_audio_gate" -> q185Sql,
+    "q186_curated_index_append" -> q186Sql)
 }
