@@ -384,6 +384,15 @@ class PlanSpec extends SparkSpec {
       s"no equi-join on cell in:\n$p")
   }
 
+  test("q184 incremental SemDeDup: the cross-side pair generation is an " +
+      "equi-join on cell, never cartesian") {
+    val p = plan(CurationOps.q184(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cross-pair generation exploded to all pairs:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"no equi-join on cell in:\n$p")
+  }
+
   test("q170 IVF-PQ: the ADC wave is equi-join + point-lookup re-rank, " +
       "never cartesian") {
     val p = plan(LlmOps.q170(spark, sfDir))

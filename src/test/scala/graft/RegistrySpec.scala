@@ -31,9 +31,9 @@ class RegistrySpec extends SparkSpec {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
-  test("the full surface covers the SURVEY ids Q01..Q72 + r2..r15 additions") {
+  test("the full surface covers the SURVEY ids Q01..Q72 + r2..r16 additions") {
     val ids = Registry.all.keySet.map(_.takeWhile(_ != '_'))
-    val expected = (1 to 175).map(i => f"q$i%02d").toSet
+    val expected = (1 to 186).map(i => f"q$i%02d").toSet
     assert(ids == expected, s"missing: ${expected -- ids}, extra: ${ids -- expected}")
   }
 
@@ -47,12 +47,15 @@ class RegistrySpec extends SparkSpec {
     // seconds (2dp < 10 s, 1dp to 100 s, integer seconds above — 4 chars
     // at their widest through 9999 s) and caps the noise map at 6
     // entries, and this guard fails the build before a future query
-    // addition regrows the line. Worst-case modelled value is the 3-char
-    // "999": since r15 Bench CLAMPS the line value there (a query past
-    // 16 minutes is a stall; its true median lives in the detail file) —
-    // the clamp bought ~14 queries of surface headroom at 164.
+    // addition regrows the line. r16 recalibration: the r15 model used
+    // the 3-char "999" CLAMP as worst case, but sub-10 s queries printed
+    // 4-char 2dp values, so the REAL 175-query line overflowed the
+    // capture (BENCH_r15 parsed=null). The model now matches Bench's
+    // actual worst width — 3 chars at EVERY ladder rung ("9.9" 1dp /
+    // "98" int / "99" clamp) — and keys drop the "q" prefix like the
+    // line does (full names live in the detail file).
     val worst = SparkEntry.queries.keys.toSeq.sorted
-      .map(k => "\"" + k.takeWhile(_ != '_') + "\":999")
+      .map(k => "\"" + k.takeWhile(_ != '_').stripPrefix("q") + "\":9.9")
       .mkString("{", ",", "}")
     val line = s"""{"metric":"total_warm_sec","value":99999.99,"unit":"sec","queries":$worst,"noisy":999,"cont":false,"sf":"sf0.001"}"""
     assert(line.length < 2000, s"bench line would be ${line.length}B — shrink keys or precision")
