@@ -2563,7 +2563,25 @@ object LlmOps {
     * `vecSql` with a dim that still splits into `m` subspaces.
     */
   private def pqWaveSqlOver(fitWhere: String, vecSql: String, dim: Int,
-                            m: Int, candWhere: String = "TRUE"): String = {
+                            m: Int, candWhere: String = "TRUE"): String =
+    s"""${kmeansCtes(fitWhere, vecSql)},
+       |${pqEpairsCtes(fitWhere, dim, m, candWhere, "v.vec_id < 20")},
+       |ranked AS (
+       |  SELECT probe_id, cand_id, cos6,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos6 DESC, cand_id ASC) AS rn
+       |  FROM epairs)
+       |SELECT probe_id, cand_id, cos6, rn FROM ranked WHERE rn <= 3
+       |ORDER BY probe_id NULLS FIRST, rn NULLS FIRST""".stripMargin
+
+  /** The PQ candidate-scoring CTE chain — per-subspace codebook fits,
+    * nprobe=2 cell ranking for `probeWhere` probes, ADC ranking, the
+    * GREATEST(48, n/10) fixture prefetch, exact re-rank — ending in
+    * `epairs(probe_id, cand_id, cos6)`. Composes under a prior
+    * [[kmeansCtes]] (it reads `vecs`/`cent2`/`avx`); shared by the PQ
+    * wave oracles (q170/q174/q177/q179) and the PQ-served hybrid (q188).
+    */
+  private def pqEpairsCtes(fitWhere: String, dim: Int, m: Int,
+                           candWhere: String, probeWhere: String): String = {
     require(dim % m == 0, s"dim ($dim) must split evenly into $m subspaces")
     val sub = dim / m
     val bookCtes = (0 until m).map(s =>
@@ -2579,15 +2597,14 @@ object LlmOps {
     val codeJoins = (0 until m).map(s =>
       s"JOIN p${s}_assign3 pa$s ON pa$s.vec_id = c.vec_id\n  " +
         s"JOIN p${s}_cent2 cb$s ON cb$s.cell = pa$s.cell").mkString("\n  ")
-    s"""${kmeansCtes(fitWhere, vecSql)},
-       |$bookCtes,
+    s"""$bookCtes,
        |pcell AS (
        |  SELECT vec_id AS probe_id, cell FROM (
        |    SELECT v.vec_id, c.cell,
        |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
        |        ROUND(list_dot_product(v.v, v.v) - 2.0 * list_dot_product(v.v, c.centroid)
        |              + list_dot_product(c.centroid, c.centroid), 6) ASC, c.cell ASC) AS crn
-       |    FROM vecs v CROSS JOIN cent2 c WHERE v.vec_id < 20)
+       |    FROM vecs v CROSS JOIN cent2 c WHERE $probeWhere)
        |  WHERE crn <= 2),
        |apairs AS (
        |  SELECT p.probe_id, c.vec_id AS cand_id,
@@ -2608,13 +2625,7 @@ object LlmOps {
        |    ROUND(list_dot_product(pv.v, c.v) / (pv.nrm * c.nrm), 6) AS cos6
        |  FROM pref f
        |  JOIN avx c ON c.vec_id = f.cand_id
-       |  JOIN avx pv ON pv.vec_id = f.probe_id),
-       |ranked AS (
-       |  SELECT probe_id, cand_id, cos6,
-       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos6 DESC, cand_id ASC) AS rn
-       |  FROM epairs)
-       |SELECT probe_id, cand_id, cos6, rn FROM ranked WHERE rn <= 3
-       |ORDER BY probe_id NULLS FIRST, rn NULLS FIRST""".stripMargin
+       |  JOIN avx pv ON pv.vec_id = f.probe_id)""".stripMargin
   }
 
   val q170Sql: String = pqWaveSql("TRUE")
@@ -3707,6 +3718,112 @@ object LlmOps {
         |    ON x.cell = y.cell AND x.vec_id % 10 = 0 AND y.vec_id % 10 <> 0
         |  WHERE ROUND(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) >= 0.4)""".stripMargin)
 
+  /** Q187 — STREAMING VIDEO NEAR-DUP GATE: the gate row of the
+    * multimodal matrix is now full (text q126 / image q182 / audio q185 /
+    * VIDEO here) — arriving GVID containers decode, stride-sample and
+    * temporal-fingerprint map-side inside the stream
+    * ([[Multimodal.videoFingerprints]] over the `binaryFile` source),
+    * band-join the corpus index, watermarked per-clip verdicts. Frames
+    * never leave the map side.
+    */
+  def q187(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fix = Multimodal.ensureVideoFixtures()
+    val names = Multimodal.readBinary(spark, s"$fix/*.gvid")
+      .select(regexp_extract($"path", "([^/]+)$", 1).as("fname"))
+    val index = Multimodal.videoFingerprints(
+        Multimodal.readBinary(spark, s"$fix/*.gvid"), stride = 2)
+      .select(regexp_extract($"path", "([^/]+)$", 1).as("idx_id"),
+        $"afp".as("idx_fp"),
+        explode(sequence(lit(0), lit(7))).as("band"))
+      .withColumn("bv", expr("shiftright(idx_fp, band * 8) & 255"))
+    val arrivals = graft.streaming.StreamOps.binaryStream(spark, fix,
+      pathGlob = "*.gvid", maxFilesPerTrigger = 16)
+    val ord = regexp_extract($"fname", "vid_(\\d+)_", 1).cast("long") * 3 +
+      regexp_extract($"fname", "_(\\d)\\.gvid$", 1).cast("long")
+    val verdicts = Multimodal.videoFingerprints(arrivals, stride = 2)
+      .select(regexp_extract($"path", "([^/]+)$", 1).as("fname"), $"afp")
+      .withColumn("ing_ts", (ord + lit(86400L)).cast("timestamp"))
+      .withWatermark("ing_ts", "10 seconds")
+      .withColumn("band", explode(sequence(lit(0), lit(7))))
+      .withColumn("bv", expr("shiftright(afp, band * 8) & 255"))
+      .join(index, Seq("band", "bv"))
+      .filter($"idx_id" =!= $"fname" &&
+        expr("bit_count(afp ^ idx_fp)") <= 6)
+      .groupBy($"fname", $"ing_ts")
+      .agg(size(collect_set($"idx_id")).cast("long").as("n_dups"),
+        min($"idx_id").as("nearest_dup"))
+      .select($"fname", $"n_dups", $"nearest_dup")
+    graft.streaming.StreamOps
+      .runToMemory(verdicts, "q187_sink", "update", finalWatermarkBatch = false)
+      .join(names, Seq("fname"), "right")
+      .select($"fname", coalesce($"n_dups", lit(0L)).as("n_dups"),
+        $"nearest_dup")
+      .orderBy($"fname".asc_nulls_first)
+  }
+
+  /** q173's fingerprint recompute + the batch per-clip verdict. */
+  val q187Sql: String = videoFpOracleCtes + ",\n" +
+    """m AS (
+      |  SELECT a.f AS d, COUNT(DISTINCT b.f) AS n_dups, MIN(b.f) AS nearest
+      |  FROM named a JOIN named b
+      |    ON a.f <> b.f AND bit_count(xor(a.afp, b.afp)) <= 6
+      |  GROUP BY a.f)
+      |SELECT n.f AS fname, CAST(COALESCE(m.n_dups, 0) AS BIGINT) AS n_dups,
+      |  m.nearest AS nearest_dup
+      |FROM named n LEFT JOIN m ON m.d = n.f
+      |ORDER BY fname NULLS FIRST""".stripMargin
+
+  /** Q188 — HYBRID RETRIEVAL SERVED FROM THE PQ INDEX: completes the
+    * serving matrix (float q161 / SQ8 q164 / PQ here) — the dense side
+    * reads the m-bytes-per-vector PQ index (per-probe ADC tables,
+    * reconstructed-cosine prefetch at the fixture's GREATEST(48, n/10)
+    * operating point, exact float re-rank so fused dense ranks carry no
+    * quantization error), the lexical side stays banded, RRF fuses at
+    * |probes|·k. At 100 TB this is the leanest-memory serving stack of
+    * the family; the oracle replays the coarse fit, all m codebook fits,
+    * code re-derivation and both ranking stages into the same fusion
+    * arithmetic.
+    */
+  def q188(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = t(spark, dir, "embeddings").coalesce(8)
+    val out = PipelineOps.layoutDir(spark, dir, "hybridpq")
+    val (_, coarseDF) = Similarity.kmeansFit(e, "vec_id", "embedding",
+      k = 8, iters = 2, materialize = false, withVec = false)
+    val coarse = Similarity.localize(coarseDF)
+    val books = Similarity.pqFit(e, "vec_id", "embedding",
+      dim = 64, m = 4, codes = 16, iters = 2)
+    Similarity.pqEncode(e, "vec_id", "embedding", books, coarse, dim = 64)
+      .repartition(col("cell")).write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$out/codes")
+    val idx = spark.read.parquet(s"$out/codes")
+    val prefetch = math.max(48L, e.count() / 10L).toInt
+    val dense = Similarity.ivfTopKServedPQ(idx, e, books, coarse,
+        "vec_id", "embedding", e.filter($"vec_id" < 10),
+        k = 10, prefetch = prefetch, nprobe = 2, dim = 64)
+      .select($"probe_id", $"cand_id", $"rn".as("rn_d"))
+    rrfFuse(dense, lexicalTopK(spark, dir))
+      .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
+  }
+
+  /** The PQ candidate chain ([[pqEpairsCtes]], probes vec_id < 10) cut
+    * to a dense top-10, fused with q159's lexical lists by the identical
+    * RRF arithmetic.
+    */
+  val q188Sql: String =
+    s"""${kmeansCtes("TRUE")},
+       |${ngramPairCtesOver("documents")},
+       |$lexTopKCtes,
+       |${pqEpairsCtes("TRUE", dim = 64, m = 4, candWhere = "TRUE",
+          probeWhere = "v.vec_id < 10")},
+       |dense AS (
+       |  SELECT probe_id, cand_id, rn_d FROM (
+       |    SELECT probe_id, cand_id,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos6 DESC, cand_id ASC) AS rn_d
+       |    FROM epairs) WHERE rn_d <= 10),
+       |$rrfFusionSql""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_exact_dedup" -> (q58 _),
     "q59_minhash_lsh" -> (q59 _),
@@ -3764,7 +3881,9 @@ object LlmOps {
     "q182_stream_image_gate" -> (q182 _),
     "q183_diversified_served" -> (q183 _),
     "q185_stream_audio_gate" -> (q185 _),
-    "q186_curated_index_append" -> (q186 _))
+    "q186_curated_index_append" -> (q186 _),
+    "q187_stream_video_gate" -> (q187 _),
+    "q188_hybrid_pq" -> (q188 _))
 
   def oracles: Map[String, String] = Map(
     "q58_exact_dedup" -> q58Sql,
@@ -3823,5 +3942,7 @@ object LlmOps {
     "q182_stream_image_gate" -> q182Sql,
     "q183_diversified_served" -> q183Sql,
     "q185_stream_audio_gate" -> q185Sql,
-    "q186_curated_index_append" -> q186Sql)
+    "q186_curated_index_append" -> q186Sql,
+    "q187_stream_video_gate" -> q187Sql,
+    "q188_hybrid_pq" -> q188Sql)
 }
