@@ -384,6 +384,19 @@ class PlanSpec extends SparkSpec {
       s"no equi-join on cell in:\n$p")
   }
 
+  test("q183/q188 served hybrid compositions: every join is an equi-join " +
+      "— served dense sides and diversification never go cartesian") {
+    // unlike q159/q171 (whose BRUTE-FORCE dense baseline is a declared
+    // non-equi scoring join), the served stacks read candidates off the
+    // index's cell layout, so NO join in either plan may be cartesian
+    val p183 = plan(LlmOps.q183(spark, sfDir))
+    assert(!p183.contains("CartesianProduct") && !p183.contains("BroadcastNestedLoopJoin"),
+      s"q183 served diversification exploded to all pairs:\n$p183")
+    val p188 = plan(LlmOps.q188(spark, sfDir))
+    assert(!p188.contains("CartesianProduct") && !p188.contains("BroadcastNestedLoopJoin"),
+      s"q188 PQ-served hybrid exploded to all pairs:\n$p188")
+  }
+
   test("q184 incremental SemDeDup: the cross-side pair generation is an " +
       "equi-join on cell, never cartesian") {
     val p = plan(CurationOps.q184(spark, sfDir))
