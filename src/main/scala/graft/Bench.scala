@@ -261,9 +261,12 @@ object Bench {
     // just modelled. RegistrySpec guards the new model.
     val qs = results.map { t =>
       val short = t.name.takeWhile(_ != '_').stripPrefix("q")
+      // boundary: a median in [9.95, 10) would %.1f-print 4-char "10.0",
+      // so route it to the integer branch — 3-char worst case holds for
+      // the ACTUAL formatted value, not just the pre-rounding magnitude
       val v = if (t.failed) "-1"
         else if (t.median >= 99) "99"
-        else if (t.median >= 10) f"${t.median}%.0f" else f"${t.median}%.1f"
+        else if (t.median >= 9.95) f"${t.median}%.0f" else f"${t.median}%.1f"
       "\"" + short + "\":" + v
     }.mkString("{", ",", "}")
     val noisyCount = results.filterNot(_.failed).count(spreadPct(_) >= NoisySpreadPct)

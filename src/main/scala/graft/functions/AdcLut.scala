@@ -27,6 +27,21 @@ import org.apache.spark.sql.types._
 final class PqCodebooks(val books: Array[Array[Array[Double]]], val sub: Int)
   extends Serializable {
 
+  // content-based equality so two AdcLut expressions built from EQUAL
+  // bundles (e.g. separately-localized copies of the same committed
+  // version) compare semanticEquals — unlocking subexpression
+  // elimination and exchange reuse across waves; the case class's
+  // equals delegates here
+  override def equals(o: Any): Boolean = o match {
+    case p: PqCodebooks =>
+      p.sub == sub && java.util.Arrays.deepEquals(
+        books.asInstanceOf[Array[AnyRef]], p.books.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+
+  override def hashCode: Int =
+    31 * java.util.Arrays.deepHashCode(books.asInstanceOf[Array[AnyRef]]) + sub
+
   /** lut[s][c] = ⟨v[s·sub ..< s·sub+sub], books(s)(c)⟩, FloatVecDot fold. */
   def lut(v: ArrayData, isFloat: Boolean): ArrayData = {
     val n = v.numElements()

@@ -33,6 +33,19 @@ import org.apache.spark.sql.types._
 final class CentroidMatrix(val cells: Array[Long],
     val vecs: Array[Array[Double]]) extends Serializable {
 
+  // content-based equality (see PqCodebooks): expressions built from
+  // equal centroid sets compare semanticEquals across re-localizations
+  override def equals(o: Any): Boolean = o match {
+    case m: CentroidMatrix =>
+      java.util.Arrays.equals(cells, m.cells) && java.util.Arrays.deepEquals(
+        vecs.asInstanceOf[Array[AnyRef]], m.vecs.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+
+  override def hashCode: Int =
+    31 * java.util.Arrays.hashCode(cells) +
+      java.util.Arrays.deepHashCode(vecs.asInstanceOf[Array[AnyRef]])
+
   /** dot(c,c) per cell, left-to-right — what constant folding produced. */
   private val cc: Array[Double] = vecs.map { c =>
     var acc = 0.0; var i = 0

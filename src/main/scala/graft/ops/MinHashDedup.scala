@@ -20,7 +20,16 @@ import org.apache.spark.sql.functions._
   *
   * With k=8, r=2 (4 bands): P(candidate) = 1-(1-j²)⁴ for Jaccard j — steep
   * around j≈0.5. At 100 TB the band join shuffles only (band, key, doc_id)
-  * triples; skewed (common) band keys are handled by AQE skew-join.
+  * triples. Skew note: AQE's skew-join splits oversized PARTITIONS, which
+  * keeps the shuffle balanced but does NOT bound the O(bucket²) candidate
+  * OUTPUT of a degenerate band key; where a fingerprint family can
+  * degenerate (byte bands on media hashes, substring fingerprints), the
+  * declared df cap is the guard — see
+  * [[graft.sources.Multimodal.bandedHammingPairs]] (maxDf) and
+  * [[TextOps.winnowedPairs]] (stop-fingerprints). MinHash band keys are
+  * md5 over r signature mins, so a hot key requires identical signature
+  * bands — i.e. genuinely near-identical docs, which ARE the answer, not
+  * noise; the exact-dup pre-pass (q58/q83) is the declared guard there.
   */
 object MinHashDedup {
 

@@ -184,6 +184,45 @@ object TextOps {
           / least(col("__n1"), col("__n2")), 6).as("cont6"))
   }
 
+  /** CROSS-CORPUS winnowed-substring near-dup PAIRS — [[winnowedPairs]]
+    * in the q137 asymmetric shape: each INCOMING doc's fingerprints
+    * probe the EXISTING corpus' postings only, so no within-side pair
+    * is ever generated and the join output is sized by the incoming
+    * slice's duplication rate — never the corpus' internal near-dup
+    * mass. The stop-fingerprint df cap reads the FULL corpus (both
+    * sides): boilerplate is boilerplate wherever it appears, and a
+    * fingerprint hot on either side would otherwise blow up the probe.
+    * Emits `(in_id, ex_id, n_shared, cont6)` for incoming docs sharing
+    * ≥ `minShared` surviving fingerprints with an existing doc.
+    */
+  def winnowedCrossPairs(incoming: org.apache.spark.sql.DataFrame,
+                         existing: org.apache.spark.sql.DataFrame,
+                         idCol: String, textCol: String, k: Int = 20,
+                         w: Int = 8, minShared: Long = 3,
+                         maxDf: Long = 10): org.apache.spark.sql.DataFrame = {
+    def postings(df: org.apache.spark.sql.DataFrame, as: String) =
+      df.select(col(idCol).as(as),
+        explode(graft.functions.WinnowedFps.fps(col(textCol), k, w)).as("fp"))
+    val postIn = postings(incoming, "in_id")
+    val postEx = postings(existing, "ex_id")
+    val live = postIn.select(col("fp")).unionAll(postEx.select(col("fp")))
+      .groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select(col("fp"))
+    val kIn = postIn.join(live, Seq("fp"))
+    val kEx = postEx.join(live, Seq("fp"))
+    val szIn = kIn.groupBy(col("in_id")).agg(count(lit(1)).as("__n1"))
+    val szEx = kEx.groupBy(col("ex_id")).agg(count(lit(1)).as("__n2"))
+    kIn.join(kEx, Seq("fp"))
+      .groupBy(col("in_id"), col("ex_id")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(szIn, Seq("in_id"))
+      .join(szEx, Seq("ex_id"))
+      .select(col("in_id"), col("ex_id"), col("n_shared"),
+        round(col("n_shared").cast(DoubleType)
+          / least(col("__n1"), col("__n2")), 6).as("cont6"))
+  }
+
   /** SimHash near-duplicate PAIRS — the banded-fingerprint join that
     * completes the SimHash dedup pipeline: split a `bits`-wide
     * fingerprint into 4 bands; two fingerprints within Hamming distance

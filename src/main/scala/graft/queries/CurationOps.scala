@@ -247,7 +247,8 @@ object CurationOps {
     * map-only, no refit), generate exact cosine pairs ONLY between the
     * incoming slice and the existing corpus within each cell
     * ([[Similarity.semanticCrossPairs]]), and verdict per incoming doc
-    * (semantic-dup count, nearest existing id, keep/drop). Per batch the
+    * (semantic-dup count, the MIN duplicate existing id — a stable
+    * witness, not the cosine-nearest — and keep/drop). Per batch the
     * work is O(slice · cell occupancy) and the pair output is sized by
     * the slice's dup rate — never the corpus' internal near-dup mass,
     * never a whole-corpus re-pair. The oracle fits on the existing side
@@ -270,12 +271,12 @@ object CurationOps {
         "vec_id", "embedding", minCos6 = 0.4)
       val agg = pairs.groupBy($"in_id".as("vec_id"))
         .agg(count(lit(1)).as("n_dup_existing"),
-          min($"ex_id").as("nearest_existing"))
+          min($"ex_id").as("min_dup_existing"))
       incoming.select($"vec_id")
         .join(agg, Seq("vec_id"), "left")
         .select($"vec_id",
           coalesce($"n_dup_existing", lit(0L)).as("n_dup_existing"),
-          $"nearest_existing",
+          $"min_dup_existing",
           when($"n_dup_existing".isNotNull, lit("drop"))
             .otherwise(lit("keep")).as("action"))
         .orderBy($"vec_id".asc_nulls_first)
@@ -294,11 +295,11 @@ object CurationOps {
        |    ON x.cell = y.cell AND x.vec_id % 10 = 0 AND y.vec_id % 10 <> 0
        |  WHERE ROUND(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) >= 0.4),
        |ag AS (SELECT in_id, COUNT(*) AS n_dup_existing,
-       |              MIN(ex_id) AS nearest_existing
+       |              MIN(ex_id) AS min_dup_existing
        |       FROM xp GROUP BY in_id)
        |SELECT e.vec_id,
        |  COALESCE(ag.n_dup_existing, 0) AS n_dup_existing,
-       |  ag.nearest_existing,
+       |  ag.min_dup_existing,
        |  CASE WHEN ag.n_dup_existing IS NOT NULL THEN 'drop' ELSE 'keep' END AS action
        |FROM embeddings e LEFT JOIN ag ON ag.in_id = e.vec_id
        |WHERE e.vec_id % 10 = 0
@@ -661,12 +662,12 @@ object CurationOps {
       gramN = 5, rowsPerBand = 2, minJaccard = 0.5)
     val agg = pairs.groupBy($"in_id".as("doc_id"))
       .agg(count(lit(1)).as("n_dup_existing"),
-        min($"ex_id").as("nearest_existing"))
+        min($"ex_id").as("min_dup_existing"))
     incoming.select($"doc_id")
       .join(agg, Seq("doc_id"), "left")
       .select($"doc_id",
         coalesce($"n_dup_existing", lit(0L)).as("n_dup_existing"),
-        $"nearest_existing")
+        $"min_dup_existing")
       .orderBy($"doc_id".asc_nulls_first)
   }
 
@@ -677,11 +678,11 @@ object CurationOps {
        |         CASE WHEN d1 % 2 = 1 THEN d2 ELSE d1 END AS ex_id
        |  FROM pairs WHERE (d1 % 2) <> (d2 % 2)),
        |ag AS (SELECT in_id, COUNT(*) AS n_dup_existing,
-       |              MIN(ex_id) AS nearest_existing
+       |              MIN(ex_id) AS min_dup_existing
        |       FROM cp GROUP BY in_id)
        |SELECT d.doc_id,
        |  COALESCE(ag.n_dup_existing, 0) AS n_dup_existing,
-       |  ag.nearest_existing
+       |  ag.min_dup_existing
        |FROM documents d LEFT JOIN ag ON ag.in_id = d.doc_id
        |WHERE d.doc_id % 2 = 1
        |ORDER BY doc_id NULLS FIRST""".stripMargin

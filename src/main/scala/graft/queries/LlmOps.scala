@@ -641,41 +641,51 @@ object LlmOps {
       .orderBy($"d1".asc_nulls_first, $"d2".asc_nulls_first)
   }
 
+  /** The winnowing CTE prefix (normalise → positional window hashes →
+    * SQL window minima, value-identical to the expression's deque →
+    * distinct fingerprint sets → the declared df cap → postings join),
+    * ending in `wp(d1, d2, n_shared)` / `wsz(doc_id, n)` — shared by
+    * the pair report (q172), the apply composition (q191) and the
+    * cross-corpus variant (q195) so the fingerprint rule can never
+    * drift between them. Margin already stripped — concatenate.
+    */
+  private[queries] val winnowedPairCtes: String =
+    """WITH wd AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+      |  FROM documents),
+      |wh AS (
+      |  SELECT doc_id, i,
+      |    CAST(('0x' || substr(md5(substr(norm, CAST(i AS INT), 20)), 1, 8)) AS BIGINT) AS h
+      |  FROM wd, UNNEST(range(1, length(norm) - 18)) AS t(i)
+      |  WHERE length(norm) >= 27),
+      |wm AS (
+      |  SELECT doc_id, i,
+      |    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+      |                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS fp
+      |  FROM wh),
+      |wf AS (SELECT DISTINCT doc_id, fp FROM wm WHERE i >= 8),
+      |live AS (
+      |  SELECT fp FROM (SELECT fp, COUNT(*) AS df FROM wf GROUP BY fp)
+      |  WHERE df <= 10),
+      |wfk AS (SELECT doc_id, fp FROM wf JOIN live USING (fp)),
+      |wsz AS (SELECT doc_id, COUNT(*) AS n FROM wfk GROUP BY doc_id),
+      |wp AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared
+      |  FROM wfk a JOIN wfk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
+
   /** Replays the normalise (the q86 regexp), positional window hashes,
     * SQL window minima (value-identical to the expression's deque),
     * distinct fingerprint sets, the df cap, and the postings join.
     */
-  val q172Sql: String =
-    s"""WITH wd AS (
-       |  SELECT doc_id,
-       |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
-       |  FROM documents),
-       |wh AS (
-       |  SELECT doc_id, i,
-       |    CAST(('0x' || substr(md5(substr(norm, CAST(i AS INT), 20)), 1, 8)) AS BIGINT) AS h
-       |  FROM wd, UNNEST(range(1, length(norm) - 18)) AS t(i)
-       |  WHERE length(norm) >= 27),
-       |wm AS (
-       |  SELECT doc_id, i,
-       |    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
-       |                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS fp
-       |  FROM wh),
-       |wf AS (SELECT DISTINCT doc_id, fp FROM wm WHERE i >= 8),
-       |live AS (
-       |  SELECT fp FROM (SELECT fp, COUNT(*) AS df FROM wf GROUP BY fp)
-       |  WHERE df <= 10),
-       |wfk AS (SELECT doc_id, fp FROM wf JOIN live USING (fp)),
-       |wsz AS (SELECT doc_id, COUNT(*) AS n FROM wfk GROUP BY doc_id),
-       |wp AS (
-       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared
-       |  FROM wfk a JOIN wfk b ON a.fp = b.fp AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT p.d1, p.d2, p.n_shared,
-       |  ROUND(CAST(p.n_shared AS DOUBLE) / LEAST(sa.n, sb.n), 6) AS cont6
-       |FROM wp p JOIN wsz sa ON sa.doc_id = p.d1
-       |          JOIN wsz sb ON sb.doc_id = p.d2
-       |WHERE p.n_shared >= 3
-       |ORDER BY d1 NULLS FIRST, d2 NULLS FIRST""".stripMargin
+  val q172Sql: String = winnowedPairCtes + "\n" +
+    """SELECT p.d1, p.d2, p.n_shared,
+      |  ROUND(CAST(p.n_shared AS DOUBLE) / LEAST(sa.n, sb.n), 6) AS cont6
+      |FROM wp p JOIN wsz sa ON sa.doc_id = p.d1
+      |          JOIN wsz sb ON sb.doc_id = p.d2
+      |WHERE p.n_shared >= 3
+      |ORDER BY d1 NULLS FIRST, d2 NULLS FIRST""".stripMargin
 
   /** Q81 — SimHash near-dup PAIRS ([[TextOps.simhashNearDupPairs]]):
     * 32-bit fingerprint, 4 byte-wide bands (pigeonhole-complete for
@@ -693,7 +703,13 @@ object LlmOps {
       .orderBy($"d1".asc_nulls_first, $"d2".asc_nulls_first)
   }
 
-  val q81Sql: String = {
+  /** The 32-bit SimHash band-candidacy CTE prefix (distinct tokens →
+    * per-bit sign sums → fingerprint → 4 byte-bands → candidate join),
+    * ending in `shp(d1, d2, hamming)` = the exact-Hamming-filtered
+    * pairs — shared by the pair report (q81) and the apply composition
+    * (q192). Margin already stripped — concatenate.
+    */
+  private[queries] val simhashPairCtes: String = {
     val bitSums = (0 until 32).map { i =>
       s"SUM(CASE WHEN ((x >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS s$i"
     }.mkString(", ")
@@ -712,11 +728,15 @@ object LlmOps {
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.fp AS f1, b.fp AS f2
        |  FROM banded a JOIN banded b
-       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
-       |SELECT d1, d2, bit_count(xor(f1, f2)) AS hamming
-       |FROM cand WHERE bit_count(xor(f1, f2)) <= 3
-       |ORDER BY d1 NULLS FIRST, d2 NULLS FIRST""".stripMargin
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+       |shp AS (
+       |  SELECT d1, d2, bit_count(xor(f1, f2)) AS hamming
+       |  FROM cand WHERE bit_count(xor(f1, f2)) <= 3)""".stripMargin
   }
+
+  val q81Sql: String = simhashPairCtes + "\n" +
+    """SELECT d1, d2, hamming FROM shp
+      |ORDER BY d1 NULLS FIRST, d2 NULLS FIRST""".stripMargin
 
   /** Q79 — fuzzy near-match pairs by edit distance via TOKEN-BAND
     * candidate generation + exact Levenshtein post-filter. Two bands —
@@ -2279,15 +2299,74 @@ object LlmOps {
       |  GROUP BY b.i, b.j),
       |named AS (SELECT printf('img_%02d_%d.png', i, j) AS f, ahash, dhash FROM hsh)""".stripMargin
 
+  /** The multimodal band-candidacy CTEs with the DECLARED hot-band df
+    * cap, mirroring [[Multimodal.bandedHammingPairs]] exactly: 8
+    * byte-bands over the `named` CTE's `hCol`, (band, bv) buckets with
+    * df > maxDf dropped BY RULE, `cand(d1, d2)` = the ordered candidate
+    * pairs. HUGEINT `>>`/`& 255` equals Spark's arithmetic
+    * shiftright+mask on the signed long bit-for-bit (verified for the
+    * bit-63 case). Margin already stripped — concatenate.
+    */
+  /** The declared hot-band df cap applied to a banded fingerprint
+    * INDEX (the streaming gates' static side, columns incl. (band,
+    * bv)): buckets with more than `maxDf` members are dropped from
+    * candidacy BY RULE, bounding each arrival's join fan-out at
+    * 8·maxDf rows. Mirrors [[Multimodal.bandedHammingPairs]]'s cap;
+    * the ≤ 2048-group df aggregate broadcasts back.
+    */
+  private def capBands(index: DataFrame, maxDf: Int = 12): DataFrame = {
+    val live = index.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select(col("band"), col("bv"))
+    index.join(broadcast(live), Seq("band", "bv"))
+  }
+
+  private def bandCandCtes(hCol: String, maxDf: Int): String =
+    s"""bnd AS (
+       |  SELECT f, b.band, ($hCol >> CAST(b.band * 8 AS INT)) & 255 AS bv
+       |  FROM named, UNNEST(range(0, 8)) b(band)),
+       |hotb AS (
+       |  SELECT band, bv FROM (SELECT band, bv, COUNT(*) AS df FROM bnd GROUP BY band, bv)
+       |  WHERE df > $maxDf),
+       |keptb AS (SELECT b.* FROM bnd b ANTI JOIN hotb h ON h.band = b.band AND h.bv = b.bv),
+       |cand AS (
+       |  SELECT DISTINCT a.f AS d1, b.f AS d2
+       |  FROM keptb a JOIN keptb b ON a.band = b.band AND a.bv = b.bv AND a.f < b.f)""".stripMargin
+
+  /** `cand` cut to true near-dups (`hp(d1, d2)`): the exact bit_count
+    * post-filter over the capped candidacy. Margin already stripped.
+    */
+  private def bandPairCtes(hCol: String, maxDf: Int): String =
+    bandCandCtes(hCol, maxDf) + ",\n" +
+      s"""hp AS (
+         |  SELECT c.d1, c.d2 FROM cand c
+         |  JOIN named a ON a.f = c.d1 JOIN named b ON b.f = c.d2
+         |  WHERE bit_count(xor(a.$hCol, b.$hCol)) <= 6)""".stripMargin
+
+  /** The per-file dup-verdict tail over `hp` (the streaming gates'
+    * batch replay): both directions, distinct dup count + min dup,
+    * right-joined so every file gets a verdict row. Margin stripped.
+    */
+  private def bandVerdictSql(maxDf: Int, hCol: String): String =
+    bandPairCtes(hCol, maxDf) + ",\n" +
+      """cd AS (SELECT d1 AS d, d2 AS x FROM hp
+        |        UNION ALL SELECT d2 AS d, d1 AS x FROM hp),
+        |m AS (SELECT d, COUNT(DISTINCT x) AS n_dups, MIN(x) AS nearest
+        |      FROM cd GROUP BY d)
+        |SELECT n.f AS fname, CAST(COALESCE(m.n_dups, 0) AS BIGINT) AS n_dups,
+        |  m.nearest AS nearest_dup
+        |FROM named n LEFT JOIN m ON m.d = n.f
+        |ORDER BY fname NULLS FIRST""".stripMargin
+
   // NOTE: the prefix is already margin-stripped — concatenate, never
   // re-stripMargin over it (its `|| '_' ||` concat lines would lose
   // their leading pipes)
-  val q163Sql: String = phashOracleCtes + "\n" +
-    """SELECT a.f AS f1, b.f AS f2,
+  val q163Sql: String = phashOracleCtes + ",\n" + bandPairCtes("ahash", 12) + "\n" +
+    """SELECT p.d1 AS f1, p.d2 AS f2,
       |  bit_count(xor(a.ahash, b.ahash)) AS ham_a,
       |  bit_count(xor(a.dhash, b.dhash)) AS ham_d
-      |FROM named a JOIN named b ON a.f < b.f
-      |WHERE bit_count(xor(a.ahash, b.ahash)) <= 6
+      |FROM hp p JOIN named a ON a.f = p.d1 JOIN named b ON b.f = p.d2
       |ORDER BY f1 NULLS FIRST, f2 NULLS FIRST""".stripMargin
 
   /** Q164 — HYBRID RETRIEVAL SERVED FROM THE INT8 INDEX: the q161
@@ -3090,6 +3169,36 @@ object LlmOps {
         assignT, centT, bid, int8 = true)
   }
 
+  /** The q190 per-micro-batch CURATED ingest verb (factored so OpsSpec
+    * can drive arrival/redelivery schedules without the streaming
+    * harness): the q186 place→verdict→append gate as a stream handler —
+    * place the batch into the MAINTAINED quantizer (never refit),
+    * verdict it against the EXISTING corpus only
+    * ([[Similarity.semanticCrossPairs]] — O(batch·cell), independent of
+    * every other batch, which is WHY batch boundaries can never change
+    * a verdict), and append only the keepers through the refit-safe SQ8
+    * verb. Redelivered batches skip on the index epoch (exactly-once);
+    * a dropped arrival is absent from every wave by construction
+    * because candidacy reads only the index.
+    */
+  private[graft] def ingestCuratedBatch(
+      assignT: graft.ops.VersionedTarget.Segmented,
+      centT: graft.ops.VersionedTarget.Rewrite,
+      exAssign: DataFrame, cent: Seq[(Long, Seq[Double])])(
+      batch: DataFrame, id: Long): Unit = {
+    val bid = id + 1L
+    if (!assignT.applied(bid)) {
+      val placed = Similarity.assignToCentroids(batch, cent,
+        "vec_id", "embedding", withVec = true)
+      val dupIds = Similarity.semanticCrossPairs(placed, exAssign,
+          "vec_id", "embedding", minCos6 = 0.4)
+        .select(col("in_id").as("vec_id")).distinct()
+      val keepers = batch.join(dupIds, Seq("vec_id"), "left_anti")
+      Similarity.appendToIndex(keepers, "vec_id", "embedding",
+        assignT, centT, bid, int8 = true)
+    }
+  }
+
   /** The q158 per-micro-batch ingest verb, factored so OpsSpec can drive
     * arrival/redelivery schedules without the streaming harness (the
     * q132 pattern): skip batches the index epoch already covers
@@ -3127,10 +3236,9 @@ object LlmOps {
     * Scale shape inherited stage-by-stage: band join shuffles (band,
     * byte, id) triples, contraction is O(log diameter) rounds over an
     * Ω(Σ cluster²)-free edge list, the apply writes keeper payloads
-    * once. The oracle recomputes hashes from the fixture rule, takes
-    * ALL-PAIRS Hamming ≤ 6 (the banded join's recall-complete
-    * reference), and unrolls 3 min-label rounds (clusters here are
-    * base+variant triangles, diameter 1).
+    * once. The oracle recomputes hashes from the fixture rule, replays
+    * the capped band candidacy at Hamming ≤ 6, and unrolls 3 min-label
+    * rounds (clusters here are base+variant triangles, diameter 1).
     */
   def q166(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -3163,15 +3271,13 @@ object LlmOps {
       .orderBy($"fname".asc_nulls_first)
   }
 
-  /** The q163 hash recomputation + all-pairs Hamming ≤ 6 + the q94
+  /** The q163 hash recomputation + capped band candidacy at Hamming ≤ 6 + the q94
     * 3-round min-label unrolling + the cluster-min keep rule, with no
     * layout write (layout independence is what the gate checks).
     */
   val q166Sql: String = phashOracleCtes + ",\n" +
-    s"""ipairs AS (
-       |  SELECT a.f AS d1, b.f AS d2
-       |  FROM named a JOIN named b ON a.f < b.f
-       |  WHERE bit_count(xor(a.ahash, b.ahash)) <= 6),
+    bandPairCtes("ahash", 12) + ",\n" +
+    s"""ipairs AS (SELECT d1, d2 FROM hp),
        |e AS MATERIALIZED (SELECT d1 AS a, d2 AS b FROM ipairs
        |      UNION ALL SELECT d2 AS a, d1 AS b FROM ipairs),
        |lab0 AS (SELECT f AS id, f AS cluster FROM named),
@@ -3254,12 +3360,11 @@ object LlmOps {
       |named AS (SELECT printf('wav_%02d_%d.wav', i, j) AS f, afp, dfp FROM hsh)""".stripMargin
 
   // NOTE: margin already stripped — concatenate, never re-stripMargin
-  val q167Sql: String = audioFpOracleCtes + "\n" +
-    """SELECT a.f AS f1, b.f AS f2,
+  val q167Sql: String = audioFpOracleCtes + ",\n" + bandPairCtes("afp", 12) + "\n" +
+    """SELECT p.d1 AS f1, p.d2 AS f2,
       |  bit_count(xor(a.afp, b.afp)) AS ham_a,
       |  bit_count(xor(a.dfp, b.dfp)) AS ham_d
-      |FROM named a JOIN named b ON a.f < b.f
-      |WHERE bit_count(xor(a.afp, b.afp)) <= 6
+      |FROM hp p JOIN named a ON a.f = p.d1 JOIN named b ON b.f = p.d2
       |ORDER BY f1 NULLS FIRST, f2 NULLS FIRST""".stripMargin
 
   /** Q173 — VIDEO near-dup via frame sampling + temporal fingerprint:
@@ -3294,7 +3399,7 @@ object LlmOps {
   /** Recomputes the sampled-frame pixel sums + both fingerprints from
     * the fixture rule (every pixel of every SAMPLED frame via
     * range-unnest; unsampled frames never enter, mirroring the stride),
-    * then all-pairs Hamming ≤ 6 — the banded join's recall-complete
+    * then the capped band candidacy at Hamming ≤ 6 — mirroring the banded join's
     * reference. With 64 equal-size sampled frames the cross-multiplied
     * mean comparisons reduce to `fs·64 > total` and `fs > next fs`
     * (identical truth values to the engine's general fn-weighted form).
@@ -3335,12 +3440,11 @@ object LlmOps {
       |named AS (SELECT printf('vid_%02d_%d.gvid', i, j) AS f, afp, dfp FROM hsh)""".stripMargin
 
   // NOTE: margin already stripped — concatenate, never re-stripMargin
-  val q173Sql: String = videoFpOracleCtes + "\n" +
-    """SELECT a.f AS f1, b.f AS f2,
+  val q173Sql: String = videoFpOracleCtes + ",\n" + bandPairCtes("afp", 12) + "\n" +
+    """SELECT p.d1 AS f1, p.d2 AS f2,
       |  bit_count(xor(a.afp, b.afp)) AS ham_a,
       |  bit_count(xor(a.dfp, b.dfp)) AS ham_d
-      |FROM named a JOIN named b ON a.f < b.f
-      |WHERE bit_count(xor(a.afp, b.afp)) <= 6
+      |FROM hp p JOIN named a ON a.f = p.d1 JOIN named b ON b.f = p.d2
       |ORDER BY f1 NULLS FIRST, f2 NULLS FIRST""".stripMargin
 
   /** Q180 — AUDIO DEDUP END-TO-END (pairs → clusters → apply): q166's
@@ -3386,14 +3490,12 @@ object LlmOps {
       .orderBy($"fname".asc_nulls_first)
   }
 
-  /** The q167 fingerprint recompute + all-pairs Hamming ≤ 6 + the q166
+  /** The q167 fingerprint recompute + capped band candidacy at Hamming ≤ 6 + the q166
     * 3-round min-label unrolling + the cluster-min keep rule.
     */
   val q180Sql: String = audioFpOracleCtes + ",\n" +
-    s"""ipairs AS (
-       |  SELECT a.f AS d1, b.f AS d2
-       |  FROM named a JOIN named b ON a.f < b.f
-       |  WHERE bit_count(xor(a.afp, b.afp)) <= 6),
+    bandPairCtes("afp", 12) + ",\n" +
+    s"""ipairs AS (SELECT d1, d2 FROM hp),
        |e AS MATERIALIZED (SELECT d1 AS a, d2 AS b FROM ipairs
        |      UNION ALL SELECT d2 AS a, d1 AS b FROM ipairs),
        |lab0 AS (SELECT f AS id, f AS cluster FROM named),
@@ -3444,10 +3546,8 @@ object LlmOps {
   }
 
   val q181Sql: String = videoFpOracleCtes + ",\n" +
-    s"""ipairs AS (
-       |  SELECT a.f AS d1, b.f AS d2
-       |  FROM named a JOIN named b ON a.f < b.f
-       |  WHERE bit_count(xor(a.afp, b.afp)) <= 6),
+    bandPairCtes("afp", 12) + ",\n" +
+    s"""ipairs AS (SELECT d1, d2 FROM hp),
        |e AS MATERIALIZED (SELECT d1 AS a, d2 AS b FROM ipairs
        |      UNION ALL SELECT d2 AS a, d1 AS b FROM ipairs),
        |lab0 AS (SELECT f AS id, f AS cluster FROM named),
@@ -3484,13 +3584,17 @@ object LlmOps {
     val fix = Multimodal.ensurePhashFixtures()
     val names = Multimodal.readBinary(spark, s"$fix/*.png")
       .select(regexp_extract($"path", "([^/]+)$", 1).as("fname"))
-    // the static corpus index: banded 64-bit aHashes (8 byte-bands)
-    val index = Multimodal.perceptualHashes(
+    // the static corpus index: banded 64-bit aHashes (8 byte-bands),
+    // hot buckets dropped by the declared df cap (the
+    // bandedHammingPairs rule — flat-color corpora collapse aHash
+    // bytes, and a degenerate index bucket multiplies EVERY matching
+    // arrival by its size; the ≤2048-group df agg broadcasts back)
+    val index = capBands(Multimodal.perceptualHashes(
         Multimodal.readBinary(spark, s"$fix/*.png"))
       .select(regexp_extract($"path", "([^/]+)$", 1).as("idx_id"),
         $"ahash".as("idx_fp"),
         explode(sequence(lit(0), lit(7))).as("band"))
-      .withColumn("bv", expr("shiftright(idx_fp, band * 8) & 255"))
+      .withColumn("bv", expr("shiftright(idx_fp, band * 8) & 255")))
     val arrivals = graft.streaming.StreamOps.binaryStream(spark, fix,
       pathGlob = "*.png", maxFilesPerTrigger = 16)
     // ingest-time clock for the oracle harness: derived from the fixture
@@ -3501,7 +3605,7 @@ object LlmOps {
     val verdicts = Multimodal.perceptualHashes(arrivals)
       .select(regexp_extract($"path", "([^/]+)$", 1).as("fname"), $"ahash")
       .withColumn("ing_ts", (ord + lit(86400L)).cast("timestamp"))
-      .withWatermark("ing_ts", "10 seconds")
+      .withWatermark("ing_ts", "60 seconds") // > the full ordinal span: source file-order can never watermark-drop a verdict
       .withColumn("band", explode(sequence(lit(0), lit(7))))
       .withColumn("bv", expr("shiftright(ahash, band * 8) & 255"))
       .join(index, Seq("band", "bv"))
@@ -3519,21 +3623,13 @@ object LlmOps {
       .orderBy($"fname".asc_nulls_first)
   }
 
-  /** The q163 hash recompute + the identical batch verdict (all ordered
-    * pairs within Hamming ≤ 6, per-image count + min) — batch boundaries
-    * cannot change a verdict because it compares against the WHOLE
-    * corpus index (q126's oracle argument).
+  /** The q163 hash recompute + the identical batch verdict (the capped
+    * band candidacy cut at Hamming ≤ 6, per-image count + min) — batch
+    * boundaries cannot change a verdict because it compares against the
+    * WHOLE corpus index (q126's oracle argument), and the df cap is a
+    * function of that same index.
     */
-  val q182Sql: String = phashOracleCtes + ",\n" +
-    """m AS (
-      |  SELECT a.f AS d, COUNT(DISTINCT b.f) AS n_dups, MIN(b.f) AS nearest
-      |  FROM named a JOIN named b
-      |    ON a.f <> b.f AND bit_count(xor(a.ahash, b.ahash)) <= 6
-      |  GROUP BY a.f)
-      |SELECT n.f AS fname, CAST(COALESCE(m.n_dups, 0) AS BIGINT) AS n_dups,
-      |  m.nearest AS nearest_dup
-      |FROM named n LEFT JOIN m ON m.d = n.f
-      |ORDER BY fname NULLS FIRST""".stripMargin
+  val q182Sql: String = phashOracleCtes + ",\n" + bandVerdictSql(12, "ahash")
 
   /** Q183 — DIVERSIFIED retrieval over the SERVED int8 fusion: the
     * production composition — q171 proved diversification on the
@@ -3593,12 +3689,12 @@ object LlmOps {
     val fix = Multimodal.ensureAudioFpFixtures()
     val names = Multimodal.readBinary(spark, s"$fix/*.wav")
       .select(regexp_extract($"path", "([^/]+)$", 1).as("fname"))
-    val index = Multimodal.audioFingerprints(
+    val index = capBands(Multimodal.audioFingerprints(
         Multimodal.readBinary(spark, s"$fix/*.wav"))
       .select(regexp_extract($"path", "([^/]+)$", 1).as("idx_id"),
         $"afp".as("idx_fp"),
         explode(sequence(lit(0), lit(7))).as("band"))
-      .withColumn("bv", expr("shiftright(idx_fp, band * 8) & 255"))
+      .withColumn("bv", expr("shiftright(idx_fp, band * 8) & 255")))
     val arrivals = graft.streaming.StreamOps.binaryStream(spark, fix,
       pathGlob = "*.wav", maxFilesPerTrigger = 16)
     val ord = regexp_extract($"fname", "wav_(\\d+)_", 1).cast("long") * 3 +
@@ -3606,7 +3702,7 @@ object LlmOps {
     val verdicts = Multimodal.audioFingerprints(arrivals)
       .select(regexp_extract($"path", "([^/]+)$", 1).as("fname"), $"afp")
       .withColumn("ing_ts", (ord + lit(86400L)).cast("timestamp"))
-      .withWatermark("ing_ts", "10 seconds")
+      .withWatermark("ing_ts", "60 seconds") // > the full ordinal span: source file-order can never watermark-drop a verdict
       .withColumn("band", explode(sequence(lit(0), lit(7))))
       .withColumn("bv", expr("shiftright(afp, band * 8) & 255"))
       .join(index, Seq("band", "bv"))
@@ -3627,16 +3723,7 @@ object LlmOps {
   /** q167's fingerprint recompute + the batch verdict (q182's oracle
     * argument on the audio modality).
     */
-  val q185Sql: String = audioFpOracleCtes + ",\n" +
-    """m AS (
-      |  SELECT a.f AS d, COUNT(DISTINCT b.f) AS n_dups, MIN(b.f) AS nearest
-      |  FROM named a JOIN named b
-      |    ON a.f <> b.f AND bit_count(xor(a.afp, b.afp)) <= 6
-      |  GROUP BY a.f)
-      |SELECT n.f AS fname, CAST(COALESCE(m.n_dups, 0) AS BIGINT) AS n_dups,
-      |  m.nearest AS nearest_dup
-      |FROM named n LEFT JOIN m ON m.d = n.f
-      |ORDER BY fname NULLS FIRST""".stripMargin
+  val q185Sql: String = audioFpOracleCtes + ",\n" + bandVerdictSql(12, "afp")
 
   /** Q186 — CURATED INDEX APPEND (incremental dedup gating the serving
     * index): the composition q184 exists FOR — per ingest batch, place
@@ -3731,12 +3818,12 @@ object LlmOps {
     val fix = Multimodal.ensureVideoFixtures()
     val names = Multimodal.readBinary(spark, s"$fix/*.gvid")
       .select(regexp_extract($"path", "([^/]+)$", 1).as("fname"))
-    val index = Multimodal.videoFingerprints(
+    val index = capBands(Multimodal.videoFingerprints(
         Multimodal.readBinary(spark, s"$fix/*.gvid"), stride = 2)
       .select(regexp_extract($"path", "([^/]+)$", 1).as("idx_id"),
         $"afp".as("idx_fp"),
         explode(sequence(lit(0), lit(7))).as("band"))
-      .withColumn("bv", expr("shiftright(idx_fp, band * 8) & 255"))
+      .withColumn("bv", expr("shiftright(idx_fp, band * 8) & 255")))
     val arrivals = graft.streaming.StreamOps.binaryStream(spark, fix,
       pathGlob = "*.gvid", maxFilesPerTrigger = 16)
     val ord = regexp_extract($"fname", "vid_(\\d+)_", 1).cast("long") * 3 +
@@ -3744,7 +3831,7 @@ object LlmOps {
     val verdicts = Multimodal.videoFingerprints(arrivals, stride = 2)
       .select(regexp_extract($"path", "([^/]+)$", 1).as("fname"), $"afp")
       .withColumn("ing_ts", (ord + lit(86400L)).cast("timestamp"))
-      .withWatermark("ing_ts", "10 seconds")
+      .withWatermark("ing_ts", "60 seconds") // > the full ordinal span: source file-order can never watermark-drop a verdict
       .withColumn("band", explode(sequence(lit(0), lit(7))))
       .withColumn("bv", expr("shiftright(afp, band * 8) & 255"))
       .join(index, Seq("band", "bv"))
@@ -3763,16 +3850,7 @@ object LlmOps {
   }
 
   /** q173's fingerprint recompute + the batch per-clip verdict. */
-  val q187Sql: String = videoFpOracleCtes + ",\n" +
-    """m AS (
-      |  SELECT a.f AS d, COUNT(DISTINCT b.f) AS n_dups, MIN(b.f) AS nearest
-      |  FROM named a JOIN named b
-      |    ON a.f <> b.f AND bit_count(xor(a.afp, b.afp)) <= 6
-      |  GROUP BY a.f)
-      |SELECT n.f AS fname, CAST(COALESCE(m.n_dups, 0) AS BIGINT) AS n_dups,
-      |  m.nearest AS nearest_dup
-      |FROM named n LEFT JOIN m ON m.d = n.f
-      |ORDER BY fname NULLS FIRST""".stripMargin
+  val q187Sql: String = videoFpOracleCtes + ",\n" + bandVerdictSql(12, "afp")
 
   /** Q188 — HYBRID RETRIEVAL SERVED FROM THE PQ INDEX: completes the
     * serving matrix (float q161 / SQ8 q164 / PQ here) — the dense side
@@ -3823,6 +3901,467 @@ object LlmOps {
        |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos6 DESC, cand_id ASC) AS rn_d
        |    FROM epairs) WHERE rn_d <= 10),
        |$rrfFusionSql""".stripMargin
+
+  /** Q189 — SERVING-INDEX TIME TRAVEL + RESTORE (the two-target
+    * rewind): q155 proved `versions`/`restore` on the corpus; the
+    * realistic operator error once the refit verbs ship (q178/q179) is
+    * a BAD refit, and its recovery is a CONSISTENT rewind of the index
+    * PAIR — the assignments [[graft.ops.VersionedTarget.Segmented]]
+    * back to the pre-refit manifest and the centroid
+    * [[graft.ops.VersionedTarget.Rewrite]] back to the quantizer that
+    * manifest pairs with. Because the pairing TAG travels inside the
+    * assignment manifest, restoring the assignments alone already
+    * re-pairs serving ([[Similarity.pairedCentroids]] reads the tag
+    * transactionally with the pointer), so the pair is consistent at
+    * EVERY intermediate crash point: nothing restored serves the new
+    * quantizer, assignments-restored-only serves the old one, and no
+    * mixed state exists — the in-query waves `require` exactly that.
+    * Retention is the time-travel window (q155's rule): restore runs
+    * BEFORE any vacuum; afterwards the undone refit's versions are
+    * crash-debris-shaped and the next vacuum sweeps them without
+    * touching the served wave. O(bytes): restore moves pointers, never
+    * data — the whole point at a 100 TB index.
+    */
+  def q189(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import graft.ops.VersionedTarget
+    val e = t(spark, dir, "embeddings").coalesce(8)
+    val aug = augmentedEmbeddings(e, 5).persist()
+    val cluster = pmod($"vec_id", lit(5))
+    val out = PipelineOps.layoutDir(spark, dir, "ivf8restore")
+    val aroot = Paths.get(out, "assignments8")
+    val croot = Paths.get(out, "centroids")
+    Seq(aroot, croot).foreach { r => // fresh targets per invocation
+      if (Files.exists(r)) VersionedTarget.rmTree(r.toFile)
+      Files.createDirectories(r): Unit
+    }
+    val assignT = VersionedTarget.Segmented(aroot,
+      partitionCols = Seq("cell"), clusterCommits = true)
+    val centT = VersionedTarget.Rewrite(croot)
+    val (baseAssign, cent0) =
+      Similarity.kmeansFit(aug.filter(cluster.isin(0, 1)), "vec_id",
+        "embedding", k = 8, iters = 2, materialize = false, withVec = true)
+    try {
+      centT.commit(cent0, 0L)
+      assignT.commit(Similarity.quantizeInt8(baseAssign, "vec_id", "embedding"),
+        0L, tag = Some("v0"))
+      Similarity.appendToIndex(aug.filter(cluster.isin(2, 3, 4)), "vec_id",
+        "embedding", assignT, centT, 1L, int8 = true)
+      def wave(): (Seq[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType) = {
+        val idx8 = assignT.current(spark)
+          .getOrElse(sys.error("int8 index target committed no version"))
+        val c = Similarity.pairedQuantizer(spark, assignT, centT)
+          .getOrElse(sys.error("no centroid version paired with the served index"))
+        val res = Similarity.ivfTopKServedInt8(idx8, aug, c, "vec_id",
+            "embedding", aug.filter($"vec_id" < 20), k = 3, prefetch = 6,
+            nprobe = 2)
+          .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
+        (res.collect().toSeq, res.schema)
+      }
+      val (preRefit, schema) = wave()
+      // the BAD refit (by stipulation — the operator decides to undo it)
+      Similarity.refitIndex(aug, "vec_id", "embedding", k = 8, iters = 2,
+        assignT, centT, batchId = 3L, int8 = true)
+      val (postRefit, _) = wave()
+      require(postRefit != preRefit,
+        "refit fixture must change the served wave — nothing to rewind")
+      // the two-target rewind, assignments FIRST: the restored manifest's
+      // tag re-pairs the old quantizer inside the same pointer swap
+      assignT.restore("v1")
+      val (midRewind, _) = wave() // intermediate crash point: consistent
+      require(midRewind == preRefit,
+        "assignment restore alone must re-pair the pre-refit quantizer " +
+          "(the manifest-tag rule)")
+      centT.restore("v0") // quantizer clock cleanup completes the rewind
+      val (restored, _) = wave()
+      require(restored == preRefit,
+        "the two-target rewind did not reproduce the pre-refit wave")
+      // the undone refit is crash-debris-shaped now: swept, not served
+      assignT.vacuum(1): Unit
+      centT.vacuum(1): Unit
+      require(!assignT.versions.contains("v3"),
+        "the undone refit's assignment version survived vacuum")
+      val (swept, _) = wave()
+      require(swept == preRefit,
+        "vacuuming the undone refit changed the served wave")
+      spark.createDataFrame(spark.sparkContext.parallelize(restored, 1), schema)
+    } finally aug.unpersist(): Unit
+  }
+
+  /** The PRE-refit wave's rule: quantizer fitted on clusters 0-1 only,
+    * everyone assigned/quantized, served SQ8 wave — what a correct
+    * rewind must reproduce bit-for-bit.
+    */
+  val q189Sql: String = sq8WaveSql("vec_id % 5 IN (0, 1)", vecSql = augVecSql(5))
+
+  /** Q190 — CONTINUOUS CURATED INGEST: q186 proved the
+    * place→verdict→append gate for ONE batch; a production curated
+    * index runs it as a Structured Streaming loop, and this drives
+    * exactly that — the arrivals flow through q158's file-source
+    * harness (`maxFilesPerTrigger` slicing the backlog into REAL
+    * micro-batches), each batch through [[ingestCuratedBatch]]: placed
+    * into the maintained quantizer, verdicted against the EXISTING
+    * corpus only, keepers appended through the refit-safe SQ8 verb,
+    * redeliveries skipped on the index epoch. Because every verdict
+    * compares against the existing corpus alone (never against other
+    * arrivals) and appends only change MEMBERSHIP (the quantizer never
+    * moves — q156's delete-side rule in reverse), batch boundaries
+    * cannot change a single verdict or placement: the streamed curated
+    * index must equal q186's one-shot gate bit-for-bit, and the closing
+    * wave hash-matches q186's oracle. The in-query gate re-derives the
+    * dup set corpus-wide and `require`s no served candidate is in it —
+    * dup arrivals never became retrievable across ANY batch schedule.
+    *
+    * Scale shape: per micro-batch one map-only placement + one
+    * cell-scoped O(batch·cell) verdict join + one O(keepers) segment
+    * commit; nothing rescans the corpus or the index, so ingest cost
+    * tracks arrival rate, not index size — the shape that survives at
+    * 100 TB with the index bucketed on `cell=`.
+    */
+  def q190(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import graft.ops.VersionedTarget
+    val e = t(spark, dir, "embeddings").coalesce(8)
+    val existing = e.filter($"vec_id" % 10 =!= 0)
+    val out = PipelineOps.layoutDir(spark, dir, "ivfint8curstream")
+    val aroot = Paths.get(out, "assignments8")
+    val croot = Paths.get(out, "centroids")
+    Seq(aroot, croot).foreach { r => // fresh targets per invocation
+      if (Files.exists(r)) VersionedTarget.rmTree(r.toFile)
+      Files.createDirectories(r): Unit
+    }
+    val assignT = VersionedTarget.Segmented(aroot,
+      partitionCols = Seq("cell"), clusterCommits = true)
+    val centT = VersionedTarget.Rewrite(croot)
+    val (exAssign, cent0) = Similarity.kmeansFit(existing, "vec_id",
+      "embedding", k = 8, iters = 2, materialize = true, withVec = true)
+    try {
+      centT.commit(cent0, 0L)
+      assignT.commit(Similarity.quantizeInt8(exAssign, "vec_id", "embedding"),
+        0L, tag = Some("v0"))
+      val centLocal = Similarity.localize(cent0)
+      // the continuous half: arrivals in micro-batches, each through the
+      // curated gate — verdicts read the EXISTING corpus, so no schedule
+      // of batch splits can change who enters the index
+      val arrivals = graft.streaming.StreamOps
+        .embeddingsStream(spark, dir, maxFilesPerTrigger = 8)
+        .filter($"vec_id" % 10 === 0)
+      graft.streaming.StreamOps.runForeachBatch(arrivals,
+        ingestCuratedBatch(assignT, centT, exAssign, centLocal),
+        outputMode = "append")
+      val curVer = VersionedTarget.currentVersion(aroot)
+        .getOrElse(sys.error("curated index target has no CURRENT pointer"))
+      require(assignT.segmentsOf(curVer).size >= 3,
+        "curated streaming ingest must be MULTI-batch (base + >= 2 batch " +
+          "segments) — one batch swallowing the backlog proves nothing")
+      val idx8 = assignT.current(spark)
+        .getOrElse(sys.error("int8 index target committed no version"))
+      val c = Similarity.pairedQuantizer(spark, assignT, centT)
+        .getOrElse(sys.error("no centroid version paired with the served index"))
+      val res = Similarity.ivfTopKServedInt8(idx8, e, c, "vec_id",
+          "embedding", e.filter($"vec_id" < 20), k = 3, prefetch = 6,
+          nprobe = 2)
+        .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
+      val rows = res.collect().toSeq
+      // re-derive the dup set corpus-wide (one O(slice) cross join) and
+      // prove no dup arrival is served from ANY batch's segment
+      val incAssign = Similarity.assignToCentroids(
+        e.filter($"vec_id" % 10 === 0), centLocal, "vec_id", "embedding",
+        withVec = true)
+      val dupIds = Similarity.semanticCrossPairs(incAssign, exAssign,
+          "vec_id", "embedding", minCos6 = 0.4)
+        .select($"in_id".as("vec_id")).distinct()
+      val served = rows.map(_.getLong(1)).distinct
+      require(served.isEmpty || dupIds
+          .filter($"vec_id".isin(served: _*)).count() == 0,
+        "a semantically duplicate arrival was served from the curated index")
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), res.schema)
+    } finally exAssign.unpersist(): Unit
+  }
+
+  /** Batch boundaries cannot change a verdict against the existing
+    * corpus or a tag-pinned placement, so the streamed curated index
+    * equals q186's one-shot gate — that oracle.
+    */
+  val q190Sql: String = q186Sql
+
+  /** The dedup APPLY tail on the documents table — q166's composition
+    * (pairs → true clusters → keeper = cluster-min → materialise keeper
+    * PAYLOADS → read the kept flags BACK from the artifact; layout must
+    * never change decisions, the q127 gate) shared by the last two
+    * fingerprint families to close (winnowed q191, SimHash q192).
+    */
+  private def applyDocDedup(spark: SparkSession, docs: DataFrame,
+      pairs: DataFrame, scratchName: String): DataFrame = {
+    import spark.implicits._
+    val cs = graft.core.CacheScope.adopt(
+      graft.ops.Components.clustersWithSize(pairs,
+        docs.select($"doc_id".as("id"))))
+    val out = graft.core.Scratch.deleteOnExit(
+      java.nio.file.Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        "graft-dedup",
+        s"${scratchName}_${spark.sparkContext.applicationId}").toString)
+    docs.join(cs.filter($"id" === $"cluster").select($"id".as("doc_id")),
+        Seq("doc_id"))
+      .select($"doc_id", $"text")
+      .write.mode("overwrite").parquet(out)
+    val kept = spark.read.parquet(out)
+      .select($"doc_id", lit(true).as("kept"))
+    cs.select($"id".as("doc_id"), $"cluster", $"cluster_size")
+      .join(kept, Seq("doc_id"), "left")
+      .select($"doc_id", $"cluster", $"cluster_size",
+        coalesce($"kept", lit(false)).as("kept"))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  /** Q191 — WINNOWED-SUBSTRING DEDUP END-TO-END (pairs → clusters →
+    * apply): q172 stopped at the pair report; this closes the last-but-
+    * one gap in the dedup matrix's APPLY column — the substring-
+    * duplication evidence (verbatim quoting, partial mirrors, template
+    * stamping) driven through the SAME modality-agnostic contraction →
+    * keeper → materialise chain as every other family (q87/q127 n-gram,
+    * q166 image, q180 audio, q181 video). Scale shape inherited: the
+    * postings join is df-capped (maxDf² per fingerprint), contraction
+    * is O(log d) rounds, the apply writes keeper payloads once. The
+    * oracle chains q172's pair CTEs into a RECURSIVE closure (valid at
+    * any diameter — substring-duplication graphs chain through partial
+    * overlaps, so no fixed unrolling is safe) and the cluster-min keep
+    * rule.
+    */
+  def q191(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents")
+    val pairs = TextOps.winnowedPairs(docs, "doc_id", "text",
+        k = 20, w = 8, minShared = 3, maxDf = 10)
+      .select($"d1".as("a"), $"d2".as("b"))
+    applyDocDedup(spark, docs, pairs, "windocs")
+  }
+
+  val q191Sql: String = (winnowedPairCtes + ",\n" +
+    """ipairs AS (SELECT d1, d2 FROM wp WHERE n_shared >= 3),
+      |adj AS (SELECT d1 AS a, d2 AS b FROM ipairs
+      |        UNION ALL SELECT d2 AS a, d1 AS b FROM ipairs),
+      |reach(a, b) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.a, e2.b FROM reach r JOIN adj e2 ON e2.a = r.b),
+      |lab AS (SELECT a AS id, MIN(b) AS cluster FROM reach GROUP BY a),
+      |sz AS (SELECT cluster, COUNT(*) AS n FROM lab GROUP BY cluster)
+      |SELECT l.id AS doc_id, l.cluster, CAST(s.n AS BIGINT) AS cluster_size,
+      |  (l.id = l.cluster) AS kept
+      |FROM lab l JOIN sz s USING (cluster)
+      |ORDER BY doc_id NULLS FIRST""".stripMargin)
+    .replaceFirst("WITH ", "WITH RECURSIVE ")
+
+  /** Q192 — SIMHASH DEDUP END-TO-END: q191's composition over q81's
+    * banded SimHash pairs — the dedup matrix's APPLY column is now FULL
+    * across all six fingerprint families (exact, n-gram MinHash,
+    * SimHash, winnowed-substring, embedding, perceptual image/audio/
+    * video): modality and fingerprint change, the contraction → keeper
+    * → apply pipeline never does. Probe slice doc_id < 2000 is q81's
+    * declared contract (tokenless docs survive as singleton keepers —
+    * no fingerprint is not a dup verdict).
+    */
+  def q192(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents").filter($"doc_id" < 2000)
+    val pairs = TextOps.simhashNearDupPairs(docs, "doc_id", "text",
+        maxHamming = 3, bits = 32)
+      .select($"d1".as("a"), $"d2".as("b"))
+    applyDocDedup(spark, docs, pairs, "shdocs")
+  }
+
+  val q192Sql: String = (simhashPairCtes + ",\n" +
+    """adj AS (SELECT d1 AS a, d2 AS b FROM shp
+      |        UNION ALL SELECT d2 AS a, d1 AS b FROM shp),
+      |reach(a, b) AS (
+      |  SELECT doc_id, doc_id FROM documents WHERE doc_id < 2000
+      |  UNION
+      |  SELECT r.a, e2.b FROM reach r JOIN adj e2 ON e2.a = r.b),
+      |lab AS (SELECT a AS id, MIN(b) AS cluster FROM reach GROUP BY a),
+      |sz AS (SELECT cluster, COUNT(*) AS n FROM lab GROUP BY cluster)
+      |SELECT l.id AS doc_id, l.cluster, CAST(s.n AS BIGINT) AS cluster_size,
+      |  (l.id = l.cluster) AS kept
+      |FROM lab l JOIN sz s USING (cluster)
+      |ORDER BY doc_id NULLS FIRST""".stripMargin)
+    .replaceFirst("WITH ", "WITH RECURSIVE ")
+
+  /** Q193 — DIVERSIFIED retrieval over the SERVED PQ fusion: completes
+    * the diversification row of the serving matrix (brute q171 /
+    * SQ8-served q183 / PQ-served HERE) — the leanest-memory serving
+    * stack (m bytes/vector ADC prefetch, exact float re-rank) with the
+    * serving-hygiene tail a RAG node actually ships. The one-parameter
+    * swap the [[diversifyFused]] factoring was built for: only the
+    * dense candidate generator changes, in code AND in the oracle
+    * (q188's PQ candidate chain cut to a dense top-10, chained into
+    * q171's closure/keeper/re-rank tail). Post-fusion everything is
+    * |probes|·k, corpus-independent.
+    */
+  def q193(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents")
+    val e = t(spark, dir, "embeddings").coalesce(8)
+    val out = PipelineOps.layoutDir(spark, dir, "hybridpqdiv")
+    val (_, coarseDF) = Similarity.kmeansFit(e, "vec_id", "embedding",
+      k = 8, iters = 2, materialize = false, withVec = false)
+    val coarse = Similarity.localize(coarseDF)
+    val books = Similarity.pqFit(e, "vec_id", "embedding",
+      dim = 64, m = 4, codes = 16, iters = 2)
+    Similarity.pqEncode(e, "vec_id", "embedding", books, coarse, dim = 64)
+      .repartition(col("cell")).write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$out/codes")
+    val idx = spark.read.parquet(s"$out/codes")
+    val prefetch = math.max(48L, e.count() / 10L).toInt
+    val dense = Similarity.ivfTopKServedPQ(idx, e, books, coarse,
+        "vec_id", "embedding", e.filter($"vec_id" < 10),
+        k = 10, prefetch = prefetch, nprobe = 2, dim = 64)
+      .select($"probe_id", $"cand_id", $"rn".as("rn_d"))
+    val fused = rrfFuse(dense, lexicalTopK(spark, dir), topN = 20)
+    diversifyFused(docs, fused)
+      .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
+  }
+
+  /** Q195 — CROSS-CORPUS WINNOWED DEDUP: q137's incremental shape on
+    * the substring-fingerprint family — each incoming doc (odd ids, the
+    * simulated new-crawl slice) is checked for VERBATIM-substring
+    * duplication against the EXISTING corpus only (even ids) via
+    * [[TextOps.winnowedCrossPairs]]'s asymmetric postings probe: no
+    * within-side pair is generated, so the join output is sized by the
+    * slice's duplication rate, never the corpus' internal near-dup
+    * mass; the stop-fingerprint df cap reads the full corpus and keeps
+    * a hot template line from blowing up the probe. Verdict per
+    * incoming doc: existing near-dup count + the MIN existing witness.
+    * The oracle computes ALL winnowed pairs (q172's CTEs — identical
+    * fingerprint rule and df cap) and keeps the cross-parity ones —
+    * same set, quadratic-in-SQL vs sliced-in-Spark.
+    */
+  def q195(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents")
+    val incoming = docs.filter($"doc_id" % 2 === 1)
+    val existing = docs.filter($"doc_id" % 2 === 0)
+    val pairs = TextOps.winnowedCrossPairs(incoming, existing,
+      "doc_id", "text", k = 20, w = 8, minShared = 3, maxDf = 10)
+    val agg = pairs.groupBy($"in_id".as("doc_id"))
+      .agg(count(lit(1)).as("n_dup_existing"),
+        min($"ex_id").as("min_dup_existing"))
+    incoming.select($"doc_id")
+      .join(agg, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_dup_existing", lit(0L)).as("n_dup_existing"),
+        $"min_dup_existing")
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  val q195Sql: String = winnowedPairCtes + ",\n" +
+    """cp AS (
+      |  SELECT CASE WHEN d1 % 2 = 1 THEN d1 ELSE d2 END AS in_id,
+      |         CASE WHEN d1 % 2 = 1 THEN d2 ELSE d1 END AS ex_id
+      |  FROM wp WHERE (d1 % 2) <> (d2 % 2) AND n_shared >= 3),
+      |ag AS (SELECT in_id, COUNT(*) AS n_dup_existing,
+      |              MIN(ex_id) AS min_dup_existing
+      |       FROM cp GROUP BY in_id)
+      |SELECT d.doc_id,
+      |  COALESCE(ag.n_dup_existing, 0) AS n_dup_existing,
+      |  ag.min_dup_existing
+      |FROM documents d LEFT JOIN ag ON ag.in_id = d.doc_id
+      |WHERE d.doc_id % 2 = 1
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  /** Q194 — INCREMENTAL FEED FROM THE SERVING INDEX: q157's downstream
+    * delivery verb ([[graft.ops.VersionedTarget.Segmented.appendedSince]])
+    * run on the SQ8 index's `cell=`-partitioned target — the replica
+    * catch-up shape: a read replica that already holds the index up to
+    * epoch 1 pulls ONLY the rows batch 2 appended, straight off the
+    * CURRENT manifest's stream segments (O(delta) I/O regardless of
+    * index size, because append-only segments ARE the change feed). The
+    * payload is the full SQ8 serving shape — placement cell + the
+    * quantized codes, both BY RULE (the tag-pinned argmin + q98's
+    * scale/round rule), so the oracle re-derives every byte the replica
+    * receives. The in-query tail then proves the verb's FAILURE
+    * contract: after a compaction folds the post-cursor batch in with
+    * older rows, the cursor is unanswerable and the verb must throw the
+    * LOUD resync signal — never silently feed folded rows (q157's
+    * retention contract, now on the index pair).
+    */
+  def q194(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import graft.ops.VersionedTarget
+    val e = t(spark, dir, "embeddings").coalesce(8)
+    val existing = e.filter($"vec_id" % 10 =!= 0)
+    val out = PipelineOps.layoutDir(spark, dir, "ivfint8feed")
+    val aroot = Paths.get(out, "assignments8")
+    val croot = Paths.get(out, "centroids")
+    Seq(aroot, croot).foreach { r => // fresh targets per invocation
+      if (Files.exists(r)) VersionedTarget.rmTree(r.toFile)
+      Files.createDirectories(r): Unit
+    }
+    val assignT = VersionedTarget.Segmented(aroot,
+      partitionCols = Seq("cell"), clusterCommits = true)
+    val centT = VersionedTarget.Rewrite(croot)
+    val (baseAssign, cent0) = Similarity.kmeansFit(existing, "vec_id",
+      "embedding", k = 8, iters = 2, materialize = false, withVec = true)
+    centT.commit(cent0, 0L)
+    assignT.commit(Similarity.quantizeInt8(baseAssign, "vec_id", "embedding"),
+      0L, tag = Some("v0"))
+    Similarity.appendToIndex(e.filter($"vec_id" % 20 === 0), "vec_id",
+      "embedding", assignT, centT, 1L, int8 = true)
+    Similarity.appendToIndex(e.filter($"vec_id" % 20 === 10), "vec_id",
+      "embedding", assignT, centT, 2L, int8 = true)
+    // replica catch-up from cursor 1: exactly batch 2's SQ8 rows
+    val feed = assignT.appendedSince(spark, 1L)
+      .getOrElse(sys.error("batch 2 must feed the replica"))
+      .select($"vec_id", $"cell",
+        concat_ws(",", transform($"qvec", b => b.cast("int").cast("string")))
+          .as("q"))
+      .orderBy($"vec_id".asc_nulls_first)
+    val rows = feed.collect().toSeq
+    // the failure contract: a fold across the cursor must be LOUD
+    require(assignT.compact(spark).isDefined,
+      "post-append index must have segments to fold")
+    val loud =
+      try { assignT.appendedSince(spark, 1L); false }
+      catch { case _: IllegalStateException => true }
+    require(loud, "a fold crossing the cursor must raise the resync " +
+      "signal — never silently feed folded rows")
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), feed.schema)
+  }
+
+  /** Fit-on-existing placement (q144's rule) + q98's SQ8 scale/round
+    * rule, restricted to batch 2's slice — every byte the replica pulls.
+    */
+  val q194Sql: String =
+    s"""${kmeansCtes("vec_id % 10 <> 0")},
+       |qz AS (
+       |  SELECT vec_id, cell, v,
+       |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+       |  FROM avx WHERE vec_id % 20 = 10)
+       |SELECT vec_id, cell,
+       |  array_to_string(list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT)), ',') AS q
+       |FROM qz WHERE scale > 0
+       |ORDER BY vec_id NULLS FIRST""".stripMargin
+
+  /** q188's PQ candidate chain cut to a dense top-10, fused with the
+    * banded lexical lists, chained into q171's diversification tail.
+    */
+  val q193Sql: String =
+    s"""${kmeansCtes("TRUE")},
+       |${ngramPairCtesOver("documents")},
+       |$lexTopKCtes,
+       |${pqEpairsCtes("TRUE", dim = 64, m = 4, candWhere = "TRUE",
+          probeWhere = "v.vec_id < 10")},
+       |dense AS (
+       |  SELECT probe_id, cand_id, rn_d FROM (
+       |    SELECT probe_id, cand_id,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos6 DESC, cand_id ASC) AS rn_d
+       |    FROM epairs) WHERE rn_d <= 10),
+       |$rrfCoreCtes,
+       |$diversifyTailSql""".stripMargin
+      .replaceFirst("WITH ", "WITH RECURSIVE ")
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_exact_dedup" -> (q58 _),
@@ -3883,7 +4422,14 @@ object LlmOps {
     "q185_stream_audio_gate" -> (q185 _),
     "q186_curated_index_append" -> (q186 _),
     "q187_stream_video_gate" -> (q187 _),
-    "q188_hybrid_pq" -> (q188 _))
+    "q188_hybrid_pq" -> (q188 _),
+    "q189_index_restore" -> (q189 _),
+    "q190_curated_stream_ingest" -> (q190 _),
+    "q191_winnowed_dedup_apply" -> (q191 _),
+    "q192_simhash_dedup_apply" -> (q192 _),
+    "q193_diversified_pq" -> (q193 _),
+    "q194_index_feed" -> (q194 _),
+    "q195_winnowed_cross_corpus" -> (q195 _))
 
   def oracles: Map[String, String] = Map(
     "q58_exact_dedup" -> q58Sql,
@@ -3944,5 +4490,12 @@ object LlmOps {
     "q185_stream_audio_gate" -> q185Sql,
     "q186_curated_index_append" -> q186Sql,
     "q187_stream_video_gate" -> q187Sql,
-    "q188_hybrid_pq" -> q188Sql)
+    "q188_hybrid_pq" -> q188Sql,
+    "q189_index_restore" -> q189Sql,
+    "q190_curated_stream_ingest" -> q190Sql,
+    "q191_winnowed_dedup_apply" -> q191Sql,
+    "q192_simhash_dedup_apply" -> q192Sql,
+    "q193_diversified_pq" -> q193Sql,
+    "q194_index_feed" -> q194Sql,
+    "q195_winnowed_cross_corpus" -> q195Sql)
 }

@@ -622,17 +622,41 @@ object Multimodal {
     * (q163) and the audio frame-energy fingerprint (q167) share it. At
     * 100 TB of media the band join shuffles only (band, byte, id)
     * triples — never pixels or samples, never all-pairs.
+    *
+    * `maxDf` is the DECLARED hot-band frequency cap (the q172
+    * stop-fingerprint rule ported to bands): a (band, byte-value)
+    * bucket whose document frequency exceeds `maxDf` is dropped from
+    * candidacy BY RULE before the self-join. Real corpora are
+    * degenerate — flat-color images collapse aHash bytes to 0x00/0xFF,
+    * silence collapses frame-energy bands — and a degenerate bucket's
+    * candidate OUTPUT is O(bucket²), which AQE cannot help with (it
+    * splits partitions, not join products). The cap bounds candidate
+    * volume at 8·n·maxDf pairs; the recall trade is explicit: a true
+    * near-dup pair whose EVERY shared band is hotter than `maxDf` is
+    * dropped (with ≤ `maxHamming` ≤ 6 differing bits a pair shares
+    * ≥ 2 of the 8 bands, so it survives unless all its shared bands
+    * are degenerate — the boilerplate-≠-duplication argument of MOSS
+    * stop-fingerprints). The df aggregate lands in ≤ 8·256 = 2048
+    * groups and broadcasts back, so the guard costs one map-side
+    * combine, never a wide shuffle.
     */
   def bandedHammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
-                         rideCol: String, maxHamming: Int): DataFrame = {
+                         rideCol: String, maxHamming: Int,
+                         maxDf: Int = 12): DataFrame = {
     require(maxHamming < 8, "8 byte-bands guarantee recall only for hamming <= 7")
     val banded = hashes
       .select(col(idCol).as("__id"), col(hashCol).as("__h"),
         col(rideCol).as("__r"), explode(sequence(lit(0), lit(7))).as("band"))
       .withColumn("bv", expr("shiftright(__h, band * 8) & 255"))
-    val a = banded.select(col("__id").as("d1"), col("__h").as("h1"),
+    // ≤ 2048 live (band, bv) buckets — always broadcastable
+    val live = banded.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select(col("band"), col("bv"))
+    val kept = banded.join(broadcast(live), Seq("band", "bv"))
+    val a = kept.select(col("__id").as("d1"), col("__h").as("h1"),
       col("__r").as("r1"), col("band"), col("bv"))
-    val b = banded.select(col("__id").as("d2"), col("__h").as("h2"),
+    val b = kept.select(col("__id").as("d2"), col("__h").as("h2"),
       col("__r").as("r2"), col("band"), col("bv"))
     a.join(b, Seq("band", "bv"))
       .filter(col("d1") < col("d2"))
@@ -646,11 +670,11 @@ object Multimodal {
 
   /** Image near-duplicate PAIRS from [[perceptualHashes]] rows:
     * [[bandedHammingPairs]] banded on the 64-bit aHash with the dHash
-    * riding along.
+    * riding along (declared hot-band df cap inherited).
     */
   def imageNearDupPairs(hashes: DataFrame, idCol: String,
-                        maxHamming: Int): DataFrame =
-    bandedHammingPairs(hashes, idCol, "ahash", "dhash", maxHamming)
+                        maxHamming: Int, maxDf: Int = 12): DataFrame =
+    bandedHammingPairs(hashes, idCol, "ahash", "dhash", maxHamming, maxDf)
 
   private def kindOf(path: String): String = {
     val p = path.toLowerCase

@@ -1183,6 +1183,70 @@ class OpsSpec extends SparkSpec {
     } finally index.unpersist(): Unit
   }
 
+  test("winnowedCrossPairs (q195): the asymmetric postings probe equals the " +
+      "symmetric join restricted to cross-parity pairs — same fingerprints, " +
+      "same df cap, no within-side pair ever generated") {
+    import spark.implicits._
+    val docs = graft.core.Tables.t(spark, sfDir, "documents")
+    val incoming = docs.filter($"doc_id" % 2 === 1)
+    val existing = docs.filter($"doc_id" % 2 === 0)
+    val cross = graft.ops.TextOps.winnowedCrossPairs(incoming, existing,
+        "doc_id", "text", k = 20, w = 8, minShared = 3, maxDf = 10)
+      .select($"in_id", $"ex_id", $"n_shared", $"cont6")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val sym = graft.ops.TextOps.winnowedPairs(docs, "doc_id", "text",
+        k = 20, w = 8, minShared = 3, maxDf = 10)
+      .filter($"d1" % 2 =!= $"d2" % 2)
+      .collect()
+      .map { r =>
+        val (d1, d2) = (r.getLong(0), r.getLong(1))
+        val (in, ex) = if (d1 % 2 == 1) (d1, d2) else (d2, d1)
+        (in, ex, r.getLong(2), r.getDouble(3))
+      }
+      .toSet
+    assert(cross.nonEmpty, "fixture must exercise at least one cross pair")
+    assert(cross == sym,
+      s"cross probe diverged from the symmetric restriction: " +
+        s"only-cross=${(cross -- sym).take(5)} only-sym=${(sym -- cross).take(5)}")
+    // the asymmetric shape's whole point: no within-side pair exists
+    assert(cross.forall { case (in, ex, _, _) => in % 2 == 1 && ex % 2 == 0 })
+  }
+
+  test("q193 PQ-served diversification: with exhaustive prefetch and " +
+      "nprobe=k the PQ-served diversified lists equal the brute-force-dense " +
+      "ones (q171+q188 compose — the exact re-rank strips the ADC error)") {
+    import spark.implicits._
+    import graft.queries.LlmOps
+    val docs = graft.core.Tables.t(spark, sfDir, "documents")
+    val e = graft.core.Tables.t(spark, sfDir, "embeddings").coalesce(8)
+    val (_, coarseDF) = Similarity.kmeansFit(e, "vec_id", "embedding",
+      k = 8, iters = 2, materialize = false, withVec = false)
+    val coarse = Similarity.localize(coarseDF)
+    val books = Similarity.pqFit(e, "vec_id", "embedding",
+      dim = 64, m = 4, codes = 16, iters = 2)
+    val idx = Similarity.pqEncode(e, "vec_id", "embedding", books, coarse,
+      dim = 64)
+    val lex = LlmOps.lexicalTopK(spark, sfDir)
+    def diversified(dense: org.apache.spark.sql.DataFrame) =
+      LlmOps.diversifyFused(docs,
+          LlmOps.rrfFuse(dense.select($"probe_id", $"cand_id",
+            $"rn".as("rn_d")), lex, topN = 20))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+    val viaServed = diversified(Similarity.ivfTopKServedPQ(idx, e, books,
+      coarse, "vec_id", "embedding", e.filter($"vec_id" < 10),
+      k = 10, prefetch = 100000, nprobe = 8, dim = 64))
+    val viaBrute = diversified(Similarity.bruteForceTopK(
+      e.filter($"vec_id" < 10), e, "vec_id", "embedding", k = 10))
+    assert(viaServed.nonEmpty && viaServed == viaBrute,
+      s"PQ-served diversification diverged: " +
+        s"only-served=${(viaServed -- viaBrute).take(5)} " +
+        s"only-brute=${(viaBrute -- viaServed).take(5)}")
+  }
+
   test("cross-JVM append-vs-refit stress: every row the final manifest " +
       "serves sits in the cell its TAGGED quantizer assigns") {
     // the in-process onPlaced seam proves the retry logic; THIS makes the
@@ -1675,6 +1739,63 @@ class OpsSpec extends SparkSpec {
       "the streamed index diverged from the one-shot placement")
   }
 
+  test("curated streaming ingest verb (q190): verdicts read the EXISTING " +
+      "corpus only, a dup arrival never enters the index, keepers land as " +
+      "segments, and redelivered micro-batches are skipped") {
+    import java.nio.file.Files
+    import graft.ops.VersionedTarget
+    val e = graft.core.Tables.t(spark, sfDir, "embeddings").coalesce(4)
+    val existing = e.filter($"vec_id" % 10 =!= 0)
+    val delta = e.filter($"vec_id" % 10 === 0)
+    val aroot = Files.createTempDirectory("graft_ivf8_cur_a")
+    val croot = Files.createTempDirectory("graft_ivf8_cur_c")
+    val assignT = VersionedTarget.Segmented(aroot, partitionCols = Seq("cell"))
+    val centT = VersionedTarget.Rewrite(croot)
+    val (exAssign, cent) = Similarity.kmeansFit(existing, "vec_id",
+      "embedding", k = 8, iters = 2, materialize = true, withVec = true)
+    try {
+      centT.commit(cent, 0L)
+      assignT.commit(Similarity.quantizeInt8(exAssign, "vec_id", "embedding"),
+        0L, tag = Some("v0"))
+      val centLocal = Similarity.localize(cent)
+      val ingest = graft.queries.LlmOps.ingestCuratedBatch(
+        assignT, centT, exAssign, centLocal) _
+      // plant a GUARANTEED semantic dup: an existing vector re-arriving
+      // under a fresh id (cosine 1.0 with its original ≥ any threshold)
+      val planted = existing.orderBy($"vec_id".asc).limit(1)
+        .select(lit(900001L).as("vec_id"), $"embedding", $"label")
+      val b0 = delta.filter($"vec_id" % 20 === 0).union(planted)
+      val b1 = delta.filter($"vec_id" % 20 === 10)
+      ingest(b0, 0L)
+      val afterB0 = VersionedTarget.currentVersion(aroot).get
+      ingest(b0, 0L) // redelivered micro-batch: exactly-once skip
+      assert(VersionedTarget.currentVersion(aroot).contains(afterB0),
+        "a redelivered curated micro-batch must not advance the index")
+      ingest(b1, 1L)
+      val ver = VersionedTarget.currentVersion(aroot).get
+      assert(assignT.segmentsOf(ver) == Seq("seg0", "seg1", "seg2"),
+        s"expected base + one keeper segment per batch, got ${assignT.segmentsOf(ver)}")
+      // membership = existing ∪ (arrivals \ dups) regardless of the batch
+      // schedule — verdicts read the EXISTING corpus only
+      val arrivals = delta.union(planted)
+      val dupIds = Similarity.semanticCrossPairs(
+          Similarity.assignToCentroids(arrivals, centLocal, "vec_id",
+            "embedding", withVec = true), exAssign,
+          "vec_id", "embedding", minCos6 = 0.4)
+        .select($"in_id").collect().map(_.getLong(0)).toSet
+      assert(dupIds.contains(900001L),
+        "the planted re-arrival must verdict as a semantic dup")
+      val members = assignT.current(spark).get.select($"vec_id")
+        .collect().map(_.getLong(0)).toSet
+      val exIds = existing.select($"vec_id").collect().map(_.getLong(0)).toSet
+      val arrIds = arrivals.select($"vec_id").collect().map(_.getLong(0)).toSet
+      assert(members == exIds ++ (arrIds -- dupIds),
+        "curated membership must be existing + non-dup arrivals exactly")
+      assert(!members.contains(900001L),
+        "a dup arrival became index-retrievable through the curated gate")
+    } finally exAssign.unpersist(): Unit
+  }
+
   test("int8 streaming ingest verb (q165): batches land as quantized " +
       "segments, redeliveries are skipped, the streamed int8 index equals " +
       "the one-shot quantization, and a racing refit re-places the " +
@@ -2050,5 +2171,61 @@ class OpsSpec extends SparkSpec {
     Components.release(con)
     assert(CacheProbe.cacheIsEmpty(spark),
       "a Components driver left cache entries after release")
+  }
+
+  test("banded Hamming pairs: the declared hot-band df cap drops degenerate " +
+      "buckets from candidacy; true near-dups still pair through live bands") {
+    import graft.sources.Multimodal
+    // Degenerate corpus (the flat-color / silent-clip collapse): bands
+    // 0 and 1 are globally constant across all 40 fingerprints, so both
+    // buckets have df = 40 — without the cap every one of the C(40,2) =
+    // 780 ordered pairs is a CANDIDATE through them. Bands 2-7 carry
+    // the real signal.
+    def h(b2to7: Seq[Long]): Long =
+      b2to7.zipWithIndex.map { case (v, i) => (v & 255L) << ((i + 2) * 8) }.sum
+    val rows: Seq[(String, Long)] = Seq(
+      // E/F: Hamming 1 (one bit in band 2), share LIVE bands 3-7 (df=2)
+      ("E", h(Seq(10, 90, 91, 92, 93, 94))),
+      ("F", h(Seq(11, 90, 91, 92, 93, 94))),
+      // C/D: Hamming 6 (one bit in EACH of bands 2-7) — their only
+      // shared bands are the two degenerate ones, so the cap must drop
+      // the pair even though it passes the Hamming filter
+      ("C", h(Seq(20, 30, 40, 50, 60, 70))),
+      ("D", h(Seq(21, 31, 41, 51, 61, 71)))) ++
+      (0 until 36).map(i => (f"z$i%02d",
+        h(Seq(100 + i, 130 + i, 160 + i, 190 + i, 220 + i, (i * 37 + 3) % 256))))
+    val fps = rows.toMap
+    val df = rows.toDF("fname", "afp").withColumn("dfp", col("afp"))
+    def pairsAt(maxDf: Int): Set[(String, String)] =
+      Multimodal.bandedHammingPairs(df, "fname", "afp", "dfp",
+          maxHamming = 6, maxDf = maxDf)
+        .select(col("d1"), col("d2")).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    val names = rows.map(_._1).sorted
+    // the rule, mirrored independently: candidate iff SOME shared band
+    // value has df <= cap; pair iff candidate AND Hamming <= 6
+    def dfOf(band: Int, bv: Long): Int =
+      names.count(n => ((fps(n) >> (band * 8)) & 255L) == bv)
+    def reference(cap: Int): Set[(String, String)] = (for {
+      a <- names; b <- names if a < b
+      if java.lang.Long.bitCount(fps(a) ^ fps(b)) <= 6
+      if (0 until 8).exists { band =>
+        val va = (fps(a) >> (band * 8)) & 255L
+        va == ((fps(b) >> (band * 8)) & 255L) && dfOf(band, va) <= cap
+      }
+    } yield (a, b)).toSet
+    val capped = pairsAt(12)
+    assert(capped == reference(12),
+      s"capped banded join diverged from the declared rule: " +
+        s"missed ${(reference(12) -- capped).take(5)} " +
+        s"fabricated ${(capped -- reference(12)).take(5)}")
+    assert(capped.contains(("E", "F")),
+      "a true near-dup sharing live bands must survive the cap")
+    assert(!capped.contains(("C", "D")),
+      "a pair whose only shared bands are degenerate must be dropped")
+    // cap off == the recall-complete all-pairs reference (C/D reappear)
+    val uncapped = pairsAt(Int.MaxValue)
+    assert(uncapped == reference(Int.MaxValue) && uncapped.contains(("C", "D")),
+      "without the cap the join must be recall-complete at Hamming <= 6")
   }
 }

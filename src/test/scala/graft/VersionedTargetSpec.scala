@@ -1037,6 +1037,32 @@ class VersionedTargetSpec extends SparkSpec {
       "cursor past the takedown epoch: no new stream batches")
   }
 
+  test("appendedSince on a cell-PARTITIONED clustered target (q194's index " +
+      "shape): the feed is exactly the post-cursor batches across partition " +
+      "dirs, and a fold crossing the cursor raises the resync signal") {
+    import org.apache.spark.sql.functions.lit
+    val root = Files.createTempDirectory("graft_vt_feed_part")
+    val t = VersionedTarget.Segmented(root,
+      partitionCols = Seq("cell"), clusterCommits = true)
+    def dfp(cellOf: Long => Long, ids: Long*) =
+      ids.map(i => (i, s"row$i", cellOf(i))).toDF("id", "payload", "cell")
+    t.commit(dfp(_ % 3, 1L, 2L, 3L), 0L)
+    t.commit(dfp(_ % 3, 10L, 11L), 1L)
+    t.commit(dfp(_ % 3, 20L, 21L), 2L)
+    val feed = t.appendedSince(spark, 1L)
+      .getOrElse(fail("batch 2 must feed the replica"))
+    assert(feed.select($"id").collect().map(_.getLong(0)).toSet == Set(20L, 21L),
+      "the partitioned feed must be exactly the post-cursor batch")
+    assert(feed.columns.toSet == Set("id", "payload", "cell"),
+      "the partition column must ride back in the feed rows")
+    assert(feed.filter($"cell" =!= $"id" % lit(3)).count() == 0,
+      "partition values must survive the hive-layout round trip")
+    // fold across the cursor: loud resync, never silent folded rows
+    assert(t.compact(spark).isDefined)
+    val e = intercept[IllegalStateException] { t.appendedSince(spark, 1L) }
+    assert(e.getMessage.contains("resync"), s"got: ${e.getMessage}")
+  }
+
   test("versions + restore: the manifest history reads oldest→newest across " +
       "all three namespaces; restore rewinds the pointer, vacuum sweeps the " +
       "undone versions, and the undone epoch becomes re-committable") {
@@ -1078,5 +1104,55 @@ class VersionedTargetSpec extends SparkSpec {
     t.commit(df(30L), 2L)
     assert(t.current(spark).get.select($"id").collect().map(_.getLong(0)).toSet
       == Set(1L, 2L, 30L))
+  }
+
+  test("paired-target rewind (q189's verb): restoring the assignments " +
+      "re-pairs the OLD quantizer via the manifest tag — consistent at " +
+      "every intermediate point — and vacuum sweeps the undone refit on " +
+      "both targets") {
+    val aroot = Files.createTempDirectory("graft_vt_pair_a")
+    val croot = Files.createTempDirectory("graft_vt_pair_c")
+    val assignT = VersionedTarget.Segmented(aroot)
+    val centT = VersionedTarget.Rewrite(croot)
+    // nightly build: quantizer v0 + tagged base; one append inherits the tag
+    centT.commit(df(100L), 0L)
+    assignT.commit(df(1L), 0L, tag = Some("v0"))
+    assignT.commit(df(2L), 1L)
+    assert(assignT.currentTag.contains("v0"))
+    // the BAD refit: new quantizer version + rebased base tagged to it
+    centT.commit(df(300L), 3L)
+    assignT.rebase(df(3L), 3L, Some("v3"))
+    assert(assignT.currentTag.contains("v3"))
+    def pairedIds(): Set[Long] =
+      graft.ops.Similarity.pairedCentroids(spark, assignT, centT)
+        .get.select($"id").collect().map(_.getLong(0)).toSet
+    assert(pairedIds() == Set(300L))
+    // rewind step 1 — assignments: serving is ALREADY consistent (old pair)
+    assignT.restore("v1")
+    assert(assignT.currentTag.contains("v0"),
+      "the restored manifest must carry the tag it was committed with")
+    assert(pairedIds() == Set(100L),
+      "the assignment restore alone must re-pair the old quantizer")
+    assert(assignT.current(spark).get.select($"id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L),
+      "the restored assignments must be the pre-refit base + append")
+    // rewind step 2 — the quantizer clock; the served pairing is unchanged
+    centT.restore("v0")
+    assert(pairedIds() == Set(100L))
+    // the undone refit is crash-debris-shaped: swept on BOTH targets
+    // (the Rewrite side is TTL-guarded against redelivery races — the
+    // operator's deliberate post-restore cleanup passes staleTtlMs = 0)
+    val sweptA = assignT.vacuum(1)
+    val sweptC = centT.vacuum(1, staleTtlMs = 0L)
+    assert(sweptA.exists(_.startsWith("v3")),
+      s"assignment vacuum must sweep the undone rebase, got $sweptA")
+    assert(sweptC.exists(_.startsWith("v3")),
+      s"centroid vacuum must sweep the undone quantizer, got $sweptC")
+    assert(pairedIds() == Set(100L),
+      "sweeping the undone refit must not change the served pairing")
+    // the rewound clock accepts the NEXT refit cycle cleanly
+    centT.commit(df(400L), 4L)
+    assignT.rebase(df(4L), 4L, Some("v4"))
+    assert(pairedIds() == Set(400L))
   }
 }
