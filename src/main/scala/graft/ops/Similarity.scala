@@ -1026,12 +1026,24 @@ object Similarity {
     * the m localized codebooks in subspace order (each `codes` rows —
     * driver-size BY DESIGN, like the coarse quantizer localize).
     *
-    * Scale shape: each fit is the k-means one-job-per-round loop over a
-    * dim/m-wide projection — m fits cost ~one corpus pass each, paid once
-    * per index build and amortised over every query wave.
+    * Scale shape: the m fits are FUSED — every Lloyd's round is ONE
+    * map+agg job over the corpus computing all m codebooks' assignments
+    * and exact-decimal means together (each corpus row explodes into m
+    * (subspace, code, subvector) rows inside the same stage), so a
+    * bundle fit costs `iters + 1` jobs total instead of m separate
+    * one-job-per-round loops (r17: q179's refit path measured 108 → the
+    * fusion removes the per-subspace init/localize/round actions for
+    * every pqFit caller). Bit-identical to the per-subspace
+    * [[kmeansFit]]s by construction: same lowest-id init sliced per
+    * subspace, same literal-quantizer rounded-L2 argmin per subspace,
+    * same DECIMAL(28,10) sums and double division per (code, pos) —
+    * only the grouping key gains the subspace column, which changes no
+    * arithmetic. The corpus persists ONCE for the whole bundle (the m
+    * separate fits each pinned their own sliced copy).
     */
   def pqFit(corpus: DataFrame, idCol: String, vecCol: String,
             dim: Int, m: Int, codes: Int, iters: Int): Seq[Seq[(Long, Seq[Double])]] = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
     require(m > 0 && dim % m == 0, s"dim ($dim) must split evenly into $m subspaces")
     // codes land in a ByteType array ([[pqEncode]]); a codebook larger
     // than 127 would wrap the stored code negative and element_at would
@@ -1039,16 +1051,48 @@ object Similarity {
     require(codes <= 127,
       s"codes ($codes) must be <= 127: PQ codes are stored as bytes")
     val sub = dim / m
-    (0 until m).map { s =>
-      val slc = corpus.select(col(idCol).as("__sid"),
-        slice(toDouble(col(vecCol)), s * sub + 1, sub).as("__sub"))
-      // only the codebook is needed — the lazy assignment frame is never
-      // evaluated ([[pqEncode]] re-derives codes map-side in ONE pass
-      // over the full corpus instead of m assignment joins)
-      val (_, centS) = kmeansFit(slc, "__sid", "__sub", codes, iters,
-        materialize = false, withVec = false)
-      localizeSeq(centS)
-    }
+    val cached = corpus
+      .select(col(idCol).as("__sid"), toDouble(col(vecCol)).as("__vec"))
+      .persist()
+    try {
+      // init: the k lowest-id vectors, sliced per subspace — exactly
+      // each per-subspace fit's init rule (cells numbered 1..codes in
+      // id order); the collect also materialises the cache
+      val initRows = cached.orderBy(col("__sid").asc).limit(codes)
+        .select(col("__vec")).collect().map(_.getSeq[Double](0))
+      var books: Seq[Seq[(Long, Seq[Double])]] = (0 until m).map { s =>
+        initRows.toSeq.zipWithIndex.map { case (v, i) =>
+          ((i + 1).toLong, v.slice(s * sub, math.min((s + 1) * sub, v.size)))
+        }
+      }
+      for (_ <- 1 to iters) {
+        // one job: every row emits its m (subspace, argmin code,
+        // subvector) triples, then one hash-agg over (s, code, pos)
+        val perSub = (0 until m).map { s =>
+          val sv = slice(col("__vec"), s * sub + 1, sub)
+          struct(lit(s).as("__s"),
+            nearestCellExpr(sv, books(s)).as("__cell"), sv.as("__subv"))
+        }
+        val expl = cached.select(explode(array(perSub: _*)).as("__e"))
+          .select(col("__e.__s").as("__s"), col("__e.__cell").as("__cell"),
+            posexplode(col("__e.__subv")).as(Seq("__pos", "__v")))
+        val fit = expl.groupBy(col("__s"), col("__cell"), col("__pos"))
+          .agg((sum(col("__v").cast(DecimalType(28, 10))).cast(DoubleType)
+            / count(lit(1))).as("__cv"))
+          .groupBy(col("__s"), col("__cell"))
+          .agg(transform(
+            sort_array(collect_list(struct(col("__pos"), col("__cv")))),
+            x => x.getField("__cv")).as("__centroid"))
+          .select(col("__s"), col("__cell"), col("__centroid"))
+          .collect()
+        books = (0 until m).map { s =>
+          fit.filter(_.getInt(0) == s)
+            .map(r => (r.getLong(1), r.getSeq[Double](2)))
+            .sortBy(_._1).toSeq
+        }
+      }
+      books
+    } finally cached.unpersist(): Unit
   }
 
   /** PQ-ENCODE a corpus into the serving payload: ONE map-only pass
