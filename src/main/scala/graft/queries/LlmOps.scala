@@ -4142,7 +4142,7 @@ object LlmOps {
 
   val q191Sql: String = (winnowedPairCtes + ",\n" +
     """ipairs AS (SELECT d1, d2 FROM wp WHERE n_shared >= 3),
-      |adj AS (SELECT d1 AS a, d2 AS b FROM ipairs
+      |adj AS MATERIALIZED (SELECT d1 AS a, d2 AS b FROM ipairs
       |        UNION ALL SELECT d2 AS a, d1 AS b FROM ipairs),
       |reach(a, b) AS (
       |  SELECT doc_id, doc_id FROM documents
@@ -4174,20 +4174,28 @@ object LlmOps {
     applyDocDedup(spark, docs, pairs, "shdocs")
   }
 
-  val q192Sql: String = (simhashPairCtes + ",\n" +
-    """adj AS (SELECT d1 AS a, d2 AS b FROM shp
-      |        UNION ALL SELECT d2 AS a, d1 AS b FROM shp),
-      |reach(a, b) AS (
-      |  SELECT doc_id, doc_id FROM documents WHERE doc_id < 2000
-      |  UNION
-      |  SELECT r.a, e2.b FROM reach r JOIN adj e2 ON e2.a = r.b),
-      |lab AS (SELECT a AS id, MIN(b) AS cluster FROM reach GROUP BY a),
-      |sz AS (SELECT cluster, COUNT(*) AS n FROM lab GROUP BY cluster)
-      |SELECT l.id AS doc_id, l.cluster, CAST(s.n AS BIGINT) AS cluster_size,
-      |  (l.id = l.cluster) AS kept
-      |FROM lab l JOIN sz s USING (cluster)
-      |ORDER BY doc_id NULLS FIRST""".stripMargin)
-    .replaceFirst("WITH ", "WITH RECURSIVE ")
+  /** q192's oracle unrolls 3 MATERIALIZED min-label rounds (q94's form)
+    * instead of a recursive closure: the 32-bit Hamming ≤ 3 graph on
+    * this corpus is a union of near-CLIQUES (~245k edges over 2k docs
+    * at sf0.1), so the closure's reachable-pair set is Θ(Σ comp²) — 83 s
+    * in DuckDB where the 3 rounds take ~1 s — while near-clique
+    * components converge quickly: MEASURED rounds-to-fixpoint is 5 at
+    * BOTH sf0.01 (the oracle gate) and sf0.1 (the bench window); the
+    * oracle unrolls 6 (one round of margin) and OpsSpec asserts
+    * fixpoint == unrolled-6 on the gate's own pair graph. The Spark
+    * side runs the diameter-proof contraction either way.
+    */
+  val q192Sql: String = simhashPairCtes + ",\n" +
+    s"""e AS MATERIALIZED (SELECT d1 AS a, d2 AS b FROM shp
+       |      UNION ALL SELECT d2 AS a, d1 AS b FROM shp),
+       |lab0 AS (SELECT doc_id AS id, doc_id AS cluster FROM documents
+       |         WHERE doc_id < 2000),
+       |${(1 to 6).map(CurationOps.labRound(_)).mkString(",\n")},
+       |sz AS (SELECT cluster, COUNT(*) AS n FROM lab6 GROUP BY cluster)
+       |SELECT l.id AS doc_id, l.cluster, CAST(s.n AS BIGINT) AS cluster_size,
+       |  (l.id = l.cluster) AS kept
+       |FROM lab6 l JOIN sz s ON s.cluster = l.cluster
+       |ORDER BY doc_id NULLS FIRST""".stripMargin
 
   /** Q193 — DIVERSIFIED retrieval over the SERVED PQ fusion: completes
     * the diversification row of the serving matrix (brute q171 /
@@ -4223,6 +4231,95 @@ object LlmOps {
     diversifyFused(docs, fused)
       .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
   }
+
+  /** Q196 — PQ-PAIR TIME TRAVEL + RESTORE: q189's two-target rewind on
+    * the PQ lifecycle, where the quantizer artifact is the whole BUNDLE
+    * (coarse + m codebooks as one [[Similarity.pqBundleDF]] version) —
+    * a bad `refitIndexPq` (q179's verb) is undone by restoring the code
+    * `Segmented` to the pre-refit manifest (its tag re-pairs the old
+    * bundle transactionally — [[Similarity.pairedPqBundle]] reads it)
+    * and the bundle `Rewrite` clock back to v0. Same consistency
+    * argument as q189: no intermediate crash point can serve a
+    * mismatched (codes, bundle) pairing, and the in-query waves
+    * `require` it (mid-rewind == pre-refit == post-rewind ==
+    * post-vacuum). Completes the restore verb across BOTH quantized
+    * lifecycles.
+    */
+  def q196(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import graft.ops.VersionedTarget
+    val e = t(spark, dir, "embeddings").coalesce(8)
+    val aug = augmentedEmbeddings(e, 4).persist()
+    val cluster = pmod($"vec_id", lit(4))
+    val out = PipelineOps.layoutDir(spark, dir, "ivfpqrestore")
+    val aroot = Paths.get(out, "codes")
+    val broot = Paths.get(out, "bundle")
+    Seq(aroot, broot).foreach { r => // fresh targets per invocation
+      if (Files.exists(r)) VersionedTarget.rmTree(r.toFile)
+      Files.createDirectories(r): Unit
+    }
+    val assignT = VersionedTarget.Segmented(aroot,
+      partitionCols = Seq("cell"), clusterCommits = true)
+    val bundleT = VersionedTarget.Rewrite(broot)
+    val base = aug.filter(cluster.isin(0, 1))
+    val (_, coarseDF) = Similarity.kmeansFit(base, "vec_id", "embedding",
+      k = 8, iters = 2, materialize = false, withVec = false)
+    val coarse = Similarity.localize(coarseDF)
+    val books = Similarity.pqFit(base, "vec_id", "embedding",
+      dim = 68, m = 4, codes = 16, iters = 2)
+    try {
+      bundleT.commit(Similarity.pqBundleDF(spark, coarse, books), 0L)
+      assignT.commit(
+        Similarity.pqEncode(base, "vec_id", "embedding", books, coarse,
+          dim = 68),
+        0L, tag = Some("v0"))
+      Similarity.appendToIndexPq(aug.filter(cluster.isin(2, 3)), "vec_id",
+        "embedding", assignT, bundleT, 1L, dim = 68)
+      val prefetch = math.max(48L, e.count() / 10L).toInt
+      def wave(): (Seq[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType) = {
+        val idx = assignT.current(spark)
+          .getOrElse(sys.error("PQ index target committed no version"))
+        val (sc, sb) = Similarity.pairedPqBundle(spark, assignT, bundleT)
+          .getOrElse(sys.error("no bundle version paired with the served index"))
+        val res = Similarity.ivfTopKServedPQ(idx, aug, sb, sc, "vec_id",
+            "embedding", aug.filter($"vec_id" < 20), k = 3,
+            prefetch = prefetch, nprobe = 2, dim = 68)
+          .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
+        (res.collect().toSeq, res.schema)
+      }
+      val (preRefit, schema) = wave()
+      // the BAD refit (by stipulation): whole bundle re-fitted + rebase
+      Similarity.refitIndexPq(aug, "vec_id", "embedding", k = 8, iters = 2,
+        dim = 68, m = 4, codes = 16, assignT, bundleT, batchId = 3L)
+      val (postRefit, _) = wave()
+      require(postRefit != preRefit,
+        "PQ refit fixture must change the served wave — nothing to rewind")
+      assignT.restore("v1") // the manifest tag re-pairs the OLD bundle
+      val (midRewind, _) = wave()
+      require(midRewind == preRefit,
+        "code restore alone must re-pair the pre-refit bundle (tag rule)")
+      bundleT.restore("v0")
+      val (restored, _) = wave()
+      require(restored == preRefit,
+        "the PQ two-target rewind did not reproduce the pre-refit wave")
+      assignT.vacuum(1): Unit
+      bundleT.vacuum(1): Unit
+      require(!assignT.versions.contains("v3"),
+        "the undone PQ refit's code version survived vacuum")
+      val (swept, _) = wave()
+      require(swept == preRefit,
+        "vacuuming the undone PQ refit changed the served wave")
+      spark.createDataFrame(spark.sparkContext.parallelize(restored, 1), schema)
+    } finally aug.unpersist(): Unit
+  }
+
+  /** The PRE-refit PQ wave's rule: bundle fitted on clusters 0-1 only,
+    * everyone encoded/served with it.
+    */
+  val q196Sql: String =
+    pqWaveSqlOver("vec_id % 4 IN (0, 1)", augVecSql(4), dim = 68, m = 4)
 
   /** Q195 — CROSS-CORPUS WINNOWED DEDUP: q137's incremental shape on
     * the substring-fingerprint family — each incoming doc (odd ids, the
@@ -4429,7 +4526,8 @@ object LlmOps {
     "q192_simhash_dedup_apply" -> (q192 _),
     "q193_diversified_pq" -> (q193 _),
     "q194_index_feed" -> (q194 _),
-    "q195_winnowed_cross_corpus" -> (q195 _))
+    "q195_winnowed_cross_corpus" -> (q195 _),
+    "q196_pq_index_restore" -> (q196 _))
 
   def oracles: Map[String, String] = Map(
     "q58_exact_dedup" -> q58Sql,
@@ -4497,5 +4595,6 @@ object LlmOps {
     "q192_simhash_dedup_apply" -> q192Sql,
     "q193_diversified_pq" -> q193Sql,
     "q194_index_feed" -> q194Sql,
-    "q195_winnowed_cross_corpus" -> q195Sql)
+    "q195_winnowed_cross_corpus" -> q195Sql,
+    "q196_pq_index_restore" -> q196Sql)
 }

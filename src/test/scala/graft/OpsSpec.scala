@@ -1214,6 +1214,26 @@ class OpsSpec extends SparkSpec {
     assert(cross.forall { case (in, ex, _, _) => in % 2 == 1 && ex % 2 == 0 })
   }
 
+  test("q192 oracle gate: the SimHash pair graph's min-label unrolling " +
+      "converges within 6 rounds at the ORACLE's sf0.01 fixture (measured " +
+      "5 at sf0.01 AND sf0.1 — the margin the unrolled oracle rests on)") {
+    import spark.implicits._
+    val docs = graft.core.Tables.t(spark, "/root/testdata/sf0.01", "documents")
+      .filter($"doc_id" < 2000)
+    val pairs = graft.ops.TextOps.simhashNearDupPairs(docs, "doc_id", "text",
+        maxHamming = 3, bits = 32)
+      .select($"d1".as("a"), $"d2".as("b"))
+    val nodes = docs.select($"doc_id".as("id"))
+    val fix = Components.minLabelFixpoint(pairs, nodes)
+    val r3 = Components.minLabelRounds(pairs, nodes, 6)
+    try {
+      val a = fix.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val b = r3.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(a == b, "q192's unrolled-6 oracle would diverge from the " +
+        s"fixpoint on the gate fixture: ${(a -- b).take(3)} vs ${(b -- a).take(3)}")
+    } finally { Components.release(fix); Components.release(r3) }
+  }
+
   test("q193 PQ-served diversification: with exhaustive prefetch and " +
       "nprobe=k the PQ-served diversified lists equal the brute-force-dense " +
       "ones (q171+q188 compose — the exact re-rank strips the ADC error)") {
