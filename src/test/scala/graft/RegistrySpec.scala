@@ -54,10 +54,14 @@ class RegistrySpec extends SparkSpec {
     // actual worst width — 3 chars at EVERY ladder rung ("9.9" 1dp /
     // "98" int / "99" clamp) — and keys drop the "q" prefix like the
     // line does (full names live in the detail file).
+    // model = the ACTUAL emission at its widest: zero-trimmed keys,
+    // 3-char values, both "go look" flags present (r17: absent when
+    // noisy=0 / cont=false, so this is the worst case, not the typical)
     val worst = SparkEntry.queries.keys.toSeq.sorted
-      .map(k => "\"" + k.takeWhile(_ != '_').stripPrefix("q") + "\":9.9")
+      .map(k => "\"" + k.takeWhile(_ != '_').stripPrefix("q")
+        .replaceFirst("^0+", "") + "\":9.9")
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total_warm_sec","value":99999.99,"unit":"sec","queries":$worst,"noisy":999,"cont":false,"sf":"sf0.001"}"""
+    val line = s"""{"metric":"total_warm_sec","value":99999.99,"unit":"sec","queries":$worst,"noisy":999,"cont":true,"sf":"sf0.001"}"""
     assert(line.length < 2000, s"bench line would be ${line.length}B — shrink keys or precision")
   }
 }
