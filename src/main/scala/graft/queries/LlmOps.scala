@@ -4409,14 +4409,20 @@ object LlmOps {
       "embedding", assignT, centT, 1L, int8 = true)
     Similarity.appendToIndex(e.filter($"vec_id" % 20 === 10), "vec_id",
       "embedding", assignT, centT, 2L, int8 = true)
-    // replica catch-up from cursor 1: exactly batch 2's SQ8 rows
-    val feed = assignT.appendedSince(spark, 1L)
+    // replica catch-up from cursor 1: exactly batch 2's SQ8 rows. The
+    // feed is O(delta), NOT k-bounded — so it lands distributed in the
+    // replica's own artifact (what a real consumer does), never on the
+    // driver; the query reads the artifact back
+    val replica = graft.core.Scratch.deleteOnExit(
+      java.nio.file.Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        "graft-dedup",
+        s"feed_${spark.sparkContext.applicationId}").toString)
+    assignT.appendedSince(spark, 1L)
       .getOrElse(sys.error("batch 2 must feed the replica"))
       .select($"vec_id", $"cell",
         concat_ws(",", transform($"qvec", b => b.cast("int").cast("string")))
           .as("q"))
-      .orderBy($"vec_id".asc_nulls_first)
-    val rows = feed.collect().toSeq
+      .write.mode("overwrite").parquet(replica)
     // the failure contract: a fold across the cursor must be LOUD
     require(assignT.compact(spark).isDefined,
       "post-append index must have segments to fold")
@@ -4425,7 +4431,7 @@ object LlmOps {
       catch { case _: IllegalStateException => true }
     require(loud, "a fold crossing the cursor must raise the resync " +
       "signal — never silently feed folded rows")
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), feed.schema)
+    spark.read.parquet(replica).orderBy($"vec_id".asc_nulls_first)
   }
 
   /** Fit-on-existing placement (q144's rule) + q98's SQ8 scale/round
