@@ -2248,4 +2248,39 @@ class OpsSpec extends SparkSpec {
     assert(uncapped == reference(Int.MaxValue) && uncapped.contains(("C", "D")),
       "without the cap the join must be recall-complete at Hamming <= 6")
   }
+
+  test("banded Hamming pairs PROPERTY: for random correlated fingerprints " +
+      "and any cap, the capped join equals the declared rule exactly " +
+      "(candidate iff SOME shared band's bucket survives the df cap)") {
+    import graft.sources.Multimodal
+    val genCorpus = for {
+      bases <- Gen.listOfN(6, Gen.chooseNum(Long.MinValue, Long.MaxValue))
+      flips <- Gen.listOfN(12, Gen.zip(Gen.choose(0, 5), Gen.choose(0, 63)))
+    } yield bases.zipWithIndex.map { case (h, i) => (f"b$i%02d", h) } ++
+      flips.zipWithIndex.map { case ((b, bit), i) =>
+        (f"v$i%02d", bases(b) ^ (1L << bit)) // near-dups of their base
+      }
+    for ((corpus, cap) <- samples(Gen.zip(genCorpus, Gen.oneOf(1, 2, 3, 18)), 4)) {
+      val fps = corpus.toMap
+      val names = corpus.map(_._1).sorted
+      def dfOf(band: Int, bv: Long): Int =
+        names.count(n => ((fps(n) >> (band * 8)) & 255L) == bv)
+      val expected = (for {
+        a <- names; b <- names if a < b
+        if java.lang.Long.bitCount(fps(a) ^ fps(b)) <= 6
+        if (0 until 8).exists { band =>
+          val va = (fps(a) >> (band * 8)) & 255L
+          va == ((fps(b) >> (band * 8)) & 255L) && dfOf(band, va) <= cap
+        }
+      } yield (a, b)).toSet
+      val got = Multimodal.bandedHammingPairs(
+          corpus.toDF("fname", "afp").withColumn("dfp", col("afp")),
+          "fname", "afp", "dfp", maxHamming = 6, maxDf = cap)
+        .select(col("d1"), col("d2")).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got == expected,
+        s"cap=$cap diverged from the rule: missed ${(expected -- got).take(5)} " +
+          s"fabricated ${(got -- expected).take(5)}")
+    }
+  }
 }

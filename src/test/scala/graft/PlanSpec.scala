@@ -397,6 +397,22 @@ class PlanSpec extends SparkSpec {
       s"q188 PQ-served hybrid exploded to all pairs:\n$p188")
   }
 
+  test("q193 PQ-served diversification: every join is an equi-join (the " +
+      "q183/q188 pin on their composition) and the band-candidacy cap's " +
+      "live-bucket guard joins BROADCAST, adding no shuffle") {
+    val p193 = plan(LlmOps.q193(spark, sfDir))
+    assert(!p193.contains("CartesianProduct") && !p193.contains("BroadcastNestedLoopJoin"),
+      s"q193 PQ-served diversification exploded to all pairs:\n$p193")
+    // the df-cap guard (q163's banded Hamming family): the ≤2048-row
+    // live-bucket side must broadcast — a shuffled guard would double
+    // the band join's exchange count
+    val pCap = plan(LlmOps.q163(spark, sfDir))
+    assert(!pCap.contains("CartesianProduct") && !pCap.contains("BroadcastNestedLoopJoin"),
+      s"capped banded Hamming join exploded:\n$pCap")
+    assert(pCap.contains("BroadcastHashJoin") || pCap.contains("BroadcastExchange"),
+      s"the df-cap live-bucket guard did not broadcast:\n$pCap")
+  }
+
   test("q184 incremental SemDeDup: the cross-side pair generation is an " +
       "equi-join on cell, never cartesian") {
     val p = plan(CurationOps.q184(spark, sfDir))
