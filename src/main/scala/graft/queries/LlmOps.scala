@@ -2319,7 +2319,12 @@ object LlmOps {
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf)
       .select(col("band"), col("bv"))
-    index.join(broadcast(live), Seq("band", "bv"))
+    // persisted (CacheScope-released after the query): the capped index
+    // is the stream-static join's STATIC side, read once per micro-batch
+    // — without the pin every batch re-decodes the corpus media; with it
+    // the decode+fingerprint pass runs once per query
+    graft.core.CacheScope.adopt(
+      index.join(broadcast(live), Seq("band", "bv")).persist())
   }
 
   private def bandCandCtes(hCol: String, maxDf: Int): String =

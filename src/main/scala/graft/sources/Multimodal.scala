@@ -644,10 +644,15 @@ object Multimodal {
                          rideCol: String, maxHamming: Int,
                          maxDf: Int = 12): DataFrame = {
     require(maxHamming < 8, "8 byte-bands guarantee recall only for hamming <= 7")
-    val banded = hashes
+    // the slim banded rows PERSIST (CacheScope-released after the query):
+    // they feed three consumers (the df agg + both join sides), and the
+    // upstream of `hashes` is typically a media DECODE — one decode pass
+    // at 100 TB, not three, in exchange for caching ~40 B × 8 rows/doc
+    val banded = graft.core.CacheScope.adopt(hashes
       .select(col(idCol).as("__id"), col(hashCol).as("__h"),
         col(rideCol).as("__r"), explode(sequence(lit(0), lit(7))).as("band"))
       .withColumn("bv", expr("shiftright(__h, band * 8) & 255"))
+      .persist())
     // ≤ 2048 live (band, bv) buckets — always broadcastable
     val live = banded.groupBy(col("band"), col("bv"))
       .agg(count(lit(1)).as("__df"))

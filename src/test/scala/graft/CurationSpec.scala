@@ -317,8 +317,10 @@ class CurationSpec extends SparkSpec {
         finally Components.release(cs)
       }
       // production path: banded candidates; reference: all-pairs
-      val banded = clustersOf(
-        Multimodal.imageNearDupPairs(hashes, "fname", maxHamming = 6))
+      // (scoped: the banded frame's adopted cache must not outlive the
+      // test — later suites assert an empty CacheManager)
+      val banded = graft.core.CacheScope.scoped { clustersOf(
+        Multimodal.imageNearDupPairs(hashes, "fname", maxHamming = 6)) }
       val h2 = hashes.select($"fname".as("f2"), $"ahash".as("a2"))
       val allPairs = hashes.select($"fname".as("d1"), $"ahash".as("a1"))
         .crossJoin(h2).filter($"d1" < $"f2")
@@ -353,9 +355,9 @@ class CurationSpec extends SparkSpec {
             .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
           finally Components.release(cs)
         }
-        val banded = clustersOf(
+        val banded = graft.core.CacheScope.scoped { clustersOf(
           Multimodal.bandedHammingPairs(hashes, "fname", "afp", "dfp",
-            maxHamming = 6))
+            maxHamming = 6)) }
         val h2 = hashes.select($"fname".as("f2"), $"afp".as("a2"))
         val allPairs = hashes.select($"fname".as("d1"), $"afp".as("a1"))
           .crossJoin(h2).filter($"d1" < $"f2")

@@ -874,9 +874,11 @@ class OpsSpec extends SparkSpec {
     // hamming <= 6 (pigeonhole-complete for <= 7)
     val hashDf = hashed.toSeq.map { case (f, (a, d)) => (f, a, d) }
       .toDF("fname", "ahash", "dhash")
-    val banded = Multimodal.imageNearDupPairs(hashDf, "fname", maxHamming = 6)
-      .select($"d1", $"d2").collect()
-      .map(r => (r.getString(0), r.getString(1))).toSet
+    val banded = graft.core.CacheScope.scoped {
+      Multimodal.imageNearDupPairs(hashDf, "fname", maxHamming = 6)
+        .select($"d1", $"d2").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    }
     val names = hashed.keys.toSeq.sorted
     val reference = (for {
       a <- names; b <- names if a < b
@@ -949,10 +951,12 @@ class OpsSpec extends SparkSpec {
       "different bases must not look like near-dups")
     val fpDf = fps.toSeq.map { case (f, (_, _, a, d)) => (f, a, d) }
       .toDF("fname", "afp", "dfp")
-    val banded = Multimodal.bandedHammingPairs(fpDf, "fname", "afp", "dfp",
-        maxHamming = 6)
-      .select($"d1", $"d2").collect()
-      .map(r => (r.getString(0), r.getString(1))).toSet
+    val banded = graft.core.CacheScope.scoped {
+      Multimodal.bandedHammingPairs(fpDf, "fname", "afp", "dfp",
+          maxHamming = 6)
+        .select($"d1", $"d2").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    }
     val names = fps.keys.toSeq.sorted
     val reference = (for {
       a <- names; b <- names if a < b
@@ -1007,10 +1011,12 @@ class OpsSpec extends SparkSpec {
     // hamming <= 6 (pigeonhole-complete for <= 7)
     val fpDf = fps.toSeq.map { case (f, (a, d)) => (f, a, d) }
       .toDF("fname", "afp", "dfp")
-    val banded = Multimodal.bandedHammingPairs(fpDf, "fname", "afp", "dfp",
-        maxHamming = 6)
-      .select($"d1", $"d2").collect()
-      .map(r => (r.getString(0), r.getString(1))).toSet
+    val banded = graft.core.CacheScope.scoped {
+      Multimodal.bandedHammingPairs(fpDf, "fname", "afp", "dfp",
+          maxHamming = 6)
+        .select($"d1", $"d2").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    }
     val names = fps.keys.toSeq.sorted
     val reference = (for {
       a <- names; b <- names if a < b
@@ -2217,10 +2223,12 @@ class OpsSpec extends SparkSpec {
     val fps = rows.toMap
     val df = rows.toDF("fname", "afp").withColumn("dfp", col("afp"))
     def pairsAt(maxDf: Int): Set[(String, String)] =
-      Multimodal.bandedHammingPairs(df, "fname", "afp", "dfp",
-          maxHamming = 6, maxDf = maxDf)
-        .select(col("d1"), col("d2")).collect()
-        .map(r => (r.getString(0), r.getString(1))).toSet
+      graft.core.CacheScope.scoped {
+        Multimodal.bandedHammingPairs(df, "fname", "afp", "dfp",
+            maxHamming = 6, maxDf = maxDf)
+          .select(col("d1"), col("d2")).collect()
+          .map(r => (r.getString(0), r.getString(1))).toSet
+      }
     val names = rows.map(_._1).sorted
     // the rule, mirrored independently: candidate iff SOME shared band
     // value has df <= cap; pair iff candidate AND Hamming <= 6
@@ -2273,11 +2281,13 @@ class OpsSpec extends SparkSpec {
           va == ((fps(b) >> (band * 8)) & 255L) && dfOf(band, va) <= cap
         }
       } yield (a, b)).toSet
-      val got = Multimodal.bandedHammingPairs(
-          corpus.toDF("fname", "afp").withColumn("dfp", col("afp")),
-          "fname", "afp", "dfp", maxHamming = 6, maxDf = cap)
-        .select(col("d1"), col("d2")).collect()
-        .map(r => (r.getString(0), r.getString(1))).toSet
+      val got = graft.core.CacheScope.scoped {
+        Multimodal.bandedHammingPairs(
+            corpus.toDF("fname", "afp").withColumn("dfp", col("afp")),
+            "fname", "afp", "dfp", maxHamming = 6, maxDf = cap)
+          .select(col("d1"), col("d2")).collect()
+          .map(r => (r.getString(0), r.getString(1))).toSet
+      }
       assert(got == expected,
         s"cap=$cap diverged from the rule: missed ${(expected -- got).take(5)} " +
           s"fabricated ${(got -- expected).take(5)}")
