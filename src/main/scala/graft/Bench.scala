@@ -260,10 +260,13 @@ object Bench {
     // total is ~150 s) — worst-case value width is now 3 chars REAL, not
     // just modelled. RegistrySpec guards the new model.
     val qs = results.map { t =>
-      // "q01_..." → "1": full names live in the detail file; the map key
-      // only has to be unique and cheap (leading zeros bought nothing)
-      val short = t.name.takeWhile(_ != '_').stripPrefix("q")
-        .replaceFirst("^0+", "")
+      // r18 (200 queries): the decimal key model ("1".."200") priced the
+      // 200th query at exactly the 2000 B guard — keys are now the query
+      // ORDINAL IN BASE 36 ("q197" → "5h"; derivation is one
+      // Integer.parseInt(k, 36) away, and full names live in the detail
+      // file). 1-2 chars through q1295 — ~127 B back at 200 queries.
+      val short = Integer.toString(
+        t.name.takeWhile(_ != '_').stripPrefix("q").toInt, 36)
       // boundary: a median in [9.95, 10) would %.1f-print 4-char "10.0",
       // so route it to the integer branch — 3-char worst case holds for
       // the ACTUAL formatted value, not just the pre-rounding magnitude

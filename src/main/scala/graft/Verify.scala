@@ -39,6 +39,12 @@ object Verify {
       }
       finally graft.core.CacheScope.releaseAll() // free query-owned caches
     }
+    // q192's oracle is a 6-round min-label unroll justified by a measured
+    // fixpoint; re-measure on the ACTIVE sf and fail loudly if the margin
+    // no longer covers it (a regenerated fixture trap, not a hash gate).
+    if (selected.contains("q192_simhash_dedup_apply"))
+      try graft.queries.LlmOps.q192UnrollGuard(spark, sfDir)
+      finally graft.core.CacheScope.releaseAll()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -11,7 +11,11 @@ import graft.core.EngineContext
   * options.
   *
   * Formats: csv (header on by default, like the reference's header'd
-  * CSVs), jsonl (Spark json = JSON-lines), parquet.
+  * CSVs), jsonl (Spark json = JSON-lines), parquet; any OTHER scheme
+  * forwards verbatim to Spark's DataSource registry (ExecLayerSpec
+  * round-trips orc — a registry format the scheme table never names,
+  * options included — and proves an unknown scheme surfaces the
+  * registry's own lookup error).
   */
 object EngineUrl {
 

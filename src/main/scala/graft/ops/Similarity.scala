@@ -1314,6 +1314,107 @@ object Similarity {
       .select(col("probe_id"), col("cand_id"), col("cos6"), col("rn"))
   }
 
+  /** FILTERED ANN serving — the "top-k WHERE <metadata predicate>"
+    * verb, the most common real vector-store request after plain
+    * top-k ("top-k where lang='en' and license='ok'"). `allowed` is a
+    * one-column (`idCol`) frame of candidate ids passing the caller's
+    * metadata predicate (typically a documents-side gate joined on the
+    * embedding id). The predicate applies INSIDE the cell scan — a
+    * semi-join on the index BEFORE the cell equi-join — never to the
+    * finished top-k: post-filtering a k-list under a predicate with
+    * pass rate s leaves ~k·s survivors, decimating recall exactly when
+    * the filter is selective.
+    *
+    * The serving knobs scale with the predicate's MEASURED selectivity
+    * s = |allowed ∩ index| / |index| (ONE slim agg over the index):
+    * `nprobe` widens to ceil(nprobe/s) clamped to the cell count —
+    * cells are the pruning unit, and a selective predicate thins every
+    * cell, pushing a probe's k-th allowed neighbour into more distant
+    * cells — and `prefetch` widens to ceil(prefetch/s) clamped to the
+    * allowed count, so the exact re-rank keeps re-scoring a constant
+    * FRACTION of the allowed candidacy instead of a vanishing one.
+    * Degenerate contract: at s = 1 this is [[ivfTopKServedInt8]]
+    * exactly; with effNprobe = numCells and effPrefetch = |allowed| it
+    * equals the brute-force-filtered wave (q197's oracle gate); an
+    * empty `allowed` yields an empty wave. At 100 TB the semi-join
+    * shuffles (id)-slim rows of the index once per wave — a fleet
+    * serving one HOT predicate repeatedly materialises the filtered
+    * index as its own versioned target instead (the q186 curated-index
+    * pattern), or bakes the metadata into the index payload so the
+    * predicate pushes down to the parquet scan.
+    */
+  def ivfTopKServedInt8Filtered(index8: DataFrame, corpus: DataFrame,
+      cent: Seq[(Long, Seq[Double])], idCol: String, vecCol: String,
+      probeRows: DataFrame, allowed: DataFrame, k: Int, prefetch: Int,
+      nprobe: Int): DataFrame = {
+    val (fidx, s, nAllow) = filteredIndex(index8, allowed, idCol)
+    val (effPrefetch, effNprobe) =
+      filteredKnobs(k, prefetch, nprobe, s, nAllow, cent.size)
+    ivfTopKServedInt8(fidx, corpus, cent, idCol, vecCol, probeRows,
+      k, effPrefetch, effNprobe)
+  }
+
+  /** [[ivfTopKServedInt8Filtered]] on the PQ lifecycle — same
+    * pre-filter-inside-the-cell-scan rule and selectivity-scaled
+    * knobs; only the payload changes ([[ivfTopKServedPQ]]'s ADC +
+    * exact re-rank).
+    */
+  def ivfTopKServedPQFiltered(indexPq: DataFrame, corpus: DataFrame,
+      books: Seq[Seq[(Long, Seq[Double])]], coarse: Seq[(Long, Seq[Double])],
+      idCol: String, vecCol: String, probeRows: DataFrame,
+      allowed: DataFrame, k: Int, prefetch: Int, nprobe: Int,
+      dim: Int): DataFrame = {
+    val (fidx, s, nAllow) = filteredIndex(indexPq, allowed, idCol)
+    val (effPrefetch, effNprobe) =
+      filteredKnobs(k, prefetch, nprobe, s, nAllow, coarse.size)
+    ivfTopKServedPQ(fidx, corpus, books, coarse, idCol, vecCol, probeRows,
+      k, effPrefetch, effNprobe, dim)
+  }
+
+  /** [[ivfTopKServedInt8Filtered]] on the full-precision float index —
+    * single-stage (no prefetch/re-rank split), so only `nprobe` scales
+    * with the measured selectivity.
+    */
+  def ivfTopKServedFromFiltered(probeRows: DataFrame, index: DataFrame,
+      cent: Seq[(Long, Seq[Double])], idCol: String, vecCol: String,
+      allowed: DataFrame, k: Int, nprobe: Int,
+      includeProbeCell: Boolean = false): DataFrame = {
+    val (fidx, s, _) = filteredIndex(index, allowed, idCol)
+    val effNprobe =
+      math.min(cent.size.toLong, math.ceil(nprobe / s).toLong).toInt
+    ivfTopKServedFrom(probeRows, fidx, cent, idCol, vecCol, k, effNprobe,
+      includeProbeCell)
+  }
+
+  /** Measure the predicate's selectivity over the index (one agg job:
+    * left-join the distinct allowed ids, count rows + matches) and
+    * return the PRE-FILTERED index (semi-join — applied before any
+    * cell join by construction, since every served wave builds its
+    * candidate frame from the index it is handed).
+    */
+  private def filteredIndex(index: DataFrame, allowed: DataFrame,
+      idCol: String): (DataFrame, Double, Long) = {
+    val ids = allowed.select(col(idCol)).distinct()
+    val m = index.join(ids.withColumn("__ok", lit(1)), Seq(idCol), "left")
+      .agg(count(lit(1)).as("__n"), count(col("__ok")).as("__ok")).head()
+    val (n, ok) = (m.getLong(0), m.getLong(1))
+    val s = if (n == 0L || ok == 0L) 1.0 else ok.toDouble / n
+    (index.join(ids, Seq(idCol), "left_semi"), s, ok)
+  }
+
+  /** Selectivity-scaled serving knobs: widen both by 1/s, clamp nprobe
+    * to the cell count and prefetch to [k, |allowed|].
+    */
+  private def filteredKnobs(k: Int, prefetch: Int, nprobe: Int, s: Double,
+      nAllow: Long, numCells: Int): (Int, Int) = {
+    val effNprobe =
+      math.min(numCells.toLong, math.ceil(nprobe / s).toLong).toInt
+    val effPrefetch = math.max(k.toLong,
+      math.min(if (nAllow == 0L) k.toLong else nAllow,
+        math.ceil(prefetch / s).toLong)).toInt
+    (effPrefetch, effNprobe)
+  }
+
   /** IVF search (nprobe=1) with per-`cellCol`-mean centroids (labelled
     * data); for unlabelled corpora pair [[ivfTopKAssigned]] with
     * [[kmeansAssign]].

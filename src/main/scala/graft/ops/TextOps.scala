@@ -192,8 +192,13 @@ object TextOps {
     * mass. The stop-fingerprint df cap reads the FULL corpus (both
     * sides): boilerplate is boilerplate wherever it appears, and a
     * fingerprint hot on either side would otherwise blow up the probe.
-    * Emits `(in_id, ex_id, n_shared, cont6)` for incoming docs sharing
-    * ≥ `minShared` surviving fingerprints with an existing doc.
+    * A doc present on BOTH sides (a redelivered id) counts toward df
+    * ONCE — the existing side's copy wins, so the df rule equals
+    * [[winnowedPairs]]'s over the distinct-doc union exactly (a naive
+    * union would double-count the overlap's fingerprints and drop
+    * near-threshold buckets early). Emits `(in_id, ex_id, n_shared,
+    * cont6)` for incoming docs sharing ≥ `minShared` surviving
+    * fingerprints with an existing doc.
     */
   def winnowedCrossPairs(incoming: org.apache.spark.sql.DataFrame,
                          existing: org.apache.spark.sql.DataFrame,
@@ -205,7 +210,13 @@ object TextOps {
         explode(graft.functions.WinnowedFps.fps(col(textCol), k, w)).as("fp"))
     val postIn = postings(incoming, "in_id")
     val postEx = postings(existing, "ex_id")
-    val live = postIn.select(col("fp")).unionAll(postEx.select(col("fp")))
+    // df over the DISTINCT-doc union: ids already in the existing
+    // corpus are anti-joined out of the incoming side (an id-only
+    // shuffle sized by the slice, never the corpus' text)
+    val inOnly = postings(
+      incoming.join(existing.select(col(idCol)), Seq(idCol), "left_anti"),
+      "in_id")
+    val live = inOnly.select(col("fp")).unionAll(postEx.select(col("fp")))
       .groupBy(col("fp")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf)
       .select(col("fp"))
@@ -261,6 +272,41 @@ object TextOps {
       .withColumn("hamming", expr("bit_count(f1 ^ f2)"))
       .filter(col("hamming") <= maxHamming)
       .select(col("d1"), col("d2"), col("hamming"))
+  }
+
+  /** CROSS-CORPUS SimHash near-dup PAIRS — [[simhashNearDupPairs]] in
+    * the q137/q195 asymmetric shape: each INCOMING doc's 4 band values
+    * probe the EXISTING corpus' banded fingerprint postings only, so no
+    * within-side pair is ever generated and the output is sized by the
+    * incoming slice's near-dup rate — never the corpus' internal
+    * near-dup mass (the property that makes every dedup modality
+    * O(slice) per batch). Identical band/Hamming rules to the symmetric
+    * join (4 bands over a `bits`-wide fingerprint, pigeonhole-complete
+    * at Hamming ≤ 3, exact `bit_count(xor)` post-filter); tokenless
+    * docs carry no fingerprint and never pair (q81's contract). Emits
+    * `(in_id, ex_id, hamming)`.
+    */
+  def simhashCrossPairs(incoming: org.apache.spark.sql.DataFrame,
+                        existing: org.apache.spark.sql.DataFrame,
+                        idCol: String, textCol: String,
+                        maxHamming: Int = 3,
+                        bits: Int = 32): org.apache.spark.sql.DataFrame = {
+    require(maxHamming < 4, "4 bands guarantee recall only for hamming <= 3")
+    require(bits % 4 == 0 && bits <= 32, "bits must be a multiple of 4, <= 32")
+    val bandBits = bits / 4
+    val mask = (1L << bandBits) - 1
+    def banded(df: org.apache.spark.sql.DataFrame, as: String,
+               fc: String): org.apache.spark.sql.DataFrame =
+      simhashTable(df, idCol, textCol, bits)
+        .select(col(idCol).as(as), col("fp").as(fc),
+          explode(sequence(lit(0), lit(3))).as("band"))
+        .withColumn("bv", expr(s"shiftright($fc, band * $bandBits) & $mask"))
+    banded(incoming, "in_id", "f_in")
+      .join(banded(existing, "ex_id", "f_ex"), Seq("band", "bv"))
+      .select(col("in_id"), col("ex_id"), col("f_in"), col("f_ex")).distinct()
+      .withColumn("hamming", expr("bit_count(f_in ^ f_ex)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("in_id"), col("ex_id"), col("hamming"))
   }
 
   /** Table-shaped SimHash — ONE map-only pass via the native

@@ -2239,7 +2239,9 @@ object LlmOps {
     * JDK path; the hashes are integer-exact 8×8 block aHash/dHash
     * ([[Multimodal.perceptualHashes]]); candidate pairs come from q81's
     * pigeonhole band machinery on the 64-bit aHash (8 byte-bands,
-    * recall-complete for Hamming ≤ 7) with the exact bit_count
+    * pigeonhole-complete for Hamming ≤ 7 over LIVE buckets — the
+    * declared scale-aware hot-band df cap can drop a pair whose every
+    * shared band is degenerate) with the exact bit_count
     * post-filter ([[Multimodal.imageNearDupPairs]]) — at 100 TB of
     * images the band join shuffles (band, byte, id) triples, never
     * pixels, never all-pairs.
@@ -2302,23 +2304,38 @@ object LlmOps {
   /** The multimodal band-candidacy CTEs with the DECLARED hot-band df
     * cap, mirroring [[Multimodal.bandedHammingPairs]] exactly: 8
     * byte-bands over the `named` CTE's `hCol`, (band, bv) buckets with
-    * df > maxDf dropped BY RULE, `cand(d1, d2)` = the ordered candidate
-    * pairs. HUGEINT `>>`/`& 255` equals Spark's arithmetic
-    * shiftright+mask on the signed long bit-for-bit (verified for the
-    * bit-63 case). Margin already stripped — concatenate.
+    * df > GREATEST(maxDf, CEIL(HotBandFactor·n/256)) dropped BY RULE
+    * (the scale-aware effective cap; n = COUNT(*) FROM named),
+    * `cand(d1, d2)` = the ordered candidate pairs. HUGEINT `>>`/`& 255`
+    * equals Spark's arithmetic shiftright+mask on the signed long
+    * bit-for-bit (verified for the bit-63 case). Margin already
+    * stripped — concatenate.
     */
   /** The declared hot-band df cap applied to a banded fingerprint
     * INDEX (the streaming gates' static side, columns incl. (band,
-    * bv)): buckets with more than `maxDf` members are dropped from
+    * bv)): buckets hotter than the scale-aware effective cap
+    * `max(maxDf, ceil(HotBandFactor·n/256))` are dropped from
     * candidacy BY RULE, bounding each arrival's join fan-out at
-    * 8·maxDf rows. Mirrors [[Multimodal.bandedHammingPairs]]'s cap;
+    * 8·effCap rows. Mirrors [[Multimodal.bandedHammingPairs]]'s cap;
     * the ≤ 2048-group df aggregate broadcasts back.
     */
   private def capBands(index: DataFrame, maxDf: Int = 12): DataFrame = {
-    val live = index.groupBy(col("band"), col("bv"))
-      .agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxDf)
-      .select(col("band"), col("bv"))
+    // scale-aware effective cap (Multimodal.bandedHammingPairs' rule):
+    // max(maxDf, ceil(HotBandFactor·n/256)), n = banded rows / 8. The
+    // ≤2048-group df agg localizes (driver-size by design) and the live
+    // set rejoins as a broadcast literal frame — no cross join
+    val spark = index.sparkSession
+    import spark.implicits._
+    val dfRows = index.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("__df")).collect()
+      .map(r => (r.getAs[Number](0).intValue, r.getAs[Number](1).longValue,
+        r.getLong(2)))
+    val n = dfRows.map(_._3).sum / 8L
+    val effCap = math.max(maxDf.toLong, math.ceil(
+      graft.sources.Multimodal.HotBandFactor.toDouble * n / 256.0).toLong)
+    val live = dfRows.filter(_._3 <= effCap)
+      .map { case (band, bv, _) => (band, bv) }.toSeq
+      .toDF("band", "bv")
     // persisted (CacheScope-released after the query): the capped index
     // is the stream-static join's STATIC side, read once per micro-batch
     // — without the pin every batch re-decodes the corpus media; with it
@@ -2333,7 +2350,7 @@ object LlmOps {
        |  FROM named, UNNEST(range(0, 8)) b(band)),
        |hotb AS (
        |  SELECT band, bv FROM (SELECT band, bv, COUNT(*) AS df FROM bnd GROUP BY band, bv)
-       |  WHERE df > $maxDf),
+       |  WHERE df > GREATEST($maxDf, CAST(CEIL(${graft.sources.Multimodal.HotBandFactor} * (SELECT COUNT(*) FROM named) / 256.0) AS BIGINT))),
        |keptb AS (SELECT b.* FROM bnd b ANTI JOIN hotb h ON h.band = b.band AND h.bv = b.bv),
        |cand AS (
        |  SELECT DISTINCT a.f AS d1, b.f AS d2
@@ -2647,15 +2664,18 @@ object LlmOps {
     * `vecSql` with a dim that still splits into `m` subspaces.
     */
   private def pqWaveSqlOver(fitWhere: String, vecSql: String, dim: Int,
-                            m: Int, candWhere: String = "TRUE"): String =
+                            m: Int, candWhere: String = "TRUE",
+                            extraCtes: String = ""): String = {
+    val extra = if (extraCtes.isEmpty) "" else s"$extraCtes,\n"
     s"""${kmeansCtes(fitWhere, vecSql)},
-       |${pqEpairsCtes(fitWhere, dim, m, candWhere, "v.vec_id < 20")},
+       |${extra}${pqEpairsCtes(fitWhere, dim, m, candWhere, "v.vec_id < 20")},
        |ranked AS (
        |  SELECT probe_id, cand_id, cos6,
        |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos6 DESC, cand_id ASC) AS rn
        |  FROM epairs)
        |SELECT probe_id, cand_id, cos6, rn FROM ranked WHERE rn <= 3
        |ORDER BY probe_id NULLS FIRST, rn NULLS FIRST""".stripMargin
+  }
 
   /** The PQ candidate-scoring CTE chain — per-subspace codebook fits,
     * nprobe=2 cell ranking for `probeWhere` probes, ADC ranking, the
@@ -2664,15 +2684,26 @@ object LlmOps {
     * [[kmeansCtes]] (it reads `vecs`/`cent2`/`avx`); shared by the PQ
     * wave oracles (q170/q174/q177/q179) and the PQ-served hybrid (q188).
     */
-  private def pqEpairsCtes(fitWhere: String, dim: Int, m: Int,
-                           candWhere: String, probeWhere: String): String = {
+  /** The m per-subspace codebook-fit CTE prefixes (each a [[kmeansCtes]]
+    * over a slice of the main `vecs` CTE, prefix `p{s}_`, 16 codes) —
+    * the codebook half of the PQ oracle, shared by [[pqEpairsCtes]]
+    * (ADC scoring) and the q199 feed oracle (code re-derivation).
+    */
+  private def pqBookCtes(fitWhere: String, dim: Int, m: Int): String = {
     require(dim % m == 0, s"dim ($dim) must split evenly into $m subspaces")
     val sub = dim / m
-    val bookCtes = (0 until m).map(s =>
+    (0 until m).map(s =>
       kmeansCtes(fitWhere,
         s"SELECT vec_id, v[${s * sub + 1}:${(s + 1) * sub}] AS v FROM vecs",
         s"p${s}_", 16)
         .stripPrefix("WITH ")).mkString(",\n")
+  }
+
+  private def pqEpairsCtes(fitWhere: String, dim: Int, m: Int,
+                           candWhere: String, probeWhere: String): String = {
+    require(dim % m == 0, s"dim ($dim) must split evenly into $m subspaces")
+    val sub = dim / m
+    val bookCtes = pqBookCtes(fitWhere, dim, m)
     val adc = (0 until m)
       .map(s => s"list_dot_product(pv.v[${s * sub + 1}:${(s + 1) * sub}], cb$s.centroid)")
       .mkString("\n      + ")
@@ -3204,6 +3235,33 @@ object LlmOps {
     }
   }
 
+  /** [[ingestCuratedBatch]] on the PQ lifecycle — the one-parameter
+    * swap the verb factoring was built for: identical verdict rule
+    * (place into the maintained coarse quantizer, compare against the
+    * EXISTING corpus only, cell-scoped at `minCos6`), identical
+    * redelivery skip on the index epoch; only the keeper append changes
+    * ([[Similarity.appendToIndexPq]] — coarse argmin + m code argmins
+    * in one map-only pass against the SERVED bundle, tag re-validated
+    * in-transaction).
+    */
+  private[graft] def ingestCuratedBatchPq(
+      assignT: graft.ops.VersionedTarget.Segmented,
+      bundleT: graft.ops.VersionedTarget.Rewrite,
+      exAssign: DataFrame, coarse: Seq[(Long, Seq[Double])], dim: Int)(
+      batch: DataFrame, id: Long): Unit = {
+    val bid = id + 1L
+    if (!assignT.applied(bid)) {
+      val placed = Similarity.assignToCentroids(batch, coarse,
+        "vec_id", "embedding", withVec = true)
+      val dupIds = Similarity.semanticCrossPairs(placed, exAssign,
+          "vec_id", "embedding", minCos6 = 0.4)
+        .select(col("in_id").as("vec_id")).distinct()
+      val keepers = batch.join(dupIds, Seq("vec_id"), "left_anti")
+      Similarity.appendToIndexPq(keepers, "vec_id", "embedding",
+        assignT, bundleT, bid, dim = dim)
+    }
+  }
+
   /** The q158 per-micro-batch ingest verb, factored so OpsSpec can drive
     * arrival/redelivery schedules without the streaming harness (the
     * q132 pattern): skip batches the index epoch already covers
@@ -3303,8 +3361,9 @@ object LlmOps {
     * floor-boundary grid, bit = frame |sample| sum above the global
     * mean by exact integer cross-multiplication), and candidates come
     * from the SAME byte-band Hamming machinery as images
-    * ([[Multimodal.bandedHammingPairs]] — recall-complete for
-    * Hamming ≤ 7). At 100 TB of audio the band join shuffles (band,
+    * ([[Multimodal.bandedHammingPairs]] — pigeonhole-complete for
+    * Hamming ≤ 7 over buckets surviving the declared scale-aware
+    * hot-band df cap). At 100 TB of audio the band join shuffles (band,
     * byte, id) triples, never samples, never all-pairs.
     *
     * Fixture corpus: [[Multimodal.ensureAudioFpFixtures]] — 12 base
@@ -3326,8 +3385,9 @@ object LlmOps {
   }
 
   /** Recomputes frame energies + both fingerprints from the fixture
-    * rule (every sample of every clip via range-unnest), then all-pairs
-    * Hamming ≤ 6 — the banded join's recall-complete reference.
+    * rule (every sample of every clip via range-unnest), then the
+    * capped band candidacy at Hamming ≤ 6 — mirroring the banded
+    * join's declared rule, scale-aware df cap included.
     */
   /** The q167 oracle prefix: recomputes frame energies + both audio
     * fingerprints from the fixture rule, ending in `named(f, afp, dfp)`
@@ -3384,7 +3444,8 @@ object LlmOps {
     * intensity sums land in 64 positions, and the afp/dfp pair is the
     * q167 frame-energy sign fingerprint on temporal positions.
     * Candidates ride the SAME byte-band Hamming join as images/audio
-    * (recall-complete for Hamming ≤ 7); the exact `bit_count`
+    * (pigeonhole-complete for Hamming ≤ 7 over buckets surviving the
+    * declared scale-aware hot-band df cap); the exact `bit_count`
     * post-filter keeps ≤ 6. Fixture: 12 md5-classed bright/dark-frame
     * clips × 2 one-frame-inverted variants (within-base Hamming ≤ 2,
     * cross-base ≫ 6).
@@ -4202,6 +4263,45 @@ object LlmOps {
        |FROM lab6 l JOIN sz s ON s.cluster = l.cluster
        |ORDER BY doc_id NULLS FIRST""".stripMargin
 
+  /** Verify-harness guard for [[q192Sql]]'s unrolled oracle: the SQL
+    * unrolls SIX synchronous min-label rounds, justified by a MEASURED
+    * rounds-to-fixpoint of 5 at sf0.01/sf0.1 — a regenerated fixture
+    * with a longer-diameter SimHash component would silently make the
+    * oracle wrong BEFORE any spec catches it. This recomputes
+    * rounds-to-fixpoint on the ACTIVE sf's own pair graph (bounded by
+    * q192's declared doc_id < 2000 probe contract, so the driver-side
+    * mirror is small by construction) and fails the verify run loudly
+    * if the 6-round budget no longer covers it. Semantics mirror
+    * [[CurationOps.labRound]] exactly: lab_n(id) = least(lab_{n-1}(id),
+    * min over both-direction edges of lab_{n-1}(neighbour)).
+    */
+  def q192UnrollGuard(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents").filter($"doc_id" < 2000)
+    val edges = TextOps.simhashNearDupPairs(docs, "doc_id", "text",
+        maxHamming = 3, bits = 32)
+      .select($"d1", $"d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ids = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    var lab = collection.mutable.Map(ids.map(i => i -> i): _*)
+    var rounds = 0
+    var changed = true
+    while (changed) {
+      val next = lab.clone()
+      edges.foreach { case (a, b) =>
+        if (lab(b) < next(a)) next(a) = lab(b)
+        if (lab(a) < next(b)) next(b) = lab(a)
+      }
+      changed = ids.exists(i => next(i) != lab(i))
+      if (changed) { rounds += 1; lab = next }
+    }
+    require(rounds <= 6,
+      s"q192's oracle unrolls 6 min-label rounds but the ACTIVE fixture " +
+        s"needs $rounds to reach fixpoint — regenerating `documents` " +
+        s"changed the SimHash component diameter; re-measure and bump " +
+        s"the unroll count in q192Sql (and the OpsSpec margin gate)")
+  }
+
   /** Q193 — DIVERSIFIED retrieval over the SERVED PQ fusion: completes
     * the diversification row of the serving matrix (brute q171 /
     * SQ8-served q183 / PQ-served HERE) — the leanest-memory serving
@@ -4373,6 +4473,403 @@ object LlmOps {
       |WHERE d.doc_id % 2 = 1
       |ORDER BY doc_id NULLS FIRST""".stripMargin
 
+  /** Q197 — FILTERED ANN SEARCH over the SQ8 serving index: the
+    * "top-k WHERE lang='en'" verb ([[Similarity.ivfTopKServedInt8Filtered]])
+    * — the most common real vector-store request after plain top-k,
+    * here joining `embeddings` to a `documents`-side language gate on
+    * the shared id. The predicate pre-filters INSIDE the cell scan (a
+    * semi-join on the index BEFORE the cell equi-join — post-filtering
+    * the top-k would leave ~k·s survivors at pass rate s) and the
+    * serving knobs scale with the predicate's MEASURED selectivity.
+    * The oracle gate runs the wave at its exact degenerate point
+    * (every cell probed, prefetch covering the full allowed set, so
+    * the exact re-rank strips all quantization error BY CONSTRUCTION)
+    * and hash-matches a brute-force-FILTERED DuckDB twin; the
+    * selective-predicate recall floor at REAL knobs is OpsSpec's row.
+    */
+  def q197(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents")
+    val e = t(spark, dir, "embeddings").coalesce(8)
+    val out = PipelineOps.layoutDir(spark, dir, "filteredann")
+    val (assignments, centroids) =
+      Similarity.kmeansFit(e, "vec_id", "embedding", k = 8, iters = 2,
+        materialize = false, withVec = true)
+    Similarity.quantizeInt8(assignments, "vec_id", "embedding")
+      .repartition(col("cell")).write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$out/assignments8")
+    centroids.write.mode("overwrite").parquet(s"$out/centroids")
+    val idx8 = spark.read.parquet(s"$out/assignments8")
+    val cent = Similarity.localize(spark.read.parquet(s"$out/centroids"))
+    val allowed = docs.filter($"lang" === "en").select($"doc_id".as("vec_id"))
+    Similarity.ivfTopKServedInt8Filtered(idx8, e, cent,
+        "vec_id", "embedding", e.filter($"vec_id" < 10), allowed,
+        k = 10, prefetch = 250, nprobe = 8)
+      .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
+  }
+
+  /** The brute-force-FILTERED twin: exact cosine top-10 per probe over
+    * ONLY the lang='en' candidates (q61's arithmetic + the candidate
+    * gate) — the engine's wave equals it because every cell is probed
+    * and the exact re-rank covers the whole allowed set.
+    */
+  val q197Sql: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |allowed AS (SELECT doc_id AS vec_id FROM documents WHERE lang = 'en'),
+      |scored AS (
+      |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+      |    ROUND(list_dot_product(p.v, c.v) / (SQRT(list_dot_product(p.v, p.v)) * SQRT(list_dot_product(c.v, c.v))), 6) AS cos6
+      |  FROM e p JOIN e c ON p.vec_id < 10 AND p.vec_id <> c.vec_id
+      |  JOIN allowed a ON a.vec_id = c.vec_id),
+      |ranked AS (
+      |  SELECT probe_id, cand_id, cos6,
+      |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos6 DESC, cand_id ASC) AS rn
+      |  FROM scored)
+      |SELECT probe_id, cand_id, cos6, rn FROM ranked WHERE rn <= 10
+      |ORDER BY probe_id NULLS FIRST, rn NULLS FIRST""".stripMargin
+
+  /** Q198 — CONTINUOUS CURATED INGEST ON THE PQ LIFECYCLE: q190's
+    * place→verdict→append streaming loop with the PQ index as the
+    * payload — the index a 100 TB fleet actually serves (m bytes per
+    * vector), so its verb set must never trail the SQ8 one. The
+    * one-parameter swap [[ingestCuratedBatchPq]] was factored for:
+    * identical verdict rule (existing corpus only, cell-scoped, so no
+    * batch schedule can change who enters), identical redelivery skip;
+    * only the keeper append changes (coarse argmin + m code argmins in
+    * one map-only pass against the SERVED bundle). The closing wave is
+    * the PQ ADC + exact re-rank over existing ∪ curated keepers, and
+    * the in-query gate re-derives the dup set corpus-wide and
+    * `require`s no served candidate is in it.
+    */
+  def q198(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import graft.ops.VersionedTarget
+    val e = t(spark, dir, "embeddings").coalesce(8)
+    val existing = e.filter($"vec_id" % 10 =!= 0)
+    val out = PipelineOps.layoutDir(spark, dir, "ivfpqcurstream")
+    val aroot = Paths.get(out, "codes")
+    val broot = Paths.get(out, "bundle")
+    Seq(aroot, broot).foreach { r => // fresh targets per invocation
+      if (Files.exists(r)) VersionedTarget.rmTree(r.toFile)
+      Files.createDirectories(r): Unit
+    }
+    val assignT = VersionedTarget.Segmented(aroot,
+      partitionCols = Seq("cell"), clusterCommits = true)
+    val bundleT = VersionedTarget.Rewrite(broot)
+    val (exAssign, coarseDF) = Similarity.kmeansFit(existing, "vec_id",
+      "embedding", k = 8, iters = 2, materialize = true, withVec = true)
+    try {
+      val coarse = Similarity.localize(coarseDF)
+      val books = Similarity.pqFit(existing, "vec_id", "embedding",
+        dim = 64, m = 4, codes = 16, iters = 2)
+      bundleT.commit(Similarity.pqBundleDF(spark, coarse, books), 0L)
+      assignT.commit(Similarity.pqEncode(existing, "vec_id", "embedding",
+        books, coarse, dim = 64), 0L, tag = Some("v0"))
+      val arrivals = graft.streaming.StreamOps
+        .embeddingsStream(spark, dir, maxFilesPerTrigger = 8)
+        .filter($"vec_id" % 10 === 0)
+      graft.streaming.StreamOps.runForeachBatch(arrivals,
+        ingestCuratedBatchPq(assignT, bundleT, exAssign, coarse, dim = 64),
+        outputMode = "append")
+      val curVer = VersionedTarget.currentVersion(aroot)
+        .getOrElse(sys.error("curated PQ index target has no CURRENT pointer"))
+      require(assignT.segmentsOf(curVer).size >= 3,
+        "curated streaming ingest must be MULTI-batch (base + >= 2 batch " +
+          "segments) — one batch swallowing the backlog proves nothing")
+      val idx = assignT.current(spark)
+        .getOrElse(sys.error("PQ index target committed no version"))
+      val (sc, sb) = Similarity.pairedPqBundle(spark, assignT, bundleT)
+        .getOrElse(sys.error("no bundle version paired with the served index"))
+      val prefetch = math.max(48L, e.count() / 10L).toInt
+      val res = Similarity.ivfTopKServedPQ(idx, e, sb, sc, "vec_id",
+          "embedding", e.filter($"vec_id" < 20), k = 3,
+          prefetch = prefetch, nprobe = 2, dim = 64)
+        .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
+      val rows = res.collect().toSeq
+      // re-derive the dup set corpus-wide and prove no dup arrival is
+      // served from ANY batch's segment (q190's gate, PQ payload)
+      val incAssign = Similarity.assignToCentroids(
+        e.filter($"vec_id" % 10 === 0), coarse, "vec_id", "embedding",
+        withVec = true)
+      val dupIds = Similarity.semanticCrossPairs(incAssign, exAssign,
+          "vec_id", "embedding", minCos6 = 0.4)
+        .select($"in_id".as("vec_id")).distinct()
+      val served = rows.map(_.getLong(1)).distinct
+      require(served.isEmpty || dupIds
+          .filter($"vec_id".isin(served: _*)).count() == 0,
+        "a semantically duplicate arrival was served from the curated PQ index")
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), res.schema)
+    } finally exAssign.unpersist(): Unit
+  }
+
+  /** q170's fit-on-existing PQ wave with candidacy = existing ∪ the
+    * incoming keepers (q186's xp cross-pair CTE deciding who enters —
+    * identical coarse cells, so the verdict rule replays unchanged).
+    */
+  val q198Sql: String = pqWaveSqlOver("vec_id % 10 <> 0", rawVecSql,
+    dim = 64, m = 4,
+    candWhere =
+      "(c.vec_id % 10 <> 0 OR c.vec_id NOT IN (SELECT in_id FROM xp))",
+    extraCtes =
+      """xp AS (
+        |  SELECT DISTINCT x.vec_id AS in_id
+        |  FROM avx x JOIN avx y
+        |    ON x.cell = y.cell AND x.vec_id % 10 = 0 AND y.vec_id % 10 <> 0
+        |  WHERE ROUND(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) >= 0.4)""".stripMargin)
+
+  /** Q199 — INCREMENTAL FEED FROM THE PQ SERVING INDEX: q194's replica
+    * catch-up verb on the cell-partitioned PQ code target — the replica
+    * pulls ONLY batch 2's segments off the CURRENT manifest (O(delta)
+    * I/O: append-only segments ARE the change feed), and the payload is
+    * the full PQ serving shape: placement cell + the m one-byte codes,
+    * both BY RULE (the tag-pinned coarse argmin + [[Similarity.pqEncode]]'s
+    * position-in-sorted-codebook rule), so the oracle re-derives every
+    * byte the replica receives. The feed lands DISTRIBUTED (a parquet
+    * artifact, never a driver collect), and the in-query tail proves
+    * the failure contract: a compaction folding across the cursor must
+    * raise the LOUD resync signal, never silently feed folded rows.
+    */
+  def q199(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import graft.ops.VersionedTarget
+    val e = t(spark, dir, "embeddings").coalesce(8)
+    val existing = e.filter($"vec_id" % 10 =!= 0)
+    val out = PipelineOps.layoutDir(spark, dir, "ivfpqfeed")
+    val aroot = Paths.get(out, "codes")
+    val broot = Paths.get(out, "bundle")
+    Seq(aroot, broot).foreach { r => // fresh targets per invocation
+      if (Files.exists(r)) VersionedTarget.rmTree(r.toFile)
+      Files.createDirectories(r): Unit
+    }
+    val assignT = VersionedTarget.Segmented(aroot,
+      partitionCols = Seq("cell"), clusterCommits = true)
+    val bundleT = VersionedTarget.Rewrite(broot)
+    val (_, coarseDF) = Similarity.kmeansFit(existing, "vec_id",
+      "embedding", k = 8, iters = 2, materialize = false, withVec = false)
+    val coarse = Similarity.localize(coarseDF)
+    val books = Similarity.pqFit(existing, "vec_id", "embedding",
+      dim = 64, m = 4, codes = 16, iters = 2)
+    bundleT.commit(Similarity.pqBundleDF(spark, coarse, books), 0L)
+    assignT.commit(Similarity.pqEncode(existing, "vec_id", "embedding",
+      books, coarse, dim = 64), 0L, tag = Some("v0"))
+    Similarity.appendToIndexPq(e.filter($"vec_id" % 20 === 0), "vec_id",
+      "embedding", assignT, bundleT, 1L, dim = 64)
+    Similarity.appendToIndexPq(e.filter($"vec_id" % 20 === 10), "vec_id",
+      "embedding", assignT, bundleT, 2L, dim = 64)
+    // replica catch-up from cursor 1: exactly batch 2's PQ-coded rows,
+    // landed distributed in the replica's own artifact (q194's rule)
+    val replica = graft.core.Scratch.deleteOnExit(
+      java.nio.file.Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        "graft-dedup",
+        s"pqfeed_${spark.sparkContext.applicationId}").toString)
+    assignT.appendedSince(spark, 1L)
+      .getOrElse(sys.error("batch 2 must feed the replica"))
+      .select($"vec_id", $"cell",
+        concat_ws(",", transform($"codes", b => b.cast("int").cast("string")))
+          .as("q"))
+      .write.mode("overwrite").parquet(replica)
+    // the failure contract: a fold across the cursor must be LOUD
+    require(assignT.compact(spark).isDefined,
+      "post-append PQ index must have segments to fold")
+    val loud =
+      try { assignT.appendedSince(spark, 1L); false }
+      catch { case _: IllegalStateException => true }
+    require(loud, "a fold crossing the cursor must raise the resync " +
+      "signal — never silently feed folded rows")
+    spark.read.parquet(replica).orderBy($"vec_id".asc_nulls_first)
+  }
+
+  /** Fit-on-existing coarse placement (q194's rule) + the PQ code
+    * re-derivation — each code is the 1-based POSITION of the
+    * subspace's argmin cell in the cell-id-sorted codebook
+    * ([[Similarity.pqEncode]]'s sparse-codebook-safe rule, expressed as
+    * COUNT(codebook cells <= argmin cell)) — restricted to batch 2's
+    * slice: every byte the replica pulls.
+    */
+  val q199Sql: String = {
+    val m = 4
+    val posExprs = (0 until m).map(s =>
+      s"CAST((SELECT COUNT(*) FROM p${s}_cent2 cc WHERE cc.cell <= pa$s.cell) AS INT)")
+      .mkString(",\n    ")
+    val codeJoins = (0 until m).map(s =>
+      s"JOIN p${s}_assign3 pa$s ON pa$s.vec_id = av.vec_id").mkString("\n  ")
+    s"""${kmeansCtes("vec_id % 10 <> 0")},
+       |${pqBookCtes("vec_id % 10 <> 0", 64, m)}
+       |SELECT av.vec_id, av.cell,
+       |  array_to_string([$posExprs], ',') AS q
+       |FROM avx av
+       |  $codeJoins
+       |WHERE av.vec_id % 20 = 10
+       |  AND list_max(list_transform(av.v, x -> abs(x))) > 0
+       |ORDER BY av.vec_id NULLS FIRST""".stripMargin
+  }
+
+  /** Q200 — CROSS-CORPUS SIMHASH PROBE: closes the last fingerprint
+    * family without an incremental column — q195's asymmetric shape on
+    * the SimHash band postings ([[TextOps.simhashCrossPairs]]): each
+    * incoming doc (odd ids) probes the EXISTING corpus' (even ids)
+    * banded fingerprints only, so no within-side pair is generated and
+    * the probe is O(slice), sized by the slice's near-dup rate.
+    * Verdict per incoming doc: existing near-dup count + the MIN
+    * existing witness. The oracle is the cross-parity restriction of
+    * q81's pair CTEs — same band/Hamming rules, symmetric-in-SQL vs
+    * sliced-in-Spark; OpsSpec proves cross == symmetric-restricted on
+    * the same corpus (q195's proof shape).
+    */
+  def q200(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents").filter($"doc_id" < 2000)
+    val incoming = docs.filter($"doc_id" % 2 === 1)
+    val existing = docs.filter($"doc_id" % 2 === 0)
+    val pairs = TextOps.simhashCrossPairs(incoming, existing,
+      "doc_id", "text", maxHamming = 3, bits = 32)
+    val agg = pairs.groupBy($"in_id".as("doc_id"))
+      .agg(count(lit(1)).as("n_dup_existing"),
+        min($"ex_id").as("min_dup_existing"))
+    incoming.select($"doc_id")
+      .join(agg, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_dup_existing", lit(0L)).as("n_dup_existing"),
+        $"min_dup_existing")
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  val q200Sql: String = simhashPairCtes + ",\n" +
+    """cp AS (
+      |  SELECT CASE WHEN d1 % 2 = 1 THEN d1 ELSE d2 END AS in_id,
+      |         CASE WHEN d1 % 2 = 1 THEN d2 ELSE d1 END AS ex_id
+      |  FROM shp WHERE (d1 % 2) <> (d2 % 2)),
+      |ag AS (SELECT in_id, COUNT(*) AS n_dup_existing,
+      |              MIN(ex_id) AS min_dup_existing
+      |       FROM cp GROUP BY in_id)
+      |SELECT d.doc_id,
+      |  COALESCE(ag.n_dup_existing, 0) AS n_dup_existing,
+      |  ag.min_dup_existing
+      |FROM documents d LEFT JOIN ag ON ag.in_id = d.doc_id
+      |WHERE d.doc_id % 2 = 1 AND d.doc_id < 2000
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  /** Q201 — COHERENT CORPUS+INDEX RESTORE (the full-system rewind):
+    * q155 rewinds the corpus, q189/q196 rewind an index pair — but a
+    * BAD INGEST WAVE corrupts BOTH (the wave appends its rows to the
+    * corpus `Segmented` AND places them into the serving index), and
+    * rewinding them independently can strand index rows referencing
+    * corpus rows outside the restored state. The full-system verb
+    * restores both targets to ONE logical point on the batch-id clock
+    * they already share, in REFERENCE ORDER — the REFERRER (the index,
+    * whose rows point at corpus ids) rewinds FIRST, the REFERENT (the
+    * corpus) last — so the no-dangling invariant `index ids ⊆ corpus
+    * ids` holds at EVERY intermediate crash point: index-restored-only
+    * leaves the bad corpus rows present but UNREFERENCED (the wave
+    * ignores them — `require`d identical to pre-wave), and the corpus
+    * restore then just drops unreferenced segments. The opposite order
+    * would leave the index pointing at vacuumable corpus rows — the
+    * VersionedTargetSpec row drives exactly that wrong order and
+    * proves the invariant breaks, plus the right order with a crash
+    * between targets. The quantizer never moved (appends change
+    * membership, never geometry), so the index pair's tag keeps
+    * pairing v0 across the whole rewind — q189's argument, inherited.
+    * O(bytes): every restore moves pointers, never data.
+    */
+  def q201(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import graft.ops.VersionedTarget
+    val e = t(spark, dir, "embeddings").coalesce(8)
+    val existing = e.filter($"vec_id" % 10 =!= 0).select($"vec_id", $"embedding")
+    val good = e.filter($"vec_id" % 20 === 0).select($"vec_id", $"embedding")
+    // the bad wave: probe vectors re-arriving under fresh ids — they
+    // cosine-1.0 their originals, so they TOP the pre-restore waves
+    // (the fixture must make the corruption retrievable, else there is
+    // nothing to rewind)
+    val bad = e.filter($"vec_id" < 20)
+      .select(($"vec_id" + lit(900000L)).as("vec_id"), $"embedding")
+    val out = PipelineOps.layoutDir(spark, dir, "systemrestore")
+    val croot = Paths.get(out, "corpus")
+    val aroot = Paths.get(out, "assignments8")
+    val qroot = Paths.get(out, "centroids")
+    Seq(croot, aroot, qroot).foreach { r => // fresh targets per invocation
+      if (Files.exists(r)) VersionedTarget.rmTree(r.toFile)
+      Files.createDirectories(r): Unit
+    }
+    val corpusT = VersionedTarget.Segmented(croot)
+    val assignT = VersionedTarget.Segmented(aroot,
+      partitionCols = Seq("cell"), clusterCommits = true)
+    val centT = VersionedTarget.Rewrite(qroot)
+    val (baseAssign, cent0) = Similarity.kmeansFit(existing, "vec_id",
+      "embedding", k = 8, iters = 2, materialize = false, withVec = true)
+    centT.commit(cent0, 0L)
+    corpusT.commit(existing, 0L)
+    assignT.commit(Similarity.quantizeInt8(baseAssign, "vec_id", "embedding"),
+      0L, tag = Some("v0"))
+    // the GOOD wave (batch 1) and the BAD wave (batch 2), each hitting
+    // BOTH targets on the shared batch-id clock
+    corpusT.commit(good, 1L)
+    Similarity.appendToIndex(good, "vec_id", "embedding", assignT, centT,
+      1L, int8 = true)
+    corpusT.commit(bad, 2L)
+    Similarity.appendToIndex(bad, "vec_id", "embedding", assignT, centT,
+      2L, int8 = true)
+    def noDangling(): Unit = {
+      val dangling = assignT.current(spark).get.select($"vec_id")
+        .join(corpusT.current(spark).get.select($"vec_id"),
+          Seq("vec_id"), "left_anti").count()
+      require(dangling == 0L,
+        s"$dangling index rows reference ids outside the live corpus — " +
+          "the reference-order invariant broke")
+    }
+    def wave(): (Seq[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType) = {
+      val idx8 = assignT.current(spark)
+        .getOrElse(sys.error("int8 index target committed no version"))
+      val corpus = corpusT.current(spark)
+        .getOrElse(sys.error("corpus target committed no version"))
+      val c = Similarity.pairedQuantizer(spark, assignT, centT)
+        .getOrElse(sys.error("no centroid version paired with the served index"))
+      val res = Similarity.ivfTopKServedInt8(idx8, corpus, c, "vec_id",
+          "embedding", e.filter($"vec_id" < 20), k = 3, prefetch = 6,
+          nprobe = 2)
+        .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
+      (res.collect().toSeq, res.schema)
+    }
+    noDangling()
+    // pre-wave state is the GOOD system (batch 1): snapshot it by
+    // serving the restored targets later — first prove the bad wave
+    // actually changed serving
+    val (postBad, schema) = wave()
+    assignT.restore("v1") // REFERRER first: the index stops referencing
+    val (midRewind, _) = wave() // crash point between targets
+    noDangling()
+    corpusT.restore("v1") // REFERENT last: drops now-unreferenced rows
+    val (restored, _) = wave()
+    noDangling()
+    require(postBad != restored,
+      "bad-ingest fixture must change the served wave — nothing to rewind")
+    require(midRewind == restored,
+      "index-restored-only must already serve the pre-wave results (bad " +
+        "corpus rows are unreferenced at the crash point)")
+    require(corpusT.current(spark).get.count() ==
+        existing.count() + good.count(),
+      "restored corpus must be existing + the good wave exactly")
+    // the undone wave's versions are crash-debris-shaped: swept, not served
+    assignT.vacuum(1): Unit
+    corpusT.vacuum(1): Unit
+    val (swept, _) = wave()
+    require(swept == restored,
+      "vacuuming the undone ingest wave changed the served wave")
+    noDangling()
+    spark.createDataFrame(spark.sparkContext.parallelize(restored, 1), schema)
+  }
+
+  /** The pre-bad-wave rule: SQ8 wave fitted on the base, candidacy =
+    * base ∪ the good batch — the bad batch's rows (and their corpus
+    * segments) must be gone from every byte of the output.
+    */
+  val q201Sql: String = sq8WaveSql("vec_id % 10 <> 0",
+    candWhere = "(c.vec_id % 10 <> 0 OR c.vec_id % 20 = 0)")
+
   /** Q194 — INCREMENTAL FEED FROM THE SERVING INDEX: q157's downstream
     * delivery verb ([[graft.ops.VersionedTarget.Segmented.appendedSince]])
     * run on the SQ8 index's `cell=`-partitioned target — the replica
@@ -4538,7 +5035,12 @@ object LlmOps {
     "q193_diversified_pq" -> (q193 _),
     "q194_index_feed" -> (q194 _),
     "q195_winnowed_cross_corpus" -> (q195 _),
-    "q196_pq_index_restore" -> (q196 _))
+    "q196_pq_index_restore" -> (q196 _),
+    "q197_filtered_ann" -> (q197 _),
+    "q198_pq_curated_ingest" -> (q198 _),
+    "q199_pq_index_feed" -> (q199 _),
+    "q200_simhash_cross_corpus" -> (q200 _),
+    "q201_system_restore" -> (q201 _))
 
   def oracles: Map[String, String] = Map(
     "q58_exact_dedup" -> q58Sql,
@@ -4607,5 +5109,10 @@ object LlmOps {
     "q193_diversified_pq" -> q193Sql,
     "q194_index_feed" -> q194Sql,
     "q195_winnowed_cross_corpus" -> q195Sql,
-    "q196_pq_index_restore" -> q196Sql)
+    "q196_pq_index_restore" -> q196Sql,
+    "q197_filtered_ann" -> q197Sql,
+    "q198_pq_curated_ingest" -> q198Sql,
+    "q199_pq_index_feed" -> q199Sql,
+    "q200_simhash_cross_corpus" -> q200Sql,
+    "q201_system_restore" -> q201Sql)
 }

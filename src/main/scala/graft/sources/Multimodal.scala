@@ -612,10 +612,21 @@ object Multimodal {
       }.toDF("path", "width", "height", "ahash", "dhash")
   }
 
+  /** Hot-band multiplier of the scale-aware df cap: a (band, byte)
+    * bucket is degenerate iff its df exceeds `HotBandFactor`× the
+    * uniform expectation n/256 (floored at the caller's `maxDf`).
+    * Shared by [[bandedHammingPairs]] and the streaming gates' static
+    * index cap; the oracle CTEs replay the same
+    * `GREATEST(maxDf, CEIL(HotBandFactor·n/256))` rule.
+    */
+  val HotBandFactor: Int = 4
+
   /** Near-duplicate PAIRS over ANY 64-bit perceptual fingerprint: the
     * q81 pigeonhole band machinery — 8 byte-wide bands on `hashCol`
-    * (recall-complete for Hamming ≤ 7: ≤ 7 differing bits dirty at most
-    * 7 of the 8 bands), equi-join on (band, band-value), exact
+    * (pigeonhole-complete for Hamming ≤ 7 over LIVE buckets: ≤ 7
+    * differing bits dirty at most 7 of the 8 bands; the declared
+    * hot-band df cap below can still drop a pair whose every shared
+    * band is degenerate), equi-join on (band, band-value), exact
     * `bit_count(xor)` post-filter at `maxHamming`. The `rideCol`
     * Hamming rides along as a second signal (free once the pair is a
     * candidate). Modality-agnostic by construction — the image aHash
@@ -623,22 +634,39 @@ object Multimodal {
     * 100 TB of media the band join shuffles only (band, byte, id)
     * triples — never pixels or samples, never all-pairs.
     *
-    * `maxDf` is the DECLARED hot-band frequency cap (the q172
-    * stop-fingerprint rule ported to bands): a (band, byte-value)
-    * bucket whose document frequency exceeds `maxDf` is dropped from
-    * candidacy BY RULE before the self-join. Real corpora are
-    * degenerate — flat-color images collapse aHash bytes to 0x00/0xFF,
-    * silence collapses frame-energy bands — and a degenerate bucket's
+    * The DECLARED hot-band frequency cap (the q172 stop-fingerprint
+    * rule ported to bands): a (band, byte-value) bucket whose document
+    * frequency exceeds the effective cap is dropped from candidacy BY
+    * RULE before the self-join. Real corpora are degenerate —
+    * flat-color images collapse aHash bytes to 0x00/0xFF, silence
+    * collapses frame-energy bands — and a degenerate bucket's
     * candidate OUTPUT is O(bucket²), which AQE cannot help with (it
-    * splits partitions, not join products). The cap bounds candidate
-    * volume at 8·n·maxDf pairs; the recall trade is explicit: a true
-    * near-dup pair whose EVERY shared band is hotter than `maxDf` is
-    * dropped (with ≤ `maxHamming` ≤ 6 differing bits a pair shares
-    * ≥ 2 of the 8 bands, so it survives unless all its shared bands
-    * are degenerate — the boilerplate-≠-duplication argument of MOSS
-    * stop-fingerprints). The df aggregate lands in ≤ 8·256 = 2048
-    * groups and broadcasts back, so the guard costs one map-side
-    * combine, never a wide shuffle.
+    * splits partitions, not join products).
+    *
+    * The effective cap is SCALE-AWARE:
+    * `max(maxDf, ceil(HotBandFactor · n / 256))` where n is the corpus'
+    * fingerprint count — i.e. a bucket is degenerate iff it is hotter
+    * than [[HotBandFactor]]× the uniform expectation n/256 per band,
+    * with `maxDf` as the small-corpus FLOOR. An ABSOLUTE cap would be
+    * wrong at scale: each band has only 256 values, so the average
+    * bucket df is n/256 and beyond n ≈ 256·maxDf/HotBandFactor every
+    * bucket would exceed a fixed cap, silently collapsing recall to
+    * zero — the relative rule drops only buckets far above expectation
+    * at EVERY corpus size. Candidate volume is bounded at 8·n·effCap;
+    * because the 8-bit band space saturates, that bound grows as
+    * O(n²/64) for n ≫ 768 — the inherent banding quadratic of 64-bit
+    * fingerprints, and the signal to move to wider fingerprints/bands
+    * when a corpus outgrows this operator's sweet spot. The recall
+    * trade stays explicit: a true near-dup pair whose EVERY shared
+    * band is hotter than the effective cap is dropped (with ≤
+    * `maxHamming` ≤ 6 differing bits a pair shares ≥ 2 of the 8 bands,
+    * so it survives unless all its shared bands are degenerate — the
+    * boilerplate-≠-duplication argument of MOSS stop-fingerprints).
+    * The df aggregate lands in ≤ 8·256 = 2048 groups — driver-size BY
+    * DESIGN — so it LOCALIZES (the quantizer-literal pattern): one
+    * map-side-combined job yields the corpus size AND the live-bucket
+    * set, which rejoins as a broadcast literal frame; the guard never
+    * adds a wide shuffle or a cross join to the pinned plan.
     */
   def bandedHammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
                          rideCol: String, maxHamming: Int,
@@ -653,11 +681,25 @@ object Multimodal {
         col(rideCol).as("__r"), explode(sequence(lit(0), lit(7))).as("band"))
       .withColumn("bv", expr("shiftright(__h, band * 8) & 255"))
       .persist())
-    // ≤ 2048 live (band, bv) buckets — always broadcastable
-    val live = banded.groupBy(col("band"), col("bv"))
-      .agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxDf)
-      .select(col("band"), col("bv"))
+    // ≤ 2048 (band, bv) df groups — driver-size BY DESIGN, so the agg
+    // LOCALIZES (the quantizer-literal pattern): one job over the
+    // persisted banded frame yields both the corpus size (each
+    // fingerprint contributes exactly 8 banded rows, n = Σdf/8) and the
+    // live-bucket set under the scale-aware effective cap, which
+    // rejoins as a broadcast literal frame — no extra scan, no cross
+    // join in the pinned plan
+    val dfRows = banded.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("__df")).collect()
+      .map(r => (r.getAs[Number](0).intValue, r.getAs[Number](1).longValue,
+        r.getLong(2)))
+    val n = dfRows.map(_._3).sum / 8L
+    val effCap = math.max(maxDf.toLong,
+      math.ceil(HotBandFactor.toDouble * n / 256.0).toLong)
+    val spark = hashes.sparkSession
+    import spark.implicits._
+    val live = dfRows.filter(_._3 <= effCap)
+      .map { case (band, bv, _) => (band, bv) }.toSeq
+      .toDF("band", "bv")
     val kept = banded.join(broadcast(live), Seq("band", "bv"))
     val a = kept.select(col("__id").as("d1"), col("__h").as("h1"),
       col("__r").as("r1"), col("band"), col("bv"))

@@ -622,4 +622,37 @@ class ExecLayerSpec extends SparkSpec {
     assert(p.collect().map(r => (r.getLong(0), r.getString(1))).toSet
       == Set((1L, "a"), (2L, "b")))
   }
+
+  test("engine-url pass-through: a NON-built-in scheme reaches the DataSource " +
+      "registry verbatim — orc:// (not in the scheme table) round-trips, and " +
+      "a bogus scheme fails with the registry's lookup error, not a parse error") {
+    import graft.connect.EngineUrl
+    import spark.implicits._
+    val ctx = EngineContext(spark, Map("out" -> s"${sys.props("java.io.tmpdir")}/graft_test"))
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    // orc hits the `case other` fallback (EngineUrl.parse forwards the
+    // scheme as the format name) — a real columnar DataSource the scheme
+    // table never mentions, proving the "any DataSource name" claim
+    assert(EngineUrl.parse("orc:///x", EngineContext(spark, Map.empty)).format == "orc")
+    EngineUrl.write(df, "orc://{out}/kv_orc", ctx)
+    val o = EngineUrl.read(spark, "orc://{out}/kv_orc", ctx)
+    assert(o.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      == df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(o.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      == Set((1L, "a"), (2L, "b")))
+    // writer options flow through the pass-through too (orc compression)
+    EngineUrl.write(df, "orc://{out}/kv_orc_z?compression=zlib", ctx)
+    val files = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_test/kv_orc_z")
+      .listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".zlib.orc")),
+      s"compression option did not reach the orc writer: ${files.toSeq}")
+    // an unknown scheme must surface Spark's DataSource lookup error —
+    // the pass-through forwards it, it does not invent formats
+    val e = intercept[Exception] {
+      EngineUrl.read(spark, "nosuchformat://{out}/whatever", ctx)
+    }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("nosuchformat") || e.getMessage.contains("Failed to find")),
+      s"expected the registry's lookup failure, got: ${e.getMessage}")
+  }
 }

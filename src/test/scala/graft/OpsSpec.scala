@@ -487,6 +487,61 @@ class OpsSpec extends SparkSpec {
     } finally assign.unpersist(): Unit
   }
 
+  test("filtered ANN serving: pre-filter inside the cell scan + selectivity-" +
+      "scaled knobs — recall at a <=10% predicate meets the unfiltered floor, " +
+      "beats post-filtering, and exhaustive knobs equal brute-force-filtered") {
+    import spark.implicits._
+    val e = graft.core.Tables.t(spark, sfDir, "embeddings")
+    // the selective predicate: ~10% pass rate, the regime where
+    // post-filtering a k-list collapses (k·s surviving hits)
+    val allowed = e.filter($"vec_id" % 10 === 3).select($"vec_id")
+    val probes = e.filter($"vec_id" < 20)
+    val (assign, centDF) = Similarity.kmeansFit(e, "vec_id", "embedding",
+      k = 8, iters = 2, materialize = true, withVec = true)
+    try {
+      val cent = Similarity.localize(centDF)
+      val idx8 = Similarity.quantizeInt8(assign, "vec_id", "embedding")
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.select("probe_id", "cand_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val truthF = pairs(Similarity.bruteForceTopK(probes,
+        e.join(allowed, Seq("vec_id"), "left_semi"), "vec_id", "embedding", k = 3))
+      val truthU = pairs(Similarity.bruteForceTopK(probes, e,
+        "vec_id", "embedding", k = 3))
+      // REAL serving knobs on both waves — the selectivity scaling is
+      // the filtered wave's own job, not the caller's
+      val waveU = Similarity.ivfTopKServedInt8(idx8, e, cent,
+        "vec_id", "embedding", probes, k = 3, prefetch = 6, nprobe = 2)
+      val waveF = Similarity.ivfTopKServedInt8Filtered(idx8, e, cent,
+        "vec_id", "embedding", probes, allowed, k = 3, prefetch = 6, nprobe = 2)
+      val recallU = (truthU & pairs(waveU)).size.toDouble / truthU.size
+      val recallF = (truthF & pairs(waveF)).size.toDouble / truthF.size
+      // the WRONG design the verb exists to replace: post-filter the
+      // unfiltered top-k — at s ~ 0.1 almost no allowed hit survives
+      val post = pairs(waveU.join(allowed.select($"vec_id".as("cand_id")),
+        Seq("cand_id"), "left_semi"))
+      val recallPost = (truthF & post).size.toDouble / truthF.size
+      assert(recallF >= recallU,
+        f"filtered recall $recallF%.3f fell below the unfiltered floor " +
+          f"$recallU%.3f — the selectivity-scaled knobs must compensate")
+      assert(recallF > recallPost,
+        f"pre-filtering ($recallF%.3f) must beat post-filtering " +
+          f"($recallPost%.3f) at a selective predicate")
+      // degenerate contract: every cell probed + prefetch covering the
+      // whole allowed set == the brute-force-filtered wave EXACTLY
+      val exhaustive = Similarity.ivfTopKServedInt8Filtered(idx8, e, cent,
+          "vec_id", "embedding", probes, allowed, k = 3,
+          prefetch = 500, nprobe = 8)
+        .orderBy($"probe_id", $"rn").collect().toSeq
+      val bruteF = Similarity.bruteForceTopK(probes,
+          e.join(allowed, Seq("vec_id"), "left_semi"), "vec_id", "embedding",
+          k = 3)
+        .orderBy($"probe_id", $"rn").collect().toSeq
+      assert(exhaustive == bruteF,
+        "exhaustive filtered wave must equal brute-force-filtered rows exactly")
+    } finally assign.unpersist(): Unit
+  }
+
   test("q142 persisted-index ANN: identical rows to the refit q82 twin, and the " +
       "index artifacts really land on disk partitioned by cell") {
     import graft.queries.LlmOps
@@ -1220,6 +1275,36 @@ class OpsSpec extends SparkSpec {
     assert(cross.forall { case (in, ex, _, _) => in % 2 == 1 && ex % 2 == 0 })
   }
 
+  test("simhashCrossPairs (q200): the asymmetric band probe equals the " +
+      "symmetric join restricted to cross-parity pairs — same fingerprint, " +
+      "same bands, no within-side pair ever generated") {
+    import spark.implicits._
+    val docs = graft.core.Tables.t(spark, sfDir, "documents")
+      .filter($"doc_id" < 2000)
+    val incoming = docs.filter($"doc_id" % 2 === 1)
+    val existing = docs.filter($"doc_id" % 2 === 0)
+    val cross = graft.ops.TextOps.simhashCrossPairs(incoming, existing,
+        "doc_id", "text", maxHamming = 3, bits = 32)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    val sym = graft.ops.TextOps.simhashNearDupPairs(docs, "doc_id", "text",
+        maxHamming = 3, bits = 32)
+      .filter($"d1" % 2 =!= $"d2" % 2)
+      .collect()
+      .map { r =>
+        val (d1, d2) = (r.getLong(0), r.getLong(1))
+        val (in, ex) = if (d1 % 2 == 1) (d1, d2) else (d2, d1)
+        (in, ex, r.getInt(2))
+      }
+      .toSet
+    assert(cross.nonEmpty, "fixture must exercise at least one cross pair")
+    assert(cross == sym,
+      s"cross probe diverged from the symmetric restriction: " +
+        s"only-cross=${(cross -- sym).take(5)} only-sym=${(sym -- cross).take(5)}")
+    assert(cross.forall { case (in, ex, _) => in % 2 == 1 && ex % 2 == 0 })
+  }
+
   test("q192 oracle gate: the SimHash pair graph's min-label unrolling " +
       "converges within 6 rounds at the ORACLE's sf0.01 fixture (measured " +
       "5 at sf0.01 AND sf0.1 — the margin the unrolled oracle rests on)") {
@@ -1822,6 +1907,81 @@ class OpsSpec extends SparkSpec {
     } finally exAssign.unpersist(): Unit
   }
 
+  test("curated streaming ingest verb on the PQ lifecycle (q198): verdicts " +
+      "read the EXISTING corpus only, a dup arrival never enters the coded " +
+      "index, keepers land as PQ segments, redeliveries are skipped, and " +
+      "the streamed coded index equals the one-shot encoding") {
+    import java.nio.file.Files
+    import graft.ops.VersionedTarget
+    val e = graft.core.Tables.t(spark, sfDir, "embeddings").coalesce(4)
+    val existing = e.filter($"vec_id" % 10 =!= 0)
+    val delta = e.filter($"vec_id" % 10 === 0)
+    val aroot = Files.createTempDirectory("graft_pq_cur_a")
+    val broot = Files.createTempDirectory("graft_pq_cur_b")
+    val assignT = VersionedTarget.Segmented(aroot, partitionCols = Seq("cell"))
+    val bundleT = VersionedTarget.Rewrite(broot)
+    val (exAssign, coarseDF) = Similarity.kmeansFit(existing, "vec_id",
+      "embedding", k = 8, iters = 2, materialize = true, withVec = true)
+    try {
+      val coarse = Similarity.localize(coarseDF)
+      val books = Similarity.pqFit(existing, "vec_id", "embedding",
+        dim = 64, m = 4, codes = 16, iters = 2)
+      bundleT.commit(Similarity.pqBundleDF(spark, coarse, books), 0L)
+      assignT.commit(Similarity.pqEncode(existing, "vec_id", "embedding",
+        books, coarse, dim = 64), 0L, tag = Some("v0"))
+      val ingest = graft.queries.LlmOps.ingestCuratedBatchPq(
+        assignT, bundleT, exAssign, coarse, 64) _
+      // plant a GUARANTEED semantic dup (cosine 1.0 with its original)
+      val planted = existing.orderBy($"vec_id".asc).limit(1)
+        .select(lit(900001L).as("vec_id"), $"embedding", $"label")
+      val b0 = delta.filter($"vec_id" % 20 === 0).union(planted)
+      val b1 = delta.filter($"vec_id" % 20 === 10)
+      ingest(b0, 0L)
+      val afterB0 = VersionedTarget.currentVersion(aroot).get
+      ingest(b0, 0L) // redelivered micro-batch: exactly-once skip
+      assert(VersionedTarget.currentVersion(aroot).contains(afterB0),
+        "a redelivered curated micro-batch must not advance the PQ index")
+      ingest(b1, 1L)
+      val ver = VersionedTarget.currentVersion(aroot).get
+      assert(assignT.segmentsOf(ver) == Seq("seg0", "seg1", "seg2"),
+        s"expected base + one keeper segment per batch, got ${assignT.segmentsOf(ver)}")
+      assert(assignT.currentTag.contains("v0"),
+        "PQ curated appends must inherit the build's bundle tag")
+      val arrivals = delta.union(planted)
+      val dupIds = Similarity.semanticCrossPairs(
+          Similarity.assignToCentroids(arrivals, coarse, "vec_id",
+            "embedding", withVec = true), exAssign,
+          "vec_id", "embedding", minCos6 = 0.4)
+        .select($"in_id").collect().map(_.getLong(0)).toSet
+      assert(dupIds.contains(900001L),
+        "the planted re-arrival must verdict as a semantic dup")
+      val members = assignT.current(spark).get.select($"vec_id")
+        .collect().map(_.getLong(0)).toSet
+      val exIds = existing.select($"vec_id").collect().map(_.getLong(0)).toSet
+      val arrIds = arrivals.select($"vec_id").collect().map(_.getLong(0)).toSet
+      assert(members == exIds ++ (arrIds -- dupIds),
+        "curated PQ membership must be existing + non-dup arrivals exactly")
+      assert(!members.contains(900001L),
+        "a dup arrival became index-retrievable through the curated PQ gate")
+      // batch boundaries cannot change a tag-pinned code: the streamed
+      // coded index equals one-shot-encoding the curated membership
+      def key(r: Row): (Long, Long, Seq[Byte]) =
+        (r.getAs[Number]("vec_id").longValue,
+          r.getAs[Number]("cell").longValue,
+          r.getAs[Seq[Byte]]("codes").toVector)
+      val keepers = arrivals.filter(!$"vec_id".isin(dupIds.toSeq: _*))
+      val oneShot = Similarity.pqEncode(
+          existing.unionByName(keepers), "vec_id", "embedding",
+          books, coarse, dim = 64)
+        .collect().map(key).toSet
+      val streamed = assignT.current(spark).get
+        .select($"vec_id", $"cell", $"codes")
+        .collect().map(key).toSet
+      assert(streamed == oneShot,
+        "the streamed curated PQ index diverged from the one-shot encoding")
+    } finally exAssign.unpersist(): Unit
+  }
+
   test("int8 streaming ingest verb (q165): batches land as quantized " +
       "segments, redeliveries are skipped, the streamed int8 index equals " +
       "the one-shot quantization, and a racing refit re-places the " +
@@ -2231,7 +2391,11 @@ class OpsSpec extends SparkSpec {
       }
     val names = rows.map(_._1).sorted
     // the rule, mirrored independently: candidate iff SOME shared band
-    // value has df <= cap; pair iff candidate AND Hamming <= 6
+    // value has df <= the scale-aware effective cap
+    // max(floor, ceil(HotBandFactor·n/256)); pair iff candidate AND
+    // Hamming <= 6 (at n = 40 the corpus term is 1, so effCap == floor)
+    def effCap(floor: Int): Long = math.max(floor.toLong,
+      math.ceil(Multimodal.HotBandFactor.toDouble * names.size / 256.0).toLong)
     def dfOf(band: Int, bv: Long): Int =
       names.count(n => ((fps(n) >> (band * 8)) & 255L) == bv)
     def reference(cap: Int): Set[(String, String)] = (for {
@@ -2239,7 +2403,7 @@ class OpsSpec extends SparkSpec {
       if java.lang.Long.bitCount(fps(a) ^ fps(b)) <= 6
       if (0 until 8).exists { band =>
         val va = (fps(a) >> (band * 8)) & 255L
-        va == ((fps(b) >> (band * 8)) & 255L) && dfOf(band, va) <= cap
+        va == ((fps(b) >> (band * 8)) & 255L) && dfOf(band, va) <= effCap(cap)
       }
     } yield (a, b)).toSet
     val capped = pairsAt(12)
@@ -2271,6 +2435,10 @@ class OpsSpec extends SparkSpec {
     for ((corpus, cap) <- samples(Gen.zip(genCorpus, Gen.oneOf(1, 2, 3, 18)), 4)) {
       val fps = corpus.toMap
       val names = corpus.map(_._1).sorted
+      // effective cap = max(floor, ceil(HotBandFactor·n/256)) — the
+      // corpus term is 1 at these sizes, so effCap == the drawn floor
+      val effCap = math.max(cap.toLong,
+        math.ceil(Multimodal.HotBandFactor.toDouble * names.size / 256.0).toLong)
       def dfOf(band: Int, bv: Long): Int =
         names.count(n => ((fps(n) >> (band * 8)) & 255L) == bv)
       val expected = (for {
@@ -2278,7 +2446,7 @@ class OpsSpec extends SparkSpec {
         if java.lang.Long.bitCount(fps(a) ^ fps(b)) <= 6
         if (0 until 8).exists { band =>
           val va = (fps(a) >> (band * 8)) & 255L
-          va == ((fps(b) >> (band * 8)) & 255L) && dfOf(band, va) <= cap
+          va == ((fps(b) >> (band * 8)) & 255L) && dfOf(band, va) <= effCap
         }
       } yield (a, b)).toSet
       val got = graft.core.CacheScope.scoped {
@@ -2292,5 +2460,44 @@ class OpsSpec extends SparkSpec {
         s"cap=$cap diverged from the rule: missed ${(expected -- got).take(5)} " +
           s"fabricated ${(got -- expected).take(5)}")
     }
+  }
+
+  test("banded Hamming pairs AT SCALE: the df cap tracks corpus size — a " +
+      "uniform 4096-fingerprint corpus (every bucket df = 16 > the old " +
+      "absolute 12) keeps FULL recall under the scale-aware cap") {
+    import graft.sources.Multimodal
+    // 256 groups × 16 members; group g's fingerprint has band-b byte
+    // (g + 31·b) % 256, so EVERY (band, bv) bucket has df exactly 16.
+    // Under the retired absolute cap (12) every bucket would be hot and
+    // candidacy would collapse to ZERO pairs — the failure mode the
+    // scale-aware rule exists to prevent: effCap =
+    // max(12, ceil(4·4096/256)) = 64, so every bucket stays live.
+    def fpOf(g: Int): Long =
+      (0 until 8).map(b => ((g + 31 * b) % 256).toLong << (b * 8)).sum
+    val rows = for (g <- 0 until 256; m <- 0 until 16)
+      yield (f"g$g%03d_m$m%02d", fpOf(g))
+    val n = rows.size
+    assert(n == 4096)
+    val effCap = math.max(12L,
+      math.ceil(Multimodal.HotBandFactor.toDouble * n / 256.0).toLong)
+    assert(effCap == 64L && effCap > 16L,
+      "fixture must sit in the regime where the absolute cap would drop " +
+        "every bucket but the scale-aware cap keeps them all")
+    // within-group members are IDENTICAL (Hamming 0); cross-group pairs
+    // differ in all 8 bands (>= 1 bit each), so Hamming >= 8 > 6 — the
+    // expected output is exactly the C(16,2) ordered pairs per group
+    val got = graft.core.CacheScope.scoped {
+      Multimodal.bandedHammingPairs(
+          rows.toDF("fname", "afp").withColumn("dfp", col("afp")),
+          "fname", "afp", "dfp", maxHamming = 6)
+        .select(col("d1"), col("d2")).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    }
+    val expected = (for {
+      g <- 0 until 256; a <- 0 until 16; b <- (a + 1) until 16
+    } yield (f"g$g%03d_m$a%02d", f"g$g%03d_m$b%02d")).toSet
+    assert(got.size == 256 * 120 && got == expected,
+      s"scale-aware cap lost recall at n=4096: got ${got.size} of " +
+        s"${expected.size} within-group pairs")
   }
 }

@@ -413,6 +413,27 @@ class PlanSpec extends SparkSpec {
       s"the df-cap live-bucket guard did not broadcast:\n$pCap")
   }
 
+  test("q197 filtered ANN: the metadata predicate is a semi-join BELOW the " +
+      "cell join (pre-filter inside the cell scan, never a post-filter on " +
+      "the top-k), and nothing explodes to all pairs") {
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = LlmOps.q197(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q197 filtered wave exploded to all pairs:\n$p")
+    val lp = df.queryExecution.optimizedPlan
+    val cellJoins = lp.collect {
+      case j: Join if j.condition.exists(_.references.exists(_.name == "cell")) => j
+    }
+    assert(cellJoins.nonEmpty, s"no cell equi-join in the filtered wave:\n$lp")
+    assert(cellJoins.exists(_.collect {
+        case s: Join if s.joinType == LeftSemi => s
+      }.nonEmpty),
+      s"the predicate semi-join is not BELOW the cell join — a post-filter " +
+        s"would decimate recall at selective predicates:\n$lp")
+  }
+
   test("q184 incremental SemDeDup: the cross-side pair generation is an " +
       "equi-join on cell, never cartesian") {
     val p = plan(CurationOps.q184(spark, sfDir))

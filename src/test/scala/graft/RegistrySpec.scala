@@ -31,9 +31,9 @@ class RegistrySpec extends SparkSpec {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
-  test("the full surface covers the SURVEY ids Q01..Q72 + r2..r17 additions") {
+  test("the full surface covers the SURVEY ids Q01..Q72 + r2..r18 additions") {
     val ids = Registry.all.keySet.map(_.takeWhile(_ != '_'))
-    val expected = (1 to 196).map(i => f"q$i%02d").toSet
+    val expected = (1 to 201).map(i => f"q$i%02d").toSet
     assert(ids == expected, s"missing: ${expected -- ids}, extra: ${ids -- expected}")
   }
 
@@ -54,12 +54,13 @@ class RegistrySpec extends SparkSpec {
     // actual worst width — 3 chars at EVERY ladder rung ("9.9" 1dp /
     // "98" int / "99" clamp) — and keys drop the "q" prefix like the
     // line does (full names live in the detail file).
-    // model = the ACTUAL emission at its widest: zero-trimmed keys,
+    // model = the ACTUAL emission at its widest: base-36 ordinal keys
+    // (r18 — the decimal model hit exactly 2000 B at 200 queries),
     // 3-char values, both "go look" flags present (r17: absent when
     // noisy=0 / cont=false, so this is the worst case, not the typical)
     val worst = SparkEntry.queries.keys.toSeq.sorted
-      .map(k => "\"" + k.takeWhile(_ != '_').stripPrefix("q")
-        .replaceFirst("^0+", "") + "\":9.9")
+      .map(k => "\"" + Integer.toString(
+        k.takeWhile(_ != '_').stripPrefix("q").toInt, 36) + "\":9.9")
       .mkString("{", ",", "}")
     val line = s"""{"metric":"total_warm_sec","value":99999.99,"unit":"sec","queries":$worst,"noisy":999,"cont":true,"sf":"sf0.001"}"""
     assert(line.length < 2000, s"bench line would be ${line.length}B — shrink keys or precision")

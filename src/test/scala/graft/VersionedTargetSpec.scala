@@ -1155,4 +1155,44 @@ class VersionedTargetSpec extends SparkSpec {
     assignT.rebase(df(4L), 4L, Some("v4"))
     assert(pairedIds() == Set(400L))
   }
+
+  test("full-system rewind (q201's verb): the REFERRER (index) restores " +
+      "BEFORE the REFERENT (corpus), so no index row ever references a " +
+      "rewound corpus id at any crash point — and the opposite order " +
+      "provably breaks the invariant") {
+    val croot = Files.createTempDirectory("graft_vt_sys_c")
+    val aroot = Files.createTempDirectory("graft_vt_sys_a")
+    val corpusT = VersionedTarget.Segmented(croot)
+    val indexT = VersionedTarget.Segmented(aroot)
+    // a shared batch-id clock: every wave hits BOTH targets; index rows
+    // REFERENCE corpus ids (here: the same id space)
+    corpusT.commit(df(1L), 0L); indexT.commit(df(1L), 0L)
+    corpusT.commit(df(2L), 1L); indexT.commit(df(2L), 1L) // the good wave
+    corpusT.commit(df(3L), 2L); indexT.commit(df(3L), 2L) // the BAD wave
+    def ids(t: VersionedTarget.Segmented): Set[Long] =
+      t.current(spark).get.select($"id").collect().map(_.getLong(0)).toSet
+    def dangling(): Set[Long] = ids(indexT) -- ids(corpusT)
+    assert(dangling().isEmpty)
+    // WRONG order — corpus first: the crash point between the two
+    // restores leaves the index referencing rows the corpus no longer
+    // serves (and the next corpus vacuum would delete their bytes)
+    corpusT.restore("v1")
+    assert(dangling() == Set(3L),
+      "corpus-first rewind must strand index references at the crash " +
+        "point — this is WHY the verb restores the referrer first")
+    indexT.restore("v1") // completing the rewind heals the system
+    assert(dangling().isEmpty)
+    // re-corrupt, then the RIGHT order — index first: the invariant
+    // holds at the very same crash point (bad corpus rows are merely
+    // unreferenced until the corpus restore drops them)
+    corpusT.commit(df(4L), 3L); indexT.commit(df(4L), 3L)
+    assert(ids(indexT) == Set(1L, 2L, 4L))
+    indexT.restore("v1")
+    assert(dangling().isEmpty,
+      "index-first rewind keeps every reference resolvable at the crash point")
+    corpusT.restore("v1")
+    assert(dangling().isEmpty)
+    assert(ids(indexT) == Set(1L, 2L) && ids(corpusT) == Set(1L, 2L),
+      "the full-system rewind must land both targets on the good wave")
+  }
 }
