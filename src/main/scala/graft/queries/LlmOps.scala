@@ -4528,6 +4528,60 @@ object LlmOps {
       |SELECT probe_id, cand_id, cos6, rn FROM ranked WHERE rn <= 10
       |ORDER BY probe_id NULLS FIRST, rn NULLS FIRST""".stripMargin
 
+  /** Q202 — FILTERED ANN ON THE PQ PAYLOAD: q197's predicate verb on
+    * the coded index ([[Similarity.ivfTopKServedPQFiltered]]) — the
+    * payload a 100 TB fleet actually serves, so the filter verb must
+    * not trail there either. Same contract: the documents-side source
+    * gate pre-filters the code rows INSIDE the cell scan, knobs scale
+    * with measured selectivity, and the oracle gate runs the wave at
+    * its exact degenerate point (all cells probed, prefetch covering
+    * the allowed set — the exact re-rank strips ADC error BY
+    * CONSTRUCTION), hash-matching a brute-force-filtered twin. The
+    * float path shares the factoring ([[Similarity.ivfTopKServedFromFiltered]],
+    * OpsSpec-rowed), completing the verb across all three payloads.
+    */
+  def q202(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents")
+    val e = t(spark, dir, "embeddings").coalesce(8)
+    val out = PipelineOps.layoutDir(spark, dir, "filteredannpq")
+    val (_, coarseDF) = Similarity.kmeansFit(e, "vec_id", "embedding",
+      k = 8, iters = 2, materialize = false, withVec = false)
+    val coarse = Similarity.localize(coarseDF)
+    val books = Similarity.pqFit(e, "vec_id", "embedding",
+      dim = 64, m = 4, codes = 16, iters = 2)
+    Similarity.pqEncode(e, "vec_id", "embedding", books, coarse, dim = 64)
+      .repartition(col("cell")).write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$out/codes")
+    val idx = spark.read.parquet(s"$out/codes")
+    val allowed = docs.filter($"source" < "src2" && $"source" >= "src1")
+      .select($"doc_id".as("vec_id"))
+    Similarity.ivfTopKServedPQFiltered(idx, e, books, coarse,
+        "vec_id", "embedding", e.filter($"vec_id" < 10), allowed,
+        k = 10, prefetch = 250, nprobe = 8, dim = 64)
+      .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
+  }
+
+  /** The brute-force-FILTERED twin over the source gate (q197's shape,
+    * different predicate so the two filtered queries don't share an
+    * answer key).
+    */
+  val q202Sql: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |allowed AS (SELECT doc_id AS vec_id FROM documents
+      |            WHERE source < 'src2' AND source >= 'src1'),
+      |scored AS (
+      |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+      |    ROUND(list_dot_product(p.v, c.v) / (SQRT(list_dot_product(p.v, p.v)) * SQRT(list_dot_product(c.v, c.v))), 6) AS cos6
+      |  FROM e p JOIN e c ON p.vec_id < 10 AND p.vec_id <> c.vec_id
+      |  JOIN allowed a ON a.vec_id = c.vec_id),
+      |ranked AS (
+      |  SELECT probe_id, cand_id, cos6,
+      |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos6 DESC, cand_id ASC) AS rn
+      |  FROM scored)
+      |SELECT probe_id, cand_id, cos6, rn FROM ranked WHERE rn <= 10
+      |ORDER BY probe_id NULLS FIRST, rn NULLS FIRST""".stripMargin
+
   /** Q198 — CONTINUOUS CURATED INGEST ON THE PQ LIFECYCLE: q190's
     * place→verdict→append streaming loop with the PQ index as the
     * payload — the index a 100 TB fleet actually serves (m bytes per
@@ -5040,7 +5094,8 @@ object LlmOps {
     "q198_pq_curated_ingest" -> (q198 _),
     "q199_pq_index_feed" -> (q199 _),
     "q200_simhash_cross_corpus" -> (q200 _),
-    "q201_system_restore" -> (q201 _))
+    "q201_system_restore" -> (q201 _),
+    "q202_filtered_ann_pq" -> (q202 _))
 
   def oracles: Map[String, String] = Map(
     "q58_exact_dedup" -> q58Sql,
@@ -5114,5 +5169,6 @@ object LlmOps {
     "q198_pq_curated_ingest" -> q198Sql,
     "q199_pq_index_feed" -> q199Sql,
     "q200_simhash_cross_corpus" -> q200Sql,
-    "q201_system_restore" -> q201Sql)
+    "q201_system_restore" -> q201Sql,
+    "q202_filtered_ann_pq" -> q202Sql)
 }

@@ -539,6 +539,14 @@ class OpsSpec extends SparkSpec {
         .orderBy($"probe_id", $"rn").collect().toSeq
       assert(exhaustive == bruteF,
         "exhaustive filtered wave must equal brute-force-filtered rows exactly")
+      // the float payload shares the factoring: exhaustive nprobe over
+      // the self-contained float index equals brute-force-filtered too
+      // (single-stage — scores read the index's own full-precision rows)
+      val floatEx = Similarity.ivfTopKServedFromFiltered(probes, assign,
+          cent, "vec_id", "embedding", allowed, k = 3, nprobe = 8)
+        .orderBy($"probe_id", $"rn").collect().toSeq
+      assert(floatEx == bruteF,
+        "exhaustive float filtered wave must equal brute-force-filtered rows")
     } finally assign.unpersist(): Unit
   }
 
