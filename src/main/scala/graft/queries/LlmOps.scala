@@ -4502,9 +4502,13 @@ object LlmOps {
     val idx8 = spark.read.parquet(s"$out/assignments8")
     val cent = Similarity.localize(spark.read.parquet(s"$out/centroids"))
     val allowed = docs.filter($"lang" === "en").select($"doc_id".as("vec_id"))
+    // the declared degenerate point must hold AT EVERY SCALE, not by
+    // fixture coincidence: prefetch = |corpus| makes ceil(prefetch/s)
+    // >= |allowed| always, so the clamp re-ranks the WHOLE allowed set
+    // and the wave equals brute-force-filtered by construction
     Similarity.ivfTopKServedInt8Filtered(idx8, e, cent,
         "vec_id", "embedding", e.filter($"vec_id" < 10), allowed,
-        k = 10, prefetch = 250, nprobe = 8)
+        k = 10, prefetch = e.count().toInt, nprobe = 8)
       .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
   }
 
@@ -4556,9 +4560,12 @@ object LlmOps {
     val idx = spark.read.parquet(s"$out/codes")
     val allowed = docs.filter($"source" < "src2" && $"source" >= "src1")
       .select($"doc_id".as("vec_id"))
+    // prefetch = |corpus|: the scale-proof degenerate point (q197's
+    // rule) — at sf0.1 a fixture-sized prefetch left the scaled width
+    // below |allowed| and ADC error cost one true top-10 row
     Similarity.ivfTopKServedPQFiltered(idx, e, books, coarse,
         "vec_id", "embedding", e.filter($"vec_id" < 10), allowed,
-        k = 10, prefetch = 250, nprobe = 8, dim = 64)
+        k = 10, prefetch = e.count().toInt, nprobe = 8, dim = 64)
       .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
   }
 
@@ -4924,6 +4931,228 @@ object LlmOps {
   val q201Sql: String = sq8WaveSql("vec_id % 10 <> 0",
     candWhere = "(c.vec_id % 10 <> 0 OR c.vec_id % 20 = 0)")
 
+  /** Q203 — COHERENT CROSS-TARGET TAKEDOWN (system-wide erasure):
+    * q176/q177 proved `deleteWhere` per target; the right-to-be-
+    * forgotten request a 100 TB pipeline actually receives erases an
+    * id set from the WHOLE system — the corpus `Segmented` AND the
+    * serving index — and the two deletions follow q201's REFERENCE
+    * ORDER, mirrored for removal: the REFERRER (the index) deletes
+    * FIRST (the id stops being servable before its bytes move), the
+    * REFERENT (the corpus) second, so `index ids ⊆ corpus ids` holds
+    * at every crash point (deleting the corpus first would leave the
+    * index referencing vanished rows — the q201 VersionedTargetSpec
+    * row proves that order breaks the invariant). Three proofs ride
+    * in-query: (1) candidacy — no erased id is served after the index
+    * delete, and the corpus delete changes NOTHING the wave can see
+    * (it only drops already-unreferenced rows); (2) coherence — the
+    * no-dangling invariant at every step; (3) PHYSICAL erasure, the
+    * GDPR point — after vacuum sweeps the pre-delete versions, a
+    * recursive scan of EVERY live parquet file under BOTH roots finds
+    * zero erased ids: `deleteWhere` rewrites touched segments
+    * copy-on-write and vacuum is what actually removes the bytes.
+    * O(touched segments), never O(corpus); quantizer and `cell=`
+    * layout untouched (q176's rule).
+    */
+  def q203(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import graft.ops.VersionedTarget
+    val e = t(spark, dir, "embeddings").coalesce(8)
+    val existing = e.filter($"vec_id" % 10 =!= 0).select($"vec_id", $"embedding")
+    val batch = e.filter($"vec_id" % 20 === 0).select($"vec_id", $"embedding")
+    val out = PipelineOps.layoutDir(spark, dir, "systemtakedown")
+    val croot = Paths.get(out, "corpus")
+    val aroot = Paths.get(out, "assignments8")
+    val qroot = Paths.get(out, "centroids")
+    Seq(croot, aroot, qroot).foreach { r => // fresh targets per invocation
+      if (Files.exists(r)) VersionedTarget.rmTree(r.toFile)
+      Files.createDirectories(r): Unit
+    }
+    val corpusT = VersionedTarget.Segmented(croot)
+    val assignT = VersionedTarget.Segmented(aroot,
+      partitionCols = Seq("cell"), clusterCommits = true)
+    val centT = VersionedTarget.Rewrite(qroot)
+    val (baseAssign, cent0) = Similarity.kmeansFit(existing, "vec_id",
+      "embedding", k = 8, iters = 2, materialize = false, withVec = true)
+    centT.commit(cent0, 0L)
+    corpusT.commit(existing, 0L)
+    assignT.commit(Similarity.quantizeInt8(baseAssign, "vec_id", "embedding"),
+      0L, tag = Some("v0"))
+    corpusT.commit(batch, 1L)
+    Similarity.appendToIndex(batch, "vec_id", "embedding", assignT, centT,
+      1L, int8 = true)
+    def noDangling(): Unit = {
+      val dangling = assignT.current(spark).get.select($"vec_id")
+        .join(corpusT.current(spark).get.select($"vec_id"),
+          Seq("vec_id"), "left_anti").count()
+      require(dangling == 0L,
+        s"$dangling index rows reference ids outside the live corpus — " +
+          "the reference-order invariant broke")
+    }
+    def wave(): (Seq[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType) = {
+      val idx8 = assignT.current(spark)
+        .getOrElse(sys.error("int8 index target committed no version"))
+      val corpus = corpusT.current(spark)
+        .getOrElse(sys.error("corpus target committed no version"))
+      val c = Similarity.pairedQuantizer(spark, assignT, centT)
+        .getOrElse(sys.error("no centroid version paired with the served index"))
+      val res = Similarity.ivfTopKServedInt8(idx8, corpus, c, "vec_id",
+          "embedding", e.filter($"vec_id" < 20), k = 3, prefetch = 6,
+          nprobe = 2)
+        .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
+      (res.collect().toSeq, res.schema)
+    }
+    val erased = (id: Long) => id % 7 == 3
+    val (preErase, schema) = wave()
+    require(preErase.exists(r => erased(r.getLong(1))),
+      "erasure fixture must have at least one served id to revoke")
+    // REFERRER first: the id stops being SERVABLE before any byte moves
+    require(assignT.deleteWhere(spark, $"vec_id" % 7 === 3).isDefined,
+      "takedown must revoke at least one indexed vector")
+    val (afterIndex, _) = wave()
+    require(afterIndex.forall(r => !erased(r.getLong(1))),
+      "a revoked vector was served after the index-side erasure")
+    noDangling()
+    // REFERENT second: dropping now-unreferenced corpus rows cannot
+    // change anything the wave observes
+    require(corpusT.deleteWhere(spark, $"vec_id" % 7 === 3).isDefined,
+      "takedown must erase at least one corpus row")
+    val (afterCorpus, _) = wave()
+    require(afterCorpus == afterIndex,
+      "corpus-side erasure of unreferenced rows changed the served wave")
+    noDangling()
+    // PHYSICAL erasure: vacuum sweeps the pre-delete versions, and a
+    // recursive audit of every LIVE parquet file under both roots must
+    // find zero erased ids — the bytes are gone, not just unreachable
+    assignT.vacuum(1): Unit
+    corpusT.vacuum(1): Unit
+    val (swept, _) = wave()
+    require(swept == afterIndex,
+      "vacuuming the erased versions changed the served wave")
+    Seq(croot, aroot).foreach { root =>
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(root)
+      val files =
+        try walk.iterator().asScala
+          .filter(p => p.toString.endsWith(".parquet"))
+          .map(_.toString).toList
+        finally walk.close()
+      require(files.nonEmpty, s"takedown audit found no live files under $root")
+      val leak = spark.read.parquet(files: _*)
+        .filter($"vec_id" % 7 === 3).count()
+      require(leak == 0L,
+        s"$leak erased row(s) physically survive under $root — takedown " +
+          "without vacuum is unreachability, not erasure")
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(swept, 1), schema)
+  }
+
+  /** The remaining-membership rule: SQ8 wave fitted on the base,
+    * candidacy = (base ∪ batch) minus the erased set — erasure changes
+    * candidacy only (probes, fit, quantization rule untouched; q176's
+    * contract, now system-wide).
+    */
+  val q203Sql: String = sq8WaveSql("vec_id % 10 <> 0",
+    candWhere =
+      "(c.vec_id % 10 <> 0 OR c.vec_id % 20 = 0) AND c.vec_id % 7 <> 3")
+
+  /** Q204 — FILTERED ANN AT SCALED PARTIAL KNOBS: q197/q202 gate the
+    * filter verb at its exact degenerate point (all cells probed,
+    * prefetch covering the allowed set); THIS gates the SELECTIVITY
+    * SCALING ARITHMETIC itself — the wave runs at partial caller knobs
+    * (k=5, prefetch=20, nprobe=2) and the oracle replays the scaled
+    * effective knobs from the same measured quantities: s = |allowed ∩
+    * index| / |index|, effNprobe = least(cells, ceil(nprobe/s)),
+    * effPrefetch = greatest(k, least(|allowed|, ceil(prefetch/s))) —
+    * both sides compute the identical IEEE doubles, so a drifted
+    * scaling rule flips the hash. Candidacy is pre-filtered inside the
+    * cell scan exactly as in q197.
+    */
+  def q204(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents")
+    val e = t(spark, dir, "embeddings").coalesce(8)
+    val out = PipelineOps.layoutDir(spark, dir, "filteredannscaled")
+    val (assignments, centroids) =
+      Similarity.kmeansFit(e, "vec_id", "embedding", k = 8, iters = 2,
+        materialize = false, withVec = true)
+    Similarity.quantizeInt8(assignments, "vec_id", "embedding")
+      .repartition(col("cell")).write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$out/assignments8")
+    centroids.write.mode("overwrite").parquet(s"$out/centroids")
+    val idx8 = spark.read.parquet(s"$out/assignments8")
+    val cent = Similarity.localize(spark.read.parquet(s"$out/centroids"))
+    val allowed = docs.filter($"lang" === "en").select($"doc_id".as("vec_id"))
+    Similarity.ivfTopKServedInt8Filtered(idx8, e, cent,
+        "vec_id", "embedding", e.filter($"vec_id" < 10), allowed,
+        k = 5, prefetch = 20, nprobe = 2)
+      .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
+  }
+
+  /** The scaled-knob SQ8 filtered wave: fit on everyone, candidacy
+    * pre-filtered to the lang gate, cell ranking cut at the SCALED
+    * nprobe and the dequantized prefetch cut at the SCALED width —
+    * every effective knob re-derived from the same counts the engine
+    * measures (identical double arithmetic both sides), exact re-rank
+    * to k=5.
+    */
+  val q204Sql: String =
+    s"""${kmeansCtes("TRUE")},
+       |allowed AS (SELECT doc_id AS vec_id FROM documents WHERE lang = 'en'),
+       |qz AS (
+       |  SELECT vec_id, cell, v,
+       |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+       |  FROM avx),
+       |idx AS (SELECT * FROM qz WHERE scale > 0),
+       |sel AS (
+       |  SELECT
+       |    CAST((SELECT COUNT(*) FROM idx i JOIN allowed a ON a.vec_id = i.vec_id) AS DOUBLE)
+       |      / (SELECT COUNT(*) FROM idx) AS s,
+       |    (SELECT COUNT(*) FROM idx i JOIN allowed a ON a.vec_id = i.vec_id) AS n_allow),
+       |knobs AS (
+       |  SELECT
+       |    LEAST((SELECT COUNT(*) FROM cent2), CAST(CEIL(2 / s) AS BIGINT)) AS eff_nprobe,
+       |    GREATEST(5, LEAST(n_allow, CAST(CEIL(20 / s) AS BIGINT))) AS eff_prefetch
+       |  FROM sel),
+       |dqx AS (
+       |  SELECT i.vec_id, i.cell,
+       |    list_transform(i.v, x -> floor(x / i.scale + 0.5) * i.scale) AS dq
+       |  FROM idx i JOIN allowed a ON a.vec_id = i.vec_id),
+       |pcell AS (
+       |  SELECT vec_id AS probe_id, cell FROM (
+       |    SELECT v.vec_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+       |        ROUND(list_dot_product(v.v, v.v) - 2.0 * list_dot_product(v.v, c.centroid)
+       |              + list_dot_product(c.centroid, c.centroid), 6) ASC, c.cell ASC) AS crn
+       |    FROM vecs v CROSS JOIN cent2 c WHERE v.vec_id < 10)
+       |  WHERE crn <= (SELECT eff_nprobe FROM knobs)),
+       |apairs AS (
+       |  SELECT p.probe_id, c.vec_id AS cand_id,
+       |    ROUND(list_dot_product(pv.v, c.dq)
+       |          / (pv.nrm * SQRT(list_dot_product(c.dq, c.dq))), 6) AS approx6
+       |  FROM pcell p
+       |  JOIN dqx c ON c.cell = p.cell
+       |  JOIN avx pv ON pv.vec_id = p.probe_id
+       |  WHERE c.vec_id <> p.probe_id),
+       |pref AS (
+       |  SELECT probe_id, cand_id FROM (
+       |    SELECT probe_id, cand_id,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY approx6 DESC, cand_id ASC) AS arn
+       |    FROM apairs) WHERE arn <= (SELECT eff_prefetch FROM knobs)),
+       |epairs AS (
+       |  SELECT f.probe_id, f.cand_id,
+       |    ROUND(list_dot_product(pv.v, c.v) / (pv.nrm * c.nrm), 6) AS cos6
+       |  FROM pref f
+       |  JOIN avx c ON c.vec_id = f.cand_id
+       |  JOIN avx pv ON pv.vec_id = f.probe_id),
+       |ranked AS (
+       |  SELECT probe_id, cand_id, cos6,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos6 DESC, cand_id ASC) AS rn
+       |  FROM epairs)
+       |SELECT probe_id, cand_id, cos6, rn FROM ranked WHERE rn <= 5
+       |ORDER BY probe_id NULLS FIRST, rn NULLS FIRST""".stripMargin
+
   /** Q194 — INCREMENTAL FEED FROM THE SERVING INDEX: q157's downstream
     * delivery verb ([[graft.ops.VersionedTarget.Segmented.appendedSince]])
     * run on the SQ8 index's `cell=`-partitioned target — the replica
@@ -5095,7 +5324,9 @@ object LlmOps {
     "q199_pq_index_feed" -> (q199 _),
     "q200_simhash_cross_corpus" -> (q200 _),
     "q201_system_restore" -> (q201 _),
-    "q202_filtered_ann_pq" -> (q202 _))
+    "q202_filtered_ann_pq" -> (q202 _),
+    "q203_system_takedown" -> (q203 _),
+    "q204_filtered_ann_scaled" -> (q204 _))
 
   def oracles: Map[String, String] = Map(
     "q58_exact_dedup" -> q58Sql,
@@ -5170,5 +5401,7 @@ object LlmOps {
     "q199_pq_index_feed" -> q199Sql,
     "q200_simhash_cross_corpus" -> q200Sql,
     "q201_system_restore" -> q201Sql,
-    "q202_filtered_ann_pq" -> q202Sql)
+    "q202_filtered_ann_pq" -> q202Sql,
+    "q203_system_takedown" -> q203Sql,
+    "q204_filtered_ann_scaled" -> q204Sql)
 }
