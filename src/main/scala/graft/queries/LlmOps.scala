@@ -1727,10 +1727,21 @@ object LlmOps {
   /** [[lexicalTopK]] over an explicit document frame — the RAG lifecycle
     * model (q168) runs it over the DEDUPED corpus.
     */
-  private[graft] def lexicalTopKOf(docs: DataFrame): DataFrame = {
+  private[graft] def lexicalTopKOf(docs: DataFrame): DataFrame =
+    lexicalTopKOver(docs.filter(col("doc_id") < 10), docs)
+
+  /** [[lexicalTopKOf]] with an independent CANDIDATE frame — the
+    * filtered-hybrid shape (q205): the metadata predicate restricts the
+    * candidate side BEFORE the band join (candidates are per-doc
+    * signatures, so restricting the frame equals restricting the pair
+    * set — never post-filter the ranked list), while probes stay
+    * unrestricted (a gated query is still a legal query).
+    */
+  private[graft] def lexicalTopKOver(probes: DataFrame,
+                                     cands: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lexPairs = MinHashDedup.crossNgramPairs(
-        docs.filter(col("doc_id") < 10), docs, "doc_id", "text",
+        probes, cands, "doc_id", "text",
         gramN = 5, rowsPerBand = 2, minJaccard = 0.0)
       .filter(col("in_id") =!= col("ex_id"))
     val lw = Window.partitionBy(col("in_id"))
@@ -1766,10 +1777,17 @@ object LlmOps {
     * `bands`/`hx`/`gsz` CTEs from [[ngramPairCtesOver]]), ending in
     * `lex(probe_id, cand_id, rn_l)` — shared by q159/q161.
     */
-  private[queries] val lexTopKCtes: String =
-    """lexcand AS (
+  private[queries] val lexTopKCtes: String = lexTopKCtesJoining("")
+
+  /** [[lexTopKCtes]] with an extra JOIN clause on the candidate side of
+    * the band join (q205's metadata gate: `JOIN allowedd al ON
+    * al.doc_id = b.doc_id`); the empty string is the unfiltered chain.
+    */
+  private[queries] def lexTopKCtesJoining(candJoin: String): String =
+    s"""lexcand AS (
       |  SELECT DISTINCT a.doc_id AS p, b.doc_id AS c
       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+      |  $candJoin
       |  WHERE a.doc_id < 10 AND a.doc_id <> b.doc_id),
       |lexinter AS (
       |  SELECT lc.p, lc.c, COUNT(*) AS ni
@@ -5153,6 +5171,66 @@ object LlmOps {
        |SELECT probe_id, cand_id, cos6, rn FROM ranked WHERE rn <= 5
        |ORDER BY probe_id NULLS FIRST, rn NULLS FIRST""".stripMargin
 
+  /** Q205 — FILTERED HYBRID RETRIEVAL: the production RAG query with a
+    * metadata gate — "hybrid top-k WHERE lang='en'". The predicate is a
+    * RESULT contract, so BOTH retrieval arms pre-filter their candidate
+    * sets before ranking (never the fused list: post-filtering an
+    * RRF top-k at pass rate s leaves ~k·s survivors): the dense arm is
+    * q197's filtered SQ8 wave at its scale-proof degenerate point, the
+    * lexical arm restricts the candidate side of the MinHash band join
+    * ([[lexicalTopKOver]] — signatures are per-doc, so restricting the
+    * frame restricts the pair set exactly). Probes stay unrestricted
+    * (a gated query is still a legal query); RRF fuses as always, and
+    * every fused result is allowed BY CONSTRUCTION.
+    */
+  def q205(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents")
+    val e = t(spark, dir, "embeddings").coalesce(8)
+    val out = PipelineOps.layoutDir(spark, dir, "filteredhybrid")
+    val (assignments, centroids) =
+      Similarity.kmeansFit(e, "vec_id", "embedding", k = 8, iters = 2,
+        materialize = false, withVec = true)
+    Similarity.quantizeInt8(assignments, "vec_id", "embedding")
+      .repartition(col("cell")).write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$out/assignments8")
+    centroids.write.mode("overwrite").parquet(s"$out/centroids")
+    val idx8 = spark.read.parquet(s"$out/assignments8")
+    val cent = Similarity.localize(spark.read.parquet(s"$out/centroids"))
+    val allowed = docs.filter($"lang" === "en").select($"doc_id".as("vec_id"))
+    val dense = Similarity.ivfTopKServedInt8Filtered(idx8, e, cent,
+        "vec_id", "embedding", e.filter($"vec_id" < 10), allowed,
+        k = 10, prefetch = e.count().toInt, nprobe = 8)
+      .select($"probe_id", $"cand_id", $"rn".as("rn_d"))
+    val lex = lexicalTopKOver(docs.filter($"doc_id" < 10),
+      docs.filter($"lang" === "en"))
+    rrfFuse(dense, lex)
+      .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
+  }
+
+  /** Both arms replayed with the allowed gate on the candidate side
+    * only: the dense arm is the brute-force-filtered twin (the
+    * degenerate-point rule), the lexical arm is the shared band-join
+    * chain with the gate joined below the band join; the RRF tail is
+    * the q159 arithmetic unchanged.
+    */
+  val q205Sql: String =
+    s"""WITH ${ngramPairCtesOver("documents")},
+       |allowedd AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+       |${lexTopKCtesJoining("JOIN allowedd al ON al.doc_id = b.doc_id")},
+       |ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |dsc AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+       |    ROUND(list_dot_product(p.v, c.v) / (SQRT(list_dot_product(p.v, p.v)) * SQRT(list_dot_product(c.v, c.v))), 6) AS cos6
+       |  FROM ev p JOIN ev c ON p.vec_id < 10 AND p.vec_id <> c.vec_id
+       |  JOIN allowedd al ON al.doc_id = c.vec_id),
+       |dense AS (
+       |  SELECT probe_id, cand_id, rn_d FROM (
+       |    SELECT probe_id, cand_id,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos6 DESC, cand_id ASC) AS rn_d
+       |    FROM dsc) WHERE rn_d <= 10),
+       |$rrfFusionSql""".stripMargin
+
   /** Q194 — INCREMENTAL FEED FROM THE SERVING INDEX: q157's downstream
     * delivery verb ([[graft.ops.VersionedTarget.Segmented.appendedSince]])
     * run on the SQ8 index's `cell=`-partitioned target — the replica
@@ -5326,7 +5404,8 @@ object LlmOps {
     "q201_system_restore" -> (q201 _),
     "q202_filtered_ann_pq" -> (q202 _),
     "q203_system_takedown" -> (q203 _),
-    "q204_filtered_ann_scaled" -> (q204 _))
+    "q204_filtered_ann_scaled" -> (q204 _),
+    "q205_filtered_hybrid" -> (q205 _))
 
   def oracles: Map[String, String] = Map(
     "q58_exact_dedup" -> q58Sql,
@@ -5403,5 +5482,6 @@ object LlmOps {
     "q201_system_restore" -> q201Sql,
     "q202_filtered_ann_pq" -> q202Sql,
     "q203_system_takedown" -> q203Sql,
-    "q204_filtered_ann_scaled" -> q204Sql)
+    "q204_filtered_ann_scaled" -> q204Sql,
+    "q205_filtered_hybrid" -> q205Sql)
 }
