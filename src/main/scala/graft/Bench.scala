@@ -299,7 +299,13 @@ object Bench {
     // RegistrySpec's width guard models the flags-present worst case.
     val flags = (if (noisyCount > 0) s""","noisy":$noisyCount""" else "") +
       (if (contended) s""","cont":true""" else "")
-    println(s"""{"metric":"total_warm_sec","value":${f"$total%.2f"},"unit":"sec","queries":$qs$flags,"sf":"$sfShort"}""")
+    // "kb":36 is the key-schema marker (r18 ADVICE): base-36 ordinal
+    // keys silently collide with r17's decimal keys on multi-digit
+    // values ("10" = q10 decimal but q36 base-36), so the line declares
+    // its key base — longitudinal tooling mixing rounds can dispatch on
+    // the marker (absent = decimal, the pre-r18 encoding) instead of
+    // misattributing timings with no error.
+    println(s"""{"metric":"total_warm_sec","value":${f"$total%.2f"},"unit":"sec","kb":36,"queries":$qs$flags,"sf":"$sfShort"}""")
     spark.stop()
   }
 }

@@ -1345,7 +1345,7 @@ object Similarity {
     */
   def ivfTopKServedInt8Filtered(index8: DataFrame, corpus: DataFrame,
       cent: Seq[(Long, Seq[Double])], idCol: String, vecCol: String,
-      probeRows: DataFrame, allowed: DataFrame, k: Int, prefetch: Int,
+      probeRows: DataFrame, allowed: DataFrame, k: Int, prefetch: Long,
       nprobe: Int): DataFrame = {
     val (fidx, s, nAllow) = filteredIndex(index8, allowed, idCol)
     val (effPrefetch, effNprobe) =
@@ -1362,7 +1362,7 @@ object Similarity {
   def ivfTopKServedPQFiltered(indexPq: DataFrame, corpus: DataFrame,
       books: Seq[Seq[(Long, Seq[Double])]], coarse: Seq[(Long, Seq[Double])],
       idCol: String, vecCol: String, probeRows: DataFrame,
-      allowed: DataFrame, k: Int, prefetch: Int, nprobe: Int,
+      allowed: DataFrame, k: Int, prefetch: Long, nprobe: Int,
       dim: Int): DataFrame = {
     val (fidx, s, nAllow) = filteredIndex(indexPq, allowed, idCol)
     val (effPrefetch, effNprobe) =
@@ -1403,15 +1403,19 @@ object Similarity {
   }
 
   /** Selectivity-scaled serving knobs: widen both by 1/s, clamp nprobe
-    * to the cell count and prefetch to [k, |allowed|].
+    * to the cell count and prefetch to [k, |allowed|]. The plumbing is
+    * Long end-to-end (callers pass |corpus|-sized prefetches for the
+    * degenerate-point contract) with a final Int.MaxValue clamp at the
+    * window-limit boundary — beyond 2^31 allowed rows an Int truncation
+    * would wrap negative and silently void the at-every-scale guarantee.
     */
-  private def filteredKnobs(k: Int, prefetch: Int, nprobe: Int, s: Double,
+  private def filteredKnobs(k: Int, prefetch: Long, nprobe: Int, s: Double,
       nAllow: Long, numCells: Int): (Int, Int) = {
     val effNprobe =
       math.min(numCells.toLong, math.ceil(nprobe / s).toLong).toInt
-    val effPrefetch = math.max(k.toLong,
+    val effPrefetch = math.min(Int.MaxValue.toLong, math.max(k.toLong,
       math.min(if (nAllow == 0L) k.toLong else nAllow,
-        math.ceil(prefetch / s).toLong)).toInt
+        math.ceil(prefetch.toDouble / s).toLong))).toInt
     (effPrefetch, effNprobe)
   }
 

@@ -211,11 +211,12 @@ object TextOps {
     val postIn = postings(incoming, "in_id")
     val postEx = postings(existing, "ex_id")
     // df over the DISTINCT-doc union: ids already in the existing
-    // corpus are anti-joined out of the incoming side (an id-only
-    // shuffle sized by the slice, never the corpus' text)
-    val inOnly = postings(
-      incoming.join(existing.select(col(idCol)), Seq(idCol), "left_anti"),
-      "in_id")
+    // corpus are anti-joined out of the incoming side's POSTINGS (an
+    // id-only shuffle sized by the slice's postings, never the corpus'
+    // text — and no second fingerprint pass: postIn already holds every
+    // incoming posting, so the redelivered ids drop by anti-join)
+    val inOnly = postIn.join(
+      existing.select(col(idCol).as("in_id")), Seq("in_id"), "left_anti")
     val live = inOnly.select(col("fp")).unionAll(postEx.select(col("fp")))
       .groupBy(col("fp")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf)

@@ -2334,21 +2334,27 @@ object LlmOps {
     * bv)): buckets hotter than the scale-aware effective cap
     * `max(maxDf, ceil(HotBandFactor·n/256))` are dropped from
     * candidacy BY RULE, bounding each arrival's join fan-out at
-    * 8·effCap rows. Mirrors [[Multimodal.bandedHammingPairs]]'s cap;
-    * the ≤ 2048-group df aggregate broadcasts back.
+    * `bands`·effCap rows (8 byte-bands for the 64-bit media
+    * fingerprints, 4 for the 32-bit SimHash). Mirrors
+    * [[Multimodal.bandedHammingPairs]]'s cap; the ≤ 2048-group df
+    * aggregate broadcasts back. Like that operator, the df agg is an
+    * EAGER bounded action at construction time (the documented
+    * localization trade) — call it when the gate is actually being
+    * built, not speculatively.
     */
-  private def capBands(index: DataFrame, maxDf: Int = 12): DataFrame = {
+  private[queries] def capBands(index: DataFrame, maxDf: Int = 12,
+      bands: Int = 8): DataFrame = {
     // scale-aware effective cap (Multimodal.bandedHammingPairs' rule):
-    // max(maxDf, ceil(HotBandFactor·n/256)), n = banded rows / 8. The
-    // ≤2048-group df agg localizes (driver-size by design) and the live
-    // set rejoins as a broadcast literal frame — no cross join
+    // max(maxDf, ceil(HotBandFactor·n/256)), n = banded rows / bands.
+    // The ≤2048-group df agg localizes (driver-size by design) and the
+    // live set rejoins as a broadcast literal frame — no cross join
     val spark = index.sparkSession
     import spark.implicits._
     val dfRows = index.groupBy(col("band"), col("bv"))
       .agg(count(lit(1)).as("__df")).collect()
       .map(r => (r.getAs[Number](0).intValue, r.getAs[Number](1).longValue,
         r.getLong(2)))
-    val n = dfRows.map(_._3).sum / 8L
+    val n = dfRows.map(_._3).sum / bands.toLong
     val effCap = math.max(maxDf.toLong, math.ceil(
       graft.sources.Multimodal.HotBandFactor.toDouble * n / 256.0).toLong)
     val live = dfRows.filter(_._3 <= effCap)
@@ -4526,7 +4532,7 @@ object LlmOps {
     // and the wave equals brute-force-filtered by construction
     Similarity.ivfTopKServedInt8Filtered(idx8, e, cent,
         "vec_id", "embedding", e.filter($"vec_id" < 10), allowed,
-        k = 10, prefetch = e.count().toInt, nprobe = 8)
+        k = 10, prefetch = e.count(), nprobe = 8)
       .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
   }
 
@@ -4583,7 +4589,7 @@ object LlmOps {
     // below |allowed| and ADC error cost one true top-10 row
     Similarity.ivfTopKServedPQFiltered(idx, e, books, coarse,
         "vec_id", "embedding", e.filter($"vec_id" < 10), allowed,
-        k = 10, prefetch = e.count().toInt, nprobe = 8, dim = 64)
+        k = 10, prefetch = e.count(), nprobe = 8, dim = 64)
       .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
   }
 
@@ -5200,7 +5206,7 @@ object LlmOps {
     val allowed = docs.filter($"lang" === "en").select($"doc_id".as("vec_id"))
     val dense = Similarity.ivfTopKServedInt8Filtered(idx8, e, cent,
         "vec_id", "embedding", e.filter($"vec_id" < 10), allowed,
-        k = 10, prefetch = e.count().toInt, nprobe = 8)
+        k = 10, prefetch = e.count(), nprobe = 8)
       .select($"probe_id", $"cand_id", $"rn".as("rn_d"))
     val lex = lexicalTopKOver(docs.filter($"doc_id" < 10),
       docs.filter($"lang" === "en"))

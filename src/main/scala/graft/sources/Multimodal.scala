@@ -667,6 +667,15 @@ object Multimodal {
     * map-side-combined job yields the corpus size AND the live-bucket
     * set, which rejoins as a broadcast literal frame; the guard never
     * adds a wide shuffle or a cross join to the pinned plan.
+    *
+    * CONTRACT NOTE (since the scale-aware cap landed): the localized df
+    * aggregate is an EAGER Spark action at operator-CONSTRUCTION time —
+    * calling this is no longer a lazy plan assembly, and the cost is
+    * paid even if the returned frame is never executed. Callers
+    * composing plans speculatively should defer the call, not the
+    * result. (A scalar-subquery formulation would stay lazy but put the
+    * cap on the distributed plan's critical path twice; the bounded
+    * collect is the documented trade.)
     */
   def bandedHammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
                          rideCol: String, maxHamming: Int,

@@ -62,7 +62,7 @@ class RegistrySpec extends SparkSpec {
       .map(k => "\"" + Integer.toString(
         k.takeWhile(_ != '_').stripPrefix("q").toInt, 36) + "\":9.9")
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total_warm_sec","value":99999.99,"unit":"sec","queries":$worst,"noisy":999,"cont":true,"sf":"sf0.001"}"""
+    val line = s"""{"metric":"total_warm_sec","value":99999.99,"unit":"sec","kb":36,"queries":$worst,"noisy":999,"cont":true,"sf":"sf0.001"}"""
     assert(line.length < 2000, s"bench line would be ${line.length}B — shrink keys or precision")
   }
 }
