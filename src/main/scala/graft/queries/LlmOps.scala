@@ -5237,6 +5237,251 @@ object LlmOps {
        |    FROM dsc) WHERE rn_d <= 10),
        |$rrfFusionSql""".stripMargin
 
+  /** Q206 — COHERENT CORPUS+INDEX RESTORE ON THE PQ PAIR: q201's
+    * full-system rewind with the PQ index as the referrer — the payload
+    * a 100 TB fleet actually serves (m bytes per vector), which until
+    * this verb had no coherent corpus+index rewind at all: rewinding
+    * either target alone after a bad ingest wave strands index rows
+    * referencing corpus rows outside the restored state. Identical
+    * REFERENCE-ORDER contract: the REFERRER (the code `Segmented`,
+    * whose rows point at corpus ids) rewinds FIRST, the REFERENT (the
+    * corpus) last, so `index ids ⊆ corpus ids` holds at EVERY
+    * intermediate crash point — index-restored-only already serves the
+    * pre-wave results (the bad corpus rows are present but
+    * unreferenced, `require`d identical), and the corpus restore then
+    * only drops unreferenced segments. The PQ twist changes NOTHING in
+    * the argument: appends place against the SERVED bundle (coarse
+    * argmin + m code argmins, never a refit), so the bundle `Rewrite`
+    * never moves and the manifest tag keeps pairing v0 across the
+    * whole rewind — q196's tag invariant, inherited. O(bytes): every
+    * restore moves pointers, never data; vacuum sweeps the undone
+    * wave's versions and the served wave must not move.
+    */
+  def q206(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import graft.ops.VersionedTarget
+    val e = t(spark, dir, "embeddings").coalesce(8)
+    val existing = e.filter($"vec_id" % 10 =!= 0).select($"vec_id", $"embedding")
+    val good = e.filter($"vec_id" % 20 === 0).select($"vec_id", $"embedding")
+    // the bad wave: probe vectors re-arriving under fresh ids — they
+    // cosine-1.0 their originals, so they TOP the pre-restore waves
+    // (q201's fixture rule: the corruption must be retrievable)
+    val bad = e.filter($"vec_id" < 20)
+      .select(($"vec_id" + lit(900000L)).as("vec_id"), $"embedding")
+    val out = PipelineOps.layoutDir(spark, dir, "systemrestorepq")
+    val croot = Paths.get(out, "corpus")
+    val aroot = Paths.get(out, "codes")
+    val broot = Paths.get(out, "bundle")
+    Seq(croot, aroot, broot).foreach { r => // fresh targets per invocation
+      if (Files.exists(r)) VersionedTarget.rmTree(r.toFile)
+      Files.createDirectories(r): Unit
+    }
+    val corpusT = VersionedTarget.Segmented(croot)
+    val assignT = VersionedTarget.Segmented(aroot,
+      partitionCols = Seq("cell"), clusterCommits = true)
+    val bundleT = VersionedTarget.Rewrite(broot)
+    val (_, coarseDF) = Similarity.kmeansFit(existing, "vec_id", "embedding",
+      k = 8, iters = 2, materialize = false, withVec = false)
+    val coarse = Similarity.localize(coarseDF)
+    val books = Similarity.pqFit(existing, "vec_id", "embedding",
+      dim = 64, m = 4, codes = 16, iters = 2)
+    bundleT.commit(Similarity.pqBundleDF(spark, coarse, books), 0L)
+    corpusT.commit(existing, 0L)
+    assignT.commit(Similarity.pqEncode(existing, "vec_id", "embedding",
+      books, coarse, dim = 64), 0L, tag = Some("v0"))
+    // the GOOD wave (batch 1) and the BAD wave (batch 2), each hitting
+    // BOTH targets on the shared batch-id clock
+    corpusT.commit(good, 1L)
+    Similarity.appendToIndexPq(good, "vec_id", "embedding", assignT,
+      bundleT, 1L, dim = 64)
+    corpusT.commit(bad, 2L)
+    Similarity.appendToIndexPq(bad, "vec_id", "embedding", assignT,
+      bundleT, 2L, dim = 64)
+    def noDangling(): Unit = {
+      val dangling = assignT.current(spark).get.select($"vec_id")
+        .join(corpusT.current(spark).get.select($"vec_id"),
+          Seq("vec_id"), "left_anti").count()
+      require(dangling == 0L,
+        s"$dangling index rows reference ids outside the live corpus — " +
+          "the reference-order invariant broke")
+    }
+    val prefetch = math.max(48L, e.count() / 10L).toInt
+    def wave(): (Seq[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType) = {
+      val idx = assignT.current(spark)
+        .getOrElse(sys.error("PQ index target committed no version"))
+      val corpus = corpusT.current(spark)
+        .getOrElse(sys.error("corpus target committed no version"))
+      val (sc, sb) = Similarity.pairedPqBundle(spark, assignT, bundleT)
+        .getOrElse(sys.error("no bundle version paired with the served index"))
+      val res = Similarity.ivfTopKServedPQ(idx, corpus, sb, sc, "vec_id",
+          "embedding", e.filter($"vec_id" < 20), k = 3,
+          prefetch = prefetch, nprobe = 2, dim = 64)
+        .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
+      (res.collect().toSeq, res.schema)
+    }
+    noDangling()
+    val (postBad, schema) = wave()
+    assignT.restore("v1") // REFERRER first: the index stops referencing
+    val (midRewind, _) = wave() // crash point between targets
+    noDangling()
+    corpusT.restore("v1") // REFERENT last: drops now-unreferenced rows
+    val (restored, _) = wave()
+    noDangling()
+    require(postBad != restored,
+      "bad-ingest fixture must change the served wave — nothing to rewind")
+    require(midRewind == restored,
+      "index-restored-only must already serve the pre-wave results (bad " +
+        "corpus rows are unreferenced at the crash point)")
+    require(corpusT.current(spark).get.count() ==
+        existing.count() + good.count(),
+      "restored corpus must be existing + the good wave exactly")
+    // the undone wave's versions are crash-debris-shaped: swept, not served
+    assignT.vacuum(1): Unit
+    corpusT.vacuum(1): Unit
+    val (swept, _) = wave()
+    require(swept == restored,
+      "vacuuming the undone ingest wave changed the served wave")
+    noDangling()
+    spark.createDataFrame(spark.sparkContext.parallelize(restored, 1), schema)
+  }
+
+  /** The pre-bad-wave rule on the PQ lifecycle: bundle fitted on the
+    * base, candidacy = base ∪ the good batch — the bad batch's rows
+    * (and their corpus segments) must be gone from every byte.
+    */
+  val q206Sql: String = pqWaveSqlOver("vec_id % 10 <> 0", rawVecSql,
+    dim = 64, m = 4,
+    candWhere = "(c.vec_id % 10 <> 0 OR c.vec_id % 20 = 0)")
+
+  /** Q207 — COHERENT CROSS-TARGET TAKEDOWN ON THE PQ PAIR: q203's
+    * system-wide erasure with the PQ index as the referrer — the
+    * compliance verb the served payload was MISSING: a fleet serving
+    * the m-bytes-per-vector coded index had no system-wide
+    * right-to-be-forgotten until this lands there too. q201/q206's
+    * reference order, mirrored for removal: the REFERRER (the code
+    * `Segmented`) deletes FIRST (the id stops being servable before
+    * any byte moves), the REFERENT (the corpus) second, so
+    * `index ids ⊆ corpus ids` holds at every crash point. The same
+    * three proofs ride in-query: candidacy (no erased id served after
+    * the index delete; the corpus delete changes nothing the wave
+    * sees), coherence (no-dangling at every step), and PHYSICAL
+    * erasure — after vacuum sweeps the pre-delete versions, a
+    * recursive scan of every live parquet file under BOTH roots finds
+    * zero erased ids. `deleteWhere` rewrites touched segments
+    * copy-on-write; the bundle and `cell=` layout are untouched
+    * (q176's rule — erasure changes candidacy only, never geometry).
+    * O(touched segments), never O(corpus).
+    */
+  def q207(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import graft.ops.VersionedTarget
+    val e = t(spark, dir, "embeddings").coalesce(8)
+    val existing = e.filter($"vec_id" % 10 =!= 0).select($"vec_id", $"embedding")
+    val batch = e.filter($"vec_id" % 20 === 0).select($"vec_id", $"embedding")
+    val out = PipelineOps.layoutDir(spark, dir, "systemtakedownpq")
+    val croot = Paths.get(out, "corpus")
+    val aroot = Paths.get(out, "codes")
+    val broot = Paths.get(out, "bundle")
+    Seq(croot, aroot, broot).foreach { r => // fresh targets per invocation
+      if (Files.exists(r)) VersionedTarget.rmTree(r.toFile)
+      Files.createDirectories(r): Unit
+    }
+    val corpusT = VersionedTarget.Segmented(croot)
+    val assignT = VersionedTarget.Segmented(aroot,
+      partitionCols = Seq("cell"), clusterCommits = true)
+    val bundleT = VersionedTarget.Rewrite(broot)
+    val (_, coarseDF) = Similarity.kmeansFit(existing, "vec_id", "embedding",
+      k = 8, iters = 2, materialize = false, withVec = false)
+    val coarse = Similarity.localize(coarseDF)
+    val books = Similarity.pqFit(existing, "vec_id", "embedding",
+      dim = 64, m = 4, codes = 16, iters = 2)
+    bundleT.commit(Similarity.pqBundleDF(spark, coarse, books), 0L)
+    corpusT.commit(existing, 0L)
+    assignT.commit(Similarity.pqEncode(existing, "vec_id", "embedding",
+      books, coarse, dim = 64), 0L, tag = Some("v0"))
+    corpusT.commit(batch, 1L)
+    Similarity.appendToIndexPq(batch, "vec_id", "embedding", assignT,
+      bundleT, 1L, dim = 64)
+    def noDangling(): Unit = {
+      val dangling = assignT.current(spark).get.select($"vec_id")
+        .join(corpusT.current(spark).get.select($"vec_id"),
+          Seq("vec_id"), "left_anti").count()
+      require(dangling == 0L,
+        s"$dangling index rows reference ids outside the live corpus — " +
+          "the reference-order invariant broke")
+    }
+    val prefetch = math.max(48L, e.count() / 10L).toInt
+    def wave(): (Seq[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType) = {
+      val idx = assignT.current(spark)
+        .getOrElse(sys.error("PQ index target committed no version"))
+      val corpus = corpusT.current(spark)
+        .getOrElse(sys.error("corpus target committed no version"))
+      val (sc, sb) = Similarity.pairedPqBundle(spark, assignT, bundleT)
+        .getOrElse(sys.error("no bundle version paired with the served index"))
+      val res = Similarity.ivfTopKServedPQ(idx, corpus, sb, sc, "vec_id",
+          "embedding", e.filter($"vec_id" < 20), k = 3,
+          prefetch = prefetch, nprobe = 2, dim = 64)
+        .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
+      (res.collect().toSeq, res.schema)
+    }
+    val erased = (id: Long) => id % 7 == 3
+    val (preErase, schema) = wave()
+    require(preErase.exists(r => erased(r.getLong(1))),
+      "erasure fixture must have at least one served id to revoke")
+    // REFERRER first: the id stops being SERVABLE before any byte moves
+    require(assignT.deleteWhere(spark, $"vec_id" % 7 === 3).isDefined,
+      "takedown must revoke at least one indexed vector")
+    val (afterIndex, _) = wave()
+    require(afterIndex.forall(r => !erased(r.getLong(1))),
+      "a revoked vector was served after the index-side erasure")
+    noDangling()
+    // REFERENT second: dropping now-unreferenced corpus rows cannot
+    // change anything the wave observes
+    require(corpusT.deleteWhere(spark, $"vec_id" % 7 === 3).isDefined,
+      "takedown must erase at least one corpus row")
+    val (afterCorpus, _) = wave()
+    require(afterCorpus == afterIndex,
+      "corpus-side erasure of unreferenced rows changed the served wave")
+    noDangling()
+    // PHYSICAL erasure: vacuum sweeps the pre-delete versions, and a
+    // recursive audit of every LIVE parquet file under both roots must
+    // find zero erased ids — the bytes are gone, not just unreachable
+    assignT.vacuum(1): Unit
+    corpusT.vacuum(1): Unit
+    val (swept, _) = wave()
+    require(swept == afterIndex,
+      "vacuuming the erased versions changed the served wave")
+    Seq(croot, aroot).foreach { root =>
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(root)
+      val files =
+        try walk.iterator().asScala
+          .filter(p => p.toString.endsWith(".parquet"))
+          .map(_.toString).toList
+        finally walk.close()
+      require(files.nonEmpty, s"takedown audit found no live files under $root")
+      val leak = spark.read.parquet(files: _*)
+        .filter($"vec_id" % 7 === 3).count()
+      require(leak == 0L,
+        s"$leak erased row(s) physically survive under $root — takedown " +
+          "without vacuum is unreachability, not erasure")
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(swept, 1), schema)
+  }
+
+  /** The remaining-membership rule on the PQ lifecycle: bundle fitted
+    * on the base, candidacy = (base ∪ batch) minus the erased set —
+    * erasure changes candidacy only (probes, fit, code rule untouched).
+    */
+  val q207Sql: String = pqWaveSqlOver("vec_id % 10 <> 0", rawVecSql,
+    dim = 64, m = 4,
+    candWhere =
+      "(c.vec_id % 10 <> 0 OR c.vec_id % 20 = 0) AND c.vec_id % 7 <> 3")
+
   /** Q194 — INCREMENTAL FEED FROM THE SERVING INDEX: q157's downstream
     * delivery verb ([[graft.ops.VersionedTarget.Segmented.appendedSince]])
     * run on the SQ8 index's `cell=`-partitioned target — the replica
@@ -5411,7 +5656,9 @@ object LlmOps {
     "q202_filtered_ann_pq" -> (q202 _),
     "q203_system_takedown" -> (q203 _),
     "q204_filtered_ann_scaled" -> (q204 _),
-    "q205_filtered_hybrid" -> (q205 _))
+    "q205_filtered_hybrid" -> (q205 _),
+    "q206_system_restore_pq" -> (q206 _),
+    "q207_system_takedown_pq" -> (q207 _))
 
   def oracles: Map[String, String] = Map(
     "q58_exact_dedup" -> q58Sql,
@@ -5489,5 +5736,7 @@ object LlmOps {
     "q202_filtered_ann_pq" -> q202Sql,
     "q203_system_takedown" -> q203Sql,
     "q204_filtered_ann_scaled" -> q204Sql,
-    "q205_filtered_hybrid" -> q205Sql)
+    "q205_filtered_hybrid" -> q205Sql,
+    "q206_system_restore_pq" -> q206Sql,
+    "q207_system_takedown_pq" -> q207Sql)
 }

@@ -1195,4 +1195,84 @@ class VersionedTargetSpec extends SparkSpec {
     assert(ids(indexT) == Set(1L, 2L) && ids(corpusT) == Set(1L, 2L),
       "the full-system rewind must land both targets on the good wave")
   }
+
+  test("three-target full-system rewind on the PQ pair (q206's verb): the " +
+      "code target restores FIRST and its manifest tag keeps pairing the " +
+      "UNMOVED bundle at every crash point; the corpus restores last with " +
+      "no reference ever dangling") {
+    val croot = Files.createTempDirectory("graft_vt_syspq_c")
+    val aroot = Files.createTempDirectory("graft_vt_syspq_a")
+    val broot = Files.createTempDirectory("graft_vt_syspq_b")
+    val corpusT = VersionedTarget.Segmented(croot)
+    val codesT = VersionedTarget.Segmented(aroot)
+    val bundleT = VersionedTarget.Rewrite(broot)
+    // the quantizer BUNDLE commits once (appends place against the
+    // served bundle, never refit) and the base codes tag it
+    val bundle = graft.ops.Similarity.pqBundleDF(spark,
+      coarse = Seq((0L, Seq(1.0, 0.0))),
+      books = Seq(Seq((0L, Seq(1.0)), (1L, Seq(0.0)))))
+    bundleT.commit(bundle, 0L)
+    corpusT.commit(df(1L), 0L); codesT.commit(df(1L), 0L, tag = Some("v0"))
+    corpusT.commit(df(2L), 1L); codesT.commit(df(2L), 1L) // the good wave
+    corpusT.commit(df(3L), 2L); codesT.commit(df(3L), 2L) // the BAD wave
+    def ids(t: VersionedTarget.Segmented): Set[Long] =
+      t.current(spark).get.select($"id").collect().map(_.getLong(0)).toSet
+    def dangling(): Set[Long] = ids(codesT) -- ids(corpusT)
+    def pairedBundle() =
+      graft.ops.Similarity.pairedPqBundle(spark, codesT, bundleT)
+    assert(dangling().isEmpty && pairedBundle().isDefined)
+    // crash point 1 — codes restored, corpus not yet: every reference
+    // still resolves (the bad corpus rows are merely unreferenced) and
+    // the inherited tag still pairs the one bundle version
+    codesT.restore("v1")
+    assert(dangling().isEmpty,
+      "referrer-first rewind keeps every code reference resolvable")
+    assert(codesT.currentTag.contains("v0"),
+      "the restored code manifest must carry the tag it was committed with")
+    assert(pairedBundle().exists(_._1 == Seq((0L, Seq(1.0, 0.0)))),
+      "the code restore must keep pairing the unmoved bundle")
+    // crash point 2 — corpus restored: the system is on the good wave
+    corpusT.restore("v1")
+    assert(dangling().isEmpty)
+    assert(ids(codesT) == Set(1L, 2L) && ids(corpusT) == Set(1L, 2L),
+      "the three-target rewind must land codes + corpus on the good wave")
+    // sweeping the undone wave (vacuum both Segmented clocks; the bundle
+    // has exactly one version and sweeps nothing) changes no pairing
+    codesT.vacuum(1): Unit
+    corpusT.vacuum(1): Unit
+    assert(dangling().isEmpty && pairedBundle().isDefined)
+  }
+
+  test("referrer-first DELETE order on the coded target (q207's verb): " +
+      "deleting the corpus first strands code references at the crash " +
+      "point; deleting the codes first keeps the invariant at every step") {
+    val croot = Files.createTempDirectory("graft_vt_delpq_c")
+    val aroot = Files.createTempDirectory("graft_vt_delpq_a")
+    val corpusT = VersionedTarget.Segmented(croot)
+    val codesT = VersionedTarget.Segmented(aroot)
+    corpusT.commit(df(1L, 2L, 3L), 0L); codesT.commit(df(1L, 2L, 3L), 0L)
+    def ids(t: VersionedTarget.Segmented): Set[Long] =
+      t.current(spark).get.select($"id").collect().map(_.getLong(0)).toSet
+    def dangling(): Set[Long] = ids(codesT) -- ids(corpusT)
+    // WRONG order — corpus first: the crash point between the two
+    // deletes leaves the code target referencing erased corpus rows
+    // (and the next corpus vacuum physically removes their bytes while
+    // the index still serves the id)
+    assert(corpusT.deleteWhere(spark, $"id" === 3L).isDefined)
+    assert(dangling() == Set(3L),
+      "corpus-first delete must strand code references at the crash " +
+        "point — this is WHY the takedown deletes the referrer first")
+    corpusT.restore("v0") // undo the wrong-order probe
+    assert(dangling().isEmpty)
+    // RIGHT order — codes first: the id stops being servable before any
+    // corpus byte moves, and the invariant holds at the crash point
+    assert(codesT.deleteWhere(spark, $"id" === 3L).isDefined)
+    assert(dangling().isEmpty,
+      "referrer-first delete keeps every reference resolvable at the " +
+        "crash point")
+    assert(corpusT.deleteWhere(spark, $"id" === 3L).isDefined)
+    assert(dangling().isEmpty)
+    assert(ids(codesT) == Set(1L, 2L) && ids(corpusT) == Set(1L, 2L),
+      "the system-wide takedown must erase the id from both targets")
+  }
 }
