@@ -1337,11 +1337,15 @@ object Similarity {
     * exactly; with effNprobe = numCells and effPrefetch = |allowed| it
     * equals the brute-force-filtered wave (q197's oracle gate); an
     * empty `allowed` yields an empty wave. At 100 TB the semi-join
-    * shuffles (id)-slim rows of the index once per wave — a fleet
-    * serving one HOT predicate repeatedly materialises the filtered
-    * index as its own versioned target instead (the q186 curated-index
-    * pattern), or bakes the metadata into the index payload so the
-    * predicate pushes down to the parquet scan.
+    * shuffles (id)-slim rows of the index once per wave — right for a
+    * one-off predicate; a fleet serving one HOT predicate repeatedly
+    * materialises the filtered index as its own versioned target
+    * instead ([[materializeFilteredIndex]] + [[refreshFilteredIndex]],
+    * the q208 verb: build once, refresh O(delta) off the base's
+    * `appendedSince` feed, serve with the UNfiltered wave at s=1 — no
+    * per-wave selectivity agg, no index-wide semi-join), or bakes the
+    * metadata into the index payload so the predicate pushes down to
+    * the parquet scan.
     */
   def ivfTopKServedInt8Filtered(index8: DataFrame, corpus: DataFrame,
       cent: Seq[(Long, Seq[Double])], idCol: String, vecCol: String,
@@ -1418,6 +1422,56 @@ object Similarity {
         math.ceil(prefetch.toDouble / s).toLong))).toInt
     (effPrefetch, effNprobe)
   }
+
+  /** MATERIALIZE a hot-predicate serving index (the q208 verb): commit
+    * `base`'s current rows ∩ `allowed` as the FIRST version of the
+    * filtered target `filtT`, inheriting the base's quantizer tag so
+    * the pairing invariant ([[pairedCentroids]]) holds on the filtered
+    * replica too. This is the amortization path the per-wave filtered
+    * verbs ([[ivfTopKServedInt8Filtered]] et al.) document: a fleet
+    * serving "lang='en'" a thousand times pays the index-wide semi-join
+    * ONCE here, then every wave serves the filtered target with the
+    * plain (unfiltered, s=1) wave — no per-wave selectivity agg, no
+    * per-wave semi-join. The filtered target keeps the base's `cell=`
+    * layout (it is committed from the base's already-placed rows), so
+    * cell pruning carries over unchanged.
+    */
+  def materializeFilteredIndex(s: org.apache.spark.sql.SparkSession,
+      baseT: graft.ops.VersionedTarget.Segmented,
+      filtT: graft.ops.VersionedTarget.Segmented,
+      allowed: DataFrame, idCol: String, batchId: Long = 0L): Unit = {
+    val base = baseT.current(s)
+      .getOrElse(sys.error("base index target committed no version"))
+    filtT.commit(
+      base.join(allowed.select(col(idCol)).distinct(), Seq(idCol), "left_semi"),
+      batchId, tag = baseT.currentTag)
+  }
+
+  /** REFRESH the materialized filtered index against base-index appends
+    * — the staleness half of the q208 contract: the filtered target is
+    * a REPLICA, stale by construction between refreshes, and each
+    * refresh pulls ONLY the base's post-cursor delta off the manifest
+    * ([[graft.ops.VersionedTarget.Segmented.appendedSince]] — O(delta)
+    * I/O, the q194 feed shape), semi-joins the predicate on the DELTA
+    * alone (never the whole index again), and commits the allowed
+    * newcomers as one O(delta) segment. Redelivered refresh batches
+    * skip on the filtered target's epoch (exactly-once); a fold
+    * crossing the cursor raises `appendedSince`'s LOUD resync signal —
+    * the replica then rebuilds via [[materializeFilteredIndex]], never
+    * silently serves folded rows.
+    */
+  def refreshFilteredIndex(s: org.apache.spark.sql.SparkSession,
+      baseT: graft.ops.VersionedTarget.Segmented,
+      filtT: graft.ops.VersionedTarget.Segmented,
+      allowed: DataFrame, idCol: String, sinceEpoch: Long,
+      batchId: Long): Unit =
+    if (!filtT.applied(batchId))
+      baseT.appendedSince(s, sinceEpoch).foreach { delta =>
+        filtT.commit(
+          delta.join(allowed.select(col(idCol)).distinct(), Seq(idCol),
+            "left_semi"),
+          batchId, tag = baseT.currentTag)
+      }
 
   /** IVF search (nprobe=1) with per-`cellCol`-mean centroids (labelled
     * data); for unlabelled corpora pair [[ivfTopKAssigned]] with

@@ -5482,6 +5482,96 @@ object LlmOps {
     candWhere =
       "(c.vec_id % 10 <> 0 OR c.vec_id % 20 = 0) AND c.vec_id % 7 <> 3")
 
+  /** Q208 — MATERIALIZED HOT-PREDICATE SERVING: the amortization path
+    * the per-wave filtered verbs (q197/q202) document, promoted to a
+    * verb ([[Similarity.materializeFilteredIndex]] +
+    * [[Similarity.refreshFilteredIndex]]). A fleet serving
+    * "lang='en'" a thousand times must not pay q197's per-wave
+    * selectivity agg + index-wide semi-join a thousand times: the
+    * predicate becomes its OWN versioned target (the q186
+    * curated-index pattern scoped by the predicate) — built with ONE
+    * semi-join over the base index, kept fresh against base appends by
+    * an O(delta) refresh off the base's `appendedSince` feed (the
+    * delta alone is semi-joined, never the index again; a fold across
+    * the cursor raises the q194 LOUD resync signal), and SERVED by the
+    * plain unfiltered wave at s=1. The staleness contract is explicit
+    * and `require`d in-query: the replica does NOT move when the base
+    * appends (stale between refreshes BY DESIGN), and after refresh it
+    * equals base ∩ allowed EXACTLY (both anti-join directions). The
+    * wave serves at q197's scale-proof degenerate point, so the result
+    * hash-matches q197's brute-force-filtered twin EXACTLY — same
+    * answer, different plan: PlanSpec proves the serving wave carries
+    * NO aggregate and NO semi-join at all.
+    */
+  def q208(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import graft.ops.VersionedTarget
+    val docs = t(spark, dir, "documents")
+    val e = t(spark, dir, "embeddings").coalesce(8)
+    val out = PipelineOps.layoutDir(spark, dir, "filteredannmat")
+    val iroot = Paths.get(out, "assignments8")
+    val froot = Paths.get(out, "filtered8")
+    val qroot = Paths.get(out, "centroids")
+    Seq(iroot, froot, qroot).foreach { r => // fresh targets per invocation
+      if (Files.exists(r)) VersionedTarget.rmTree(r.toFile)
+      Files.createDirectories(r): Unit
+    }
+    val baseT = VersionedTarget.Segmented(iroot,
+      partitionCols = Seq("cell"), clusterCommits = true)
+    val filtT = VersionedTarget.Segmented(froot,
+      partitionCols = Seq("cell"), clusterCommits = true)
+    val centT = VersionedTarget.Rewrite(qroot)
+    val base = e.filter($"vec_id" % 20 =!= 0)
+    val delta = e.filter($"vec_id" % 20 === 0)
+    val (baseAssign, cent0) = Similarity.kmeansFit(base, "vec_id",
+      "embedding", k = 8, iters = 2, materialize = false, withVec = true)
+    centT.commit(cent0, 0L)
+    baseT.commit(Similarity.quantizeInt8(baseAssign, "vec_id", "embedding"),
+      0L, tag = Some("v0"))
+    // the HOT predicate, declared once — and paid once: the ONLY
+    // index-wide semi-join in this query's lifetime runs here
+    val allowed = docs.filter($"lang" === "en").select($"doc_id".as("vec_id"))
+    Similarity.materializeFilteredIndex(spark, baseT, filtT, allowed, "vec_id")
+    val staleCount = filtT.current(spark).get.count()
+    // the nightly base append — the REPLICA must not move (stale
+    // between refreshes BY DESIGN; that is the staleness contract)
+    Similarity.appendToIndex(delta, "vec_id", "embedding", baseT, centT,
+      1L, int8 = true)
+    require(filtT.current(spark).get.count() == staleCount,
+      "the filtered replica moved on a base append — staleness between " +
+        "refreshes is the declared contract")
+    // O(delta) refresh: ONLY the appended slice is semi-joined
+    Similarity.refreshFilteredIndex(spark, baseT, filtT, allowed, "vec_id",
+      sinceEpoch = 0L, batchId = 1L)
+    // freshness gate: the replica now equals base ∩ allowed EXACTLY
+    val fidx = filtT.current(spark).get
+    val wantIds = baseT.current(spark).get.select($"vec_id")
+      .join(allowed.select($"vec_id").distinct(), Seq("vec_id"), "left_semi")
+    require(fidx.select($"vec_id")
+        .join(wantIds, Seq("vec_id"), "left_anti").count() == 0L,
+      "the filtered replica serves an id outside base ∩ allowed")
+    require(wantIds.join(fidx.select($"vec_id"), Seq("vec_id"), "left_anti")
+        .count() == 0L,
+      "the refreshed replica misses an allowed newcomer from the delta")
+    // the serving wave: plain UNfiltered s=1 over the replica — no
+    // selectivity agg, no semi-join (PlanSpec pins both structurally),
+    // at the scale-proof degenerate point so it equals q197's twin
+    val cent = Similarity.localize(
+      Similarity.pairedCentroids(spark, filtT, centT)
+        .getOrElse(sys.error("no centroid version paired with the replica")))
+    Similarity.ivfTopKServedInt8(fidx, e, cent, "vec_id", "embedding",
+        e.filter($"vec_id" < 10), k = 10,
+        prefetch = math.min(Int.MaxValue.toLong, e.count()).toInt, nprobe = 8)
+      .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
+  }
+
+  /** q197's brute-force-FILTERED twin VERBATIM — the whole point: the
+    * materialized path returns the identical answer through a plan with
+    * no per-wave predicate machinery at all.
+    */
+  val q208Sql: String = q197Sql
+
   /** Q194 — INCREMENTAL FEED FROM THE SERVING INDEX: q157's downstream
     * delivery verb ([[graft.ops.VersionedTarget.Segmented.appendedSince]])
     * run on the SQ8 index's `cell=`-partitioned target — the replica
@@ -5658,7 +5748,8 @@ object LlmOps {
     "q204_filtered_ann_scaled" -> (q204 _),
     "q205_filtered_hybrid" -> (q205 _),
     "q206_system_restore_pq" -> (q206 _),
-    "q207_system_takedown_pq" -> (q207 _))
+    "q207_system_takedown_pq" -> (q207 _),
+    "q208_filtered_ann_materialized" -> (q208 _))
 
   def oracles: Map[String, String] = Map(
     "q58_exact_dedup" -> q58Sql,
@@ -5738,5 +5829,6 @@ object LlmOps {
     "q204_filtered_ann_scaled" -> q204Sql,
     "q205_filtered_hybrid" -> q205Sql,
     "q206_system_restore_pq" -> q206Sql,
-    "q207_system_takedown_pq" -> q207Sql)
+    "q207_system_takedown_pq" -> q207Sql,
+    "q208_filtered_ann_materialized" -> q208Sql)
 }

@@ -434,6 +434,24 @@ class PlanSpec extends SparkSpec {
         s"would decimate recall at selective predicates:\n$lp")
   }
 
+  test("q208 materialized hot-predicate serving: the serving wave carries " +
+      "NO aggregate and NO semi-join of any kind — the predicate's " +
+      "selectivity agg and index-wide semi-join were paid once at " +
+      "materialization, not per wave (the q197 amortization contract)") {
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val df = LlmOps.q208(spark, sfDir)
+    val lp = df.queryExecution.optimizedPlan
+    assert(lp.collect { case j: Join if j.joinType == LeftSemi => j }.isEmpty,
+      s"the materialized serving wave still runs a per-wave semi-join:\n$lp")
+    assert(lp.collect { case a: Aggregate => a }.isEmpty,
+      s"the materialized serving wave still runs a per-wave aggregate " +
+        s"(the selectivity measurement must not survive materialization):\n$lp")
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q208 serving wave exploded to all pairs:\n$p")
+  }
+
   test("q184 incremental SemDeDup: the cross-side pair generation is an " +
       "equi-join on cell, never cartesian") {
     val p = plan(CurationOps.q184(spark, sfDir))
