@@ -721,6 +721,133 @@ object StreamingQueries {
        |FROM documents doc LEFT JOIN m ON m.d = doc.doc_id
        |ORDER BY doc_id NULLS FIRST""".stripMargin
 
+  /** The q209 static side: the EXISTING corpus' banded 32-bit SimHash
+    * fingerprint index (q200's postings side) under the declared
+    * hot-band df cap ([[LlmOps.capBands]] with `bands = 4` — SimHash
+    * bands are 8-bit like the media gates', but a 32-bit fingerprint
+    * carries 4 of them). The cap is what q126's uncapped whole-corpus
+    * gate lacks: a degenerate (band, bv) bucket (short/templated docs
+    * collapse SimHash bytes) multiplies EVERY matching arrival by its
+    * size, and the scale-aware rule `max(12, ceil(4·n/256))` bounds an
+    * arrival's join fan-out at 4·effCap rows at ANY corpus size.
+    */
+  private[graft] def simhashGateIndex(existing: DataFrame): DataFrame =
+    LlmOps.capBands(neardupIndex(existing), maxDf = 12, bands = 4)
+
+  /** The q209 per-micro-batch GATE verb (factored so
+    * StreamingSemanticsSpec can drive redelivery schedules without the
+    * streaming harness): fingerprint the arriving docs map-side
+    * ([[graft.ops.TextOps.simhashTable]], one native pass), band them,
+    * probe the CAPPED static index (candidates = band share, verdict =
+    * exact `bit_count` Hamming ≤ 3 over distinct (arrival, existing)
+    * pairs), and commit one verdict row per arrival — dup count + MIN
+    * existing witness, 0/null for clean or tokenless docs — as one
+    * O(batch) segment of the verdict target. Redelivered batches skip
+    * on the target's epoch (exactly-once); batch boundaries cannot
+    * change a verdict because every batch probes the same whole static
+    * index (q126's oracle argument, here in the q200 cross-corpus
+    * shape: no within-arrival pair is ever generated, so the gate is
+    * O(slice) per batch by construction).
+    */
+  private[graft] def gateSimhashBatch(
+      target: graft.ops.VersionedTarget.Segmented,
+      index: DataFrame)(batch: DataFrame, id: Long): Unit = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val bid = id + 1L
+    if (!target.applied(bid)) {
+      val banded = graft.ops.TextOps
+        .simhashTable(batch, "doc_id", "text", bits = 32)
+        .select($"doc_id".as("in_id"), $"fp", bandsOf($"fp").as("b"))
+        .select($"in_id", $"fp", $"b.band", $"b.bv")
+      val verdicts = banded.join(index, Seq("band", "bv"))
+        .filter($"in_id" =!= $"idx_id")
+        .select($"in_id", $"fp", $"idx_id", $"idx_fp").distinct()
+        .filter(expr("bit_count(fp ^ idx_fp)") <= 3)
+        .groupBy($"in_id")
+        .agg(count(lit(1)).as("n_dup_existing"),
+          min($"idx_id").as("min_dup_existing"))
+      target.commit(
+        batch.select($"doc_id".as("in_id"))
+          .join(verdicts, Seq("in_id"), "left")
+          .select($"in_id".as("doc_id"),
+            coalesce($"n_dup_existing", lit(0L)).as("n_dup_existing"),
+            $"min_dup_existing"),
+        bid)
+    }
+  }
+
+  /** Q209 — STREAMING SIMHASH GATE (cross-corpus): the last empty cell
+    * of the streaming-gate matrix — q126/q182's continuous-ingestion
+    * shape over the SimHash family's CROSS-CORPUS probe (q200's
+    * asymmetric postings side as the static frame). Arriving docs (the
+    * odd-id slice, streamed in REAL multi-micro-batches) fingerprint
+    * map-side, probe the EXISTING corpus' capped band index only — no
+    * within-arrival pair is ever generated, so each batch is O(slice)
+    * sized by its near-dup rate — and commit per-arrival verdicts
+    * through the epoch-guarded target ([[gateSimhashBatch]]:
+    * exactly-once under redelivery, the spec row drives it). The
+    * oracle is the identical BATCH computation (q200's CTE shape with
+    * the gate's declared cap on the existing side): batch boundaries
+    * cannot change any verdict because every batch probes the same
+    * whole static index.
+    */
+  def q209(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import graft.ops.VersionedTarget
+    val docs = t(spark, dir, "documents").filter($"doc_id" < 2000)
+    val index = simhashGateIndex(docs.filter($"doc_id" % 2 === 0))
+    val root = Paths.get(
+      PipelineOps.layoutDir(spark, dir, "simhashgate"), "verdicts")
+    if (Files.exists(root)) VersionedTarget.rmTree(root.toFile)
+    Files.createDirectories(root): Unit
+    val target = VersionedTarget.Segmented(root)
+    val arrivals = StreamOps.docsStream(spark, dir, maxFilesPerTrigger = 8)
+      .filter($"doc_id" < 2000 && $"doc_id" % 2 === 1)
+    StreamOps.runForeachBatch(arrivals, gateSimhashBatch(target, index),
+      outputMode = "append")
+    val curVer = VersionedTarget.currentVersion(root)
+      .getOrElse(sys.error("gate target has no CURRENT pointer"))
+    require(target.segmentsOf(curVer).size >= 2,
+      "the streaming gate must be MULTI-batch — one batch swallowing " +
+        "the backlog proves nothing")
+    target.current(spark)
+      .getOrElse(sys.error("gate committed no verdicts"))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  /** The identical batch computation: q200's cross-parity CTE shape
+    * with the gate's declared scale-aware hot-band cap applied to the
+    * EXISTING side (the capped static index IS the gate's candidacy
+    * rule, so the oracle replays it — `max(12, ceil(4·n/256))` in the
+    * same arithmetic, n = existing fingerprints).
+    */
+  val q209Sql: String =
+    s"""$simhashCtes,
+       |exb AS (SELECT doc_id, fp, band, bv FROM banded
+       |        WHERE doc_id % 2 = 0 AND doc_id < 2000),
+       |hotb AS (
+       |  SELECT band, bv FROM (SELECT band, bv, COUNT(*) AS df FROM exb GROUP BY band, bv)
+       |  WHERE df > GREATEST(12, CAST(CEIL(${graft.sources.Multimodal.HotBandFactor} * ((SELECT COUNT(*) FROM exb) // 4) / 256.0) AS BIGINT))),
+       |keptb AS (SELECT b.* FROM exb b ANTI JOIN hotb h ON h.band = b.band AND h.bv = b.bv),
+       |inb AS (SELECT doc_id, fp, band, bv FROM banded
+       |        WHERE doc_id % 2 = 1 AND doc_id < 2000),
+       |cp AS (
+       |  SELECT DISTINCT i.doc_id AS in_id, k.doc_id AS ex_id,
+       |         i.fp AS f1, k.fp AS f2
+       |  FROM inb i JOIN keptb k ON i.band = k.band AND i.bv = k.bv
+       |   AND i.doc_id <> k.doc_id),
+       |ag AS (SELECT in_id, COUNT(*) AS n_dup_existing,
+       |              MIN(ex_id) AS min_dup_existing
+       |       FROM cp WHERE bit_count(xor(f1, f2)) <= 3 GROUP BY in_id)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(ag.n_dup_existing, 0) AS BIGINT) AS n_dup_existing,
+       |  ag.min_dup_existing
+       |FROM documents d LEFT JOIN ag ON ag.in_id = d.doc_id
+       |WHERE d.doc_id % 2 = 1 AND d.doc_id < 2000
+       |ORDER BY doc_id NULLS FIRST""".stripMargin
+
   /** Q132 — INCREMENTAL DEDUP PIPELINE: the continuous-ingestion
     * composition a production corpus actually runs — q126's near-dup
     * gate feeding q127's apply as ONE streaming pipeline. Per
@@ -1266,7 +1393,8 @@ object StreamingQueries {
     "q146_segment_stats_rollup" -> (q146 _),
     "q154_takedown_delete" -> (q154 _),
     "q155_time_travel" -> (q155 _),
-    "q157_incremental_feed" -> (q157 _))
+    "q157_incremental_feed" -> (q157 _),
+    "q209_stream_simhash_gate" -> (q209 _))
 
   def oracles: Map[String, String] = Map(
     "q46_tumbling_window" -> q46Sql,
@@ -1291,5 +1419,6 @@ object StreamingQueries {
     "q146_segment_stats_rollup" -> q146Sql,
     "q154_takedown_delete" -> q154Sql,
     "q155_time_travel" -> q155Sql,
-    "q157_incremental_feed" -> q157Sql)
+    "q157_incremental_feed" -> q157Sql,
+    "q209_stream_simhash_gate" -> q209Sql)
 }

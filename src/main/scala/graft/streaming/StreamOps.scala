@@ -56,12 +56,18 @@ object StreamOps {
 
   /** Unbounded `documents` stream — the continuous-ingestion corpus shape
     * (q126's incoming docs); same staged-directory file source as
-    * [[eventsStream]].
+    * [[eventsStream]]. `maxFilesPerTrigger > 0` bounds each micro-batch
+    * so an AvailableNow run over the staged multi-file layout exercises
+    * REAL multi-batch ingestion (the [[embeddingsStream]] contract).
     */
-  def docsStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(docsRawSchema)
+  def docsStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    val r = spark.readStream.schema(docsRawSchema)
+    (if (maxFilesPerTrigger > 0)
+       r.option("maxFilesPerTrigger", maxFilesPerTrigger)
+     else r)
       .parquet(stageDir(spark, dir, "documents"))
+  }
 
   /** Parquet schema of `embeddings` (file-source streams need it explicit). */
   val embeddingsRawSchema: StructType = StructType(Seq(

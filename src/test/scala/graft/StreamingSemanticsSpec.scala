@@ -212,6 +212,45 @@ class StreamingSemanticsSpec extends SparkSpec {
         s"(15 docs streamed; unbounded growth at continuous ingest)")
   }
 
+  test("q209 gate: per-batch verdicts probe only the static index, " +
+      "accumulate across batches, and redelivery is a no-op") {
+    import graft.queries.StreamingQueries
+    def docsDF(rows: Seq[(Long, String)]) =
+      rows.map { case (id, txt) => (id, txt, "en", txt.length.toLong) }
+        .toDF("doc_id", "text", "lang", "n_chars")
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta"
+    // EXISTING corpus (the static side): 2 carries the dup text, 4 is
+    // unrelated — arrivals are checked against THESE only
+    val existing = docsDF(Seq(2L -> dupText,
+      4L -> "completely different words about spark engines here"))
+    val index = StreamingQueries.simhashGateIndex(existing)
+    val root = Files.createTempDirectory("graft_gate209_spec")
+    val target = graft.ops.VersionedTarget.Segmented(root)
+    val gate = StreamingQueries.gateSimhashBatch(target, index) _
+    def verdicts: Map[Long, Long] =
+      target.current(spark).get
+        .select($"doc_id", $"n_dup_existing").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch 0: 1 dups existing doc 2 (Hamming 0); 11 is clean. Note 1
+    // and 11 do NOT pair with each other even if near-dup — the gate is
+    // cross-corpus: no within-arrival pair is ever generated
+    gate(docsDF(Seq(1L -> dupText,
+      11L -> "some fresh unrelated sentence about parquet manifests")), 0L)
+    assert(verdicts == Map(1L -> 1L, 11L -> 0L),
+      s"batch-0 verdicts wrong: $verdicts")
+    // batch 1: 21 dups existing 2 as well — the verdict is identical no
+    // matter which batch carried it (whole-static-index argument), and
+    // batch 0's verdicts stay
+    gate(docsDF(Seq(21L -> dupText)), 1L)
+    assert(verdicts == Map(1L -> 1L, 11L -> 0L, 21L -> 1L),
+      s"cross-batch verdict wrong: $verdicts")
+    // redelivery of batch 1 (post-crash retry) must not double-commit
+    gate(docsDF(Seq(21L -> dupText)), 1L)
+    assert(target.current(spark).get.count() == 3,
+      "redelivered gate batch committed twice")
+    assert(new String(Files.readAllBytes(root.resolve("CURRENT"))).trim == "v2")
+  }
+
   test("q132 merge: survivors accumulate across batches, dups drop, redelivery is a no-op") {
     import graft.queries.StreamingQueries
     def docsDF(rows: Seq[(Long, String)]) =
