@@ -5218,11 +5218,14 @@ object LlmOps {
     * only: the dense arm is the brute-force-filtered twin (the
     * degenerate-point rule), the lexical arm is the shared band-join
     * chain with the gate joined below the band join; the RRF tail is
-    * the q159 arithmetic unchanged.
+    * the q159 arithmetic unchanged. Parameterized over the predicate —
+    * shared by q205 (SQ8 dense arm, lang gate) and q210 (PQ dense arm,
+    * source gate): at the degenerate point BOTH served payloads equal
+    * the same brute-filtered twin, so the oracle shape is one text.
     */
-  val q205Sql: String =
+  private def filteredHybridSql(predWhere: String): String =
     s"""WITH ${ngramPairCtesOver("documents")},
-       |allowedd AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+       |allowedd AS (SELECT doc_id FROM documents WHERE $predWhere),
        |${lexTopKCtesJoining("JOIN allowedd al ON al.doc_id = b.doc_id")},
        |ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |dsc AS (
@@ -5236,6 +5239,8 @@ object LlmOps {
        |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos6 DESC, cand_id ASC) AS rn_d
        |    FROM dsc) WHERE rn_d <= 10),
        |$rrfFusionSql""".stripMargin
+
+  val q205Sql: String = filteredHybridSql("lang = 'en'")
 
   /** Q206 — COHERENT CORPUS+INDEX RESTORE ON THE PQ PAIR: q201's
     * full-system rewind with the PQ index as the referrer — the payload
@@ -5572,6 +5577,54 @@ object LlmOps {
     */
   val q208Sql: String = q197Sql
 
+  /** Q210 — FILTERED HYBRID RETRIEVAL ON THE PQ-SERVED DENSE ARM:
+    * q205's production RAG-with-a-metadata-gate composition with the
+    * dense arm served from the CODED index (q188/q193's payload — the
+    * index a 100 TB fleet actually serves), closing the hybrid row of
+    * the filter matrix: the predicate gates BOTH arms' candidate sets
+    * before ranking (never the fused list), the dense arm is q202's
+    * filtered PQ wave at its scale-proof degenerate point
+    * ([[Similarity.ivfTopKServedPQFiltered]] — prefetch = |corpus|, so
+    * the scaled clamp re-ranks the whole allowed set and ADC error is
+    * stripped BY CONSTRUCTION), the lexical arm restricts the
+    * candidate frame below the band join (the shared
+    * [[lexicalTopKOver]]), and RRF fuses unchanged. The predicate is
+    * q202's source gate, so q205 and q210 share no answer key.
+    */
+  def q210(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents")
+    val e = t(spark, dir, "embeddings").coalesce(8)
+    val out = PipelineOps.layoutDir(spark, dir, "filteredhybridpq")
+    val (_, coarseDF) = Similarity.kmeansFit(e, "vec_id", "embedding",
+      k = 8, iters = 2, materialize = false, withVec = false)
+    val coarse = Similarity.localize(coarseDF)
+    val books = Similarity.pqFit(e, "vec_id", "embedding",
+      dim = 64, m = 4, codes = 16, iters = 2)
+    Similarity.pqEncode(e, "vec_id", "embedding", books, coarse, dim = 64)
+      .repartition(col("cell")).write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$out/codes")
+    val idx = spark.read.parquet(s"$out/codes")
+    val allowedPred = $"source" < "src2" && $"source" >= "src1"
+    val allowed = docs.filter(allowedPred).select($"doc_id".as("vec_id"))
+    val dense = Similarity.ivfTopKServedPQFiltered(idx, e, books, coarse,
+        "vec_id", "embedding", e.filter($"vec_id" < 10), allowed,
+        k = 10, prefetch = e.count(), nprobe = 8, dim = 64)
+      .select($"probe_id", $"cand_id", $"rn".as("rn_d"))
+    val lex = lexicalTopKOver(docs.filter($"doc_id" < 10),
+      docs.filter(allowedPred))
+    rrfFuse(dense, lex)
+      .orderBy($"probe_id".asc_nulls_first, $"rn".asc_nulls_first)
+  }
+
+  /** The shared filtered-hybrid oracle over q202's source gate — at the
+    * degenerate point the PQ-served dense arm equals the same
+    * brute-filtered twin the SQ8 arm does; only the predicate differs
+    * from q205's text.
+    */
+  val q210Sql: String =
+    filteredHybridSql("source < 'src2' AND source >= 'src1'")
+
   /** Q194 — INCREMENTAL FEED FROM THE SERVING INDEX: q157's downstream
     * delivery verb ([[graft.ops.VersionedTarget.Segmented.appendedSince]])
     * run on the SQ8 index's `cell=`-partitioned target — the replica
@@ -5749,7 +5802,8 @@ object LlmOps {
     "q205_filtered_hybrid" -> (q205 _),
     "q206_system_restore_pq" -> (q206 _),
     "q207_system_takedown_pq" -> (q207 _),
-    "q208_filtered_ann_materialized" -> (q208 _))
+    "q208_filtered_ann_materialized" -> (q208 _),
+    "q210_filtered_hybrid_pq" -> (q210 _))
 
   def oracles: Map[String, String] = Map(
     "q58_exact_dedup" -> q58Sql,
@@ -5830,5 +5884,6 @@ object LlmOps {
     "q205_filtered_hybrid" -> q205Sql,
     "q206_system_restore_pq" -> q206Sql,
     "q207_system_takedown_pq" -> q207Sql,
-    "q208_filtered_ann_materialized" -> q208Sql)
+    "q208_filtered_ann_materialized" -> q208Sql,
+    "q210_filtered_hybrid_pq" -> q210Sql)
 }
