@@ -5625,6 +5625,159 @@ object LlmOps {
   val q210Sql: String =
     filteredHybridSql("source < 'src2' AND source >= 'src1'")
 
+  /** Q211 — FILTERED RECALL REPORT (recall vs selectivity): the q147
+    * evaluation loop extended to the FILTERED waves — the operating-
+    * point instrument a fleet consults before choosing knobs for a
+    * gated predicate. The OpsSpec floor row proves one point; this
+    * REPORT sweeps the selectivity axis: three pass rates (one-in-2,
+    * one-in-5, one-in-20 id gates — deterministic, mirrored 1:1 in the
+    * oracle) each run the SQ8 filtered wave at the REAL partial knobs
+    * (k=3, prefetch=6, nprobe=2 — the q204 scaling arithmetic then
+    * widens them by the measured 1/s) against the brute-force-FILTERED
+    * truth over the same allowed set (the sampled probe wave,
+    * vec_id < 20 — at 100 TB the knob is the probe filter, nothing
+    * else changes: q147's argument). Per (rate, probe): how many of
+    * the true filtered top-3 the scaled wave returned. Both sides
+    * fully deterministic (6dp rounding, cand_id tie-breaks, identical
+    * IEEE knob arithmetic), so the report is hash-exact — the
+    * gradient across rates IS the measured recall-vs-selectivity
+    * curve.
+    */
+  def q211(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = t(spark, dir, "embeddings").coalesce(8)
+    val out = PipelineOps.layoutDir(spark, dir, "filteredrecall")
+    val (assignments, centroids) =
+      Similarity.kmeansFit(e, "vec_id", "embedding", k = 8, iters = 2,
+        materialize = false, withVec = true)
+    Similarity.quantizeInt8(assignments, "vec_id", "embedding")
+      .repartition(col("cell")).write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$out/assignments8")
+    centroids.write.mode("overwrite").parquet(s"$out/centroids")
+    val idx8 = spark.read.parquet(s"$out/assignments8")
+    val cent = Similarity.localize(spark.read.parquet(s"$out/centroids"))
+    val probes = e.filter($"vec_id" < 20)
+    def rateReport(mod: Int): DataFrame = {
+      val allowed = e.filter($"vec_id" % mod === 0).select($"vec_id")
+      val ivf = Similarity.ivfTopKServedInt8Filtered(idx8, e, cent,
+          "vec_id", "embedding", probes, allowed,
+          k = 3, prefetch = 6, nprobe = 2)
+        .select($"probe_id", $"cand_id")
+      val truth = Similarity.bruteForceTopK(probes,
+          e.join(allowed, Seq("vec_id"), "left_semi"),
+          "vec_id", "embedding", k = 3)
+        .select($"probe_id", $"cand_id")
+      val hits = truth.join(ivf, Seq("probe_id", "cand_id"))
+        .groupBy($"probe_id").agg(count(lit(1)).as("n_hits"))
+      truth.select($"probe_id").distinct()
+        .join(hits, Seq("probe_id"), "left_outer")
+        .select(lit(mod.toLong).as("one_in"), $"probe_id",
+          coalesce($"n_hits", lit(0L)).as("n_hits"))
+    }
+    val report = Seq(2, 5, 20).map(rateReport).reduce(_ union _)
+      .orderBy($"one_in".asc_nulls_first, $"probe_id".asc_nulls_first)
+    // k-bounded report (3 rates × 20 probes); materialise so nothing
+    // holds the index read open
+    val rows = report.collect().toSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      report.schema)
+  }
+
+  /** One rate's oracle block: the q204 scaled-knob machinery at the
+    * REAL partial knobs (k=3, prefetch=6, nprobe=2) over the `pfx`
+    * allowed gate, plus the brute-filtered truth and the per-probe hit
+    * count — every effective knob re-derived from the same measured
+    * counts in identical IEEE arithmetic. Composes under a shared
+    * `kmeansCtes("TRUE")` + qz/idx prefix; emits `<pfx>rep(one_in,
+    * probe_id, n_hits)`.
+    */
+  private def filteredRecallCtes(pfx: String, mod: Int): String =
+    s"""${pfx}allowed AS (SELECT vec_id FROM embeddings WHERE vec_id % $mod = 0),
+       |${pfx}sel AS (
+       |  SELECT
+       |    CAST((SELECT COUNT(*) FROM idx i JOIN ${pfx}allowed a ON a.vec_id = i.vec_id) AS DOUBLE)
+       |      / (SELECT COUNT(*) FROM idx) AS s,
+       |    (SELECT COUNT(*) FROM idx i JOIN ${pfx}allowed a ON a.vec_id = i.vec_id) AS n_allow),
+       |${pfx}knobs AS (
+       |  SELECT
+       |    LEAST((SELECT COUNT(*) FROM cent2), CAST(CEIL(2 / s) AS BIGINT)) AS eff_nprobe,
+       |    GREATEST(3, LEAST(n_allow, CAST(CEIL(6 / s) AS BIGINT))) AS eff_prefetch
+       |  FROM ${pfx}sel),
+       |${pfx}dqx AS (
+       |  SELECT i.vec_id, i.cell,
+       |    list_transform(i.v, x -> floor(x / i.scale + 0.5) * i.scale) AS dq
+       |  FROM idx i JOIN ${pfx}allowed a ON a.vec_id = i.vec_id),
+       |${pfx}pcell AS (
+       |  SELECT vec_id AS probe_id, cell FROM (
+       |    SELECT v.vec_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+       |        ROUND(list_dot_product(v.v, v.v) - 2.0 * list_dot_product(v.v, c.centroid)
+       |              + list_dot_product(c.centroid, c.centroid), 6) ASC, c.cell ASC) AS crn
+       |    FROM vecs v CROSS JOIN cent2 c WHERE v.vec_id < 20)
+       |  WHERE crn <= (SELECT eff_nprobe FROM ${pfx}knobs)),
+       |${pfx}apairs AS (
+       |  SELECT p.probe_id, c.vec_id AS cand_id,
+       |    ROUND(list_dot_product(pv.v, c.dq)
+       |          / (pv.nrm * SQRT(list_dot_product(c.dq, c.dq))), 6) AS approx6
+       |  FROM ${pfx}pcell p
+       |  JOIN ${pfx}dqx c ON c.cell = p.cell
+       |  JOIN avx pv ON pv.vec_id = p.probe_id
+       |  WHERE c.vec_id <> p.probe_id),
+       |${pfx}pref AS (
+       |  SELECT probe_id, cand_id FROM (
+       |    SELECT probe_id, cand_id,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY approx6 DESC, cand_id ASC) AS arn
+       |    FROM ${pfx}apairs) WHERE arn <= (SELECT eff_prefetch FROM ${pfx}knobs)),
+       |${pfx}epairs AS (
+       |  SELECT f.probe_id, f.cand_id,
+       |    ROUND(list_dot_product(pv.v, c.v) / (pv.nrm * c.nrm), 6) AS cos6
+       |  FROM ${pfx}pref f
+       |  JOIN avx c ON c.vec_id = f.cand_id
+       |  JOIN avx pv ON pv.vec_id = f.probe_id),
+       |${pfx}ivf AS (
+       |  SELECT probe_id, cand_id FROM (
+       |    SELECT probe_id, cand_id,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos6 DESC, cand_id ASC) AS rn
+       |    FROM ${pfx}epairs) WHERE rn <= 3),
+       |${pfx}bpairs AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+       |    ROUND(list_dot_product(p.v, c.v) / (SQRT(list_dot_product(p.v, p.v)) * SQRT(list_dot_product(c.v, c.v))), 6) AS cos6
+       |  FROM vecs p JOIN vecs c ON p.vec_id < 20 AND p.vec_id <> c.vec_id
+       |  JOIN ${pfx}allowed a ON a.vec_id = c.vec_id),
+       |${pfx}truth AS (
+       |  SELECT probe_id, cand_id FROM (
+       |    SELECT probe_id, cand_id,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos6 DESC, cand_id ASC) AS rn
+       |    FROM ${pfx}bpairs) WHERE rn <= 3),
+       |${pfx}hits AS (
+       |  SELECT t.probe_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+       |  FROM ${pfx}truth t JOIN ${pfx}ivf i
+       |    ON t.probe_id = i.probe_id AND t.cand_id = i.cand_id
+       |  GROUP BY t.probe_id),
+       |${pfx}rep AS (
+       |  SELECT CAST($mod AS BIGINT) AS one_in, p.probe_id,
+       |    CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits
+       |  FROM (SELECT DISTINCT probe_id FROM ${pfx}truth) p
+       |  LEFT JOIN ${pfx}hits h ON h.probe_id = p.probe_id)""".stripMargin
+
+  /** The three-rate sweep sharing one fit/quantization prefix; the
+    * report is the union of the per-rate blocks.
+    */
+  val q211Sql: String =
+    s"""${kmeansCtes("TRUE")},
+       |qz AS (
+       |  SELECT vec_id, cell, v,
+       |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+       |  FROM avx),
+       |idx AS (SELECT * FROM qz WHERE scale > 0),
+       |${filteredRecallCtes("r2_", 2)},
+       |${filteredRecallCtes("r5_", 5)},
+       |${filteredRecallCtes("r20_", 20)}
+       |SELECT one_in, probe_id, n_hits FROM r2_rep
+       |UNION ALL SELECT one_in, probe_id, n_hits FROM r5_rep
+       |UNION ALL SELECT one_in, probe_id, n_hits FROM r20_rep
+       |ORDER BY one_in NULLS FIRST, probe_id NULLS FIRST""".stripMargin
+
   /** Q194 — INCREMENTAL FEED FROM THE SERVING INDEX: q157's downstream
     * delivery verb ([[graft.ops.VersionedTarget.Segmented.appendedSince]])
     * run on the SQ8 index's `cell=`-partitioned target — the replica
@@ -5803,7 +5956,8 @@ object LlmOps {
     "q206_system_restore_pq" -> (q206 _),
     "q207_system_takedown_pq" -> (q207 _),
     "q208_filtered_ann_materialized" -> (q208 _),
-    "q210_filtered_hybrid_pq" -> (q210 _))
+    "q210_filtered_hybrid_pq" -> (q210 _),
+    "q211_filtered_recall_report" -> (q211 _))
 
   def oracles: Map[String, String] = Map(
     "q58_exact_dedup" -> q58Sql,
@@ -5885,5 +6039,6 @@ object LlmOps {
     "q206_system_restore_pq" -> q206Sql,
     "q207_system_takedown_pq" -> q207Sql,
     "q208_filtered_ann_materialized" -> q208Sql,
-    "q210_filtered_hybrid_pq" -> q210Sql)
+    "q210_filtered_hybrid_pq" -> q210Sql,
+    "q211_filtered_recall_report" -> q211Sql)
 }

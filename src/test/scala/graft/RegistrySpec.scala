@@ -33,7 +33,7 @@ class RegistrySpec extends SparkSpec {
 
   test("the full surface covers the SURVEY ids Q01..Q72 + r2..r18 additions") {
     val ids = Registry.all.keySet.map(_.takeWhile(_ != '_'))
-    val expected = (1 to 210).map(i => f"q$i%02d").toSet
+    val expected = (1 to 211).map(i => f"q$i%02d").toSet
     assert(ids == expected, s"missing: ${expected -- ids}, extra: ${ids -- expected}")
   }
 
