@@ -55,14 +55,22 @@ object Components {
     * rounds, which additionally truncates the RDD lineage for fault
     * tolerance.
     */
-  private[ops] def mat(df: DataFrame): DataFrame = {
+  private[ops] def mat(df: DataFrame): DataFrame = matCount(df)._1
+
+  /** [[mat]] returning the materialising count too — loops that need the
+    * row count of the frame they just materialised (contraction's
+    * edge-count convergence probe, fixpoint's changed-count) read it off
+    * the SAME action instead of paying a second count job per round.
+    */
+  private[ops] def matCount(df: DataFrame): (DataFrame, Long) = {
     val out = df.sparkSession.createDataFrame(df.rdd, df.schema).persist()
     // persist() registers with the CacheManager BEFORE the materialising
     // count — if the count fails (transient executor loss), drop the
     // entry rather than leak it in a long-lived job server.
-    try out.count(): Unit
-    catch { case t: Throwable => out.unpersist(): Unit; throw t }
-    out
+    val n =
+      try out.count()
+      catch { case t: Throwable => out.unpersist(): Unit; throw t }
+    (out, n)
   }
 
   /** Tracks the round frames a driver currently holds persisted, so a
@@ -76,6 +84,9 @@ object Components {
     private val live = new java.util.IdentityHashMap[DataFrame, Unit]()
     def mat(df: DataFrame): DataFrame = {
       val m = Components.mat(df); live.put(m, ()); m
+    }
+    def matCount(df: DataFrame): (DataFrame, Long) = {
+      val mc = Components.matCount(df); live.put(mc._1, ()); mc
     }
     def track(df: DataFrame): DataFrame = { live.put(df, ()); df }
     def drop(df: DataFrame): Unit =
@@ -102,16 +113,22 @@ object Components {
     * kept so the caller can count changes without a second join. Labels
     * only ever decrease, so changed == (cluster < __old).
     */
-  private def round1(sym: DataFrame, labels: DataFrame): DataFrame = {
+  private def round1(sym: DataFrame, labels: DataFrame): DataFrame =
+    mat(round1Lazy(sym, labels))
+
+  /** The lazy round frame — [[minLabelFixpoint]] materialises it through
+    * its OWN changed-count action (one job per round instead of a
+    * materialising count followed by a changed count).
+    */
+  private def round1Lazy(sym: DataFrame, labels: DataFrame): DataFrame = {
     val nbMin = sym
       .join(labels.select(col("id").as("b"), col("cluster").as("__nb")), Seq("b"))
       .groupBy(col("a").as("id"))
       .agg(min(col("__nb")).as("__nbmin"))
-    val next = labels.join(nbMin, Seq("id"), "left")
+    labels.join(nbMin, Seq("id"), "left")
       .select(col("id"), col("cluster").as("__old"),
         least(col("cluster"), coalesce(col("__nbmin"), col("cluster")))
           .as("cluster"))
-    mat(next)
   }
 
   /** Symmetrised, persisted, materialised edge list. The edges are
@@ -200,8 +217,16 @@ object Components {
             s"component labels still changing after $maxRounds rounds — " +
               "graph diameter exceeds the cap; raise maxRounds or switch " +
               "to star-contraction")
-        val next = lf.track(round1(sym, labels))
-        changed = next.filter(col("cluster") < col("__old")).count()
+        // persist the rebased round frame and materialise it THROUGH the
+        // changed-count action: the filter scans (and caches) every
+        // partition, so one job serves both the materialisation and the
+        // convergence probe (formerly a count + a second filtered count)
+        val lazyNext = round1Lazy(sym, labels)
+        val next = lf.track(lazyNext.sparkSession
+          .createDataFrame(lazyNext.rdd, lazyNext.schema).persist())
+        changed =
+          try next.filter(col("cluster") < col("__old")).count()
+          catch { case t: Throwable => lf.drop(next); throw t }
         lf.drop(prevRound)
         prevRound = next
         labels = next.select(col("id"), col("cluster"))
@@ -237,11 +262,14 @@ object Components {
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     withLive { lf =>
       var labels = lf.mat(nodes.select(col("id"), col("id").as("cluster")))
-      var qe = lf.mat(edges
+      // the materialising count doubles as round 0's convergence probe
+      // (formerly a second count job over the fresh cache)
+      val qe0 = lf.matCount(edges
         .select(least(col("a"), col("b")).as("a"),
           greatest(col("a"), col("b")).as("b"))
         .filter(col("a") =!= col("b")).distinct())
-      var edgeCount = qe.count()
+      var qe = qe0._1
+      var edgeCount = qe0._2
       var r = 0
       while (edgeCount > 0L) {
         r += 1
@@ -254,9 +282,12 @@ object Components {
           .unionAll(qe.select(col("b").as("a"), col("a").as("b")))
         // f: cluster -> min(cluster, min neighbor); every cluster with an
         // incident edge appears (isolated clusters keep their label via
-        // the left joins below)
-        val f = lf.mat(sym.groupBy(col("a").as("c")).agg(min(col("b")).as("m"))
-          .select(col("c"), least(col("c"), col("m")).as("f")))
+        // the left joins below). Not materialised: f appears twice in g's
+        // self-join, but both occurrences share one aggregation exchange
+        // (ReuseExchange), so g's own job computes the agg once — a
+        // per-round persist+count job bought nothing.
+        val f = sym.groupBy(col("a").as("c")).agg(min(col("b")).as("m"))
+          .select(col("c"), least(col("c"), col("m")).as("f"))
         // g = f∘f: path halving — follow the merge target's own target
         val g = lf.mat(f.as("x")
           .join(f.select(col("c").as("fc"), col("f").as("ff")).as("y"),
@@ -266,7 +297,8 @@ object Components {
           .join(g, labels("cluster") === g("c"), "left")
           .select(labels("id"),
             coalesce(col("g"), labels("cluster")).as("cluster")))
-        val newQe = lf.mat(qe
+        // materialise + convergence probe in ONE action (matCount)
+        val newQeN = lf.matCount(qe
           .join(g.select(col("c").as("a"), col("g").as("ga")), Seq("a"), "left")
           .join(g.select(col("c").as("b"), col("g").as("gb")), Seq("b"), "left")
           .select(coalesce(col("ga"), col("a")).as("na"),
@@ -274,12 +306,11 @@ object Components {
           .select(least(col("na"), col("nb")).as("a"),
             greatest(col("na"), col("nb")).as("b"))
           .filter(col("a") =!= col("b")).distinct())
-        edgeCount = newQe.count()
+        edgeCount = newQeN._2
         lf.drop(qe)
         lf.drop(labels)
-        lf.drop(f)
         lf.drop(g)
-        qe = newQe
+        qe = newQeN._1
         labels = newLabels
       }
       lf.drop(qe)

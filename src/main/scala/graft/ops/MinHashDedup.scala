@@ -140,6 +140,7 @@ object MinHashDedup {
     cand
       .join(grams.select(col(idCol).as("d1"), col("__g").as("g1")), Seq("d1"))
       .join(grams.select(col(idCol).as("d2"), col("__g").as("g2")), Seq("d2"))
+      .filter(sizeGate(col("g1"), col("g2"), minJaccard))
       .select(col("d1"), col("d2"), (overlap.cast("double") /
         (size(col("g1")) + size(col("g2")) - overlap)).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
@@ -244,6 +245,7 @@ object MinHashDedup {
     cand
       .join(gIn, Seq("in_id"))
       .join(gEx, Seq("ex_id"))
+      .filter(sizeGate(col("g1"), col("g2"), minJaccard))
       .select(col("in_id"), col("ex_id"), (overlap.cast("double") /
         (size(col("g1")) + size(col("g2")) - overlap)).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
@@ -338,7 +340,8 @@ object MinHashDedup {
       .filter(col("__gc").isNotNull)
     val ov = graft.functions.SortedOverlapCount.overlap(col("__gp"), col("__gc"))
     val truth = gC.crossJoin(broadcast(gP))
-      .filter(col("__p") =!= col("__c"))
+      .filter(col("__p") =!= col("__c") &&
+        sizeGate(col("__gp"), col("__gc"), minJaccard))
       .select(col("__p"), col("__c"), (ov.cast("double") /
         (size(col("__gp")) + size(col("__gc")) - ov)).as("__j"))
       .filter(col("__j") >= minJaccard)
@@ -350,17 +353,34 @@ object MinHashDedup {
     val cSigs = ngramSigs(corpus, idCol, textCol, gramN).persist()
     try {
       val nTrue = truth.count() // materialises the one shared truth pass
-      rowsPerBands.map { r =>
-        // one job per point: candidate volume and caught-truth count off
-        // the same candidate scan (truth is cached and pair-set sized)
-        val counts = crossCandidatesFromSigs(pSigs, cSigs, idCol, r)
-          .filter(col("in_id") =!= col("ex_id"))
-          .join(truth.select(col("__p").as("in_id"), col("__c").as("ex_id"),
-            lit(1).as("__hit")), Seq("in_id", "ex_id"), "left")
-          .agg(count(lit(1)).as("n_cand"), count(col("__hit")).as("n_caught"))
-          .head()
-        BandingMeasurement(r, nTrue, counts.getLong(1), counts.getLong(0))
-      }
+      // the per-point count jobs are INDEPENDENT reads of the shared
+      // caches — submit them concurrently (guide §2.6: actions are only
+      // sequential because the driver calls them sequentially) so the
+      // tail of one point's stage back-fills with the next point's
+      // tasks; results are deterministic scalars combined in knob order
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(rowsPerBands.size, 3))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        val futs = rowsPerBands.map { r =>
+          scala.concurrent.Future {
+            // one job per point: candidate volume and caught-truth count
+            // off the same candidate scan (truth is cached and pair-set
+            // sized)
+            val counts = crossCandidatesFromSigs(pSigs, cSigs, idCol, r)
+              .filter(col("in_id") =!= col("ex_id"))
+              .join(truth.select(col("__p").as("in_id"), col("__c").as("ex_id"),
+                lit(1).as("__hit")), Seq("in_id", "ex_id"), "left")
+              .agg(count(lit(1)).as("n_cand"), count(col("__hit")).as("n_caught"))
+              .head()
+            BandingMeasurement(r, nTrue, counts.getLong(1), counts.getLong(0))
+          }
+        }
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(futs),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
     } finally {
       truth.unpersist(): Unit
       pSigs.unpersist(): Unit
@@ -385,6 +405,21 @@ object MinHashDedup {
       passing.minBy(m => (m.nCandidates, m.bands))
     else measurements.maxBy(m => (m.recall, -m.nCandidates))
   }
+
+  /** Jaccard SIZE GATE — a necessary condition evaluated BEFORE the
+    * O(|g1|+|g2|) sorted-merge intersection: for SETS, overlap ≤
+    * min(|g1|,|g2|), so jaccard = ov/(|g1|+|g2|−ov) ≤ min/max; a pair
+    * with min < t·max can never reach threshold t, and skipping it
+    * changes no output (rows it removes fail the exact filter anyway).
+    * Pure per-task work (guide §1.2 step 2): most candidate pairs fail
+    * the two integer-compare gate and never pay the merge. Both sides
+    * exact in double (set sizes < 2^53), so no boundary pair is lost.
+    * At t = 0 the gate is vacuous — callers skip it there.
+    */
+  private[graft] def sizeGate(g1: Column, g2: Column, t: Double): Column =
+    if (t <= 0.0) lit(true)
+    else least(size(g1), size(g2)).cast("double") >=
+      lit(t) * greatest(size(g1), size(g2)).cast("double")
 
   /** Exact duplicate groups on normalised text: md5(lower(trim(text))). */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =

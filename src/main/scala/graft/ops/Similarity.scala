@@ -456,10 +456,9 @@ object Similarity {
       assignTarget.rebase(
         pqEncode(corpus, idCol, vecCol, books, coarse, dim), batchId, tag)
     } else {
-      val (_, coarseDF) = kmeansFit(corpus, idCol, vecCol, k, iters,
-        materialize = false, withVec = false)
-      val coarse = localizeSeq(coarseDF)
-      val books = pqFit(corpus, idCol, vecCol, dim, m, codes, iters)
+      // fused bundle fit (one loop, one corpus cache — see pqFitBundle)
+      val (coarse, books) = pqFitBundle(corpus, idCol, vecCol, k, iters,
+        dim, m, codes)
       bundleTarget.commit(pqBundleDF(s, coarse, books), batchId)
       assignTarget.rebase(
         pqEncode(corpus, idCol, vecCol, books, coarse, dim), batchId, tag)
@@ -1092,6 +1091,90 @@ object Similarity {
         }
       }
       books
+    } finally cached.unpersist(): Unit
+  }
+
+  /** FUSED coarse+PQ bundle fit — [[kmeansFit]] (materialize = false,
+    * withVec = false) and [[pqFit]] over the SAME corpus in one loop:
+    * every PQ build/refit needs BOTH quantizers, and the two fits are
+    * independent Lloyd's recurrences over identical cached rows, so
+    * each round computes the coarse assignment (as subspace `-1`,
+    * full-width subvector) and all m code assignments in ONE map+agg
+    * job — `iters + 1` jobs and one corpus cache for the whole bundle
+    * instead of two persist cycles and 2·(iters + 1) jobs. Bit-identical
+    * by construction: the union only adds the `__s = -1` grouping
+    * partition, which shares no group with any codebook's, so every
+    * DECIMAL(28,10) sum, double division and sorted collect is the same
+    * arithmetic the separate fits ran (the oracle CTEs replay both
+    * unchanged). Init is one collect of the max(k, codes) lowest-id
+    * vectors — each fit's documented lowest-id seed rule read off one
+    * job.
+    */
+  def pqFitBundle(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, dim: Int, m: Int, codes: Int)
+      : (Seq[(Long, Seq[Double])], Seq[Seq[(Long, Seq[Double])]]) = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
+    require(m > 0 && dim % m == 0, s"dim ($dim) must split evenly into $m subspaces")
+    require(codes <= 127,
+      s"codes ($codes) must be <= 127: PQ codes are stored as bytes")
+    val sub = dim / m
+    val cached = corpus
+      .select(col(idCol).as("__id"), toDouble(col(vecCol)).as("__vec"))
+      .persist()
+    try {
+      // same over-fragmentation guard as kmeansFit — a frame already
+      // at-or-under cluster parallelism skips the sizing count
+      val sc = corpus.sparkSession.sparkContext
+      val parts = cached.rdd.getNumPartitions
+      val vecs =
+        if (parts <= sc.defaultParallelism) cached
+        else {
+          val n = cached.count()
+          val target =
+            math.max(1L, math.min(sc.defaultParallelism.toLong, n / 1024L)).toInt
+          if (parts > target) cached.coalesce(target) else cached
+        }
+      // init: the max(k, codes) lowest-id vectors in id order serve BOTH
+      // seed rules (coarse cells 1..k, each codebook's codes 1..codes)
+      val initRows = vecs.orderBy(col("__id").asc).limit(math.max(k, codes))
+        .select(col("__vec")).collect().map(_.getSeq[Double](0))
+      var coarse: Seq[(Long, Seq[Double])] =
+        initRows.take(k).toSeq.zipWithIndex.map { case (v, i) => ((i + 1).toLong, v) }
+      var books: Seq[Seq[(Long, Seq[Double])]] = (0 until m).map { s =>
+        initRows.take(codes).toSeq.zipWithIndex.map { case (v, i) =>
+          ((i + 1).toLong, v.slice(s * sub, math.min((s + 1) * sub, v.size)))
+        }
+      }
+      for (_ <- 1 to iters) {
+        val coarsePart = struct(lit(-1).cast(IntegerType).as("__s"),
+          nearestCellExpr(col("__vec"), coarse).as("__cell"),
+          col("__vec").as("__subv"))
+        val perSub = (0 until m).map { s =>
+          val sv = slice(col("__vec"), s * sub + 1, sub)
+          struct(lit(s).cast(IntegerType).as("__s"),
+            nearestCellExpr(sv, books(s)).as("__cell"), sv.as("__subv"))
+        }
+        val expl = vecs.select(explode(array(coarsePart +: perSub: _*)).as("__e"))
+          .select(col("__e.__s").as("__s"), col("__e.__cell").as("__cell"),
+            posexplode(col("__e.__subv")).as(Seq("__pos", "__v")))
+        val fit = expl.groupBy(col("__s"), col("__cell"), col("__pos"))
+          .agg((sum(col("__v").cast(DecimalType(28, 10))).cast(DoubleType)
+            / count(lit(1))).as("__cv"))
+          .groupBy(col("__s"), col("__cell"))
+          .agg(transform(
+            sort_array(collect_list(struct(col("__pos"), col("__cv")))),
+            x => x.getField("__cv")).as("__centroid"))
+          .select(col("__s"), col("__cell"), col("__centroid"))
+          .collect()
+        coarse = fit.filter(_.getInt(0) == -1)
+          .map(r => (r.getLong(1), r.getSeq[Double](2))).sortBy(_._1).toSeq
+        books = (0 until m).map { s =>
+          fit.filter(_.getInt(0) == s)
+            .map(r => (r.getLong(1), r.getSeq[Double](2)))
+            .sortBy(_._1).toSeq
+        }
+      }
+      (coarse, books)
     } finally cached.unpersist(): Unit
   }
 

@@ -1895,7 +1895,11 @@ object LlmOps {
     val b = fused.select(col("probe_id"), col("cand_id").as("c2"))
       .join(grams.select(col("doc_id").as("c2"), col("__g").as("g2")), Seq("c2"))
     val ov = graft.functions.SortedOverlapCount.overlap(col("g1"), col("g2"))
-    val pairs = a.join(b, Seq("probe_id")).filter(col("c1") < col("c2"))
+    // size gate before the sorted-merge intersection: a pair whose
+    // smaller gram set is under half the larger can never reach 0.5
+    // (MinHashDedup.sizeGate's bound) — output unchanged, merge skipped
+    val pairs = a.join(b, Seq("probe_id")).filter(col("c1") < col("c2") &&
+        MinHashDedup.sizeGate(col("g1"), col("g2"), 0.5))
       .withColumn("jaccard",
         ov.cast("double") / (size(col("g1")) + size(col("g2")) - ov))
       .filter(col("jaccard") >= 0.5)
@@ -2615,16 +2619,17 @@ object LlmOps {
     // build: coarse quantizer + m per-subspace codebooks, then ONE
     // map-only encode pass writes the PQ index in the probe-pruning
     // cell layout; codebooks + centroids persist beside it
-    val (_, coarseDF) = Similarity.kmeansFit(e, "vec_id", "embedding",
-      k = 8, iters = 2, materialize = false, withVec = false)
-    val coarse = Similarity.localize(coarseDF)
-    val books = Similarity.pqFit(e, "vec_id", "embedding",
-      dim = 64, m = 4, codes = 16, iters = 2)
+    // fused bundle fit: coarse + m codebooks in one loop — one
+    // corpus cache, one map+agg job per round (bit-identical to the
+    // separate kmeansFit + pqFit the oracle CTEs replay)
+    val (coarse, books) = Similarity.pqFitBundle(e, "vec_id",
+      "embedding", k = 8, iters = 2, dim = 64, m = 4, codes = 16)
     Similarity.pqEncode(e, "vec_id", "embedding", books, coarse, dim = 64,
         warnOnDrops = true)
       .repartition(col("cell")).write.mode("overwrite")
       .partitionBy("cell").parquet(s"$out/codes")
-    coarseDF.write.mode("overwrite").parquet(s"$out/centroids")
+    coarse.toDF("__cell", "__centroid")
+      .write.mode("overwrite").parquet(s"$out/centroids")
     books.zipWithIndex.flatMap { case (book, s) =>
       book.map { case (c, cv) => (s, c, cv) }
     }.toDF("subspace", "code", "centroid")
@@ -2801,11 +2806,11 @@ object LlmOps {
     val assignT = VersionedTarget.Segmented(aroot,
       partitionCols = Seq("cell"), clusterCommits = true)
     val bundleT = VersionedTarget.Rewrite(broot)
-    val (_, coarseDF) = Similarity.kmeansFit(base, "vec_id", "embedding",
-      k = 8, iters = 2, materialize = false, withVec = false)
-    val coarse = Similarity.localize(coarseDF)
-    val books = Similarity.pqFit(base, "vec_id", "embedding",
-      dim = 64, m = 4, codes = 16, iters = 2)
+    // fused bundle fit: coarse + m codebooks in one loop — one
+    // corpus cache, one map+agg job per round (bit-identical to the
+    // separate kmeansFit + pqFit the oracle CTEs replay)
+    val (coarse, books) = Similarity.pqFitBundle(base, "vec_id",
+      "embedding", k = 8, iters = 2, dim = 64, m = 4, codes = 16)
     bundleT.commit(Similarity.pqBundleDF(spark, coarse, books), 0L)
     assignT.commit(
       Similarity.pqEncode(base, "vec_id", "embedding", books, coarse,
@@ -2960,11 +2965,11 @@ object LlmOps {
     val assignT = VersionedTarget.Segmented(aroot,
       partitionCols = Seq("cell"), clusterCommits = true)
     val bundleT = VersionedTarget.Rewrite(broot)
-    val (_, coarseDF) = Similarity.kmeansFit(base, "vec_id", "embedding",
-      k = 8, iters = 2, materialize = false, withVec = false)
-    val coarse = Similarity.localize(coarseDF)
-    val books = Similarity.pqFit(base, "vec_id", "embedding",
-      dim = 64, m = 4, codes = 16, iters = 2)
+    // fused bundle fit: coarse + m codebooks in one loop — one
+    // corpus cache, one map+agg job per round (bit-identical to the
+    // separate kmeansFit + pqFit the oracle CTEs replay)
+    val (coarse, books) = Similarity.pqFitBundle(base, "vec_id",
+      "embedding", k = 8, iters = 2, dim = 64, m = 4, codes = 16)
     bundleT.commit(Similarity.pqBundleDF(spark, coarse, books), 0L)
     assignT.commit(
       Similarity.pqEncode(base, "vec_id", "embedding", books, coarse, dim = 64),
@@ -3143,11 +3148,11 @@ object LlmOps {
       partitionCols = Seq("cell"), clusterCommits = true)
     val bundleT = VersionedTarget.Rewrite(broot)
     val base = aug.filter(cluster.isin(0, 1))
-    val (_, coarseDF) = Similarity.kmeansFit(base, "vec_id", "embedding",
-      k = 8, iters = 2, materialize = false, withVec = false)
-    val coarse = Similarity.localize(coarseDF)
-    val books = Similarity.pqFit(base, "vec_id", "embedding",
-      dim = 68, m = 4, codes = 16, iters = 2)
+    // fused bundle fit: coarse + m codebooks in one loop — one
+    // corpus cache, one map+agg job per round (bit-identical to the
+    // separate kmeansFit + pqFit the oracle CTEs replay)
+    val (coarse, books) = Similarity.pqFitBundle(base, "vec_id",
+      "embedding", k = 8, iters = 2, dim = 68, m = 4, codes = 16)
     bundleT.commit(Similarity.pqBundleDF(spark, coarse, books), 0L)
     assignT.commit(
       Similarity.pqEncode(base, "vec_id", "embedding", books, coarse, dim = 68),
@@ -3957,11 +3962,11 @@ object LlmOps {
     import spark.implicits._
     val e = t(spark, dir, "embeddings").coalesce(8)
     val out = PipelineOps.layoutDir(spark, dir, "hybridpq")
-    val (_, coarseDF) = Similarity.kmeansFit(e, "vec_id", "embedding",
-      k = 8, iters = 2, materialize = false, withVec = false)
-    val coarse = Similarity.localize(coarseDF)
-    val books = Similarity.pqFit(e, "vec_id", "embedding",
-      dim = 64, m = 4, codes = 16, iters = 2)
+    // fused bundle fit: coarse + m codebooks in one loop — one
+    // corpus cache, one map+agg job per round (bit-identical to the
+    // separate kmeansFit + pqFit the oracle CTEs replay)
+    val (coarse, books) = Similarity.pqFitBundle(e, "vec_id",
+      "embedding", k = 8, iters = 2, dim = 64, m = 4, codes = 16)
     Similarity.pqEncode(e, "vec_id", "embedding", books, coarse, dim = 64)
       .repartition(col("cell")).write.mode("overwrite")
       .partitionBy("cell").parquet(s"$out/codes")
@@ -4342,11 +4347,11 @@ object LlmOps {
     val docs = t(spark, dir, "documents")
     val e = t(spark, dir, "embeddings").coalesce(8)
     val out = PipelineOps.layoutDir(spark, dir, "hybridpqdiv")
-    val (_, coarseDF) = Similarity.kmeansFit(e, "vec_id", "embedding",
-      k = 8, iters = 2, materialize = false, withVec = false)
-    val coarse = Similarity.localize(coarseDF)
-    val books = Similarity.pqFit(e, "vec_id", "embedding",
-      dim = 64, m = 4, codes = 16, iters = 2)
+    // fused bundle fit: coarse + m codebooks in one loop — one
+    // corpus cache, one map+agg job per round (bit-identical to the
+    // separate kmeansFit + pqFit the oracle CTEs replay)
+    val (coarse, books) = Similarity.pqFitBundle(e, "vec_id",
+      "embedding", k = 8, iters = 2, dim = 64, m = 4, codes = 16)
     Similarity.pqEncode(e, "vec_id", "embedding", books, coarse, dim = 64)
       .repartition(col("cell")).write.mode("overwrite")
       .partitionBy("cell").parquet(s"$out/codes")
@@ -4392,11 +4397,11 @@ object LlmOps {
       partitionCols = Seq("cell"), clusterCommits = true)
     val bundleT = VersionedTarget.Rewrite(broot)
     val base = aug.filter(cluster.isin(0, 1))
-    val (_, coarseDF) = Similarity.kmeansFit(base, "vec_id", "embedding",
-      k = 8, iters = 2, materialize = false, withVec = false)
-    val coarse = Similarity.localize(coarseDF)
-    val books = Similarity.pqFit(base, "vec_id", "embedding",
-      dim = 68, m = 4, codes = 16, iters = 2)
+    // fused bundle fit: coarse + m codebooks in one loop — one
+    // corpus cache, one map+agg job per round (bit-identical to the
+    // separate kmeansFit + pqFit the oracle CTEs replay)
+    val (coarse, books) = Similarity.pqFitBundle(base, "vec_id",
+      "embedding", k = 8, iters = 2, dim = 68, m = 4, codes = 16)
     try {
       bundleT.commit(Similarity.pqBundleDF(spark, coarse, books), 0L)
       assignT.commit(
@@ -4573,11 +4578,11 @@ object LlmOps {
     val docs = t(spark, dir, "documents")
     val e = t(spark, dir, "embeddings").coalesce(8)
     val out = PipelineOps.layoutDir(spark, dir, "filteredannpq")
-    val (_, coarseDF) = Similarity.kmeansFit(e, "vec_id", "embedding",
-      k = 8, iters = 2, materialize = false, withVec = false)
-    val coarse = Similarity.localize(coarseDF)
-    val books = Similarity.pqFit(e, "vec_id", "embedding",
-      dim = 64, m = 4, codes = 16, iters = 2)
+    // fused bundle fit: coarse + m codebooks in one loop — one
+    // corpus cache, one map+agg job per round (bit-identical to the
+    // separate kmeansFit + pqFit the oracle CTEs replay)
+    val (coarse, books) = Similarity.pqFitBundle(e, "vec_id",
+      "embedding", k = 8, iters = 2, dim = 64, m = 4, codes = 16)
     Similarity.pqEncode(e, "vec_id", "embedding", books, coarse, dim = 64)
       .repartition(col("cell")).write.mode("overwrite")
       .partitionBy("cell").parquet(s"$out/codes")
@@ -4642,12 +4647,15 @@ object LlmOps {
     val assignT = VersionedTarget.Segmented(aroot,
       partitionCols = Seq("cell"), clusterCommits = true)
     val bundleT = VersionedTarget.Rewrite(broot)
-    val (exAssign, coarseDF) = Similarity.kmeansFit(existing, "vec_id",
-      "embedding", k = 8, iters = 2, materialize = true, withVec = true)
+    // fused bundle fit (one loop, one corpus cache); the verdict frame
+    // the per-batch gate consults is the SAME placement kmeansFit's
+    // materialized assignments were — assignToCentroids against the
+    // final coarse quantizer (identical argmin rule), cached once here
+    val (coarse, books) = Similarity.pqFitBundle(existing, "vec_id",
+      "embedding", k = 8, iters = 2, dim = 64, m = 4, codes = 16)
+    val exAssign = Similarity.assignToCentroids(existing, coarse,
+      "vec_id", "embedding", withVec = true).persist()
     try {
-      val coarse = Similarity.localize(coarseDF)
-      val books = Similarity.pqFit(existing, "vec_id", "embedding",
-        dim = 64, m = 4, codes = 16, iters = 2)
       bundleT.commit(Similarity.pqBundleDF(spark, coarse, books), 0L)
       assignT.commit(Similarity.pqEncode(existing, "vec_id", "embedding",
         books, coarse, dim = 64), 0L, tag = Some("v0"))
@@ -4731,11 +4739,11 @@ object LlmOps {
     val assignT = VersionedTarget.Segmented(aroot,
       partitionCols = Seq("cell"), clusterCommits = true)
     val bundleT = VersionedTarget.Rewrite(broot)
-    val (_, coarseDF) = Similarity.kmeansFit(existing, "vec_id",
-      "embedding", k = 8, iters = 2, materialize = false, withVec = false)
-    val coarse = Similarity.localize(coarseDF)
-    val books = Similarity.pqFit(existing, "vec_id", "embedding",
-      dim = 64, m = 4, codes = 16, iters = 2)
+    // fused bundle fit: coarse + m codebooks in one loop — one
+    // corpus cache, one map+agg job per round (bit-identical to the
+    // separate kmeansFit + pqFit the oracle CTEs replay)
+    val (coarse, books) = Similarity.pqFitBundle(existing, "vec_id",
+      "embedding", k = 8, iters = 2, dim = 64, m = 4, codes = 16)
     bundleT.commit(Similarity.pqBundleDF(spark, coarse, books), 0L)
     assignT.commit(Similarity.pqEncode(existing, "vec_id", "embedding",
       books, coarse, dim = 64), 0L, tag = Some("v0"))
@@ -5286,11 +5294,11 @@ object LlmOps {
     val assignT = VersionedTarget.Segmented(aroot,
       partitionCols = Seq("cell"), clusterCommits = true)
     val bundleT = VersionedTarget.Rewrite(broot)
-    val (_, coarseDF) = Similarity.kmeansFit(existing, "vec_id", "embedding",
-      k = 8, iters = 2, materialize = false, withVec = false)
-    val coarse = Similarity.localize(coarseDF)
-    val books = Similarity.pqFit(existing, "vec_id", "embedding",
-      dim = 64, m = 4, codes = 16, iters = 2)
+    // fused bundle fit: coarse + m codebooks in one loop — one
+    // corpus cache, one map+agg job per round (bit-identical to the
+    // separate kmeansFit + pqFit the oracle CTEs replay)
+    val (coarse, books) = Similarity.pqFitBundle(existing, "vec_id",
+      "embedding", k = 8, iters = 2, dim = 64, m = 4, codes = 16)
     bundleT.commit(Similarity.pqBundleDF(spark, coarse, books), 0L)
     corpusT.commit(existing, 0L)
     assignT.commit(Similarity.pqEncode(existing, "vec_id", "embedding",
@@ -5398,11 +5406,11 @@ object LlmOps {
     val assignT = VersionedTarget.Segmented(aroot,
       partitionCols = Seq("cell"), clusterCommits = true)
     val bundleT = VersionedTarget.Rewrite(broot)
-    val (_, coarseDF) = Similarity.kmeansFit(existing, "vec_id", "embedding",
-      k = 8, iters = 2, materialize = false, withVec = false)
-    val coarse = Similarity.localize(coarseDF)
-    val books = Similarity.pqFit(existing, "vec_id", "embedding",
-      dim = 64, m = 4, codes = 16, iters = 2)
+    // fused bundle fit: coarse + m codebooks in one loop — one
+    // corpus cache, one map+agg job per round (bit-identical to the
+    // separate kmeansFit + pqFit the oracle CTEs replay)
+    val (coarse, books) = Similarity.pqFitBundle(existing, "vec_id",
+      "embedding", k = 8, iters = 2, dim = 64, m = 4, codes = 16)
     bundleT.commit(Similarity.pqBundleDF(spark, coarse, books), 0L)
     corpusT.commit(existing, 0L)
     assignT.commit(Similarity.pqEncode(existing, "vec_id", "embedding",
@@ -5596,11 +5604,11 @@ object LlmOps {
     val docs = t(spark, dir, "documents")
     val e = t(spark, dir, "embeddings").coalesce(8)
     val out = PipelineOps.layoutDir(spark, dir, "filteredhybridpq")
-    val (_, coarseDF) = Similarity.kmeansFit(e, "vec_id", "embedding",
-      k = 8, iters = 2, materialize = false, withVec = false)
-    val coarse = Similarity.localize(coarseDF)
-    val books = Similarity.pqFit(e, "vec_id", "embedding",
-      dim = 64, m = 4, codes = 16, iters = 2)
+    // fused bundle fit: coarse + m codebooks in one loop — one
+    // corpus cache, one map+agg job per round (bit-identical to the
+    // separate kmeansFit + pqFit the oracle CTEs replay)
+    val (coarse, books) = Similarity.pqFitBundle(e, "vec_id",
+      "embedding", k = 8, iters = 2, dim = 64, m = 4, codes = 16)
     Similarity.pqEncode(e, "vec_id", "embedding", books, coarse, dim = 64)
       .repartition(col("cell")).write.mode("overwrite")
       .partitionBy("cell").parquet(s"$out/codes")
@@ -5674,7 +5682,22 @@ object LlmOps {
         .select(lit(mod.toLong).as("one_in"), $"probe_id",
           coalesce($"n_hits", lit(0L)).as("n_hits"))
     }
-    val report = Seq(2, 5, 20).map(rateReport).reduce(_ union _)
+    // each rate's ONLY eager step is its selectivity agg (one slim job);
+    // the three are independent reads of the same committed index, so
+    // build the rate frames concurrently (guide §2.6) — the final union
+    // is still ONE action, and Future.sequence keeps the declared rate
+    // order, so the report is byte-identical to the sequential build
+    val rates = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(
+          Seq(2, 5, 20).map(m => scala.concurrent.Future(rateReport(m)))),
+        scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
+    }
+    val report = rates.reduce(_ union _)
       .orderBy($"one_in".asc_nulls_first, $"probe_id".asc_nulls_first)
     // k-bounded report (3 rates × 20 probes); materialise so nothing
     // holds the index read open
