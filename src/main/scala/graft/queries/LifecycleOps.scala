@@ -102,9 +102,12 @@ object LifecycleOps {
       // stage 3 — split + decontaminate the capped corpus (q140 rule)
       val bucket = expr(
         "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 2), 16, 10) AS INT) % 10")
-      val withSplit = capped.select($"doc_id", $"text",
+      // train/eval/finalTrain all derive from this frame, and the
+      // contamination join walks both sides — uncached, every consumer
+      // re-runs the cap window + survivor semi-join upstream of it
+      val withSplit = graft.core.CacheScope.adopt(capped.select($"doc_id", $"text",
         when(bucket < 8, "train").when(bucket === 8, "val")
-          .otherwise("test").as("split"))
+          .otherwise("test").as("split")).persist())
       val train = withSplit.filter($"split" === "train")
       val eval = withSplit.filter($"split" =!= "train")
       val contaminated = MinHashDedup.crossNgramPairs(
@@ -291,7 +294,13 @@ object LifecycleOps {
         pairs.select($"d1".as("a"), $"d2".as("b")),
         docs.select($"doc_id".as("id"))))
       val keepIds = cs.filter($"id" === $"cluster").select($"id".as("doc_id"))
-      val kept = docs.join(keepIds, Seq("doc_id"), "left_semi")
+      // kept feeds THREE actions (the chunk-artifact write, the lexical
+      // arm of the serve, and — via keepIds — nothing else reuses it, but
+      // the lexical pipeline alone walks it twice): cache it so each
+      // action reads the deduped corpus instead of re-running the
+      // docs⋈keepers semi-join. Scope-released by the task's CacheScope.
+      val kept = graft.core.CacheScope.adopt(
+        docs.join(keepIds, Seq("doc_id"), "left_semi").persist())
 
       // stage 2 — chunk the kept corpus (q134 rule) into the serving
       // payload artifact

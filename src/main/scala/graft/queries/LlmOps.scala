@@ -1886,8 +1886,18 @@ object LlmOps {
     * int8 fusion) — everything here is |probes|·k, corpus-independent.
     */
   private[graft] def diversifyFused(docs: DataFrame,
-                                    fused: DataFrame): DataFrame = {
+                                    fusedIn: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the fused list feeds FOUR separate actions (the components pass
+    // materialises edges and nodes as its own jobs, then the keeper
+    // re-rank reads it twice more) — without a cache each action re-runs
+    // the whole dense+lexical+RRF pipeline upstream of it. |probes|·k
+    // rows; adopted into the ambient CacheScope (harness releases).
+    // Rebased onto its computed RDD (Components.mat's pattern, lazily)
+    // so downstream plans carry one LogicalRDD leaf instead of embedding
+    // the whole fusion tree once per reference.
+    val fused = graft.core.CacheScope.adopt(fusedIn.sparkSession
+      .createDataFrame(fusedIn.rdd, fusedIn.schema).persist())
     val grams = docs.select(col("doc_id"),
       graft.functions.CharGramHashes.hashes(col("text"), 5).as("__g"))
     val a = fused.select(col("probe_id"), col("cand_id").as("c1"))
